@@ -1,0 +1,348 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational operator surface of the reference (SURVEY.md §2.2 filters/
+  * projections P1-P9, §2.4 aggregations A1-A8, §2.5 joins J1-J8, §2.6
+  * windows W1-W4, §2.7 set ops D1-D6), expressed over the driver's
+  * TPC-H-ish tables with DuckDB-oracle parity.
+  *
+  * Exactness rules used throughout (so driver hash-compare passes):
+  *  - money math in decimal(18,2) end-to-end (shuffle-order-independent,
+  *    identical in Spark and DuckDB), final cast to double;
+  *  - averages as exact-decimal sum / count in one IEEE double divide;
+  *  - every result has a total deterministic ORDER BY (unique tiebreak);
+  *  - timestamps are never emitted raw (ns-vs-us precision) — always
+  *    `date_format`/`strftime` strings.
+  *
+  * Scale notes: group-bys here are partial-aggregated map-side by
+  * Catalyst; dimension joins (nation/region/customer) are broadcast —
+  * at 100 TB only the fact-table scan grows, the plans keep a single
+  * shuffle per agg and zero shuffle on the broadcast joins.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 — conjunctive filter builder (crud_documents.py:24-67 semantics:
+    // IN-list, case-insensitive contains, range), pushed to parquet scan.
+    "p1_filter_conjunctive" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("lang").isin("en", "zh") &&
+          lower(col("text")).contains("spark") &&
+          col("n_chars").between(100, 2000))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // P2 — pagination + sort with whitelisted sort field (crud_documents.py:208-230).
+    "p2_pagination_sort" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(100).limit(50)
+    }),
+
+    // P3 — count with filter (crud_documents.py:161-182).
+    "p3_count_filter" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // P4 — batch get-by-ids ($in point lookups, crud_documents.py:319-357).
+    "p4_get_by_ids" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey").isin(1L, 7L, 42L, 1000L, 4999L))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P6 — log filter: level eq + time range + contains, newest first (crud_logs.py:23-113).
+    "p6_log_filter" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "error" &&
+          col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-05 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("value"))
+        .orderBy(col("event_id").desc)
+        .limit(100)
+    }),
+
+    // T6-ish — JSON field extraction from an open-schema props column
+    // (metadata Dict escape hatch, SURVEY §1.1).
+    "t6_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("k").asc)
+        .limit(20)
+    }),
+
+    // A1 — dashboard system stats: conditional status counts + total size (crud_dashboard.py:17-65).
+    "a1_system_stats" -> ((s, d) => {
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+    }),
+
+    // A2 — per-group stats: count + exact avg (qa_analytics_service.py:134-155).
+    "a2_group_stats" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+        .withColumn("avg_value", col("sum_value") / col("n").cast("double"))
+        .orderBy("event_type")
+    }),
+
+    // A3 — overall conditional stats ($cond success-rate, qa_analytics_service.py:158-212).
+    "a3_conditional_stats" -> ((s, d) => {
+      Tables.events(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+        .withColumn("purchase_rate", col("n_purchase").cast("double") / col("n").cast("double"))
+    }),
+
+    // A4 — daily trend: group by day string, ordered (qa_analytics_service.py:246-264).
+    "a4_daily_trend" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("day")
+    }),
+
+    // A5 — keyword frequency: explode + count + top-k (clustering_service.py:793-865).
+    "a5_keyword_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    // A6 — cluster size distribution (clustering_service.py:436-453).
+    "a6_label_sizes" -> ((s, d) => {
+      Tables.embeddings(s, d).groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy("label")
+    }),
+
+    // A7 — clustering stats rollup: (level, cluster) + totals (apis/v1/clustering.py:591-663).
+    "a7_rollup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"), col("n"))
+        .orderBy("lang", "source")
+    }),
+
+    // J1 — enrich ids with dimension data via broadcast joins (crud_documents.py:319-357
+    // batch-$in fetch). Dims are broadcast: zero shuffle on the join at any scale.
+    "j1_join_enrich" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("r_name")
+    }),
+
+    // J2 — semi join: restrict to candidate set (enhanced_search_service.py:170-179).
+    "j2_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // J6 — anti join: duplicate-import / not-exists check (email_document_processor.py:134-160).
+    "j6_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J3 — full-outer merge of two per-key aggregates (the RRF union shape,
+    // enhanced_search_service.py:421-456).
+    "j3_full_outer" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val open = o.filter(col("o_orderstatus") === "O").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("open_spend"))
+      val fin = o.filter(col("o_orderstatus") === "F").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("fin_spend"))
+      open.join(fin, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("open_spend"), lit(0.0)).as("open_spend"),
+          coalesce(col("fin_spend"), lit(0.0)).as("fin_spend"))
+        .orderBy("o_custkey")
+    }),
+
+    // W1 — global ranking (RRF rank assignment, enhanced_search_service.py:403-419).
+    "w1_rank" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)))
+        .filter(col("rnk") <= 50)
+        .select("rnk", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("rnk")
+    }),
+
+    // W2 — best-row-per-group dedup (keep-max per document, V7/W2 sites).
+    "w2_top_per_group" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // W3 — last-N per key ($slice -n on messages, crud_conversations.py:181-211).
+    "w3_last_n" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+        .filter(col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type")
+        .orderBy("user_id", "rn")
+    }),
+
+    // W4 — top-k (TakeOrderedAndProject; dashboard recent-activity shape).
+    "w4_topk" -> ((s, d) => {
+      Tables.part(s, d)
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .limit(10)
+    }),
+
+    // D1 — union + distinct of two keyed result sets (RRF all_documents union).
+    "d1_union_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      val b = o.filter(col("o_totalprice") > 450000.0).select(col("o_custkey"))
+      a.union(b).distinct().orderBy("o_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_filter_conjunctive" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en','zh') AND contains(lower(text), 'spark')
+        |  AND n_chars BETWEEN 100 AND 2000 ORDER BY doc_id""".stripMargin,
+    "p2_pagination_sort" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 100""".stripMargin,
+    "p3_count_filter" ->
+      "SELECT count(*) AS n FROM documents WHERE lang = 'en'",
+    "p4_get_by_ids" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (1,7,42,1000,4999) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p6_log_filter" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+        |FROM events
+        |WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    "t6_json_extract" ->
+      """SELECT json_extract_string(props, '$.k') AS k, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, k ASC LIMIT 20""".stripMargin,
+    "a1_system_stats" ->
+      """SELECT count(*) AS n_orders,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders""".stripMargin,
+    "a2_group_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a3_conditional_stats" ->
+      """SELECT count(*) AS n,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS purchase_rate
+        |FROM events""".stripMargin,
+    "a4_daily_trend" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "a5_keyword_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "a6_label_sizes" ->
+      "SELECT label, count(*) AS n FROM embeddings GROUP BY label ORDER BY label",
+    "a7_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, count(*) AS n
+        |FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source""".stripMargin,
+    "j1_join_enrich" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j2_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j3_full_outer" ->
+      """SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(open_spend, 0.0) AS open_spend,
+        |  coalesce(fin_spend, 0.0) AS fin_spend
+        |FROM (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_spend
+        |      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) a
+        |FULL OUTER JOIN (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS fin_spend
+        |      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) b
+        |USING (o_custkey) ORDER BY o_custkey""".stripMargin,
+    "w1_rank" ->
+      """SELECT rnk, s_suppkey, s_name, s_acctbal FROM (
+        |  SELECT row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk,
+        |         s_suppkey, s_name, s_acctbal FROM supplier)
+        |WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+    "w2_top_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "w3_last_n" ->
+      """SELECT user_id, rn, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "w4_topk" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin,
+    "d1_union_distinct" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY o_custkey""".stripMargin
+  )
+}
