@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions.{cosine, dot}
+
+/** Vector search operators (SURVEY.md §2.3 V1-V13) — the reference's
+  * core retrieval path re-expressed as DataFrame plan shapes.
+  *
+  * Semantics mirrored from the reference:
+  *  - V1 kNN: cosine top-k with threshold post-filter
+  *    (`vector_db_service.py:165-261`; similarity = dot of normalized
+  *    vectors, `embedding_service.py:181-209`).
+  *  - V4 two-stage: summary-kNN candidates prune the chunk search
+  *    space via a semi join (`enhanced_search_service.py:126-203`).
+  *  - V6 RRF: per-branch keep-best-per-doc + rank, full-outer fuse
+  *    w_s/(k0+rank_s) + w_c/(k0+rank_c), k0=60, weights 0.4/0.6
+  *    (`enhanced_search_service.py:259-506`).
+  *  - V7 dedup keep-max per doc (`:508-548`), V8 multi-query weighted
+  *    merge with positional weights 1.3/1.1/1.0
+  *    (`qa_search_coordinator.py:119-205`), V11 traditional parallel
+  *    merge (`:207-269`).
+  *
+  * Test-data mapping: the driver's `embeddings` table plays the vector
+  * store — even `vec_id` rows act as summary vectors, odd rows as
+  * chunk vectors, `label` as the owning document id.
+  *
+  * Scale posture: every kNN is a single parquet scan + codegen'd dot +
+  * `TakeOrderedAndProject` (no shuffle); fusion joins operate on ≤2k
+  * candidate rows and broadcast automatically under AQE. At 100 TB
+  * the vectors table is partitioned by `owner_id` (tenant pruning) —
+  * the per-query cost is one tenant shard scan, embarrassingly
+  * parallel across executors.
+  */
+object Search {
+
+  /** V1 — brute-force exact cosine top-k over normalized vectors. */
+  def knn(vectors: DataFrame, queryVec: Seq[Double], k: Int, threshold: Double,
+          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    vectors
+      .withColumn("sim", dot(col(embCol), typedLit(queryVec)))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** W2/V7 — keep the best-scoring row per document. */
+  def keepBestPerDoc(df: DataFrame, docCol: String = "label",
+                     idCol: String = "vec_id"): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(docCol).orderBy(col("sim").desc, col(idCol).asc)))
+      .filter(col("_rn") === 1).drop("_rn")
+
+  /** Rank a (small, already top-k-limited) branch by score. */
+  private def ranked(df: DataFrame, idCol: String = "vec_id"): DataFrame =
+    df.withColumn("rank", row_number().over(
+      Window.orderBy(col("sim").desc, col(idCol).asc)))
+
+  /** V4 — two-stage hybrid: summary candidates semi-join-prune chunks. */
+  def twoStage(summaries: DataFrame, chunks: DataFrame, queryVec: Seq[Double],
+               stage1K: Int, stage2K: Int, threshold: Double): DataFrame = {
+    val cand = knn(summaries, queryVec, stage1K, threshold).select("label").distinct()
+    knn(chunks.join(broadcast(cand), Seq("label"), "left_semi"),
+      queryVec, stage2K, threshold)
+  }
+
+  /** V6 — RRF fusion of a summary branch and a chunk branch. */
+  def rrfFusion(summaries: DataFrame, chunks: DataFrame, queryVec: Seq[Double],
+                branchK: Int, k: Int, k0: Int = 60,
+                wSummary: Double = 0.4, wChunks: Double = 0.6): DataFrame = {
+    val s = ranked(keepBestPerDoc(knn(summaries, queryVec, branchK, 0.0)))
+      .select(col("label"), col("vec_id").as("s_vec_id"), col("sim").as("s_sim"),
+        col("rank").as("s_rank"))
+    val c = ranked(keepBestPerDoc(knn(chunks, queryVec, branchK, 0.0)))
+      .select(col("label"), col("vec_id").as("c_vec_id"), col("sim").as("c_sim"),
+        col("rank").as("c_rank"))
+    s.join(c, Seq("label"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(wSummary) / (lit(k0) + col("s_rank")), lit(0.0)) +
+          coalesce(lit(wChunks) / (lit(k0) + col("c_rank")), lit(0.0)))
+      // result row prefers the chunk representative, else summary
+      // (enhanced_search_service.py:458-488)
+      .withColumn("rep_vec_id", coalesce(col("c_vec_id"), col("s_vec_id")))
+      .select("label", "rep_vec_id", "rrf_score")
+      .orderBy(col("rrf_score").desc, col("label").asc)
+      .limit(k)
+  }
+
+  /** V8 — multi-query weighted merge with positional weights. */
+  def multiQueryMerge(vectors: DataFrame, queryVecs: Seq[Seq[Double]],
+                      weights: Seq[Double], perQueryK: Int, k: Int): DataFrame = {
+    val branches = queryVecs.zip(weights).map { case (q, w) =>
+      knn(vectors, q, perQueryK, 0.0).withColumn("wsim", col("sim") * lit(w))
+    }
+    val all = branches.reduce(_ unionByName _)
+    all.withColumn("_rn", row_number().over(
+        Window.partitionBy("label").orderBy(col("wsim").desc, col("vec_id").asc)))
+      .filter(col("_rn") === 1).drop("_rn", "sim")
+      .orderBy(col("wsim").desc, col("label").asc)
+      .limit(k)
+  }
+
+  /** V9 — greedy diversity re-rank (MMR-lite): admit a result if its
+    * first-10-token word set overlaps the accumulated seen-set by < 5
+    * words, or fewer than max(3, k/2) admitted so far
+    * (`search_strategy.py:44-73`). Inherently sequential over a ≤50-row
+    * candidate list → runs on the driver by design (SURVEY §2.3 V9).
+    */
+  def diversityRerank(results: Array[(Long, Double, String)], k: Int): Array[(Long, Double, String)] = {
+    val floor = math.max(3, k / 2)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
+    for (r <- results if out.size < k) {
+      val words = r._3.toLowerCase.split("\\s+").filter(_.nonEmpty).take(10).toSet
+      val overlap = words.count(seen)
+      if (overlap < 5 || out.size < floor) {
+        out += r
+        seen ++= words
+      }
+    }
+    out.toArray
+  }
+
+  private def qvec(s: SparkSession, d: String, id: Long): Seq[Double] =
+    Tables.embeddings(s, d).filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+  private def summaries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
+  private def chunks(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // V1 — kNN cosine top-k with threshold (vector_db_service.py:165-261).
+    "v1_knn_topk" -> ((s, d) =>
+      knn(Tables.embeddings(s, d), qvec(s, d, 0), 10, 0.3)
+        .select("vec_id", "label", "sim")),
+
+    // V2 — all vectors of one document, fixed sim 1.0 (vector_db_service.py:429-474).
+    "v2_get_by_doc" -> ((s, d) =>
+      Tables.embeddings(s, d).filter(col("label") === 3)
+        .select(col("vec_id"), col("label"), lit(1.0).as("sim"))
+        .orderBy("vec_id")),
+
+    // V5 — summary-only kNN (type pinned, enhanced_search_service.py:205-257).
+    "v5_summary_only" -> ((s, d) =>
+      knn(summaries(s, d), qvec(s, d, 0), 10, 0.0)
+        .select("vec_id", "label", "sim")),
+
+    // V4 — two-stage hybrid search.
+    "v4_two_stage" -> ((s, d) =>
+      twoStage(summaries(s, d), chunks(s, d), qvec(s, d, 0), 10, 10, 0.0)
+        .select("vec_id", "label", "sim")),
+
+    // V6 — RRF fusion, service-default weights 0.4/0.6, k0=60.
+    "v6_rrf_fusion" -> ((s, d) =>
+      rrfFusion(summaries(s, d), chunks(s, d), qvec(s, d, 0), 10, 5)),
+
+    // V7 — dedup keep-max per document over all vectors.
+    "v7_dedup_keepmax" -> ((s, d) =>
+      keepBestPerDoc(
+        Tables.embeddings(s, d).withColumn("sim", dot(col("embedding"), typedLit(qvec(s, d, 0)))))
+        .select("label", "vec_id", "sim")
+        .orderBy("label")),
+
+    // V8 — multi-query weighted merge (weights 1.3/1.1/1.0,
+    // search_weight_config.py:15-19).
+    "v8_multiquery_merge" -> ((s, d) =>
+      multiQueryMerge(Tables.embeddings(s, d),
+        Seq(qvec(s, d, 0), qvec(s, d, 1), qvec(s, d, 2)),
+        Seq(1.3, 1.1, 1.0), 10, 5)
+        .select("label", "vec_id", "wsim")),
+
+    // V11 — traditional single-stage: parallel summary+chunk branches,
+    // merge keep-max per doc (qa_search_coordinator.py:207-269).
+    "v11_traditional" -> ((s, d) => {
+      val q = qvec(s, d, 0)
+      val merged = knn(summaries(s, d), q, 10, 0.0)
+        .unionByName(knn(chunks(s, d), q, 10, 0.0))
+      keepBestPerDoc(merged)
+        .select("label", "vec_id", "sim")
+        .orderBy(col("sim").desc, col("label").asc)
+        .limit(10)
+    }),
+
+    // V13 — pairwise cosine with zero-norm guard (embedding_service.py:181-209).
+    "v13_pairwise_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
+        .orderBy("id_a")
+    }),
+
+    // Similarity-search batch: brute-force top-5 neighbors for each of
+    // 5 query vectors in one plan (the 100 TB batch-scoring shape:
+    // broadcast the query set, one scan of the corpus).
+    "ann_bruteforce_batch" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("embedding"), col("q_emb")))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
+    // V9 — diversity re-rank over top-20 kNN joined to document text
+    // (rows-only check: greedy/sequential, not SQL-expressible).
+    "v9_diversity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val top = knn(Tables.embeddings(s, d), qvec(s, d, 0), 20, 0.0)
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("sim"), col("text"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val picked = diversityRerank(
+        top.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))), 5)
+      import s.implicits._
+      picked.toSeq.toDF("vec_id", "sim", "text").select("vec_id", "sim")
+    })
+  )
+
+  private val q0 = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+  private def qn(i: Int) = s"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = $i)"
+
+  val oracles: Map[String, String] = Map(
+    "v1_knn_topk" ->
+      s"""SELECT vec_id, label, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |FROM embeddings
+         |WHERE list_inner_product(embedding::DOUBLE[], $q0) >= 0.3
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v2_get_by_doc" ->
+      """SELECT vec_id, label, 1.0::DOUBLE AS sim FROM embeddings
+        |WHERE label = 3 ORDER BY vec_id""".stripMargin,
+    "v5_summary_only" ->
+      s"""SELECT vec_id, label, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |FROM embeddings WHERE vec_id % 2 = 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v4_two_stage" ->
+      s"""WITH s1 AS (
+         |  SELECT DISTINCT label FROM (
+         |    SELECT label, list_inner_product(embedding::DOUBLE[], $q0) AS sim, vec_id
+         |    FROM embeddings WHERE vec_id % 2 = 0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10))
+         |SELECT vec_id, label, sim FROM (
+         |  SELECT vec_id, label, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |  FROM embeddings
+         |  WHERE vec_id % 2 = 1 AND label IN (SELECT label FROM s1)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |ORDER BY sim DESC, vec_id ASC""".stripMargin,
+    "v6_rrf_fusion" ->
+      s"""WITH sb AS (
+         |  SELECT label, vec_id, sim,
+         |         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rnk
+         |  FROM (
+         |    SELECT label, vec_id, sim FROM (
+         |      SELECT label, vec_id, sim,
+         |             row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rn
+         |      FROM (
+         |        SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |        FROM embeddings WHERE vec_id % 2 = 0
+         |        ORDER BY sim DESC, vec_id ASC LIMIT 10))
+         |    WHERE rn = 1)),
+         |cb AS (
+         |  SELECT label, vec_id, sim,
+         |         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rnk
+         |  FROM (
+         |    SELECT label, vec_id, sim FROM (
+         |      SELECT label, vec_id, sim,
+         |             row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rn
+         |      FROM (
+         |        SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |        FROM embeddings WHERE vec_id % 2 = 1
+         |        ORDER BY sim DESC, vec_id ASC LIMIT 10))
+         |    WHERE rn = 1))
+         |SELECT coalesce(sb.label, cb.label) AS label,
+         |       coalesce(cb.vec_id, sb.vec_id) AS rep_vec_id,
+         |       coalesce(0.4::DOUBLE / (60 + sb.rnk), 0.0) +
+         |       coalesce(0.6::DOUBLE / (60 + cb.rnk), 0.0) AS rrf_score
+         |FROM sb FULL OUTER JOIN cb ON sb.label = cb.label
+         |ORDER BY rrf_score DESC, label ASC LIMIT 5""".stripMargin,
+    "v7_dedup_keepmax" ->
+      s"""SELECT label, vec_id, sim FROM (
+         |  SELECT label, vec_id, sim,
+         |         row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rn
+         |  FROM (SELECT label, vec_id,
+         |               list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |        FROM embeddings))
+         |WHERE rn = 1 ORDER BY label""".stripMargin,
+    "v8_multiquery_merge" ->
+      s"""WITH b AS (
+         |  SELECT label, vec_id, sim * 1.3::DOUBLE AS wsim FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], ${qn(0)}) AS sim
+         |    FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |  UNION ALL
+         |  SELECT label, vec_id, sim * 1.1::DOUBLE AS wsim FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], ${qn(1)}) AS sim
+         |    FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |  UNION ALL
+         |  SELECT label, vec_id, sim * 1.0::DOUBLE AS wsim FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], ${qn(2)}) AS sim
+         |    FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10))
+         |SELECT label, vec_id, wsim FROM (
+         |  SELECT label, vec_id, wsim,
+         |         row_number() OVER (PARTITION BY label ORDER BY wsim DESC, vec_id ASC) AS rn
+         |  FROM b)
+         |WHERE rn = 1 ORDER BY wsim DESC, label ASC LIMIT 5""".stripMargin,
+    "v11_traditional" ->
+      s"""WITH m AS (
+         |  SELECT * FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |    FROM embeddings WHERE vec_id % 2 = 0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |    FROM embeddings WHERE vec_id % 2 = 1
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10))
+         |SELECT label, vec_id, sim FROM (
+         |  SELECT label, vec_id, sim,
+         |         row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rn
+         |  FROM m)
+         |WHERE rn = 1 ORDER BY sim DESC, label ASC LIMIT 10""".stripMargin,
+    "v13_pairwise_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CASE WHEN sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) = 0
+        |         OR sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
+        |       THEN 0.0
+        |       ELSE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |            / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |               * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        |  END AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 20 ORDER BY id_a""".stripMargin,
+    "ann_bruteforce_batch" ->
+      """SELECT q_id, rank, vec_id, sim FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+        |         list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |                    e.vec_id ASC) AS rank
+        |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        |  WHERE e.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  )
+}
