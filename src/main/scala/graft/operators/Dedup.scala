@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions.dot
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash groupBy), n-gram Jaccard similarity join, MinHash+LSH banding,
+  * and embedding-cosine near-dup. The reference's only dedup is the
+  * by-key email check (`email_document_processor.py:134-160`, J6);
+  * these generalize it to content-level near-dedup as first-class
+  * batch operators (SURVEY.md §2.5 "beyond-reference" note).
+  *
+  * Scale design:
+  *  - exact/fingerprint: one shuffle on the 16-byte hash — the
+  *    canonical 100 TB dedup pass.
+  *  - n-gram Jaccard: blocked by a cheap key (here `source`; in
+  *    production a minhash band) so the similarity join never goes
+  *    all-pairs; the shingle-explode join shuffles on (shingle, block)
+  *    which Spark handles with partial aggregation.
+  *  - MinHash+LSH: signatures are one explode+groupBy (8 mins), then
+  *    candidate generation is an equi-join on (band_id, band_hash) —
+  *    the classic sub-quadratic near-dup plan; pair verification can
+  *    chain into the Jaccard join on candidates only.
+  *  - embedding near-dup: label-blocked self-join with a codegen'd
+  *    dot product ≥ threshold (an IVF-style centroid block at scale).
+  */
+object Dedup {
+
+  private def shingles(textCol: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(textCol)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exploded (doc_id, source, shingle) relation. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(shingles(col("text"))).as("sh"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by content hash, keep lowest doc_id per group.
+    "dd_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("h")),
+
+    // N-gram (3-shingle) Jaccard similarity join, blocked by source.
+    "dd_ngram_jaccard" -> ((s, d) => {
+      val ds = docShingles(s, d)
+      val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = ds.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
+      val b = ds.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
+      val inter = a.join(b,
+          col("sh") === col("sh_b") && col("source") === col("source_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(100)
+    }),
+
+    // MinHash signatures (8 perms via seeded md5) + LSH banding (4
+    // bands × 2 rows): candidate pairs ranked by matching-band count.
+    "dd_minhash_lsh" -> ((s, d) => {
+      val sigCols = (0 until 8).map(k => min(md5(concat(lit(s"s$k|"), col("sh")))).as(s"h$k"))
+      val sig = docShingles(s, d).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = (0 until 4).map(bi =>
+        sig.select(col("doc_id"), lit(bi).as("band_id"),
+          md5(concat(col(s"h${2 * bi}"), col(s"h${2 * bi + 1}"))).as("bh")))
+        .reduce(_ unionByName _)
+      val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bh").as("bh_b"))
+      a.join(b, col("band_id") === col("band_id_b") && col("bh") === col("bh_b") &&
+          col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("n_bands").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(100)
+    }),
+
+    // Embedding-cosine near-dup: label-blocked self-join, dot ≥ 0.8.
+    "dd_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
+      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+        .withColumn("sim", dot(col("emb_a"), col("emb_b")))
+        .filter(col("sim") >= 0.8)
+        .select("id_a", "id_b", "label", "sim")
+        .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
+        .limit(100)
+    })
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val shSql =
+    s"""CASE WHEN len($toksSql) >= 3 THEN
+       |  list_distinct(list_transform(generate_series(1, len($toksSql) - 2),
+       |    i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))
+       |ELSE [] END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, source, unnest($shSql) AS sh FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM ds a JOIN ds b
+         |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.2
+         |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
+    "dd_minhash_lsh" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, unnest($shSql) AS sh FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('s0|' || sh)) AS h0, min(md5('s1|' || sh)) AS h1,
+         |    min(md5('s2|' || sh)) AS h2, min(md5('s3|' || sh)) AS h3,
+         |    min(md5('s4|' || sh)) AS h4, min(md5('s5|' || sh)) AS h5,
+         |    min(md5('s6|' || sh)) AS h6, min(md5('s7|' || sh)) AS h7
+         |  FROM ds GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bh FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY n_bands DESC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
+    "dd_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        |  list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+        |ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch text-analysis operators for LLM-data-pipeline scale: language
+  * identification (stopword-marker heuristic), quality scoring
+  * (length/punctuation/stopword ratios — the operator family behind
+  * data-quality filtering of web corpora), token counting (whitespace
+  * + regex lexer), and document fingerprinting. All are single-pass
+  * narrow transforms: at 100 TB they run as map-only stages over the
+  * documents scan with zero shuffle (the groupBys below are per-doc
+  * explode+reaggregate, shuffled by doc_id — bounded by tokens/doc).
+  *
+  * Reference anchors: text ops family SURVEY.md §2.8 (T1-T13);
+  * quality/langid generalize the enrichment stage of the reference's
+  * ingestion pipeline (`semantic_summary_service.py:115-221`).
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens, shared by all operators (and the
+    * DuckDB oracles, which use list_filter(string_split(...))). */
+  def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language-ID: count marker-stopword hits per language, argmax with
+    // deterministic priority order on ties.
+    "ta_language_id" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      val aggCols = markers.map { case (l, ws) =>
+        sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L)).as(s"s_$l")
+      }
+      val scores = base.groupBy("doc_id", "lang").agg(aggCols.head, aggCols.tail: _*)
+      val Seq(en, es, de, fr, zh) = markers.map(m => col(s"s_${m._1}"))
+      scores
+        .withColumn("pred_lang",
+          when(en >= es && en >= de && en >= fr && en >= zh, "en")
+            .when(es >= de && es >= fr && es >= zh, "es")
+            .when(de >= fr && de >= zh, "de")
+            .when(fr >= zh, "fr")
+            .otherwise("zh"))
+        .select("doc_id", "lang", "pred_lang", "s_en", "s_es", "s_de", "s_fr", "s_zh")
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token stats + punctuation/stopword ratios folded
+    // into a bounded [0,1] score. Exact-int inputs → identical doubles.
+    "ta_quality_score" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("sum_tok_len",
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+        .withColumn("n_punct",
+          length(regexp_replace(col("text"), "[^.!?]", "")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(toks, t => t.isin("the", "a", "is", "of", "and"))).cast("long"))
+        .withColumn("avg_tok_len", col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("quality_score",
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * lit(0.5) +
+            least(lit(1.0), col("stop_ratio") * lit(5.0)) * lit(0.3) +
+            when(col("avg_tok_len") >= 3.0 && col("avg_tok_len") <= 8.0, lit(0.2)).otherwise(lit(0.0)))
+        .select("doc_id", "n_tokens", "avg_tok_len", "n_punct", "stop_ratio", "quality_score")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens + regex-lexer tokens + chars.
+    "ta_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_re_tokens"),
+          length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy("doc_id")),
+
+    // Fingerprinting: exact-content hash + order-invariant bag-of-words
+    // hash (the cheap first tier of a dedup cascade).
+    "ta_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).as("fp_exact"),
+          md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp_bag"))
+        .orderBy("doc_id")),
+
+    // SimHash (16-bit): per-token md5, bit j from hex digit j's high
+    // bit, sign of the per-bit vote sum over all tokens.
+    "ta_simhash" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val bitSums = (1 to 16).map(j =>
+        sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+          .otherwise(-1L)).as(s"b$j"))
+      base.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          concat((1 to 16).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    })
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "ta_language_id" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+         |scores AS (
+         |  SELECT doc_id, lang,
+         |    sum(CASE WHEN tok IN ('the','a','is','of','and') THEN 1 ELSE 0 END) AS s_en,
+         |    sum(CASE WHEN tok IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS s_es,
+         |    sum(CASE WHEN tok IN ('der','die','und','ist','das') THEN 1 ELSE 0 END) AS s_de,
+         |    sum(CASE WHEN tok IN ('le','les','et','des','une') THEN 1 ELSE 0 END) AS s_fr,
+         |    sum(CASE WHEN tok IN ('的','是','在','了','和') THEN 1 ELSE 0 END) AS s_zh
+         |  FROM base GROUP BY doc_id, lang)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  s_en, s_es, s_de, s_fr, s_zh
+         |FROM scores ORDER BY doc_id""".stripMargin,
+    "ta_quality_score" ->
+      s"""SELECT doc_id, n_tokens, avg_tok_len, n_punct, stop_ratio,
+         |  least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
+         |  least(1.0, stop_ratio * 5.0) * 0.3 +
+         |  CASE WHEN avg_tok_len >= 3.0 AND avg_tok_len <= 8.0 THEN 0.2 ELSE 0.0 END AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    len($toksSql)::BIGINT AS n_tokens,
+         |    list_sum(list_transform($toksSql, t -> length(t)::BIGINT))::BIGINT AS sum_tok_len,
+         |    length(regexp_replace(text, '[^.!?]', '', 'g'))::BIGINT AS n_punct,
+         |    len(list_filter($toksSql, t -> t IN ('the','a','is','of','and')))::BIGINT AS n_stop,
+         |    CAST(list_sum(list_transform($toksSql, t -> length(t)::BIGINT)) AS DOUBLE)
+         |      / CAST(len($toksSql) AS DOUBLE) AS avg_tok_len,
+         |    CAST(len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS DOUBLE)
+         |      / CAST(len($toksSql) AS DOUBLE) AS stop_ratio
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "ta_token_count" ->
+      s"""SELECT doc_id,
+         |  len($toksSql)::BIGINT AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_re_tokens,
+         |  length(text)::BIGINT AS n_chars_m
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fp_exact,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp_bag
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_simhash" ->
+      (s"""WITH base AS (
+          |  SELECT doc_id, md5(unnest($toksSql)) AS h FROM documents),
+          |sums AS (
+          |  SELECT doc_id,
+          |""".stripMargin +
+        (1 to 16).map(j =>
+          s"    sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
+          .mkString(",\n") +
+        """
+          |  FROM base GROUP BY doc_id)
+          |SELECT doc_id,
+          |""".stripMargin +
+        (1 to 16).map(j => s"    (CASE WHEN b$j > 0 THEN '1' ELSE '0' END)").mkString(" ||\n") +
+        """ AS simhash
+          |FROM sums ORDER BY doc_id""".stripMargin)
+  )
+}
