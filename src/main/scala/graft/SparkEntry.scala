@@ -11,11 +11,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Search.queries ++
-      operators.TextAnalysis.queries ++ operators.Dedup.queries
+      operators.TextAnalysis.queries ++ operators.Dedup.queries ++
+      operators.Clustering.queries ++ pipelines.IndexPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Search.oracles ++
-      operators.TextAnalysis.oracles ++ operators.Dedup.oracles
+      operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
+      operators.Clustering.oracles ++ pipelines.IndexPipeline.oracles
 }

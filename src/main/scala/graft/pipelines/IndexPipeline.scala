@@ -1,0 +1,108 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Embedder, HashEmbedder, TextOps}
+
+/** X1 — the vectorization/indexing pipeline (SURVEY.md §2.11;
+  * `semantic_summary_service.py:257-431`): documents → summary text
+  * (T4) → summary embedding → sentence-aware chunks (T1) → chunk
+  * embeddings → unified vectors table (type ∈ {summary, chunk}).
+  *
+  * Spark shape: one narrow pass over the documents scan — chunking is
+  * an array-returning UDF exploded with posexplode (1 doc row → N
+  * chunk rows, no custom Generator needed, SURVEY §2.12), embedding a
+  * scalar UDF (stand-in for a mapPartitions-batched model UDF). No
+  * shuffle anywhere: at 100 TB this is a map-only job whose output is
+  * written partitioned by tenant with dynamic partition overwrite —
+  * the reference's delete-then-insert per-document upsert (S8,
+  * `vector_db_service.py:84-163`) becomes overwrite-by-partition.
+  */
+object IndexPipeline {
+
+  /** Build the vectors DataFrame: one summary row per doc + one row per
+    * chunk, schema (doc_id, owner, vtype, chunk_index, total_chunks,
+    * chunk_text, embedding).
+    */
+  def buildIndex(docs: DataFrame, embedder: Embedder = new HashEmbedder(64),
+                 chunkSize: Int = 462, overlap: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    val embedUdf = udf((t: String) => embedder.embed(t))
+    val chunkUdf = udf((t: String) => TextOps.chunkText(t, chunkSize, overlap))
+    val summaryUdf = udf((fn: String, txt: String) =>
+      TextOps.buildSummaryText(fn, TextOps.smartTruncate(txt, 256), Seq.empty,
+        Seq.empty, Seq.empty, "text"))
+
+    val base = docs.select(col("doc_id"), col("source").as("owner"), col("text"))
+
+    val summaries = base
+      .withColumn("chunk_text", summaryUdf(concat(lit("doc_"), col("doc_id")), col("text")))
+      .select(col("doc_id"), col("owner"), lit("summary").as("vtype"),
+        lit(0).as("chunk_index"), lit(1).as("total_chunks"), col("chunk_text"),
+        embedUdf(col("chunk_text")).as("embedding"))
+
+    val chunks = base
+      .select(col("doc_id"), col("owner"),
+        posexplode(chunkUdf(col("text"))).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("total_chunks",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")).cast("int"))
+      .select(col("doc_id"), col("owner"), lit("chunk").as("vtype"),
+        col("chunk_index"), col("total_chunks"), col("chunk_text"),
+        embedUdf(col("chunk_text")).as("embedding"))
+
+    summaries.unionByName(chunks)
+  }
+
+  /** S8 — partitioned vector sink with overwrite-by-tenant-partition
+    * (dynamic partition overwrite ≈ the reference's per-doc
+    * delete+insert generalized to bulk upsert). */
+  def writeVectors(vectors: DataFrame, path: String): Unit = {
+    vectors.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    vectors.write.mode("overwrite").partitionBy("owner").parquet(path)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1 end-to-end (rows-only: sentence-aware chunker + embedder are
+    // not SQL-expressible): per-doc vector counts and embedding sanity.
+    "x1_index_pipeline" -> ((s, d) => {
+      val vecs = buildIndex(Tables.documents(s, d))
+      vecs.groupBy("doc_id").agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("vtype") === "chunk", 1L).otherwise(0L)).as("n_chunks"),
+        min(size(col("embedding"))).as("emb_dim"))
+        .orderBy("doc_id")
+    }),
+
+    // T1 simplified fixed-stride variant (oracle-able): chunk = 462
+    // chars every 412 (= size - overlap) — validates the explode shape
+    // and substring/char semantics against DuckDB.
+    "t1_chunk_fixed" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((col("n_chars") - 1) / 412).cast("int")),
+            i => substring_index_safe(col("text"), i))).as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          length(col("chunk")).cast("long").as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"))
+  )
+
+  // substring(text, i*412+1, 462) as a small helper (keeps the
+  // transform lambda readable).
+  private def substring_index_safe(text: org.apache.spark.sql.Column,
+                                   i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(text, (i * 412 + 1).cast("int"), lit(462))
+
+  val oracles: Map[String, String] = Map(
+    "t1_chunk_fixed" ->
+      """SELECT doc_id, chunk_id, length(chunk)::BIGINT AS chunk_len, md5(chunk) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, unnest(generate_series(0, ((n_chars - 1) // 412)::INT))::BIGINT AS chunk_id,
+        |         text
+        |  FROM documents WHERE n_chars > 0),
+        |LATERAL (SELECT substr(text, (chunk_id * 412 + 1)::INT, 462) AS chunk)
+        |ORDER BY doc_id, chunk_id""".stripMargin
+  )
+}
