@@ -4,20 +4,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001 — the reference's core
+    * retrieval path (RRF fusion search); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("j1_join_enrich")(spark, "/root/testdata/sf0.001")
+    queries("v6_rrf_fusion")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Search.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
-      operators.Clustering.queries ++ pipelines.IndexPipeline.queries
+      operators.Clustering.queries ++ pipelines.IndexPipeline.queries ++
+      streaming.StreamingOps.queries ++ operators.Multimodal.queries ++
+      sources.DocumentSources.queries ++ orchestration.Orchestration.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Search.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
-      operators.Clustering.oracles ++ pipelines.IndexPipeline.oracles
+      operators.Clustering.oracles ++ pipelines.IndexPipeline.oracles ++
+      streaming.StreamingOps.oracles ++ operators.Multimodal.oracles ++
+      sources.DocumentSources.oracles ++ orchestration.Orchestration.oracles
 }

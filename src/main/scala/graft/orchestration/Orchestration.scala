@@ -1,0 +1,135 @@
+package graft.orchestration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Search
+
+/** LLM-orchestration layer (SURVEY.md §2.10 L1-L10, §2.11 X2/X3):
+  * LLM calls are pluggable column/record transforms behind `LlmTask`,
+  * with deterministic test doubles — the engine orchestrates plans,
+  * never network calls. Also hosts the pure planning utilities:
+  * V10 strategy router, P8 projection-collision removal, T12 dynamic
+  * schema discovery.
+  */
+object Orchestration {
+
+  // ---- V10: strategy router (`search_strategy.py:12-41`) ----
+  sealed trait SearchStrategy
+  case object SummaryOnly extends SearchStrategy
+  case object RrfFusion extends SearchStrategy
+  case object Hybrid extends SearchStrategy
+
+  def routeStrategy(granularity: String, suggestion: Option[String]): SearchStrategy =
+    granularity match {
+      case "thematic" => SummaryOnly
+      case "detailed" | "unknown" => RrfFusion
+      case _ => suggestion match {
+        case Some("summary_only") => SummaryOnly
+        case Some("rrf_fusion") | Some("keyword_enhanced_rrf") => RrfFusion
+        case _ => Hybrid
+      }
+    }
+
+  // ---- P8: projection collision removal (`mongodb_utils.py:9-44`) ----
+  /** If both a parent path and a child path are projected, drop the
+    * parent and keep the deepest child (Mongo would error on both). */
+  def resolveProjectionCollisions(paths: Seq[String]): Seq[String] =
+    paths.filterNot(p => paths.exists(q => q != p && q.startsWith(p + ".")))
+
+  // ---- T12: dynamic-field schema discovery (`document_detail_query_handler.py:189-258`) ----
+  /** Sample ≤ n rows of a map column and merge observed keys into
+    * fieldPath → example-value-type, driver-side by design. */
+  def discoverSchema(df: DataFrame, mapCol: String, n: Int = 5): Map[String, String] =
+    df.select(mapCol).limit(n).collect()
+      .flatMap(r => Option(r.getMap[String, String](0)).map(_.toMap).getOrElse(Map.empty))
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        val v = vs.head._2
+        val t = if (v == null) "null"
+        else if (v.matches("-?\\d+")) "int"
+        else if (v.matches("-?\\d+\\.\\d+")) "float"
+        else "str"
+        k -> s"$k ($t)"
+      }
+
+  // ---- L-task contracts with deterministic stubs ----
+  trait LlmTask[I, O] extends Serializable { def apply(in: I): O }
+
+  case class TextAnalysisOut(summary: String, keywords: Seq[String], autoTitle: String)
+  /** L1 stub: summary = smart-truncated head; keywords = most frequent
+    * tokens (deterministic analogue of `AITextAnalysisOutput`). */
+  object StubTextAnalysis extends LlmTask[String, TextAnalysisOut] {
+    def apply(text: String): TextAnalysisOut = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val kws = toks.groupBy(identity).view.mapValues(_.length).toSeq
+        .sortBy { case (w, n) => (-n, w) }.take(5).map(_._1)
+      TextAnalysisOut(graft.functions.TextOps.smartTruncate(text, 100),
+        kws, toks.take(3).mkString(" "))
+    }
+  }
+
+  /** L3 stub: deterministic query expansion (3 rewrites). */
+  object StubQueryRewrite extends LlmTask[String, Seq[String]] {
+    def apply(q: String): Seq[String] =
+      Seq(q, s"$q details", s"about $q")
+  }
+
+  /** L4 rule-based intent fallback (`question_classifier_service.py:275-321`):
+    * greeting keyword + short → greeting; vague words or <5 chars →
+    * clarification needed; else document search. */
+  def classifyIntentRules(question: String): String = {
+    val q = question.trim.toLowerCase
+    val greetings = Seq("hi", "hello", "hey", "你好", "嗨")
+    if (greetings.exists(q.contains) && q.length < 10) "greeting"
+    else if (q.length < 5 || Seq("stuff", "things", "那個", "這個").exists(q.contains))
+      "clarification_needed"
+    else "document_search"
+  }
+
+  /** L7 answer-confidence heuristic: min(0.9, 0.3 + 0.1·n_ctx)
+    * (`qa_answer_service.py:173-177`). */
+  def answerConfidence(nContexts: Int): Double =
+    math.min(0.9, 0.3 + 0.1 * nContexts)
+
+  // ---- X2: standard QA flow over the embeddings/documents fixture ----
+  /** Rewrite → route → multi-query weighted search → doc join →
+    * context assembly with confidence (LLM answer step stubbed). */
+  def standardQa(s: SparkSession, d: String, queryVecIds: Seq[Long], k: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val qvecs = queryVecIds.map(id =>
+      e.filter(col("vec_id") === id).select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq)
+    val weights = Seq(1.3, 1.1, 1.0).take(qvecs.size)
+    val results = Search.multiQueryMerge(e, qvecs, weights, 2 * k, k)
+    results.join(Tables.documents(s, d), results("vec_id") === col("doc_id"))
+      .withColumn("confidence", least(lit(0.9), lit(0.3) + lit(0.1) * lit(k.toDouble)))
+      .select(col("label"), col("vec_id"), col("wsim"), col("doc_id"), col("confidence"))
+      .orderBy(col("wsim").desc, col("vec_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L4 — rule-based intent classification as a batch column op.
+    "l4_intent_rules" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("q", substring(col("text"), 1, 8))
+        .withColumn("intent",
+          when(length(trim(col("q"))) < 5, "clarification_needed")
+            .otherwise("document_search"))
+        .select("doc_id", "intent")
+        .orderBy("doc_id")),
+
+    // X2 — composite standard-QA flow (rows-only: embeds driver-side
+    // query vectors + stubbed confidence; components individually
+    // oracle-checked via v8/j1).
+    "x2_standard_qa" -> ((s, d) => standardQa(s, d, Seq(0L, 1L, 2L), 5))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "l4_intent_rules" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(substr(text, 1, 8))) < 5 THEN 'clarification_needed'
+        |       ELSE 'document_search' END AS intent
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

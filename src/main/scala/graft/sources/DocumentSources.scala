@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Ingestion sources/sinks (SURVEY.md §2.1 S1-S10).
+  *
+  * S1 landing scan: `binaryFile` over an upload directory with derived
+  * metadata. S2-S6: MIME dispatch to per-format text extractors —
+  * PDF/DOCX extraction are STUBS here (no pdfbox/POI in-container);
+  * TXT is real UTF-8; images pass through with no extracted text and
+  * unchanged status (S5/S6 contract: unsupported types keep their
+  * status, `document_processing_service.py:123-192`). S7 email import
+  * dedup = left-anti by email_id. S10 log sink = append-mode write.
+  *
+  * Scale: binaryFile scans parallelize per file; extraction is
+  * map-only. The dispatch is a `when` chain (codegen'd), not a UDF.
+  */
+object DocumentSources {
+
+  /** S1 — scan a landing directory of uploaded files. */
+  def readLandingDir(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("length").as("size"),
+        col("modificationTime").as("uploaded_at"), col("content"),
+        element_at(split(col("path"), "/"), -1).as("filename"))
+      .withColumn("extension", lower(element_at(split(col("filename"), "\\."), -1)))
+      .withColumn("status", lit("UPLOADED"))
+
+  /** S6 — extension → extractor dispatch (as a codegen'd expression). */
+  def extractorFor(extension: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(extension === "pdf", "pdf_extractor")
+      .when(extension.isin("docx", "doc"), "docx_extractor")
+      .when(extension.isin("txt", "md", "log"), "text_extractor")
+      .when(extension.isin("jpg", "jpeg", "png", "gif", "webp"), "image_passthrough")
+      .otherwise("unsupported")
+
+  /** Per-format extraction contract; PDF/DOCX are marked stubs. */
+  trait TextExtractor extends Serializable {
+    def extract(bytes: Array[Byte]): String
+  }
+  /** STUB — real impl: PDFBox page-wise text joined by "\n\n" (S2). */
+  object PdfStub extends TextExtractor {
+    def extract(bytes: Array[Byte]): String =
+      s"[pdf-stub ${bytes.length}B]"
+  }
+  /** STUB — real impl: Apache POI paragraphs joined by "\n" (S3). */
+  object DocxStub extends TextExtractor {
+    def extract(bytes: Array[Byte]): String =
+      s"[docx-stub ${bytes.length}B]"
+  }
+  /** S4 — real UTF-8 text read. */
+  object TxtExtractor extends TextExtractor {
+    def extract(bytes: Array[Byte]): String =
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** S2-S6 — attach extracted_text by dispatching on extension.
+    * Unsupported/image rows keep null text and their status. */
+  def extractText(files: DataFrame): DataFrame = {
+    val pdfU = udf((b: Array[Byte]) => PdfStub.extract(b))
+    val docxU = udf((b: Array[Byte]) => DocxStub.extract(b))
+    val txtU = udf((b: Array[Byte]) => TxtExtractor.extract(b))
+    files
+      .withColumn("extractor", extractorFor(col("extension")))
+      .withColumn("extracted_text",
+        when(col("extractor") === "pdf_extractor", pdfU(col("content")))
+          .when(col("extractor") === "docx_extractor", docxU(col("content")))
+          .when(col("extractor") === "text_extractor", txtU(col("content")))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("status",
+        when(col("extractor") === "unsupported", col("status"))
+          .when(col("extractor") === "image_passthrough", col("status"))
+          .otherwise(lit("TEXT_EXTRACTED")))
+  }
+
+  /** S7 — import-new-only by key (duplicate-import check,
+    * `email_document_processor.py:134-160`). */
+  def importNew(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
+    incoming.join(existing.select(key).distinct(), Seq(key), "left_anti")
+
+  /** S10 — append-only log sink. */
+  def appendLogs(logs: DataFrame, path: String): Unit =
+    logs.write.mode("append").parquet(path)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S6 dispatch over a derived filename population (deterministic
+    // extension assignment from doc_id) — verifies the when-chain.
+    "s6_mime_dispatch" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("extension",
+          element_at(array(lit("pdf"), lit("docx"), lit("txt"), lit("jpg"), lit("xyz")),
+            (col("doc_id") % 5 + 1).cast("int")))
+        .withColumn("extractor", extractorFor(col("extension")))
+        .groupBy("extractor").agg(count(lit(1)).as("n"))
+        .orderBy("extractor"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s6_mime_dispatch" ->
+      """SELECT CASE
+        |    WHEN ext = 'pdf' THEN 'pdf_extractor'
+        |    WHEN ext IN ('docx','doc') THEN 'docx_extractor'
+        |    WHEN ext IN ('txt','md','log') THEN 'text_extractor'
+        |    WHEN ext IN ('jpg','jpeg','png','gif','webp') THEN 'image_passthrough'
+        |    ELSE 'unsupported' END AS extractor,
+        |  count(*) AS n
+        |FROM (SELECT (['pdf','docx','txt','jpg','xyz'])[(doc_id % 5 + 1)::INT] AS ext
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY extractor""".stripMargin
+  )
+}

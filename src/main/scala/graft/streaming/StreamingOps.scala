@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Streaming operators (SURVEY.md §1.2 note: the reference's
+  * vectorization queue and SSE answer stream are micro-batchable —
+  * Structured Streaming `foreachBatch` over a pending-documents
+  * source is the idiomatic equivalent). This module provides:
+  *
+  *  - `windowedCounts`: tumbling-window aggregation written against
+  *    the batch/stream-agnostic DataFrame API — the same function is
+  *    applied to a `readStream` source with a watermark in
+  *    StreamingSpec and to the batch events table in the oracle query.
+  *  - `sessionizeBatch`: gap-based sessionization via window functions
+  *    (the batch oracle shape); `sessionizeStreaming` implements the
+  *    same contract with `flatMapGroupsWithState` for unbounded input.
+  *
+  * Scale: windowed aggs shuffle once on (window, key) with partial
+  * aggregation; state size for sessionization is O(active users), and
+  * the event-time watermark bounds it.
+  */
+object StreamingOps {
+
+  /** Tumbling-window event counts + value sums (works on batch and
+    * streaming DataFrames alike). */
+  def windowedCounts(events: DataFrame, windowDuration: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based sessionization, batch form: a new session starts when
+    * the gap to the previous event of the same user exceeds gapNs. */
+  def sessionizeBatch(events: DataFrame, gapNs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+    events
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_ns") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
+  }
+
+  private case class SessionState(lastTs: Long, sessionIdx: Long)
+
+  /** Same contract with explicit state for unbounded streams. Events
+    * must arrive per-user in event-time order within a group iterator
+    * (guaranteed in micro-batch processing after a sort, or use
+    * watermark + session window at scale). */
+  def sessionizeStreaming(spark: SparkSession, events: DataFrame, gapNs: Long): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts_ns").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, -1L))
+          val out = sorted.map { case (_, ts, eventId) =>
+            val idx = if (st.sessionIdx < 0 || ts - st.lastTs > gapNs) st.sessionIdx + 1
+                      else st.sessionIdx
+            st = SessionState(ts, idx)
+            (userId, idx, eventId)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "session_idx", "event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 15-min window agg (streaming-equivalent batch form;
+    // qa_analytics daily trend A4 generalized to sub-day windows).
+    "st_window_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    // Gap-based sessionization (30-min gap). Timestamps truncated to
+    // micros (×1000 back to ns units) — DuckDB reads the NANOS parquet
+    // at TIMESTAMP (µs) precision, so exact parity lives at µs.
+    "st_sessionize" -> ((s, d) =>
+      sessionizeBatch(
+        Tables.events(s, d).withColumn("ts_ns", expr("ts_ns div 1000 * 1000")),
+        1800L * 1000 * 1000 * 1000)
+        .orderBy("user_id", "session_idx"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "st_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, ts_ns, event_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns ASC, event_id ASC
+        |                      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  max(ts_ns) - min(ts_ns) AS dur_ns
+        |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.DocumentSources
+import graft.orchestration.Orchestration
+import graft.operators.Multimodal
+
+class SourcesAndOrchestrationSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  import spark.implicits._
+
+  test("S1/S2-S6: landing scan + MIME dispatch + extraction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_landing")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "hello text")
+    java.nio.file.Files.writeString(dir.resolve("b.pdf"), "%PDF-fake")
+    java.nio.file.Files.writeString(dir.resolve("c.jpg"), "JFIFfake")
+    java.nio.file.Files.writeString(dir.resolve("d.weird"), "???")
+
+    val scanned = DocumentSources.readLandingDir(spark, dir.toString)
+    assert(scanned.count() == 4)
+    val extracted = DocumentSources.extractText(scanned)
+      .select("filename", "extractor", "extracted_text", "status")
+      .collect().map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2)), r.getString(3))).toMap
+    assert(extracted("a.txt") == (("text_extractor", Some("hello text"), "TEXT_EXTRACTED")))
+    assert(extracted("b.pdf")._1 == "pdf_extractor")
+    assert(extracted("c.jpg") == (("image_passthrough", None, "UPLOADED")))
+    assert(extracted("d.weird") == (("unsupported", None, "UPLOADED")))
+  }
+
+  test("S7: importNew drops already-imported keys") {
+    val incoming = Seq(("e1", "x"), ("e2", "y"), ("e3", "z")).toDF("email_id", "body")
+    val existing = Seq(("e2", "old")).toDF("email_id", "body")
+    val r = DocumentSources.importNew(incoming, existing, "email_id")
+      .select("email_id").as[String].collect().toSet
+    assert(r == Set("e1", "e3"))
+  }
+
+  test("P8: projection collision keeps deepest child only") {
+    val r = Orchestration.resolveProjectionCollisions(Seq(
+      "analysis", "analysis.ai_analysis_output.key_information", "analysis.ai_analysis_output",
+      "filename", "tags"))
+    assert(r == Seq("analysis.ai_analysis_output.key_information", "filename", "tags"))
+  }
+
+  test("V10: strategy routing table") {
+    import Orchestration._
+    assert(routeStrategy("thematic", None) == SummaryOnly)
+    assert(routeStrategy("detailed", Some("summary_only")) == RrfFusion)
+    assert(routeStrategy("unknown", None) == RrfFusion)
+    assert(routeStrategy("other", Some("keyword_enhanced_rrf")) == RrfFusion)
+    assert(routeStrategy("other", Some("nonsense")) == Hybrid)
+    assert(routeStrategy("other", None) == Hybrid)
+  }
+
+  test("T12: schema discovery merges sampled dynamic fields") {
+    val df = Seq(
+      Map("invoice_no" -> "123", "vendor" -> "acme"),
+      Map("amount" -> "99.5", "vendor" -> "zeta")
+    ).toDF("dynamic_fields")
+    val schema = Orchestration.discoverSchema(df, "dynamic_fields")
+    assert(schema("invoice_no") == "invoice_no (int)")
+    assert(schema("amount") == "amount (float)")
+    assert(schema("vendor") == "vendor (str)")
+  }
+
+  test("L4 rules + L7 confidence") {
+    assert(Orchestration.classifyIntentRules("hi") == "greeting")
+    assert(Orchestration.classifyIntentRules("ab") == "clarification_needed")
+    assert(Orchestration.classifyIntentRules("find the stuff") == "clarification_needed")
+    assert(Orchestration.classifyIntentRules("quarterly invoice report") == "document_search")
+    assert(Orchestration.answerConfidence(2) == 0.5)
+    assert(Orchestration.answerConfidence(10) == 0.9)
+  }
+
+  test("multimodal decode: batched mapPartitions plumbing, stub arithmetic") {
+    val media = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.fill[Byte](600)(7)))
+      .toDF("doc_id", "content")
+    val r = Multimodal.decodeMedia(media).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(r(0) == ((1L, 3L, 64 + 3, 64 + 1, 1)))
+    assert(r(1) == ((2L, 600L, 64 + 88, 64 + 300, 1)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  import spark.implicits._
+
+  test("windowedCounts over a real stream matches the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "value", "event_id")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = StreamingOps.windowedCounts(streamed.withWatermark("ts", "1 hour"), "15 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("win_out")
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect()
+    val exp = StreamingOps.windowedCounts(batch, "15 minutes")
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect()
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("sessionizeStreaming assigns the same sessions as sessionizeBatch") {
+    val events = Seq(
+      // user 1: two sessions (gap > 30 min between e2 and e3)
+      (1L, 0L, 0L), (1L, 60_000_000_000L, 1L), (1L, 4000_000_000_000L, 2L),
+      // user 2: one session
+      (2L, 0L, 3L), (2L, 100_000_000_000L, 4L)
+    ).toDF("user_id", "ts_ns", "event_id")
+    val gap = 1800L * 1000 * 1000 * 1000
+
+    val batch = StreamingOps.sessionizeBatch(events, gap)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)].collect()
+    assert(batch.toSeq == Seq((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 2L)))
+
+    val streamed = StreamingOps.sessionizeStreaming(spark, events, gap)
+      .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)].collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
