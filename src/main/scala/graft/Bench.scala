@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * A full untimed warmup pass precedes the timed pass so JVM/codegen
+  * warmup and first-touch parquet footer reads don't land on whichever
+  * query happens to run first — reported numbers are steady-state.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +21,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warmup pass (untimed)
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // timed pass
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

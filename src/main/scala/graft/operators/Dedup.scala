@@ -28,13 +28,22 @@ import graft.functions.VectorFunctions.dot
   */
 object Dedup {
 
-  private def shingles(textCol: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(textCol)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles, single pass. (A declarative
+    * `transform(sequence(...), i -> element_at(toks, i+k))` form
+    * re-evaluates the tokenization per element — O(len²) per doc —
+    * because lambda bodies can't share the outer array expression;
+    * the UDF does one split + one sliding window.)
+    */
+  private def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val toks = text.split(" ").filter(_.nonEmpty)
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      })
+
+  private def shingles(textCol: Column, n: Int = 3): Column = shinglesUdf(n)(textCol)
 
   /** Exploded (doc_id, source, shingle) relation. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
@@ -50,8 +59,10 @@ object Dedup {
         .orderBy("h")),
 
     // N-gram (3-shingle) Jaccard similarity join, blocked by source.
+    // The exploded shingle relation feeds three consumers (sizes, both
+    // join sides) — persist it so the scan+explode runs once.
     "dd_ngram_jaccard" -> ((s, d) => {
-      val ds = docShingles(s, d)
+      val ds = docShingles(s, d).persist()
       val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val a = ds.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
       val b = ds.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
@@ -72,9 +83,18 @@ object Dedup {
 
     // MinHash signatures (8 perms via seeded md5) + LSH banding (4
     // bands × 2 rows): candidate pairs ranked by matching-band count.
+    // Hashes are computed once per DISTINCT shingle (not per
+    // occurrence) and broadcast back — 8×|vocab| md5 calls instead of
+    // 8×|occurrences|, the difference between O(corpus) and O(vocab)
+    // hashing at 100 TB.
     "dd_minhash_lsh" -> ((s, d) => {
-      val sigCols = (0 until 8).map(k => min(md5(concat(lit(s"s$k|"), col("sh")))).as(s"h$k"))
-      val sig = docShingles(s, d).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val ds = docShingles(s, d).select("doc_id", "sh")
+      val hashCols = (0 until 8).map(k => md5(concat(lit(s"s$k|"), col("sh"))).as(s"mh$k"))
+      val shingleHashes = ds.select("sh").distinct()
+        .select(col("sh") +: hashCols: _*)
+      val sigCols = (0 until 8).map(k => min(col(s"mh$k")).as(s"h$k"))
+      val sig = ds.join(broadcast(shingleHashes), Seq("sh"))
+        .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val bands = (0 until 4).map(bi =>
         sig.select(col("doc_id"), lit(bi).as("band_id"),
           md5(concat(col(s"h${2 * bi}"), col(s"h${2 * bi + 1}"))).as("bh")))
