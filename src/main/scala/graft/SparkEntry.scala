@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001 — the reference's core
-    * retrieval path (RRF fusion search); driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001 — the SURVEY §7.2
+    * minimum end-to-end slice: index documents (chunk + embed), then
+    * RRF-fusion search over the built vectors. Driver smoke-checks
+    * rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("v6_rrf_fusion")(spark, "/root/testdata/sf0.001")
+    queries("x7_index_then_search")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

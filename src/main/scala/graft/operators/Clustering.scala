@@ -147,7 +147,83 @@ object Clustering {
       .toDF("tenant", "id", "cluster_id", "cluster_idx", "dist")
   }
 
+  /** C7 — two-level hierarchical clustering: L0 over the full tenant
+    * population (min size 8 in the reference), then each sufficiently
+    * large L0 cluster is re-clustered into L1 subclusters; cluster ids
+    * are namespaced `cluster_{tenant}_L0_{i}` / `..._L1_{i}_{j}` with
+    * parent links (`clustering_service.py:1127-1307`). Implemented as
+    * two chained per-group passes — no recursion, bounded depth 2.
+    */
+  def hierarchicalCluster(vectors: DataFrame, tenantCol: String, idCol: String,
+                          embCol: String, k0: Int, k1: Int, minForSplit: Int = 8): DataFrame = {
+    val l0 = clusterPerTenant(vectors, tenantCol, idCol, embCol, k0)
+      .withColumnRenamed("cluster_id", "l0_id").withColumnRenamed("cluster_idx", "l0_idx")
+      .select("tenant", "id", "l0_id", "l0_idx")
+    val withEmb = l0.join(
+      vectors.select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"), col(embCol).as("emb")),
+      Seq("tenant", "id"))
+    val sizes = withEmb.groupBy("l0_id").agg(count(lit(1)).as("l0_n"))
+    val splittable = withEmb.join(broadcast(sizes.filter(col("l0_n") >= minForSplit)), Seq("l0_id"))
+    val l1 = clusterPerTenant(splittable, "l0_id", "id", "emb", k1)
+      .select(col("tenant").as("l0_id"), col("id"),
+        col("cluster_idx").as("l1_idx"))
+    l0.join(l1, Seq("l0_id", "id"), "left_outer")
+      .withColumn("cluster_id",
+        when(col("l1_idx").isNotNull,
+          concat(lit("cluster_"), col("tenant"), lit("_L0_"), col("l0_idx"),
+            lit("_L1_"), col("l1_idx")))
+          .otherwise(concat(lit("cluster_"), col("tenant"), lit("_L0_"), col("l0_idx"))))
+      .withColumn("parent_cluster_id",
+        when(col("l1_idx").isNotNull,
+          concat(lit("cluster_"), col("tenant"), lit("_L0_"), col("l0_idx"))))
+      .withColumn("level", when(col("l1_idx").isNotNull, 1).otherwise(0))
+      .select("tenant", "id", "cluster_id", "parent_cluster_id", "level")
+  }
+
+  /** X5 — the full clustering job: extract (C1) → cluster (C2) →
+    * triage (C3) → persistence stats with confidence (C6). */
+  def clusteringJob(vectors: DataFrame, tenantCol: String, idCol: String,
+                    embCol: String, k: Int): DataFrame = {
+    val assigned = clusterPerTenant(vectors, tenantCol, idCol, embCol, k)
+    val stats = assigned.groupBy("tenant", "cluster_id").agg(count(lit(1)).as("n"))
+      .withColumn("triage",
+        when(col("n") >= 3, "main").when(col("n") === 2, "small").otherwise("excluded"))
+      .withColumn("confidence",
+        least(lit(0.95), lit(0.5) + col("n").cast("double") / lit(100.0)))
+    stats.select("tenant", "cluster_id", "n", "triage", "confidence")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C4/C5 fallback labels — per-cluster top-3 keyword frequency
+    // (clustering_service.py:793-865, the deterministic label path).
+    "c4_cluster_labels" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val docs = Tables.documents(s, d)
+      val toks = e.join(docs, col("doc_id") === col("vec_id"))
+        .select(col("label"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      toks.groupBy("label", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("label")
+            .orderBy(col("n").desc, col("tok").asc)))
+        .filter(col("rnk") <= 3)
+        .select("label", "rnk", "tok", "n")
+        .orderBy("label", "rnk")
+    }),
+
+    // C7 — hierarchical clustering (rows-only; invariants in spec).
+    "c7_hierarchical" -> ((s, d) =>
+      hierarchicalCluster(
+        Tables.embeddings(s, d).withColumn("tenant", lit("all")),
+        "tenant", "vec_id", "embedding", 5, 3)
+        .orderBy("id")),
+
+    // X5 — composite clustering job (rows-only).
+    "x5_clustering_job" -> ((s, d) =>
+      clusteringJob(Tables.embeddings(s, d), "label", "vec_id", "embedding", 3)
+        .orderBy("tenant", "cluster_id")),
+
     // C2 — flat clustering of the embeddings table, label as tenant
     // (rows-only: iterative refinement isn't SQL-expressible; invariants
     // are asserted in ClusteringSpec).
@@ -186,6 +262,15 @@ object Clustering {
   )
 
   val oracles: Map[String, String] = Map(
+    "c4_cluster_labels" ->
+      """SELECT label, rnk, tok, n FROM (
+        |  SELECT label, tok, count(*) AS n,
+        |         row_number() OVER (PARTITION BY label ORDER BY count(*) DESC, tok ASC) AS rnk
+        |  FROM (
+        |    SELECT e.label, unnest(list_filter(string_split(d.text, ' '), t -> t <> '')) AS tok
+        |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
+        |  GROUP BY label, tok)
+        |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
     "c3_triage" ->
       """SELECT label, count(*) AS n,
         |  CASE WHEN count(*) >= 3 THEN 'main'

@@ -233,6 +233,37 @@ object Relational {
         .limit(10)
     }),
 
+    // A8 — eval aggregates: mean/max/min/stddev per group
+    // (evaluate_full_qa_system.py:297-310). Stddev derived from exact
+    // decimal sums so both engines compute identical doubles.
+    "a8_eval_stats" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("s"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("ssq"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+        .withColumn("avg_value", col("s") / col("n").cast("double"))
+        .withColumn("std_value",
+          sqrt((col("n").cast("double") * col("ssq") - col("s") * col("s")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0))))
+        .select("event_type", "n", "avg_value", "max_value", "min_value", "std_value")
+        .orderBy("event_type")
+    }),
+
+    // D5 — word-set overlap between paired documents (the diversity
+    // primitive, search_strategy.py:61-66).
+    "d5_word_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id").as("id_a"), split(col("text"), " ").as("toks_a"))
+      val b = docs.select(col("doc_id").as("id_b"), split(col("text"), " ").as("toks_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .filter(col("id_a") < 50)
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("long").as("overlap"))
+        .orderBy("id_a")
+    }),
+
     // D1 — union + distinct of two keyed result sets (RRF all_documents union).
     "d1_union_distinct" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -338,6 +369,21 @@ object Relational {
     "w4_topk" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin,
+    "a8_eval_stats" ->
+      """SELECT event_type, n, s / CAST(n AS DOUBLE) AS avg_value, max_value, min_value,
+        |  sqrt((CAST(n AS DOUBLE) * ssq - s * s) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_value
+        |FROM (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ssq,
+        |    max(value) AS max_value, min(value) AS min_value
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
+    "d5_word_overlap" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(string_split(a.text, ' '), string_split(b.text, ' ')))::BIGINT AS overlap
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id < 50 ORDER BY id_a""".stripMargin,
     "d1_union_distinct" ->
       """SELECT DISTINCT o_custkey FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'

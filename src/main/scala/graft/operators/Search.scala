@@ -123,6 +123,15 @@ object Search {
     out.toArray
   }
 
+  /** V12 — engine-level degradation: if the primary search plan fails
+    * or returns empty, rerun a relaxed single-stage kNN with
+    * threshold × 0.7 (`qa_search_coordinator.py:271-297`). */
+  def withFallback(primary: => DataFrame, vectors: DataFrame, queryVec: Seq[Double],
+                   k: Int, threshold: Double): DataFrame = {
+    val attempt = scala.util.Try(primary).toOption.filter(df => !df.isEmpty)
+    attempt.getOrElse(knn(vectors, queryVec, k, threshold * 0.7))
+  }
+
   private def qvec(s: SparkSession, d: String, id: Long): Seq[Double] =
     Tables.embeddings(s, d).filter(col("vec_id") === id)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
@@ -137,6 +146,27 @@ object Search {
     "v1_knn_topk" -> ((s, d) =>
       knn(Tables.embeddings(s, d), qvec(s, d, 0), 10, 0.3)
         .select("vec_id", "label", "sim")),
+
+    // V3 — sample scan: first-N summary vectors of a tenant, the
+    // clustering input feed (vector_db_service.py:325-387; the 10k cap
+    // is a Chroma workaround dropped here per SURVEY V3 note — the cap
+    // is kept only as the explicit limit parameter).
+    "v3_sample_scan" -> ((s, d) =>
+      summaries(s, d).filter(col("label") < 5)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+        .limit(100)),
+
+    // S9 — batch vector delete: anti join on an id list; survivors
+    // reported (vector_db_service.py:288-323).
+    "s9_batch_delete" -> ((s, d) => {
+      import s.implicits._
+      val ids = Seq(0L, 1L, 2L, 3L, 17L, 99L).toDF("del_id")
+      Tables.embeddings(s, d)
+        .join(ids, col("vec_id") === col("del_id"), "left_anti")
+        .groupBy("label").agg(count(lit(1)).as("n_remaining"))
+        .orderBy("label")
+    }),
 
     // V2 — all vectors of one document, fixed sim 1.0 (vector_db_service.py:429-474).
     "v2_get_by_doc" -> ((s, d) =>
@@ -232,6 +262,12 @@ object Search {
   private def qn(i: Int) = s"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = $i)"
 
   val oracles: Map[String, String] = Map(
+    "v3_sample_scan" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id % 2 = 0 AND label < 5 ORDER BY vec_id LIMIT 100""".stripMargin,
+    "s9_batch_delete" ->
+      """SELECT label, count(*) AS n_remaining FROM embeddings
+        |WHERE vec_id NOT IN (0,1,2,3,17,99) GROUP BY label ORDER BY label""".stripMargin,
     "v1_knn_topk" ->
       s"""SELECT vec_id, label, list_inner_product(embedding::DOUBLE[], $q0) AS sim
          |FROM embeddings

@@ -74,6 +74,22 @@ object IndexPipeline {
         .orderBy("doc_id")
     }),
 
+    // X7 — the SURVEY §7.2 minimum end-to-end slice as one plan: index
+    // documents with the real chunker + hash embedder, then run RRF
+    // fusion search (summary branch vs chunk branch) over the built
+    // vectors. Deterministic, rows-only (embedder not SQL-expressible).
+    "x7_index_then_search" -> ((s, d) => {
+      val emb = new graft.functions.HashEmbedder(64)
+      val vecs = buildIndex(Tables.documents(s, d).filter(col("doc_id") < 100), emb)
+        .withColumn("vec_id", col("doc_id") * 1000 + col("chunk_index"))
+        .withColumn("label", col("doc_id"))
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val summaries = vecs.filter(col("vtype") === "summary")
+      val chunks = vecs.filter(col("vtype") === "chunk")
+      val q = emb.embed("spark join query data").toSeq
+      graft.operators.Search.rrfFusion(summaries, chunks, q, 10, 5)
+    }),
+
     // T1 simplified fixed-stride variant (oracle-able): chunk = 462
     // chars every 412 (= size - overlap) — validates the explode shape
     // and substring/char semantics against DuckDB.
