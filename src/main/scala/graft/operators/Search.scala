@@ -132,6 +132,53 @@ object Search {
     attempt.getOrElse(knn(vectors, queryVec, k, threshold * 0.7))
   }
 
+  /** IVF index build — the documented ANN scale path (SURVEY §7.3):
+    * per-tenant centroids (deterministic local k-means), every vector
+    * assigned to its nearest centroid cell. At 100 TB the vectors
+    * table is then written partitioned/bucketed by (tenant, cell) so a
+    * query scans only `nProbe` cells instead of the tenant shard.
+    * Returns the cell-assigned vectors; centroids are derivable via
+    * `ivfCentroids`.
+    */
+  def ivfBuild(vectors: DataFrame, tenantCol: String, idCol: String,
+               embCol: String, nCells: Int): DataFrame = {
+    val cells = Clustering.clusterPerTenant(vectors, tenantCol, idCol, embCol, nCells)
+      .select(col("tenant"), col("id"), col("cluster_idx").as("cell"))
+    vectors
+      .select(col(tenantCol).cast("string").as("tenant"), col(idCol).cast("long").as("id"),
+        col(embCol).as("embedding"))
+      .join(cells, Seq("tenant", "id"))
+  }
+
+  /** Mean embedding per (tenant, cell) — the probe set. Tiny (tenants ×
+    * nCells rows): broadcast/collect freely. */
+  def ivfCentroids(indexed: DataFrame): DataFrame =
+    indexed
+      .select(col("tenant"), col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("tenant", "cell", "dim").agg(avg(col("x")).as("cx"))
+      .groupBy("tenant", "cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("tenant"), col("cell"), transform(col("pairs"), p => p("cx")).as("centroid"))
+
+  /** IVF search: probe the nProbe nearest cells (centroid ranking on
+    * the driver — O(nCells) tiny), then exact kNN inside those cells
+    * only. Exactness trades for scan fraction ≈ nProbe/nCells.
+    */
+  def ivfSearch(indexed: DataFrame, centroids: DataFrame, tenant: String,
+                queryVec: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val cellRank = centroids.filter(col("tenant") === tenant)
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .map { case (c, cen) =>
+        val sim = cen.zip(queryVec).map { case (a, b) => a * b }.sum
+        (c, sim)
+      }
+      .sortBy { case (c, sim) => (-sim, c) }
+      .take(nProbe).map(_._1)
+    knn(indexed.filter(col("tenant") === tenant && col("cell").isin(cellRank: _*)),
+      queryVec, k, 0.0, idCol = "id")
+  }
+
   private def qvec(s: SparkSession, d: String, id: Long): Seq[Double] =
     Tables.embeddings(s, d).filter(col("vec_id") === id)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
@@ -241,6 +288,16 @@ object Search {
         .filter(col("rank") <= 5)
         .select("q_id", "rank", "vec_id", "sim")
         .orderBy("q_id", "rank")
+    }),
+
+    // ANN IVF — centroid-pruned search (rows-only: k-means build not
+    // SQL-expressible; exactness-vs-recall contract in SearchSpec).
+    "ann_ivf_topk" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).withColumn("tenant", lit("all"))
+      val indexed = ivfBuild(base, "tenant", "vec_id", "embedding", 16).cache()
+      val centroids = ivfCentroids(indexed)
+      ivfSearch(indexed, centroids, "all", qvec(s, d, 0), 10, 4)
+        .select("id", "sim")
     }),
 
     // V9 — diversity re-rank over top-20 kNN joined to document text
