@@ -17,7 +17,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Clustering.queries ++ pipelines.IndexPipeline.queries ++
       streaming.StreamingOps.queries ++ operators.Multimodal.queries ++
-      sources.DocumentSources.queries ++ orchestration.Orchestration.queries
+      sources.DocumentSources.queries ++ orchestration.Orchestration.queries ++
+      evaluation.RetrievalEval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,122 @@
+package graft.evaluation
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{HashEmbedder, VectorFunctions}
+import graft.pipelines.IndexPipeline
+
+/** Retrieval-quality evaluation harness (SURVEY.md §5.3): the
+  * reference computes Hit-Rate@k, MRR and nDCG@k per query across 5
+  * search modes (`evaluation/evaluate_vector_retrieval.py:68-74,
+  * 320-322,357-396`; eval params top_k=5, threshold 0.3 `:146-148`).
+  *
+  * Golden dataset analogue of `generate_test_dataset.py`: each query
+  * is a verbatim snippet of a document; the source document is the
+  * single relevant result. All queries are scored in ONE plan per
+  * mode: the query set (q_id, q_emb) is broadcast against the vectors
+  * scan and ranks are per-query window functions — the batch-scoring
+  * shape that amortizes one corpus scan over the whole query set at
+  * 100 TB.
+  */
+object RetrievalEval {
+
+  /** (q_id = source doc_id, q_emb) snippet queries. */
+  def goldenQueries(docs: DataFrame, embedder: HashEmbedder, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val embUdf = udf((t: String) => embedder.embed(t))
+    docs.filter(length(col("text")) >= 120)
+      .orderBy("doc_id").limit(n)
+      .select(col("doc_id").as("q_id"),
+        embUdf(substring(col("text"), 40, 120)).as("q_emb"))
+  }
+
+  private def scored(vectors: DataFrame, queries: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(queries))
+      .withColumn("sim", VectorFunctions.dot(col("embedding"), col("q_emb")))
+
+  private def topkPerQuery(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "label", "rank")
+
+  private def bestPerDoc(df: DataFrame): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id", "label").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("_rn") === 1).drop("_rn")
+
+  /** All 5 reference modes, batched. Vectors must carry
+    * (vec_id, label, embedding, vtype). */
+  def runMode(mode: String, vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val summaries = vectors.filter(col("vtype") === "summary")
+    val chunks = vectors.filter(col("vtype") === "chunk")
+    mode match {
+      case "summary_only" => topkPerQuery(scored(summaries, queries), k)
+      case "chunks_only"  => topkPerQuery(bestPerDoc(scored(chunks, queries)), k)
+      case "legacy" =>
+        topkPerQuery(bestPerDoc(scored(summaries.unionByName(chunks), queries)), k)
+      case "hybrid" =>
+        // stage 1: per-query top-10 summary docs; stage 2: chunks
+        // restricted to those (q_id, label) candidates
+        val cand = topkPerQuery(scored(summaries, queries), 10).select("q_id", "label")
+        val pruned = scored(chunks, queries)
+          .join(cand, Seq("q_id", "label"), "left_semi")
+        topkPerQuery(bestPerDoc(pruned), k)
+      case "rrf_fusion" =>
+        val sb = topkPerQuery(bestPerDoc(scored(summaries, queries)), 10)
+          .withColumnRenamed("rank", "s_rank")
+        val cb = topkPerQuery(bestPerDoc(scored(chunks, queries)), 10)
+          .withColumnRenamed("rank", "c_rank")
+        sb.join(cb, Seq("q_id", "label"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(0.4) / (lit(60) + col("s_rank")), lit(0.0)) +
+              coalesce(lit(0.6) / (lit(60) + col("c_rank")), lit(0.0)))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("rrf").desc, col("label").asc)))
+          .filter(col("rank") <= k)
+          .select("q_id", "label", "rank")
+    }
+  }
+
+  /** Hit@{1,3,5}, MRR, nDCG@5 per mode (single relevant doc per query:
+    * nDCG@5 = 1/log2(rank+1) when hit, else 0). */
+  def evaluate(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
+    val embedder = new HashEmbedder(64)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val vectors = IndexPipeline.buildIndex(docs, embedder)
+      .withColumn("vec_id", col("doc_id") * 1000 + col("chunk_index"))
+      .withColumn("label", col("doc_id"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .cache()
+    val queries = goldenQueries(docs, embedder, nQueries).cache()
+    val modes = Seq("rrf_fusion", "hybrid", "summary_only", "chunks_only", "legacy")
+    val perMode = modes.map { m =>
+      val hitRanks = runMode(m, vectors, queries, 5)
+        .filter(col("label") === col("q_id")) // relevant doc retrieved
+        .select(col("q_id"), col("rank"))
+      val n = lit(nQueries.toDouble)
+      hitRanks.agg(
+        sum(when(col("rank") <= 1, 1.0).otherwise(0.0)).as("h1"),
+        sum(when(col("rank") <= 3, 1.0).otherwise(0.0)).as("h3"),
+        sum(when(col("rank") <= 5, 1.0).otherwise(0.0)).as("h5"),
+        sum(lit(1.0) / col("rank")).as("rr"),
+        sum(lit(1.0) / log2(col("rank") + 1)).as("dcg"))
+        .select(lit(m).as("mode"),
+          (coalesce(col("h1"), lit(0.0)) / n).as("hit1"),
+          (coalesce(col("h3"), lit(0.0)) / n).as("hit3"),
+          (coalesce(col("h5"), lit(0.0)) / n).as("hit5"),
+          (coalesce(col("rr"), lit(0.0)) / n).as("mrr"),
+          (coalesce(col("dcg"), lit(0.0)) / n).as("ndcg5"))
+    }
+    perMode.reduce(_ unionByName _)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Retrieval-metric harness over the 5 search modes (rows-only:
+    // depends on the hash embedder; mode-ordering asserted in spec).
+    "eval_retrieval_metrics" -> ((s, d) => evaluate(s, d))
+  )
+}
