@@ -18,7 +18,7 @@ object SparkEntry {
       operators.Clustering.queries ++ pipelines.IndexPipeline.queries ++
       streaming.StreamingOps.queries ++ operators.Multimodal.queries ++
       sources.DocumentSources.queries ++ orchestration.Orchestration.queries ++
-      evaluation.RetrievalEval.queries
+      evaluation.RetrievalEval.queries ++ operators.Conversations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,6 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.Clustering.oracles ++ pipelines.IndexPipeline.oracles ++
       streaming.StreamingOps.oracles ++ operators.Multimodal.oracles ++
-      sources.DocumentSources.oracles ++ orchestration.Orchestration.oracles
+      sources.DocumentSources.oracles ++ orchestration.Orchestration.oracles ++
+      operators.Conversations.oracles
 }

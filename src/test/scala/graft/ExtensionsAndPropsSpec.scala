@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.functions.TextOps
+
+class ExtensionsAndPropsSpec extends AnyFunSuite {
+
+  test("GraftExtensions registers dot_product / l2_normalize for SQL") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+          "l2_normalize(array(3.0D, 4.0D)) AS n")
+        .head()
+      assert(r.getDouble(0) == 11.0)
+      val n = r.getSeq[Double](1)
+      assert(math.abs(n(0) - 0.6) < 1e-12 && math.abs(n(1) - 0.8) < 1e-12)
+    } finally spark.stop()
+  }
+
+  // seeded random text: alphanumerics, spaces, CJK, sentence enders
+  private def randomText(rnd: scala.util.Random): String = {
+    val n = rnd.nextInt(2000)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    (0 until n).map { _ =>
+      rnd.nextInt(27) match {
+        case k if k < 20 => alphabet(rnd.nextInt(alphabet.length))
+        case k if k < 24 => ' '
+        case 24 => "。！？.!?" (rnd.nextInt(6))
+        case _ => "中文字éß" (rnd.nextInt(5))
+      }
+    }.mkString
+  }
+
+  test("property: chunker covers the text and terminates for any input") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 300) {
+      val text = randomText(rnd)
+      val chunks = TextOps.chunkText(text, chunkSize = 100, overlap = 20)
+      assert(chunks.forall(_.trim.nonEmpty))
+      // bounded size: chunkSize + boundary-search window
+      assert(chunks.forall(_.length <= 150), s"oversized chunk for len=${text.length}")
+      // coverage: overlap duplicates chars, trim only drops whitespace,
+      // so total non-space chars in chunks >= in text
+      val nonSpace = text.count(!_.isWhitespace)
+      assert(chunks.map(_.count(!_.isWhitespace)).sum >= nonSpace)
+    }
+  }
+
+  test("property: smartTruncate bounds and passthrough") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 300) {
+      val text = randomText(rnd)
+      val maxLen = 10 + rnd.nextInt(290)
+      val r = TextOps.smartTruncate(text, maxLen)
+      assert(r.length <= maxLen + 3)
+      if (text.length <= maxLen) assert(r == text)
+    }
+  }
+
+  test("property: chunk+overlap reconstruction — prefix of each next chunk overlaps prior text") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 100) {
+      val text = randomText(rnd)
+      val chunks = TextOps.chunkText(text, 120, 30)
+      // every chunk is a substring of the original (trimmed window)
+      chunks.foreach(c => assert(text.contains(c)))
+    }
+  }
+}
