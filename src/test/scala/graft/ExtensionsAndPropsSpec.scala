@@ -7,22 +7,15 @@ import graft.functions.TextOps
 class ExtensionsAndPropsSpec extends AnyFunSuite {
 
   test("GraftExtensions registers dot_product / l2_normalize for SQL") {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      val r = spark.sql(
-        "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
-          "l2_normalize(array(3.0D, 4.0D)) AS n")
-        .head()
-      assert(r.getDouble(0) == 11.0)
-      val n = r.getSeq[Double](1)
-      assert(math.abs(n(0) - 0.6) < 1e-12 && math.abs(n(1) - 0.8) < 1e-12)
-    } finally spark.stop()
+    // the shared test session is built withExtensions(new GraftExtensions)
+    val spark = SparkSessionHelper.spark
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "l2_normalize(array(3.0D, 4.0D)) AS n")
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    val n = r.getSeq[Double](1)
+    assert(math.abs(n(0) - 0.6) < 1e-12 && math.abs(n(1) - 0.8) < 1e-12)
   }
 
   // seeded random text: alphanumerics, spaces, CJK, sentence enders

@@ -3,6 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object SparkSessionHelper {
+  // One session for every suite (never stopped mid-run: suites share
+  // the JVM-wide SparkContext). Built with GraftExtensions so the
+  // SQL-function registration is exercised by the shared session.
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
@@ -10,5 +13,6 @@ object SparkSessionHelper {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
     .getOrCreate()
 }
