@@ -92,6 +92,29 @@ object TextAnalysis {
           md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp_bag"))
         .orderBy("doc_id")),
 
+    // T7 — key_terms normalization: a comma-joined string column is
+    // split/trimmed/empty-dropped into a term list
+    // (semantic_summary_service.py:138-139,192-193).
+    "t7_keyterms_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("kt_str", regexp_replace(substring(col("text"), 1, 60), " ", ","))
+        .withColumn("terms", filter(transform(split(col("kt_str"), ","), t => trim(t)),
+          t => t =!= ""))
+        .select(col("doc_id"), size(col("terms")).cast("long").as("n_terms"),
+          element_at(col("terms"), 1).as("first_term"))
+        .orderBy("doc_id")),
+
+    // T8 — filename sanitize + HTML escape
+    // (email_document_processor.py:161-231).
+    "t8_sanitize_escape" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("raw_name", concat(lit("Dr. Report/"), substring(col("text"), 1, 20), lit("?.pdf")))
+        .select(col("doc_id"),
+          regexp_replace(col("raw_name"), "[^A-Za-z0-9._-]", "_").as("sanitized"),
+          regexp_replace(regexp_replace(regexp_replace(substring(col("text"), 1, 30),
+            "&", "&amp;"), "<", "&lt;"), ">", "&gt;").as("escaped"))
+        .orderBy("doc_id")),
+
     // SimHash (16-bit): per-token md5, bit j from hex digit j's high
     // bit, sign of the per-bit vote sum over all tokens.
     "ta_simhash" -> ((s, d) => {
@@ -159,6 +182,19 @@ object TextAnalysis {
          |  md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fp_exact,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp_bag
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t7_keyterms_normalize" ->
+      """SELECT doc_id,
+        |  len(list_filter(list_transform(string_split(regexp_replace(substr(text, 1, 60), ' ', ',', 'g'), ','),
+        |      t -> trim(t)), t -> t <> ''))::BIGINT AS n_terms,
+        |  list_filter(list_transform(string_split(regexp_replace(substr(text, 1, 60), ' ', ',', 'g'), ','),
+        |      t -> trim(t)), t -> t <> '')[1] AS first_term
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t8_sanitize_escape" ->
+      """SELECT doc_id,
+        |  regexp_replace('Dr. Report/' || substr(text, 1, 20) || '?.pdf',
+        |    '[^A-Za-z0-9._-]', '_', 'g') AS sanitized,
+        |  replace(replace(replace(substr(text, 1, 30), '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS escaped
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_simhash" ->
       (s"""WITH base AS (
           |  SELECT doc_id, md5(unnest($toksSql)) AS h FROM documents),

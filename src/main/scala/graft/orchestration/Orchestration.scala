@@ -108,6 +108,27 @@ object Orchestration {
       .orderBy(col("wsim").desc, col("vec_id").asc)
   }
 
+  // ---- X3: intelligent QA — classify → route → handler ----
+  sealed trait QaResult
+  case class DirectReply(intent: String, reply: String) extends QaResult
+  case class SearchPlan(intent: String, strategy: SearchStrategy,
+                        rewrites: Seq[String]) extends QaResult
+
+  /** Intelligent-QA routing (`qa_orchestrator.py:94-195`): greeting/
+    * chitchat answer directly; clarification asks back; search-like
+    * intents produce a search plan (rewrite + strategy) for the
+    * engine. The LLM classify/rewrite stages are the deterministic
+    * stubs; real deployments swap them behind the same LlmTask shape.
+    */
+  def intelligentQa(question: String, granularity: String = "unknown"): QaResult =
+    classifyIntentRules(question) match {
+      case "greeting" => DirectReply("greeting", "Hello! Ask me about your documents.")
+      case "clarification_needed" =>
+        DirectReply("clarification_needed", "Could you be more specific?")
+      case intent =>
+        SearchPlan(intent, routeStrategy(granularity, None), StubQueryRewrite(question))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L4 — rule-based intent classification as a batch column op.
     "l4_intent_rules" -> ((s, d) =>

@@ -64,6 +64,24 @@ class SourcesAndOrchestrationSpec extends AnyFunSuite {
     assert(schema("vendor") == "vendor (str)")
   }
 
+  test("X3: intelligent QA routes greeting/clarification/search correctly") {
+    import Orchestration._
+    assert(intelligentQa("hi") == DirectReply("greeting", "Hello! Ask me about your documents."))
+    intelligentQa("??") match {
+      case DirectReply("clarification_needed", _) => ()
+      case other => fail(s"expected clarification, got $other")
+    }
+    intelligentQa("quarterly invoice totals", "thematic") match {
+      case SearchPlan("document_search", SummaryOnly, rewrites) =>
+        assert(rewrites.size == 3 && rewrites.head == "quarterly invoice totals")
+      case other => fail(s"expected search plan, got $other")
+    }
+    intelligentQa("quarterly invoice totals") match {
+      case SearchPlan(_, RrfFusion, _) => ()
+      case other => fail(s"expected rrf plan, got $other")
+    }
+  }
+
   test("L4 rules + L7 confidence") {
     assert(Orchestration.classifyIntentRules("hi") == "greeting")
     assert(Orchestration.classifyIntentRules("ab") == "clarification_needed")
