@@ -50,25 +50,30 @@ object RetrievalEval {
 
   /** All 5 reference modes, batched. Vectors must carry
     * (vec_id, label, embedding, vtype). */
-  def runMode(mode: String, vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val summaries = vectors.filter(col("vtype") === "summary")
-    val chunks = vectors.filter(col("vtype") === "chunk")
+  def runMode(mode: String, vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    runModeScored(mode,
+      scored(vectors.filter(col("vtype") === "summary"), queries),
+      scored(vectors.filter(col("vtype") === "chunk"), queries), k)
+
+  /** Mode implementations over pre-scored (and cacheable) branches —
+    * the expensive crossJoin+dot scan is shared by all 5 modes. */
+  def runModeScored(mode: String, scoredSummaries: DataFrame,
+                    scoredChunks: DataFrame, k: Int): DataFrame =
     mode match {
-      case "summary_only" => topkPerQuery(scored(summaries, queries), k)
-      case "chunks_only"  => topkPerQuery(bestPerDoc(scored(chunks, queries)), k)
+      case "summary_only" => topkPerQuery(scoredSummaries, k)
+      case "chunks_only"  => topkPerQuery(bestPerDoc(scoredChunks), k)
       case "legacy" =>
-        topkPerQuery(bestPerDoc(scored(summaries.unionByName(chunks), queries)), k)
+        topkPerQuery(bestPerDoc(scoredSummaries.unionByName(scoredChunks)), k)
       case "hybrid" =>
         // stage 1: per-query top-10 summary docs; stage 2: chunks
         // restricted to those (q_id, label) candidates
-        val cand = topkPerQuery(scored(summaries, queries), 10).select("q_id", "label")
-        val pruned = scored(chunks, queries)
-          .join(cand, Seq("q_id", "label"), "left_semi")
+        val cand = topkPerQuery(scoredSummaries, 10).select("q_id", "label")
+        val pruned = scoredChunks.join(cand, Seq("q_id", "label"), "left_semi")
         topkPerQuery(bestPerDoc(pruned), k)
       case "rrf_fusion" =>
-        val sb = topkPerQuery(bestPerDoc(scored(summaries, queries)), 10)
+        val sb = topkPerQuery(bestPerDoc(scoredSummaries), 10)
           .withColumnRenamed("rank", "s_rank")
-        val cb = topkPerQuery(bestPerDoc(scored(chunks, queries)), 10)
+        val cb = topkPerQuery(bestPerDoc(scoredChunks), 10)
           .withColumnRenamed("rank", "c_rank")
         sb.join(cb, Seq("q_id", "label"), "full_outer")
           .withColumn("rrf",
@@ -79,7 +84,6 @@ object RetrievalEval {
           .filter(col("rank") <= k)
           .select("q_id", "label", "rank")
     }
-  }
 
   /** Hit@{1,3,5}, MRR, nDCG@5 per mode (single relevant doc per query:
     * nDCG@5 = 1/log2(rank+1) when hit, else 0). */
@@ -92,9 +96,11 @@ object RetrievalEval {
       .withColumn("embedding", col("embedding").cast("array<double>"))
       .cache()
     val queries = goldenQueries(docs, embedder, nQueries).cache()
+    val ss = scored(vectors.filter(col("vtype") === "summary"), queries).cache()
+    val sc = scored(vectors.filter(col("vtype") === "chunk"), queries).cache()
     val modes = Seq("rrf_fusion", "hybrid", "summary_only", "chunks_only", "legacy")
     val perMode = modes.map { m =>
-      val hitRanks = runMode(m, vectors, queries, 5)
+      val hitRanks = runModeScored(m, ss, sc, 5)
         .filter(col("label") === col("q_id")) // relevant doc retrieved
         .select(col("q_id"), col("rank"))
       val n = lit(nQueries.toDouble)
