@@ -195,11 +195,15 @@ object Relational {
     }),
 
     // W1 — global ranking (RRF rank assignment, enhanced_search_service.py:403-419).
+    // Top-k first (TakeOrderedAndProject — per-partition top-k, no full
+    // sort), THEN rank the k survivors: the global window only ever
+    // sees k rows, so the single-partition window is O(k) at any scale.
     "w1_rank" -> ((s, d) => {
       Tables.supplier(s, d)
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+        .limit(50)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)))
-        .filter(col("rnk") <= 50)
         .select("rnk", "s_suppkey", "s_name", "s_acctbal")
         .orderBy("rnk")
     }),
