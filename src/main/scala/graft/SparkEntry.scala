@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Clustering.queries ++ pipelines.IndexPipeline.queries ++
       streaming.StreamingOps.queries ++ operators.Multimodal.queries ++
       sources.DocumentSources.queries ++ orchestration.Orchestration.queries ++
-      evaluation.RetrievalEval.queries ++ operators.Conversations.queries
+      evaluation.RetrievalEval.queries ++ operators.Conversations.queries ++
+      operators.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,5 @@ object SparkEntry {
       operators.Clustering.oracles ++ pipelines.IndexPipeline.oracles ++
       streaming.StreamingOps.oracles ++ operators.Multimodal.oracles ++
       sources.DocumentSources.oracles ++ orchestration.Orchestration.oracles ++
-      operators.Conversations.oracles
+      operators.Conversations.oracles ++ operators.Skew.oracles
 }

@@ -13,6 +13,7 @@ object SparkSessionHelper {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .withExtensions(new GraftExtensions)
     .getOrCreate()
 }
