@@ -22,16 +22,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup pass (untimed)
-    names.foreach { n =>
+    // Caches created inside a query (persisted multi-consumer
+    // relations) are intra-query optimizations — clear between queries
+    // so entries don't accumulate across 2×N runs and squeeze memory.
+    def run(n: String): Unit = {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      finally spark.catalog.clearCache()
     }
+    // warmup pass (untimed)
+    names.foreach(run)
     // timed pass
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      run(n)
       n -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
