@@ -34,6 +34,17 @@ for name in sorted(os.listdir(outdir)):
     elif len(got) != len(exp):
         status.append(f"ROWS got={len(got)} exp={len(exp)}")
     else:
+        # Driver's hash gate is dtype-KIND-sensitive: int64-vs-float64
+        # hash-differs even when values compare equal (round-1 a1/a3/ta/st
+        # failures), but int32-vs-int64 passed (w1/w3/c4/c8/ann all green).
+        # Mirror that: flag kind mismatches (i/u vs f vs O), not widths.
+        def kind(s):
+            k = s.dtype.kind
+            return "i" if k in "iu" else k
+        for c in got.columns:
+            if kind(got[c]) != kind(exp[c]):
+                status.append(f"DTYPE col={c} got={got[c].dtype} exp={exp[c].dtype}")
+    if not status:
         for c in got.columns:
             g, e = got[c], exp[c]
             try:

@@ -22,26 +22,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Caches created inside a query (persisted multi-consumer
     // relations) are intra-query optimizations — clear between queries
     // so entries don't accumulate across 2×N runs and squeeze memory.
-    def run(n: String): Unit = {
+    def run(n: String, recordFailure: Boolean): Unit = {
       try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          if (recordFailure) failed += n
+          System.err.println(s"[bench] $n FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       finally spark.catalog.clearCache()
     }
     // warmup pass (untimed)
-    names.foreach(run)
+    names.foreach(run(_, recordFailure = false))
     // timed pass
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      run(n)
+      run(n, recordFailure = true)
       n -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Keep the line compact (3-decimal seconds): the driver parses it from
+    // a bounded tail of the sbt output, so a bloated line gets truncated.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,7 +91,11 @@ object RetrievalEval {
     val embedder = new HashEmbedder(64)
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
     val vectors = IndexPipeline.buildIndex(docs, embedder)
-      .withColumn("vec_id", col("doc_id") * 1000 + col("chunk_index"))
+      // A doc's summary row and its chunk 0 both carry chunk_index 0 —
+      // give summaries a reserved slot so vec_id (the window tiebreak
+      // in legacy mode) is unique across vtypes.
+      .withColumn("vec_id", col("doc_id") * 1000 +
+        when(col("vtype") === "summary", lit(999)).otherwise(col("chunk_index")))
       .withColumn("label", col("doc_id"))
       .withColumn("embedding", col("embedding").cast("array<double>"))
       .cache()

@@ -21,9 +21,13 @@ object Conversations {
       .agg(array_sort(collect_list(struct(col("seq"), col("role"), col("content"))))
         .as("messages"))
 
-  /** Last-N messages per conversation ($slice: -n). */
+  /** Last-N messages per conversation ($slice: -n). MongoDB's $slice:-n
+    * returns the WHOLE array when it has fewer than n elements, but
+    * Spark's `slice(arr, -n, n)` returns empty there — guard on size. */
   def lastN(conversations: DataFrame, n: Int): DataFrame =
-    conversations.withColumn("recent", slice(col("messages"), -n, n))
+    conversations.withColumn("recent",
+      when(size(col("messages")) <= n, col("messages"))
+        .otherwise(slice(col("messages"), -n, n)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W3b — array-slice last-3: build per-user ordered message arrays

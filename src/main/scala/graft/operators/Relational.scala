@@ -301,8 +301,8 @@ object Relational {
         |GROUP BY 1 ORDER BY n DESC, k ASC LIMIT 20""".stripMargin,
     "a1_system_stats" ->
       """SELECT count(*) AS n_orders,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders""".stripMargin,
     "a2_group_stats" ->
@@ -312,8 +312,8 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a3_conditional_stats" ->
       """SELECT count(*) AS n,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS purchase_rate
         |FROM events""".stripMargin,

@@ -128,7 +128,12 @@ object Search {
     * threshold × 0.7 (`qa_search_coordinator.py:271-297`). */
   def withFallback(primary: => DataFrame, vectors: DataFrame, queryVec: Seq[Double],
                    k: Int, threshold: Double): DataFrame = {
-    val attempt = scala.util.Try(primary).toOption.filter(df => !df.isEmpty)
+    // Execution (isEmpty) must run INSIDE the Try: a plan that builds fine
+    // but fails at execution time is exactly the degradation case V12 covers.
+    val attempt = scala.util.Try {
+      val df = primary
+      if (df.isEmpty) None else Some(df)
+    }.toOption.flatten
     attempt.getOrElse(knn(vectors, queryVec, k, threshold * 0.7))
   }
 

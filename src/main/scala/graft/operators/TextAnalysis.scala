@@ -140,11 +140,11 @@ object TextAnalysis {
          |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
          |scores AS (
          |  SELECT doc_id, lang,
-         |    sum(CASE WHEN tok IN ('the','a','is','of','and') THEN 1 ELSE 0 END) AS s_en,
-         |    sum(CASE WHEN tok IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS s_es,
-         |    sum(CASE WHEN tok IN ('der','die','und','ist','das') THEN 1 ELSE 0 END) AS s_de,
-         |    sum(CASE WHEN tok IN ('le','les','et','des','une') THEN 1 ELSE 0 END) AS s_fr,
-         |    sum(CASE WHEN tok IN ('的','是','在','了','和') THEN 1 ELSE 0 END) AS s_zh
+         |    CAST(sum(CASE WHEN tok IN ('the','a','is','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |    CAST(sum(CASE WHEN tok IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         |    CAST(sum(CASE WHEN tok IN ('der','die','und','ist','das') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |    CAST(sum(CASE WHEN tok IN ('le','les','et','des','une') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+         |    CAST(sum(CASE WHEN tok IN ('的','是','在','了','和') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
          |  FROM base GROUP BY doc_id, lang)
          |SELECT doc_id, lang,
          |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'

@@ -114,8 +114,8 @@ object StreamingOps {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)),
         |sessions AS (
         |  SELECT user_id, ts_ns, event_id,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns ASC, event_id ASC
-        |                      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns ASC, event_id ASC
+        |                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  max(ts_ns) - min(ts_ns) AS dur_ns
