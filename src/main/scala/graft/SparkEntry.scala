@@ -19,7 +19,7 @@ object SparkEntry {
       streaming.StreamingOps.queries ++ operators.Multimodal.queries ++
       sources.DocumentSources.queries ++ orchestration.Orchestration.queries ++
       evaluation.RetrievalEval.queries ++ operators.Conversations.queries ++
-      operators.Skew.queries
+      operators.Skew.queries ++ operators.Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,6 @@ object SparkEntry {
       operators.Clustering.oracles ++ pipelines.IndexPipeline.oracles ++
       streaming.StreamingOps.oracles ++ operators.Multimodal.oracles ++
       sources.DocumentSources.oracles ++ orchestration.Orchestration.oracles ++
-      operators.Conversations.oracles ++ operators.Skew.oracles
+      operators.Conversations.oracles ++ operators.Skew.oracles ++
+      operators.Temporal.oracles
 }

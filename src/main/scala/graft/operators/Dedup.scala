@@ -88,17 +88,24 @@ object Dedup {
     // 8×|occurrences|, the difference between O(corpus) and O(vocab)
     // hashing at 100 TB.
     "dd_minhash_lsh" -> ((s, d) => {
-      val ds = docShingles(s, d).select("doc_id", "sh")
+      // Persist the exploded shingles (feeds the distinct-vocab branch
+      // AND the hash-join back) and the signatures (feed both sides of
+      // the candidate self-join): without persists the scan+explode
+      // subtree re-runs once per consumer.
+      val ds = docShingles(s, d).select("doc_id", "sh").persist()
       val hashCols = (0 until 8).map(k => md5(concat(lit(s"s$k|"), col("sh"))).as(s"mh$k"))
       val shingleHashes = ds.select("sh").distinct()
         .select(col("sh") +: hashCols: _*)
       val sigCols = (0 until 8).map(k => min(col(s"mh$k")).as(s"h$k"))
       val sig = ds.join(broadcast(shingleHashes), Seq("sh"))
         .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bands = (0 until 4).map(bi =>
-        sig.select(col("doc_id"), lit(bi).as("band_id"),
-          md5(concat(col(s"h${2 * bi}"), col(s"h${2 * bi + 1}"))).as("bh")))
-        .reduce(_ unionByName _)
+        .persist()
+      // All 4 bands in ONE pass over sig via explode (a per-band select
+      // + union would recompute the signature subtree once per band).
+      val bands = sig.select(col("doc_id"), explode(array(
+          (0 until 4).map(bi => struct(lit(bi).as("band_id"),
+            md5(concat(col(s"h${2 * bi}"), col(s"h${2 * bi + 1}"))).as("bh"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bh").as("bh"))
       val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bh").as("bh_b"))
       a.join(b, col("band_id") === col("band_id_b") && col("bh") === col("bh_b") &&

@@ -268,6 +268,42 @@ object Relational {
         .orderBy("id_a")
     }),
 
+    // A9 — histogram binning: fixed-width buckets over a value column
+    // (floor division is IEEE-identical in both engines; min/max raw
+    // doubles are order-independent). One partial-agg shuffle at scale.
+    "a9_histogram" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // P10 — deterministic hash-based stratified sample: membership by
+    // md5(key) prefix, so the sample is reproducible across engines,
+    // runs, and cluster sizes (unlike rand()-based sampleBy), and the
+    // filter pushes into the scan. ~3/16 rate here.
+    "p10_stratified_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1", "2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+    }),
+
+    // W5 — per-key running total (cumulative decimal sum, cast to
+    // double per row): the streaming-dashboard cumulative shape.
+    "w5_running_total" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("cum_value",
+          sum(dec(col("value"))).over(
+            Window.partitionBy("user_id").orderBy("event_id")
+              .rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+        .select("user_id", "event_id", "cum_value")
+        .orderBy("user_id", "event_id")
+    }),
+
     // D1 — union + distinct of two keyed result sets (RRF all_documents union).
     "d1_union_distinct" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -388,6 +424,22 @@ object Relational {
         |  len(list_intersect(string_split(a.text, ' '), string_split(b.text, ' ')))::BIGINT AS overlap
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id < 50 ORDER BY id_a""".stripMargin,
+    "a9_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "p10_stratified_sample" ->
+      """SELECT source, count(*) AS n_sampled,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "w5_running_total" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "d1_union_distinct" ->
       """SELECT DISTINCT o_custkey FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'

@@ -305,8 +305,21 @@ object Search {
         .select("id", "sim")
     }),
 
-    // V9 — diversity re-rank over top-20 kNN joined to document text
-    // (rows-only check: greedy/sequential, not SQL-expressible).
+    // ANN IVF full-probe — nProbe = nCells scans every cell, so the
+    // result provably equals brute-force kNN (same oracle). This gives
+    // the IVF build/probe machinery an exact correctness gate; the
+    // pruned variant above exercises the recall/scan-fraction tradeoff.
+    "ann_ivf_fullprobe" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).withColumn("tenant", lit("all"))
+      val indexed = ivfBuild(base, "tenant", "vec_id", "embedding", 16).cache()
+      val centroids = ivfCentroids(indexed)
+      ivfSearch(indexed, centroids, "all", qvec(s, d, 0), 10, 16)
+        .select("id", "sim")
+    }),
+
+    // V9 — diversity re-rank over top-20 kNN joined to document text;
+    // the greedy sequential admit runs on the driver, and is mirrored
+    // exactly by a DuckDB recursive CTE oracle.
     "v9_diversity" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val top = knn(Tables.embeddings(s, d), qvec(s, d, 0), 20, 0.0)
@@ -447,6 +460,48 @@ object Search {
         |                    e.vec_id ASC) AS rank
         |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
         |  WHERE e.vec_id <> q.vec_id)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // Full-probe IVF == brute-force kNN (every cell scanned).
+    "ann_ivf_fullprobe" ->
+      s"""SELECT vec_id AS id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |FROM embeddings
+         |WHERE list_inner_product(embedding::DOUBLE[], $q0) >= 0.0
+         |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin,
+    // Greedy diversity admit as a recursive CTE: walk candidates in rank
+    // order carrying (picked ids, picked sims, seen word-set); admit when
+    // |first-10-token-set ∩ seen| < 5 or fewer than 3 admitted, stop at 5.
+    "v9_diversity" ->
+      s"""WITH RECURSIVE topk AS (
+         |  SELECT vec_id, sim FROM (
+         |    SELECT vec_id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |    FROM embeddings
+         |    WHERE list_inner_product(embedding::DOUBLE[], $q0) >= 0.0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 20)),
+         |cand AS (
+         |  SELECT row_number() OVER (ORDER BY t.sim DESC, t.vec_id ASC) AS i,
+         |         t.vec_id, t.sim,
+         |         list_distinct(list_filter(string_split_regex(lower(d.text), '\\s+'),
+         |                                   x -> x <> '')[1:10]) AS words
+         |  FROM topk t JOIN documents d ON t.vec_id = d.doc_id),
+         |step AS (
+         |  SELECT CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS picked,
+         |         CAST([] AS DOUBLE[]) AS sims, CAST([] AS VARCHAR[]) AS seen
+         |  UNION ALL
+         |  SELECT c.i,
+         |    CASE WHEN len(s.picked) < 5
+         |           AND (len(list_intersect(c.words, s.seen)) < 5 OR len(s.picked) < 3)
+         |         THEN list_append(s.picked, c.vec_id) ELSE s.picked END,
+         |    CASE WHEN len(s.picked) < 5
+         |           AND (len(list_intersect(c.words, s.seen)) < 5 OR len(s.picked) < 3)
+         |         THEN list_append(s.sims, c.sim) ELSE s.sims END,
+         |    CASE WHEN len(s.picked) < 5
+         |           AND (len(list_intersect(c.words, s.seen)) < 5 OR len(s.picked) < 3)
+         |         THEN list_distinct(list_concat(s.seen, c.words)) ELSE s.seen END
+         |  FROM step s JOIN cand c ON c.i = s.i + 1)
+         |SELECT vec_id, sim FROM (
+         |  SELECT unnest(picked) AS vec_id, unnest(sims) AS sim,
+         |         generate_subscripts(picked, 1) AS pos
+         |  FROM (SELECT picked, sims FROM step ORDER BY i DESC LIMIT 1))
+         |ORDER BY pos""".stripMargin
   )
 }
