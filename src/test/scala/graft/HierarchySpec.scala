@@ -49,5 +49,11 @@ class HierarchySpec extends AnyFunSuite {
     def boom: org.apache.spark.sql.DataFrame = throw new RuntimeException("boom")
     val r2 = Search.withFallback(boom, vectors, q, 5, 0.9)
     assert(r2.count() == 2)
+    // a plan that BUILDS fine but fails at EXECUTION time must also
+    // fall back (the V12 degradation case): udf throws on evaluation.
+    val bomb = udf((x: Long) => if (x >= -1) throw new RuntimeException("exec") else 0L)
+    val execFail = vectors.withColumn("sim", bomb($"vec_id").cast("double"))
+    val r3 = Search.withFallback(execFail, vectors, q, 5, 0.9)
+    assert(r3.count() == 2)
   }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Conversations, Temporal}
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  import spark.implicits._
+
+  // (event_id, user_id, event_type, ts_us)
+  private def events = Seq(
+    (1L, 1L, "view", 100L),
+    (2L, 1L, "purchase", 200L),  // asof view = 1 (gap 100)
+    (3L, 1L, "view", 300L),
+    (4L, 1L, "purchase", 300L),  // view 3 shares ts but sorts first (smaller id) → matched
+    (5L, 2L, "purchase", 50L),   // user 2 has no preceding view → null
+    (6L, 2L, "view", 60L),
+    (7L, 2L, "purchase", 60L),   // view 6 at same ts, smaller id → matched, gap 0
+    (8L, 3L, "click", 10L),
+    (9L, 3L, "purchase", 20L)    // only clicks before → null view
+  ).toDF("event_id", "user_id", "event_type", "ts_us")
+
+  test("asofJoin: strictly-preceding-in-sort-order view per purchase") {
+    val r = Temporal.asofJoin(events, "user_id", "ts_us", "event_id",
+        isBuild = col("event_type") === "view",
+        isProbe = col("event_type") === "purchase",
+        attrs = Seq("event_id"))
+      .select(col("event_id"), col("asof_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(r(2L).contains(1L))
+    assert(r(4L).contains(3L)) // same-ts view with smaller id counts as preceding
+    assert(r(5L).isEmpty)
+    assert(r(7L).contains(6L))
+    assert(r(9L).isEmpty)      // clicks never match
+  }
+
+  test("bucketed range join equals naive range join") {
+    // Random-ish small stream; compare the bucketed plan against the
+    // naive non-equi join on the same window [p-250, p).
+    val ev = (1L to 200L).map { i =>
+      (i, i % 7, if (i % 3 == 0) "purchase" else "click", (i * 97) % 1000)
+    }.toDF("event_id", "user_id", "event_type", "ts_us")
+    val bucket = 250L
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us".as("c_ts"), expr(s"ts_us div $bucket").as("bucket"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us".as("p_ts"))
+      .withColumn("bucket", explode(array(expr(s"p_ts div $bucket - 1"), expr(s"p_ts div $bucket"))))
+    val bucketed = purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter($"c_ts" >= $"p_ts" - bucket && $"c_ts" < $"p_ts")
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id".as("pu"), $"ts_us".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts_us".as("c_ts"))
+    val naive = p.join(c, $"cu" === $"pu" && $"c_ts" >= $"p_ts" - bucket && $"c_ts" < $"p_ts")
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("lastN returns the whole array when shorter than n (MongoDB $slice:-n)") {
+    val conv = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L)),
+      (3L, Seq.empty[Long])
+    ).toDF("conv_id", "messages")
+    val r = Conversations.lastN(conv, 3)
+      .select("conv_id", "recent").as[(Long, Seq[Long])].collect().toMap
+    assert(r(1L) == Seq(20L, 30L, 40L))
+    assert(r(2L) == Seq(10L, 20L)) // shorter than n → whole array, not empty
+    assert(r(3L) == Seq.empty)
+  }
+}
