@@ -47,6 +47,18 @@ object StreamingOps {
         (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
   }
 
+  /** First-seen dedup per key set, batch form: keep the earliest row
+    * (event-time, id tiebreak) per key. The streaming counterpart is
+    * `dropDuplicates(keys)` (state = one entry per key) or
+    * `dropDuplicatesWithinWatermark` to bound state by the watermark —
+    * StreamingSpec drives it over a real readStream source. */
+  def dedupFirstSeen(events: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    events.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   private case class SessionState(lastTs: Long, sessionIdx: Long)
 
   /** Same contract with explicit state for unbounded streams. Events
@@ -95,7 +107,17 @@ object StreamingOps {
       sessionizeBatch(
         Tables.events(s, d).withColumn("ts_ns", expr("ts_ns div 1000 * 1000")),
         1800L * 1000 * 1000 * 1000)
-        .orderBy("user_id", "session_idx"))
+        .orderBy("user_id", "session_idx")),
+
+    // First-seen dedup per (user, event_type) — the streaming-dedup
+    // contract in its deterministic batch form (µs precision for
+    // engine parity).
+    "st_stream_dedup" -> ((s, d) =>
+      dedupFirstSeen(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        Seq("user_id", "event_type"))
+        .select("user_id", "event_type", "event_id", "ts_us")
+        .orderBy("user_id", "event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +141,13 @@ object StreamingOps {
         |  FROM flagged)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  max(ts_ns) - min(ts_ns) AS dur_ns
-        |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+        |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "st_stream_dedup" ->
+      """SELECT user_id, event_type, event_id, ts_us FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -33,6 +33,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("streaming dropDuplicates keeps the same keys as batch dedupFirstSeen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select("user_id", "event_type", "event_id", "ts_us")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = streamed.dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // dropDuplicates keeps the first ARRIVAL per key (processing
+    // order); the deterministic batch form keeps the first EVENT-TIME
+    // row. The surviving key sets must agree exactly.
+    val got = spark.table("dedup_out")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    val exp = StreamingOps.dedupFirstSeen(batch, Seq("user_id", "event_type"))
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("sessionizeStreaming assigns the same sessions as sessionizeBatch") {
     val events = Seq(
       // user 1: two sessions (gap > 30 min between e2 and e3)
