@@ -268,6 +268,18 @@ object Relational {
         .orderBy("id_a")
     }),
 
+    // P11 — tags-overlap filter: MongoDB `$in` on an array column is
+    // set-INTERSECTION (arrays_overlap), not contains-all
+    // (crud_documents.py:24-67 tags_include semantics). Tokens stand in
+    // for the tags array on the synthetic table.
+    "p11_tags_overlap" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(arrays_overlap(split(col("text"), " "),
+          array(lit("spark"), lit("catalyst"))))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // A9 — histogram binning: fixed-width buckets over a value column
     // (floor division is IEEE-identical in both engines; min/max raw
     // doubles are order-independent). One partial-agg shuffle at scale.
@@ -424,6 +436,10 @@ object Relational {
         |  len(list_intersect(string_split(a.text, ' '), string_split(b.text, ' ')))::BIGINT AS overlap
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id < 50 ORDER BY id_a""".stripMargin,
+    "p11_tags_overlap" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE list_has_any(string_split(text, ' '), ['spark', 'catalyst'])
+        |ORDER BY doc_id""".stripMargin,
     "a9_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi

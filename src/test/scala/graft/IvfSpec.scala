@@ -37,4 +37,22 @@ class IvfSpec extends AnyFunSuite {
     val largest4 = cellSizes.values.toSeq.sorted.reverse.take(4).sum
     assert(largest4 < 500, s"4 largest cells hold $largest4/500 — no pruning")
   }
+
+  test("ivf index written partitioned by cell gets partition-pruned scans") {
+    // The 100 TB serving path: vectors written partitioned by cell so a
+    // probe scans only nProbe directories. Assert the physical plan
+    // prunes partitions (PartitionFilters on cell, not a full scan).
+    val base = Tables.embeddings(spark, d).withColumn("tenant", lit("all"))
+    val indexed = Search.ivfBuild(base, "tenant", "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+    val reread = spark.read.parquet(dir).filter($"cell".isin(0, 1))
+    val plan = reread.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning in plan:\n$plan")
+    // pruned scan reads a strict subset of rows
+    val pruned = reread.count()
+    assert(pruned > 0 && pruned < 500, s"pruned scan read $pruned rows")
+  }
 }
