@@ -304,6 +304,25 @@ object Relational {
         .orderBy("source")
     }),
 
+    // W6 — top-k per group via the typed TopKAggregator: map-side
+    // partial top-k means the shuffle carries ≤k rows per (group,
+    // partition) instead of every row (the window form sort-shuffles
+    // the whole table). Same result as W2's window, checked by oracle.
+    "w6_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      val typed = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.ScoredRow(t._2, t._3))
+        .agg(graft.functions.TopK.topK(3).name("top"))
+      typed.toDF("o_custkey", "top")
+        .select(col("o_custkey"), explode(col("top")).as("r"))
+        .select(col("o_custkey"), col("r.id").as("o_orderkey"),
+          col("r.score").as("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // W5 — per-key running total (cumulative decimal sum, cast to
     // double per row): the streaming-dashboard cumulative shape.
     "w5_running_total" -> ((s, d) => {
@@ -450,6 +469,12 @@ object Relational {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "w6_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "w5_running_total" ->
       """SELECT user_id, event_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2)))
