@@ -115,6 +115,23 @@ object Dedup {
         .limit(100)
     }),
 
+    // Embedding int8 quantization (training-pipeline storage/ANN
+    // compression): per-element floor(x·127) — floor is IEEE-identical
+    // across engines, and the integer summaries (sum/min/max) are
+    // order-independent, so the op is exactly oracle-checkable. At
+    // scale this is the map-only pass that shrinks a vector corpus 4×
+    // before LSH/IVF indexing.
+    "vq_quantize_int8" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("q8", transform(col("embedding").cast("array<double>"),
+          x => floor(x * 127).cast("long")))
+        .select(col("vec_id"),
+          aggregate(col("q8"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q8")).as("q_min"),
+          array_max(col("q8")).as("q_max"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-dup: label-blocked self-join, dot ≥ 0.8.
     "dd_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -176,6 +193,17 @@ object Dedup {
          |  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
          |ORDER BY n_bands DESC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
+    "vq_quantize_int8" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(q8) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q8) AS BIGINT) AS q_min,
+        |  CAST(list_max(q8) AS BIGINT) AS q_max
+        |FROM (
+        |  SELECT vec_id,
+        |         list_transform(embedding::DOUBLE[],
+        |                        x -> CAST(floor(x * 127) AS BIGINT)) AS q8
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
     "dd_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
         |  list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim

@@ -59,6 +59,19 @@ object StreamingOps {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Gap-based sessionization via the BUILT-IN `session_window`
+    * (Spark ≥3.2) — the idiomatic form: works identically on batch and
+    * streaming DataFrames (with a watermark), and Spark merges
+    * overlapping per-event windows into sessions natively instead of
+    * our lag/cumsum window chain. Returns one row per (user, session)
+    * with its bounds and event count. */
+  def sessionizeNative(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   private case class SessionState(lastTs: Long, sessionIdx: Long)
 
   /** Same contract with explicit state for unbounded streams. Events

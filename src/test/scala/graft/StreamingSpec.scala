@@ -60,6 +60,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("native session_window matches the lag/cumsum sessionization") {
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    // batch lag/cumsum form at 30-min gap, per-user session sizes
+    val batch = StreamingOps.sessionizeBatch(
+        ev.withColumn("ts_ns", expr("ts_ns div 1000 * 1000")), 1800L * 1000 * 1000 * 1000)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_ev"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val native = StreamingOps.sessionizeNative(ev, "30 minutes")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_ev"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(native == batch)
+    assert(native.nonEmpty)
+
+    // and it runs identically over a real stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    ev.select("user_id", "ts").write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = StreamingOps.sessionizeNative(streamed.withWatermark("ts", "1 hour"), "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamedAgg = spark.table("sess_out")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_ev"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(streamedAgg == batch)
+  }
+
   test("sessionizeStreaming assigns the same sessions as sessionizeBatch") {
     val events = Seq(
       // user 1: two sessions (gap > 30 min between e2 and e3)
