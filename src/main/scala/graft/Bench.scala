@@ -21,7 +21,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=a,b,c limits the run (local iteration only; the
+    // driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Caches created inside a query (persisted multi-consumer
     // relations) are intra-query optimizations — clear between queries

@@ -98,10 +98,14 @@ object RetrievalEval {
         when(col("vtype") === "summary", lit(999)).otherwise(col("chunk_index")))
       .withColumn("label", col("doc_id"))
       .withColumn("embedding", col("embedding").cast("array<double>"))
-      .cache()
-    val queries = goldenQueries(docs, embedder, nQueries).cache()
-    val ss = scored(vectors.filter(col("vtype") === "summary"), queries).cache()
-    val sc = scored(vectors.filter(col("vtype") === "chunk"), queries).cache()
+    val queries = goldenQueries(docs, embedder, nQueries)
+    // ONE crossJoin+dot over the whole vector set, cached once; the
+    // 10 per-mode consumers are filters over it. (Separate cached
+    // summary/chunk branches each paid their own index-build + scan.)
+    val allScored = scored(vectors, queries)
+      .select("q_id", "label", "vec_id", "vtype", "sim").cache()
+    val ss = allScored.filter(col("vtype") === "summary")
+    val sc = allScored.filter(col("vtype") === "chunk")
     val modes = Seq("rrf_fusion", "hybrid", "summary_only", "chunks_only", "legacy")
     val perMode = modes.map { m =>
       val hitRanks = runModeScored(m, ss, sc, 5)
