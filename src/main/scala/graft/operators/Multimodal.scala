@@ -65,11 +65,53 @@ object Multimodal {
     Tables.documents(s, d).select(col("doc_id"),
       encode(col("text"), "UTF-8").as("content"))
 
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("f0", DoubleType),
+    StructField("f_sum", DoubleType)))
+
+  /** Feature extraction (vision/audio-embedding stand-in): same
+    * mapPartitions batch shape as decodeMedia — model weights would
+    * load once per partition, rows run in batches. The STUB computes
+    * `dim` deterministic pseudo-features from byte length with exact
+    * integer arithmetic and ONE final double division, so the oracle
+    * matches bit-for-bit. Emits (f0, f_sum) summaries, not the raw
+    * array (array cells don't hash-compare portably). */
+  def extractFeatures(media: DataFrame, dim: Int = 8, batchSize: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id").cast("long"), col("content")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val n = r.getAs[Array[Byte]](1).length.toLong
+            val ints = (1 to dim).map(j => (n * j) % 997L)
+            Row(r.getLong(0), ints.head.toDouble / 997.0, ints.sum.toDouble / 997.0)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decode-metadata pass (stub arithmetic mirrored in the oracle —
     // verifies binary column plumbing + mapPartitions batch shape).
     "mm_decode_meta" -> ((s, d) =>
       decodeMedia(mediaTable(s, d)).orderBy("doc_id")),
+
+    // Feature extraction over binary media (stubbed model, real
+    // mapPartitions batch plumbing).
+    "mm_feature_extract" -> ((s, d) =>
+      extractFeatures(mediaTable(s, d)).orderBy("doc_id")),
+
+    // Resize planning: target width 224, aspect-preserving integer
+    // output dims from the decoded metadata (the pixel resample itself
+    // is the stubbed device-side step; the plan is the map-only pass).
+    "mm_resize" -> ((s, d) =>
+      decodeMedia(mediaTable(s, d))
+        .select(col("doc_id"), col("width"), col("height"),
+          lit(224).as("out_w"),
+          greatest(lit(1L), expr("CAST(height AS BIGINT) * 224 div width"))
+            .cast("int").as("out_h"))
+        .orderBy("doc_id")),
 
     // Frame sampling: 1 frame/sec capped at 10, byte length as
     // pseudo-duration-ms; 1 media row → N frame rows.
@@ -91,6 +133,20 @@ object Multimodal {
         |  (64 + octet_length(encode(text)) % 512)::INT AS width,
         |  (64 + (octet_length(encode(text)) // 2) % 512)::INT AS height,
         |  (1 + octet_length(encode(text)) % 3)::INT AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_feature_extract" ->
+      """SELECT doc_id,
+        |  CAST((octet_length(encode(text))::BIGINT * 1) % 997 AS DOUBLE) / 997.0 AS f0,
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
+        |         j -> (octet_length(encode(text))::BIGINT * j) % 997)) AS DOUBLE) / 997.0 AS f_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  (64 + octet_length(encode(text)) % 512)::INT AS width,
+        |  (64 + (octet_length(encode(text)) // 2) % 512)::INT AS height,
+        |  224 AS out_w,
+        |  greatest(1, ((64 + (octet_length(encode(text)) // 2) % 512)::BIGINT * 224)
+        |              // (64 + octet_length(encode(text)) % 512))::INT AS out_h
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (
