@@ -179,6 +179,21 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // J7 — vector-coverage reconciliation: the reference's
+    // vector_status lifecycle (which docs have summary vectors, which
+    // are missing) as a left-join + conditional agg per source.
+    "j7_vector_reconcile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sums = Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("emb_doc_id")).distinct()
+      docs.join(sums, col("doc_id") === col("emb_doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("emb_doc_id").isNotNull, 1L).otherwise(0L)).as("n_vectorized"),
+          sum(when(col("emb_doc_id").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("source")
+    }),
+
     // J3 — full-outer merge of two per-key aggregates (the RRF union shape,
     // enhanced_search_service.py:421-456).
     "j3_full_outer" -> ((s, d) => {
@@ -413,6 +428,15 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "j7_vector_reconcile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN e.emb_doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vectorized,
+        |  CAST(sum(CASE WHEN e.emb_doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT vec_id AS emb_doc_id FROM embeddings
+        |           WHERE vec_id % 2 = 0) e
+        |  ON d.doc_id = e.emb_doc_id
+        |GROUP BY source ORDER BY source""".stripMargin,
     "j3_full_outer" ->
       """SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
         |  coalesce(open_spend, 0.0) AS open_spend,

@@ -115,6 +115,42 @@ object TextAnalysis {
             "&", "&amp;"), "<", "&lt;"), ">", "&gt;").as("escaped"))
         .orderBy("doc_id")),
 
+    // PII scrubbing (training-data hygiene): redact number runs and
+    // email-shaped tokens, count redactions. regexp semantics are
+    // identical across engines (DuckDB needs the 'g' flag).
+    "ta_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("scrubbed",
+          regexp_replace(
+            regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "[0-9]+", "<NUM>"))
+        .select(col("doc_id"),
+          length(col("scrubbed")).cast("long").as("n_chars_scrubbed"),
+          (size(split(col("scrubbed"), "<NUM>", -1)) - 1).cast("long").as("n_num_redactions"))
+        .orderBy("doc_id")),
+
+    // Repetition detection (quality signal): most frequent 3-shingle
+    // count vs total shingle occurrences per doc — high ratio flags
+    // boilerplate/spam for training-data filtering. Single-pass UDF
+    // (a transform/element_at HOF chain re-evaluates the tokenization
+    // per element — the O(len²) trap).
+    "ta_repetition" -> ((s, d) => {
+      val allShingles = udf((text: String) =>
+        if (text == null) Seq.empty[String]
+        else {
+          val toks = text.split(" ").filter(_.nonEmpty)
+          if (toks.length < 3) Seq.empty[String]
+          else toks.sliding(3).map(_.mkString(" ")).toSeq
+        })
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(allShingles(col("text"))).as("sh"))
+      sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_shingles"))
+        .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_shingles").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash (16-bit): per-token md5, bit j from hex digit j's high
     // bit, sign of the per-bit vote sum over all tokens.
     "ta_simhash" -> ((s, d) => {
@@ -135,6 +171,30 @@ object TextAnalysis {
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "ta_pii_scrub" ->
+      """SELECT doc_id, length(scrubbed)::BIGINT AS n_chars_scrubbed,
+        |  (len(string_split(scrubbed, '<NUM>')) - 1)::BIGINT AS n_num_redactions
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |      '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "ta_repetition" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_transform(generate_series(1, len(toks) - 2),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [] END) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |pc AS (SELECT doc_id, sh, count(*) AS c FROM ds GROUP BY 1, 2)
+         |SELECT doc_id, max_rep, n_shingles,
+         |  CAST(max_rep AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS rep_ratio
+         |FROM (SELECT doc_id, max(c) AS max_rep, CAST(sum(c) AS BIGINT) AS n_shingles
+         |      FROM pc GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "ta_language_id" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
