@@ -88,23 +88,71 @@ object Dedup {
     // 8×|occurrences|, the difference between O(corpus) and O(vocab)
     // hashing at 100 TB.
     "dd_minhash_lsh" -> ((s, d) => {
-      // Persist the exploded shingles (feeds the distinct-vocab branch
-      // AND the hash-join back) and the signatures (feed both sides of
-      // the candidate self-join): without persists the scan+explode
-      // subtree re-runs once per consumer.
-      val ds = docShingles(s, d).select("doc_id", "sh").persist()
-      val hashCols = (0 until 8).map(k => md5(concat(lit(s"s$k|"), col("sh"))).as(s"mh$k"))
-      val shingleHashes = ds.select("sh").distinct()
-        .select(col("sh") +: hashCols: _*)
-      val sigCols = (0 until 8).map(k => min(col(s"mh$k")).as(s"h$k"))
-      val sig = ds.join(broadcast(shingleHashes), Seq("sh"))
-        .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-        .persist()
-      // All 4 bands in ONE pass over sig via explode (a per-band select
-      // + union would recompute the signature subtree once per band).
+      // Signatures are computed MAP-ONLY in one per-doc UDF pass: the
+      // min over a doc's (distinct) shingles of md5("s$k|"+shingle) for
+      // each of the 8 permutations — byte-identical to Spark's md5()
+      // (hex of UTF-8 MD5) so the DuckDB oracle is unchanged. This
+      // replaces the explode→distinct→broadcast-join→groupBy pipeline
+      // (two shuffles over |corpus-shingles| rows) with zero shuffles
+      // before the band self-join; at 100 TB signature build cost is
+      // one scan.
+      val spark = s
+      val sigRdd = Tables.documents(s, d).select(col("doc_id"), col("text")).rdd
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          // corpus shingle vocabulary is far smaller than occurrence
+          // count — memoize hashes per partition (the distributed
+          // analogue of the distinct-vocab trick, without its shuffle)
+          val memo = scala.collection.mutable.HashMap.empty[String, Array[Array[Byte]]]
+          val HEX = "0123456789abcdef".toCharArray
+          def hex(b: Array[Byte]): String = {
+            val out = new Array[Char](b.length * 2)
+            var i = 0
+            while (i < b.length) {
+              val v = b(i) & 0xff
+              out(i * 2) = HEX(v >>> 4); out(i * 2 + 1) = HEX(v & 0xf); i += 1
+            }
+            new String(out)
+          }
+          def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+            var i = 0
+            while (i < a.length) {
+              val x = a(i) & 0xff; val y = b(i) & 0xff
+              if (x != y) return x < y
+              i += 1
+            }
+            false
+          }
+          it.flatMap { r =>
+            val text = r.getAs[String](1)
+            val toks = if (text == null) Array.empty[String] else text.split(" ").filter(_.nonEmpty)
+            if (toks.length < 3) Iterator.empty
+            else {
+              val mins = new Array[Array[Byte]](8)
+              toks.sliding(3).map(_.mkString(" ")).toSet.foreach { sh: String =>
+                val hs = memo.getOrElseUpdate(sh,
+                  Array.tabulate(8)(k => md.digest(s"s$k|$sh".getBytes("UTF-8"))))
+                var k = 0
+                while (k < 8) {
+                  if (mins(k) == null || less(hs(k), mins(k))) mins(k) = hs(k)
+                  k += 1
+                }
+              }
+              Iterator(org.apache.spark.sql.Row(r.getLong(0), mins.map(hex).toSeq))
+            }
+          }
+        }
+      val sig = spark.createDataFrame(sigRdd,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("mh",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+        .persist() // feeds both sides of the band self-join
+      // All 4 bands in ONE pass via explode over the signature array.
       val bands = sig.select(col("doc_id"), explode(array(
           (0 until 4).map(bi => struct(lit(bi).as("band_id"),
-            md5(concat(col(s"h${2 * bi}"), col(s"h${2 * bi + 1}"))).as("bh"))): _*)).as("b"))
+            md5(concat(element_at(col("mh"), 2 * bi + 1),
+              element_at(col("mh"), 2 * bi + 2))).as("bh"))): _*)).as("b"))
         .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bh").as("bh"))
       val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bh").as("bh_b"))
