@@ -295,6 +295,24 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // A10 — exact per-group median without interpolation drift: pick
+    // the middle row(s) by rank (total order: value, id) and average
+    // the two middles as (min+max)/2 — a single deterministic IEEE op
+    // sequence, identical in both engines. Interpolated percentile()
+    // implementations differ across engines; rank selection doesn't.
+    "a10_median_exact" -> ((s, d) => {
+      val byVal = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("cnt div 2 + 1"))
+        .groupBy("event_type")
+        .agg(((min(col("value")) + max(col("value"))) / 2.0).as("median"),
+          max(col("cnt")).as("n"))
+        .orderBy("event_type")
+    }),
+
     // A9 — histogram binning: fixed-width buckets over a value column
     // (floor division is IEEE-identical in both engines; min/max raw
     // doubles are order-independent). One partial-agg shuffle at scale.
@@ -483,6 +501,15 @@ object Relational {
       """SELECT doc_id, lang, source FROM documents
         |WHERE list_has_any(string_split(text, ' '), ['spark', 'catalyst'])
         |ORDER BY doc_id""".stripMargin,
+    "a10_median_exact" ->
+      """SELECT event_type, (min(value) + max(value)) / 2.0 AS median, max(cnt) AS n
+        |FROM (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a9_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
