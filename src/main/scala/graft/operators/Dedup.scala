@@ -50,6 +50,69 @@ object Dedup {
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(shingles(col("text"))).as("sh"))
 
+  /** MinHash signatures (doc_id, mh: array of 8 hex minima), computed
+    * MAP-ONLY: per-partition shingle→hashes memo table (the distinct-
+    * vocab trick without its shuffle), byte-array min comparisons,
+    * table-driven hex. Byte-identical to min(md5("s$k|"+shingle)) over
+    * the doc's distinct shingles — the oracle's formulation. */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val sigRdd = Tables.documents(s, d).select(col("doc_id"), col("text")).rdd
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Array[Byte]]]
+        val HEX = "0123456789abcdef".toCharArray
+        def hex(b: Array[Byte]): String = {
+          val out = new Array[Char](b.length * 2)
+          var i = 0
+          while (i < b.length) {
+            val v = b(i) & 0xff
+            out(i * 2) = HEX(v >>> 4); out(i * 2 + 1) = HEX(v & 0xf); i += 1
+          }
+          new String(out)
+        }
+        def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+          var i = 0
+          while (i < a.length) {
+            val x = a(i) & 0xff; val y = b(i) & 0xff
+            if (x != y) return x < y
+            i += 1
+          }
+          false
+        }
+        it.flatMap { r =>
+          val text = r.getAs[String](1)
+          val toks = if (text == null) Array.empty[String] else text.split(" ").filter(_.nonEmpty)
+          if (toks.length < 3) Iterator.empty
+          else {
+            val mins = new Array[Array[Byte]](8)
+            toks.sliding(3).map(_.mkString(" ")).toSet.foreach { sh: String =>
+              val hs = memo.getOrElseUpdate(sh,
+                Array.tabulate(8)(k => md.digest(s"s$k|$sh".getBytes("UTF-8"))))
+              var k = 0
+              while (k < 8) {
+                if (mins(k) == null || less(hs(k), mins(k))) mins(k) = hs(k)
+                k += 1
+              }
+            }
+            Iterator(org.apache.spark.sql.Row(r.getLong(0), mins.map(hex).toSeq))
+          }
+        }
+      }
+    s.createDataFrame(sigRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mh",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+  }
+
+  /** All 4 LSH bands in ONE explode pass over the signature array. */
+  private def lshBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(bi => struct(lit(bi).as("band_id"),
+          md5(concat(element_at(col("mh"), 2 * bi + 1),
+            element_at(col("mh"), 2 * bi + 2))).as("bh"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bh").as("bh"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content hash, keep lowest doc_id per group.
     "dd_exact" -> ((s, d) =>
@@ -83,77 +146,11 @@ object Dedup {
 
     // MinHash signatures (8 perms via seeded md5) + LSH banding (4
     // bands × 2 rows): candidate pairs ranked by matching-band count.
-    // Hashes are computed once per DISTINCT shingle (not per
-    // occurrence) and broadcast back — 8×|vocab| md5 calls instead of
-    // 8×|occurrences|, the difference between O(corpus) and O(vocab)
-    // hashing at 100 TB.
+    // Signature build is map-only (see minhashSignatures).
     "dd_minhash_lsh" -> ((s, d) => {
-      // Signatures are computed MAP-ONLY in one per-doc UDF pass: the
-      // min over a doc's (distinct) shingles of md5("s$k|"+shingle) for
-      // each of the 8 permutations — byte-identical to Spark's md5()
-      // (hex of UTF-8 MD5) so the DuckDB oracle is unchanged. This
-      // replaces the explode→distinct→broadcast-join→groupBy pipeline
-      // (two shuffles over |corpus-shingles| rows) with zero shuffles
-      // before the band self-join; at 100 TB signature build cost is
-      // one scan.
-      val spark = s
-      val sigRdd = Tables.documents(s, d).select(col("doc_id"), col("text")).rdd
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          // corpus shingle vocabulary is far smaller than occurrence
-          // count — memoize hashes per partition (the distributed
-          // analogue of the distinct-vocab trick, without its shuffle)
-          val memo = scala.collection.mutable.HashMap.empty[String, Array[Array[Byte]]]
-          val HEX = "0123456789abcdef".toCharArray
-          def hex(b: Array[Byte]): String = {
-            val out = new Array[Char](b.length * 2)
-            var i = 0
-            while (i < b.length) {
-              val v = b(i) & 0xff
-              out(i * 2) = HEX(v >>> 4); out(i * 2 + 1) = HEX(v & 0xf); i += 1
-            }
-            new String(out)
-          }
-          def less(a: Array[Byte], b: Array[Byte]): Boolean = {
-            var i = 0
-            while (i < a.length) {
-              val x = a(i) & 0xff; val y = b(i) & 0xff
-              if (x != y) return x < y
-              i += 1
-            }
-            false
-          }
-          it.flatMap { r =>
-            val text = r.getAs[String](1)
-            val toks = if (text == null) Array.empty[String] else text.split(" ").filter(_.nonEmpty)
-            if (toks.length < 3) Iterator.empty
-            else {
-              val mins = new Array[Array[Byte]](8)
-              toks.sliding(3).map(_.mkString(" ")).toSet.foreach { sh: String =>
-                val hs = memo.getOrElseUpdate(sh,
-                  Array.tabulate(8)(k => md.digest(s"s$k|$sh".getBytes("UTF-8"))))
-                var k = 0
-                while (k < 8) {
-                  if (mins(k) == null || less(hs(k), mins(k))) mins(k) = hs(k)
-                  k += 1
-                }
-              }
-              Iterator(org.apache.spark.sql.Row(r.getLong(0), mins.map(hex).toSeq))
-            }
-          }
-        }
-      val sig = spark.createDataFrame(sigRdd,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("mh",
-            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+      val sig = minhashSignatures(s, d)
         .persist() // feeds both sides of the band self-join
-      // All 4 bands in ONE pass via explode over the signature array.
-      val bands = sig.select(col("doc_id"), explode(array(
-          (0 until 4).map(bi => struct(lit(bi).as("band_id"),
-            md5(concat(element_at(col("mh"), 2 * bi + 1),
-              element_at(col("mh"), 2 * bi + 2))).as("bh"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bh").as("bh"))
+      val bands = lshBands(sig)
       val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bh").as("bh_b"))
       a.join(b, col("band_id") === col("band_id_b") && col("bh") === col("bh_b") &&
@@ -161,6 +158,33 @@ object Dedup {
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
         .orderBy(col("n_bands").desc, col("doc_a").asc, col("doc_b").asc)
         .limit(100)
+    }),
+
+    // LSH → exact-verify chain: the full sub-quadratic near-dup
+    // pipeline. Band matches produce candidate pairs (sub-quadratic);
+    // exact Jaccard is then computed ONLY on candidates via per-doc
+    // distinct-shingle arrays — at 100 TB the quadratic verify stage
+    // touches |candidates|, not |corpus|².
+    "dd_lsh_verify" -> ((s, d) => {
+      val bands = lshBands(minhashSignatures(s, d)).persist()
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
+          col("bh").as("bh_b")),
+          col("band_id") === col("band_id_b") && col("bh") === col("bh_b") &&
+            col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val shSets = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(col("text")).as("shs")).persist()
+      cand
+        .join(shSets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
+        .join(shSets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(50)
     }),
 
     // Embedding int8 quantization (training-pipeline storage/ANN
@@ -252,6 +276,36 @@ object Dedup {
         |                        x -> CAST(floor(x * 127) AS BIGINT)) AS q8
         |  FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+    "dd_lsh_verify" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, unnest($shSql) AS sh FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('s0|' || sh)) AS h0, min(md5('s1|' || sh)) AS h1,
+         |    min(md5('s2|' || sh)) AS h2, min(md5('s3|' || sh)) AS h3,
+         |    min(md5('s4|' || sh)) AS h4, min(md5('s5|' || sh)) AS h5,
+         |    min(md5('s6|' || sh)) AS h6, min(md5('s7|' || sh)) AS h7
+         |  FROM ds GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bh FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, $shSql AS shs FROM documents)
+         |SELECT doc_a, doc_b, inter, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.shs, sb.shs))::BIGINT AS inter,
+         |    CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+         |      / CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS jaccard
+         |  FROM cand
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b)
+         |WHERE jaccard >= 0.5
+         |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin,
     "dd_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
         |  list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim

@@ -88,8 +88,34 @@ object Temporal {
         .groupBy("event_id")
         .agg(count(lit(1)).as("n_clicks"), min(col("p_ts") - col("c_ts")).as("min_gap_us"))
         .orderBy("event_id")
-    })
+    }),
+
+    // Ordered funnel over the events stream (signup → view → purchase).
+    "st_funnel" -> ((s, d) => funnel(eventsUs(s, d)))
   )
+
+  private val funnelStages = Seq("signup", "view", "purchase")
+
+  /** Classic ordered funnel: users who signed up, then viewed AFTER
+    * the signup, then purchased AFTER that view. Each stage is a
+    * conditional-min aggregation + equi-join on the key — no window,
+    * no cross product; at scale each stage is one shuffle on user_id
+    * (and AQE broadcasts the shrinking stage tables). */
+  def funnel(ev: DataFrame): DataFrame = {
+    val s1 = ev.filter(col("event_type") === funnelStages(0))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t0"))
+    val s2 = ev.filter(col("event_type") === funnelStages(1))
+      .join(s1, Seq("user_id")).filter(col("ts_us") > col("t0"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val s3 = ev.filter(col("event_type") === funnelStages(2))
+      .join(s2, Seq("user_id")).filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+    s1.join(s2, Seq("user_id"), "left_outer")
+      .join(s3, Seq("user_id"), "left_outer")
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("t1")).as("n_view_after"),
+        count(col("t2")).as("n_purchase_after"))
+  }
 
   val oracles: Map[String, String] = Map(
     "aj_asof_join" ->
@@ -112,6 +138,23 @@ object Temporal {
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |WHERE p.event_type = 'purchase'
-        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "st_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t0
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t1
+        |  GROUP BY e.user_id)
+        |SELECT count(*) AS n_signup, count(t1) AS n_view_after,
+        |       count(t2) AS n_purchase_after
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
   )
 }
