@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class QueryOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  import spark.implicits._
+
+  test("funnel: strict-after ordering at each stage") {
+    // (event_id, user_id, event_type, ts_us)
+    val ev = Seq(
+      // u1 full conversion
+      (1L, 1L, "signup", 100L), (2L, 1L, "view", 200L), (3L, 1L, "purchase", 300L),
+      // u2: view at the SAME µs as signup — strict-after excludes it
+      (4L, 2L, "signup", 100L), (5L, 2L, "view", 100L), (6L, 2L, "purchase", 400L),
+      // u3: purchase BEFORE view — view counted, purchase not
+      (7L, 3L, "signup", 10L), (8L, 3L, "purchase", 20L), (9L, 3L, "view", 30L),
+      // u4: view without signup — not in funnel at all
+      (10L, 4L, "view", 50L)
+    ).toDF("event_id", "user_id", "event_type", "ts_us")
+    val r = Temporal.funnel(ev).as[(Long, Long, Long)].head()
+    assert(r == ((3L, 2L, 1L)))
+    // u1,u2,u3 signed up; u1 and u3 viewed strictly after; only u1
+    // purchased strictly after the qualifying view
+  }
+
+  test("exact median: odd and even group sizes") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a10_median_exact")(spark, d)
+      .select("event_type", "median").as[(String, Double)].collect().toMap
+    // brute-force reference per group
+    val vals = Tables.events(spark, d)
+      .select("event_type", "value", "event_id")
+      .as[(String, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3)).map(_._2))
+    vals.foreach { case (k, v) =>
+      val exp = if (v.length % 2 == 1) (v(v.length / 2) + v(v.length / 2)) / 2.0
+                else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+      assert(got(k) == exp, s"median mismatch for $k")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("PII scrub removes every digit run and email") {
+    val df = Seq(
+      (1L, "contact me at foo.bar+1@example.com or call 555 1234"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val scrubbed = df.withColumn("s",
+      regexp_replace(
+        regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]+", "<NUM>"))
+      .select("doc_id", "s").as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) == "contact me at <EMAIL> or call <NUM> <NUM>")
+    assert(scrubbed(2L) == "no pii here at all")
+    assert(!scrubbed.values.exists(s => s.exists(_.isDigit)))
+  }
+
+  test("stratified hash sample is deterministic and roughly 3/16") {
+    val d = "/root/testdata/sf0.01"
+    val a = SparkEntry.queries("p10_stratified_sample")(spark, d).collect()
+    val b = SparkEntry.queries("p10_stratified_sample")(spark, d).collect()
+    assert(a.toSeq == b.toSeq) // same rows every run
+    val total = a.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    assert(total > 500 * 3.0 / 16 * 0.5 && total < 500 * 3.0 / 16 * 1.8,
+      s"sample rate off: $total of 500")
+  }
+}
