@@ -18,6 +18,19 @@ class ExtensionsAndPropsSpec extends AnyFunSuite {
     assert(math.abs(n(0) - 0.6) < 1e-12 && math.abs(n(1) - 0.8) < 1e-12)
   }
 
+  test("SqlFunctions registers the text pipeline vocabulary for SQL") {
+    val spark = SparkSessionHelper.spark
+    graft.functions.SqlFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT size(graft_chunk('one two three. four five six seven', 15, 3)) AS n_chunks, " +
+        "graft_truncate('a short sentence. and a longer tail here', 20) AS t, " +
+        "size(graft_embed('hello world')) AS dim")
+      .head()
+    assert(r.getInt(0) == TextOps.chunkText("one two three. four five six seven", 15, 3).size)
+    assert(r.getString(1) == TextOps.smartTruncate("a short sentence. and a longer tail here", 20))
+    assert(r.getInt(2) == 64)
+  }
+
   // seeded random text: alphanumerics, spaces, CJK, sentence enders
   private def randomText(rnd: scala.util.Random): String = {
     val n = rnd.nextInt(2000)
