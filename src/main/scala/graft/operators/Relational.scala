@@ -295,6 +295,30 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // A11 — pivot: per-day event counts spread across one column per
+    // event type (explicit value list keeps the schema deterministic;
+    // Spark's inferred pivot would scan for distinct values first).
+    "a11_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    }),
+
+    // A12 — cube over (lang, source): all four grouping combinations
+    // in one pass (the dashboards' "totals at every margin" shape).
+    "a12_cube" -> ((s, d) => {
+      Tables.documents(s, d)
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"), col("n"))
+        .orderBy("lang", "source")
+    }),
+
     // A10 — exact per-group median without interpolation drift: pick
     // the middle row(s) by rank (total order: value, id) and average
     // the two middles as (min+max)/2 — a single deterministic IEEE op
@@ -501,6 +525,17 @@ object Relational {
       """SELECT doc_id, lang, source FROM documents
         |WHERE list_has_any(string_split(text, ' '), ['spark', 'catalyst'])
         |ORDER BY doc_id""".stripMargin,
+    "a11_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "a12_cube" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, count(*) AS n
+        |FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source""".stripMargin,
     "a10_median_exact" ->
       """SELECT event_type, (min(value) + max(value)) / 2.0 AS median, max(cnt) AS n
         |FROM (
