@@ -143,7 +143,31 @@ object Orchestration {
     // X2 — composite standard-QA flow (rows-only: embeds driver-side
     // query vectors + stubbed confidence; components individually
     // oracle-checked via v8/j1).
-    "x2_standard_qa" -> ((s, d) => standardQa(s, d, Seq(0L, 1L, 2L), 5))
+    "x2_standard_qa" -> ((s, d) => standardQa(s, d, Seq(0L, 1L, 2L), 5)),
+
+    // X3 — the intelligent-QA routing stage as a batch column op:
+    // rule-classify intent (L4), derive granularity, choose direct
+    // reply vs search, and pick the search strategy (V10 routing:
+    // thematic → summary_only, else rrf_fusion). Pure CASE logic →
+    // exact oracle; the executed search legs are oracle-checked
+    // separately (v5/v6).
+    "x3_intelligent_route" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("q", substring(col("text"), 1, 8))
+        .withColumn("intent",
+          when(length(trim(col("q"))) < 5, "clarification_needed")
+            .otherwise("document_search"))
+        .withColumn("granularity",
+          when(col("n_chars") > 800, "detailed").otherwise("thematic"))
+        .withColumn("action",
+          when(col("intent") === "clarification_needed", "direct_reply")
+            .otherwise("search"))
+        .withColumn("strategy",
+          when(col("action") === "direct_reply", lit(null).cast("string"))
+            .otherwise(when(col("granularity") === "thematic", "summary_only")
+              .otherwise("rrf_fusion")))
+        .select("doc_id", "intent", "granularity", "action", "strategy")
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,6 +175,20 @@ object Orchestration {
       """SELECT doc_id,
         |  CASE WHEN length(trim(substr(text, 1, 8))) < 5 THEN 'clarification_needed'
         |       ELSE 'document_search' END AS intent
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x3_intelligent_route" ->
+      """SELECT doc_id, intent, granularity, action,
+        |  CASE WHEN action = 'direct_reply' THEN NULL
+        |       WHEN granularity = 'thematic' THEN 'summary_only'
+        |       ELSE 'rrf_fusion' END AS strategy
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(substr(text, 1, 8))) < 5 THEN 'clarification_needed'
+        |         ELSE 'document_search' END AS intent,
+        |    CASE WHEN n_chars > 800 THEN 'detailed' ELSE 'thematic' END AS granularity,
+        |    CASE WHEN length(trim(substr(text, 1, 8))) < 5 THEN 'direct_reply'
+        |         ELSE 'search' END AS action
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }
