@@ -35,6 +35,33 @@ class TemporalSpec extends AnyFunSuite {
     assert(r(9L).isEmpty)      // clicks never match
   }
 
+  test("asofJoin matches a brute-force walk on a seeded random stream") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map { i =>
+      (i, rnd.nextInt(5).toLong,
+        if (rnd.nextBoolean()) "view" else "purchase", rnd.nextInt(500).toLong)
+    }
+    val got = Temporal.asofJoin(
+        rows.toDF("event_id", "user_id", "event_type", "ts_us"),
+        "user_id", "ts_us", "event_id",
+        isBuild = col("event_type") === "view",
+        isProbe = col("event_type") === "purchase",
+        attrs = Seq("event_id"))
+      .select(col("event_id"), col("asof_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    val expected = rows.groupBy(_._2).values.flatMap { userRows =>
+      var lastView: Option[Long] = None
+      userRows.sortBy(r => (r._4, r._1)).flatMap { r =>
+        val out = if (r._3 == "purchase") Some(r._1 -> lastView) else None
+        if (r._3 == "view") lastView = Some(r._1)
+        out
+      }
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.exists(_.nonEmpty))
+  }
+
   test("bucketed range join equals naive range join") {
     // Random-ish small stream; compare the bucketed plan against the
     // naive non-equi join on the same window [p-250, p).
