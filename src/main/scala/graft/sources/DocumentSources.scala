@@ -84,6 +84,31 @@ object DocumentSources {
   def appendLogs(logs: DataFrame, path: String): Unit =
     logs.write.mode("append").parquet(path)
 
+  /** Small-file compaction (table maintenance): rewrite a parquet
+    * directory into ~targetBytes files. Append-mode sinks (S10, the
+    * streaming sinks) accrete small files that poison scan parallelism
+    * at scale — compaction keeps file count ∝ data volume. Returns the
+    * target file count used. */
+  def compactParquet(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    nFiles
+  }
+
+  /** Schema-evolution read: union parquet written at different schema
+    * versions (mergeSchema), so added columns surface as nulls on old
+    * rows — the contract for rolling schema upgrades on an append-only
+    * table. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6 dispatch over a derived filename population (deterministic
     // extension assignment from doc_id) — verifies the when-chain.

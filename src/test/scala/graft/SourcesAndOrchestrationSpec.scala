@@ -91,6 +91,33 @@ class SourcesAndOrchestrationSpec extends AnyFunSuite {
     assert(Orchestration.answerConfidence(10) == 0.9)
   }
 
+  test("compaction rewrites many small appends into few files, data intact") {
+    val spark = SparkSessionHelper.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    (1 to 10).foreach { i =>
+      DocumentSources.appendLogs(
+        Seq((i.toLong, s"msg$i")).toDF("log_id", "message"), dir)
+    }
+    def files = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    val before = files
+    assert(before >= 10)
+    DocumentSources.compactParquet(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(files < before)
+    val rows = spark.read.parquet(dir).orderBy("log_id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == (1 to 10).map(i => (i.toLong, s"msg$i")))
+  }
+
+  test("schema-evolution read merges versions; old rows get null new columns") {
+    val spark = SparkSessionHelper.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "text").write.mode("append").parquet(dir)
+    Seq((2L, "b", "en")).toDF("id", "text", "lang").write.mode("append").parquet(dir)
+    val r = DocumentSources.readEvolved(spark, dir).orderBy("id")
+      .select("id", "text", "lang").as[(Long, String, Option[String])].collect().toSeq
+    assert(r == Seq((1L, "a", None), (2L, "b", Some("en"))))
+  }
+
   test("multimodal decode: batched mapPartitions plumbing, stub arithmetic") {
     val media = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.fill[Byte](600)(7)))
       .toDF("doc_id", "content")
