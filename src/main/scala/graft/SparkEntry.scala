@@ -11,7 +11,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("x7_index_then_search")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CALLER CONTRACT: some queries persist()/cache() shared
+    * intermediate relations (multi-consumer plans: minhash signatures,
+    * LSH bands, IVF indexes, the retrieval-eval scored set). The
+    * returned DataFrame is lazy, so the builder cannot unpersist before
+    * the caller's action — callers must run
+    * `spark.catalog.clearCache()` after consuming each query's result
+    * (Verify, Bench, Explain and the specs all do), or cached relations
+    * accumulate across queries.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Search.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++

@@ -93,9 +93,15 @@ object RetrievalEval {
     val vectors = IndexPipeline.buildIndex(docs, embedder)
       // A doc's summary row and its chunk 0 both carry chunk_index 0 —
       // give summaries a reserved slot so vec_id (the window tiebreak
-      // in legacy mode) is unique across vtypes.
+      // in legacy mode) is unique across vtypes. The id scheme only
+      // holds for chunk_index < 999 (999 is the summary slot; ≥1000
+      // would cross into the next doc's range) — enforced, not assumed.
       .withColumn("vec_id", col("doc_id") * 1000 +
-        when(col("vtype") === "summary", lit(999)).otherwise(col("chunk_index")))
+        when(col("vtype") === "summary", lit(999))
+          .when(col("chunk_index") >= 999, raise_error(concat(
+            lit("vec_id scheme overflow: chunk_index "), col("chunk_index"),
+            lit(" >= 999 for doc_id "), col("doc_id"))))
+          .otherwise(col("chunk_index")))
       .withColumn("label", col("doc_id"))
       .withColumn("embedding", col("embedding").cast("array<double>"))
     val queries = goldenQueries(docs, embedder, nQueries)

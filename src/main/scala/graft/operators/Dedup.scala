@@ -59,6 +59,11 @@ object Dedup {
     val sigRdd = Tables.documents(s, d).select(col("doc_id"), col("text")).rdd
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // Memo is bounded: entries are pure recomputable hashes, so when
+        // the partition's distinct-shingle vocabulary exceeds the cap we
+        // just drop the table and rebuild — correctness unaffected,
+        // executor memory bounded (~64k × ~150 B ≈ 10 MB worst case).
+        val MemoCap = 1 << 16
         val memo = scala.collection.mutable.HashMap.empty[String, Array[Array[Byte]]]
         val HEX = "0123456789abcdef".toCharArray
         def hex(b: Array[Byte]): String = {
@@ -86,6 +91,7 @@ object Dedup {
           else {
             val mins = new Array[Array[Byte]](8)
             toks.sliding(3).map(_.mkString(" ")).toSet.foreach { sh: String =>
+              if (memo.size >= MemoCap) memo.clear()
               val hs = memo.getOrElseUpdate(sh,
                 Array.tabulate(8)(k => md.digest(s"s$k|$sh".getBytes("UTF-8"))))
               var k = 0

@@ -128,12 +128,22 @@ object Search {
     * threshold × 0.7 (`qa_search_coordinator.py:271-297`). */
   def withFallback(primary: => DataFrame, vectors: DataFrame, queryVec: Seq[Double],
                    k: Int, threshold: Double): DataFrame = {
-    // Execution (isEmpty) must run INSIDE the Try: a plan that builds fine
-    // but fails at execution time is exactly the degradation case V12 covers.
-    val attempt = scala.util.Try {
-      val df = primary
-      if (df.isEmpty) None else Some(df)
-    }.toOption.flatten
+    // Execution (the emptiness probe) must run INSIDE the try: a plan that
+    // builds fine but fails at execution time is exactly the degradation
+    // case V12 covers. The primary is persisted BEFORE the probe so the
+    // probe and the returned DataFrame share one materialization — a
+    // flaky/nondeterministic plan cannot pass the probe and then return
+    // different rows, and an expensive search is not executed twice.
+    // (The persisted handle follows the SparkEntry.queries clearCache
+    // contract; the fallback path unpersists eagerly.)
+    val attempt: Option[DataFrame] =
+      try {
+        val df = primary.persist()
+        try {
+          if (df.limit(1).count() == 0L) { df.unpersist(false); None }
+          else Some(df)
+        } catch { case e: Throwable => df.unpersist(false); throw e }
+      } catch { case scala.util.control.NonFatal(_) => None }
     attempt.getOrElse(knn(vectors, queryVec, k, threshold * 0.7))
   }
 

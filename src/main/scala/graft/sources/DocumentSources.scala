@@ -90,15 +90,30 @@ object DocumentSources {
     * at scale — compaction keeps file count ∝ data volume. Returns the
     * target file count used. */
   def compactParquet(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val live = new Path(path)
+    val totalBytes = fs.getContentSummary(live).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    val tmp = new Path(path.stripSuffix("/") + "__compact_tmp")
+    val old = new Path(path.stripSuffix("/") + "__compact_old")
     spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // Exchange order keeps a crash from ever leaving the live path
+    // empty: move live aside, move tmp in, delete old LAST. Every fs
+    // Boolean is checked; a failed swap-in restores the original.
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"compactParquet: cannot clear stale $old")
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compactParquet: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      val restored = fs.rename(old, live)
+      throw new java.io.IOException(
+        s"compactParquet: cannot swap in $tmp (original restored: $restored)")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(s"compactParquet: compacted OK but cannot delete $old")
     nFiles
   }
 
