@@ -119,6 +119,54 @@ object Dedup {
             element_at(col("mh"), 2 * bi + 2))).as("bh"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bh").as("bh"))
 
+  /** Distinct candidate pairs (doc_a < doc_b) from matching LSH bands. */
+  private def lshCandidatePairs(bands: DataFrame): DataFrame =
+    bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
+        col("bh").as("bh_b")),
+        col("band_id") === col("band_id_b") && col("bh") === col("bh_b") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: each node's component label starts as its
+    * own id; every round each node takes the minimum label among
+    * itself and its neighbors, until a fixed point. Duplicate GROUPS
+    * (not just pairs) fall out of the LSH candidate graph this way —
+    * the step near-dup pipelines need between pair generation and
+    * keep-one-per-group.
+    *
+    * Scale: each round is one equi-join (labels ⋈ edges) + one groupBy
+    * min — both partial-aggregatable single shuffles; rounds needed =
+    * component diameter (near-dup components are dense cliques, so 2-3
+    * in practice; `maxIter` caps pathological chains — the alternating
+    * large-star/small-star variant drops that to O(log n) if ever
+    * needed). Determinism: min-propagation is order-independent.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "a", bCol: String = "b",
+                          maxIter: Int = 20): DataFrame = {
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val msgs = sym.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy("node").agg(min("comp").as("comp")).persist()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist(false)
+      labels = next
+      it += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content hash, keep lowest doc_id per group.
     "dd_exact" -> ((s, d) =>
@@ -173,12 +221,7 @@ object Dedup {
     // touches |candidates|, not |corpus|².
     "dd_lsh_verify" -> ((s, d) => {
       val bands = lshBands(minhashSignatures(s, d)).persist()
-      val cand = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
-          col("bh").as("bh_b")),
-          col("band_id") === col("band_id_b") && col("bh") === col("bh_b") &&
-            col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      val cand = lshCandidatePairs(bands)
       val shSets = Tables.documents(s, d)
         .select(col("doc_id"), shingles(col("text")).as("shs")).persist()
       cand
@@ -191,6 +234,18 @@ object Dedup {
         .select("doc_a", "doc_b", "inter", "jaccard")
         .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
         .limit(50)
+    }),
+
+    // Duplicate-group resolution: connected components over the LSH
+    // candidate graph. Pairs tell you WHO matches; groups tell you what
+    // to keep — comp = min doc_id per group is the canonical survivor.
+    "dd_components" -> ((s, d) => {
+      val bands = lshBands(minhashSignatures(s, d)).persist()
+      val comp = connectedComponents(lshCandidatePairs(bands), "doc_a", "doc_b")
+      comp.withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+        .select(col("comp"), col("node").as("doc_id"), col("n_members"))
+        .orderBy("comp", "doc_id")
     }),
 
     // Embedding int8 quantization (training-pipeline storage/ANN
@@ -312,6 +367,39 @@ object Dedup {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5
          |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin,
+    // Transitive closure of the LSH candidate graph: walk(node, reach)
+    // saturates under UNION (global dedup terminates it), component id
+    // = min reachable node — exactly the Spark min-label fixed point.
+    "dd_components" ->
+      s"""WITH RECURSIVE ds AS (
+         |  SELECT doc_id, unnest($shSql) AS sh FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('s0|' || sh)) AS h0, min(md5('s1|' || sh)) AS h1,
+         |    min(md5('s2|' || sh)) AS h2, min(md5('s3|' || sh)) AS h3,
+         |    min(md5('s4|' || sh)) AS h4, min(md5('s5|' || sh)) AS h5,
+         |    min(md5('s6|' || sh)) AS h6, min(md5('s7|' || sh)) AS h7
+         |  FROM ds GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bh FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |walk AS (
+         |  SELECT DISTINCT a AS node, a AS reach FROM edges
+         |  UNION
+         |  SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+         |comps AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node)
+         |SELECT comp, node AS doc_id,
+         |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
+         |FROM comps ORDER BY comp, doc_id""".stripMargin,
     "dd_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
         |  list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim

@@ -337,6 +337,24 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // A13 — HLL sketch distinct count (approx_count_distinct, rsd 1%):
+    // THE approximate-aggregation workhorse at 100 TB, where exact
+    // count-distinct's two-phase expand shuffle is the bottleneck.
+    // Sketch values are engine-specific, so the oracle checks the
+    // sketch's CONTRACT instead: the exact count (computed by both
+    // engines) plus a within-5%-of-exact flag the oracle pins to TRUE
+    // — if Spark's HLL ever drifts past its rsd bound, the gate fails.
+    "a13_sketch_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .withColumn("within_5pct",
+          abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") <= 0.05)
+        .select("event_type", "exact_users", "within_5pct")
+        .orderBy("event_type")),
+
     // A9 — histogram binning: fixed-width buckets over a value column
     // (floor division is IEEE-identical in both engines; min/max raw
     // doubles are order-independent). One partial-agg shuffle at scale.
@@ -549,6 +567,11 @@ object Relational {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a13_sketch_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "p10_stratified_sample" ->
       """SELECT source, count(*) AS n_sampled,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id

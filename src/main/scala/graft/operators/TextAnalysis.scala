@@ -83,6 +83,76 @@ object TextAnalysis {
           length(col("text")).cast("long").as("n_chars_m"))
         .orderBy("doc_id")),
 
+    // BM25 keyword scoring (k1=1.2, b=0.75) for a fixed query term set
+    // — the keyword leg behind the reference's "keyword_enhanced_rrf"
+    // strategy (search_strategy.py:12-41 routes it into RRF; this
+    // scorer produces the keyword branch such a fusion consumes).
+    // Scale: tf/dl are partial-agg groupBys over the token explode —
+    // one shuffle on doc_id end-to-end. The GLOBAL term statistics
+    // (df per query term, N, avg doc length) are a tiny relation:
+    // they are collected to the driver and folded into the row
+    // expression as literals — exactly how a 100 TB engine broadcasts
+    // its corpus statistics instead of re-joining them per row.
+    // Oracle parity: idf needs ln(), and Spark 4's `log` evaluates via
+    // StrictMath (platform-stable fdlibm) while DuckDB uses libm — they
+    // disagree by 1 ulp on some inputs, so idf is computed ONCE on the
+    // driver with Math.log (bit-identical to DuckDB's ln on these
+    // rational inputs — verified over the idf input range). Everything
+    // executor-side is +/×/÷ on exact-integer inputs in one fixed IEEE
+    // op sequence, and the per-doc sum folds left-to-right over
+    // term-sorted scores, mirrored by list_reduce(list(sc ORDER BY
+    // term)).
+    "ts_bm25" -> ((s, d) => {
+      val qterms = Seq("join", "vector", "dup")
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val hits = toks.filter(col("term").isin(qterms: _*))
+      val statsRow = docs.agg(count(lit(1)),
+        sum(size(tokens(col("text"))).cast("long"))).head()
+      val nDocs = statsRow.getLong(0)
+      val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+      val idfMap = hits.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map { r =>
+          val df = r.getLong(1)
+          r.getString(0) -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+        }.toMap
+      val idfCol = qterms.filter(idfMap.contains).foldLeft(lit(null).cast("double")) {
+        (w, t) => when(col("term") === t, lit(idfMap(t))).otherwise(w)
+      }
+      val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+      tf.join(dl, "doc_id")
+        .withColumn("sc", idfCol * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
+        .groupBy("doc_id")
+        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("sc")))),
+            lit(0.0), (acc, x) => acc + x.getField("sc")).as("bm25"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Inverted-index build: per term, document frequency, collection
+    // frequency, and an order-canonical postings digest (the posting
+    // list itself md5'd after a numeric sort — arrays hash-compare
+    // poorly across engines, digests don't). One explode + one
+    // partial-agg shuffle on term; at 100 TB the postings would be
+    // written bucketed by term for point lookups.
+    "ts_inverted_index" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("cf"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          md5(array_join(transform(array_sort(collect_set(col("doc_id"))),
+            x => x.cast("string")), ",")).as("postings_md5"))
+        .orderBy("term")
+    }),
+
     // Fingerprinting: exact-content hash + order-invariant bag-of-words
     // hash (the cheap first tier of a dedup cascade).
     "ta_fingerprint" -> ((s, d) =>
@@ -171,6 +241,37 @@ object TextAnalysis {
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "ts_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |hits AS (SELECT doc_id, term FROM toks WHERE term IN ('join','vector','dup')),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(len($toksSql)) AS BIGINT) AS sum_dl FROM documents),
+         |scored AS (
+         |  -- fractional literals MUST be ::DOUBLE: DuckDB parses them as
+         |  -- exact DECIMALs (tf * 2.2 computed exactly, converted late),
+         |  -- while Spark rounds 2.2 to binary double first — 1-ulp drift
+         |  SELECT t.doc_id, t.term,
+         |    ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |      * (t.tf * 2.2::DOUBLE)
+         |      / (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl
+         |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+         |  FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id,
+         |  list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS bm25,
+         |  count(*) AS n_terms
+         |FROM scored GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "ts_inverted_index" ->
+      s"""SELECT term,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |  count(*) AS cf,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  md5(array_to_string(list_sort(list(DISTINCT doc_id)), ',')) AS postings_md5
+         |FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |GROUP BY term ORDER BY term""".stripMargin,
     "ta_pii_scrub" ->
       """SELECT doc_id, length(scrubbed)::BIGINT AS n_chars_scrubbed,
         |  (len(string_split(scrubbed, '<NUM>')) - 1)::BIGINT AS n_num_redactions

@@ -72,6 +72,22 @@ object StreamingOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Interval join — the stream-stream join shape: probe rows matched
+    * to build rows of the same key whose event time falls in
+    * [probe_ts − window, probe_ts). Column names must be disjoint
+    * across the two sides. On streaming inputs both sides carry
+    * watermarks and the range condition lets Spark expire join state
+    * (bounded by window + watermark delay); on batch the same plan is
+    * a SortMergeJoin on the key with the range as a residual filter —
+    * never a nested loop (PlanAuditSpec's rule). */
+  def intervalJoin(probe: DataFrame, build: DataFrame,
+                   probeKey: String, buildKey: String,
+                   probeTs: String, buildTs: String, window: String): DataFrame =
+    probe.join(build,
+      col(probeKey) === col(buildKey) &&
+        col(buildTs) >= col(probeTs) - expr(s"INTERVAL $window") &&
+        col(buildTs) < col(probeTs))
+
   private case class SessionState(lastTs: Long, sessionIdx: Long)
 
   /** Same contract with explicit state for unbounded streams. Events
@@ -130,7 +146,25 @@ object StreamingOps {
         Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
         Seq("user_id", "event_type"))
         .select("user_id", "event_type", "event_id", "ts_us")
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // Interval join, batch form at µs precision: views in the 10
+    // minutes before each purchase of the same user (the stream-stream
+    // variant over real readStream sources with watermarks runs in
+    // StreamingSpec and must agree with this).
+    "st_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts"),
+          col("event_id").as("v_id"))
+      p.join(v, col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - 600000000L && col("v_ts") < col("p_ts"))
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_views"), min(col("p_ts") - col("v_ts")).as("min_gap_us"))
+        .orderBy("p_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +195,15 @@ object StreamingOps {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "st_interval_join" ->
+      """SELECT p.event_id AS p_id, count(*) AS n_views,
+        |  min(epoch_us(p.ts) - epoch_us(v.ts)) AS min_gap_us
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 600000000
+        | AND epoch_us(v.ts) < epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p_id""".stripMargin
   )
 }

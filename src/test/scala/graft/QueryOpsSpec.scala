@@ -26,6 +26,27 @@ class QueryOpsSpec extends AnyFunSuite {
     // purchased strictly after the qualifying view
   }
 
+  test("connectedComponents: min-label propagation finds all groups") {
+    // components: {1,2,3,4} (chain 1-2-3-4: diameter forces >1 round),
+    // {10,11,12} (triangle), {20,21} (pair); 30-30 self-loop is its own
+    // singleton component
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L),
+      (30L, 30L)
+    ).toDF("a", "b")
+    val got = operators.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L)
+    assert(got == expected)
+    spark.catalog.clearCache()
+  }
+
   test("exact median: odd and even group sizes") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a10_median_exact")(spark, d)

@@ -89,6 +89,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedAgg == batch)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val pDir = java.nio.file.Files.createTempDirectory("graft_ij_p").toString
+    val vDir = java.nio.file.Files.createTempDirectory("graft_ij_v").toString
+    p.write.mode("overwrite").parquet(pDir)
+    v.write.mode("overwrite").parquet(vDir)
+
+    val pS = spark.readStream.schema(spark.read.parquet(pDir).schema).parquet(pDir)
+      .withWatermark("p_ts", "1 hour")
+    val vS = spark.readStream.schema(spark.read.parquet(vDir).schema).parquet(vDir)
+      .withWatermark("v_ts", "1 hour")
+    val q = StreamingOps.intervalJoin(pS, vS, "user_id", "v_user", "p_ts", "v_ts", "10 minutes")
+      .select("p_id", "v_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val got = spark.table("ij_out").as[(Long, Long)].collect().toSet
+    val exp = StreamingOps.intervalJoin(p, v, "user_id", "v_user", "p_ts", "v_ts", "10 minutes")
+      .select("p_id", "v_id").as[(Long, Long)].collect().toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("foreachBatch incremental indexing appends the same vectors as one batch build") {
+    // The reference's vectorization queue (2 async workers over pending
+    // docs) as Structured Streaming: stream the pending documents,
+    // foreachBatch runs the X1 index build and appends to the vector
+    // store. The union of per-micro-batch outputs must equal the
+    // single-shot batch build.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50).select("doc_id", "source", "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fb_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out").toString + "/vectors"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1") // force >1 micro-batch
+      .parquet(srcDir)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.pipelines.IndexPipeline.buildIndex(batch)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")))
+      .as[(Long, String, Int, String)].collect().toSet
+    val got = key(spark.read.parquet(outDir))
+    val exp = key(graft.pipelines.IndexPipeline.buildIndex(docs))
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("sessionizeStreaming assigns the same sessions as sessionizeBatch") {
     val events = Seq(
       // user 1: two sessions (gap > 30 min between e2 and e3)
