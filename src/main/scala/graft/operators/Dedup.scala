@@ -142,25 +142,62 @@ object Dedup {
     * in practice; `maxIter` caps pathological chains — the alternating
     * large-star/small-star variant drops that to O(log n) if ever
     * needed). Determinism: min-propagation is order-independent.
+    *
+    * Small-graph fast path: the candidate graph is |near-dup pairs|,
+    * orders of magnitude smaller than the corpus that produced it —
+    * when it fits comfortably on the driver (≤ `smallGraphMax` edges)
+    * a local union-find returns the identical labeling without paying
+    * per-round Spark job overhead. Identity of the two paths is
+    * spec-asserted.
     */
   def connectedComponents(edges: DataFrame, aCol: String = "a", bCol: String = "b",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, smallGraphMax: Long = 1L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    if (edges.count() <= smallGraphMax) {
+      val pairs = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN id so labels match the distributed fixed point
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      import spark.implicits._
+      return rows.toDF("node", "comp")
+    }
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
     val sym = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).persist()
+    var cachedRound = labels // the persisted handle (labels may be a projection of it)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // One shuffle per round: each node aggregates min(comp) over
+      // {itself} ∪ {neighbors}, carrying its previous label through the
+      // same aggregation (`prev` is non-null only on the self row) so
+      // convergence detection needs no second join — the count action
+      // both materializes the persisted round and reads the change
+      // tally.
       val msgs = sym.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("comp"))
-      val next = labels.unionByName(msgs)
-        .groupBy("node").agg(min("comp").as("comp")).persist()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
-        .filter(col("comp") =!= col("prev")).count()
-      labels.unpersist(false)
-      labels = next
+        .select(col("dst").as("node"), col("comp"), lit(null).cast("long").as("prev"))
+      val next = labels.withColumn("prev", col("comp")).unionByName(msgs)
+        .groupBy("node").agg(min("comp").as("comp"), min("prev").as("prev"))
+        .persist()
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      cachedRound.unpersist(false)
+      cachedRound = next
+      labels = next.select("node", "comp")
       it += 1
     }
     sym.unpersist(false)

@@ -327,6 +327,30 @@ object Search {
         .select("id", "sim")
     }),
 
+    // keyword_enhanced_rrf made concrete (the reference only aliases it
+    // to rrf_fusion, search_strategy.py:29-33): a BM25 keyword branch
+    // and a vector kNN branch fused by RRF, k0=60, equal weights. Both
+    // branches are top-k-bounded before ranking, so the fusion joins
+    // ≤20-row relations regardless of corpus size.
+    "ts_hybrid_rrf" -> ((s, d) => {
+      val kw = TextAnalysis.bm25Scores(Tables.documents(s, d), Seq("join", "vector", "dup"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+        .withColumn("kw_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("kw_rank"))
+      val vec = knn(Tables.embeddings(s, d), qvec(s, d, 0), 20, 0.0)
+        .withColumn("vec_rank", row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      kw.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_score",
+          coalesce(lit(0.5) / (lit(60) + col("kw_rank")), lit(0.0)) +
+            coalesce(lit(0.5) / (lit(60) + col("vec_rank")), lit(0.0)))
+        .select("doc_id", "rrf_score")
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // V9 — diversity re-rank over top-20 kNN joined to document text;
     // the greedy sequential admit runs on the driver, and is mirrored
     // exactly by a DuckDB recursive CTE oracle.
@@ -477,6 +501,39 @@ object Search {
          |FROM embeddings
          |WHERE list_inner_product(embedding::DOUBLE[], $q0) >= 0.0
          |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin,
+    "ts_hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+         |  FROM documents),
+         |hits AS (SELECT doc_id, term FROM toks WHERE term IN ('join','vector','dup')),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+         |dl AS (SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl
+         |       FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |            CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS sum_dl
+         |          FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.term,
+         |    ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |      * (t.tf * 2.2::DOUBLE)
+         |      / (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl
+         |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+         |  FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |bm AS (SELECT doc_id, list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS bm25
+         |       FROM scored GROUP BY doc_id),
+         |kw AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS kw_rank
+         |       FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
+         |vec AS (SELECT vec_id AS doc_id,
+         |          row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS vec_rank
+         |        FROM (SELECT vec_id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |              FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 20))
+         |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+         |  coalesce(0.5::DOUBLE / (60 + kw_rank), 0.0::DOUBLE) +
+         |  coalesce(0.5::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf_score
+         |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // Greedy diversity admit as a recursive CTE: walk candidates in rank
     // order carrying (picked ids, picked sims, seen word-set); admit when
     // |first-10-token-set ∩ seen| < 5 or fewer than 3 admitted, stop at 5.

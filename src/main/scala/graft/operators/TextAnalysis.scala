@@ -30,6 +30,38 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "des", "une"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
+  /** BM25 scores (k1=1.2, b=0.75) per document for a query term set —
+    * (doc_id, bm25, n_terms), matched docs only. Reused by the
+    * `ts_bm25` query and the keyword branch of the hybrid RRF fusion.
+    */
+  def bm25Scores(docs: DataFrame, qterms: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val hits = toks.filter(col("term").isin(qterms: _*))
+    val statsRow = docs.agg(count(lit(1)),
+      sum(size(tokens(col("text"))).cast("long"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    val idfMap = hits.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map { r =>
+        val df = r.getLong(1)
+        r.getString(0) -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      }.toMap
+    val idfCol = qterms.filter(idfMap.contains).foldLeft(lit(null).cast("double")) {
+      (w, t) => when(col("term") === t, lit(idfMap(t))).otherwise(w)
+    }
+    val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    tf.join(dl, "doc_id")
+      .withColumn("sc", idfCol * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
+      .groupBy("doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("sc")))),
+          lit(0.0), (acc, x) => acc + x.getField("sc")).as("bm25"),
+        count(lit(1)).as("n_terms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID: count marker-stopword hits per language, argmax with
     // deterministic priority order on ties.
@@ -102,37 +134,10 @@ object TextAnalysis {
     // op sequence, and the per-doc sum folds left-to-right over
     // term-sorted scores, mirrored by list_reduce(list(sc ORDER BY
     // term)).
-    "ts_bm25" -> ((s, d) => {
-      val qterms = Seq("join", "vector", "dup")
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val hits = toks.filter(col("term").isin(qterms: _*))
-      val statsRow = docs.agg(count(lit(1)),
-        sum(size(tokens(col("text"))).cast("long"))).head()
-      val nDocs = statsRow.getLong(0)
-      val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
-      val idfMap = hits.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .collect().map { r =>
-          val df = r.getLong(1)
-          r.getString(0) -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
-        }.toMap
-      val idfCol = qterms.filter(idfMap.contains).foldLeft(lit(null).cast("double")) {
-        (w, t) => when(col("term") === t, lit(idfMap(t))).otherwise(w)
-      }
-      val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
-      tf.join(dl, "doc_id")
-        .withColumn("sc", idfCol * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
-        .groupBy("doc_id")
-        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("sc")))),
-            lit(0.0), (acc, x) => acc + x.getField("sc")).as("bm25"),
-          count(lit(1)).as("n_terms"))
+    "ts_bm25" -> ((s, d) =>
+      bm25Scores(Tables.documents(s, d), Seq("join", "vector", "dup"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
-        .limit(20)
-    }),
+        .limit(20)),
 
     // Inverted-index build: per term, document frequency, collection
     // frequency, and an order-canonical postings digest (the posting

@@ -36,14 +36,19 @@ class QueryOpsSpec extends AnyFunSuite {
       (21L, 20L),
       (30L, 30L)
     ).toDF("a", "b")
-    val got = operators.Dedup.connectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
     val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L,
       30L -> 30L)
-    assert(got == expected)
+    // driver union-find fast path
+    val local = operators.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expected)
+    // distributed min-label propagation (force it: threshold 0)
+    val dist = operators.Dedup.connectedComponents(edges, smallGraphMax = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
     spark.catalog.clearCache()
   }
 
