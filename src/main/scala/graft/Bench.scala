@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   * query happens to run first — reported numbers are steady-state.
   */
 object Bench {
+  /** One representative query per operator family for the compact
+    * stdout line (the full per-query map goes to BENCH_DETAIL.json).
+    * Spec-guarded to stay a subset of SparkEntry.queries. */
+  val headline: Vector[String] = Vector(
+    "v1_knn_topk", "v4_two_stage", "v6_rrf_fusion", "v8_multiquery_merge",
+    "ann_bruteforce_batch", "ann_ivf_topk", "dd_exact", "dd_minhash_lsh",
+    "dd_lsh_verify", "ta_simhash", "ta_quality_score", "t1_chunk_fixed",
+    "x1_index_pipeline", "x2_standard_qa", "x5_clustering_job",
+    "c7_hierarchical", "a1_system_stats", "a7_rollup", "j1_join_enrich",
+    "j3_full_outer", "w2_top_per_group", "w6_topk_agg", "st_sessionize",
+    "st_window_agg", "aj_asof_join", "rj_range_bucketed",
+    "eval_retrieval_metrics", "skew_salted_agg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,17 +71,8 @@ object Bench {
     // The driver parses the JSON line from a bounded tail (~2.9 KB) of the
     // sbt output: round-1 AND round-2 both produced parsed:null because the
     // all-queries map (~90 entries, ~3 KB) started before the tail window.
-    // Print one representative headline query per operator family (~25
-    // entries, <1 KB line) plus the all-queries total.
-    val headline = Vector(
-      "v1_knn_topk", "v4_two_stage", "v6_rrf_fusion", "v8_multiquery_merge",
-      "ann_bruteforce_batch", "ann_ivf_topk", "dd_exact", "dd_minhash_lsh",
-      "dd_lsh_verify", "ta_simhash", "ta_quality_score", "t1_chunk_fixed",
-      "x1_index_pipeline", "x2_standard_qa", "x5_clustering_job",
-      "c7_hierarchical", "a1_system_stats", "a7_rollup", "j1_join_enrich",
-      "j3_full_outer", "w2_top_per_group", "w6_topk_agg", "st_sessionize",
-      "st_window_agg", "aj_asof_join", "rj_range_bucketed",
-      "eval_retrieval_metrics", "skew_salted_agg")
+    // Print the headline queries (~28 entries, <1 KB line) plus the
+    // all-queries total.
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"queries":${jsonMap(results)}$failedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),

@@ -273,6 +273,35 @@ object Dedup {
         .limit(50)
     }),
 
+    // Incremental dedup: a NEW batch (doc_id % 5 == 0 here) checked
+    // against the EXISTING corpus by LSH band match — the daily-ingest
+    // shape of a training-data pipeline, where the corpus signature
+    // index persists and only the new batch is signed and probed. Each
+    // new doc reports whether any corpus band matched, the canonical
+    // match (min corpus doc_id), and how many distinct corpus docs
+    // collided. Sub-quadratic: the probe is an equi-join on
+    // (band_id, band_hash), never new × corpus.
+    "dd_incremental" -> ((s, d) => {
+      val sig = minhashSignatures(s, d).persist()
+      val bands = lshBands(sig)
+      val isNew = col("doc_id") % 5 === 0
+      val newB = bands.filter(isNew)
+        .select(col("doc_id").as("new_id"), col("band_id").as("nb"), col("bh").as("nbh"))
+      val corpusB = bands.filter(!isNew)
+        .select(col("doc_id").as("corpus_id"), col("band_id"), col("bh"))
+      val matches = newB.join(corpusB,
+          col("nb") === col("band_id") && col("nbh") === col("bh"))
+        .groupBy("new_id")
+        .agg(min(col("corpus_id")).as("dup_of"),
+          countDistinct(col("corpus_id")).as("n_matches"))
+      sig.filter(isNew).select(col("doc_id").as("new_id"))
+        .join(matches, Seq("new_id"), "left_outer")
+        .select(col("new_id"), col("dup_of"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("dup_of").isNotNull.as("is_dup"))
+        .orderBy("new_id")
+    }),
+
     // Duplicate-group resolution: connected components over the LSH
     // candidate graph. Pairs tell you WHO matches; groups tell you what
     // to keep — comp = min doc_id per group is the canonical survivor.
@@ -404,6 +433,32 @@ object Dedup {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5
          |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin,
+    "dd_incremental" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, unnest($shSql) AS sh FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('s0|' || sh)) AS h0, min(md5('s1|' || sh)) AS h1,
+         |    min(md5('s2|' || sh)) AS h2, min(md5('s3|' || sh)) AS h3,
+         |    min(md5('s4|' || sh)) AS h4, min(md5('s5|' || sh)) AS h5,
+         |    min(md5('s6|' || sh)) AS h6, min(md5('s7|' || sh)) AS h7
+         |  FROM ds GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bh FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |newb AS (SELECT doc_id AS new_id, band_id, bh FROM bands WHERE doc_id % 5 = 0),
+         |corp AS (SELECT doc_id AS corpus_id, band_id, bh FROM bands WHERE doc_id % 5 <> 0),
+         |m AS (
+         |  SELECT new_id, min(corpus_id) AS dup_of,
+         |         CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_matches
+         |  FROM newb JOIN corp USING (band_id, bh) GROUP BY new_id)
+         |SELECT s.doc_id AS new_id, m.dup_of,
+         |  coalesce(m.n_matches, 0) AS n_matches,
+         |  m.dup_of IS NOT NULL AS is_dup
+         |FROM sig s LEFT JOIN m ON m.new_id = s.doc_id
+         |WHERE s.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
     // Transitive closure of the LSH candidate graph: walk(node, reach)
     // saturates under UNION (global dedup terminates it), component id
     // = min reachable node — exactly the Spark min-label fixed point.

@@ -26,6 +26,26 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_sum")).as("sum_value"))
 
+  /** Salted equi-join for a skewed probe side: the build side is
+    * replicated saltFanout× (explode over the salt range), the probe
+    * side gets a deterministic salt from a high-cardinality column,
+    * and the join runs on (key, salt) — a hot key's rows spread over
+    * saltFanout reducers instead of one. Identical rows to the
+    * unsalted join (the oracle checks that); the cost is a bounded
+    * build-side blowup, the win is no straggler reducer. (AQE's
+    * skew-join split does this adaptively; explicit salting is the
+    * form that also works mid-pipeline where AQE can't split, e.g.
+    * under a cached or bucketed exchange.)
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 probeSaltSrc: Column, saltFanout: Int): DataFrame = {
+    val salted = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFanout - 1))))
+    probe.withColumn("_salt", pmod(hash(probeSaltSrc), lit(saltFanout)))
+      .join(salted, Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Salted aggregation over the (5-hot-key) event_type column —
     // oracle is the plain group-by, proving phase-2 exactness.
@@ -34,13 +54,36 @@ object Skew {
         col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
         .select(col("event_type"), col("n"),
           col("sum_value").cast("double").as("sum_value"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Salted join: events (event_type is a 5-hot-key column) joined to
+    // a per-type dimension through an 8-way salt; aggregating the
+    // joined rows must reproduce the unsalted join exactly (the
+    // oracle IS the unsalted join). Seconds-granularity gap sums keep
+    // the total inside BIGINT.
+    "skew_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val dim = ev.groupBy("event_type").agg(min(col("ts_us")).as("first_ts"))
+      saltedJoin(ev, dim, "event_type", col("event_id"), 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("(ts_us - first_ts) div 1000000")).as("sum_gap_s"))
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
     "skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "skew_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, min(epoch_us(ts)) AS first_ts
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum((epoch_us(e.ts) - d.first_ts) // 1000000) AS BIGINT) AS sum_gap_s
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -6,6 +6,18 @@ import graft.functions.TextOps
 
 class ExtensionsAndPropsSpec extends AnyFunSuite {
 
+  test("driver contract: oracle keys and bench headline resolve to real queries") {
+    val qkeys = SparkEntry.queries.keySet
+    val orphanOracles = SparkEntry.oracleSql.keySet -- qkeys
+    assert(orphanOracles.isEmpty,
+      s"oracleSql entries without a query (typo?): $orphanOracles")
+    val orphanHeadline = Bench.headline.toSet -- qkeys
+    assert(orphanHeadline.isEmpty,
+      s"Bench.headline entries without a query (rename?): $orphanHeadline")
+    // the stdout line must stay inside the driver's ~2.9 KB tail window
+    assert(Bench.headline.size <= 35)
+  }
+
   test("GraftExtensions registers dot_product / l2_normalize for SQL") {
     // the shared test session is built withExtensions(new GraftExtensions)
     val spark = SparkSessionHelper.spark

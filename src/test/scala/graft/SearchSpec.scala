@@ -29,6 +29,26 @@ class SearchSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(0L, 5L, 1L))
   }
 
+  test("tenant isolation: owner-filtered knn over a partitioned store prunes partitions") {
+    // The reference's most-tested property (SURVEY §5: multi-user
+    // isolation): a tenant-scoped search over an owner-partitioned
+    // vector store must (a) return ONLY that tenant's rows and (b) plan
+    // as a partition-pruned scan, not a full scan + filter.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tenants").toString + "/vectors"
+    val two = fixture.withColumn("owner",
+        when(col("label") < 2, "tenant_a").otherwise("tenant_b"))
+    two.write.partitionBy("owner").parquet(dir)
+
+    val store = spark.read.parquet(dir).filter(col("owner") === "tenant_a")
+    val hits = Search.knn(store, q, 10, -1.0)
+    assert(hits.select("owner").distinct().as[String].collect().toSeq == Seq("tenant_a"))
+    assert(hits.count() == 4) // all 4 tenant_a vectors, none of tenant_b
+
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tenant_a"),
+      s"expected owner partition pruning in:\n$plan")
+  }
+
   test("keepBestPerDoc keeps max-sim row per label") {
     val scored = fixture.withColumn("sim",
       graft.functions.VectorFunctions.dot(col("embedding"), typedLit(q)))
