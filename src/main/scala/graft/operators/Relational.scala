@@ -355,6 +355,31 @@ object Relational {
         .select("event_type", "exact_users", "within_5pct")
         .orderBy("event_type")),
 
+    // A14 — approximate quantile sketch (percentile_approx, accuracy
+    // 10k): like A13, the sketch value itself is engine-specific, so
+    // the oracle pins the CONTRACT — the approx median must land
+    // between the exact rank-selected p45 and p55 values (rank error
+    // bound n/accuracy ⇒ ±2 ranks at sf0.1, far inside the window).
+    // At 100 TB the sketch is mergeable map-side state vs the exact
+    // form's full sort-shuffle per group.
+    "a14_approx_quantile" -> ((s, d) => {
+      val byVal = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      val ranked = Tables.events(s, d)
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+      val bounds = ranked
+        .filter(col("rn") === expr("greatest(1L, (cnt * 45) div 100)") ||
+          col("rn") === expr("greatest(1L, (cnt * 55) div 100)"))
+        .groupBy("event_type").agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      Tables.events(s, d).groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("apx"))
+        .join(bounds, "event_type")
+        .select(col("event_type"), col("lo"), col("hi"),
+          (col("apx") >= col("lo") && col("apx") <= col("hi")).as("within_bounds"))
+        .orderBy("event_type")
+    }),
+
     // A9 — histogram binning: fixed-width buckets over a value column
     // (floor division is IEEE-identical in both engines; min/max raw
     // doubles are order-independent). One partial-agg shuffle at scale.
@@ -572,6 +597,16 @@ object Relational {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "a14_approx_quantile" ->
+      """SELECT event_type, min(value) AS lo, max(value) AS hi,
+        |  TRUE AS within_bounds
+        |FROM (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |WHERE rn = greatest(1, (cnt * 45) // 100) OR rn = greatest(1, (cnt * 55) // 100)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "p10_stratified_sample" ->
       """SELECT source, count(*) AS n_sampled,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id

@@ -145,6 +145,38 @@ object Orchestration {
     // oracle-checked via v8/j1).
     "x2_standard_qa" -> ((s, d) => standardQa(s, d, Seq(0L, 1L, 2L), 5)),
 
+    // X4 — the streaming-QA emission stage (`qa_orchestrator.py:
+    // 464-801`): the answer is emitted as an SSE event stream —
+    // progress first, then the answer text in 50-char chunks, then a
+    // metadata record. As a batch relation: one row per event with a
+    // deterministic sequence number; the serving layer is a trivial
+    // ordered iterator over this. (Answer assembly here uses the
+    // document text directly so the whole event stream is
+    // oracle-exact; the embedder-dependent retrieval feeding a real
+    // answer is covered by x2.)
+    "x4_stream_qa" -> ((s, d) => {
+      val answers = Tables.documents(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"),
+          concat(lit("Answer: "), substring(col("text"), 1, 120)).as("answer"))
+      val lastIdx = expr("(length(answer) - 1) div 50")
+      val chunks = answers
+        .select(col("q_id"), col("answer"),
+          posexplode(transform(sequence(lit(0), lastIdx.cast("int")),
+            i => substring(col("answer"), (i * 50 + 1).cast("int"), lit(50))))
+            .as(Seq("idx", "payload")))
+        .select(col("q_id"), (col("idx") + 1).cast("long").as("seq"),
+          lit("chunk").as("event"), length(col("payload")).cast("long").as("len"),
+          md5(col("payload")).as("payload_md5"))
+      val progress = answers.select(col("q_id"), lit(0L).as("seq"),
+        lit("progress").as("event"), lit(0L).as("len"),
+        lit(null).cast("string").as("payload_md5"))
+      val meta = answers.select(col("q_id"), (lastIdx + 2).cast("long").as("seq"),
+        lit("metadata").as("event"), length(col("answer")).cast("long").as("len"),
+        md5(col("answer")).as("payload_md5"))
+      progress.unionByName(chunks).unionByName(meta)
+        .orderBy("q_id", "seq")
+    }),
+
     // X3 — the intelligent-QA routing stage as a batch column op:
     // rule-classify intent (L4), derive granularity, choose direct
     // reply vs search, and pick the search strategy (V10 routing:
@@ -176,6 +208,28 @@ object Orchestration {
         |  CASE WHEN length(trim(substr(text, 1, 8))) < 5 THEN 'clarification_needed'
         |       ELSE 'document_search' END AS intent
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_stream_qa" ->
+      """WITH answers AS (
+        |  SELECT doc_id AS q_id, 'Answer: ' || substr(text, 1, 120) AS answer
+        |  FROM documents WHERE doc_id < 5),
+        |chunks AS (
+        |  SELECT q_id, (i + 1)::BIGINT AS seq, 'chunk' AS event,
+        |    length(substr(answer, (i * 50 + 1)::INT, 50))::BIGINT AS len,
+        |    md5(substr(answer, (i * 50 + 1)::INT, 50)) AS payload_md5
+        |  FROM answers,
+        |    LATERAL unnest(generate_series(0, ((length(answer) - 1) // 50)::INT)) AS t(i)),
+        |progress AS (
+        |  SELECT q_id, 0::BIGINT AS seq, 'progress' AS event, 0::BIGINT AS len,
+        |         NULL::VARCHAR AS payload_md5 FROM answers),
+        |meta AS (
+        |  SELECT q_id, ((length(answer) - 1) // 50 + 2)::BIGINT AS seq,
+        |         'metadata' AS event, length(answer)::BIGINT AS len,
+        |         md5(answer) AS payload_md5 FROM answers)
+        |SELECT q_id, seq, event, len, payload_md5 FROM (
+        |  SELECT * FROM progress UNION ALL
+        |  SELECT * FROM chunks UNION ALL
+        |  SELECT * FROM meta)
+        |ORDER BY q_id, seq""".stripMargin,
     "x3_intelligent_route" ->
       """SELECT doc_id, intent, granularity, action,
         |  CASE WHEN action = 'direct_reply' THEN NULL

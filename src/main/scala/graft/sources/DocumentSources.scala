@@ -84,6 +84,17 @@ object DocumentSources {
   def appendLogs(logs: DataFrame, path: String): Unit =
     logs.write.mode("append").parquet(path)
 
+  /** S8 — upsert-by-key as a pure batch relation: updates replace
+    * existing rows with the same key, everything else carries forward
+    * — the reference's per-document delete-then-insert
+    * (`vector_db_service.py:84-163`) generalized to bulk MERGE
+    * semantics. At 100 TB the anti-join side is a broadcast when the
+    * update batch is small, and the result is written back with
+    * dynamic partition overwrite (see IndexPipeline.writeVectors). */
+  def upsertByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      existing.join(updates.select(key).distinct(), Seq(key), "left_anti"))
+
   /** Small-file compaction (table maintenance): rewrite a parquet
     * directory into ~targetBytes files. Append-mode sinks (S10, the
     * streaming sinks) accrete small files that poison scan parallelism
@@ -134,7 +145,23 @@ object DocumentSources {
             (col("doc_id") % 5 + 1).cast("int")))
         .withColumn("extractor", extractorFor(col("extension")))
         .groupBy("extractor").agg(count(lit(1)).as("n"))
-        .orderBy("extractor"))
+        .orderBy("extractor")),
+
+    // S8 upsert: every 7th doc is re-analyzed (text prefixed, source
+    // re-tagged); the merged relation must show replaced rows under the
+    // new source and untouched rows under their originals.
+    "s8_upsert_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(lit("UPDATED "), col("text")))
+        .withColumn("source", lit("upsert"))
+      upsertByKey(docs, updates, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("sum_len"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,6 +175,16 @@ object DocumentSources {
         |  count(*) AS n
         |FROM (SELECT (['pdf','docx','txt','jpg','xyz'])[(doc_id % 5 + 1)::INT] AS ext
         |      FROM documents)
-        |GROUP BY 1 ORDER BY extractor""".stripMargin
+        |GROUP BY 1 ORDER BY extractor""".stripMargin,
+    "s8_upsert_merge" ->
+      """WITH merged AS (
+        |  SELECT doc_id, 'UPDATED ' || text AS text, 'upsert' AS source
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin
   )
 }
