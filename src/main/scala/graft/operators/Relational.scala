@@ -435,6 +435,23 @@ object Relational {
         .orderBy("user_id", "event_id")
     }),
 
+    // W7 — distribution window functions: ntile quartiles,
+    // percent_rank, cume_dist, and a lag delta, per event_type over
+    // a 3-user slice. percent_rank = (rank-1)/(n-1) and cume_dist =
+    // rows≤cur/n are single int/int double divisions — identical in
+    // both engines; the lag delta is one double subtraction.
+    "w7_distribution_ranks" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, d).filter(col("user_id") < 3)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // D1 — union + distinct of two keyed result sets (RRF all_documents union).
     "d1_union_distinct" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -597,6 +614,16 @@ object Relational {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "w7_distribution_ranks" ->
+      """SELECT event_id, event_type, value,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  value - lag(value) OVER w AS delta_prev
+        |FROM events
+        |WHERE user_id < 3
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        |ORDER BY event_type, event_id""".stripMargin,
     "a14_approx_quantile" ->
       """SELECT event_type, min(value) AS lo, max(value) AS hi,
         |  TRUE AS within_bounds

@@ -327,6 +327,33 @@ object Search {
         .select("id", "sim")
     }),
 
+    // Quantized ANN with float rescore — the production two-tier
+    // pattern behind every large-scale vector index: a cheap int8
+    // coarse pass ranks the corpus (4× smaller vectors, integer
+    // arithmetic), then only the top-50 pay the full float dot. All
+    // integer dot products are EXACT in both engines (products ≤ 127²
+    // per dim, partial sums far below 2^53), so unlike a13/a14 this
+    // "approximate" pipeline is fully oracle-exact end-to-end.
+    "ann_int8_rescore" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("q8", transform(col("embedding").cast("array<double>"),
+          x => floor(x * 127).cast("long")))
+      val qRow = e.filter(col("vec_id") === 0)
+        .select(col("q8"), col("embedding").cast("array<double>").as("qe")).head()
+      val q8 = qRow.getSeq[Long](0)
+      val qe = qRow.getSeq[Double](1)
+      val coarse = e.filter(col("vec_id") =!= 0)
+        .withColumn("coarse", aggregate(
+          zip_with(col("q8"), typedLit(q8), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .orderBy(col("coarse").desc, col("vec_id").asc)
+        .limit(50)
+      coarse.withColumn("sim", dot(col("embedding"), typedLit(qe)))
+        .select("vec_id", "coarse", "sim")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // keyword_enhanced_rrf made concrete (the reference only aliases it
     // to rrf_fusion, search_strategy.py:29-33): a BM25 keyword branch
     // and a vector kNN branch fused by RRF, k0=60, equal weights. Both
@@ -501,6 +528,30 @@ object Search {
          |FROM embeddings
          |WHERE list_inner_product(embedding::DOUBLE[], $q0) >= 0.0
          |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin,
+    // int8 coarse scores are exact integers: DuckDB's double-
+    // accumulated list_inner_product equals Spark's long fold because
+    // every partial sum is an integer far below 2^53.
+    "ann_int8_rescore" ->
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding::DOUBLE[],
+         |           x -> CAST(floor(x * 127) AS BIGINT)) AS q8,
+         |         embedding::DOUBLE[] AS qe
+         |  FROM embeddings WHERE vec_id = 0),
+         |corpus AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding::DOUBLE[],
+         |           x -> CAST(floor(x * 127) AS BIGINT)) AS q8,
+         |         embedding
+         |  FROM embeddings WHERE vec_id <> 0),
+         |coarse AS (
+         |  SELECT c.vec_id, c.embedding,
+         |    CAST(list_inner_product(c.q8::DOUBLE[], q.q8::DOUBLE[]) AS BIGINT) AS coarse
+         |  FROM corpus c CROSS JOIN q
+         |  ORDER BY coarse DESC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, coarse,
+         |  list_inner_product(embedding::DOUBLE[], (SELECT qe FROM q)) AS sim
+         |FROM coarse
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "ts_hybrid_rrf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
