@@ -85,8 +85,11 @@ object RetrievalEval {
           .select("q_id", "label", "rank")
     }
 
-  /** Hit@{1,3,5}, MRR, nDCG@5 per mode (single relevant doc per query:
-    * nDCG@5 = 1/log2(rank+1) when hit, else 0). */
+  /** Hit@{1,3,5,10}, MRR, nDCG@{5,10} per mode — the BASELINE.md
+    * metric grid (k ∈ {1,3,5,10}, `evaluate_vector_retrieval.py:
+    * 357-396`). Single relevant doc per query ⇒ nDCG@k =
+    * 1/log2(rank+1) when the source doc ranks ≤ k, else 0; modes run
+    * at depth 10 so the k=10 metrics are meaningful. */
   def evaluate(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
     val embedder = new HashEmbedder(64)
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
@@ -114,7 +117,7 @@ object RetrievalEval {
     val sc = allScored.filter(col("vtype") === "chunk")
     val modes = Seq("rrf_fusion", "hybrid", "summary_only", "chunks_only", "legacy")
     val perMode = modes.map { m =>
-      val hitRanks = runModeScored(m, ss, sc, 5)
+      val hitRanks = runModeScored(m, ss, sc, 10)
         .filter(col("label") === col("q_id")) // relevant doc retrieved
         .select(col("q_id"), col("rank"))
       val n = lit(nQueries.toDouble)
@@ -122,14 +125,19 @@ object RetrievalEval {
         sum(when(col("rank") <= 1, 1.0).otherwise(0.0)).as("h1"),
         sum(when(col("rank") <= 3, 1.0).otherwise(0.0)).as("h3"),
         sum(when(col("rank") <= 5, 1.0).otherwise(0.0)).as("h5"),
+        sum(when(col("rank") <= 10, 1.0).otherwise(0.0)).as("h10"),
         sum(lit(1.0) / col("rank")).as("rr"),
-        sum(lit(1.0) / log2(col("rank") + 1)).as("dcg"))
+        sum(when(col("rank") <= 5, lit(1.0) / log2(col("rank") + 1))
+          .otherwise(0.0)).as("dcg5"),
+        sum(lit(1.0) / log2(col("rank") + 1)).as("dcg10"))
         .select(lit(m).as("mode"),
           (coalesce(col("h1"), lit(0.0)) / n).as("hit1"),
           (coalesce(col("h3"), lit(0.0)) / n).as("hit3"),
           (coalesce(col("h5"), lit(0.0)) / n).as("hit5"),
+          (coalesce(col("h10"), lit(0.0)) / n).as("hit10"),
           (coalesce(col("rr"), lit(0.0)) / n).as("mrr"),
-          (coalesce(col("dcg"), lit(0.0)) / n).as("ndcg5"))
+          (coalesce(col("dcg5"), lit(0.0)) / n).as("ndcg5"),
+          (coalesce(col("dcg10"), lit(0.0)) / n).as("ndcg10"))
     }
     perMode.reduce(_ unionByName _)
   }

@@ -52,6 +52,42 @@ class QueryOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("connectedComponents: seeded random graphs match a local BFS") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val nNodes = 20 + rnd.nextInt(30)
+      val nEdges = 10 + rnd.nextInt(40)
+      val pairs = Seq.fill(nEdges)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      // local ground truth: BFS over the undirected graph, component
+      // label = min node id in the component
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+        .withDefaultValue(Nil)
+      pairs.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = scala.collection.mutable.Map.empty[Long, Long]
+      for (start <- nodes.sorted if !expected.contains(start)) {
+        val seen = scala.collection.mutable.Set(start)
+        val queue = scala.collection.mutable.Queue(start)
+        while (queue.nonEmpty) {
+          val c = queue.dequeue()
+          adj(c).foreach(nb => if (seen.add(nb)) queue.enqueue(nb))
+        }
+        val comp = seen.min
+        seen.foreach(n => expected(n) = comp)
+      }
+      val edges = pairs.toDF("a", "b")
+      val got = operators.Dedup.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected.toMap, s"trial $trial (driver path)")
+      if (trial == 0) { // distributed path once (it is slower)
+        val dist = operators.Dedup.connectedComponents(edges, smallGraphMax = 0L)
+          .as[(Long, Long)].collect().toMap
+        assert(dist == expected.toMap, s"trial $trial (distributed path)")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("exact median: odd and even group sizes") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a10_median_exact")(spark, d)
