@@ -89,6 +89,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedAgg == batch)
   }
 
+  test("watermark drops late data from the append-mode windowed aggregation") {
+    // MemoryStream gives exact micro-batch control: batch 1 advances
+    // the watermark to 09:20; batch 2's 07:00 event is below it and
+    // MUST be dropped (the state-eviction contract that bounds memory
+    // on unbounded streams); batch 3 advances the watermark past the
+    // 10:xx windows so append mode flushes them.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $s:00")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedCounts(events.withWatermark("ts", "1 hour"), "15 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      input.addData((ts("10:00"), "view", 1.0), (ts("10:20"), "view", 1.0))
+      q.processAllAvailable() // watermark → 09:20
+      input.addData((ts("07:00"), "view", 1.0)) // below watermark: dropped
+      q.processAllAvailable()
+      input.addData((ts("12:00"), "view", 1.0)) // watermark → 11:00, flushes 10:xx
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table("late_out")
+      .select(date_format(col("w.start"), "HH:mm").as("ws"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(!emitted.contains("07:00"), s"late window leaked: $emitted")
+    assert(emitted == Map("10:00" -> 1L, "10:15" -> 1L), emitted.toString)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter(col("event_type") === "purchase")
