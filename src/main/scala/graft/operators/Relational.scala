@@ -337,6 +337,21 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // A15 — explicit GROUPING SETS (the general form behind A7's
+    // rollup and A12's cube): per-lang totals, per-source totals, and
+    // the grand total in ONE pass — Spark expands the sets map-side,
+    // one shuffle. grouping_id disambiguates the margins.
+    "a15_grouping_sets" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("g_docs")
+      s.sql("""SELECT coalesce(lang, 'ALL') AS lang,
+               |       coalesce(source, 'ALL') AS source,
+               |       count(*) AS n,
+               |       CAST(grouping_id(lang, source) AS BIGINT) AS gid
+               |FROM g_docs
+               |GROUP BY GROUPING SETS ((lang), (source), ())
+               |ORDER BY gid, lang, source""".stripMargin)
+    }),
+
     // A13 — HLL sketch distinct count (approx_count_distinct, rsd 1%):
     // THE approximate-aggregation workhorse at 100 TB, where exact
     // count-distinct's two-phase expand shuffle is the bottleneck.
@@ -609,6 +624,14 @@ object Relational {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a15_grouping_sets" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |       coalesce(source, 'ALL') AS source,
+        |       count(*) AS n,
+        |       CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY gid, lang, source""".stripMargin,
     "a13_sketch_distinct" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

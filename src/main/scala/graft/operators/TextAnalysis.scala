@@ -139,6 +139,22 @@ object TextAnalysis {
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)),
 
+    // T2 — smartTruncate (the real UDF, not a SQL re-derivation) under
+    // an exact oracle: the oracle mirrors the UDF's branch logic
+    // (sentence-end ≥ 70% in → cut there; space ≥ 80% in → cut + "...";
+    // else hard cut + "...") with character-position SQL. The input is
+    // `translate(text, 'e', '.')` so the ASCII corpus deterministically
+    // exercises the sentence branch in both engines; CJK enders (also
+    // honored by the UDF) cannot occur in this data.
+    "t2_smart_truncate" -> ((s, d) => {
+      val tUdf = udf((t: String) => graft.functions.TextOps.smartTruncate(t, 80))
+      Tables.documents(s, d)
+        .withColumn("trunc", tUdf(translate(col("text"), "e", ".")))
+        .select(col("doc_id"), col("trunc"),
+          length(col("trunc")).cast("long").as("trunc_len"))
+        .orderBy("doc_id")
+    }),
+
     // Inverted-index build: per term, document frequency, collection
     // frequency, and an order-canonical postings digest (the posting
     // list itself md5'd after a numeric sort — arrays hash-compare
@@ -269,6 +285,34 @@ object TextAnalysis {
          |  count(*) AS n_terms
          |FROM scored GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // Thresholds: (80*0.7).toInt = 56 and (80*0.8).toInt = 64 are
+    // 0-based indexes in the UDF; the 1-based SQL positions compare
+    // against 57 / 65.
+    "t2_smart_truncate" ->
+      """WITH pos AS (
+        |  SELECT doc_id, s, cut,
+        |    greatest(
+        |      CASE WHEN strpos(reverse(cut), '.') > 0
+        |           THEN length(cut) - strpos(reverse(cut), '.') + 1 ELSE 0 END,
+        |      CASE WHEN strpos(reverse(cut), '!') > 0
+        |           THEN length(cut) - strpos(reverse(cut), '!') + 1 ELSE 0 END,
+        |      CASE WHEN strpos(reverse(cut), '?') > 0
+        |           THEN length(cut) - strpos(reverse(cut), '?') + 1 ELSE 0 END) AS last_end,
+        |    CASE WHEN strpos(reverse(cut), ' ') > 0
+        |         THEN length(cut) - strpos(reverse(cut), ' ') + 1 ELSE 0 END AS last_space
+        |  FROM (
+        |    SELECT doc_id, translate(text, 'e', '.') AS s,
+        |           substr(translate(text, 'e', '.'), 1, 80) AS cut
+        |    FROM documents)),
+        |o AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) <= 80 THEN s
+        |         WHEN last_end >= 57 THEN substr(cut, 1, last_end)
+        |         WHEN last_space >= 65 THEN substr(cut, 1, last_space - 1) || '...'
+        |         ELSE cut || '...' END AS trunc
+        |  FROM pos)
+        |SELECT doc_id, trunc, length(trunc)::BIGINT AS trunc_len
+        |FROM o ORDER BY doc_id""".stripMargin,
     "ts_inverted_index" ->
       s"""SELECT term,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
