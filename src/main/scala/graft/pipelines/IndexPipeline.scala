@@ -90,6 +90,26 @@ object IndexPipeline {
       graft.operators.Search.rrfFusion(summaries, chunks, q, 10, 5)
     }),
 
+    // T1 — the REAL sentence-aware chunker under an exact oracle: the
+    // DuckDB side replays the chunker's state machine as a recursive
+    // CTE (start positions walk forward; each step's end prefers the
+    // LAST sentence ender in [max(start+231, end−100), end+50)). Input
+    // is translate(text,'e','.') so the ASCII corpus exercises the
+    // boundary-search path heavily. This upgrades the heart of X1 from
+    // spec-tested to hash-exact.
+    "t1_chunk_sentence" -> ((s, d) => {
+      val chunkU = udf((t: String) => TextOps.chunkText(t, 462, 50))
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .withColumn("src", translate(col("text"), "e", "."))
+        .select(col("doc_id"),
+          posexplode(chunkU(col("src"))).as(Seq("chunk_index", "chunk")))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
     // T1 simplified fixed-stride variant (oracle-able): chunk = 462
     // chars every 412 (= size - overlap) — validates the explode shape
     // and substring/char semantics against DuckDB.
@@ -111,7 +131,44 @@ object IndexPipeline {
                                    i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     substring(text, (i * 412 + 1).cast("int"), lit(462))
 
+  // chunkText state machine as SQL expression fragments (see the
+  // t1_chunk_sentence comment; w = walk state row, s = src doc row).
+  private val t1End: String = {
+    val end0 = "least(w.start0 + 462, s.len)"
+    val from0 = s"greatest(w.start0 + 231, $end0 - 100)"
+    val to0 = s"least(s.len, $end0 + 50)"
+    val win = s"substr(s.t, $from0 + 1, $to0 - $from0)"
+    def lastPos(c: String) =
+      s"CASE WHEN strpos(reverse($win), '$c') > 0 " +
+        s"THEN length($win) - strpos(reverse($win), '$c') + 1 ELSE 0 END"
+    val le = s"greatest(${lastPos(".")}, ${lastPos("!")}, ${lastPos("?")})"
+    s"CASE WHEN $end0 < s.len AND $le > 0 THEN $from0 + $le ELSE $end0 END"
+  }
+
   val oracles: Map[String, String] = Map(
+    "t1_chunk_sentence" ->
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, translate(text, 'e', '.') AS t,
+         |         length(translate(text, 'e', '.'))::BIGINT AS len
+         |  FROM documents WHERE length(text) > 0),
+         |walk AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS start0 FROM src
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN $t1End >= s.len THEN s.len
+         |         ELSE greatest(w.start0 + 1, ($t1End) - 50) END
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunks AS (
+         |  SELECT w.doc_id, w.start0,
+         |    trim(substr(s.t, w.start0 + 1, ($t1End) - w.start0)) AS chunk
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len)
+         |SELECT doc_id,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY start0) - 1)::BIGINT AS chunk_index,
+         |  length(chunk)::BIGINT AS chunk_len, md5(chunk) AS chunk_md5
+         |FROM chunks WHERE chunk <> ''
+         |ORDER BY doc_id, chunk_index""".stripMargin,
     "t1_chunk_fixed" ->
       """SELECT doc_id, chunk_id, length(chunk)::BIGINT AS chunk_len, md5(chunk) AS chunk_md5
         |FROM (
