@@ -142,9 +142,83 @@ object RetrievalEval {
     perMode.reduce(_ unionByName _)
   }
 
+  /** Query-rewrite A/B + smart-trigger harness — the reference's second
+    * evaluation (`evaluate_query_rewrite_retrieval.py:71,203-400`):
+    * arm 1 searches the raw query; arm 2 always expands it via the L3
+    * rewrite stub (positional weights 1.3/1.1/1.0, V8 merge); arm 3 is
+    * the smart trigger — run the cheap probe first and SKIP the rewrite
+    * when its top similarity ≥ 0.75 (the reference's threshold),
+    * reporting the skip rate alongside the metrics. One scored
+    * relation (vectors × all query variants) feeds all three arms.
+    */
+  def evaluateRewriteAb(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
+    val embedder = new HashEmbedder(64)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val vectors = IndexPipeline.buildIndex(docs, embedder)
+      .withColumn("vec_id", col("doc_id") * 1000 +
+        when(col("vtype") === "summary", lit(999)).otherwise(col("chunk_index")))
+      .withColumn("label", col("doc_id"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    // (q_id, variant, weight, q_emb): variant 0 = raw snippet, 1/2 =
+    // L3-stub rewrites of the snippet text.
+    val embUdf = udf((t: String) => embedder.embed(t))
+    val snippets = docs.filter(length(col("text")) >= 120)
+      .orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("q_id"), substring(col("text"), 40, 120).as("q_text"))
+    val variants = snippets.select(col("q_id"), explode(array(
+        struct(lit(0).as("variant"), lit(1.3).as("w"), col("q_text").as("t")),
+        struct(lit(1).as("variant"), lit(1.1).as("w"),
+          concat(col("q_text"), lit(" details")).as("t")),
+        struct(lit(2).as("variant"), lit(1.0).as("w"),
+          concat(lit("about "), col("q_text")).as("t")))).as("v"))
+      .select(col("q_id"), col("v.variant").as("variant"), col("v.w").as("w"),
+        embUdf(col("v.t")).as("q_emb"))
+    val scored = vectors.crossJoin(broadcast(variants))
+      .withColumn("sim", VectorFunctions.dot(col("embedding"), col("q_emb")))
+      .select("q_id", "variant", "w", "label", "vec_id", "sim").cache()
+
+    def bestPerDocRanked(df: DataFrame, scoreCol: String): DataFrame =
+      df.withColumn("_rn", row_number().over(
+          Window.partitionBy("q_id", "label").orderBy(col(scoreCol).desc, col("vec_id").asc)))
+        .filter(col("_rn") === 1)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col(scoreCol).desc, col("label").asc)))
+        .filter(col("rank") <= 10)
+        .select("q_id", "label", "rank")
+    // arm 1: raw query only
+    val base = bestPerDocRanked(scored.filter(col("variant") === 0), "sim")
+    // arm 2: weighted multi-query merge (V8 shape)
+    val merged = bestPerDocRanked(
+      scored.withColumn("wsim", col("sim") * col("w")), "wsim")
+    // arm 3: per-query probe — skip the rewrite when base top-1 sim ≥ 0.75
+    val probe = scored.filter(col("variant") === 0)
+      .groupBy("q_id").agg(max(col("sim")).as("top_sim"))
+      .withColumn("skip_rewrite", col("top_sim") >= 0.75)
+    val smart = base.join(probe.filter(col("skip_rewrite")).select("q_id"), Seq("q_id"), "left_semi")
+      .unionByName(merged.join(probe.filter(!col("skip_rewrite")).select("q_id"),
+        Seq("q_id"), "left_semi"))
+
+    val n = lit(nQueries.toDouble)
+    def metrics(arm: String, ranks: DataFrame, skipRate: org.apache.spark.sql.Column): DataFrame =
+      ranks.filter(col("label") === col("q_id"))
+        .agg(sum(when(col("rank") <= 5, 1.0).otherwise(0.0)).as("h5"),
+          sum(lit(1.0) / col("rank")).as("rr"))
+        .select(lit(arm).as("arm"),
+          (coalesce(col("h5"), lit(0.0)) / n).as("hit5"),
+          (coalesce(col("rr"), lit(0.0)) / n).as("mrr"),
+          skipRate.as("skip_rate"))
+    val skip = probe.agg((sum(when(col("skip_rewrite"), 1.0).otherwise(0.0)) / n).as("sr"))
+      .head().getDouble(0)
+    metrics("no_rewrite", base, lit(0.0))
+      .unionByName(metrics("always_rewrite", merged, lit(0.0)))
+      .unionByName(metrics("smart_trigger", smart, lit(skip)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Retrieval-metric harness over the 5 search modes (rows-only:
     // depends on the hash embedder; mode-ordering asserted in spec).
-    "eval_retrieval_metrics" -> ((s, d) => evaluate(s, d))
+    "eval_retrieval_metrics" -> ((s, d) => evaluate(s, d)),
+    // Rewrite A/B + smart-trigger (rows-only: embedder-dependent).
+    "eval_rewrite_ab" -> ((s, d) => evaluateRewriteAb(s, d))
   )
 }

@@ -12,8 +12,9 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = SparkSessionHelper.spark
 
   private val intendedCross = Set(
-    "ann_bruteforce_batch",  // broadcast 5-query set × corpus scan
-    "eval_retrieval_metrics" // broadcast 30-query golden set × corpus scan
+    "ann_bruteforce_batch",   // broadcast 5-query set × corpus scan
+    "eval_retrieval_metrics", // broadcast 30-query golden set × corpus scan
+    "eval_rewrite_ab"         // broadcast 90-variant query set × corpus scan
   )
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in any query plan") {

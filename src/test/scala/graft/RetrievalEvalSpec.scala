@@ -23,4 +23,23 @@ class RetrievalEvalSpec extends AnyFunSuite {
       assert(mrr <= 1.0 && ndcg5 <= ndcg10 && ndcg10 <= 1.0)
     }
   }
+
+  test("rewrite A/B arms report sane metrics and a meaningful skip rate") {
+    // columns: arm, hit5, mrr, skip_rate
+    val r = RetrievalEval.evaluateRewriteAb(spark, "/root/testdata/sf0.001", nQueries = 20)
+      .collect().map(row => row.getString(0) ->
+        (row.getDouble(1), row.getDouble(2), row.getDouble(3))).toMap
+    assert(r.keySet == Set("no_rewrite", "always_rewrite", "smart_trigger"))
+    r.values.foreach { case (h5, mrr, sr) =>
+      assert(h5 >= 0.0 && h5 <= 1.0 && mrr >= 0.0 && mrr <= 1.0 && sr >= 0.0 && sr <= 1.0)
+    }
+    // a verbatim snippet should mostly find its doc without rewriting
+    assert(r("no_rewrite")._1 >= 0.5, s"no_rewrite hit@5 = ${r("no_rewrite")._1}")
+    // the smart trigger either skipped or ran the rewrite per query —
+    // its hit rate cannot be worse than BOTH fixed arms by construction
+    val (h5n, _, _) = r("no_rewrite"); val (h5a, _, _) = r("always_rewrite")
+    val (h5s, _, sr) = r("smart_trigger")
+    assert(h5s >= math.min(h5n, h5a) - 1e-9)
+    spark.catalog.clearCache()
+  }
 }
