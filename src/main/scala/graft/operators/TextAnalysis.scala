@@ -155,6 +155,41 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // T3 — smartCompressList (the real UDF) under an exact oracle: the
+    // sequential admit loop (fixed per-item budget, accumulate while
+    // under maxLen−8, count drops, "...+N項" suffix) is replayed as a
+    // recursive CTE carrying (used, n_out, dropped, acc) state.
+    "t3_compress_list" -> ((s, d) => {
+      val cUdf = udf((items: Seq[String]) =>
+        graft.functions.TextOps.smartCompressList(items, 60))
+      Tables.documents(s, d)
+        .withColumn("items", slice(tokens(col("text")), 1, 12))
+        .filter(size(col("items")) > 0)
+        .select(col("doc_id"), cUdf(col("items")).as("compressed"))
+        .withColumn("clen", length(col("compressed")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // T4 — buildSummaryText (the real UDF) under an exact oracle:
+    // naive assembly when it fits, otherwise per-component
+    // smartTruncate at the weighted budgets (15/50/15/10/8/2% of
+    // maxLen−20) and a final smartTruncate — every truncation mirrored
+    // by the same SQL template the t2 oracle uses.
+    "t4_summary_assembly" -> ((s, d) => {
+      val bUdf = udf((fn: String, sm: String, kt: Seq[String], sr: Seq[String],
+                      dm: Seq[String], ct: String) =>
+        graft.functions.TextOps.buildSummaryText(fn, sm, kt, sr, dm, ct, 512))
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          bUdf(concat(lit("doc_"), col("doc_id")), col("text"),
+            slice(toks, 1, 5), slice(toks, 6, 4), array(col("lang")),
+            lit("text")).as("st"))
+        .select(col("doc_id"), length(col("st")).cast("long").as("st_len"),
+          md5(col("st")).as("st_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Inverted-index build: per term, document frequency, collection
     // frequency, and an order-canonical postings digest (the posting
     // list itself md5'd after a numeric sort — arrays hash-compare
@@ -261,7 +296,100 @@ object TextAnalysis {
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  // smartCompressList state machine fragments (t3_compress_list; s =
+  // step state row, t = items row). NOTE: `full` is a reserved word in
+  // DuckDB (FULL JOIN) — the joined-items column is aliased full_s.
+  /** smartTruncate as a SQL template over expression `v` at `m` chars
+    * (shared by the t2 and t4 oracles). Thresholds computed with the
+    * UDF's exact `(m * 0.7).toInt` / `(m * 0.8).toInt` arithmetic,
+    * +1 for the 1-based SQL positions. */
+  private def truncSql(v: String, m: Int): String = {
+    val cut = s"substr($v, 1, $m)"
+    def lastPos(c: String) =
+      s"CASE WHEN strpos(reverse($cut), '$c') > 0 " +
+        s"THEN length($cut) - strpos(reverse($cut), '$c') + 1 ELSE 0 END"
+    val le = s"greatest(${lastPos(".")}, ${lastPos("!")}, ${lastPos("?")})"
+    val ls = lastPos(" ")
+    val th1 = (m * 0.7).toInt + 1
+    val th2 = (m * 0.8).toInt + 1
+    s"CASE WHEN length($v) <= $m THEN $v " +
+      s"WHEN $le >= $th1 THEN substr($cut, 1, $le) " +
+      s"WHEN $ls >= $th2 THEN substr($cut, 1, $ls - 1) || '...' " +
+      s"ELSE $cut || '...' END"
+  }
+
+  private val t4Oracle: String = {
+    val budgets = Seq(73, 246, 73, 49, 39, 9) // ((512-20) * w).toInt per weight
+    val labels = Seq("file", "summary", "terms", "keywords", "domains", "type")
+    val pieceParts = budgets.zip(labels).zipWithIndex.map { case ((b, l), i) =>
+      s"CASE WHEN v${i + 1} = '' THEN '' ELSE '$l: ' || (${truncSql(s"v${i + 1}", b)}) END"
+    }.mkString(", ")
+    val naiveParts = labels.zipWithIndex.map { case (l, i) =>
+      s"CASE WHEN v${i + 1} = '' THEN '' ELSE '$l: ' || v${i + 1} END"
+    }.mkString(", ")
+    s"""WITH comp AS (
+       |  SELECT doc_id,
+       |    'doc_' || doc_id AS v1, text AS v2,
+       |    array_to_string(($toksSql)[1:5], ', ') AS v3,
+       |    array_to_string(($toksSql)[6:9], ', ') AS v4,
+       |    lang AS v5, 'text' AS v6
+       |  FROM documents),
+       |assembled AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_filter([$naiveParts], x -> x <> ''), ' | ') AS naive_s,
+       |    array_to_string(list_filter([$pieceParts], x -> x <> ''), ' | ') AS joined
+       |  FROM comp),
+       |o AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(naive_s) <= 512 THEN naive_s
+       |         ELSE ${truncSql("joined", 512)} END AS st
+       |  FROM assembled)
+       |SELECT doc_id, length(st)::BIGINT AS st_len, md5(st) AS st_md5
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
+  private val t3Piece =
+    "CASE WHEN length(t.its[s.i + 1]) <= t.per THEN t.its[s.i + 1] " +
+      "ELSE substr(t.its[s.i + 1], 1, t.per::INT) END"
+  private val t3Add =
+    s"length($t3Piece) + CASE WHEN s.n_out > 0 THEN 2 ELSE 0 END"
+  private val t3Admit = s"s.used + $t3Add <= 52" // maxLen 60 − 8 reserve
+
   val oracles: Map[String, String] = Map(
+    "t4_summary_assembly" -> t4Oracle,
+    "t3_compress_list" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, ($toksSql)[1:12] AS its FROM documents),
+         |items AS (
+         |  SELECT doc_id, its, len(its) AS n,
+         |    array_to_string(its, ', ') AS full_s,
+         |    greatest(1, (60 - 2 * (len(its) - 1)) // len(its)) AS per
+         |  FROM base WHERE len(its) > 0),
+         |step AS (
+         |  SELECT doc_id, 0 AS i, 0 AS used, 0 AS n_out, 0 AS dropped, '' AS acc
+         |  FROM items WHERE length(full_s) > 60
+         |  UNION ALL
+         |  SELECT s.doc_id, s.i + 1,
+         |    CASE WHEN $t3Admit THEN s.used + $t3Add ELSE s.used END,
+         |    CASE WHEN $t3Admit THEN s.n_out + 1 ELSE s.n_out END,
+         |    CASE WHEN $t3Admit THEN s.dropped ELSE s.dropped + 1 END,
+         |    CASE WHEN $t3Admit THEN
+         |      CASE WHEN s.n_out > 0 THEN s.acc || ', ' || $t3Piece ELSE $t3Piece END
+         |    ELSE s.acc END
+         |  FROM step s JOIN items t USING (doc_id)
+         |  WHERE s.i < t.n),
+         |finals AS (
+         |  SELECT doc_id, acc, dropped,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rn
+         |  FROM step),
+         |compressed AS (
+         |  SELECT i.doc_id,
+         |    CASE WHEN length(i.full_s) <= 60 THEN i.full_s
+         |         WHEN f.dropped > 0 THEN f.acc || '...+' || f.dropped || '項'
+         |         ELSE f.acc END AS compressed
+         |  FROM items i LEFT JOIN (SELECT * FROM finals WHERE rn = 1) f USING (doc_id))
+         |SELECT doc_id, compressed, length(compressed)::BIGINT AS clen
+         |FROM compressed ORDER BY doc_id""".stripMargin,
     "ts_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |hits AS (SELECT doc_id, term FROM toks WHERE term IN ('join','vector','dup')),
