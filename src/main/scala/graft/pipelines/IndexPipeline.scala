@@ -146,6 +146,36 @@ object IndexPipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    // X1 — the flagship index pipeline, previously rows-only: per-doc
+    // chunk counts replayed by the chunker state-machine CTE over the
+    // RAW text, n_vectors = chunks + the always-present summary row,
+    // emb_dim pinned to the build parameter (HashEmbedder(64)).
+    "x1_index_pipeline" ->
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, text AS t, length(text)::BIGINT AS len
+         |  FROM documents WHERE length(text) > 0),
+         |walk AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS start0 FROM src
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN $t1End >= s.len THEN s.len
+         |         ELSE greatest(w.start0 + 1, ($t1End) - 50) END
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunks AS (
+         |  SELECT w.doc_id,
+         |    trim(substr(s.t, w.start0 + 1, ($t1End) - w.start0)) AS chunk
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |cnt AS (
+         |  SELECT doc_id, count(*) AS n_chunks FROM chunks
+         |  WHERE chunk <> '' GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.n_chunks, 0) + 1 AS BIGINT) AS n_vectors,
+         |  CAST(coalesce(c.n_chunks, 0) AS BIGINT) AS n_chunks,
+         |  64 AS emb_dim
+         |FROM documents d LEFT JOIN cnt c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "t1_chunk_sentence" ->
       s"""WITH RECURSIVE src AS (
          |  SELECT doc_id, translate(text, 'e', '.') AS t,
