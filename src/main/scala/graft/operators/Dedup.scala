@@ -273,6 +273,30 @@ object Dedup {
         .limit(50)
     }),
 
+    // Decontamination — the training-data pass that strips benchmark
+    // leakage: flag every corpus document sharing at least one 5-gram
+    // with any benchmark item. The benchmark here is built the way
+    // contamination actually happens — eval items quote passages
+    // (tokens 5-25) of source documents. Equi-join on the shingle, so
+    // the cost is |shingles|, never corpus × benchmark.
+    "dd_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val sh5 = shinglesUdf(5)
+      val ev = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("etoks", slice(toks, 5, 21))
+        .filter(size(toks) >= 25)
+        .select(col("doc_id").as("eval_id"),
+          explode(sh5(array_join(col("etoks"), " "))).as("sh"))
+      val corpus = docs.filter(size(toks) >= 5)
+        .select(col("doc_id"), explode(sh5(col("text"))).as("sh"))
+      corpus.join(ev, "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+          count(lit(1)).as("n_shingle_hits"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental dedup: a NEW batch (doc_id % 5 == 0 here) checked
     // against the EXISTING corpus by LSH band match — the daily-ingest
     // shape of a training-data pipeline, where the corpus signature
@@ -433,6 +457,24 @@ object Dedup {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5
          |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin,
+    "dd_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id AS eval_id, ($toksSql)[5:25] AS etoks
+         |  FROM documents WHERE doc_id % 97 = 0 AND len($toksSql) >= 25),
+         |evsh AS (
+         |  SELECT eval_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(etoks) - 4),
+         |    i -> array_to_string(etoks[i:i+4], ' ')))) AS sh FROM ev),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len($toksSql) - 4),
+         |    i -> array_to_string(($toksSql)[i:i+4], ' ')))) AS sh
+         |  FROM documents WHERE len($toksSql) >= 5)
+         |SELECT c.doc_id,
+         |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_hits,
+         |  count(*) AS n_shingle_hits
+         |FROM csh c JOIN evsh e USING (sh)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "dd_incremental" ->
       s"""WITH ds AS (
          |  SELECT doc_id, unnest($shSql) AS sh FROM documents),

@@ -56,6 +56,26 @@ object Skew {
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("event_type")),
 
+    // Skew DIAGNOSIS — the profiling pass that decides whether salting
+    // / AQE skew handling is needed at all: per-key-count distribution
+    // summarized as key count, min/max rows per key, exact average,
+    // and the max/avg skew factor. One partial-agg shuffle over the
+    // key, one tiny global agg. All inputs exact integers; avg and
+    // skew are single fixed division sequences.
+    "skew_diagnose" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          min(col("n")).as("min_n"),
+          max(col("n")).as("max_n"),
+          sum(col("n")).as("total"))
+        .select(col("n_keys"), col("min_n"), col("max_n"),
+          (col("total").cast("double") / col("n_keys").cast("double")).as("avg_n"),
+          (col("max_n").cast("double") /
+            (col("total").cast("double") / col("n_keys").cast("double"))).as("skew_factor"))
+    }),
+
     // Salted join: events (event_type is a 5-hot-key column) joined to
     // a per-type dimension through an 8-way salt; aggregating the
     // joined rows must reproduce the unsalted join exactly (the
@@ -77,6 +97,15 @@ object Skew {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "skew_diagnose" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  min(n) AS min_n, max(n) AS max_n,
+        |  CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_n,
+        |  CAST(max(n) AS DOUBLE)
+        |    / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS skew_factor
+        |FROM counts""".stripMargin,
     "skew_salted_join" ->
       """WITH dim AS (
         |  SELECT event_type, min(epoch_us(ts)) AS first_ts
