@@ -62,7 +62,12 @@ object Dedup {
         // Memo is bounded: entries are pure recomputable hashes, so when
         // the partition's distinct-shingle vocabulary exceeds the cap we
         // just drop the table and rebuild — correctness unaffected,
-        // executor memory bounded (~64k × ~150 B ≈ 10 MB worst case).
+        // executor memory bounded. Real per-entry footprint: ~20-40 B
+        // key string + 8 MD5 digests (8 × (16 B payload + ~16 B array
+        // header)) ≈ 300-400 B, so the 64k cap is ~20-25 MB PER TASK —
+        // with 32 concurrent tasks that is up to ~800 MB of transient
+        // memo across an executor; lower MemoCap before raising task
+        // concurrency on memory-tight clusters.
         val MemoCap = 1 << 16
         val memo = scala.collection.mutable.HashMap.empty[String, Array[Array[Byte]]]
         val HEX = "0123456789abcdef".toCharArray
@@ -201,6 +206,15 @@ object Dedup {
       it += 1
     }
     sym.unpersist(false)
+    // A component whose diameter exceeds maxIter rounds would exit this
+    // loop un-converged and SILENTLY split into multiple labels — fail
+    // loudly instead (long LSH chains are exactly where this bites).
+    // Callers with genuinely deep graphs should raise maxIter (min-label
+    // propagation converges in O(diameter) rounds) or switch to a
+    // large-star/small-star variant for O(log n).
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — component diameter exceeds maxIter")
     labels
   }
 

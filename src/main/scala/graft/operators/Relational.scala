@@ -327,9 +327,15 @@ object Relational {
     "a10_median_exact" -> ((s, d) => {
       val byVal = Window.partitionBy("event_type")
         .orderBy(col("value").asc, col("event_id").asc)
-      Tables.events(s, d)
+      // Group counts come from a groupBy + broadcast join (5 tiny
+      // rows), NOT an unbounded-frame count window — the window form
+      // forced a second full pass over the sorted partition (round-3
+      // slowest-query list).
+      val ev = Tables.events(s, d)
+      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      ev
         .withColumn("rn", row_number().over(byVal))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .join(broadcast(counts), Seq("event_type"))
         .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("cnt div 2 + 1"))
         .groupBy("event_type")
         .agg(((min(col("value")) + max(col("value"))) / 2.0).as("median"),

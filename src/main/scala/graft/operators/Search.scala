@@ -53,6 +53,29 @@ object Search {
         Window.partitionBy(docCol).orderBy(col("sim").desc, col(idCol).asc)))
       .filter(col("_rn") === 1).drop("_rn")
 
+  /** V7+D4 — rerank/dedup stage-2 results, then backfill from stage-1:
+    * keep the best chunk per document in score order; when fewer than k
+    * documents survive, append stage-1 documents not yet seen, again in
+    * score order (`enhanced_search_service.py:508-548`). `src` marks the
+    * leg (0 = stage-2 dedup, 1 = stage-1 backfill) and drives the
+    * append-after ordering — the reference's sequential loop is exactly
+    * a union ordered by (leg, score) cut at k. The seen-set at the start
+    * of the reference's backfill loop is every distinct stage-2 document
+    * (the dedup loop only breaks early when k is already reached, in
+    * which case the limit discards backfill rows anyway). Both inputs
+    * are already top-k-bounded, so the anti join broadcasts.
+    */
+  def rerankDedupBackfill(stage2: DataFrame, stage1: DataFrame, k: Int): DataFrame = {
+    val dedup = keepBestPerDoc(stage2).withColumn("src", lit(0))
+    val seen = stage2.select("label").distinct()
+    val backfill = keepBestPerDoc(stage1)
+      .join(broadcast(seen), Seq("label"), "left_anti")
+      .withColumn("src", lit(1))
+    dedup.unionByName(backfill)
+      .orderBy(col("src").asc, col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Rank a (small, already top-k-limited) branch by score. */
   private def ranked(df: DataFrame, idCol: String = "vec_id"): DataFrame =
     df.withColumn("rank", row_number().over(
@@ -130,17 +153,20 @@ object Search {
                    k: Int, threshold: Double): DataFrame = {
     // Execution (the emptiness probe) must run INSIDE the try: a plan that
     // builds fine but fails at execution time is exactly the degradation
-    // case V12 covers. The primary is persisted BEFORE the probe so the
-    // probe and the returned DataFrame share one materialization — a
-    // flaky/nondeterministic plan cannot pass the probe and then return
-    // different rows, and an expensive search is not executed twice.
-    // (The persisted handle follows the SparkEntry.queries clearCache
-    // contract; the fallback path unpersists eagerly.)
+    // case V12 covers. The primary is persisted BEFORE the probe and the
+    // probe is a FULL count (not limit(1)) — limit(1) would only
+    // materialize the partitions scanned to find one row, so a
+    // nondeterministic plan could pass the probe yet return different
+    // rows from the unscanned partitions. A full count materializes
+    // every cached partition once; primaries are top-k-bounded searches,
+    // so the extra cost over limit(1) is negligible. (The persisted
+    // handle follows the SparkEntry.queries clearCache contract; the
+    // fallback path unpersists eagerly.)
     val attempt: Option[DataFrame] =
       try {
         val df = primary.persist()
         try {
-          if (df.limit(1).count() == 0L) { df.unpersist(false); None }
+          if (df.count() == 0L) { df.unpersist(false); None }
           else Some(df)
         } catch { case e: Throwable => df.unpersist(false); throw e }
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -194,9 +220,19 @@ object Search {
       queryVec, k, 0.0, idCol = "id")
   }
 
+  /** Fetch several query vectors in ONE action (one isin scan +
+    * collect), never one .head() job per id — the driver-round-trip
+    * anti-pattern flagged in round 3 (x2_standard_qa 0.62 s → 7.2 s
+    * under contention was three sequential point-lookup jobs). */
+  private[graft] def qvecs(s: SparkSession, d: String, ids: Seq[Long]): Seq[Seq[Double]] = {
+    val m = Tables.embeddings(s, d).filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    ids.map(m)
+  }
+
   private def qvec(s: SparkSession, d: String, id: Long): Seq[Double] =
-    Tables.embeddings(s, d).filter(col("vec_id") === id)
-      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    qvecs(s, d, Seq(id)).head
 
   private def summaries(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
@@ -257,11 +293,27 @@ object Search {
         .select("label", "vec_id", "sim")
         .orderBy("label")),
 
+    // V7b/D4 — the full rerank-dedup-backfill path: a stage-2 chunk
+    // search deliberately bounded below k (top-8) so the stage-1
+    // summary ranking must backfill the unseen documents
+    // (enhanced_search_service.py:526-544).
+    "v7b_backfill" -> ((s, d) => {
+      val q = qvec(s, d, 0)
+      val s1 = knn(summaries(s, d), q, 15, 0.0)
+      val cand = s1.select("label").distinct()
+      val s2 = knn(chunks(s, d).join(broadcast(cand), Seq("label"), "left_semi"),
+        q, 8, 0.0)
+      rerankDedupBackfill(s2, s1, 10)
+        .select("label", "vec_id", "sim", "src")
+        .orderBy(col("src").asc, col("sim").desc, col("vec_id").asc)
+    }),
+
     // V8 — multi-query weighted merge (weights 1.3/1.1/1.0,
-    // search_weight_config.py:15-19).
+    // search_weight_config.py:15-19); the three query vectors arrive
+    // via ONE collect (qvecs), not three point-lookup jobs.
     "v8_multiquery_merge" -> ((s, d) =>
       multiQueryMerge(Tables.embeddings(s, d),
-        Seq(qvec(s, d, 0), qvec(s, d, 1), qvec(s, d, 2)),
+        qvecs(s, d, Seq(0L, 1L, 2L)),
         Seq(1.3, 1.1, 1.0), 10, 5)
         .select("label", "vec_id", "wsim")),
 
@@ -467,6 +519,37 @@ object Search {
          |               list_inner_product(embedding::DOUBLE[], $q0) AS sim
          |        FROM embeddings))
          |WHERE rn = 1 ORDER BY label""".stripMargin,
+    // Backfill oracle mirrors the leg construction: stage-2 dedup rows
+    // (src 0) first, then stage-1 docs absent from stage 2 (src 1),
+    // ordered (src, sim DESC) and cut at k. Both branches carry the
+    // knn threshold filter so parity holds for any data.
+    "v7b_backfill" ->
+      s"""WITH s1 AS (
+         |  SELECT label, vec_id, sim FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |    FROM embeddings
+         |    WHERE vec_id % 2 = 0 AND list_inner_product(embedding::DOUBLE[], $q0) >= 0.0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 15)),
+         |s2 AS (
+         |  SELECT label, vec_id, sim FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |    FROM embeddings
+         |    WHERE vec_id % 2 = 1 AND list_inner_product(embedding::DOUBLE[], $q0) >= 0.0
+         |      AND label IN (SELECT DISTINCT label FROM s1)
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 8)),
+         |dedup AS (
+         |  SELECT label, vec_id, sim, 0 AS src FROM (
+         |    SELECT label, vec_id, sim,
+         |           row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM s2) WHERE rn = 1),
+         |backfill AS (
+         |  SELECT label, vec_id, sim, 1 AS src FROM (
+         |    SELECT label, vec_id, sim,
+         |           row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM s1 WHERE label NOT IN (SELECT label FROM s2)) WHERE rn = 1)
+         |SELECT label, vec_id, sim, src FROM (
+         |  SELECT * FROM dedup UNION ALL SELECT * FROM backfill)
+         |ORDER BY src ASC, sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "v8_multiquery_merge" ->
       s"""WITH b AS (
          |  SELECT label, vec_id, sim * 1.3::DOUBLE AS wsim FROM (
@@ -579,7 +662,9 @@ object Search {
          |vec AS (SELECT vec_id AS doc_id,
          |          row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS vec_rank
          |        FROM (SELECT vec_id, list_inner_product(embedding::DOUBLE[], $q0) AS sim
-         |              FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 20))
+         |              FROM embeddings
+         |              WHERE list_inner_product(embedding::DOUBLE[], $q0) >= 0.0
+         |              ORDER BY sim DESC, vec_id ASC LIMIT 20))
          |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
          |  coalesce(0.5::DOUBLE / (60 + kw_rank), 0.0::DOUBLE) +
          |  coalesce(0.5::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf_score

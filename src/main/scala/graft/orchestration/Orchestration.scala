@@ -97,9 +97,10 @@ object Orchestration {
     * context assembly with confidence (LLM answer step stubbed). */
   def standardQa(s: SparkSession, d: String, queryVecIds: Seq[Long], k: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val qvecs = queryVecIds.map(id =>
-      e.filter(col("vec_id") === id).select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toSeq)
+    // All query vectors in ONE action (Search.qvecs) — the three
+    // sequential .head() jobs here were round 3's x2_standard_qa
+    // 11.6× bench regression.
+    val qvecs = Search.qvecs(s, d, queryVecIds)
     val weights = Seq(1.3, 1.1, 1.0).take(qvecs.size)
     val results = Search.multiQueryMerge(e, qvecs, weights, 2 * k, k)
     results.join(Tables.documents(s, d), results("vec_id") === col("doc_id"))

@@ -93,6 +93,23 @@ class SearchSpec extends AnyFunSuite {
     assert(math.abs(r(1) - 1.1) < 1e-15)
   }
 
+  test("rerankDedupBackfill: dedups stage-2, backfills unseen stage-1 docs in score order") {
+    import org.apache.spark.sql.Row
+    // stage2: two chunks of doc0 (keep max), one chunk of doc1 → 2 docs
+    val stage2 = Seq((1L, 0, 0.9), (11L, 0, 0.7), (3L, 1, 0.5)).toDF("vec_id", "label", "sim")
+    // stage1: docs 0,1 already seen; docs 2 (0.8) and 3 (0.6) backfill in score order
+    val stage1 = Seq((0L, 0, 0.95), (2L, 1, 0.85), (4L, 2, 0.8), (6L, 3, 0.6))
+      .toDF("vec_id", "label", "sim")
+    val r = Search.rerankDedupBackfill(stage2, stage1, 4)
+      .select("label", "vec_id", "sim", "src").collect().toSeq
+    assert(r == Seq(Row(0, 1L, 0.9, 0), Row(1, 3L, 0.5, 0),
+      Row(2, 4L, 0.8, 1), Row(3, 6L, 0.6, 1)))
+    // k small enough that dedup alone fills the page → no backfill rows
+    val r2 = Search.rerankDedupBackfill(stage2, stage1, 2)
+      .select("label", "src").collect().toSeq
+    assert(r2 == Seq(Row(0, 0), Row(1, 0)))
+  }
+
   test("diversityRerank: floor admits, overlap rejects") {
     val results = Array(
       (1L, 0.9, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
