@@ -1,0 +1,375 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.{Deflater, Inflater, ZipEntry, ZipInputStream, ZipOutputStream}
+import scala.collection.mutable.ArrayBuffer
+
+/** Dependency-free PDF and DOCX codecs (SURVEY §2.1 S2/S3).
+  *
+  * The reference extracts PDF text page-wise joined by "\n\n"
+  * (`document_processing_service.py:40-58`, PyMuPDF `page.get_text`)
+  * and DOCX text paragraph-wise joined by "\n" (`:60-76`,
+  * python-docx `para.text`), stripping the final result; extraction
+  * failure maps to a PROCESSING_ERROR status (`:146-193`). No
+  * PDF/DOCX library ships in this container, so both formats are
+  * parsed directly — the JDK has everything required: `Inflater` for
+  * /FlateDecode content streams, `ZipInputStream` + StAX for the
+  * OOXML container.
+  *
+  * Readers handle the general structures: nested page trees, direct
+  * object refs, multi-stream /Contents arrays, Tj/TJ/'/" show
+  * operators, escaped literal + hex strings, and w:t/w:tab/w:br/w:cr
+  * runs. Out of scope (raise → PROCESSING_ERROR downstream):
+  * encrypted PDFs, cross-reference streams with object streams,
+  * non-Latin font encodings with /ToUnicode CMaps.
+  *
+  * Writers emit minimal standard-conforming files and exist so the
+  * extraction path can be proven by deterministic round-trip oracles
+  * (`s2_pdf_roundtrip` / `s3_docx_roundtrip`) and by specs over real
+  * fixture files; they double as S10-style export sinks. All output
+  * is byte-deterministic (fixed zip timestamps, fixed deflate level)
+  * so the round-trip queries hash identically across runs.
+  */
+object DocFormats {
+
+  // ------------------------------------------------------------------
+  // shared flate helpers
+  // ------------------------------------------------------------------
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(data.length * 4 + 64)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new java.util.zip.DataFormatException("truncated flate stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // PDF writer
+  // ------------------------------------------------------------------
+
+  private def escPdf(t: String): String = t.flatMap {
+    case '('  => "\\("
+    case ')'  => "\\)"
+    case '\\' => "\\\\"
+    case c    => c.toString
+  }
+
+  /** Minimal one-text-line-per-page PDF: catalog → pages → page/content
+    * pairs, Helvetica, Flate-compressed streams, correct xref. */
+  def writePdf(pages: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = ArrayBuffer.empty[Int] // offset of object i+1
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += out.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val kids = pages.indices.map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w(s"<< /Type /Pages /Kids [$kids] /Count ${pages.size} >>\n"))
+    obj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 4 + 2 * i
+      val contNum = pageNum + 1
+      obj(pageNum)(w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contNum 0 R >>\n"))
+      val stream = deflate(
+        s"BT /F1 12 Tf 72 720 Td (${escPdf(text)}) Tj ET".getBytes(ISO_8859_1))
+      obj(contNum) {
+        w(s"<< /Length ${stream.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(stream)
+        w("\nendstream\n")
+      }
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // PDF reader
+  // ------------------------------------------------------------------
+
+  private val ObjHeader = """(?s)(\d+)\s+\d+\s+obj\b""".r
+  private val Ref = """(\d+)\s+0\s+R""".r
+
+  /** S2 — extract text from a PDF: pages in page-tree order, each
+    * page's shown text lines joined "\n", pages joined "\n\n", result
+    * stripped (the reference's PyMuPDF contract). */
+  def extractPdf(bytes: Array[Byte]): String = {
+    // Latin-1 decode is 1:1 byte↔char, so string offsets == byte offsets.
+    val s = new String(bytes, ISO_8859_1)
+    require(s.startsWith("%PDF"), "not a PDF (missing %PDF header)")
+    // Object bodies: header → next header (binary streams may contain
+    // 'endobj' bytes, object headers are a far rarer collision).
+    val heads = ObjHeader.findAllMatchIn(s).map(m => (m.group(1).toInt, m.end, m.start)).toVector
+    val objBody: Map[Int, String] = heads.zipWithIndex.map { case ((num, bodyStart, _), i) =>
+      val end = if (i + 1 < heads.size) heads(i + 1)._3 else s.length
+      num -> s.substring(bodyStart, end)
+    }.toMap
+    def dictOf(body: String): String = {
+      val st = body.indexOf("<<")
+      if (st < 0) return ""
+      var depth = 0; var i = st
+      while (i < body.length - 1) {
+        if (body.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (body.startsWith(">>", i)) {
+          depth -= 1; i += 2; if (depth == 0) return body.substring(st, i)
+        } else i += 1
+      }
+      body.substring(st)
+    }
+    val root = objBody.collectFirst {
+      case (_, b) if dictOf(b).contains("/Catalog") =>
+        Ref.findFirstMatchIn(dictOf(b).substring(dictOf(b).indexOf("/Pages"))) match {
+          case Some(m) => m.group(1).toInt
+          case None => throw new IllegalArgumentException("catalog without /Pages ref")
+        }
+    }.orElse(objBody.collectFirst {
+      case (n, b) if """/Type\s*/Pages""".r.findFirstIn(dictOf(b)).isDefined => n
+    }).getOrElse(throw new IllegalArgumentException("no /Catalog or /Pages object"))
+
+    val PageType = """/Type\s*/Page(?!s)""".r
+    def pagesOf(num: Int): Vector[Int] = {
+      val d = dictOf(objBody.getOrElse(num,
+        throw new IllegalArgumentException(s"dangling page ref $num")))
+      if (PageType.findFirstIn(d).isDefined) Vector(num)
+      else {
+        val kidsAt = d.indexOf("/Kids")
+        if (kidsAt < 0) Vector.empty
+        else {
+          val arrEnd = d.indexOf(']', kidsAt)
+          Ref.findAllMatchIn(d.substring(kidsAt, if (arrEnd < 0) d.length else arrEnd))
+            .map(_.group(1).toInt).toVector.flatMap(pagesOf)
+        }
+      }
+    }
+
+    def streamData(num: Int): Array[Byte] = {
+      val body = objBody.getOrElse(num,
+        throw new IllegalArgumentException(s"dangling contents ref $num"))
+      val d = dictOf(body)
+      val sAt = body.indexOf("stream", d.length max 0)
+      if (sAt < 0) return Array.emptyByteArray
+      var dataStart = sAt + "stream".length
+      if (body.startsWith("\r\n", dataStart)) dataStart += 2
+      else if (body.startsWith("\n", dataStart)) dataStart += 1
+      val len = """/Length\s+(\d+)""".r.findFirstMatchIn(d).map(_.group(1).toInt)
+      val dataEnd = len match {
+        case Some(l) if dataStart + l <= body.length => dataStart + l
+        case _ =>
+          val e = body.lastIndexOf("endstream")
+          if (e < 0) body.length else e
+      }
+      val raw = body.substring(dataStart, dataEnd).getBytes(ISO_8859_1)
+      if (d.contains("/FlateDecode")) inflate(raw) else raw
+    }
+
+    def contentsOf(num: Int): Array[Byte] = {
+      val d = dictOf(objBody(num))
+      val cAt = d.indexOf("/Contents")
+      if (cAt < 0) return Array.emptyByteArray
+      val tail = d.substring(cAt)
+      // Array form takes every ref inside the brackets; scalar form
+      // takes ONLY the first ref (later refs in the dict belong to
+      // other keys, e.g. /Resources fonts).
+      val refs =
+        if (tail.drop("/Contents".length).trim.startsWith("["))
+          Ref.findAllMatchIn(tail.substring(0, tail.indexOf(']') + 1))
+            .map(_.group(1).toInt).toVector
+        else Ref.findFirstMatchIn(tail).map(_.group(1).toInt).toVector
+      refs.map(streamData).foldLeft(Array.emptyByteArray)(_ ++ _)
+    }
+
+    val pageTexts = pagesOf(root).map(p => contentStreamText(new String(contentsOf(p), ISO_8859_1)))
+    pageTexts.mkString("\n\n").trim
+  }
+
+  /** Shown text of one content stream: Tj/TJ/quote operators
+    * accumulate strings on the current line; Td, TD, T-star and the
+    * quote operators' implicit line moves start a new line. */
+  private[sources] def contentStreamText(c: String): String = {
+    val lines = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    val pending = ArrayBuffer.empty[String]
+    def newline(): Unit = if (cur.nonEmpty) { lines += cur.toString; cur.setLength(0) }
+    var i = 0
+    def parseLiteral(): String = { // at '(' on entry
+      val sb = new StringBuilder; var depth = 1; i += 1
+      while (i < c.length && depth > 0) {
+        c.charAt(i) match {
+          case '\\' if i + 1 < c.length =>
+            c.charAt(i + 1) match {
+              case 'n' => sb += '\n'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'b' => sb += '\b'; i += 2
+              case 'f' => sb += '\f'; i += 2
+              case '\n' => i += 2 // line continuation
+              case '\r' => i += (if (i + 2 < c.length && c.charAt(i + 2) == '\n') 3 else 2)
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var n = 0; i += 1
+                while (n < 3 && i < c.length && c.charAt(i) >= '0' && c.charAt(i) <= '7') {
+                  v = v * 8 + (c.charAt(i) - '0'); i += 1; n += 1
+                }
+                sb += v.toChar
+              case other => sb += other; i += 2
+            }
+          case '(' => depth += 1; sb += '('; i += 1
+          case ')' => depth -= 1; if (depth > 0) sb += ')'; i += 1
+          case ch => sb += ch; i += 1
+        }
+      }
+      sb.toString
+    }
+    def parseHex(): String = { // at '<' on entry (not '<<')
+      val sb = new StringBuilder; i += 1
+      val hx = new StringBuilder
+      while (i < c.length && c.charAt(i) != '>') {
+        val ch = c.charAt(i)
+        if (Character.digit(ch, 16) >= 0) hx += ch
+        i += 1
+      }
+      i += 1
+      if (hx.length % 2 == 1) hx += '0'
+      hx.toString.grouped(2).foreach(h => sb += Integer.parseInt(h, 16).toChar)
+      sb.toString
+    }
+    while (i < c.length) {
+      val ch = c.charAt(i)
+      if (ch == '(') pending += parseLiteral()
+      else if (ch == '<' && i + 1 < c.length && c.charAt(i + 1) != '<') pending += parseHex()
+      else if (ch == '%') { while (i < c.length && c.charAt(i) != '\n') i += 1 }
+      else if (ch == '\'' || ch == '"') {
+        newline(); if (pending.nonEmpty) cur ++= pending.last
+        pending.clear(); i += 1
+      } else if (Character.isLetter(ch) || ch == '*') {
+        val st = i
+        while (i < c.length && (Character.isLetter(c.charAt(i)) || c.charAt(i) == '*')) i += 1
+        c.substring(st, i) match {
+          case "Tj" => if (pending.nonEmpty) cur ++= pending.last; pending.clear()
+          case "TJ" => cur ++= pending.mkString; pending.clear()
+          case "Td" | "TD" | "T*" => newline(); pending.clear()
+          case "BT" | "ET" => newline(); pending.clear()
+          case _ => pending.clear()
+        }
+      } else i += 1
+    }
+    newline()
+    lines.mkString("\n")
+  }
+
+  // ------------------------------------------------------------------
+  // DOCX writer
+  // ------------------------------------------------------------------
+
+  private def escXml(t: String): String = t.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case c   => c.toString
+  }
+
+  private val WNs = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+  /** Minimal OOXML package: [Content_Types].xml + _rels/.rels +
+    * word/document.xml, fixed entry timestamps for byte determinism. */
+  def writeDocx(paragraphs: Seq[String]): Array[Byte] = {
+    val doc = s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      s"""<w:document xmlns:w="$WNs"><w:body>""" +
+      paragraphs.map(p =>
+        s"""<w:p><w:r><w:t xml:space="preserve">${escXml(p)}</w:t></w:r></w:p>""").mkString +
+      "</w:body></w:document>"
+    val types = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>""" +
+      "</Types>"
+    val rels = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>""" +
+      "</Relationships>"
+    val out = new ByteArrayOutputStream(1024)
+    val z = new ZipOutputStream(out)
+    Seq("[Content_Types].xml" -> types, "_rels/.rels" -> rels,
+        "word/document.xml" -> doc).foreach { case (name, content) =>
+      val e = new ZipEntry(name)
+      e.setTime(0L) // determinism: no wall-clock in the archive
+      z.putNextEntry(e)
+      z.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // DOCX reader
+  // ------------------------------------------------------------------
+
+  /** S3 — extract text from a DOCX: body paragraphs joined "\n", runs
+    * concatenated, w:tab → \t, w:br/w:cr → \n, result stripped (the
+    * reference's python-docx contract). */
+  def extractDocx(bytes: Array[Byte]): String = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var xml: Array[Byte] = null
+    var entry = zin.getNextEntry
+    while (entry != null && xml == null) {
+      if (entry.getName == "word/document.xml") xml = zin.readAllBytes()
+      else entry = zin.getNextEntry
+    }
+    require(xml != null, "no word/document.xml in archive")
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants => C}
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val paras = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inP = false
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case C.START_ELEMENT => r.getLocalName match {
+            case "p"          => inP = true; cur.setLength(0)
+            case "t"          => inT = true
+            case "tab" if inP => cur += '\t'
+            case "br" | "cr" if inP => cur += '\n'
+            case _            =>
+          }
+          case C.CHARACTERS | C.CDATA if inT => cur ++= r.getText
+          case C.END_ELEMENT => r.getLocalName match {
+            case "p" => if (inP) { paras += cur.toString; inP = false }
+            case "t" => inT = false
+            case _   =>
+          }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    paras.mkString("\n").trim
+  }
+}

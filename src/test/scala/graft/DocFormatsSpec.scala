@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.DocFormats
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Unit coverage for the dependency-free PDF/DOCX codecs (S2/S3).
+  * The round-trip queries prove writer∘reader identity at corpus
+  * scale; this spec additionally parses HANDCRAFTED files the writer
+  * never produced (uncompressed streams, hex strings, TJ arrays,
+  * escapes, nested page trees, tabs/breaks) so the readers aren't
+  * merely the writer's inverse. */
+class DocFormatsSpec extends AnyFunSuite {
+
+  test("pdf round-trip: multi-page, parens/backslash escaping, empty page") {
+    val pages = Seq("hello (world) \\ with escapes", "second page", "")
+    val text = DocFormats.extractPdf(DocFormats.writePdf(pages))
+    // trailing empty page is stripped by the final trim
+    assert(text == "hello (world) \\ with escapes\n\nsecond page")
+  }
+
+  test("pdf reader: handcrafted uncompressed PDF with TJ array, hex string, octal escape, nested page tree") {
+    def contentObj(num: Int, body: String): String =
+      s"$num 0 obj\n<< /Length ${body.length} >>\nstream\n$body\nendstream\nendobj\n"
+    val c1 = "BT /F1 12 Tf 72 720 Td [(Hel) (lo) ( )] TJ <576f726c64> Tj 0 -14 Td (line\\1632) Tj ET"
+    val c2 = "BT (page2a) Tj ET BT (page2b) ' ET"
+    val pdf =
+      "%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        // nested tree: root kids = [inner pages node, page 5]
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n" +
+        "4 0 obj\n<< /Type /Page /Parent 3 0 R /Contents 6 0 R >>\nendobj\n" +
+        "5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [7 0 R] >>\nendobj\n" +
+        contentObj(6, c1) + contentObj(7, c2) +
+        "trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    val text = DocFormats.extractPdf(pdf.getBytes(ISO_8859_1))
+    // page 1: "Hello " ++ hex "World", then Td newline, octal \163 = 's' → "lines2"
+    // page 2: two BT blocks → two lines; ' starts a new line then shows
+    assert(text == "Hello World\nlines2\n\npage2a\npage2b")
+  }
+
+  test("pdf reader: corrupt inputs raise (dispatch maps to PROCESSING_ERROR)") {
+    intercept[Exception](DocFormats.extractPdf("not a pdf".getBytes(ISO_8859_1)))
+    intercept[Exception](DocFormats.extractPdf("%PDF-1.4\njunk only".getBytes(ISO_8859_1)))
+  }
+
+  test("docx round-trip: paragraphs, xml-escaped chars, empty paragraph") {
+    val paras = Seq("a < b & c > d", "", "third")
+    val text = DocFormats.extractDocx(DocFormats.writeDocx(paras))
+    assert(text == "a < b & c > d\n\nthird")
+  }
+
+  test("docx reader: handcrafted document.xml with tabs, breaks, multiple runs") {
+    val doc = """<?xml version="1.0"?>""" +
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+      """<w:p><w:r><w:t>run1</w:t></w:r><w:r><w:tab/><w:t>run2</w:t></w:r></w:p>""" +
+      """<w:p><w:r><w:t xml:space="preserve">with </w:t><w:br/><w:t>break</w:t></w:r></w:p>""" +
+      """</w:body></w:document>"""
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    z.closeEntry(); z.close()
+    val text = DocFormats.extractDocx(out.toByteArray)
+    assert(text == "run1\trun2\nwith \nbreak")
+  }
+
+  test("docx reader: archive without document.xml raises") {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("other.xml"))
+    z.write("<x/>".getBytes); z.closeEntry(); z.close()
+    intercept[Exception](DocFormats.extractDocx(out.toByteArray))
+  }
+
+  test("writers are byte-deterministic (round-trip queries hash stably)") {
+    val p = Seq("alpha beta", "gamma")
+    assert(DocFormats.writePdf(p).sameElements(DocFormats.writePdf(p)))
+    assert(DocFormats.writeDocx(p).sameElements(DocFormats.writeDocx(p)))
+  }
+}

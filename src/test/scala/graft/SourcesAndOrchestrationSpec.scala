@@ -10,20 +10,28 @@ class SourcesAndOrchestrationSpec extends AnyFunSuite {
   lazy val spark = SparkSessionHelper.spark
   import spark.implicits._
 
-  test("S1/S2-S6: landing scan + MIME dispatch + extraction") {
+  test("S1/S2-S6: landing scan + MIME dispatch + real extraction + error status") {
     val dir = java.nio.file.Files.createTempDirectory("graft_landing")
     java.nio.file.Files.writeString(dir.resolve("a.txt"), "hello text")
-    java.nio.file.Files.writeString(dir.resolve("b.pdf"), "%PDF-fake")
+    // real fixture files through the real parsers
+    java.nio.file.Files.write(dir.resolve("b.pdf"),
+      graft.sources.DocFormats.writePdf(Seq("page one", "page two")))
+    java.nio.file.Files.write(dir.resolve("e.docx"),
+      graft.sources.DocFormats.writeDocx(Seq("para one", "para two")))
+    // a corrupt pdf must yield PROCESSING_ERROR, not a failed job
+    java.nio.file.Files.writeString(dir.resolve("f.pdf"), "%PDF-truncated garbage")
     java.nio.file.Files.writeString(dir.resolve("c.jpg"), "JFIFfake")
     java.nio.file.Files.writeString(dir.resolve("d.weird"), "???")
 
     val scanned = DocumentSources.readLandingDir(spark, dir.toString)
-    assert(scanned.count() == 4)
+    assert(scanned.count() == 6)
     val extracted = DocumentSources.extractText(scanned)
       .select("filename", "extractor", "extracted_text", "status")
       .collect().map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2)), r.getString(3))).toMap
     assert(extracted("a.txt") == (("text_extractor", Some("hello text"), "TEXT_EXTRACTED")))
-    assert(extracted("b.pdf")._1 == "pdf_extractor")
+    assert(extracted("b.pdf") == (("pdf_extractor", Some("page one\n\npage two"), "TEXT_EXTRACTED")))
+    assert(extracted("e.docx") == (("docx_extractor", Some("para one\npara two"), "TEXT_EXTRACTED")))
+    assert(extracted("f.pdf") == (("pdf_extractor", None, "PROCESSING_ERROR")))
     assert(extracted("c.jpg") == (("image_passthrough", None, "UPLOADED")))
     assert(extracted("d.weird") == (("unsupported", None, "UPLOADED")))
   }
