@@ -110,6 +110,44 @@ object TextOps {
     }
   }
 
+  /** Code-point-aware truncate: the reference counts Python code
+    * points; Scala's substring counts UTF-16 units, which diverges on
+    * supplementary-plane chars (the 💡 marker). */
+  private def truncCp(s: String, max: Int, suffix: String): String = {
+    val n = s.codePointCount(0, s.length)
+    if (n > max) s.substring(0, s.offsetByCodePoints(0, max)) + suffix else s
+  }
+
+  /** T13 — conversation-history formatting for the QA classifier
+    * (`question_classifier_service.py:73-117`): role-paired walk where
+    * user turns keep ≤300 chars (+"..."), assistant clarification turns
+    * (marked by 澄清/🔖/💡) collapse to ≤2 core lines (關於您的問題/💡),
+    * falling back to a 600-char cut, and plain assistant turns keep
+    * ≤800 chars (+"...[後續省略]"); the block is framed by the
+    * 最近對話記錄/當前問題 sentinels, or the no-history sentinel when
+    * empty. */
+  def formatHistory(messages: Seq[(String, String)]): String = {
+    if (messages.isEmpty) return "無對話歷史"
+    val sb = new StringBuilder("=== 最近對話記錄 ===\n")
+    messages.foreach { case (role, content) =>
+      if (role == "user")
+        sb ++= s"用戶: ${truncCp(content, 300, "...")}\n"
+      else {
+        val c =
+          if (content.contains("澄清") || content.contains("🔖") || content.contains("💡")) {
+            val core = content.split("\n", -1).iterator
+              .filter(l => l.contains("關於您的問題") || l.contains("💡"))
+              .take(2).toSeq
+            if (core.nonEmpty) core.mkString("\n")
+            else truncCp(content, 600, "...")
+          } else truncCp(content, 800, "...[後續省略]")
+        sb ++= s"助手: $c\n"
+      }
+    }
+    sb ++= "=== 當前問題 ==="
+    sb.toString
+  }
+
   /** T5 — text-source priority coalesce: first non-empty wins, tagged
     * with its source (`semantic_summary_service.py:29-70`). */
   def textSource(extracted: Option[String], aiExtracted: Option[String],

@@ -212,6 +212,33 @@ object Clustering {
         .orderBy("label", "rnk")
     }),
 
+    // C5 — small-cluster (2-doc) labels as a DISTINCT rule
+    // (`clustering_service.py:637-700`): union the two docs' top-3
+    // keywords; if any, label = first two joined " · "; else the first
+    // doc's title cut to 10 chars; else the constant fallback. Python's
+    // `list(keywords_set)[:2]` iterates a set in arbitrary order — the
+    // deterministic stand-in sorts the union first. 2-doc clusters are
+    // synthesized by pairing consecutive doc_ids; keyword/title absence
+    // is injected by pair id to exercise every branch.
+    "c5_small_labels" -> ((s, d) => {
+      import graft.operators.TextAnalysis.tokens
+      val docs = Tables.documents(s, d)
+        .withColumn("pair_id", expr("doc_id div 2"))
+        .withColumn("kws",
+          when(col("pair_id") % 5 === 0, array().cast("array<string>"))
+            .otherwise(slice(tokens(col("text")), 1, 3)))
+      docs.groupBy("pair_id")
+        .agg(array_sort(array_distinct(flatten(collect_list(col("kws"))))).as("kw_set"),
+          min(col("doc_id")).as("min_id"), count(lit(1)).as("n"))
+        .withColumn("label_text",
+          when(size(col("kw_set")) > 0, concat_ws(" · ", slice(col("kw_set"), 1, 2)))
+            .when(col("pair_id") % 10 =!= 5,
+              substring(concat(lit("doc_"), col("min_id")), 1, 10))
+            .otherwise(lit("其他項目")))
+        .select("pair_id", "n", "label_text")
+        .orderBy("pair_id")
+    }),
+
     // C7 — hierarchical clustering (rows-only; invariants in spec).
     "c7_hierarchical" -> ((s, d) =>
       hierarchicalCluster(
@@ -271,6 +298,22 @@ object Clustering {
         |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
         |  GROUP BY label, tok)
         |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
+    "c5_small_labels" ->
+      """WITH kw AS (
+        |  SELECT doc_id // 2 AS pair_id, doc_id,
+        |    CASE WHEN (doc_id // 2) % 5 = 0 THEN []::VARCHAR[]
+        |         ELSE list_filter(string_split(text, ' '), t -> t <> '')[1:3] END AS kws
+        |  FROM documents),
+        |agg AS (
+        |  SELECT pair_id,
+        |    list_sort(list_distinct(flatten(list(kws)))) AS kw_set,
+        |    min(doc_id) AS min_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM kw GROUP BY pair_id)
+        |SELECT pair_id, n,
+        |  CASE WHEN len(kw_set) > 0 THEN array_to_string(kw_set[1:2], ' · ')
+        |       WHEN pair_id % 10 <> 5 THEN substr('doc_' || min_id, 1, 10)
+        |       ELSE '其他項目' END AS label_text
+        |FROM agg ORDER BY pair_id""".stripMargin,
     "c3_triage" ->
       """SELECT label, count(*) AS n,
         |  CASE WHEN count(*) >= 3 THEN 'main'

@@ -206,6 +206,36 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // T13 — conversation-history formatting (the real UDF) under an
+    // exact oracle: each doc synthesizes a 3-turn history (long user
+    // turn, assistant turn cycling through clarification-marked /
+    // long-plain / short-plain, short user turn; every 7th doc has no
+    // history) and the whole formatted block is hash-compared — the
+    // role pairing, the 300/600/800 budgets, the core-line extraction
+    // and all three sentinels are covered by construction.
+    "t13_history_format" -> ((s, d) => {
+      val fUdf = udf((msgs: Seq[org.apache.spark.sql.Row]) =>
+        graft.functions.TextOps.formatHistory(
+          msgs.map(r => (r.getString(0), r.getString(1)))))
+      val marker = concat(lit("關於您的問題 context\n澄清 follows\n💡 "),
+        substring(col("text"), 1, 40), lit("\n💡 second hint\ntrailing detail"))
+      val assistant = when(col("doc_id") % 3 === 0, marker)
+        .when(col("doc_id") % 3 === 1, substring(col("text"), 1, 900))
+        .otherwise(substring(col("text"), 1, 200))
+      val msgs = array(
+        struct(lit("user").as("role"), substring(col("text"), 1, 350).as("content")),
+        struct(lit("assistant").as("role"), assistant.as("content")),
+        struct(lit("user").as("role"), substring(col("text"), 1, 50).as("content")))
+      Tables.documents(s, d)
+        .withColumn("hist", when(col("doc_id") % 7 === 0,
+            array().cast("array<struct<role:string,content:string>>"))
+          .otherwise(msgs))
+        .select(col("doc_id"), fUdf(col("hist")).as("fmt"))
+        .select(col("doc_id"), length(col("fmt")).cast("long").as("n_hist"),
+          md5(col("fmt")).as("hist_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Inverted-index build: per term, document frequency, collection
     // frequency, and an order-canonical postings digest (the posting
     // list itself md5'd after a numeric sort — arrays hash-compare
@@ -373,6 +403,33 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t4_summary_assembly" -> t4Oracle,
+    "t13_history_format" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 350) AS u1,
+        |    CASE WHEN doc_id % 3 = 0 THEN '關於您的問題 context' || chr(10) || '澄清 follows' || chr(10) || '💡 ' || substr(text, 1, 40) || chr(10) || '💡 second hint' || chr(10) || 'trailing detail'
+        |         WHEN doc_id % 3 = 1 THEN substr(text, 1, 900)
+        |         ELSE substr(text, 1, 200) END AS a1,
+        |    substr(text, 1, 50) AS u2
+        |  FROM documents),
+        |fmt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN '無對話歷史'
+        |         ELSE '=== 最近對話記錄 ===' || chr(10)
+        |           || '用戶: ' || CASE WHEN length(u1) > 300 THEN substr(u1, 1, 300) || '...' ELSE u1 END || chr(10)
+        |           || '助手: ' ||
+        |             CASE WHEN contains(a1, '澄清') OR contains(a1, '🔖') OR contains(a1, '💡') THEN
+        |               CASE WHEN len(list_filter(string_split(a1, chr(10)), x -> contains(x, '關於您的問題') OR contains(x, '💡'))) > 0
+        |                 THEN array_to_string(list_filter(string_split(a1, chr(10)), x -> contains(x, '關於您的問題') OR contains(x, '💡'))[1:2], chr(10))
+        |                 WHEN length(a1) > 600 THEN substr(a1, 1, 600) || '...'
+        |                 ELSE a1 END
+        |             WHEN length(a1) > 800 THEN substr(a1, 1, 800) || '...[後續省略]'
+        |             ELSE a1 END || chr(10)
+        |           || '用戶: ' || CASE WHEN length(u2) > 300 THEN substr(u2, 1, 300) || '...' ELSE u2 END || chr(10)
+        |           || '=== 當前問題 ===' END AS fmt
+        |  FROM base)
+        |SELECT doc_id, CAST(length(fmt) AS BIGINT) AS n_hist, md5(fmt) AS hist_md5
+        |FROM fmt ORDER BY doc_id""".stripMargin,
     "t3_compress_list" ->
       s"""WITH RECURSIVE base AS (
          |  SELECT doc_id, ($toksSql)[1:12] AS its FROM documents),

@@ -92,6 +92,73 @@ object Orchestration {
   def answerConfidence(nContexts: Int): Double =
     math.min(0.9, 0.3 + 0.1 * nContexts)
 
+  // ---- L5: Mongo-detail-query generation contract + stub ----
+  /** The `AIMongoDBQueryDetailOutput` contract
+    * (`ai_models_simplified.py:21-28`): a projection path list, an
+    * optional sub-filter, and the generator's reasoning. */
+  case class DetailQueryPlan(projection: Seq[String],
+                             subFilter: Option[(String, String)],
+                             reasoning: String)
+
+  /** L5 stub — deterministic plan generation: project the schema
+    * fields whose names appear as question tokens (filename always
+    * included, collisions resolved via P8); real deployments swap an
+    * LLM behind the same signature. */
+  def stubMongoQueryGen(question: String, schemaFields: Seq[String]): DetailQueryPlan = {
+    val qtoks = question.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val mentioned = schemaFields.filter(f => qtoks.contains(f.toLowerCase))
+    DetailQueryPlan(
+      resolveProjectionCollisions(("filename" +: mentioned).distinct),
+      None,
+      s"fields mentioned in question: ${mentioned.mkString(",")}")
+  }
+
+  // ---- L6: document selection for detailed query ----
+  /** L6 — `qa_document_processor.py:25-150`: dedup candidates keep-max
+    * per doc, rank by score, cap at 2×limit, short-circuit when < 2
+    * candidates; the (pluggable) selector's picks are validated
+    * against the candidate set (J8) and an empty/invalid selection
+    * falls back to top-n. The default selector IS the fallback
+    * (deterministic top-limit), matching the reference's behavior when
+    * the AI leg fails. */
+  def selectDocumentsForDetail(candidates: Seq[(String, Double)], limit: Int = 3,
+      selector: Seq[String] => Seq[String] = null): Seq[String] = {
+    val uniq = candidates.groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).max) }
+      .toSeq.sortBy { case (id, sc) => (-sc, id) }
+    val cand = uniq.take(math.min(limit * 2, uniq.size)).map(_._1)
+    if (cand.size < 2) return cand
+    val picks = Option(selector).map(_.apply(cand)).getOrElse(cand.take(limit))
+    val valid = cand.toSet
+    val validated = picks.filter(valid)
+    if (validated.nonEmpty) validated.take(limit)
+    else cand.take(math.min(limit, cand.size))
+  }
+
+  // ---- L8: clarification generation stub ----
+  /** L8 — the deterministic (AI-failure fallback) contract from
+    * `question_classifier_service.py:376-393`: a default clarification
+    * question with suggested responses and the missing-information
+    * slots. */
+  case class Clarification(question: String, reasoning: String,
+                           suggestedResponses: Seq[String],
+                           missingInformation: Seq[String])
+  def stubClarification(originalQuestion: String, ambiguityReason: String): Clarification =
+    Clarification(
+      "能否請您提供更多細節?",
+      s"deterministic stub for: $ambiguityReason",
+      Seq("提供更多信息", "詳細說明"),
+      Seq("具體內容"))
+
+  /** L10 — suggested-questions time-based templates, the deterministic
+    * leg of `suggested_questions_generator.py:459-490` (per-cluster
+    * questions are LLM-generated in the reference; the cluster-name
+    * template below stands in). */
+  val TimeQuestionTemplates: Seq[String] = Seq(
+    "幫我總結最近上傳的文件",
+    "最近更新的文件有哪些重要信息？",
+    "比較最近一週和上個月的文件有什麼變化",
+    "最新的文件提到了哪些重要事項？")
+
   // ---- X2: standard QA flow over the embeddings/documents fixture ----
   /** Rewrite → route → multi-query weighted search → doc join →
     * context assembly with confidence (LLM answer step stubbed). */
@@ -178,6 +245,68 @@ object Orchestration {
         .orderBy("q_id", "seq")
     }),
 
+    // X8 — the end-to-end detail-query flow (the 7th intent handler,
+    // `document_detail_query_handler.py:280-360`): D5-shaped candidate
+    // scoring → L6 selection (2×limit cap, fallback top-n) with
+    // reference numbering → L5 stub plan (fields mentioned in the
+    // question, P8 collision-resolved) → P7 projection of exactly the
+    // planned fields. The plan is generated driver-side from the
+    // question string alone (no Spark action), so the whole flow is
+    // hash-exact against the oracle.
+    "x8_detail_query" -> ((s, d) => {
+      import graft.operators.TextAnalysis.tokens
+      import org.apache.spark.sql.expressions.Window
+      val question = "show the summary and keywords where vector join dup appear"
+      val qTerms = Seq("vector", "join", "dup")
+      val docs = Tables.documents(s, d)
+      val cands = docs
+        .withColumn("score",
+          size(array_intersect(array_distinct(tokens(col("text"))),
+            typedLit(qTerms))).cast("double"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(6) // L6: max_candidates = 2 × limit
+      val selected = cands.orderBy(col("score").desc, col("doc_id").asc).limit(3)
+        .withColumn("ref_no", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      val plan = stubMongoQueryGen(question, Seq("summary", "keywords", "lang", "source"))
+      val fieldCols: Map[String, org.apache.spark.sql.Column] = Map(
+        "filename" -> concat(lit("doc_"), col("doc_id")),
+        "summary" -> substring(col("text"), 1, 80),
+        "keywords" -> concat_ws(",", slice(tokens(col("text")), 1, 3)),
+        "lang" -> col("lang"),
+        "source" -> col("source"))
+      val projCols = plan.projection.map(f => fieldCols(f).as(f))
+      selected
+        .select(col("doc_id") +: col("ref_no") +: col("score") +: projCols: _*)
+        .orderBy("doc_id")
+    }),
+
+    // L10 — suggested-questions generation: one templated question per
+    // cluster (cluster name = the C4 rank-1 keyword; the reference's
+    // LLM leg swapped for the deterministic template) plus the four
+    // time-based template questions (suggested_questions_generator.py:
+    // 459-490). The <3-documents gating lives with the caller (spec'd).
+    "l10_suggested_questions" -> ((s, d) => {
+      import graft.operators.TextAnalysis.tokens
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val docs = Tables.documents(s, d)
+      val toks = e.join(docs, col("doc_id") === col("vec_id"))
+        .select(col("label"), explode(tokens(col("text"))).as("tok"))
+      val names = toks.groupBy("label", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("label").orderBy(col("n").desc, col("tok").asc)))
+        .filter(col("rnk") === 1)
+        .select(col("label"), col("tok").as("cluster_name"))
+      val perCluster = names.select(col("label").cast("long").as("category"),
+        lit("cluster").as("qtype"),
+        concat(lit("關於「"), col("cluster_name"), lit("」的文件有哪些重點？")).as("question"))
+      import s.implicits._
+      val timeQs = TimeQuestionTemplates.map(q => (-1L, "time_based", q))
+        .toDF("category", "qtype", "question")
+      perCluster.unionByName(timeQs).orderBy("category", "question")
+    }),
+
     // X3 — the intelligent-QA routing stage as a batch column op:
     // rule-classify intent (L4), derive granularity, choose direct
     // reply vs search, and pick the search strategy (V10 routing:
@@ -231,6 +360,42 @@ object Orchestration {
         |  SELECT * FROM chunks UNION ALL
         |  SELECT * FROM meta)
         |ORDER BY q_id, seq""".stripMargin,
+    "x8_detail_query" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CAST(len(list_intersect(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')),
+        |                            ['vector','join','dup'])) AS DOUBLE) AS score
+        |  FROM documents),
+        |cands AS (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT 6),
+        |sel AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ref_no
+        |  FROM (SELECT * FROM cands ORDER BY score DESC, doc_id ASC LIMIT 3))
+        |SELECT doc_id, ref_no, score,
+        |  'doc_' || doc_id AS filename,
+        |  substr(text, 1, 80) AS summary,
+        |  array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:3], ',') AS keywords
+        |FROM sel ORDER BY doc_id""".stripMargin,
+    "l10_suggested_questions" ->
+      """WITH names AS (
+        |  SELECT label, tok AS cluster_name FROM (
+        |    SELECT label, tok,
+        |           row_number() OVER (PARTITION BY label ORDER BY count(*) DESC, tok ASC) AS rnk
+        |    FROM (SELECT e.label, unnest(list_filter(string_split(d.text, ' '), t -> t <> '')) AS tok
+        |          FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
+        |    GROUP BY label, tok) WHERE rnk = 1),
+        |per_cluster AS (
+        |  SELECT CAST(label AS BIGINT) AS category, 'cluster' AS qtype,
+        |         '關於「' || cluster_name || '」的文件有哪些重點？' AS question
+        |  FROM names),
+        |time_qs AS (
+        |  SELECT CAST(-1 AS BIGINT) AS category, 'time_based' AS qtype, unnest([
+        |    '幫我總結最近上傳的文件',
+        |    '最近更新的文件有哪些重要信息？',
+        |    '比較最近一週和上個月的文件有什麼變化',
+        |    '最新的文件提到了哪些重要事項？']) AS question)
+        |SELECT category, qtype, question
+        |FROM (SELECT * FROM per_cluster UNION ALL SELECT * FROM time_qs)
+        |ORDER BY category, question""".stripMargin,
     "x3_intelligent_route" ->
       """SELECT doc_id, intent, granularity, action,
         |  CASE WHEN action = 'direct_reply' THEN NULL

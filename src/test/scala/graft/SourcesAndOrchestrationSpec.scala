@@ -61,6 +61,57 @@ class SourcesAndOrchestrationSpec extends AnyFunSuite {
     assert(routeStrategy("other", None) == Hybrid)
   }
 
+  test("L5: stub plan projects question-mentioned fields, filename always, P8-resolved") {
+    val p = Orchestration.stubMongoQueryGen(
+      "show the summary and keywords please", Seq("summary", "keywords", "lang", "source"))
+    assert(p.projection == Seq("filename", "summary", "keywords"))
+    assert(p.subFilter.isEmpty)
+    val none = Orchestration.stubMongoQueryGen("unrelated question", Seq("summary"))
+    assert(none.projection == Seq("filename"))
+  }
+
+  test("L6: dedup keep-max, 2×limit cap, J8 validation, fallback top-n, short-circuit") {
+    val cands = Seq(("a", 0.5), ("a", 0.9), ("b", 0.8), ("c", 0.7), ("d", 0.6),
+      ("e", 0.5), ("f", 0.4), ("g", 0.3))
+    // default selector = fallback top-limit over the capped candidates
+    assert(Orchestration.selectDocumentsForDetail(cands) == Seq("a", "b", "c"))
+    // a selector returning only invalid ids → fallback top-n (J8 validation)
+    assert(Orchestration.selectDocumentsForDetail(cands, 3, _ => Seq("zzz")) == Seq("a", "b", "c"))
+    // partially valid picks keep only the validated ones, in pick order
+    assert(Orchestration.selectDocumentsForDetail(cands, 3, _ => Seq("d", "zzz", "b")) == Seq("d", "b"))
+    // the cap: "g" (rank 7 > 2×3) is never selectable
+    assert(Orchestration.selectDocumentsForDetail(cands, 3, _ => Seq("g")) == Seq("a", "b", "c"))
+    // < 2 candidates short-circuits before selection
+    assert(Orchestration.selectDocumentsForDetail(Seq(("x", 1.0))) == Seq("x"))
+  }
+
+  test("L8: clarification stub matches the reference fallback contract") {
+    val c = Orchestration.stubClarification("找那個東西", "too vague")
+    assert(c.question == "能否請您提供更多細節?")
+    assert(c.suggestedResponses == Seq("提供更多信息", "詳細說明"))
+    assert(c.missingInformation == Seq("具體內容"))
+  }
+
+  test("T13: formatHistory budgets, marker extraction, sentinels") {
+    import graft.functions.TextOps.formatHistory
+    assert(formatHistory(Nil) == "無對話歷史")
+    val longU = "u" * 301
+    val fmt = formatHistory(Seq(("user", longU)))
+    assert(fmt.contains("用戶: " + "u" * 300 + "..."))
+    assert(fmt.startsWith("=== 最近對話記錄 ===\n") && fmt.endsWith("=== 當前問題 ==="))
+    // clarification-marked assistant turn collapses to ≤2 core lines
+    val a = "header\n關於您的問題 A\nnoise\n💡 hint one\n💡 hint two"
+    val f2 = formatHistory(Seq(("assistant", a)))
+    assert(f2.contains("助手: 關於您的問題 A\n💡 hint one\n"))
+    assert(!f2.contains("hint two") && !f2.contains("noise"))
+    // marker present but no core lines → 600-char cut
+    val f3 = formatHistory(Seq(("assistant", "澄清" + "x" * 700)))
+    assert(f3.contains("x" * 598 + "...") && !f3.contains("x" * 599 + "..."))
+    // plain assistant turn → 800-char cut with the omission suffix
+    val f4 = formatHistory(Seq(("assistant", "y" * 801)))
+    assert(f4.contains("y" * 800 + "...[後續省略]"))
+  }
+
   test("T12: schema discovery merges sampled dynamic fields") {
     val df = Seq(
       Map("invoice_no" -> "123", "vendor" -> "acme"),
