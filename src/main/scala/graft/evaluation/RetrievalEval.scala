@@ -214,11 +214,76 @@ object RetrievalEval {
       .unionByName(metrics("smart_trigger", smart, lit(skip)))
   }
 
+  /** RAG answer-quality stand-in (`evaluate_full_qa_system.py:188-224`):
+    * the reference scores answer_relevancy + answer_correctness with
+    * Ragas LLM judges; the deterministic analogue scores the stubbed QA
+    * answer (X2's assembled top-3 contexts) lexically — relevancy = the
+    * fraction of question tokens the answer covers, correctness =
+    * token-set F1 between the answer and the golden source document.
+    * One broadcast-queries × summary-vectors scan feeds everything; a
+    * q_id = -1 summary row carries the corpus means (the number the
+    * reference's `result.to_pandas().mean()` reports). Rows-only:
+    * retrieval depends on the hash embedder; invariants in spec.
+    */
+  def evaluateAnswerQuality(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
+    val embedder = new HashEmbedder(64)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val vectors = IndexPipeline.buildIndex(docs, embedder)
+      .filter(col("vtype") === "summary")
+      .withColumn("vec_id", col("doc_id"))
+      .withColumn("label", col("doc_id"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val embUdf = udf((t: String) => embedder.embed(t))
+    val snippets = docs.filter(length(col("text")) >= 120)
+      .orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("q_id"), substring(col("text"), 40, 120).as("q_text"))
+    val queries = snippets.withColumn("q_emb", embUdf(col("q_text")))
+    // top-3 summary docs per query (X2's retrieval), context = each
+    // doc's 256-char truncated text, answer = contexts joined in rank
+    // order — the standardQa assembly without the driver round-trip.
+    val top3 = topkPerQuery(scored(vectors, queries), 3)
+    val ctx = top3.join(docs.select(col("doc_id").as("label"),
+      substring(col("text"), 1, 256).as("snip")), Seq("label"))
+    val answers = ctx.groupBy("q_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("rank"), col("snip")))),
+        x => x("snip")), " ").as("answer"),
+      count(lit(1)).as("n_contexts"))
+    val toks = (c: org.apache.spark.sql.Column) =>
+      array_distinct(filter(split(c, " "), t => t =!= ""))
+    val scoredAnswers = answers
+      .join(snippets, Seq("q_id"))
+      .join(docs.select(col("doc_id").as("q_id"), col("text").as("golden")), Seq("q_id"))
+      .withColumn("qset", toks(col("q_text")))
+      .withColumn("aset", toks(col("answer")))
+      .withColumn("gset", toks(col("golden")))
+      .withColumn("relevancy",
+        size(array_intersect(col("qset"), col("aset"))).cast("double") /
+          greatest(size(col("qset")), lit(1)).cast("double"))
+      .withColumn("p",
+        size(array_intersect(col("aset"), col("gset"))).cast("double") /
+          greatest(size(col("aset")), lit(1)).cast("double"))
+      .withColumn("r",
+        size(array_intersect(col("aset"), col("gset"))).cast("double") /
+          greatest(size(col("gset")), lit(1)).cast("double"))
+      .withColumn("correctness",
+        when(col("p") + col("r") > 0, lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+          .otherwise(lit(0.0)))
+      .select(col("q_id"), col("n_contexts"), col("relevancy"), col("correctness"))
+    val mean = scoredAnswers.agg(
+      sum(col("n_contexts")).as("n_contexts"),
+      avg(col("relevancy")).as("relevancy"), avg(col("correctness")).as("correctness"))
+      .select(lit(-1L).as("q_id"), col("n_contexts"), col("relevancy"), col("correctness"))
+    scoredAnswers.unionByName(mean).orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Retrieval-metric harness over the 5 search modes (rows-only:
     // depends on the hash embedder; mode-ordering asserted in spec).
     "eval_retrieval_metrics" -> ((s, d) => evaluate(s, d)),
     // Rewrite A/B + smart-trigger (rows-only: embedder-dependent).
-    "eval_rewrite_ab" -> ((s, d) => evaluateRewriteAb(s, d))
+    "eval_rewrite_ab" -> ((s, d) => evaluateRewriteAb(s, d)),
+    // Answer-quality lexical stand-in (rows-only: embedder-dependent).
+    "eval_answer_quality" -> ((s, d) => evaluateAnswerQuality(s, d))
   )
 }

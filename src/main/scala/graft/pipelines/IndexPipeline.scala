@@ -133,7 +133,9 @@ object IndexPipeline {
 
   // chunkText state machine as SQL expression fragments (see the
   // t1_chunk_sentence comment; w = walk state row, s = src doc row).
-  private val t1End: String = {
+  // Shared with DocumentSources' x6_email_import oracle, which replays
+  // the same walk over the imported email bodies.
+  private[graft] val t1End: String = {
     val end0 = "least(w.start0 + 462, s.len)"
     val from0 = s"greatest(w.start0 + 231, $end0 - 100)"
     val to0 = s"least(s.len, $end0 + 50)"

@@ -190,6 +190,58 @@ object DocumentSources {
         .orderBy("doc_id")
     }),
 
+    // X6 — the Gmail-import composite (`apis/v1/gmail.py:624-844` +
+    // `email_document_processor.py:24-231`): an email-shaped fixture is
+    // derived from documents (subject = text prefix + an invalid-char
+    // tail cycling through the sanitizer's alphabet, cc present on
+    // every 5th email), every 3rd email is already imported → S7
+    // left-anti dedup drops it, survivors get the reference's document
+    // record: sanitized filename (invalid chars → '_', 200-char cut,
+    // strip), UTF-8 body size, the reconstructed RFC-822 message
+    // (headers joined "\n", Cc line only when present, X-Gmail-* custom
+    // headers) hashed, and the X1 chunk count of the body. Hash-exact:
+    // the oracle replays the sanitize/RFC-822 string math and the
+    // chunker's state-machine CTE.
+    "x6_email_import" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+      val tail = element_at(
+        array(lit(""), lit(" <q*>"), lit(" a\\b/c"), lit(" x:y|z?\"")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val emails = docs.select(
+        col("doc_id"), col("text"),
+        concat(lit("em_"), col("doc_id")).as("email_id"),
+        concat(lit("th_"), expr("doc_id div 4")).as("thread_id"),
+        concat(lit("Re: "), substring(col("text"), 1, 40), tail).as("subject"),
+        concat(lit("sender"), col("doc_id") % 7, lit("@example.com")).as("from_address"),
+        when(col("doc_id") % 5 === 0, lit("cc@example.com")).as("cc"),
+        concat(lit("2026-01-"), lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+          lit("T00:00:00")).as("edate"),
+        concat(lit("<msg-"), col("doc_id"), lit("@mail>")).as("message_id"))
+      val existing = emails.filter(col("doc_id") % 3 === 0)
+      val fresh = importNew(emails, existing, "email_id")
+      val nChunksU = udf((t: String) =>
+        graft.functions.TextOps.chunkText(t, 462, 50).size.toLong)
+      fresh
+        .withColumn("filename", trim(substring(
+          translate(concat(col("subject"), lit("_"), col("email_id")),
+            "<>:\"|?*/\\", "_________"), 1, 200)))
+        .withColumn("eml", concat_ws("\n",
+          concat(lit("From: "), col("from_address")),
+          lit("To: user@example.com"),
+          when(col("cc").isNotNull, concat(lit("Cc: "), col("cc"))),
+          concat(lit("Subject: "), col("subject")),
+          concat(lit("Date: "), col("edate")),
+          concat(lit("Message-ID: "), col("message_id")),
+          concat(lit("X-Gmail-ID: "), col("email_id")),
+          concat(lit("X-Gmail-Thread-ID: "), col("thread_id")),
+          lit(""), col("text")))
+        .select(col("doc_id"), col("email_id"), col("thread_id"), col("filename"),
+          octet_length(col("text")).cast("long").as("file_size"),
+          md5(col("eml")).as("eml_md5"),
+          nChunksU(col("text")).as("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
     // S8 upsert: every 7th doc is re-analyzed (text prefixed, source
     // re-tagged); the merged relation must show replaced rows under the
     // new source and untouched rows under their originals.
@@ -233,6 +285,55 @@ object DocumentSources {
         |  CAST(length(trim(substr(text, 1, 100) || chr(10) || substr(text, 101))) AS BIGINT) AS n_extracted,
         |  md5(trim(substr(text, 1, 100) || chr(10) || substr(text, 101))) AS text_md5
         |FROM documents WHERE n_chars > 100 ORDER BY doc_id""".stripMargin,
+    "x6_email_import" -> {
+      val t1End = graft.pipelines.IndexPipeline.t1End
+      s"""WITH RECURSIVE inc AS (
+         |  SELECT doc_id, text,
+         |    'em_' || doc_id AS email_id,
+         |    'th_' || (doc_id // 4) AS thread_id,
+         |    'Re: ' || substr(text, 1, 40) ||
+         |      (['', ' <q*>', ' a\\b/c', ' x:y|z?"'])[(doc_id % 4 + 1)::INT] AS subject,
+         |    'sender' || (doc_id % 7) || '@example.com' AS from_address,
+         |    CASE WHEN doc_id % 5 = 0 THEN 'cc@example.com' END AS cc,
+         |    '2026-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || 'T00:00:00' AS edate,
+         |    '<msg-' || doc_id || '@mail>' AS message_id
+         |  FROM documents WHERE n_chars > 0),
+         |imp AS (SELECT * FROM inc WHERE doc_id % 3 <> 0),
+         |src AS (SELECT doc_id, text AS t, length(text)::BIGINT AS len FROM imp),
+         |walk AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS start0 FROM src
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN $t1End >= s.len THEN s.len
+         |         ELSE greatest(w.start0 + 1, ($t1End) - 50) END
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunks AS (
+         |  SELECT w.doc_id,
+         |    trim(substr(s.t, w.start0 + 1, ($t1End) - w.start0)) AS chunk
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |cnt AS (
+         |  SELECT doc_id, count(*) AS n_chunks FROM chunks
+         |  WHERE chunk <> '' GROUP BY doc_id)
+         |SELECT i.doc_id, i.email_id, i.thread_id,
+         |  trim(substr(translate(i.subject || '_' || i.email_id,
+         |    '<>:"|?*/\\', '_________'), 1, 200)) AS filename,
+         |  CAST(strlen(i.text) AS BIGINT) AS file_size,
+         |  md5(concat_ws(chr(10),
+         |    'From: ' || i.from_address,
+         |    'To: user@example.com',
+         |    CASE WHEN i.cc IS NOT NULL THEN 'Cc: ' || i.cc END,
+         |    'Subject: ' || i.subject,
+         |    'Date: ' || i.edate,
+         |    'Message-ID: ' || i.message_id,
+         |    'X-Gmail-ID: ' || i.email_id,
+         |    'X-Gmail-Thread-ID: ' || i.thread_id,
+         |    '', i.text)) AS eml_md5,
+         |  CAST(coalesce(c.n_chunks, 0) AS BIGINT) AS n_chunks
+         |FROM imp i LEFT JOIN cnt c USING (doc_id)
+         |ORDER BY i.doc_id""".stripMargin
+    },
     "s8_upsert_merge" ->
       """WITH merged AS (
         |  SELECT doc_id, 'UPDATED ' || text AS text, 'upsert' AS source

@@ -45,4 +45,24 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(h5s >= 0.0 && h5s <= 1.0 && (h5s >= math.min(h5n, h5a) - 0.5))
     spark.catalog.clearCache()
   }
+
+  test("answer-quality lexical metrics are bounded, populated, and mean-consistent") {
+    // columns: q_id, n_contexts, relevancy, correctness
+    val rows = RetrievalEval.evaluateAnswerQuality(spark, "/root/testdata/sf0.001", nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val (summary, perQuery) = rows.partition(_._1 == -1L)
+    assert(summary.length == 1 && perQuery.length == 20)
+    perQuery.foreach { case (_, n, rel, corr) =>
+      assert(n == 3, s"expected 3 contexts, got $n") // top-3 retrieval always fills
+      assert(rel >= 0.0 && rel <= 1.0 && corr >= 0.0 && corr <= 1.0)
+    }
+    // verbatim-snippet queries: the golden doc is usually retrieved, so
+    // lexical overlap with it cannot be all-zero across 20 queries
+    assert(perQuery.map(_._4).max > 0.0, "all correctness scores are zero")
+    val (_, nSum, relMean, corrMean) = summary.head
+    assert(nSum == perQuery.map(_._2).sum)
+    assert(math.abs(relMean - perQuery.map(_._3).sum / 20) < 1e-9)
+    assert(math.abs(corrMean - perQuery.map(_._4).sum / 20) < 1e-9)
+    spark.catalog.clearCache()
+  }
 }
