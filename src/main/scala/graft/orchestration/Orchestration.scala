@@ -69,6 +69,35 @@ object Orchestration {
     }
   }
 
+  /** L2 — image-analysis contract (`AIImageAnalysisOutput`,
+    * `ai_models_simplified.py:104-112`): initial_summary,
+    * extracted_text (vision OCR, null when not applicable),
+    * content_type, key_information. Deterministic stub: dimensions
+    * come from the Multimodal stub decoder, content_type from the
+    * channel count, and the OCR leg reads the bytes as UTF-8 (the
+    * fixture's images ARE text bytes, so the plumbing is oracle-able
+    * end-to-end); real deployments swap a vision model behind the
+    * same signature. */
+  case class ImageAnalysisOut(initialSummary: String, extractedText: Option[String],
+                              contentType: String, keyInformation: Seq[String])
+  object StubImageAnalysis extends LlmTask[Array[Byte], ImageAnalysisOut] {
+    def apply(bytes: Array[Byte]): ImageAnalysisOut = {
+      val (w, h, c) = graft.operators.Multimodal.StubDecoder.decode(bytes)
+      val contentType = c match {
+        case 1 => "document_scan"
+        case 2 => "diagram"
+        case _ => "photo"
+      }
+      val ocr =
+        if (c == 1)
+          Some(new String(bytes.take(60), java.nio.charset.StandardCharsets.UTF_8))
+        else None
+      ImageAnalysisOut(s"圖片 ${w}x${h} ${c}ch", ocr, contentType,
+        ocr.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).take(3).toSeq)
+          .getOrElse(Seq.empty))
+    }
+  }
+
   /** L3 stub: deterministic query expansion (3 rewrites). */
   object StubQueryRewrite extends LlmTask[String, Seq[String]] {
     def apply(q: String): Seq[String] =
@@ -281,6 +310,26 @@ object Orchestration {
         .orderBy("doc_id")
     }),
 
+    // L2 — image analysis over an image-shaped binary fixture (text
+    // bytes standing in for pixels, as Multimodal does): the stub's
+    // decode → content_type → OCR-leg → key-information flow runs as a
+    // map-only UDF over the binary column and every output field is
+    // hash-compared (the stub arithmetic is mirrored in the oracle).
+    "l2_image_analysis" -> ((s, d) => {
+      val u = udf((b: Array[Byte]) => {
+        val o = StubImageAnalysis(b)
+        (o.initialSummary, o.extractedText.orNull, o.contentType,
+          o.keyInformation.mkString(","))
+      })
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("content", col("text").cast("binary"))
+        .withColumn("r", u(col("content")))
+        .select(col("doc_id"), col("r._1").as("initial_summary"),
+          col("r._2").as("extracted_text"), col("r._3").as("content_type"),
+          col("r._4").as("key_info"))
+        .orderBy("doc_id")
+    }),
+
     // L10 — suggested-questions generation: one templated question per
     // cluster (cluster name = the C4 rank-1 keyword; the reference's
     // LLM leg swapped for the deterministic template) plus the four
@@ -375,6 +424,22 @@ object Orchestration {
         |  substr(text, 1, 80) AS summary,
         |  array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:3], ',') AS keywords
         |FROM sel ORDER BY doc_id""".stripMargin,
+    "l2_image_analysis" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    64 + strlen(text) % 512 AS w,
+        |    64 + (strlen(text) // 2) % 512 AS h,
+        |    (1 + strlen(text) % 3)::INT AS c
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id,
+        |  '圖片 ' || w || 'x' || h || ' ' || c || 'ch' AS initial_summary,
+        |  CASE WHEN c = 1 THEN substr(text, 1, 60) END AS extracted_text,
+        |  CASE c WHEN 1 THEN 'document_scan' WHEN 2 THEN 'diagram'
+        |         ELSE 'photo' END AS content_type,
+        |  CASE WHEN c = 1 THEN array_to_string(
+        |      list_filter(string_split(lower(substr(text, 1, 60)), ' '), t -> t <> '')[1:3], ',')
+        |    ELSE '' END AS key_info
+        |FROM base ORDER BY doc_id""".stripMargin,
     "l10_suggested_questions" ->
       """WITH names AS (
         |  SELECT label, tok AS cluster_name FROM (

@@ -85,6 +85,21 @@ class SourcesAndOrchestrationSpec extends AnyFunSuite {
     assert(Orchestration.selectDocumentsForDetail(Seq(("x", 1.0))) == Seq("x"))
   }
 
+  test("L2: image-analysis stub covers OCR and non-OCR branches deterministically") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // 66 bytes → n%3 = 0 → channels 1 → document_scan with the OCR leg
+    val scan = Orchestration.StubImageAnalysis(("Hello World " + "x" * 54).getBytes(UTF_8))
+    assert(scan.contentType == "document_scan")
+    assert(scan.extractedText.exists(_.startsWith("Hello World ")))
+    assert(scan.extractedText.get.length == 60)
+    assert(scan.keyInformation == Seq("hello", "world", "x" * 48))
+    assert(scan.initialSummary == s"圖片 ${64 + 66 % 512}x${64 + 33 % 512} 1ch")
+    // 64 bytes → n%3 = 1 → channels 2 → diagram, no OCR
+    val diag = Orchestration.StubImageAnalysis(("y" * 64).getBytes(UTF_8))
+    assert(diag.contentType == "diagram" && diag.extractedText.isEmpty
+      && diag.keyInformation.isEmpty)
+  }
+
   test("L8: clarification stub matches the reference fallback contract") {
     val c = Orchestration.stubClarification("找那個東西", "too vague")
     assert(c.question == "能否請您提供更多細節?")
