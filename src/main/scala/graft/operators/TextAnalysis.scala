@@ -206,6 +206,30 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // T5 — text-source priority coalesce (the real function) under an
+    // exact oracle: the four candidate fields are synthesized with
+    // nulls AND empty strings injected by doc_id residue (empty must
+    // be skipped, not selected — the reference's non-empty check), and
+    // the chosen text + its source tag are hash-compared.
+    "t5_text_source" -> ((s, d) => {
+      val u = udf((e: String, a: String, f: String, l: String) => {
+        val (t, tag) = graft.functions.TextOps.textSource(
+          Option(e), Option(a), Option(f), Option(l))
+        (t, tag)
+      })
+      Tables.documents(s, d)
+        .withColumn("extracted",
+          when(col("doc_id") % 4 === 0, substring(col("text"), 1, 50))
+            .when(col("doc_id") % 4 === 1, lit("")))
+        .withColumn("ai_ex", when(col("doc_id") % 3 === 0, substring(col("text"), 51, 40)))
+        .withColumn("full_t", when(col("doc_id") % 2 === 0, substring(col("text"), 1, 30)))
+        .withColumn("legacy", substring(col("text"), 5, 20))
+        .withColumn("r", u(col("extracted"), col("ai_ex"), col("full_t"), col("legacy")))
+        .select(col("doc_id"), md5(col("r._1")).as("src_md5"),
+          length(col("r._1")).cast("long").as("src_len"), col("r._2").as("source_tag"))
+        .orderBy("doc_id")
+    }),
+
     // T13 — conversation-history formatting (the real UDF) under an
     // exact oracle: each doc synthesizes a 3-turn history (long user
     // turn, assistant turn cycling through clarification-marked /
@@ -403,6 +427,30 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t4_summary_assembly" -> t4Oracle,
+    "t5_text_source" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 50)
+        |         WHEN doc_id % 4 = 1 THEN '' END AS extracted,
+        |    CASE WHEN doc_id % 3 = 0 THEN substr(text, 51, 40) END AS ai_ex,
+        |    CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 30) END AS full_t,
+        |    substr(text, 5, 20) AS legacy
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN extracted IS NOT NULL AND extracted <> '' THEN extracted
+        |         WHEN ai_ex IS NOT NULL AND ai_ex <> '' THEN ai_ex
+        |         WHEN full_t IS NOT NULL AND full_t <> '' THEN full_t
+        |         WHEN legacy IS NOT NULL AND legacy <> '' THEN legacy
+        |         ELSE '' END AS src,
+        |    CASE WHEN extracted IS NOT NULL AND extracted <> '' THEN 'extracted_text'
+        |         WHEN ai_ex IS NOT NULL AND ai_ex <> '' THEN 'ai_analysis.extracted_text'
+        |         WHEN full_t IS NOT NULL AND full_t <> '' THEN 'text_content.full_text'
+        |         WHEN legacy IS NOT NULL AND legacy <> '' THEN 'analysis.extracted_text'
+        |         ELSE 'none' END AS source_tag
+        |  FROM base)
+        |SELECT doc_id, md5(src) AS src_md5, length(src)::BIGINT AS src_len, source_tag
+        |FROM sel ORDER BY doc_id""".stripMargin,
     "t13_history_format" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -310,6 +310,67 @@ object Orchestration {
         .orderBy("doc_id")
     }),
 
+    // V10 — the strategy-routing table itself as a driver-verified
+    // relation: every (granularity × suggestion) combination the
+    // reference's router distinguishes (`search_strategy.py:12-41`) is
+    // synthesized from doc_id, routed through the REAL routeStrategy,
+    // and tallied — the truth table is hash-compared.
+    "v10_route_strategy" -> ((s, d) => {
+      val gArr = array(lit("thematic"), lit("detailed"), lit("unknown"), lit("other"))
+      val sArr = array(lit(null).cast("string"), lit("summary_only"), lit("rrf_fusion"),
+        lit("keyword_enhanced_rrf"), lit("hybrid_auto"))
+      val routeU = udf((g: String, sg: String) =>
+        routeStrategy(g, Option(sg)) match {
+          case SummaryOnly => "summary_only"
+          case RrfFusion   => "rrf_fusion"
+          case Hybrid      => "hybrid"
+        })
+      Tables.documents(s, d)
+        .withColumn("granularity", element_at(gArr, (col("doc_id") % 4 + 1).cast("int")))
+        .withColumn("suggestion", element_at(sArr, (col("doc_id") % 5 + 1).cast("int")))
+        .withColumn("strategy", routeU(col("granularity"), col("suggestion")))
+        .withColumn("suggestion", coalesce(col("suggestion"), lit("none")))
+        .groupBy("granularity", "suggestion", "strategy")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("granularity", "suggestion", "strategy")
+    }),
+
+    // L1 — the text-analysis stub under an exact oracle: summary =
+    // smartTruncate(text, 100) (the t2 SQL branch mirror at 100-char
+    // thresholds 71/81), keywords = top-5 tokens by (count desc, token
+    // asc), auto_title = first 3 tokens — the whole
+    // `AITextAnalysisOutput` stand-in is hash-compared.
+    "l1_text_analysis" -> ((s, d) => {
+      val u = udf((t: String) => {
+        val o = StubTextAnalysis(t)
+        (o.summary, o.keywords.mkString(","), o.autoTitle)
+      })
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("r", u(col("text")))
+        .select(col("doc_id"), md5(col("r._1")).as("summary_md5"),
+          length(col("r._1")).cast("long").as("summary_len"),
+          col("r._2").as("keywords"), col("r._3").as("auto_title"))
+        .orderBy("doc_id")
+    }),
+
+    // L3+L7 — rewrite expansion and answer confidence as one relation:
+    // each doc's question expands to the stub's 3 rewrites
+    // (posexploded) and carries the confidence heuristic at a per-doc
+    // context count — both formulas hash-compared (confidence uses
+    // ::DOUBLE literals in the oracle so both engines run the same
+    // IEEE op sequence).
+    "l3_l7_qa_plan" -> ((s, d) => {
+      val rw = udf((q: String) => StubQueryRewrite(q))
+      val conf = udf((n: Int) => answerConfidence(n))
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("question", substring(col("text"), 1, 30))
+        .select(col("doc_id"), posexplode(rw(col("question"))).as(Seq("seq", "rewrite")))
+        .withColumn("confidence", conf((col("doc_id") % 12).cast("int")))
+        .select(col("doc_id"), col("seq").cast("long").as("seq"), col("rewrite"),
+          col("confidence"))
+        .orderBy("doc_id", "seq")
+    }),
+
     // L2 — image analysis over an image-shaped binary fixture (text
     // bytes standing in for pixels, as Multimodal does): the stub's
     // decode → content_type → OCR-leg → key-information flow runs as a
@@ -424,6 +485,81 @@ object Orchestration {
         |  substr(text, 1, 80) AS summary,
         |  array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:3], ',') AS keywords
         |FROM sel ORDER BY doc_id""".stripMargin,
+    "v10_route_strategy" ->
+      """WITH base AS (
+        |  SELECT (['thematic','detailed','unknown','other'])[(doc_id % 4 + 1)::INT] AS granularity,
+        |         ([NULL,'summary_only','rrf_fusion','keyword_enhanced_rrf','hybrid_auto'])[(doc_id % 5 + 1)::INT] AS suggestion
+        |  FROM documents),
+        |routed AS (
+        |  SELECT granularity, coalesce(suggestion, 'none') AS suggestion,
+        |    CASE WHEN granularity = 'thematic' THEN 'summary_only'
+        |         WHEN granularity IN ('detailed', 'unknown') THEN 'rrf_fusion'
+        |         WHEN suggestion = 'summary_only' THEN 'summary_only'
+        |         WHEN suggestion IN ('rrf_fusion', 'keyword_enhanced_rrf') THEN 'rrf_fusion'
+        |         ELSE 'hybrid' END AS strategy
+        |  FROM base)
+        |SELECT granularity, suggestion, strategy, count(*) AS n
+        |FROM routed GROUP BY 1, 2, 3
+        |ORDER BY granularity, suggestion, strategy""".stripMargin,
+    "l1_text_analysis" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text AS s, substr(text, 1, 100) AS cut
+        |  FROM documents WHERE n_chars > 0),
+        |tr AS (
+        |  SELECT doc_id, s, cut,
+        |    greatest(
+        |      CASE WHEN strpos(reverse(cut), '.') > 0
+        |           THEN length(cut) - strpos(reverse(cut), '.') + 1 ELSE 0 END,
+        |      CASE WHEN strpos(reverse(cut), '!') > 0
+        |           THEN length(cut) - strpos(reverse(cut), '!') + 1 ELSE 0 END,
+        |      CASE WHEN strpos(reverse(cut), '?') > 0
+        |           THEN length(cut) - strpos(reverse(cut), '?') + 1 ELSE 0 END) AS last_end,
+        |    CASE WHEN strpos(reverse(cut), ' ') > 0
+        |         THEN length(cut) - strpos(reverse(cut), ' ') + 1 ELSE 0 END AS last_space
+        |  FROM pos),
+        |summ AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) <= 100 THEN s
+        |         WHEN last_end >= 71 THEN substr(cut, 1, last_end)
+        |         WHEN last_space >= 81 THEN substr(cut, 1, last_space - 1) || '...'
+        |         ELSE cut || '...' END AS summary
+        |  FROM tr),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+        |  FROM documents WHERE n_chars > 0),
+        |kw AS (
+        |  SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, tok ASC) AS rnk
+        |  FROM toks GROUP BY doc_id, tok),
+        |kws AS (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY rnk), ',') AS keywords
+        |  FROM kw WHERE rnk <= 5 GROUP BY doc_id),
+        |title AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(string_split(lower(text), ' '), t -> t <> '')[1:3], ' ') AS auto_title
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT su.doc_id, md5(su.summary) AS summary_md5,
+        |  length(su.summary)::BIGINT AS summary_len,
+        |  coalesce(k.keywords, '') AS keywords,
+        |  coalesce(t.auto_title, '') AS auto_title
+        |FROM summ su
+        |LEFT JOIN kws k USING (doc_id)
+        |LEFT JOIN title t USING (doc_id)
+        |ORDER BY su.doc_id""".stripMargin,
+    "l3_l7_qa_plan" ->
+      """WITH base AS (
+        |  SELECT doc_id, substr(text, 1, 30) AS q,
+        |    least(0.9::DOUBLE, 0.3::DOUBLE + 0.1::DOUBLE * (doc_id % 12)) AS confidence
+        |  FROM documents WHERE n_chars > 0),
+        |rw AS (
+        |  SELECT doc_id, unnest([
+        |      {'seq': 0, 'r': q},
+        |      {'seq': 1, 'r': q || ' details'},
+        |      {'seq': 2, 'r': 'about ' || q}], recursive := true) ,
+        |    confidence
+        |  FROM base)
+        |SELECT doc_id, CAST(seq AS BIGINT) AS seq, r AS rewrite, confidence
+        |FROM rw ORDER BY doc_id, seq""".stripMargin,
     "l2_image_analysis" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -14,7 +14,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val intendedCross = Set(
     "ann_bruteforce_batch",   // broadcast 5-query set × corpus scan
     "eval_retrieval_metrics", // broadcast 30-query golden set × corpus scan
-    "eval_rewrite_ab"         // broadcast 90-variant query set × corpus scan
+    "eval_rewrite_ab",        // broadcast 90-variant query set × corpus scan
+    "eval_answer_quality"     // broadcast 30-query golden set × corpus scan
   )
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in any query plan") {
