@@ -182,26 +182,27 @@ object Dedup {
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
     val sym = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // Each round's plan references the previous round's labels twice
+    // (self row + messages), so lineage doubles per round — after ~20
+    // rounds the logical plan alone OOMs the driver. localCheckpoint
+    // (reliable checkpoint dir on a real cluster) truncates it to O(1)
+    // per round; it also materializes the round, so the subsequent
+    // change-count action reads cached blocks.
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).persist()
-    var cachedRound = labels // the persisted handle (labels may be a projection of it)
+      .withColumn("comp", col("node")).localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       // One shuffle per round: each node aggregates min(comp) over
       // {itself} ∪ {neighbors}, carrying its previous label through the
       // same aggregation (`prev` is non-null only on the self row) so
-      // convergence detection needs no second join — the count action
-      // both materializes the persisted round and reads the change
-      // tally.
+      // convergence detection needs no second join.
       val msgs = sym.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("comp"), lit(null).cast("long").as("prev"))
       val next = labels.withColumn("prev", col("comp")).unionByName(msgs)
         .groupBy("node").agg(min("comp").as("comp"), min("prev").as("prev"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.filter(col("comp") =!= col("prev")).count()
-      cachedRound.unpersist(false)
-      cachedRound = next
       labels = next.select("node", "comp")
       it += 1
     }
@@ -214,7 +215,72 @@ object Dedup {
     // large-star/small-star variant for O(log n).
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — component diameter exceeds maxIter")
+        s"($changed labels still changing) — component diameter exceeds maxIter; " +
+        "use connectedComponentsStar for deep graphs (O(log n) rounds)")
+    labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the deep-graph path: converges in O(log n) rounds
+    * regardless of component diameter, where min-label propagation
+    * needs O(diameter) rounds. Each round is two grouped aggregations
+    * + a distinct; at the fixpoint the edge set is a star per
+    * component centered at its minimum node, so labels read off
+    * directly. Same (node, comp = component-min) contract as
+    * `connectedComponents`; spec-asserted identical on chain and
+    * random graphs.
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String = "a",
+                              bCol: String = "b", maxIter: Int = 35): DataFrame = {
+    val raw = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val nodes = raw.select(col("u").as("node"))
+      .unionByName(raw.select(col("v").as("node"))).distinct().persist()
+    // canonical directed form: u > v, no self loops. Each round's plan
+    // references the previous edge set FOUR times (nbrs union × 2,
+    // join, anti-join), so lineage would grow 4^rounds without
+    // truncation — localCheckpoint each round (reliable checkpoint dir
+    // on a real cluster) keeps the plan O(1) per round.
+    var e = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var it = 0
+    var converged = e.count() == 0
+    while (!converged && it < maxIter) {
+      // large-star: per node, link every LARGER neighbor to
+      // min(N(u) ∪ {u}) — halves tree heights without breaking
+      // connectivity.
+      val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = nbrs.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = nbrs.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: per node (edges now all point downward), link every
+      // smaller neighbor AND the node itself to the minimum neighbor.
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .unionByName(ssMin.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(greatest(col("x"), col("m")).as("u"), least(col("x"), col("m")).as("v"))
+        .distinct().localCheckpoint(true)
+      // fixpoint: the canonical edge set stopped changing (anti-join
+      // emptiness + count equality — two cheap actions on checkpointed
+      // sides)
+      val grew = next.join(e, Seq("u", "v"), "left_anti").count()
+      converged = grew == 0 && next.count() == e.count()
+      e = next
+      it += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    val labels = nodes
+      .join(e.select(col("u").as("node"), col("v").as("comp")), Seq("node"), "left_outer")
+      .withColumn("comp", coalesce(col("comp"), col("node")))
+      .select("node", "comp")
     labels
   }
 
@@ -352,6 +418,18 @@ object Dedup {
         .orderBy("comp", "doc_id")
     }),
 
+    // Same contract through the O(log n) large-star/small-star variant
+    // (the deep-graph path): identical output to dd_components,
+    // hash-compared against the same transitive-closure oracle.
+    "dd_components_star" -> ((s, d) => {
+      val bands = lshBands(minhashSignatures(s, d)).persist()
+      val comp = connectedComponentsStar(lshCandidatePairs(bands), "doc_a", "doc_b")
+      comp.withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+        .select(col("comp"), col("node").as("doc_id"), col("n_members"))
+        .orderBy("comp", "doc_id")
+    }),
+
     // Embedding int8 quantization (training-pipeline storage/ANN
     // compression): per-element floor(x·127) — floor is IEEE-identical
     // across engines, and the integer summaries (sum/min/max) are
@@ -390,7 +468,12 @@ object Dedup {
        |    i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))
        |ELSE [] END""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // dd_components_star shares dd_components' transitive-closure oracle
+  // (identical output contract through a different algorithm).
+  val oracles: Map[String, String] = oraclesBase +
+    ("dd_components_star" -> oraclesBase("dd_components"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

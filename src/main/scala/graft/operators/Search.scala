@@ -293,6 +293,26 @@ object Search {
         .select("label", "vec_id", "sim")
         .orderBy("label")),
 
+    // V12 — degraded-search fallback under an exact oracle: leg A's
+    // primary (threshold 0.3) finds rows and is returned as-is; leg
+    // B's primary scans an impossible tenant (label = -999, empty ⇒
+    // probe count 0) so withFallback reruns at threshold × 0.7 — both
+    // legs' outputs are hash-compared (the oracle writes the relaxed
+    // threshold as 0.5::DOUBLE * 0.7::DOUBLE so both engines compare
+    // against the identical IEEE product).
+    "v12_fallback" -> ((s, d) => {
+      val q0v = qvec(s, d, 0)
+      val emb = Tables.embeddings(s, d)
+      val taken = withFallback(knn(emb, q0v, 10, 0.3), emb, q0v, 10, 0.5)
+        .withColumn("leg", lit("primary"))
+      val fell = withFallback(
+        knn(emb.filter(col("label") === -999), q0v, 10, 0.3), emb, q0v, 10, 0.5)
+        .withColumn("leg", lit("fallback"))
+      taken.unionByName(fell)
+        .select(col("leg"), col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("leg").desc, col("vec_id").asc)
+    }),
+
     // V7b/D4 — the full rerank-dedup-backfill path: a stage-2 chunk
     // search deliberately bounded below k (top-8) so the stage-1
     // summary ranking must backfill the unseen documents
@@ -461,6 +481,22 @@ object Search {
          |FROM embeddings
          |WHERE list_inner_product(embedding::DOUBLE[], $q0) >= 0.3
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v12_fallback" ->
+      s"""WITH pleg AS (
+         |  SELECT 'primary' AS leg, vec_id, label, sim FROM (
+         |    SELECT vec_id, label, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |    FROM embeddings
+         |    WHERE list_inner_product(embedding::DOUBLE[], $q0) >= 0.3
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10)),
+         |fleg AS (
+         |  SELECT 'fallback' AS leg, vec_id, label, sim FROM (
+         |    SELECT vec_id, label, list_inner_product(embedding::DOUBLE[], $q0) AS sim
+         |    FROM embeddings
+         |    WHERE list_inner_product(embedding::DOUBLE[], $q0) >= 0.5::DOUBLE * 0.7::DOUBLE
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10))
+         |SELECT leg, vec_id, label, sim
+         |FROM (SELECT * FROM pleg UNION ALL SELECT * FROM fleg)
+         |ORDER BY leg DESC, vec_id ASC""".stripMargin,
     "v2_get_by_doc" ->
       """SELECT vec_id, label, 1.0::DOUBLE AS sim FROM embeddings
         |WHERE label = 3 ORDER BY vec_id""".stripMargin,

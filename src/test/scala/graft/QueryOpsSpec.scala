@@ -83,8 +83,31 @@ class QueryOpsSpec extends AnyFunSuite {
         val dist = operators.Dedup.connectedComponents(edges, smallGraphMax = 0L)
           .as[(Long, Long)].collect().toMap
         assert(dist == expected.toMap, s"trial $trial (distributed path)")
+        val star = operators.Dedup.connectedComponentsStar(edges)
+          .as[(Long, Long)].collect().toMap
+        assert(star == expected.toMap, s"trial $trial (star path)")
       }
     }
+    spark.catalog.clearCache()
+  }
+
+  test("connectedComponentsStar: deep chain converges in O(log n) rounds") {
+    // A 64-node chain has diameter 63 — min-label propagation at the
+    // default maxIter=20 fails loudly (require), while the alternating
+    // large-star/small-star variant converges well inside its budget.
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = operators.Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(star == (1L to 64L).map(_ -> 1L).toMap)
+    val thrown = intercept[IllegalArgumentException] {
+      operators.Dedup.connectedComponents(chain, smallGraphMax = 0L)
+    }
+    assert(thrown.getMessage.contains("did not converge"))
+    // singleton via self-loop + a pair, through the star path
+    val mixed = Seq((30L, 30L), (21L, 20L)).toDF("a", "b")
+    val got = operators.Dedup.connectedComponentsStar(mixed)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(30L -> 30L, 20L -> 20L, 21L -> 20L))
     spark.catalog.clearCache()
   }
 
