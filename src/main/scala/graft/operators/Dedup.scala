@@ -359,6 +359,67 @@ object Dedup {
     // contamination actually happens — eval items quote passages
     // (tokens 5-25) of source documents. Equi-join on the shingle, so
     // the cost is |shingles|, never corpus × benchmark.
+    // The end-to-end corpus-curation funnel — the canonical 100 TB
+    // training-data pipeline as ONE relation: language filter (marker
+    // argmax = 'en') → quality threshold (≥ 0.6 on the composite
+    // score) → exact dedup (keep min doc_id per content hash) →
+    // benchmark decontamination (drop any doc sharing a 5-shingle with
+    // the eval set). Emits the survivor funnel per stage with an
+    // order-canonical id digest, so the oracle pins EXACTLY which
+    // documents survive each stage, not just how many. Every stage is
+    // one shuffle (argmax agg / map-only filter / hash groupBy /
+    // shingle equi-join) — the whole pipeline keeps the sub-quadratic
+    // shapes of its stand-alone stages.
+    "curate_corpus" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // Raw corpus = documents with two deterministic injections so
+      // every funnel leg provably filters: every 13th doc gets a
+      // Spanish-marker prefix strong enough to win the language argmax
+      // (dropped at stage 1), and every 50th doc is duplicated under
+      // doc_id + 1,000,000 (dropped at stage 3).
+      val base = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(lit(("el la de y que " * 10).trim + " "), col("text")))
+          .otherwise(col("text")))
+      val docs = base.unionByName(
+        base.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val s1 = docs.join(
+        TextAnalysis.predLang(docs).filter(col("pred_lang") === "en").select("doc_id"),
+        Seq("doc_id"))
+      val s2 = TextAnalysis.withQualityScore(s1)
+        .filter(col("quality_score") >= 0.6).drop("quality_score")
+      val s3 = s2.withColumn("_h", md5(col("text")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("_h").orderBy(col("doc_id").asc)))
+        .filter(col("_rn") === 1).drop("_h", "_rn")
+        .persist()
+      val sh5 = shinglesUdf(5)
+      val ev = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("etoks", slice(toks, 5, 21))
+        .filter(size(toks) >= 25)
+        .select(explode(sh5(array_join(col("etoks"), " "))).as("sh"))
+        .distinct()
+      val contaminated = s3.filter(size(toks) >= 5)
+        .select(col("doc_id"), explode(sh5(col("text"))).as("sh"))
+        .join(ev, Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      def stage(id: Long, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+          md5(array_join(array_sort(collect_list(col("doc_id").cast("string"))), ","))
+            .as("ids_md5"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("ids_md5"))
+      stage(0L, "0_all", docs)
+        .unionByName(stage(1L, "1_lang", s1))
+        .unionByName(stage(2L, "2_quality", s2))
+        .unionByName(stage(3L, "3_dedup", s3))
+        .unionByName(stage(4L, "4_decontaminated", s4))
+        .orderBy("stage_id")
+    }),
+
     "dd_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val toks = filter(split(col("text"), " "), t => t =!= "")
@@ -554,6 +615,83 @@ object Dedup {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5
          |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin,
+    "curate_corpus" ->
+      s"""WITH injected AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0
+         |         THEN repeat('el la de y que ', 9) || 'el la de y que ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM injected
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM injected WHERE doc_id % 50 = 0),
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |         WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |         WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |         WHEN s_fr >= s_zh THEN 'fr'
+         |         ELSE 'zh' END AS pred_lang
+         |  FROM (
+         |    SELECT doc_id,
+         |      sum(CASE WHEN tok IN ('the','a','is','of','and') THEN 1 ELSE 0 END) AS s_en,
+         |      sum(CASE WHEN tok IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS s_es,
+         |      sum(CASE WHEN tok IN ('der','die','und','ist','das') THEN 1 ELSE 0 END) AS s_de,
+         |      sum(CASE WHEN tok IN ('le','les','et','des','une') THEN 1 ELSE 0 END) AS s_fr,
+         |      sum(CASE WHEN tok IN ('的','是','在','了','和') THEN 1 ELSE 0 END) AS s_zh
+         |    FROM (SELECT doc_id, unnest($toksSql) AS tok FROM corpus)
+         |    GROUP BY doc_id)),
+         |s1 AS (
+         |  SELECT d.doc_id, d.text FROM corpus d
+         |  JOIN lang USING (doc_id) WHERE pred_lang = 'en'),
+         |s2 AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      least(1.0, CAST(len($toksSql) AS DOUBLE) / 100.0) * 0.5 +
+         |      least(1.0, (CAST(len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS DOUBLE)
+         |        / CAST(len($toksSql) AS DOUBLE)) * 5.0) * 0.3 +
+         |      CASE WHEN (CAST(list_sum(list_transform($toksSql, t -> length(t)::BIGINT)) AS DOUBLE)
+         |                   / CAST(len($toksSql) AS DOUBLE)) >= 3.0
+         |            AND (CAST(list_sum(list_transform($toksSql, t -> length(t)::BIGINT)) AS DOUBLE)
+         |                   / CAST(len($toksSql) AS DOUBLE)) <= 8.0
+         |           THEN 0.2 ELSE 0.0 END AS quality_score
+         |    FROM s1)
+         |  WHERE quality_score >= 0.6),
+         |s3 AS (
+         |  SELECT doc_id, text FROM s2
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY md5(text))),
+         |ev AS (
+         |  SELECT doc_id AS eval_id, ($toksSql)[5:25] AS etoks
+         |  FROM corpus WHERE doc_id % 97 = 0 AND len($toksSql) >= 25),
+         |evsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(etoks) - 4),
+         |    i -> array_to_string(etoks[i:i+4], ' ')))) AS sh FROM ev),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len($toksSql) - 4),
+         |    i -> array_to_string(($toksSql)[i:i+4], ' ')))) AS sh
+         |  FROM s3 WHERE len($toksSql) >= 5),
+         |contaminated AS (
+         |  SELECT DISTINCT c.doc_id FROM csh c JOIN evsh e USING (sh)),
+         |s4 AS (
+         |  SELECT doc_id FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |funnel AS (
+         |  SELECT 0 AS stage_id, '0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |    md5(coalesce(array_to_string(list_sort(list(doc_id::VARCHAR)), ','), '')) AS ids_md5
+         |  FROM corpus
+         |  UNION ALL SELECT 1, '1_lang', CAST(count(*) AS BIGINT),
+         |    md5(coalesce(array_to_string(list_sort(list(doc_id::VARCHAR)), ','), '')) FROM s1
+         |  UNION ALL SELECT 2, '2_quality', CAST(count(*) AS BIGINT),
+         |    md5(coalesce(array_to_string(list_sort(list(doc_id::VARCHAR)), ','), '')) FROM s2
+         |  UNION ALL SELECT 3, '3_dedup', CAST(count(*) AS BIGINT),
+         |    md5(coalesce(array_to_string(list_sort(list(doc_id::VARCHAR)), ','), '')) FROM s3
+         |  UNION ALL SELECT 4, '4_decontaminated', CAST(count(*) AS BIGINT),
+         |    md5(coalesce(array_to_string(list_sort(list(doc_id::VARCHAR)), ','), '')) FROM s4)
+         |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage, n_docs, ids_md5
+         |FROM funnel ORDER BY stage_id""".stripMargin,
     "dd_decontaminate" ->
       s"""WITH ev AS (
          |  SELECT doc_id AS eval_id, ($toksSql)[5:25] AS etoks

@@ -30,6 +30,42 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "des", "une"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
+  /** (doc_id, pred_lang) — the ta_language_id marker-argmax, shared
+    * with the corpus-curation funnel (`curate_corpus`). */
+  private[graft] def predLang(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val aggCols = markers.map { case (l, ws) =>
+      sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L)).as(s"s_$l")
+    }
+    val scores = base.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val Seq(en, es, de, fr, zh) = markers.map(m => col(s"s_${m._1}"))
+    scores.select(col("doc_id"),
+      when(en >= es && en >= de && en >= fr && en >= zh, "en")
+        .when(es >= de && es >= fr && es >= zh, "es")
+        .when(de >= fr && de >= zh, "de")
+        .when(fr >= zh, "fr")
+        .otherwise("zh").as("pred_lang"))
+  }
+
+  /** Adds `quality_score` — the ta_quality_score formula, shared with
+    * the corpus-curation funnel. */
+  private[graft] def withQualityScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .withColumn("_nt", size(toks).cast("long"))
+      .withColumn("_stl",
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("_ns",
+        size(filter(toks, t => t.isin("the", "a", "is", "of", "and"))).cast("long"))
+      .withColumn("_atl", col("_stl").cast("double") / col("_nt").cast("double"))
+      .withColumn("_sr", col("_ns").cast("double") / col("_nt").cast("double"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("_nt").cast("double") / lit(100.0)) * lit(0.5) +
+          least(lit(1.0), col("_sr") * lit(5.0)) * lit(0.3) +
+          when(col("_atl") >= 3.0 && col("_atl") <= 8.0, lit(0.2)).otherwise(lit(0.0)))
+      .drop("_nt", "_stl", "_ns", "_atl", "_sr")
+  }
+
   /** BM25 scores (k1=1.2, b=0.75) per document for a query term set —
     * (doc_id, bm25, n_terms), matched docs only. Reused by the
     * `ts_bm25` query and the keyword branch of the hybrid RRF fusion.
