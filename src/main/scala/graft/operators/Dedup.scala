@@ -385,11 +385,14 @@ object Dedup {
         base.filter(col("doc_id") % 50 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L))
       val toks = filter(split(col("text"), " "), t => t =!= "")
+      // Each stage feeds both its own funnel row and the next stage —
+      // persist the chain so the 5 aggregations don't recompute the
+      // upstream scans (caller clearCache contract releases them).
       val s1 = docs.join(
         TextAnalysis.predLang(docs).filter(col("pred_lang") === "en").select("doc_id"),
-        Seq("doc_id"))
+        Seq("doc_id")).persist()
       val s2 = TextAnalysis.withQualityScore(s1)
-        .filter(col("quality_score") >= 0.6).drop("quality_score")
+        .filter(col("quality_score") >= 0.6).drop("quality_score").persist()
       val s3 = s2.withColumn("_h", md5(col("text")))
         .withColumn("_rn", row_number().over(
           Window.partitionBy("_h").orderBy(col("doc_id").asc)))
