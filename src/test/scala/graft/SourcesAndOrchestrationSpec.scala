@@ -125,6 +125,16 @@ class SourcesAndOrchestrationSpec extends AnyFunSuite {
     // plain assistant turn → 800-char cut with the omission suffix
     val f4 = formatHistory(Seq(("assistant", "y" * 801)))
     assert(f4.contains("y" * 800 + "...[後續省略]"))
+    // code-point budgets: 💡 is ONE code point but two UTF-16 units —
+    // 299 ASCII + 💡 = 300 code points must NOT truncate (a UTF-16
+    // substring(0,300) would split or miscount), and at 301 code
+    // points the cut lands BETWEEN code points, never mid-surrogate
+    val exactly300 = "u" * 299 + "💡"
+    val f5 = formatHistory(Seq(("user", exactly300)))
+    assert(f5.contains("用戶: " + exactly300 + "\n") && !f5.contains("..."))
+    val over = "💡" * 301
+    val f6 = formatHistory(Seq(("user", over)))
+    assert(f6.contains("用戶: " + "💡" * 300 + "...\n"))
   }
 
   test("T12: schema discovery merges sampled dynamic fields") {
