@@ -359,6 +359,36 @@ object Dedup {
     // contamination actually happens — eval items quote passages
     // (tokens 5-25) of source documents. Equi-join on the shingle, so
     // the cost is |shingles|, never corpus × benchmark.
+    // Paragraph-level dedup (finer-grained than document dedup — the
+    // FineWeb-style pass that strips boilerplate shared ACROSS
+    // documents): segment every doc into fixed 200-char paragraphs,
+    // hash each, count distinct owning docs per hash globally, and
+    // report per doc how many of its paragraphs also appear elsewhere.
+    // Duplicated docs are injected (every 20th doc re-appears under
+    // doc_id + 1,000,000) so cross-doc paragraph hits provably exist.
+    // Scale: segmentation is map-only; the global paragraph-frequency
+    // pass is ONE shuffle on a 16-byte hash with map-side partial
+    // counts — the same shape as dd_exact, at paragraph granularity.
+    "dd_paragraph" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("n_chars") > 0)
+      val docs = base.unionByName(
+        base.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val paras = docs
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), floor((length(col("text")) - 1) / 200).cast("int")),
+          i => substring(col("text"), (i * 200 + 1).cast("int"), lit(200))))
+          .as(Seq("para_idx", "para")))
+        .withColumn("ph", md5(col("para")))
+      val freq = paras.groupBy("ph")
+        .agg(countDistinct(col("doc_id")).as("n_owner_docs"))
+      paras.join(freq, Seq("ph"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("n_owner_docs") > 1, 1L).otherwise(0L)).as("n_shared_paras"))
+        .orderBy("doc_id")
+    }),
+
     // The end-to-end corpus-curation funnel — the canonical 100 TB
     // training-data pipeline as ONE relation: language filter (marker
     // argmax = 'en') → quality threshold (≥ 0.6 on the composite
@@ -618,6 +648,22 @@ object Dedup {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5
          |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin,
+    "dd_paragraph" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE n_chars > 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE n_chars > 0 AND doc_id % 20 = 0),
+        |paras AS (
+        |  SELECT doc_id, md5(substr(text, (i * 200 + 1)::INT, 200)) AS ph
+        |  FROM corpus,
+        |  LATERAL (SELECT unnest(generate_series(0, ((length(text) - 1) // 200)::INT)) AS i)),
+        |freq AS (
+        |  SELECT ph, count(DISTINCT doc_id) AS n_owner_docs FROM paras GROUP BY ph)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN n_owner_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_paras
+        |FROM paras JOIN freq USING (ph)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "curate_corpus" ->
       s"""WITH injected AS (
          |  SELECT doc_id,
