@@ -590,15 +590,18 @@ object Search {
       s"""WITH b AS (
          |  SELECT label, vec_id, sim * 1.3::DOUBLE AS wsim FROM (
          |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], ${qn(0)}) AS sim
-         |    FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |    FROM embeddings WHERE list_inner_product(embedding::DOUBLE[], ${qn(0)}) >= 0.0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10)
          |  UNION ALL
          |  SELECT label, vec_id, sim * 1.1::DOUBLE AS wsim FROM (
          |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], ${qn(1)}) AS sim
-         |    FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |    FROM embeddings WHERE list_inner_product(embedding::DOUBLE[], ${qn(1)}) >= 0.0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10)
          |  UNION ALL
          |  SELECT label, vec_id, sim * 1.0::DOUBLE AS wsim FROM (
          |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], ${qn(2)}) AS sim
-         |    FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10))
+         |    FROM embeddings WHERE list_inner_product(embedding::DOUBLE[], ${qn(2)}) >= 0.0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10))
          |SELECT label, vec_id, wsim FROM (
          |  SELECT label, vec_id, wsim,
          |         row_number() OVER (PARTITION BY label ORDER BY wsim DESC, vec_id ASC) AS rn

@@ -237,9 +237,11 @@ object Orchestration {
         .select("doc_id", "intent")
         .orderBy("doc_id")),
 
-    // X2 — composite standard-QA flow (rows-only: embeds driver-side
-    // query vectors + stubbed confidence; components individually
-    // oracle-checked via v8/j1).
+    // X2 — composite standard-QA flow, hash-exact: the query vectors
+    // come from the embeddings table (batch qvecs collect), so the
+    // whole rewrite→multi-query-merge→doc-join→confidence flow is
+    // SQL-mirrorable (the v8 merge body + documents join + the
+    // constant confidence formula).
     "x2_standard_qa" -> ((s, d) => standardQa(s, d, Seq(0L, 1L, 2L), 5)),
 
     // X4 — the streaming-QA emission stage (`qa_orchestrator.py:
@@ -485,6 +487,34 @@ object Orchestration {
         |  substr(text, 1, 80) AS summary,
         |  array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:3], ',') AS keywords
         |FROM sel ORDER BY doc_id""".stripMargin,
+    "x2_standard_qa" -> {
+      def qn(i: Int) = s"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = $i)"
+      s"""WITH b AS (
+         |  SELECT label, vec_id, sim * 1.3::DOUBLE AS wsim FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], ${qn(0)}) AS sim
+         |    FROM embeddings WHERE list_inner_product(embedding::DOUBLE[], ${qn(0)}) >= 0.0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |  UNION ALL
+         |  SELECT label, vec_id, sim * 1.1::DOUBLE AS wsim FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], ${qn(1)}) AS sim
+         |    FROM embeddings WHERE list_inner_product(embedding::DOUBLE[], ${qn(1)}) >= 0.0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |  UNION ALL
+         |  SELECT label, vec_id, sim * 1.0::DOUBLE AS wsim FROM (
+         |    SELECT label, vec_id, list_inner_product(embedding::DOUBLE[], ${qn(2)}) AS sim
+         |    FROM embeddings WHERE list_inner_product(embedding::DOUBLE[], ${qn(2)}) >= 0.0
+         |    ORDER BY sim DESC, vec_id ASC LIMIT 10)),
+         |m AS (
+         |  SELECT label, vec_id, wsim FROM (
+         |    SELECT label, vec_id, wsim,
+         |           row_number() OVER (PARTITION BY label ORDER BY wsim DESC, vec_id ASC) AS rn
+         |    FROM b)
+         |  WHERE rn = 1 ORDER BY wsim DESC, label ASC LIMIT 5)
+         |SELECT m.label, m.vec_id, m.wsim, d.doc_id,
+         |  least(0.9::DOUBLE, 0.3::DOUBLE + 0.1::DOUBLE * 5.0::DOUBLE) AS confidence
+         |FROM m JOIN documents d ON d.doc_id = m.vec_id
+         |ORDER BY m.wsim DESC, m.vec_id ASC""".stripMargin
+    },
     "v10_route_strategy" ->
       """WITH base AS (
         |  SELECT (['thematic','detailed','unknown','other'])[(doc_id % 4 + 1)::INT] AS granularity,
