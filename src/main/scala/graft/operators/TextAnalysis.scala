@@ -242,6 +242,57 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing (training-pipeline op): pack documents into
+    // fixed-token-budget training sequences (budget 1024), the
+    // contiguous per-shard form streaming pretraining loaders use —
+    // within each source shard, docs are taken in doc_id order and a
+    // doc starts a new pack when the running token total would
+    // overflow the budget (docs longer than the budget get a pack of
+    // their own). Spark shape: ONE shuffle on the shard key, then an
+    // executor-local greedy walk over each shard's run — a shard is
+    // one loader stream, so the walk is bounded and never touches the
+    // driver. The oracle replays the walk as a recursive CTE.
+    "pp_sequence_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1024
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val toks = Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .filter(col("n_tokens") > 0)
+      // greedy boundary walk: doc i starts a new pack iff the tokens
+      // accumulated since the last boundary would exceed the budget.
+      // With every n_tokens <= budget this equals the classic
+      // floor(cumsum_before / budget) ONLY when packs fill exactly —
+      // the general greedy form needs the sequential walk, which is a
+      // per-shard UDF over the collected (doc_id, n_tokens) run —
+      // bounded per shard, mirrored by the oracle's recursive CTE.
+      val packU = udf((sizes: Seq[Long]) => {
+        val out = new Array[Long](sizes.length)
+        var pack = 0L; var used = 0L
+        var i = 0
+        while (i < sizes.length) {
+          val n = sizes(i)
+          if (used > 0 && used + n > budget) { pack += 1; used = 0L }
+          out(i) = pack; used += n
+          i += 1
+        }
+        out.toSeq
+      })
+      val packed = toks
+        .withColumn("seq_in_shard", row_number().over(w).cast("int"))
+        .groupBy("source")
+        .agg(sort_array(collect_list(struct(col("seq_in_shard"), col("doc_id"),
+          col("n_tokens")))).as("run"))
+        .withColumn("packs", packU(expr("transform(run, x -> x.n_tokens)")))
+        .select(col("source"), explode(arrays_zip(col("run"), col("packs"))).as("z"))
+        .select(col("source"), col("z.run.doc_id").as("doc_id"),
+          col("z.run.n_tokens").as("n_tokens"), col("z.packs").as("pack_id"))
+      packed.groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "pack_id")
+    }),
+
     // T5 — text-source priority coalesce (the real function) under an
     // exact oracle: the four candidate fields are synthesized with
     // nulls AND empty strings injected by doc_id residue (empty must
@@ -463,6 +514,25 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t4_summary_assembly" -> t4Oracle,
+    "pp_sequence_pack" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT source, doc_id, len($toksSql)::BIGINT AS n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
+         |  FROM documents WHERE len($toksSql) > 0),
+         |walk AS (
+         |  SELECT source, seq, doc_id, n_tokens,
+         |    CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+         |  FROM toks WHERE seq = 1
+         |  UNION ALL
+         |  SELECT t.source, t.seq, t.doc_id, t.n_tokens,
+         |    CASE WHEN w.used + t.n_tokens > 1024 THEN w.pack_id + 1 ELSE w.pack_id END,
+         |    CASE WHEN w.used + t.n_tokens > 1024 THEN t.n_tokens ELSE w.used + t.n_tokens END
+         |  FROM walk w JOIN toks t ON t.source = w.source AND t.seq = w.seq + 1)
+         |SELECT source, pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM walk GROUP BY source, pack_id
+         |ORDER BY source, pack_id""".stripMargin,
     "t5_text_source" ->
       """WITH base AS (
         |  SELECT doc_id,
