@@ -133,3 +133,76 @@ object VectorFunctions {
     F.when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 }
+
+/** Random-hyperplane (signed random projection) LSH for cosine
+  * similarity — the classic SimHash-for-vectors family: bit p of a
+  * vector's code is the sign of its projection onto hyperplane p.
+  * Collision probability is 1 − θ/π per bit, so near-duplicate
+  * vectors land in the same bucket and a query only scans the buckets
+  * within a small Hamming radius of its own code.
+  *
+  * The hyperplanes are ±1-valued and derived from a fixed integer mix
+  * (Knuth multiplicative hash of the flat index), so BOTH engines —
+  * the Spark plan and the DuckDB oracle — reconstruct bit-identical
+  * planes with no shared state. ±1 entries are exactly representable,
+  * and the projection is a strictly left-to-right double accumulation
+  * (same order as `DotProduct` codegen and DuckDB's
+  * `list_inner_product`), so the sign — hence the code — is bit-exact
+  * across engines.
+  *
+  * Scale posture: the corpus coding pass is map-only; bucketing is an
+  * equi-filter/equi-join on the code. At 100 TB the code becomes a
+  * partition column of the vector store — a query reads only its
+  * multiprobe buckets' partitions. Used by `ann_rp_lsh` (Search) and
+  * `dd_semdedup` (Dedup).
+  */
+object RandomHyperplane {
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** Plane p, component j: +1 when bit 16 of (flatIdx · 2654435761)
+    * is clear, else −1 — deterministic, seed-free, engine-neutral. */
+  val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { j =>
+        val i = (p.toLong * Dim + j) * 2654435761L
+        if (((i >> 16) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Column: 8-bit bucket code of an embedding column. */
+  def codeCol(emb: Column): Column =
+    (0 until NumPlanes).map { p =>
+      F.when(VectorFunctions.dot(emb, F.typedLit(planes(p))) >= 0.0, F.lit(1L << p))
+        .otherwise(F.lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side code of a collected query vector — the same strictly
+    * sequential left-to-right accumulation as the codegen path. */
+  def codeOf(v: Seq[Double]): Long =
+    (0 until NumPlanes).map { p =>
+      var acc = 0.0
+      var j = 0
+      while (j < math.min(v.length, Dim)) { acc += v(j) * planes(p)(j); j += 1 }
+      if (acc >= 0.0) 1L << p else 0L
+    }.sum
+
+  /** All codes within Hamming distance `radius` of `code` (sorted). */
+  def multiprobe(code: Long, radius: Int): Seq[Long] = {
+    def flips(c: Long, r: Int, from: Int): Seq[Long] =
+      if (r == 0) Seq(c)
+      else c +: (from until NumPlanes).flatMap(p => flips(c ^ (1L << p), r - 1, p + 1))
+    flips(code, radius, 0).distinct.sorted
+  }
+
+  /** DuckDB literal for plane p: `[1.0, -1.0, ...]::DOUBLE[]`. */
+  def planeSql(p: Int): String =
+    planes(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]") + "::DOUBLE[]"
+
+  /** DuckDB expression: the 8-bit code of `embExpr` (a DOUBLE[] SQL
+    * expression) — mirrors `codeCol` bit for bit. */
+  def codeSql(embExpr: String): String =
+    (0 until NumPlanes).map { p =>
+      s"(CASE WHEN list_inner_product($embExpr, ${planeSql(p)}) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

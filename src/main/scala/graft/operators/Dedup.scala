@@ -552,6 +552,38 @@ object Dedup {
         .select("id_a", "id_b", "label", "sim")
         .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
         .limit(100)
+    }),
+
+    // SemDeDup — semantic near-duplicate pruning with CONTENT-DERIVED
+    // blocking: vectors are bucketed by their random-hyperplane LSH
+    // code (functions/RandomHyperplane; same deterministic planes as
+    // ann_rp_lsh) and only same-bucket pairs pay the cosine check.
+    // This is the scale upgrade of dd_embedding_neardup's label block
+    // (PERF.md: "at 100 TB the block must become an IVF cell" — the
+    // RP code IS that cell, and unlike IVF it needs no training, so
+    // the whole path stays hash-exact against the oracle). Drop rule:
+    // a vector is dropped when a lower-id near-dup (cos ≥ 0.95)
+    // shares its bucket; the output is the drop decisions. The
+    // synthetic corpus has no true near-dups (max off-diagonal cosine
+    // ≈ 0.51), so exact copies are injected in-query (vec_id + 10000
+    // for every 50th vector — the same injected-evidence technique as
+    // curate_corpus) to prove the drop leg at the realistic τ.
+    "dd_semdedup" -> ((s, d) => {
+      import graft.functions.RandomHyperplane
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val copies = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(copies)
+        .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
+      val a = corpus.select(col("code"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = corpus.select(col("code"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, Seq("code"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", dot(col("emb_a"), col("emb_b")))
+        .filter(col("sim") >= 0.95)
+        .groupBy(col("id_b").as("dropped_id"), col("code"))
+        .agg(min(col("id_a")).as("keeper_id"), count(lit(1)).as("n_near"))
+        .orderBy("dropped_id")
     })
   )
 
@@ -824,6 +856,20 @@ object Dedup {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
-        |ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 100""".stripMargin
+        |ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 100""".stripMargin,
+    "dd_semdedup" -> {
+      import graft.functions.RandomHyperplane.codeSql
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |coded AS (SELECT vec_id, emb, ${codeSql("emb")} AS code FROM corpus)
+         |SELECT b.vec_id AS dropped_id, b.code, min(a.vec_id) AS keeper_id,
+         |  count(*) AS n_near
+         |FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
+         |WHERE list_inner_product(a.emb, b.emb) >= 0.95
+         |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin
+    }
   )
 }

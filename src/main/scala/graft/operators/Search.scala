@@ -399,6 +399,56 @@ object Search {
         .select("id", "sim")
     }),
 
+    // ANN via random-hyperplane LSH — the LSH-bucketed alternative to
+    // IVF: corpus coding is a map-only pass (8 sign-of-projection
+    // bits, deterministic ±1 planes shared bit-exactly with the
+    // oracle — functions/RandomHyperplane), the query probes its code
+    // plus all codes within Hamming distance 2 (37 of 256 buckets,
+    // ~28% of this corpus), and only candidates pay the exact rescore.
+    // Unlike IVF there is no training step, so the WHOLE path — code,
+    // probe set, rescore — is hash-exact against DuckDB. At 100 TB
+    // the code is a partition column: multiprobe = partition pruning.
+    // (Recall vs brute force is asserted ≥ 0.5 in SearchSpec; random
+    // synthetic embeddings are LSH's worst case — no cluster
+    // structure — so real-corpus recall would be higher.)
+    "ann_rp_lsh" -> ((s, d) => {
+      import graft.functions.RandomHyperplane
+      val q = qvec(s, d, 0)
+      val probes = RandomHyperplane.multiprobe(RandomHyperplane.codeOf(q), 2)
+      Tables.embeddings(s, d)
+        .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
+        .filter(col("code").isin(probes: _*))
+        .withColumn("sim", dot(col("embedding"), typedLit(q)))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "code", "sim")
+    }),
+
+    // Batch kNN JOIN via LSH blocking — "top-3 neighbors for EVERY
+    // vector" (the all-pairs shape behind SemDeDup audits, diversity
+    // analysis, and graph-based curation). All-pairs is O(n²) and
+    // unrunnable at scale; blocking pairs by the RP-LSH code makes it
+    // an equi-join on the 8-bit code (3,772 candidate pairs vs
+    // 124,750 all-pairs on this corpus — 33×), then a per-vector
+    // window ranks only same-bucket candidates. Vectors whose bucket
+    // has no other member simply emit no rows — the recall/cost trade
+    // LSH makes explicit. One shuffle on the code + one on id_a.
+    "ann_lsh_knn_join" -> ((s, d) => {
+      import graft.functions.RandomHyperplane
+      val coded = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          RandomHyperplane.codeCol(col("embedding")).as("code"))
+      val a = coded.select(col("code"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = coded.select(col("code"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, Seq("code")).filter(col("id_a") =!= col("id_b"))
+        .withColumn("sim", dot(col("emb_a"), col("emb_b")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("id_a"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
+        .orderBy("id_a", "rank")
+    }),
+
     // Quantized ANN with float rescore — the production two-tier
     // pattern behind every large-scale vector index: a cheap int8
     // coarse pass ranks the corpus (4× smaller vectors, integer
@@ -674,6 +724,48 @@ object Search {
          |  list_inner_product(embedding::DOUBLE[], (SELECT qe FROM q)) AS sim
          |FROM coarse
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // The RP-LSH oracle rebuilds the ±1 planes as literals (the same
+    // deterministic generator emits both the Spark typedLits and this
+    // SQL), derives the query code, expands the Hamming-≤2 multiprobe
+    // set with two bit-flip passes (p = 8 means "no flip", DISTINCT
+    // dedups), and replays bucket-filter + exact rescore.
+    "ann_rp_lsh" -> {
+      import graft.functions.RandomHyperplane.codeSql
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |qc AS (SELECT ${codeSql("qe")} AS qcode FROM q),
+         |bits AS (SELECT unnest(range(0, 9)) AS p),
+         |probes AS (
+         |  SELECT DISTINCT
+         |    xor(xor(qcode, CASE WHEN b1.p = 8 THEN 0 ELSE 1 << b1.p END),
+         |        CASE WHEN b2.p = 8 THEN 0 ELSE 1 << b2.p END) AS code
+         |  FROM qc, bits b1, bits b2),
+         |coded AS (
+         |  SELECT vec_id, ${codeSql("embedding::DOUBLE[]")} AS code,
+         |    list_inner_product(embedding::DOUBLE[], (SELECT qe FROM q)) AS sim
+         |  FROM embeddings)
+         |SELECT vec_id, code, sim FROM coded
+         |WHERE code IN (SELECT code FROM probes)
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+    "ann_lsh_knn_join" -> {
+      import graft.functions.RandomHyperplane.codeSql
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    ${codeSql("embedding::DOUBLE[]")} AS code
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_inner_product(a.emb, b.emb) AS sim
+         |  FROM coded a JOIN coded b
+         |    ON a.code = b.code AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT id_a, id_b, sim,
+         |    row_number() OVER (PARTITION BY id_a
+         |                       ORDER BY sim DESC, id_b ASC) AS rank
+         |  FROM pairs)
+         |SELECT id_a, rank, id_b AS neighbor_id, sim FROM ranked
+         |WHERE rank <= 3 ORDER BY id_a, rank""".stripMargin
+    },
     "ts_hybrid_rrf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term

@@ -448,10 +448,165 @@ object TextAnalysis {
           concat((1 to 16).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*))
         .select("doc_id", "simhash")
         .orderBy("doc_id")
+    }),
+
+    // Deterministic train/val/test split (training-pipeline op): the
+    // split is a pure function of the document id — two hex digits of
+    // md5("split:" + doc_id) give a bucket in [0,256); <204 → train
+    // (~80%), <230 → val (~10%), else test. Content-independent and
+    // reshuffle-free: any worker (or engine — the oracle replays the
+    // same integer math) assigns the same split to the same doc, so
+    // at 100 TB the split is a map-only column, never a sampled pass
+    // that must be persisted to be reproducible. Output is the
+    // per-(source, split) stratification report.
+    "pp_split_assign" -> ((s, d) => {
+      val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
+      def hv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val bucket = (hv(1) * 16 + hv(2)).cast("long")
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy("source", "split")
+    }),
+
+    // Domain-mixture sampling (training-pipeline op): downsample each
+    // source to hit target mixture weights — the data-mixing step of
+    // every pretraining corpus build. Weights derive from the source
+    // name (w = src-index % 4 + 1, integer); the output size T is the
+    // largest total where no source would need upsampling
+    // (T = min_i floor(c_i · Σw / w_i)), and each source keeps docs
+    // whose 12-bit md5 bucket falls under floor(w_i·T·4096 / (Σw·c_i))
+    // — ALL integer arithmetic, so both engines agree exactly.
+    // Spark shape: one small per-source count agg (map-side combine),
+    // scalar propagation via unbounded windows over that ≤|sources|-row
+    // relation (NOT a crossJoin — no nested-loop join at any size),
+    // then a broadcast equi-join back onto the corpus and a map-only
+    // hash filter. At 100 TB: one cheap agg + one map pass.
+    "pp_domain_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val docs = Tables.documents(s, d)
+      val thr = docs.groupBy("source").agg(count(lit(1)).as("n_in"))
+        .withColumn("w", expr("cast(substring(source, 4) as bigint) % 4 + 1"))
+        .withColumn("sum_w", sum(col("w")).over(wAll))
+        .withColumn("t_total", min(expr("n_in * sum_w div w")).over(wAll))
+        .withColumn("thresh", expr("(w * t_total * 4096) div (sum_w * n_in)"))
+        .select("source", "n_in", "thresh")
+      val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+      def hv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val bucket = (hv(1) * 256 + hv(2) * 16 + hv(3)).cast("long")
+      docs.join(broadcast(thr), Seq("source"))
+        .filter(bucket < col("thresh"))
+        .groupBy("source")
+        .agg(max(col("n_in")).as("n_in"), count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_sum_id"))
+        .orderBy("source")
+    }),
+
+    // Domain mixture WITH replication (training-pipeline op): where
+    // pp_domain_mix only downsamples, this hits the target mixture
+    // exactly by giving every source-i doc ⌊needed_i/c_i⌋ copies and
+    // one extra copy to the needed_i mod c_i docs that rank first by
+    // a deterministic md5 order — the "epochs per domain" shape of
+    // pretraining mixes (underrepresented domains repeat, massive
+    // ones subsample), and the output size per source is EXACTLY
+    // needed_i = ⌊w_i·N/Σw⌋ by construction (rep·c + rem). Integer
+    // arithmetic throughout. Scale: one tiny count agg, one
+    // per-source rank window (the exact-count sampler — the one
+    // genuinely sorted pass, per source not global), one map-only
+    // sequence-explode. Digest output; the exploded relation is the
+    // op's real product.
+    "pp_domain_upmix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val docs = Tables.documents(s, d)
+      val plan = docs.groupBy("source").agg(count(lit(1)).as("c"))
+        .withColumn("w", expr("cast(substring(source, 4) as bigint) % 4 + 1"))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("sum_w", sum(col("w")).over(wAll))
+        .withColumn("needed", expr("(w * n) div sum_w"))
+        .withColumn("rep", expr("needed div c"))
+        .withColumn("rem", expr("needed % c"))
+        .select("source", "c", "needed", "rep", "rem")
+      val wRank = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("up:"), col("doc_id").cast("string"))), col("doc_id"))
+      docs.join(broadcast(plan), Seq("source"))
+        .withColumn("rnk", row_number().over(wRank))
+        .withColumn("copies",
+          (col("rep") + when(col("rnk") <= col("rem"), 1L).otherwise(0L)).cast("long"))
+        .filter(col("copies") > 0)
+        .select(col("source"), col("needed"), col("doc_id"), col("copies"),
+          explode(expr("sequence(1, copies)")).as("copy_idx"))
+        .groupBy("source")
+        .agg(max(col("needed")).as("target_n"), count(lit(1)).as("n_out"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          max(col("copies")).as("max_copies"))
+        .orderBy("source")
+    }),
+
+    // Token-budget corpus selection (training-pipeline op): take the
+    // highest-quality docs until a global token budget (total/10) is
+    // spent — i.e. the maximal prefix of the (quality DESC, doc_id)
+    // order whose running token sum fits the budget. The naive form
+    // is a single global running-total window — one partition holding
+    // the whole corpus, a non-starter at 100 TB. This is the
+    // distributed two-phase form: (1) bucket docs by floor(q·1000)
+    // and aggregate per-bucket token sums (≤1001 rows — the ONLY
+    // single-partition window runs over that tiny relation);
+    // (2) buckets that fit entirely are kept whole, the one boundary
+    // bucket gets a per-bucket (bounded) window cut at the remaining
+    // budget. Provably equal to the naive prefix (bucketing is
+    // order-consistent: the oracle IS the naive global window).
+    "pp_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = withQualityScore(
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+          .filter(col("n_tokens") > 0))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          floor(col("quality_score") * 1000).cast("long").as("bucket"))
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val wCum = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dec = scored.groupBy("bucket").agg(sum(col("n_tokens")).as("btok"))
+        .withColumn("total", sum(col("btok")).over(wAll))
+        .withColumn("budget", expr("total div 10"))
+        .withColumn("cum_before", coalesce(sum(col("btok")).over(wCum), lit(0L)))
+      val fullB = dec.filter(col("cum_before") + col("btok") <= col("budget"))
+        .select("bucket")
+      val bnd = dec.filter(col("cum_before") <= col("budget") &&
+          col("cum_before") + col("btok") > col("budget"))
+        .select(col("bucket"), (col("budget") - col("cum_before")).as("remaining"))
+      val wq = Window.partitionBy("bucket")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      val selFull = scored.join(broadcast(fullB), Seq("bucket"))
+      val selBnd = scored.join(broadcast(bnd), Seq("bucket"))
+        .withColumn("cum_in", sum(col("n_tokens")).over(wq))
+        .filter(col("cum_in") <= col("remaining"))
+      selFull.select("doc_id", "n_tokens")
+        .unionByName(selBnd.select("doc_id", "n_tokens"))
+        .orderBy("doc_id")
     })
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** DuckDB: integer value of one lowercase hex digit expression —
+    * the same ascii arithmetic the Spark side uses, so md5-derived
+    * buckets are identical in both engines. */
+  private def hexValSql(c: String): String =
+    s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
 
   // smartCompressList state machine fragments (t3_compress_list; s =
   // step state row, t = items row). NOTE: `full` is a reserved word in
@@ -533,6 +688,93 @@ object TextAnalysis {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM walk GROUP BY source, pack_id
          |ORDER BY source, pack_id""".stripMargin,
+    "pp_split_assign" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    (${hexValSql("substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 16
+         |     + ${hexValSql("substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)")}) AS bucket
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN bucket < 204 THEN 'train'
+         |       WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "pp_domain_mix" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_in,
+         |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+         |  FROM documents GROUP BY source),
+         |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM counts),
+         |t AS (SELECT min(n_in * sum_w // w) AS t_total FROM counts, sw),
+         |thr AS (SELECT source, n_in, (w * t_total * 4096) // (sum_w * n_in) AS thresh
+         |        FROM counts, sw, t),
+         |b AS (
+         |  SELECT doc_id, source,
+         |    (${hexValSql("substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 256
+         |     + ${hexValSql("substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)")} * 16
+         |     + ${hexValSql("substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 3, 1)")}) AS bucket
+         |  FROM documents)
+         |SELECT b.source, max(thr.n_in) AS n_in, count(*) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS kept_sum_id
+         |FROM b JOIN thr ON b.source = thr.source
+         |WHERE bucket < thresh
+         |GROUP BY b.source ORDER BY b.source""".stripMargin,
+    "pp_domain_upmix" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS c,
+         |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |               CAST(sum(w) AS BIGINT) AS sum_w FROM counts),
+         |plan AS (
+         |  SELECT source, c, (w * n) // sum_w AS needed,
+         |    ((w * n) // sum_w) // c AS rep,
+         |    ((w * n) // sum_w) % c AS rem
+         |  FROM counts, tot),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('up:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+         |  FROM documents),
+         |copies AS (
+         |  SELECT r.source, p.needed, r.doc_id,
+         |    CAST(p.rep + CASE WHEN r.rnk <= p.rem THEN 1 ELSE 0 END AS BIGINT) AS copies
+         |  FROM ranked r JOIN plan p ON r.source = p.source),
+         |exploded AS (
+         |  SELECT source, needed, doc_id, copies,
+         |    unnest(generate_series(1, copies::INT)) AS copy_idx
+         |  FROM copies WHERE copies > 0)
+         |SELECT source, max(needed) AS target_n, count(*) AS n_out,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+         |  max(copies) AS max_copies
+         |FROM exploded GROUP BY source ORDER BY source""".stripMargin,
+    // The oracle is the NAIVE form of the budget selection — one
+    // global running-total window in (quality DESC, doc_id) order —
+    // which the Spark side's two-phase bucket decomposition must
+    // reproduce exactly.
+    "pp_token_budget" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, n_tokens,
+         |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
+         |    least(1.0, stop_ratio * 5.0) * 0.3 +
+         |    CASE WHEN avg_tok_len >= 3.0 AND avg_tok_len <= 8.0
+         |         THEN 0.2 ELSE 0.0 END AS qs
+         |  FROM (
+         |    SELECT doc_id,
+         |      len($toksSql)::BIGINT AS n_tokens,
+         |      CAST(list_sum(list_transform($toksSql, t -> length(t)::BIGINT)) AS DOUBLE)
+         |        / CAST(len($toksSql) AS DOUBLE) AS avg_tok_len,
+         |      CAST(len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS DOUBLE)
+         |        / CAST(len($toksSql) AS DOUBLE) AS stop_ratio
+         |    FROM documents WHERE len($toksSql) > 0)),
+         |bud AS (SELECT CAST(sum(n_tokens) // 10 AS BIGINT) AS budget FROM q),
+         |run AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY qs DESC, doc_id ASC
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM q)
+         |SELECT doc_id, n_tokens FROM run, bud
+         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
     "t5_text_source" ->
       """WITH base AS (
         |  SELECT doc_id,

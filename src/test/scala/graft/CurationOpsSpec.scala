@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.RandomHyperplane
+import graft.operators.TextAnalysis
+
+/** Invariants for the corpus-curation batch ops added in round 4:
+  * RP-LSH ANN (recall + pruning), SemDeDup (exactly the injected
+  * copies dropped), token-budget selection (two-phase == naive global
+  * window), domain mixing (weights bind), split assignment
+  * (partition + ratio). All on the fixed sf0.001 tables, so every
+  * assertion is deterministic.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def qv: Seq[Double] =
+    Tables.embeddings(spark, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+
+  test("ann_rp_lsh prunes the scan and keeps recall vs brute force") {
+    val res = SparkEntry.queries("ann_rp_lsh")(spark, d).collect()
+    assert(res.length == 10)
+    val qcode = RandomHyperplane.codeOf(qv)
+    // every hit comes from a probed bucket (Hamming <= 2 of the query code)
+    res.foreach { r =>
+      val ham = java.lang.Long.bitCount(r.getAs[Long]("code") ^ qcode)
+      assert(ham <= 2, s"vec ${r.getLong(0)} from bucket at Hamming $ham")
+    }
+    // the bucket filter genuinely prunes (scans < half the corpus)
+    val probes = RandomHyperplane.multiprobe(qcode, 2)
+    val corpus = Tables.embeddings(spark, d)
+    val nCand = corpus
+      .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
+      .filter(col("code").isin(probes: _*)).count()
+    assert(nCand < corpus.count() / 2, s"candidates $nCand not a pruned scan")
+    // recall vs exact brute-force top-10 (0.6 on this data; random
+    // embeddings are LSH's worst case, so the floor is conservative)
+    val brute = operators.Search.knn(corpus, qv, 10, -1.0)
+      .select("vec_id").as[Long].collect().toSet
+    val got = res.map(_.getLong(0)).toSet
+    assert(brute.intersect(got).size >= 5, s"recall ${brute.intersect(got).size}/10")
+  }
+
+  test("dd_semdedup drops exactly the injected copies, keeping the originals") {
+    val rows = SparkEntry.queries("dd_semdedup")(spark, d).collect()
+    val expected = Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 50 === 0).select("vec_id").as[Long]
+      .collect().map(_ + 10000).toSet
+    assert(rows.map(_.getAs[Long]("dropped_id")).toSet == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keeper_id") == r.getAs[Long]("dropped_id") - 10000)
+      assert(r.getAs[Long]("n_near") == 1L)
+    }
+  }
+
+  test("pp_token_budget two-phase selection equals the naive global window") {
+    val base = TextAnalysis.withQualityScore(
+      Tables.documents(spark, d)
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .filter(col("n_tokens") > 0))
+    val budget = base.agg(sum("n_tokens")).head().getLong(0) / 10
+    val naive = base
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("quality_score").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
+    val twoPhase = SparkEntry.queries("pp_token_budget")(spark, d)
+      .as[(Long, Long)].collect().toSet
+    assert(twoPhase == naive)
+    assert(twoPhase.nonEmpty)
+  }
+
+  test("pp_domain_mix downsamples toward the target weights") {
+    val rows = SparkEntry.queries("pp_domain_mix")(spark, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_in"), r.getAs[Long]("n_kept")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nIn, nKept) =>
+      assert(nKept <= nIn, s"$src upsampled: $nKept > $nIn")
+    }
+    // weight = src-index % 4 + 1: w=4 sources must keep a higher
+    // fraction than w=1 sources (4x the target share)
+    def rate(w: Int): Double = {
+      val sel = rows.filter { case (src, _, _) => src.drop(3).toInt % 4 + 1 == w }
+      sel.map(_._3).sum.toDouble / sel.map(_._2).sum
+    }
+    assert(rate(4) > rate(1) * 2, s"w=4 rate ${rate(4)} vs w=1 rate ${rate(1)}")
+  }
+
+  test("ann_lsh_knn_join ranks only same-bucket pairs and stays sub-quadratic") {
+    val res = SparkEntry.queries("ann_lsh_knn_join")(spark, d).collect()
+    assert(res.nonEmpty)
+    val codeOf = Tables.embeddings(spark, d)
+      .select(col("vec_id"), RandomHyperplane.codeCol(col("embedding")).as("code"))
+      .as[(Long, Long)].collect().toMap
+    res.foreach { r =>
+      assert(codeOf(r.getAs[Long]("id_a")) == codeOf(r.getAs[Long]("neighbor_id")),
+        s"pair ${r.getLong(0)}/${r.getAs[Long]("neighbor_id")} crosses buckets")
+    }
+    // per-vector ranks are 1..n<=3 with non-increasing sims
+    res.groupBy(_.getAs[Long]("id_a")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // blocking keeps the join far below all-pairs
+    val n = Tables.embeddings(spark, d).count()
+    assert(res.length < n * (n - 1) / 10, s"${res.length} pairs is not pruned")
+  }
+
+  test("pp_domain_upmix hits every target count exactly") {
+    val rows = SparkEntry.queries("pp_domain_upmix")(spark, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("target_n"), r.getAs[Long]("n_out"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("max_copies")))
+    assert(rows.nonEmpty)
+    val nIn = Tables.documents(spark, d).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (src, target, nOut, nDistinct, maxCopies) =>
+      assert(nOut == target, s"$src missed target: $nOut != $target")
+      assert(nDistinct <= nIn(src))
+      val w = src.drop(3).toInt % 4 + 1
+      if (w == 4) assert(maxCopies >= 2, s"$src (w=4) not upsampled")
+      if (w == 1) assert(maxCopies == 1, s"$src (w=1) should only downsample")
+    }
+    // the overall mixture is preserved in total size (Σ needed ≈ N)
+    val totalOut = rows.map(_._3).sum
+    val totalIn = nIn.values.sum
+    assert(math.abs(totalOut - totalIn) <= rows.length,
+      s"total $totalOut drifted from corpus size $totalIn")
+  }
+
+  test("pp_split_assign partitions the corpus at ~80/10/10") {
+    val rows = SparkEntry.queries("pp_split_assign")(spark, d).collect()
+      .map(r => (r.getString(1), r.getAs[Long]("n_docs")))
+    val total = rows.map(_._2).sum
+    assert(total == Tables.documents(spark, d).count())
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+  }
+}
