@@ -554,6 +554,38 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // Deterministic epoch shuffle (training-pipeline op): each epoch
+    // permutes the corpus by a hash of (epoch, doc_id) and deals docs
+    // into loader shards — "a different order every epoch, the SAME
+    // order every rerun", which at 100 TB must be a pure function of
+    // (epoch, doc_id), never a persisted random sample. Shard = 3 bits
+    // of the hash (map-only); position = rank within shard (the only
+    // sort, partitioned per (epoch, shard), bounded by shard size).
+    // Output digests each (epoch, shard) run: count + the first three
+    // doc_ids in shuffled order — enough for the oracle to pin both
+    // the deal and the order.
+    "pp_epoch_shuffle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(typedLit(Seq(0, 1))).as("epoch"))
+      val h = md5(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string")))
+      val hv1 = {
+        val a = ascii(substring(h, 1, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val wPos = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+      docs.withColumn("h", h)
+        .withColumn("shard", (hv1 % 8).cast("long"))
+        .withColumn("pos", row_number().over(wPos))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",", transform(
+            slice(sort_array(collect_list(struct(col("pos"), col("doc_id")))), 1, 3),
+            x => x.getField("doc_id").cast("string"))).as("head_docs"))
+        .orderBy("epoch", "shard")
+    }),
+
     // Token-budget corpus selection (training-pipeline op): take the
     // highest-quality docs until a global token budget (total/10) is
     // spent — i.e. the maximal prefix of the (quality DESC, doc_id)
@@ -575,6 +607,10 @@ object TextAnalysis {
           .filter(col("n_tokens") > 0))
         .select(col("doc_id"), col("n_tokens"), col("quality_score"),
           floor(col("quality_score") * 1000).cast("long").as("bucket"))
+        // three consumers (bucket stats, full-bucket join, boundary
+        // join) — persist so tokenization+scoring runs once (caller
+        // clearCache contract, SparkEntry.scala)
+        .persist()
       val wAll = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       val wCum = Window.orderBy(col("bucket").desc)
@@ -719,6 +755,22 @@ object TextAnalysis {
          |FROM b JOIN thr ON b.source = thr.source
          |WHERE bucket < thresh
          |GROUP BY b.source ORDER BY b.source""".stripMargin,
+    "pp_epoch_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+         |h AS (SELECT doc_id, epoch,
+         |        md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS hx
+         |      FROM e),
+         |sh AS (SELECT doc_id, epoch, hx,
+         |         CAST(${hexValSql("substr(hx, 1, 1)")} % 8 AS BIGINT) AS shard
+         |       FROM h),
+         |r AS (SELECT epoch, shard, doc_id,
+         |        row_number() OVER (PARTITION BY epoch, shard
+         |                           ORDER BY hx, doc_id) AS pos
+         |      FROM sh)
+         |SELECT epoch, shard, count(*) AS n_docs,
+         |  string_agg(CASE WHEN pos <= 3 THEN CAST(doc_id AS VARCHAR) END,
+         |             ',' ORDER BY pos) AS head_docs
+         |FROM r GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
     "pp_domain_upmix" ->
       s"""WITH counts AS (
          |  SELECT source, count(*) AS c,

@@ -137,6 +137,24 @@ class CurationOpsSpec extends AnyFunSuite {
       s"total $totalOut drifted from corpus size $totalIn")
   }
 
+  test("pp_epoch_shuffle reshuffles between epochs but is rerun-deterministic") {
+    val run1 = SparkEntry.queries("pp_epoch_shuffle")(spark, d).collect()
+      .map(r => ((r.getInt(0), r.getAs[Long]("shard")),
+        (r.getAs[Long]("n_docs"), r.getString(3))))
+    val run2 = SparkEntry.queries("pp_epoch_shuffle")(spark, d).collect()
+      .map(r => ((r.getInt(0), r.getAs[Long]("shard")),
+        (r.getAs[Long]("n_docs"), r.getString(3))))
+    assert(run1.toSeq == run2.toSeq) // pure function of (epoch, doc_id)
+    val byEpoch = run1.groupBy(_._1._1)
+    val total = Tables.documents(spark, d).count()
+    byEpoch.values.foreach(rows => assert(rows.map(_._2._1).sum == total))
+    // the two epochs deal/order differently somewhere
+    val heads = byEpoch.map { case (e, rows) =>
+      e -> rows.sortBy(_._1._2).map(_._2._2).mkString("|")
+    }
+    assert(heads(0) != heads(1), "epochs produced identical shuffles")
+  }
+
   test("pp_split_assign partitions the corpus at ~80/10/10") {
     val rows = SparkEntry.queries("pp_split_assign")(spark, d).collect()
       .map(r => (r.getString(1), r.getAs[Long]("n_docs")))
