@@ -44,4 +44,19 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(event_type,"), "event_type filter not pushed")
     assert(!plan.contains("payload"), "unused payload column read")
   }
+
+  test("ann_rp_lsh: embeddings scan pruned to id+vector, no text columns") {
+    val plan = executedPlan("ann_rp_lsh")
+    // the coding pass needs only vec_id + embedding — label must not be read
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      "embeddings scan not pruned to vec_id+embedding")
+  }
+
+  test("pp_split_assign: documents scan pruned to doc_id+source") {
+    val plan = executedPlan("pp_split_assign")
+    // the split is hash-of-id: text (the wide column) must not be scanned
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "documents scan not pruned to doc_id+source")
+    assert(!plan.contains("text:string"), "wide text column leaked into the split scan")
+  }
 }
