@@ -90,6 +90,51 @@ object StreamingOps {
 
   private case class SessionState(lastTs: Long, sessionIdx: Long)
 
+  case class BucketState(reps: Seq[Seq[Double]])
+
+  /** Streaming semantic near-dedup — the unbounded-input form of
+    * `dd_semdedup` (operators/Dedup): state is keyed by the
+    * random-hyperplane LSH code, each bucket's state holds the
+    * representative vectors admitted so far, and an arriving vector is
+    * emitted only when no stored same-bucket representative has
+    * cosine ≥ tau. The LSH key does double duty: it PARTITIONS the
+    * state (buckets are independent, so state ops parallelize across
+    * executors) and BOUNDS each comparison to one bucket's
+    * representatives — near-dups collapse onto one rep, so per-bucket
+    * state grows with bucket diversity, not stream length. Within a
+    * micro-batch rows are processed in vec_id order, making the
+    * admitted set deterministic (== batch dd_semdedup's keep-min-id
+    * when ids arrive in order; StreamingSpec feeds copies a batch
+    * AFTER their originals to prove the state survives micro-batch
+    * boundaries). */
+  def streamSemDedup(spark: SparkSession, vectors: DataFrame, tau: Double): DataFrame = {
+    import spark.implicits._
+    vectors.select(col("code").cast("long"), col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (code: Long, rows: Iterator[(Long, Long, Seq[Double])], state: GroupState[BucketState]) =>
+          val reps = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+          state.getOption.foreach(s => reps ++= s.reps)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, emb) =>
+            val dup = reps.exists { r =>
+              var acc = 0.0
+              var i = 0
+              val n = math.min(r.length, emb.length)
+              while (i < n) { acc += r(i) * emb(i); i += 1 }
+              acc >= tau
+            }
+            if (!dup) { reps += emb; out += ((code, id)) }
+          }
+          state.update(BucketState(reps.toSeq))
+          out.iterator
+      }
+      .toDF("code", "vec_id")
+  }
+
   /** Same contract with explicit state for unbounded streams. Events
     * must arrive per-user in event-time order within a group iterator
     * (guaranteed in micro-batch processing after a sort, or use

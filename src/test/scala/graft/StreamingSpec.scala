@@ -203,4 +203,35 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)].collect()
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("streamSemDedup suppresses cross-batch near-duplicates per LSH bucket") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val coded = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        graft.functions.RandomHyperplane.codeCol(col("embedding")).as("code"))
+      .as[(Long, Seq[Double], Long)].collect()
+    val originals = coded.sortBy(_._1)
+    val copies = originals.filter(_._1 % 50 == 0)
+      .map(t => (t._1 + 10000, t._2, t._3))
+
+    val input = MemoryStream[(Long, Seq[Double], Long)]
+    val q = StreamingOps.streamSemDedup(
+        spark, input.toDF().toDF("vec_id", "embedding", "code"), 0.95)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semdedup_out").start()
+    // copies arrive a micro-batch AFTER their originals: suppression
+    // proves the per-bucket representative state crosses batches
+    input.addData(originals.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(copies.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val survivors = spark.table("semdedup_out")
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == originals.map(_._1).toSet,
+      "expected every original admitted and every injected copy suppressed")
+  }
 }
