@@ -450,6 +450,34 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Token-distribution entropy (curation quality signal): H =
+    // ln(n) − (Σ c_t·ln(c_t))/n over per-doc token counts — low
+    // entropy flags repetitive/boilerplate docs the way ta_repetition
+    // does, but as a smooth score. Engine parity is by construction:
+    // both engines read ln from the SAME injected literal table
+    // (`lnTable`; per-row libm-vs-JVM ln differs by 1 ulp on some
+    // integers) and the per-doc double sum folds in token-ASC order
+    // (the established cross-engine ordered-reduce pattern). Shape:
+    // one explode+groupBy (bounded by tokens/doc), map-only after.
+    "ta_entropy" -> ((s, d) => {
+      val tab = typedLit(lnTable)
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          aggregate(
+            array_sort(collect_list(struct(col("tok"),
+              (col("c").cast("double") *
+                element_at(tab, col("c").cast("int"))).as("x")))),
+            lit(0.0), (acc, e) => acc + e.getField("x")).as("s"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (element_at(tab, col("n_tokens").cast("int")) -
+            col("s") / col("n_tokens").cast("double")).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split (training-pipeline op): the
     // split is a pure function of the document id — two hex digits of
     // md5("split:" + doc_id) give a bucket in [0,256); <204 → train
@@ -644,6 +672,22 @@ object TextAnalysis {
   private def hexValSql(c: String): String =
     s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
 
+  /** ln(k) for k = 1..256, computed ONCE with Math.log and injected
+    * into both engines as literals — DuckDB's libm ln and the JVM's
+    * ln disagree by 1 ulp on some integer inputs (k = 9170 was found
+    * by exhaustive check over 1..20000), so neither engine's own ln
+    * is trusted per-row; this is the same engine-neutral-constants
+    * move as the BM25 idf literals and the RP-LSH planes. 256 covers
+    * the per-doc token counts at every test SF (max 100). */
+  private[graft] val lnTable: IndexedSeq[Double] =
+    (1 to 256).map(k => math.log(k.toDouble))
+  // Elements are written as STRINGS cast to DOUBLE[]: DuckDB parses a
+  // bare numeric literal through DECIMAL first and the double-rounding
+  // lands 1 ulp off for some values (ln(45) found empirically);
+  // '...'::DOUBLE goes through strtod, which is correctly rounded.
+  private def lnTabSql: String =
+    lnTable.map(x => s"'$x'").mkString("([", ",", "]::DOUBLE[])")
+
   // smartCompressList state machine fragments (t3_compress_list; s =
   // step state row, t = items row). NOTE: `full` is a reserved word in
   // DuckDB (FULL JOIN) — the joined-items column is aliased full_s.
@@ -724,6 +768,20 @@ object TextAnalysis {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM walk GROUP BY source, pack_id
          |ORDER BY source, pack_id""".stripMargin,
+    "ta_entropy" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct,
+         |    list_reduce(list(CAST(c AS DOUBLE) * $lnTabSql[c::INT] ORDER BY term),
+         |                (a, b) -> a + b) AS s
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  $lnTabSql[n_tokens::INT] - s / CAST(n_tokens AS DOUBLE) AS entropy
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "pp_split_assign" ->
       s"""WITH b AS (
          |  SELECT doc_id, source,

@@ -155,6 +155,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(heads(0) != heads(1), "epochs produced identical shuffles")
   }
 
+  test("ta_entropy is bounded by ln(n_distinct) and exact for all-distinct docs") {
+    val rows = SparkEntry.queries("ta_entropy")(spark, d).collect()
+    assert(rows.nonEmpty)
+    var allDistinct = 0
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val n = r.getAs[Long]("n_tokens")
+      val nd = r.getAs[Long]("n_distinct")
+      assert(h >= -1e-12 && h <= math.log(nd.toDouble) + 1e-12,
+        s"doc ${r.getLong(0)}: H=$h outside [0, ln($nd)]")
+      // all tokens distinct → every c=1 → Σ c·ln(c) = 0 → H == ln(n) EXACTLY
+      if (n == nd) {
+        assert(h == graft.operators.TextAnalysis.lnTable(n.toInt - 1))
+        allDistinct += 1
+      }
+    }
+    assert(allDistinct > 0, "no all-distinct doc exercised the exactness branch")
+  }
+
   test("pp_split_assign partitions the corpus at ~80/10/10") {
     val rows = SparkEntry.queries("pp_split_assign")(spark, d).collect()
       .map(r => (r.getString(1), r.getAs[Long]("n_docs")))
