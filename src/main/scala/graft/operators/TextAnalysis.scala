@@ -459,8 +459,19 @@ object TextAnalysis {
     // integers) and the per-doc double sum folds in token-ASC order
     // (the established cross-engine ordered-reduce pattern). Shape:
     // one explode+groupBy (bounded by tokens/doc), map-only after.
+    // PARITY BOUNDARY: counts ≤ 256 read the injected table (bit-exact
+    // cross-engine); beyond it each engine falls back to its own ln
+    // (ANSI element_at would otherwise THROW past the table edge) —
+    // 1-ulp divergence possible there, and the oracle mirrors the same
+    // CASE so both engines agree on which branch ran. Test-SF counts
+    // max out near 100, so the hash gate always exercises the exact
+    // branch; at 100 TB the query degrades to ±1 ulp instead of
+    // crashing on the first >256-token doc.
     "ta_entropy" -> ((s, d) => {
       val tab = typedLit(lnTable)
+      def lnOf(c: Column): Column =
+        when(c <= lnTable.length, element_at(tab, c.cast("int")))
+          .otherwise(log(c.cast("double")))
       val tc = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -469,11 +480,10 @@ object TextAnalysis {
           count(lit(1)).as("n_distinct"),
           aggregate(
             array_sort(collect_list(struct(col("tok"),
-              (col("c").cast("double") *
-                element_at(tab, col("c").cast("int"))).as("x")))),
+              (col("c").cast("double") * lnOf(col("c"))).as("x")))),
             lit(0.0), (acc, e) => acc + e.getField("x")).as("s"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          (element_at(tab, col("n_tokens").cast("int")) -
+          (lnOf(col("n_tokens")) -
             col("s") / col("n_tokens").cast("double")).as("entropy"))
         .orderBy("doc_id")
     }),
@@ -678,7 +688,9 @@ object TextAnalysis {
     * by exhaustive check over 1..20000), so neither engine's own ln
     * is trusted per-row; this is the same engine-neutral-constants
     * move as the BM25 idf literals and the RP-LSH planes. 256 covers
-    * the per-doc token counts at every test SF (max 100). */
+    * the per-doc token counts at every test SF (max 100); consumers
+    * guard the lookup and fall back to each engine's own ln past the
+    * table edge (see ta_entropy's PARITY BOUNDARY note). */
   private[graft] val lnTable: IndexedSeq[Double] =
     (1 to 256).map(k => math.log(k.toDouble))
   // Elements are written as STRINGS cast to DOUBLE[]: DuckDB parses a
@@ -776,11 +788,15 @@ object TextAnalysis {
          |agg AS (
          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
          |    count(*) AS n_distinct,
-         |    list_reduce(list(CAST(c AS DOUBLE) * $lnTabSql[c::INT] ORDER BY term),
+         |    list_reduce(list(CAST(c AS DOUBLE) *
+         |        (CASE WHEN c <= ${lnTable.length} THEN $lnTabSql[c::INT]
+         |              ELSE ln(CAST(c AS DOUBLE)) END) ORDER BY term),
          |                (a, b) -> a + b) AS s
          |  FROM tc GROUP BY doc_id)
          |SELECT doc_id, n_tokens, n_distinct,
-         |  $lnTabSql[n_tokens::INT] - s / CAST(n_tokens AS DOUBLE) AS entropy
+         |  (CASE WHEN n_tokens <= ${lnTable.length} THEN $lnTabSql[n_tokens::INT]
+         |        ELSE ln(CAST(n_tokens AS DOUBLE)) END)
+         |    - s / CAST(n_tokens AS DOUBLE) AS entropy
          |FROM agg ORDER BY doc_id""".stripMargin,
     "pp_split_assign" ->
       s"""WITH b AS (

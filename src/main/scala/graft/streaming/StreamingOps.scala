@@ -103,10 +103,15 @@ object StreamingOps {
     * representatives — near-dups collapse onto one rep, so per-bucket
     * state grows with bucket diversity, not stream length. Within a
     * micro-batch rows are processed in vec_id order, making the
-    * admitted set deterministic (== batch dd_semdedup's keep-min-id
-    * when ids arrive in order; StreamingSpec feeds copies a batch
-    * AFTER their originals to prove the state survives micro-batch
-    * boundaries). */
+    * admitted set deterministic. On TRANSITIVELY-CLOSED (clique)
+    * duplicate sets arriving in id order this equals batch
+    * dd_semdedup's keep-min-id rule; on similarity CHAINS (a~b, b~c,
+    * a≁c) the greedy-representative semantics intentionally differ —
+    * batch drops both b and c, streaming admits c because suppressed b
+    * never became a representative. That is canonical SemDeDup
+    * behavior (compare against admitted reps, not against every seen
+    * item). StreamingSpec feeds copies a batch AFTER their originals
+    * to prove the state survives micro-batch boundaries. */
   def streamSemDedup(spark: SparkSession, vectors: DataFrame, tau: Double): DataFrame = {
     import spark.implicits._
     vectors.select(col("code").cast("long"), col("vec_id").cast("long"),

@@ -74,6 +74,10 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
     val twoPhase = SparkEntry.queries("pp_token_budget")(spark, d)
       .as[(Long, Long)].collect().toSet
+    // pp_token_budget persists its scored relation; honor the
+    // SparkEntry caller clearCache contract so the cached RDD doesn't
+    // leak into the shared suite session.
+    spark.catalog.clearCache()
     assert(twoPhase == naive)
     assert(twoPhase.nonEmpty)
   }
