@@ -282,7 +282,8 @@ object Clustering {
     "c8_cluster_tree" -> ((s, d) => {
       val sizes = Tables.embeddings(s, d).groupBy("label").agg(count(lit(1)).as("n"))
       sizes.withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("label").asc)))
+          graft.functions.BoundedWindow.orderBy(col("label"),
+            col("n").desc, col("label").asc)))
         .select("rnk", "label", "n")
         .orderBy("rnk")
     })

@@ -218,7 +218,8 @@ object Relational {
         .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
         .limit(50)
         .withColumn("rnk", row_number().over(
-          Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)))
+          graft.functions.BoundedWindow.orderBy(col("s_suppkey"),
+            col("s_acctbal").desc, col("s_suppkey").asc)))
         .select("rnk", "s_suppkey", "s_name", "s_acctbal")
         .orderBy("rnk")
     }),

@@ -76,10 +76,12 @@ object Search {
       .limit(k)
   }
 
-  /** Rank a (small, already top-k-limited) branch by score. */
+  /** Rank a (small, already top-k-limited) branch by score —
+    * BoundedWindow keeps the partition spec non-empty so WindowExec's
+    * global-window warning can't fire on these k-bounded inputs. */
   private def ranked(df: DataFrame, idCol: String = "vec_id"): DataFrame =
     df.withColumn("rank", row_number().over(
-      Window.orderBy(col("sim").desc, col(idCol).asc)))
+      graft.functions.BoundedWindow.orderBy(col(idCol), col("sim").desc, col(idCol).asc)))
 
   /** V4 — two-stage hybrid: summary candidates semi-join-prune chunks. */
   def twoStage(summaries: DataFrame, chunks: DataFrame, queryVec: Seq[Double],
@@ -485,11 +487,13 @@ object Search {
       val kw = TextAnalysis.bm25Scores(Tables.documents(s, d), Seq("join", "vector", "dup"))
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
         .withColumn("kw_rank", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+          graft.functions.BoundedWindow.orderBy(col("doc_id"),
+            col("bm25").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("kw_rank"))
       val vec = knn(Tables.embeddings(s, d), qvec(s, d, 0), 20, 0.0)
         .withColumn("vec_rank", row_number().over(
-          Window.orderBy(col("sim").desc, col("vec_id").asc)))
+          graft.functions.BoundedWindow.orderBy(col("vec_id"),
+            col("sim").desc, col("vec_id").asc)))
         .select(col("vec_id").as("doc_id"), col("vec_rank"))
       kw.join(vec, Seq("doc_id"), "full_outer")
         .withColumn("rrf_score",

@@ -526,9 +526,7 @@ object TextAnalysis {
     // then a broadcast equi-join back onto the corpus and a map-only
     // hash filter. At 100 TB: one cheap agg + one map pass.
     "pp_domain_mix" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wAll = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
+      val wAll = graft.functions.BoundedWindow.all(col("n_in"))
       val docs = Tables.documents(s, d)
       val thr = docs.groupBy("source").agg(count(lit(1)).as("n_in"))
         .withColumn("w", expr("cast(substring(source, 4) as bigint) % 4 + 1"))
@@ -565,8 +563,7 @@ object TextAnalysis {
     // op's real product.
     "pp_domain_upmix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val wAll = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
+      val wAll = graft.functions.BoundedWindow.all(col("c"))
       val docs = Tables.documents(s, d)
       val plan = docs.groupBy("source").agg(count(lit(1)).as("c"))
         .withColumn("w", expr("cast(substring(source, 4) as bigint) % 4 + 1"))
@@ -639,6 +636,7 @@ object TextAnalysis {
     // order-consistent: the oracle IS the naive global window).
     "pp_token_budget" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.functions.BoundedWindow
       val scored = withQualityScore(
         Tables.documents(s, d)
           .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
@@ -649,9 +647,8 @@ object TextAnalysis {
         // join) — persist so tokenization+scoring runs once (caller
         // clearCache contract, SparkEntry.scala)
         .persist()
-      val wAll = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val wCum = Window.orderBy(col("bucket").desc)
+      val wAll = BoundedWindow.all(col("bucket"))
+      val wCum = BoundedWindow.orderBy(col("bucket"), col("bucket").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val dec = scored.groupBy("bucket").agg(sum(col("n_tokens")).as("btok"))
         .withColumn("total", sum(col("btok")).over(wAll))

@@ -298,7 +298,8 @@ object Orchestration {
         .limit(6) // L6: max_candidates = 2 × limit
       val selected = cands.orderBy(col("score").desc, col("doc_id").asc).limit(3)
         .withColumn("ref_no", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+          graft.functions.BoundedWindow.orderBy(col("doc_id"),
+            col("score").desc, col("doc_id").asc)).cast("long"))
       val plan = stubMongoQueryGen(question, Seq("summary", "keywords", "lang", "source"))
       val fieldCols: Map[String, org.apache.spark.sql.Column] = Map(
         "filename" -> concat(lit("doc_"), col("doc_id")),

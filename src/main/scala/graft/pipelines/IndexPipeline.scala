@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Embedder, HashEmbedder, TextOps}
+import graft.functions.{BatchEmbed, Embedder, EmbedderAsBackend, HashEmbedder, TextOps}
 
 /** X1 — the vectorization/indexing pipeline (SURVEY.md §2.11;
   * `semantic_summary_service.py:257-431`): documents → summary text
@@ -12,12 +12,18 @@ import graft.functions.{Embedder, HashEmbedder, TextOps}
   *
   * Spark shape: one narrow pass over the documents scan — chunking is
   * an array-returning UDF exploded with posexplode (1 doc row → N
-  * chunk rows, no custom Generator needed, SURVEY §2.12), embedding a
-  * scalar UDF (stand-in for a mapPartitions-batched model UDF). No
-  * shuffle anywhere: at 100 TB this is a map-only job whose output is
-  * written partitioned by tenant with dynamic partition overwrite —
-  * the reference's delete-then-insert per-document upsert (S8,
-  * `vector_db_service.py:84-163`) becomes overwrite-by-partition.
+  * chunk rows, no custom Generator needed, SURVEY §2.12);
+  * `total_chunks` is `size(chunks)` computed on the PRE-explode row
+  * and carried through the generator, not a post-explode window (a
+  * `count().over(partitionBy(doc_id))` here was a full shuffle+sort in
+  * an otherwise map-only pipeline). Embedding runs through
+  * `BatchEmbed.embedColumn` — per-partition model handle, batch 32,
+  * the reference's worker loop (`embedding_service.py:132-179`). ZERO
+  * Exchange end-to-end (PlanAuditSpec asserts it): at 100 TB this is a
+  * map-only job whose output is written partitioned by tenant with
+  * dynamic partition overwrite — the reference's delete-then-insert
+  * per-document upsert (S8, `vector_db_service.py:84-163`) becomes
+  * overwrite-by-partition.
   */
 object IndexPipeline {
 
@@ -26,9 +32,8 @@ object IndexPipeline {
     * chunk_text, embedding).
     */
   def buildIndex(docs: DataFrame, embedder: Embedder = new HashEmbedder(64),
-                 chunkSize: Int = 462, overlap: Int = 50): DataFrame = {
-    val spark = docs.sparkSession
-    val embedUdf = udf((t: String) => embedder.embed(t))
+                 chunkSize: Int = 462, overlap: Int = 50,
+                 batchSize: Int = 32): DataFrame = {
     val chunkUdf = udf((t: String) => TextOps.chunkText(t, chunkSize, overlap))
     val summaryUdf = udf((fn: String, txt: String) =>
       TextOps.buildSummaryText(fn, TextOps.smartTruncate(txt, 256), Seq.empty,
@@ -39,19 +44,17 @@ object IndexPipeline {
     val summaries = base
       .withColumn("chunk_text", summaryUdf(concat(lit("doc_"), col("doc_id")), col("text")))
       .select(col("doc_id"), col("owner"), lit("summary").as("vtype"),
-        lit(0).as("chunk_index"), lit(1).as("total_chunks"), col("chunk_text"),
-        embedUdf(col("chunk_text")).as("embedding"))
+        lit(0).as("chunk_index"), lit(1).as("total_chunks"), col("chunk_text"))
 
     val chunks = base
-      .select(col("doc_id"), col("owner"),
-        posexplode(chunkUdf(col("text"))).as(Seq("chunk_index", "chunk_text")))
-      .withColumn("total_chunks",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")).cast("int"))
+      .withColumn("chunks", chunkUdf(col("text")))
+      .select(col("doc_id"), col("owner"), size(col("chunks")).as("total_chunks"),
+        posexplode(col("chunks")).as(Seq("chunk_index", "chunk_text")))
       .select(col("doc_id"), col("owner"), lit("chunk").as("vtype"),
-        col("chunk_index"), col("total_chunks"), col("chunk_text"),
-        embedUdf(col("chunk_text")).as("embedding"))
+        col("chunk_index"), col("total_chunks"), col("chunk_text"))
 
-    summaries.unionByName(chunks)
+    BatchEmbed.embedColumn(summaries.unionByName(chunks), "chunk_text",
+      new EmbedderAsBackend(embedder), batchSize)
   }
 
   /** S8 — partitioned vector sink with overwrite-by-tenant-partition
@@ -88,6 +91,29 @@ object IndexPipeline {
       val chunks = vecs.filter(col("vtype") === "chunk")
       val q = emb.embed("spark join query data").toSeq
       graft.operators.Search.rrfFusion(summaries, chunks, q, 10, 5)
+    }),
+
+    // Batched-vs-scalar embedding throughput pair: both embed the full
+    // documents text column with the SAME HashEmbedder math — emb_batched
+    // through BatchEmbed (mapPartitions, per-partition handle, batch 32),
+    // emb_scalar through a per-row scalar UDF. Driver-visible oracle
+    // pins the row set + dim; BatchEmbedSpec asserts the two paths'
+    // VECTORS are bit-identical and the batch/handle accounting holds.
+    // Bench timings of this pair quantify the batching overhead/gain —
+    // with a real model backend the gap is the amortized model-load +
+    // per-call fixed cost × 31/32.
+    "emb_batched" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.functions.BatchEmbed.embedColumn(docs, "text", new HashEmbedder(64))
+        .select(col("doc_id"), size(col("embedding")).as("emb_dim"))
+        .orderBy("doc_id")
+    }),
+    "emb_scalar" -> ((s, d) => {
+      val emb = new HashEmbedder(64)
+      val embedUdf = udf((t: String) => emb.embed(t))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(embedUdf(col("text"))).as("emb_dim"))
+        .orderBy("doc_id")
     }),
 
     // T1 — the REAL sentence-aware chunker under an exact oracle: the
@@ -178,6 +204,13 @@ object IndexPipeline {
          |  64 AS emb_dim
          |FROM documents d LEFT JOIN cnt c USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // The embedding VALUES aren't SQL-expressible; the oracle pins the
+    // row set and output dim for both execution shapes (vector equality
+    // is spec-asserted in BatchEmbedSpec).
+    "emb_batched" ->
+      "SELECT doc_id, 64 AS emb_dim FROM documents ORDER BY doc_id",
+    "emb_scalar" ->
+      "SELECT doc_id, 64 AS emb_dim FROM documents ORDER BY doc_id",
     "t1_chunk_sentence" ->
       s"""WITH RECURSIVE src AS (
          |  SELECT doc_id, translate(text, 'e', '.') AS t,
