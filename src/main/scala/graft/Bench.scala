@@ -21,7 +21,8 @@ object Bench {
     "j3_full_outer", "w2_top_per_group", "w6_topk_agg", "st_sessionize",
     "st_window_agg", "aj_asof_join", "rj_range_bucketed",
     "eval_retrieval_metrics", "skew_salted_agg", "curate_corpus",
-    "ann_rp_lsh", "pp_token_budget")
+    "ann_rp_lsh", "pp_token_budget", "v1_knn_768", "ann_rp_lsh_768",
+    "emb_batched")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -156,9 +156,7 @@ object VectorFunctions {
   * multiprobe buckets' partitions. Used by `ann_rp_lsh` (Search) and
   * `dd_semdedup` (Dedup).
   */
-object RandomHyperplane {
-  val NumPlanes = 8
-  val Dim = 64
+class RpLsh(val NumPlanes: Int, val Dim: Int) extends Serializable {
 
   /** Plane p, component j: +1 when bit 16 of (flatIdx · 2654435761)
     * is clear, else −1 — deterministic, seed-free, engine-neutral. */
@@ -199,10 +197,65 @@ object RandomHyperplane {
   def planeSql(p: Int): String =
     planes(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]") + "::DOUBLE[]"
 
-  /** DuckDB expression: the 8-bit code of `embExpr` (a DOUBLE[] SQL
-    * expression) — mirrors `codeCol` bit for bit. */
+  /** DuckDB expression: the NumPlanes-bit code of `embExpr` (a
+    * DOUBLE[] SQL expression) — mirrors `codeCol` bit for bit. */
   def codeSql(embExpr: String): String =
     (0 until NumPlanes).map { p =>
       s"(CASE WHEN list_inner_product($embExpr, ${planeSql(p)}) >= 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Compact generator form of plane p — the same integer math as
+    * `planes`, rebuilt inside DuckDB instead of inlined as Dim
+    * literals (at Dim=768 the literal form is ~40 KB of SQL). */
+  def planeSqlGen(p: Int): String =
+    s"list_transform(range(0, $Dim), j -> CASE WHEN " +
+      s"((((${p.toLong} * $Dim + j) * 2654435761) >> 16) & 1) = 0 " +
+      "THEN 1.0 ELSE -1.0 END)"
+
+  /** `codeSql` using the generator plane form (high-dim oracles). */
+  def codeSqlGen(embExpr: String): String =
+    (0 until NumPlanes).map { p =>
+      s"(CASE WHEN list_inner_product($embExpr, ${planeSqlGen(p)}) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}
+
+/** The 64-d / 8-plane instance every 64-d operator (ann_rp_lsh,
+  * dd_semdedup, streaming dedup) shares. Plane count scales with
+  * CORPUS size (buckets ≈ n / target-occupancy), not dimensionality —
+  * d only raises the per-projection cost — so the 768-d parity family
+  * uses `new RpLsh(10, 768)` (1,024 buckets) over the same corpus, not
+  * more planes "because the vectors are wider". */
+object RandomHyperplane extends RpLsh(8, 64)
+
+/** Deterministic ±1 synthetic vectors of ANY dimensionality, for
+  * reference-dimensionality (768-d, `embedding_service.py:17`) parity
+  * checks. Component j of vector `id` is the bit-16 sign of
+  * ((id·dim + j) · 2246822519) — a different multiplier than the
+  * RP-LSH planes' 2654435761, so vectors are uncorrelated with the
+  * planes (same multiplier would make vector p IDENTICAL to plane p).
+  * Entries are ±1 exactly, so every dot product is an integer-valued
+  * double: bit-exact in ANY accumulation order and across engines —
+  * the whole 768-d kNN/LSH family gets hash-exact oracles, not
+  * rows-only ones. Norm is the constant √dim, so dot ranking ==
+  * cosine ranking. */
+object SyntheticVec {
+  import org.apache.spark.sql.functions._
+
+  /** Spark column: the dim-d vector of integral column `id`. */
+  def vecCol(id: Column, dim: Int): Column =
+    transform(sequence(lit(0L), lit(dim - 1L)), j =>
+      when(shiftright((id * lit(dim.toLong) + j) * lit(2246822519L), 16)
+        .bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0)))
+
+  /** Driver-side vector of `id` (same math as `vecCol`). */
+  def vecLocal(id: Long, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      if ((((id * dim + j) * 2246822519L >> 16) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** DuckDB expression: the dim-d vector of BIGINT expression `idExpr`. */
+  def vecSql(idExpr: String, dim: Int): String =
+    s"list_transform(range(0, $dim), j -> CASE WHEN " +
+      s"(((($idExpr * $dim + j) * 2246822519) >> 16) & 1) = 0 " +
+      "THEN 1.0 ELSE -1.0 END)"
 }
