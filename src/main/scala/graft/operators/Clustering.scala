@@ -7,18 +7,22 @@ import graft.Tables
 /** Clustering engine (SURVEY.md §2.9 C1-C9). The reference runs
   * per-tenant HDBSCAN over ≤10k summary vectors
   * (`clustering_service.py:387-455`); MLlib has no HDBSCAN, so the
-  * committed contract (SURVEY §7.3) is: clustering behind a
-  * `Clusterer` trait with (a) a scalable KMeans mode and (b) a
-  * faithful per-tenant local mode — each tenant's vectors are small
-  * by construction (10k cap), so per-group Lloyd iterations run
-  * *inside* `flatMapGroups`, distributing tenants across executors
-  * with zero cross-tenant shuffle. That is exactly the 100 TB shape:
+  * committed contract (SURVEY §7.3) ships TWO local modes behind the
+  * same per-tenant fan-out (`clusterPerTenantWith`): (a) the FAITHFUL
+  * density mode — deterministic DBSCAN with HDBSCAN's contract
+  * constants (min_cluster_size=3, min_samples=2, noise=−1), which
+  * discovers the cluster count and follows arbitrary-shape density
+  * clusters like the reference; and (b) the scalable deterministic
+  * k-means fallback for callers that fix k. Each tenant's vectors are
+  * small by construction (10k cap), so either algorithm runs *inside*
+  * `flatMapGroups`, distributing tenants across executors with zero
+  * cross-tenant shuffle. That is exactly the 100 TB shape:
   * groupByKey(tenant) → local clustering per group.
   *
-  * Noise contract: points farther than `noiseThreshold` from their
-  * nearest centroid get label -1 (HDBSCAN's noise semantics,
-  * `clustering_service.py:433`); confidence = min(0.5 + n/100, 0.95)
-  * (`:909`).
+  * Noise contract: density mode marks low-density points −1 (HDBSCAN
+  * semantics, `clustering_service.py:433`); the k-means mode
+  * approximates it with a distance-to-centroid cutoff. confidence =
+  * min(0.5 + n/100, 0.95) (`:909`).
   */
 object Clustering {
 
@@ -127,10 +131,116 @@ object Clustering {
     }.toArray
   }
 
+  /** Density-based local clusterer — the FAITHFUL mode for the
+    * reference's HDBSCAN contract (`clustering_service.py:387-455`:
+    * HDBSCAN(min_cluster_size=3, min_samples=2), noise label −1 at
+    * `:433`): deterministic DBSCAN with HDBSCAN's contract constants.
+    * Unlike the k-means fallback it DISCOVERS the cluster count (no k
+    * input), follows arbitrary-shape density-connected regions, and
+    * derives noise from density (too few eps-neighbors), not from a
+    * distance-to-centroid cutoff. Clusters smaller than
+    * `minClusterSize` are demoted to noise — HDBSCAN's min_cluster_size
+    * pruning. The third output is the HDBSCAN core distance (distance
+    * to the minSamples-th nearest point, self counted first).
+    *
+    * Determinism: points are processed in id order and final cluster
+    * indices are renumbered by smallest member id, so the labeling is
+    * independent of partitioning and traversal order. Cost: O(n²·dim)
+    * within ONE tenant group — bounded by the same ≤10k per-tenant cap
+    * that makes the reference's in-process HDBSCAN feasible; tenants
+    * fan out across executors via flatMapGroups exactly like the
+    * k-means mode.
+    */
+  def localDbscan(points: Array[(Long, Array[Double])], eps: Double,
+                  minSamples: Int = 2, minClusterSize: Int = 3): Array[(Long, Int, Double)] = {
+    if (points.isEmpty) return Array.empty
+    val sorted = points.sortBy(_._1)
+    val n = sorted.length
+    val dim = sorted.head._2.length
+    def dist(a: Int, b: Int): Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { val df = sorted(a)._2(j) - sorted(b)._2(j); s += df * df; j += 1 }
+      math.sqrt(s)
+    }
+    val neigh = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (dist(i, j) <= eps) { neigh(i) += j; neigh(j) += i }
+        j += 1
+      }
+      i += 1
+    }
+    // core rule: |N_eps(p)| ≥ min_samples, the point itself included
+    val core = Array.tabulate(n)(p => neigh(p).length + 1 >= minSamples)
+    val Unvisited = -2
+    val labels = Array.fill(n)(Unvisited)
+    var cid = 0
+    i = 0
+    while (i < n) {
+      if (core(i) && labels(i) == Unvisited) {
+        labels(i) = cid
+        val queue = scala.collection.mutable.Queue(neigh(i).toSeq: _*)
+        while (queue.nonEmpty) {
+          val q = queue.dequeue()
+          if (labels(q) == Unvisited) {
+            labels(q) = cid
+            if (core(q)) queue ++= neigh(q)
+          }
+        }
+        cid += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n) { if (labels(i) == Unvisited) labels(i) = -1; i += 1 }
+    // min_cluster_size: demote undersized clusters to noise
+    val sizes = new Array[Int](math.max(cid, 1))
+    labels.foreach(l => if (l >= 0) sizes(l) += 1)
+    i = 0
+    while (i < n) {
+      if (labels(i) >= 0 && sizes(labels(i)) < minClusterSize) labels(i) = -1
+      i += 1
+    }
+    // renumber surviving clusters by smallest member id
+    val remap = labels.zipWithIndex.filter(_._1 >= 0).groupBy(_._1)
+      .map { case (l, ms) => l -> ms.map(m => sorted(m._2)._1).min }
+      .toSeq.sortBy(_._2).map(_._1).zipWithIndex.toMap
+    sorted.indices.map { p =>
+      val cd =
+        if (minSamples <= 1) 0.0
+        else {
+          val ds = (0 until n).filter(_ != p).map(dist(p, _)).sorted
+          if (ds.length >= minSamples - 1) ds(minSamples - 2) else Double.PositiveInfinity
+        }
+      val l = labels(p)
+      (sorted(p)._1, if (l >= 0) remap(l) else -1, cd)
+    }.toArray
+  }
+
   /** C2/C7 — per-tenant clustering via flatMapGroups: tenants fan out
     * across executors, each clustered locally and deterministically. */
   def clusterPerTenant(vectors: DataFrame, tenantCol: String, idCol: String,
-                       embCol: String, k: Int, noiseThreshold: Double = Double.MaxValue): DataFrame = {
+                       embCol: String, k: Int, noiseThreshold: Double = Double.MaxValue): DataFrame =
+    clusterPerTenantWith(vectors, tenantCol, idCol, embCol)(
+      localKMeans(_, k, 10, noiseThreshold))
+
+  /** C2 faithful mode — per-tenant DENSITY clustering (HDBSCAN
+    * contract constants; see localDbscan). */
+  def clusterPerTenantDbscan(vectors: DataFrame, tenantCol: String, idCol: String,
+                             embCol: String, eps: Double,
+                             minSamples: Int = 2, minClusterSize: Int = 3): DataFrame =
+    clusterPerTenantWith(vectors, tenantCol, idCol, embCol)(
+      localDbscan(_, eps, minSamples, minClusterSize))
+
+  /** Shared per-tenant fan-out: groupByKey(tenant) → local clusterer
+    * inside flatMapGroups — zero cross-tenant shuffle beyond the one
+    * group-by, any local algorithm behind the same (id, cluster, stat)
+    * contract. */
+  def clusterPerTenantWith(vectors: DataFrame, tenantCol: String, idCol: String,
+                           embCol: String)(
+      clusterer: Array[(Long, Array[Double])] => Array[(Long, Int, Double)]): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     vectors
@@ -140,7 +250,7 @@ object Clustering {
       .groupByKey(_._1)
       .flatMapGroups { (tenant, rows) =>
         val pts = rows.map(r => (r._2, r._3.toArray)).toArray
-        localKMeans(pts, k, 10, noiseThreshold).iterator.map { case (id, c, d) =>
+        clusterer(pts).iterator.map { case (id, c, d) =>
           (tenant, id, if (c < 0) "noise" else s"cluster_${tenant}_$c", c, d)
         }
       }
@@ -155,8 +265,21 @@ object Clustering {
     * two chained per-group passes — no recursion, bounded depth 2.
     */
   def hierarchicalCluster(vectors: DataFrame, tenantCol: String, idCol: String,
-                          embCol: String, k0: Int, k1: Int, minForSplit: Int = 8): DataFrame = {
-    val l0 = clusterPerTenant(vectors, tenantCol, idCol, embCol, k0)
+                          embCol: String, k0: Int, k1: Int, minForSplit: Int = 8): DataFrame =
+    hierarchicalClusterBy(vectors, tenantCol, idCol, embCol,
+      clusterPerTenant(_, _, _, _, k0), clusterPerTenant(_, _, _, _, k1),
+      minForSplit)
+
+  /** C7 generalized over the per-level clusterer: the density mode
+    * re-clusters large L0 density clusters at a tighter eps (the
+    * coarse-to-fine reading of HDBSCAN's hierarchy), the k-means mode
+    * splits into k1 subclusters. */
+  def hierarchicalClusterBy(vectors: DataFrame, tenantCol: String, idCol: String,
+                            embCol: String,
+                            l0Cluster: (DataFrame, String, String, String) => DataFrame,
+                            l1Cluster: (DataFrame, String, String, String) => DataFrame,
+                            minForSplit: Int = 8): DataFrame = {
+    val l0 = l0Cluster(vectors, tenantCol, idCol, embCol)
       .withColumnRenamed("cluster_id", "l0_id").withColumnRenamed("cluster_idx", "l0_idx")
       .select("tenant", "id", "l0_id", "l0_idx")
     val withEmb = l0.join(
@@ -165,34 +288,44 @@ object Clustering {
       Seq("tenant", "id"))
     val sizes = withEmb.groupBy("l0_id").agg(count(lit(1)).as("l0_n"))
     val splittable = withEmb.join(broadcast(sizes.filter(col("l0_n") >= minForSplit)), Seq("l0_id"))
-    val l1 = clusterPerTenant(splittable, "l0_id", "id", "emb", k1)
+      // noise is never split: L1 refinement applies to clusters only
+      .filter(col("l0_id") =!= "noise")
+    val l1 = l1Cluster(splittable, "l0_id", "id", "emb")
       .select(col("tenant").as("l0_id"), col("id"),
         col("cluster_idx").as("l1_idx"))
+    // density-mode L1 can mark sub-noise (l1_idx = −1): those points
+    // stay at their L0 cluster rather than gaining a bogus L1 id
+    val refined = col("l1_idx").isNotNull && col("l1_idx") >= 0
     l0.join(l1, Seq("l0_id", "id"), "left_outer")
       .withColumn("cluster_id",
-        when(col("l1_idx").isNotNull,
+        when(refined,
           concat(lit("cluster_"), col("tenant"), lit("_L0_"), col("l0_idx"),
             lit("_L1_"), col("l1_idx")))
-          .otherwise(concat(lit("cluster_"), col("tenant"), lit("_L0_"), col("l0_idx"))))
+          .when(col("l0_idx") >= 0,
+            concat(lit("cluster_"), col("tenant"), lit("_L0_"), col("l0_idx")))
+          .otherwise(lit("noise")))
       .withColumn("parent_cluster_id",
-        when(col("l1_idx").isNotNull,
+        when(refined,
           concat(lit("cluster_"), col("tenant"), lit("_L0_"), col("l0_idx"))))
-      .withColumn("level", when(col("l1_idx").isNotNull, 1).otherwise(0))
+      .withColumn("level", when(refined, 1).otherwise(0))
       .select("tenant", "id", "cluster_id", "parent_cluster_id", "level")
   }
 
   /** X5 — the full clustering job: extract (C1) → cluster (C2) →
     * triage (C3) → persistence stats with confidence (C6). */
   def clusteringJob(vectors: DataFrame, tenantCol: String, idCol: String,
-                    embCol: String, k: Int): DataFrame = {
-    val assigned = clusterPerTenant(vectors, tenantCol, idCol, embCol, k)
-    val stats = assigned.groupBy("tenant", "cluster_id").agg(count(lit(1)).as("n"))
+                    embCol: String, k: Int): DataFrame =
+    clusteringStats(clusterPerTenant(vectors, tenantCol, idCol, embCol, k))
+
+  /** C3+C6 stats over any assignment relation (shared by both
+    * clustering modes). */
+  def clusteringStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy("tenant", "cluster_id").agg(count(lit(1)).as("n"))
       .withColumn("triage",
         when(col("n") >= 3, "main").when(col("n") === 2, "small").otherwise("excluded"))
       .withColumn("confidence",
         least(lit(0.95), lit(0.5) + col("n").cast("double") / lit(100.0)))
-    stats.select("tenant", "cluster_id", "n", "triage", "confidence")
-  }
+      .select("tenant", "cluster_id", "n", "triage", "confidence")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C4/C5 fallback labels — per-cluster top-3 keyword frequency
@@ -258,6 +391,37 @@ object Clustering {
       clusterPerTenant(Tables.embeddings(s, d), "label", "vec_id", "embedding", 3)
         .select("tenant", "id", "cluster_id", "cluster_idx")
         .orderBy("tenant", "id")),
+
+    // C2 FAITHFUL mode — per-tenant DENSITY clustering with the
+    // reference's HDBSCAN contract constants (min_cluster_size=3,
+    // min_samples=2, noise=−1; clustering_service.py:387-455).
+    // Discovers the cluster count — no k input. eps=1.25 sits between
+    // the per-tenant nearest-neighbor and bulk distance modes of the
+    // synthetic embeddings, so the output mixes real clusters, demoted
+    // pairs and density noise. Rows-only (iterative BFS not
+    // SQL-expressible); density invariants in ClusteringSpec.
+    "c2b_density" -> ((s, d) =>
+      clusterPerTenantDbscan(Tables.embeddings(s, d), "label", "vec_id",
+        "embedding", eps = 1.25)
+        .select("tenant", "id", "cluster_id", "cluster_idx")
+        .orderBy("tenant", "id")),
+
+    // C7 density mode — coarse L0 at eps=1.25, large clusters refined
+    // at the tighter eps=1.15 (HDBSCAN's hierarchy read coarse-to-fine).
+    "c7b_hierarchical_density" -> ((s, d) =>
+      hierarchicalClusterBy(
+        Tables.embeddings(s, d), "label", "vec_id", "embedding",
+        clusterPerTenantDbscan(_, _, _, _, 1.25),
+        clusterPerTenantDbscan(_, _, _, _, 1.15),
+        minForSplit = 8)
+        .orderBy("id")),
+
+    // X5 density mode — the full job over density assignments.
+    "x5b_clustering_density" -> ((s, d) =>
+      clusteringStats(
+        clusterPerTenantDbscan(Tables.embeddings(s, d), "label", "vec_id",
+          "embedding", eps = 1.25))
+        .orderBy("tenant", "cluster_id")),
 
     // C3 — cluster triage: ≥3 main, ==2 small, ≤1/noise excluded
     // (clustering_service.py:159-183) over the label distribution.
