@@ -29,7 +29,8 @@ object SparkEntry {
       streaming.StreamingOps.queries ++ operators.Multimodal.queries ++
       sources.DocumentSources.queries ++ orchestration.Orchestration.queries ++
       evaluation.RetrievalEval.queries ++ operators.Conversations.queries ++
-      operators.Skew.queries ++ operators.Temporal.queries
+      operators.Skew.queries ++ operators.Temporal.queries ++
+      model.CoreModel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,5 @@ object SparkEntry {
       streaming.StreamingOps.oracles ++ operators.Multimodal.oracles ++
       sources.DocumentSources.oracles ++ orchestration.Orchestration.oracles ++
       operators.Conversations.oracles ++ operators.Skew.oracles ++
-      operators.Temporal.oracles
+      operators.Temporal.oracles ++ model.CoreModel.oracles
 }
