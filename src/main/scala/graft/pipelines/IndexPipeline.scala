@@ -65,6 +65,60 @@ object IndexPipeline {
     vectors.write.mode("overwrite").partitionBy("owner").parquet(path)
   }
 
+  /** Deterministic doc bucket: a pure function of doc_id, so any
+    * writer/engine assigns the same bucket (the test ids are integral;
+    * with UUID ids this becomes the md5-digit arithmetic of
+    * pp_split_assign). */
+  def docBucket(docId: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(docId, lit(nBuckets.toLong))
+
+  /** S8 doc-granular layout — vectors partitioned by
+    * (owner, bucket(doc_id)): re-indexing one document rewrites ONE
+    * bucket (~1/nBuckets of the tenant), not the whole tenant
+    * partition (`vector_db_service.py:84-163` deletes and reinserts
+    * per document; the tenant-partition sink above rewrites everything
+    * the tenant owns — the SURVEY §7.4 risk). */
+  def writeVectorsBucketed(vectors: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    vectors.withColumn("bucket", docBucket(col("doc_id"), nBuckets))
+      .write.mode("overwrite").partitionBy("owner", "bucket").parquet(path)
+
+  /** Per-document upsert over the bucketed layout: MERGE-style rewrite
+    * of ONLY the (owner, bucket) partitions the batch touches.
+    *
+    *  1. The touched partition list is collected (bounded by the batch
+    *     doc count) and pushed as a PartitionFilters disjunction — the
+    *     read scans ONLY affected buckets, never the tenant, never the
+    *     table.
+    *  2. Survivors = affected-bucket rows minus re-indexed doc ids
+    *     (broadcast anti join; the batch side is small by definition).
+    *  3. localCheckpoint materializes survivors BEFORE the write so
+    *     the plan no longer reads the path it overwrites (the
+    *     in-memory copy is ≤ the touched buckets, i.e. batch-bounded —
+    *     a transactional format's MERGE does this journal-side; with
+    *     plain parquet the staging is explicit).
+    *  4. Dynamic partition overwrite rewrites exactly the touched
+    *     buckets; every other partition's files are untouched on disk
+    *     (BucketedUpsertSpec asserts byte-identity).
+    */
+  def upsertDocsBucketed(spark: SparkSession, path: String, batch: DataFrame,
+                         nBuckets: Int = 16): Unit = {
+    val nv = batch.withColumn("bucket", docBucket(col("doc_id"), nBuckets))
+    val touched = nv.select(col("owner"), col("bucket")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(touched.nonEmpty, "upsertDocsBucketed: empty batch")
+    val touchedPred = touched.map { case (o, b) =>
+      col("owner") === o && col("bucket") === b
+    }.reduce(_ || _)
+    val survivors = spark.read.parquet(path)
+      .filter(touchedPred)
+      .join(broadcast(nv.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    survivors.unionByName(nv)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("owner", "bucket").parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1 end-to-end (rows-only: sentence-aware chunker + embedder are
     // not SQL-expressible): per-doc vector counts and embedding sanity.
@@ -91,6 +145,28 @@ object IndexPipeline {
       val chunks = vecs.filter(col("vtype") === "chunk")
       val q = emb.embed("spark join query data").toSeq
       graft.operators.Search.rrfFusion(summaries, chunks, q, 10, 5)
+    }),
+
+    // S8 doc-granular upsert under an exact oracle: doc 7 is re-indexed
+    // with modified text (different sentence boundaries → different
+    // chunk count); the merged relation must show every OTHER doc's
+    // vector count unchanged and doc 7's count computed on the NEW
+    // text — the relation-level contract of upsertDocsBucketed (whose
+    // file-level bucket isolation BucketedUpsertSpec asserts). The
+    // oracle replays the chunker walk per doc with doc 7's text
+    // swapped, n_vectors = chunks + 1 summary row, bucket = doc_id % 16.
+    "s8_upsert_doc" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val base = buildIndex(docs)
+      val batch = buildIndex(docs.filter(col("doc_id") === 7)
+        .withColumn("text", translate(col("text"), "a", ".")))
+      val merged = base
+        .join(batch.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .unionByName(batch)
+      merged.withColumn("bucket", docBucket(col("doc_id"), 16))
+        .groupBy("bucket", "doc_id")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("bucket", "doc_id")
     }),
 
     // Batched-vs-scalar embedding throughput pair: both embed the full
@@ -204,6 +280,36 @@ object IndexPipeline {
          |  64 AS emb_dim
          |FROM documents d LEFT JOIN cnt c USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // S8 doc-granular upsert: the x1 chunk-walk replayed with doc 7's
+    // text swapped to its re-indexed form.
+    "s8_upsert_doc" ->
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id = 7 THEN translate(text, 'a', '.') ELSE text END AS t,
+         |    length(CASE WHEN doc_id = 7 THEN translate(text, 'a', '.') ELSE text END)::BIGINT AS len
+         |  FROM documents WHERE doc_id < 200 AND length(text) > 0),
+         |walk AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS start0 FROM src
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN $t1End >= s.len THEN s.len
+         |         ELSE greatest(w.start0 + 1, ($t1End) - 50) END
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunks AS (
+         |  SELECT w.doc_id,
+         |    trim(substr(s.t, w.start0 + 1, ($t1End) - w.start0)) AS chunk
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |cnt AS (
+         |  SELECT doc_id, count(*) AS n_chunks FROM chunks
+         |  WHERE chunk <> '' GROUP BY doc_id)
+         |SELECT d.doc_id % 16 AS bucket, d.doc_id,
+         |  CAST(coalesce(c.n_chunks, 0) + 1 AS BIGINT) AS n_vectors
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+         |LEFT JOIN cnt c USING (doc_id)
+         |ORDER BY bucket, doc_id""".stripMargin,
+
     // The embedding VALUES aren't SQL-expressible; the oracle pins the
     // row set and output dim for both execution shapes (vector equality
     // is spec-asserted in BatchEmbedSpec).

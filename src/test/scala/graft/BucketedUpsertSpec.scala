@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipelines.IndexPipeline
+
+/** S8 doc-granular upsert: re-indexing ONE document must rewrite ONLY
+  * its (owner, bucket) partition — every other partition's files stay
+  * BYTE-IDENTICAL on disk (the SURVEY §7.4 per-partition ≠ per-doc
+  * risk, `vector_db_service.py:84-163`). */
+class BucketedUpsertSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  private val d = "/root/testdata/sf0.001"
+
+  // (relative partition dir → sorted (file, md5) list) for every
+  // parquet data file under the table root
+  private def partitionChecksums(root: Path): Map[String, Seq[(String, String)]] = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    files.groupBy(f => root.relativize(f.getParent).toString)
+      .map { case (dir, fs) =>
+        dir -> fs.map { f =>
+          val md5 = MessageDigest.getInstance("MD5").digest(Files.readAllBytes(f))
+            .map("%02x".format(_)).mkString
+          (f.getFileName.toString, md5)
+        }.sortBy(_._1)
+      }
+  }
+
+  test("single-doc upsert rewrites exactly one bucket; all others byte-identical") {
+    val root = Files.createTempDirectory("graft-bucketed-")
+    val path = root.toString
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 60)
+    IndexPipeline.writeVectorsBucketed(IndexPipeline.buildIndex(docs), path)
+    val before = partitionChecksums(root)
+    assert(before.size > 4, s"fixture too small: ${before.keySet}")
+
+    // doc 7 re-indexed with different text → different chunk set
+    val doc7 = docs.filter(col("doc_id") === 7)
+    val owner7 = doc7.select("source").head().getString(0)
+    val batch = IndexPipeline.buildIndex(
+      doc7.withColumn("text", translate(col("text"), "a", ".")))
+    IndexPipeline.upsertDocsBucketed(spark, path, batch)
+
+    val after = partitionChecksums(root)
+    val touchedDir = s"owner=$owner7/bucket=7"
+    assert(before.keySet == after.keySet - touchedDir ++ Set(touchedDir),
+      "no partition may appear or vanish besides the touched bucket")
+    (before.keySet - touchedDir).foreach { dir =>
+      assert(after(dir) == before(dir),
+        s"untouched partition $dir changed on disk")
+    }
+    assert(after(touchedDir) != before(touchedDir), "touched bucket must rewrite")
+
+    // relation-level merge contract: doc 7 replaced, everything else intact
+    val got = spark.read.parquet(path)
+      .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    val expected = IndexPipeline.buildIndex(docs)
+      .join(batch.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(batch)
+      .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == expected)
+
+    // the pruned read really prunes: only the touched partitions scan
+    val pruned = spark.read.parquet(path)
+      .filter(col("owner") === owner7 && col("bucket") === 7)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      (planStr.contains("owner") && planStr.contains("bucket")), planStr)
+
+    // cleanup
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+}
