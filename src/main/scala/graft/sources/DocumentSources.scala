@@ -145,7 +145,68 @@ object DocumentSources {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Recursive delete for the fixture dirs the landing/log queries
+    * rebuild deterministically on every invocation. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1+S2+S3+S4+S5+S6 composite under ONE exact oracle: a real
+    // landing directory is (re)built on disk — every document becomes
+    // an uploaded FILE whose format cycles pdf/docx/txt/jpg/xyz by
+    // doc_id, with the pdf/docx bytes produced by the real writers —
+    // then binaryFile-scanned (S1), extension-dispatched (S6), text
+    // extracted by the real parsers (S2/S3/S4), images/unsupported
+    // passed through with status intact (S5). The oracle replays the
+    // expected text per format (single-page pdf/docx extract to
+    // trim(text), txt is byte-identical) and the status contract.
+    "s1_landing_scan" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val dir = Paths.get(s"/tmp/graft_landing_${Integer.toHexString(d.hashCode)}")
+      deleteRecursively(dir)
+      Files.createDirectories(dir)
+      val exts = Array("pdf", "docx", "txt", "jpg", "xyz")
+      Tables.documents(s, d).filter(col("doc_id") < 500 && col("n_chars") > 0)
+        .select("doc_id", "text").collect().foreach { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val ext = exts((id % 5).toInt)
+          val bytes = ext match {
+            case "pdf"  => DocFormats.writePdf(Seq(text))
+            case "docx" => DocFormats.writeDocx(Seq(text))
+            case "txt"  => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case "jpg"  => s"IMG$id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case _      => s"BIN$id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          Files.write(dir.resolve(f"up_$id%05d.$ext"), bytes)
+        }
+      extractText(readLandingDir(s, dir.toString))
+        .select(col("filename"), col("extension"), col("extractor"), col("status"),
+          length(col("extracted_text")).cast("long").as("n_text"),
+          md5(col("extracted_text")).as("text_md5"))
+        .orderBy("filename")
+    }),
+
+    // S10 — append-only log sink digest: two appended batches into a
+    // fresh sink dir must BOTH survive the read-back (append never
+    // replaces), proven by per-batch counts + id sums.
+    "s10_log_sink" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(
+        s"/tmp/graft_logsink_${Integer.toHexString(d.hashCode)}")
+      deleteRecursively(dir)
+      val docs = Tables.documents(s, d)
+      appendLogs(docs.select(col("doc_id"), lit(1).as("batch")), dir.toString)
+      appendLogs(docs.select(col("doc_id"), lit(2).as("batch")), dir.toString)
+      s.read.parquet(dir.toString)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy("batch")
+    }),
+
     // S6 dispatch over a derived filename population (deterministic
     // extension assignment from doc_id) — verifies the when-chain.
     "s6_mime_dispatch" -> ((s, d) =>
@@ -260,6 +321,36 @@ object DocumentSources {
   )
 
   val oracles: Map[String, String] = Map(
+    "s1_landing_scan" ->
+      """WITH f AS (
+        |  SELECT doc_id, ext,
+        |    'up_' || lpad(doc_id::VARCHAR, 5, '0') || '.' || ext AS filename,
+        |    CASE WHEN ext = 'pdf' THEN trim(text)
+        |         WHEN ext = 'docx' THEN trim(text)
+        |         WHEN ext = 'txt' THEN text END AS xt
+        |  FROM (SELECT doc_id, text,
+        |          (['pdf','docx','txt','jpg','xyz'])[(doc_id % 5 + 1)::INT] AS ext
+        |        FROM documents WHERE doc_id < 500 AND n_chars > 0)),
+        |g AS (
+        |  SELECT filename, ext AS extension,
+        |    CASE WHEN ext = 'pdf' THEN 'pdf_extractor'
+        |         WHEN ext IN ('docx','doc') THEN 'docx_extractor'
+        |         WHEN ext IN ('txt','md','log') THEN 'text_extractor'
+        |         WHEN ext IN ('jpg','jpeg','png','gif','webp') THEN 'image_passthrough'
+        |         ELSE 'unsupported' END AS extractor, xt
+        |  FROM f)
+        |SELECT filename, extension, extractor,
+        |  CASE WHEN extractor IN ('image_passthrough', 'unsupported') THEN 'UPLOADED'
+        |       WHEN xt IS NULL THEN 'PROCESSING_ERROR'
+        |       ELSE 'TEXT_EXTRACTED' END AS status,
+        |  CAST(length(xt) AS BIGINT) AS n_text,
+        |  md5(xt) AS text_md5
+        |FROM g ORDER BY filename""".stripMargin,
+    "s10_log_sink" ->
+      """SELECT batch, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM (SELECT doc_id, 1 AS batch FROM documents
+        |      UNION ALL SELECT doc_id, 2 AS batch FROM documents)
+        |GROUP BY batch ORDER BY batch""".stripMargin,
     "s6_mime_dispatch" ->
       """SELECT CASE
         |    WHEN ext = 'pdf' THEN 'pdf_extractor'
