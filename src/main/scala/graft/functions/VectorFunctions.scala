@@ -259,3 +259,21 @@ object SyntheticVec {
       s"(((($idExpr * $dim + j) * 2246822519) >> 16) & 1) = 0 " +
       "THEN 1.0 ELSE -1.0 END)"
 }
+
+/** An `Embedder` BOTH engines can evaluate: id = the first 6 hex
+  * digits of md5(text) (the shared ascii-arithmetic hex parse), vector
+  * = `SyntheticVec(id)`. Unlike `HashEmbedder` (JVM MurmurHash — not
+  * SQL-expressible), every produced vector is reconstructible inside
+  * DuckDB from the text alone, so a pipeline that chunks, embeds and
+  * SEARCHES can sit under a hash-exact oracle end-to-end (x7). 6 hex
+  * digits keep (id·dim + j)·2246822519 < 2⁶³ at dim ≤ 512. Not a
+  * semantic embedding — a parity fixture for plan/fusion math. */
+final class SyntheticEmbedder(val dim: Int = 64) extends Embedder {
+  def embed(text: String): Array[Double] = {
+    if (text == null || text.isEmpty) return new Array[Double](dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    SyntheticVec.vecLocal(java.lang.Long.parseLong(md.substring(0, 6), 16), dim)
+  }
+}

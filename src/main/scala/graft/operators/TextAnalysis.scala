@@ -704,7 +704,7 @@ object TextAnalysis {
     * (shared by the t2 and t4 oracles). Thresholds computed with the
     * UDF's exact `(m * 0.7).toInt` / `(m * 0.8).toInt` arithmetic,
     * +1 for the 1-based SQL positions. */
-  private def truncSql(v: String, m: Int): String = {
+  private[graft] def truncSql(v: String, m: Int): String = {
     val cut = s"substr($v, 1, $m)"
     def lastPos(c: String) =
       s"CASE WHEN strpos(reverse($cut), '$c') > 0 " +

@@ -284,6 +284,31 @@ object Orchestration {
     // planned fields. The plan is generated driver-side from the
     // question string alone (no Spark action), so the whole flow is
     // hash-exact against the oracle.
+    // P8 — projection-collision removal as a RELATION (the driver-side
+    // helper's set semantics, distributed): per doc, a path is kept iff
+    // no strictly-deeper path of the same doc exists. The anti join has
+    // an equi key (doc_id) with the descendant test as residual — SMJ/
+    // BHJ LeftAnti, never a nested loop. Fixture paths cycle collision
+    // patterns by doc_id so every branch (parent dropped at depth 1 and
+    // 2, lone child kept, disjoint trees untouched) appears.
+    "p8_projection_collision" -> ((s, d) => {
+      val paths = Tables.documents(s, d).select(col("doc_id"),
+        explode(array(
+          lit("enriched_data"),
+          when(col("doc_id") % 2 === 0, lit("enriched_data.entities")),
+          when(col("doc_id") % 3 === 0, lit("enriched_data.entities.vendor")),
+          when(col("doc_id") % 5 === 0, lit("cluster_info")),
+          lit("cluster_info.cluster_id"),
+          when(col("doc_id") % 7 === 0, lit("tags")))).as("path"))
+        .filter(col("path").isNotNull)
+      val descendants = paths.select(col("doc_id").as("q_doc"), col("path").as("q"))
+      paths.join(descendants,
+          col("doc_id") === col("q_doc") &&
+            col("q").startsWith(concat(col("path"), lit("."))),
+          "left_anti")
+        .orderBy("doc_id", "path")
+    }),
+
     "x8_detail_query" -> ((s, d) => {
       import graft.operators.TextAnalysis.tokens
       import org.apache.spark.sql.expressions.Window
@@ -473,6 +498,23 @@ object Orchestration {
         |  SELECT * FROM chunks UNION ALL
         |  SELECT * FROM meta)
         |ORDER BY q_id, seq""".stripMargin,
+    "p8_projection_collision" ->
+      """WITH paths AS (
+        |  SELECT doc_id, path FROM (
+        |    SELECT doc_id, unnest([
+        |      'enriched_data',
+        |      CASE WHEN doc_id % 2 = 0 THEN 'enriched_data.entities' END,
+        |      CASE WHEN doc_id % 3 = 0 THEN 'enriched_data.entities.vendor' END,
+        |      CASE WHEN doc_id % 5 = 0 THEN 'cluster_info' END,
+        |      'cluster_info.cluster_id',
+        |      CASE WHEN doc_id % 7 = 0 THEN 'tags' END]) AS path
+        |    FROM documents)
+        |  WHERE path IS NOT NULL)
+        |SELECT doc_id, path FROM paths p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM paths q
+        |  WHERE q.doc_id = p.doc_id AND starts_with(q.path, p.path || '.'))
+        |ORDER BY doc_id, path""".stripMargin,
     "x8_detail_query" ->
       """WITH scored AS (
         |  SELECT doc_id, text, lang, source,

@@ -132,18 +132,23 @@ object IndexPipeline {
     }),
 
     // X7 — the SURVEY §7.2 minimum end-to-end slice as one plan: index
-    // documents with the real chunker + hash embedder, then run RRF
-    // fusion search (summary branch vs chunk branch) over the built
-    // vectors. Deterministic, rows-only (embedder not SQL-expressible).
+    // documents with the real chunker, embed with the SQL-
+    // reconstructible SyntheticEmbedder (vector = SyntheticVec of the
+    // text's md5 prefix), then run RRF fusion over the built vectors
+    // with a fixture query vector. HASH-EXACT end-to-end: the oracle
+    // replays the chunker walk for chunk identities, the summary-text
+    // assembly, the md5→id→vector reconstruction, and the full v6
+    // fusion SQL — the one composite where chunking, embedding and
+    // search are all inside the gate.
     "x7_index_then_search" -> ((s, d) => {
-      val emb = new graft.functions.HashEmbedder(64)
+      val emb = new graft.functions.SyntheticEmbedder(64)
       val vecs = buildIndex(Tables.documents(s, d).filter(col("doc_id") < 100), emb)
         .withColumn("vec_id", col("doc_id") * 1000 + col("chunk_index"))
         .withColumn("label", col("doc_id"))
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val summaries = vecs.filter(col("vtype") === "summary")
       val chunks = vecs.filter(col("vtype") === "chunk")
-      val q = emb.embed("spark join query data").toSeq
+      val q = graft.functions.SyntheticVec.vecLocal(0, 64).toSeq
       graft.operators.Search.rrfFusion(summaries, chunks, q, 10, 5)
     }),
 
@@ -249,7 +254,84 @@ object IndexPipeline {
     s"CASE WHEN $end0 < s.len AND $le > 0 THEN $from0 + $le ELSE $end0 END"
   }
 
+  /** DuckDB: BIGINT from the first `nDigits` hex digits of `hExpr` —
+    * the same ascii arithmetic as SyntheticEmbedder's md5-prefix id. */
+  private def hexIdSql(hExpr: String, nDigits: Int = 6): String =
+    (1 to nDigits).map { i =>
+      val c = s"substr($hExpr, $i, 1)"
+      val hv = s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+      s"$hv * ${1L << (4 * (nDigits - i))}"
+    }.mkString("(", " + ", ")")
+
+  private def synVecOfText(textExpr: String): String =
+    graft.functions.SyntheticVec.vecSql(hexIdSql(s"md5($textExpr)"), 64)
+
   val oracles: Map[String, String] = Map(
+    // X7 — the full index-then-search composite: chunk walk for chunk
+    // identities, summary-text assembly, md5-prefix → SyntheticVec
+    // reconstruction of every built embedding, then the v6 RRF fusion
+    // SQL over both branches (branchK 10, k 5, k0 60, weights 0.4/0.6).
+    "x7_index_then_search" -> {
+      val q64 = graft.functions.SyntheticVec.vecSql("0", 64)
+      val summaryTxt =
+        "CASE WHEN length(text) > 0 THEN 'file: doc_' || doc_id || ' | summary: ' || (" +
+          graft.operators.TextAnalysis.truncSql("text", 256) +
+          ") || ' | type: text' ELSE 'file: doc_' || doc_id || ' | type: text' END"
+      def branch(name: String, rel: String) =
+        s"""$name AS (
+           |  SELECT label, vec_id, sim,
+           |         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rnk
+           |  FROM (
+           |    SELECT label, vec_id, sim FROM (
+           |      SELECT label, vec_id, sim,
+           |             row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rn
+           |      FROM (
+           |        SELECT label, vec_id, sim FROM $rel
+           |        WHERE sim >= 0.0
+           |        ORDER BY sim DESC, vec_id ASC LIMIT 10))
+           |    WHERE rn = 1))""".stripMargin
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, text AS t, length(text)::BIGINT AS len
+         |  FROM documents WHERE doc_id < 100 AND length(text) > 0),
+         |walk AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS start0 FROM src
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN $t1End >= s.len THEN s.len
+         |         ELSE greatest(w.start0 + 1, ($t1End) - 50) END
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunksraw AS (
+         |  SELECT w.doc_id, w.start0,
+         |    trim(substr(s.t, w.start0 + 1, ($t1End) - w.start0)) AS chunk
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunkrel0 AS (
+         |  SELECT doc_id AS label,
+         |    doc_id * 1000 +
+         |      (row_number() OVER (PARTITION BY doc_id ORDER BY start0) - 1) AS vec_id,
+         |    chunk
+         |  FROM chunksraw WHERE chunk <> ''),
+         |summrel0 AS (
+         |  SELECT doc_id AS label, doc_id * 1000 AS vec_id, $summaryTxt AS stext
+         |  FROM documents WHERE doc_id < 100),
+         |csim AS (
+         |  SELECT label, vec_id,
+         |    list_inner_product(${synVecOfText("chunk")}, $q64) AS sim
+         |  FROM chunkrel0),
+         |ssim AS (
+         |  SELECT label, vec_id,
+         |    list_inner_product(${synVecOfText("stext")}, $q64) AS sim
+         |  FROM summrel0),
+         |${branch("sb", "ssim")},
+         |${branch("cb", "csim")}
+         |SELECT coalesce(sb.label, cb.label) AS label,
+         |       coalesce(cb.vec_id, sb.vec_id) AS rep_vec_id,
+         |       coalesce(0.4::DOUBLE / (60 + sb.rnk), 0.0) +
+         |       coalesce(0.6::DOUBLE / (60 + cb.rnk), 0.0) AS rrf_score
+         |FROM sb FULL OUTER JOIN cb ON sb.label = cb.label
+         |ORDER BY rrf_score DESC, label ASC LIMIT 5""".stripMargin
+    },
     // X1 — the flagship index pipeline, previously rows-only: per-doc
     // chunk counts replayed by the chunker state-machine CTE over the
     // RAW text, n_vectors = chunks + the always-present summary row,

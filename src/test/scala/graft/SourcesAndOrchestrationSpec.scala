@@ -51,6 +51,26 @@ class SourcesAndOrchestrationSpec extends AnyFunSuite {
     assert(r == Seq("analysis.ai_analysis_output.key_information", "filename", "tags"))
   }
 
+  test("P8 relation form agrees with the driver helper per doc, join-safe plan") {
+    val df = SparkEntry.queries("p8_projection_collision")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"P8 anti join must keep its equi key:\n$plan")
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    got.keys.take(50).foreach { id =>
+      val fixture = Seq(
+        Some("enriched_data"),
+        if (id % 2 == 0) Some("enriched_data.entities") else None,
+        if (id % 3 == 0) Some("enriched_data.entities.vendor") else None,
+        if (id % 5 == 0) Some("cluster_info") else None,
+        Some("cluster_info.cluster_id"),
+        if (id % 7 == 0) Some("tags") else None).flatten
+      assert(got(id) == Orchestration.resolveProjectionCollisions(fixture).sorted,
+        s"doc $id diverges from the driver helper")
+    }
+  }
+
   test("V10: strategy routing table") {
     import Orchestration._
     assert(routeStrategy("thematic", None) == SummaryOnly)
