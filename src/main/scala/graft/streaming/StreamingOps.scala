@@ -121,21 +121,56 @@ object StreamingOps {
       .flatMapGroupsWithState[BucketState, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (code: Long, rows: Iterator[(Long, Long, Seq[Double])], state: GroupState[BucketState]) =>
-          val reps = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
-          state.getOption.foreach(s => reps ++= s.reps)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          rows.toSeq.sortBy(_._2).foreach { case (_, id, emb) =>
-            val dup = reps.exists { r =>
-              var acc = 0.0
-              var i = 0
-              val n = math.min(r.length, emb.length)
-              while (i < n) { acc += r(i) * emb(i); i += 1 }
-              acc >= tau
-            }
-            if (!dup) { reps += emb; out += ((code, id)) }
-          }
-          state.update(BucketState(reps.toSeq))
-          out.iterator
+          val (admitted, reps) = admitGreedy(
+            rows.toSeq.sortBy(_._2).iterator.map(r => (r._2, r._3)),
+            state.getOption.map(_.reps).getOrElse(Nil), tau)
+          state.update(BucketState(reps))
+          admitted.iterator.map(id => (code, id))
+      }
+      .toDF("code", "vec_id")
+  }
+
+  /** The per-bucket greedy representative rule — ONE implementation
+    * shared by the streaming state handler above and the batch replay
+    * below, so the replay is the streaming semantics by construction,
+    * not a reimplementation. */
+  private[graft] def admitGreedy(rows: Iterator[(Long, Seq[Double])],
+                                 reps0: Seq[Seq[Double]],
+                                 tau: Double): (Seq[Long], Seq[Seq[Double]]) = {
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    reps ++= reps0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    rows.foreach { case (id, emb) =>
+      val dup = reps.exists { r =>
+        var acc = 0.0
+        var i = 0
+        val n = math.min(r.length, emb.length)
+        while (i < n) { acc += r(i) * emb(i); i += 1 }
+        acc >= tau
+      }
+      if (!dup) { reps += emb; out += id }
+    }
+    (out.toSeq, reps.toSeq)
+  }
+
+  /** Batch replay of `streamSemDedup`: `batch_seq` plays the
+    * micro-batch sequence — within each LSH bucket, rows fold through
+    * `admitGreedy` in (batch_seq, vec_id) order, which is exactly the
+    * order the streaming query processes them (batches arrive in
+    * sequence; within a batch the handler sorts by vec_id), and the
+    * rep set threads through the fold the way GroupState does. Gives
+    * the driver a deterministic view of the streaming operator. */
+  def semDedupReplay(spark: SparkSession, vectors: DataFrame, tau: Double): DataFrame = {
+    import spark.implicits._
+    vectors.select(col("code").cast("long"), col("batch_seq").cast("long"),
+        col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (code, rows) =>
+        val ordered = rows.toSeq.sortBy(r => (r._2, r._3))
+        val (admitted, _) = admitGreedy(
+          ordered.iterator.map(r => (r._3, r._4)), Nil, tau)
+        admitted.iterator.map(id => (code, id))
       }
       .toDF("code", "vec_id")
   }
@@ -188,6 +223,32 @@ object StreamingOps {
         1800L * 1000 * 1000 * 1000)
         .orderBy("user_id", "session_idx")),
 
+    // Streaming semantic near-dedup, driver-visible: the StreamingSpec
+    // scenario (exact copies of every 50th vector arriving one
+    // micro-batch AFTER their originals) replayed through the SAME
+    // greedy rule the flatMapGroupsWithState handler runs. HASH-EXACT:
+    // the oracle can assert survivors == originals because (a) the
+    // copies dot their originals at ~1.0 ≥ τ=0.95 in the same bucket
+    // by construction, and (b) the max cross-vector cosine in the
+    // corpus is ≤0.61 at every test SF (measured; margin 0.34 to τ) —
+    // so no original suppresses another. Digest = per-bucket admitted
+    // count + id sum, with bucket codes replayed via the shared
+    // RP-LSH SQL.
+    "st_semdedup_replay" -> ((s, d) => {
+      import graft.functions.RandomHyperplane
+      val base = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        RandomHyperplane.codeCol(col("embedding")).as("code"))
+      val originals = base.withColumn("batch_seq", lit(0L))
+      val copies = base.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000)
+        .withColumn("batch_seq", lit(1L))
+      semDedupReplay(s, originals.unionByName(copies), 0.95)
+        .groupBy("code")
+        .agg(count(lit(1)).as("n_admitted"), sum(col("vec_id")).as("sum_ids"))
+        .orderBy("code")
+    }),
+
     // First-seen dedup per (user, event_type) — the streaming-dedup
     // contract in its deterministic batch form (µs precision for
     // engine parity).
@@ -218,6 +279,14 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Survivors == originals (see the query comment's margin argument):
+    // every original admitted, every +10000 copy suppressed.
+    "st_semdedup_replay" ->
+      s"""SELECT code, count(*) AS n_admitted, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM (SELECT vec_id,
+         |        ${graft.functions.RandomHyperplane.codeSql("embedding::DOUBLE[]")} AS code
+         |      FROM embeddings)
+         |GROUP BY code ORDER BY code""".stripMargin,
     "st_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,

@@ -233,5 +233,14 @@ class StreamingSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(survivors == originals.map(_._1).toSet,
       "expected every original admitted and every injected copy suppressed")
+
+    // the driver-visible batch replay must reproduce the LIVE streaming
+    // output exactly (same scenario: originals = batch 0, copies = batch 1)
+    val replayIn = originals.map(t => (t._3, 0L, t._1, t._2))
+      .++(copies.map(t => (t._3, 1L, t._1, t._2)))
+      .toSeq.toDF("code", "batch_seq", "vec_id", "embedding")
+    val replayed = StreamingOps.semDedupReplay(spark, replayIn, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(replayed == survivors, "batch replay diverged from streaming output")
   }
 }
