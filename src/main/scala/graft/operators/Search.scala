@@ -458,15 +458,22 @@ object Search {
 
     // 768-d parity: V4 two-stage hybrid (summary candidates semi-join
     // prune the chunk branch) — broadcast semi-join unchanged at 768.
-    "v4_two_stage_768" -> ((s, d) =>
-      twoStage(vecs768(s, d).filter(col("vec_id") % 2 === 0),
-        vecs768(s, d).filter(col("vec_id") % 2 === 1), q768, 10, 10, 0.0)
-        .select("vec_id", "label", "sim")),
+    // Both branches consume the same synthetic relation: persist so the
+    // 768-wide array construction runs once (caller clearCache
+    // contract, SparkEntry.scala).
+    "v4_two_stage_768" -> ((s, d) => {
+      val v = vecs768(s, d).persist()
+      twoStage(v.filter(col("vec_id") % 2 === 0),
+        v.filter(col("vec_id") % 2 === 1), q768, 10, 10, 0.0)
+        .select("vec_id", "label", "sim")
+    }),
 
     // 768-d parity: V6 RRF fusion, service weights 0.4/0.6, k0=60.
-    "v6_rrf_768" -> ((s, d) =>
-      rrfFusion(vecs768(s, d).filter(col("vec_id") % 2 === 0),
-        vecs768(s, d).filter(col("vec_id") % 2 === 1), q768, 10, 5)),
+    "v6_rrf_768" -> ((s, d) => {
+      val v = vecs768(s, d).persist()
+      rrfFusion(v.filter(col("vec_id") % 2 === 0),
+        v.filter(col("vec_id") % 2 === 1), q768, 10, 5)
+    }),
 
     // 768-d parity: RP-LSH multiprobe ANN at reference dimensionality.
     // 10 planes (see rp768 note), Hamming radius 2 → 56 of 1,024
