@@ -524,6 +524,30 @@ object Dedup {
         .orderBy("comp", "doc_id")
     }),
 
+    // Duplicate-cluster representative selection: after grouping
+    // near-dups into components, a curation pipeline keeps ONE member
+    // per cluster — and "keep the longest" beats "keep min-id" because
+    // near-dup clusters typically mix a full document with truncated/
+    // boilerplate copies. Representative = max n_chars, doc_id as the
+    // tiebreak; output also counts what the decision drops. One window
+    // over the (tiny) component relation — the expensive part is the
+    // LSH pair build that dd_components already pays.
+    "dd_rep_selection" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bands = lshBands(minhashSignatures(s, d)).persist()
+      val comp = connectedComponents(lshCandidatePairs(bands), "doc_a", "doc_b")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      comp.join(docs, comp("node") === docs("doc_id"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("comp").orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rnk") === 1, col("doc_id"))).as("rep_doc_id"),
+          max(when(col("rnk") === 1, col("n_chars"))).as("rep_n_chars"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        .orderBy("comp")
+    }),
+
     // Embedding int8 quantization (training-pipeline storage/ANN
     // compression): per-element floor(x·127) — floor is IEEE-identical
     // across engines, and the integer summaries (sum/min/max) are
@@ -594,10 +618,53 @@ object Dedup {
        |    i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))
        |ELSE [] END""".stripMargin
 
+  /** The LSH-pairs → transitive-closure component CTE chain shared by
+    * the dd_components family and the rep-selection oracle (prefix of
+    * the dd_components oracle, ending at `comps(node, comp)`). */
+  private lazy val compsCte: String =
+    s"""WITH RECURSIVE ds AS (
+       |  SELECT doc_id, unnest($shSql) AS sh FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |    min(md5('s0|' || sh)) AS h0, min(md5('s1|' || sh)) AS h1,
+       |    min(md5('s2|' || sh)) AS h2, min(md5('s3|' || sh)) AS h3,
+       |    min(md5('s4|' || sh)) AS h4, min(md5('s5|' || sh)) AS h5,
+       |    min(md5('s6|' || sh)) AS h6, min(md5('s7|' || sh)) AS h7
+       |  FROM ds GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bh FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |walk AS (
+       |  SELECT DISTINCT a AS node, a AS reach FROM edges
+       |  UNION
+       |  SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+       |comps AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node)""".stripMargin
+
   // dd_components_star shares dd_components' transitive-closure oracle
   // (identical output contract through a different algorithm).
   val oracles: Map[String, String] = oraclesBase +
-    ("dd_components_star" -> oraclesBase("dd_components"))
+    ("dd_components_star" -> oraclesBase("dd_components")) +
+    ("dd_rep_selection" ->
+      s"""$compsCte,
+         |ranked AS (
+         |  SELECT c.comp, c.node, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.comp
+         |      ORDER BY d.n_chars DESC, c.node ASC) AS rnk
+         |  FROM comps c JOIN documents d ON d.doc_id = c.node)
+         |SELECT comp, count(*) AS n_members,
+         |  max(CASE WHEN rnk = 1 THEN node END) AS rep_doc_id,
+         |  max(CASE WHEN rnk = 1 THEN n_chars END) AS rep_n_chars,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+         |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin)
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "dd_exact" ->

@@ -514,6 +514,35 @@ object Search {
         .orderBy("id_a", "rank")
     }),
 
+    // Hard-negative mining (embedding-training data prep): for every
+    // anchor (a 10% id sample), the top-2 MOST similar vectors with a
+    // DIFFERENT label — the "looks alike, isn't" pairs contrastive
+    // fine-tuning needs. All-pairs is unrunnable at scale; blocking by
+    // the RP-LSH code makes it an equi-join on the 8-bit code (the
+    // same sub-quadratic shape as ann_lsh_knn_join), with the
+    // different-label test as a cheap residual. Anchors whose bucket
+    // holds only same-label vectors emit nothing — the recall/cost
+    // trade LSH makes explicit. Hash-exact: code, sims and ranks all
+    // replay in SQL.
+    "pp_hard_negatives" -> ((s, d) => {
+      import graft.functions.RandomHyperplane
+      val coded = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"),
+          RandomHyperplane.codeCol(col("embedding")).as("code"))
+      val anchors = coded.filter(col("vec_id") % 10 === 0)
+        .select(col("code"), col("vec_id").as("anchor_id"),
+          col("label").as("a_label"), col("emb").as("a_emb"))
+      anchors.join(coded, Seq("code"))
+        .filter(col("label") =!= col("a_label"))
+        .withColumn("sim", dot(col("a_emb"), col("emb")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("vec_id").asc)))
+        .filter(col("rnk") <= 2)
+        .select(col("anchor_id"), col("rnk"), col("vec_id").as("negative_id"), col("sim"))
+        .orderBy("anchor_id", "rnk")
+    }),
+
     // Quantized ANN with float rescore — the production two-tier
     // pattern behind every large-scale vector index: a cheap int8
     // coarse pass ranks the corpus (4× smaller vectors, integer
@@ -649,6 +678,22 @@ object Search {
          |       coalesce(0.6::DOUBLE / (60 + cb.rnk), 0.0) AS rrf_score
          |FROM sb FULL OUTER JOIN cb ON sb.label = cb.label
          |ORDER BY rrf_score DESC, label ASC LIMIT 5""".stripMargin,
+    "pp_hard_negatives" -> {
+      val codeExpr = graft.functions.RandomHyperplane.codeSql("embedding::DOUBLE[]")
+      s"""WITH coded AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb, $codeExpr AS code
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         |         list_inner_product(a.emb, b.emb) AS sim,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY list_inner_product(a.emb, b.emb) DESC, b.vec_id ASC) AS rnk
+         |  FROM coded a JOIN coded b
+         |    ON a.code = b.code AND a.label <> b.label
+         |  WHERE a.vec_id % 10 = 0)
+         |SELECT anchor_id, rnk, negative_id, sim FROM pairs
+         |WHERE rnk <= 2 ORDER BY anchor_id, rnk""".stripMargin
+    },
     "ann_rp_lsh_768" ->
       s"""WITH $v768Cte,
          |coded AS (

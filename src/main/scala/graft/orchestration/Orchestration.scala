@@ -284,6 +284,46 @@ object Orchestration {
     // planned fields. The plan is generated driver-side from the
     // question string alone (no Spark action), so the whole flow is
     // hash-exact against the oracle.
+    // T12 — dynamic-field schema discovery under an exact oracle: a
+    // synthetic open-schema map column (string/int/float values plus
+    // row-varying keys) over the FIVE lowest doc_ids (the sample is
+    // ordered, so the driver-side ≤n-row sampling contract is
+    // deterministic); the discovered field → "name (type)" map is the
+    // output. The oracle pins the classifier branches and the
+    // key-merge across rows.
+    "t12_schema_discovery" -> ((s, d) => {
+      val base = Tables.documents(s, d).orderBy("doc_id")
+        .withColumn("m", map(
+          lit("lang"), col("lang"),
+          lit("n_chars"), col("n_chars").cast("string"),
+          lit("score"), concat(col("doc_id").cast("string"), lit(".5")),
+          concat(lit("extra_"), (col("doc_id") % 2).cast("string")), lit("x")))
+      val discovered = discoverSchema(base, "m", 5)
+      import s.implicits._
+      discovered.toSeq.toDF("field", "described").orderBy("field")
+    }),
+
+    // L8 — clarification generation (the deterministic stub contract,
+    // `clarification...` reference flow): ambiguity reasons cycle by
+    // doc_id over a 30-doc sample; the stub's question/responses/slots
+    // and the reason-bearing reasoning line are the hashed output.
+    "l8_clarification" -> ((s, d) => {
+      val reason = when(col("doc_id") % 3 === 0, "missing_timeframe")
+        .when(col("doc_id") % 3 === 1, "ambiguous_subject")
+        .otherwise("underspecified_scope")
+      val clarU = udf((r: String) => {
+        val c = stubClarification("q", r)
+        (c.question, c.reasoning, c.suggestedResponses.mkString("|"),
+          c.missingInformation.mkString("|"))
+      })
+      Tables.documents(s, d).filter(col("doc_id") < 30)
+        .withColumn("c", clarU(reason))
+        .select(col("doc_id"), col("c._1").as("question"),
+          col("c._2").as("reasoning"), col("c._3").as("suggested"),
+          col("c._4").as("missing"))
+        .orderBy("doc_id")
+    }),
+
     // P8 — projection-collision removal as a RELATION (the driver-side
     // helper's set semantics, distributed): per doc, a path is kept iff
     // no strictly-deeper path of the same doc exists. The anti join has
@@ -498,6 +538,21 @@ object Orchestration {
         |  SELECT * FROM chunks UNION ALL
         |  SELECT * FROM meta)
         |ORDER BY q_id, seq""".stripMargin,
+    "t12_schema_discovery" ->
+      """SELECT field, described FROM (VALUES
+        |  ('extra_0', 'extra_0 (str)'), ('extra_1', 'extra_1 (str)'),
+        |  ('lang', 'lang (str)'), ('n_chars', 'n_chars (int)'),
+        |  ('score', 'score (float)')) AS t(field, described)
+        |ORDER BY field""".stripMargin,
+    "l8_clarification" ->
+      """SELECT doc_id, '能否請您提供更多細節?' AS question,
+        |  'deterministic stub for: ' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'missing_timeframe'
+        |          WHEN doc_id % 3 = 1 THEN 'ambiguous_subject'
+        |          ELSE 'underspecified_scope' END) AS reasoning,
+        |  '提供更多信息|詳細說明' AS suggested,
+        |  '具體內容' AS missing
+        |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
     "p8_projection_collision" ->
       """WITH paths AS (
         |  SELECT doc_id, path FROM (
