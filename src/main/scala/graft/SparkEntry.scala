@@ -41,5 +41,6 @@ object SparkEntry {
       streaming.StreamingOps.oracles ++ operators.Multimodal.oracles ++
       sources.DocumentSources.oracles ++ orchestration.Orchestration.oracles ++
       operators.Conversations.oracles ++ operators.Skew.oracles ++
-      operators.Temporal.oracles ++ model.CoreModel.oracles
+      operators.Temporal.oracles ++ model.CoreModel.oracles ++
+      evaluation.RetrievalEval.oracles
 }

@@ -1,10 +1,10 @@
 package graft.evaluation
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{HashEmbedder, VectorFunctions}
+import graft.functions.{HashEmbedder, SyntheticEmbedder, VectorFunctions}
 import graft.pipelines.IndexPipeline
 
 /** Retrieval-quality evaluation harness (SURVEY.md §5.3): the
@@ -140,6 +140,73 @@ object RetrievalEval {
           (coalesce(col("dcg10"), lit(0.0)) / n).as("ndcg10"))
     }
     perMode.reduce(_ unionByName _)
+  }
+
+  /** 1/log2(rank+1) for rank = 1..10, computed ONCE and injected into
+    * both engines as literals — neither engine's own log2 is trusted
+    * per-row (the lnTable precedent: libm vs StrictMath disagree by
+    * 1 ulp on some integer inputs). */
+  private[graft] val invLog2Table: IndexedSeq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  private def invLog2Sql: String =
+    invLog2Table.map(x => s"'$x'").mkString("([", ",", "]::DOUBLE[])")
+
+  /** The metric grid of `evaluate`, HASH-GATED: same five modes, same
+    * windows, but the vectors/queries come from the SQL-reconstructible
+    * SyntheticEmbedder (x7's md5-prefix → ±1-vector construction — all
+    * sims integer-valued), nDCG discounts read the injected
+    * 1/log2 table, and the inexact metric sums (MRR's Σ1/rank, the DCG
+    * sums) fold in q_id order via the established ordered-reduce
+    * pattern so both engines accumulate identically. The HashEmbedder
+    * harness above stays as the realistic-embedder run; this twin
+    * proves the METRIC MATH (windows, mode logic, grid arithmetic)
+    * under the exact gate. */
+  def evaluateSynth(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
+    val embedder = new SyntheticEmbedder(64)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val vectors = IndexPipeline.buildIndex(docs, embedder)
+      .withColumn("vec_id", col("doc_id") * 1000 +
+        when(col("vtype") === "summary", lit(999)).otherwise(col("chunk_index")))
+      .withColumn("label", col("doc_id"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val embUdf = udf((t: String) => embedder.embed(t))
+    val queries = docs.filter(length(col("text")) >= 120)
+      .orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("q_id"),
+        embUdf(substring(col("text"), 40, 120)).as("q_emb"))
+    val allScored = scored(vectors, queries)
+      .select("q_id", "label", "vec_id", "vtype", "sim").cache()
+    val ss = allScored.filter(col("vtype") === "summary")
+    val sc = allScored.filter(col("vtype") === "chunk")
+    // ordered double fold (== DuckDB list_reduce(list(x ORDER BY key)))
+    def ofold(x: Column, key: Column): Column =
+      aggregate(array_sort(collect_list(struct(key.as("k"), x.as("v")))),
+        lit(0.0), (a, e) => a + e.getField("v"))
+    val tab = typedLit(invLog2Table)
+    val n = lit(nQueries.toDouble)
+    val modes = Seq("rrf_fusion", "hybrid", "summary_only", "chunks_only", "legacy")
+    modes.map { m =>
+      val hitRanks = runModeScored(m, ss, sc, 10)
+        .filter(col("label") === col("q_id"))
+        .select(col("q_id"), col("rank"))
+      hitRanks.agg(
+        sum(when(col("rank") <= 1, 1.0).otherwise(0.0)).as("h1"),
+        sum(when(col("rank") <= 3, 1.0).otherwise(0.0)).as("h3"),
+        sum(when(col("rank") <= 5, 1.0).otherwise(0.0)).as("h5"),
+        sum(when(col("rank") <= 10, 1.0).otherwise(0.0)).as("h10"),
+        ofold(lit(1.0) / col("rank"), col("q_id")).as("rr"),
+        ofold(when(col("rank") <= 5, element_at(tab, col("rank").cast("int")))
+          .otherwise(lit(0.0)), col("q_id")).as("dcg5"),
+        ofold(element_at(tab, col("rank").cast("int")), col("q_id")).as("dcg10"))
+        .select(lit(m).as("mode"),
+          (coalesce(col("h1"), lit(0.0)) / n).as("hit1"),
+          (coalesce(col("h3"), lit(0.0)) / n).as("hit3"),
+          (coalesce(col("h5"), lit(0.0)) / n).as("hit5"),
+          (coalesce(col("h10"), lit(0.0)) / n).as("hit10"),
+          (coalesce(col("rr"), lit(0.0)) / n).as("mrr"),
+          (coalesce(col("dcg5"), lit(0.0)) / n).as("ndcg5"),
+          (coalesce(col("dcg10"), lit(0.0)) / n).as("ndcg10"))
+    }.reduce(_ unionByName _).orderBy("mode")
   }
 
   /** Query-rewrite A/B + smart-trigger harness — the reference's second
@@ -281,9 +348,121 @@ object RetrievalEval {
     // Retrieval-metric harness over the 5 search modes (rows-only:
     // depends on the hash embedder; mode-ordering asserted in spec).
     "eval_retrieval_metrics" -> ((s, d) => evaluate(s, d)),
+    // The HASH-GATED twin: same modes/windows/grid over the
+    // SQL-reconstructible embedder (see evaluateSynth).
+    "eval_retrieval_exact" -> ((s, d) => evaluateSynth(s, d)),
     // Rewrite A/B + smart-trigger (rows-only: embedder-dependent).
     "eval_rewrite_ab" -> ((s, d) => evaluateRewriteAb(s, d)),
     // Answer-quality lexical stand-in (rows-only: embedder-dependent).
     "eval_answer_quality" -> ((s, d) => evaluateAnswerQuality(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The full eval grid replayed in SQL: chunk walk + summary assembly
+    // + md5-prefix vectors (the x7 machinery), per-query windows per
+    // mode, metric sums with the injected 1/log2 table and q_id-ordered
+    // folds for the inexact ones.
+    "eval_retrieval_exact" -> {
+      import graft.pipelines.IndexPipeline.{t1End, summaryTxtSql, synVecOfText}
+      def bestPerDoc(rel: String) =
+        s"""SELECT q_id, label, vec_id, sim FROM (
+           |  SELECT q_id, label, vec_id, sim, row_number() OVER (
+           |    PARTITION BY q_id, label ORDER BY sim DESC, vec_id ASC) AS rn
+           |  FROM $rel) WHERE rn = 1""".stripMargin
+      def rankTop10(rel: String) =
+        s"""SELECT q_id, label, rank FROM (
+           |  SELECT q_id, label, row_number() OVER (
+           |    PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+           |  FROM $rel) WHERE rank <= 10""".stripMargin
+      def metrics(mode: String, rel: String) =
+        s"""SELECT '$mode' AS mode,
+           |  coalesce(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END), 0)::DOUBLE / CAST(30 AS DOUBLE) AS hit1,
+           |  coalesce(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END), 0)::DOUBLE / CAST(30 AS DOUBLE) AS hit3,
+           |  coalesce(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END), 0)::DOUBLE / CAST(30 AS DOUBLE) AS hit5,
+           |  coalesce(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END), 0)::DOUBLE / CAST(30 AS DOUBLE) AS hit10,
+           |  coalesce(CASE WHEN count(*) > 0 THEN list_reduce(
+           |    list(1.0::DOUBLE / rank ORDER BY q_id), (a, b) -> a + b) END, 0.0)
+           |    / CAST(30 AS DOUBLE) AS mrr,
+           |  coalesce(CASE WHEN count(*) > 0 THEN list_reduce(
+           |    list(CASE WHEN rank <= 5 THEN $invLog2Sql[rank::INT] ELSE 0.0::DOUBLE END
+           |         ORDER BY q_id), (a, b) -> a + b) END, 0.0)
+           |    / CAST(30 AS DOUBLE) AS ndcg5,
+           |  coalesce(CASE WHEN count(*) > 0 THEN list_reduce(
+           |    list($invLog2Sql[rank::INT] ORDER BY q_id), (a, b) -> a + b) END, 0.0)
+           |    / CAST(30 AS DOUBLE) AS ndcg10
+           |FROM $rel WHERE label = q_id""".stripMargin
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, text AS t, length(text)::BIGINT AS len
+         |  FROM documents WHERE doc_id < 200 AND length(text) > 0),
+         |walk AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS start0 FROM src
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN $t1End >= s.len THEN s.len
+         |         ELSE greatest(w.start0 + 1, ($t1End) - 50) END
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunksraw AS (
+         |  SELECT w.doc_id, w.start0,
+         |    trim(substr(s.t, w.start0 + 1, ($t1End) - w.start0)) AS chunk
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunkrel AS (
+         |  SELECT doc_id AS label,
+         |    doc_id * 1000 +
+         |      (row_number() OVER (PARTITION BY doc_id ORDER BY start0) - 1) AS vec_id,
+         |    chunk
+         |  FROM chunksraw WHERE chunk <> ''),
+         |summrel AS (
+         |  SELECT doc_id AS label, doc_id * 1000 + 999 AS vec_id,
+         |    $summaryTxtSql AS stext
+         |  FROM documents WHERE doc_id < 200),
+         |qv AS (
+         |  SELECT q_id, ${synVecOfText("qt")} AS qe FROM (
+         |    SELECT doc_id AS q_id, substr(text, 40, 120) AS qt
+         |    FROM documents WHERE doc_id < 200 AND length(text) >= 120
+         |    ORDER BY doc_id LIMIT 30)),
+         |ssim AS (
+         |  SELECT q.q_id, s.label, s.vec_id,
+         |    list_inner_product(${synVecOfText("stext")}, q.qe) AS sim
+         |  FROM summrel s CROSS JOIN qv q),
+         |csim AS (
+         |  SELECT q.q_id, c.label, c.vec_id,
+         |    list_inner_product(${synVecOfText("chunk")}, q.qe) AS sim
+         |  FROM chunkrel c CROSS JOIN qv q),
+         |r_summary AS (${rankTop10("ssim")}),
+         |bd_chunks AS (${bestPerDoc("csim")}),
+         |r_chunks AS (${rankTop10("bd_chunks")}),
+         |bd_legacy AS (${bestPerDoc(
+            "(SELECT * FROM ssim UNION ALL SELECT * FROM csim)")}),
+         |r_legacy AS (${rankTop10("bd_legacy")}),
+         |pruned AS (
+         |  SELECT c.* FROM csim c
+         |  WHERE EXISTS (SELECT 1 FROM r_summary s
+         |                WHERE s.q_id = c.q_id AND s.label = c.label)),
+         |bd_hybrid AS (${bestPerDoc("pruned")}),
+         |r_hybrid AS (${rankTop10("bd_hybrid")}),
+         |bd_ssim AS (${bestPerDoc("ssim")}),
+         |sb AS (${rankTop10("bd_ssim")}),
+         |rrf0 AS (
+         |  SELECT coalesce(s.q_id, c.q_id) AS q_id,
+         |         coalesce(s.label, c.label) AS label,
+         |         coalesce(0.4::DOUBLE / (60 + s.rank), 0.0) +
+         |         coalesce(0.6::DOUBLE / (60 + c.rank), 0.0) AS rrf
+         |  FROM sb s FULL OUTER JOIN r_chunks c
+         |    ON s.q_id = c.q_id AND s.label = c.label),
+         |r_rrf AS (
+         |  SELECT q_id, label, rank FROM (
+         |    SELECT q_id, label, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY rrf DESC, label ASC) AS rank
+         |    FROM rrf0) WHERE rank <= 10)
+         |SELECT * FROM (
+         |  ${metrics("chunks_only", "r_chunks")}
+         |  UNION ALL ${metrics("hybrid", "r_hybrid")}
+         |  UNION ALL ${metrics("legacy", "r_legacy")}
+         |  UNION ALL ${metrics("rrf_fusion", "r_rrf")}
+         |  UNION ALL ${metrics("summary_only", "r_summary")})
+         |ORDER BY mode""".stripMargin
+    }
   )
 }

@@ -256,15 +256,23 @@ object IndexPipeline {
 
   /** DuckDB: BIGINT from the first `nDigits` hex digits of `hExpr` —
     * the same ascii arithmetic as SyntheticEmbedder's md5-prefix id. */
-  private def hexIdSql(hExpr: String, nDigits: Int = 6): String =
+  private[graft] def hexIdSql(hExpr: String, nDigits: Int = 6): String =
     (1 to nDigits).map { i =>
       val c = s"substr($hExpr, $i, 1)"
       val hv = s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
       s"$hv * ${1L << (4 * (nDigits - i))}"
     }.mkString("(", " + ", ")")
 
-  private def synVecOfText(textExpr: String): String =
+  private[graft] def synVecOfText(textExpr: String): String =
     graft.functions.SyntheticVec.vecSql(hexIdSql(s"md5($textExpr)"), 64)
+
+  /** The x7-oracle summary-text assembly (shared with the eval-twin
+    * oracle): `buildSummaryText` on this fixture always takes the
+    * naive ≤512 path. */
+  private[graft] val summaryTxtSql: String =
+    "CASE WHEN length(text) > 0 THEN 'file: doc_' || doc_id || ' | summary: ' || (" +
+      graft.operators.TextAnalysis.truncSql("text", 256) +
+      ") || ' | type: text' ELSE 'file: doc_' || doc_id || ' | type: text' END"
 
   val oracles: Map[String, String] = Map(
     // X7 — the full index-then-search composite: chunk walk for chunk
@@ -273,10 +281,7 @@ object IndexPipeline {
     // SQL over both branches (branchK 10, k 5, k0 60, weights 0.4/0.6).
     "x7_index_then_search" -> {
       val q64 = graft.functions.SyntheticVec.vecSql("0", 64)
-      val summaryTxt =
-        "CASE WHEN length(text) > 0 THEN 'file: doc_' || doc_id || ' | summary: ' || (" +
-          graft.operators.TextAnalysis.truncSql("text", 256) +
-          ") || ' | type: text' ELSE 'file: doc_' || doc_id || ' | type: text' END"
+      val summaryTxt = summaryTxtSql
       def branch(name: String, rel: String) =
         s"""$name AS (
            |  SELECT label, vec_id, sim,

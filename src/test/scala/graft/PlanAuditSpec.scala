@@ -14,6 +14,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val intendedCross = Set(
     "ann_bruteforce_batch",   // broadcast 5-query set × corpus scan
     "eval_retrieval_metrics", // broadcast 30-query golden set × corpus scan
+    "eval_retrieval_exact",   // same scan, SQL-reconstructible embedder
     "eval_rewrite_ab",        // broadcast 90-variant query set × corpus scan
     "eval_answer_quality"     // broadcast 30-query golden set × corpus scan
   )

@@ -6,6 +6,25 @@ import graft.evaluation.RetrievalEval
 class RetrievalEvalSpec extends AnyFunSuite {
   lazy val spark = SparkSessionHelper.spark
 
+  test("hash-gated eval twin: all 5 modes, metric grid well-formed") {
+    val rows = RetrievalEval.evaluateSynth(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("rrf_fusion", "hybrid", "summary_only", "chunks_only", "legacy"))
+    rows.foreach { r =>
+      val Seq(h1, h3, h5, h10, mrr, n5, n10) = (1 to 7).map(r.getDouble)
+      Seq(h1, h3, h5, h10, mrr, n5, n10).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0, s"${r.getString(0)}: metric $v out of range"))
+      assert(h1 <= h3 && h3 <= h5 && h5 <= h10, s"${r.getString(0)}: hit@k not monotone")
+      assert(n5 <= n10 + 1e-12, s"${r.getString(0)}: ndcg5 > ndcg10")
+      assert(mrr <= h10 + 1e-12, s"${r.getString(0)}: mrr exceeds hit10")
+    }
+    // the synthetic corpus still produces SOME hits (the grid isn't
+    // vacuously zero)
+    assert(rows.map(_.getDouble(4)).sum > 0.0, "every mode scored zero")
+    spark.catalog.clearCache()
+  }
+
   test("5 search modes produce sane retrieval metrics on verbatim-snippet queries") {
     // columns: mode, hit1, hit3, hit5, hit10, mrr, ndcg5, ndcg10
     val r = RetrievalEval.evaluate(spark, "/root/testdata/sf0.001", nQueries = 20)
