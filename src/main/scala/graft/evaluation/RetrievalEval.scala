@@ -281,6 +281,73 @@ object RetrievalEval {
       .unionByName(metrics("smart_trigger", smart, lit(skip)))
   }
 
+  /** Hash-gated twin of `evaluateRewriteAb` (same three arms, same
+    * probe threshold) over the SQL-reconstructible embedder — the arm
+    * logic, weighted merge, smart trigger and skip-rate arithmetic all
+    * inside the exact gate. MRR folds in q_id order; weights are
+    * injected as string-cast doubles on the oracle side. */
+  def evaluateRewriteAbSynth(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
+    val embedder = new SyntheticEmbedder(64)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val vectors = IndexPipeline.buildIndex(docs, embedder)
+      .withColumn("vec_id", col("doc_id") * 1000 +
+        when(col("vtype") === "summary", lit(999)).otherwise(col("chunk_index")))
+      .withColumn("label", col("doc_id"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val embUdf = udf((t: String) => embedder.embed(t))
+    val snippets = docs.filter(length(col("text")) >= 120)
+      .orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("q_id"), substring(col("text"), 40, 120).as("q_text"))
+    val variants = snippets.select(col("q_id"), explode(array(
+        struct(lit(0).as("variant"), lit(1.3).as("w"), col("q_text").as("t")),
+        struct(lit(1).as("variant"), lit(1.1).as("w"),
+          concat(col("q_text"), lit(" details")).as("t")),
+        struct(lit(2).as("variant"), lit(1.0).as("w"),
+          concat(lit("about "), col("q_text")).as("t")))).as("v"))
+      .select(col("q_id"), col("v.variant").as("variant"), col("v.w").as("w"),
+        embUdf(col("v.t")).as("q_emb"))
+    val scoredV = vectors.crossJoin(broadcast(variants))
+      .withColumn("sim", VectorFunctions.dot(col("embedding"), col("q_emb")))
+      .select("q_id", "variant", "w", "label", "vec_id", "sim").cache()
+
+    def bestPerDocRanked(df: DataFrame, scoreCol: String): DataFrame =
+      df.withColumn("_rn", row_number().over(
+          Window.partitionBy("q_id", "label").orderBy(col(scoreCol).desc, col("vec_id").asc)))
+        .filter(col("_rn") === 1)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col(scoreCol).desc, col("label").asc)))
+        .filter(col("rank") <= 10)
+        .select("q_id", "label", "rank")
+    val base = bestPerDocRanked(scoredV.filter(col("variant") === 0), "sim")
+    val merged = bestPerDocRanked(
+      scoredV.withColumn("wsim", col("sim") * col("w")), "wsim")
+    val probe = scoredV.filter(col("variant") === 0)
+      .groupBy("q_id").agg(max(col("sim")).as("top_sim"))
+      .withColumn("skip_rewrite", col("top_sim") >= 0.75)
+    val smart = base.join(probe.filter(col("skip_rewrite")).select("q_id"), Seq("q_id"), "left_semi")
+      .unionByName(merged.join(probe.filter(!col("skip_rewrite")).select("q_id"),
+        Seq("q_id"), "left_semi"))
+
+    def ofold(x: Column, key: Column): Column =
+      aggregate(array_sort(collect_list(struct(key.as("k"), x.as("v")))),
+        lit(0.0), (a, e) => a + e.getField("v"))
+    val n = lit(nQueries.toDouble)
+    def metrics(arm: String, ranks: DataFrame, skipRate: Column): DataFrame =
+      ranks.filter(col("label") === col("q_id"))
+        .agg(sum(when(col("rank") <= 5, 1.0).otherwise(0.0)).as("h5"),
+          ofold(lit(1.0) / col("rank"), col("q_id")).as("rr"))
+        .select(lit(arm).as("arm"),
+          (coalesce(col("h5"), lit(0.0)) / n).as("hit5"),
+          (coalesce(col("rr"), lit(0.0)) / n).as("mrr"),
+          skipRate.as("skip_rate"))
+    val skip = probe.agg((sum(when(col("skip_rewrite"), 1.0).otherwise(0.0)) / n).as("sr"))
+      .head().getDouble(0)
+    metrics("no_rewrite", base, lit(0.0))
+      .unionByName(metrics("always_rewrite", merged, lit(0.0)))
+      .unionByName(metrics("smart_trigger", smart, lit(skip)))
+      .orderBy("arm")
+  }
+
   /** RAG answer-quality stand-in (`evaluate_full_qa_system.py:188-224`):
     * the reference scores answer_relevancy + answer_correctness with
     * Ragas LLM judges; the deterministic analogue scores the stubbed QA
@@ -344,6 +411,65 @@ object RetrievalEval {
     scoredAnswers.unionByName(mean).orderBy("q_id")
   }
 
+  /** Hash-gated twin of `evaluateAnswerQuality`: same top-3 retrieval →
+    * context assembly → lexical relevancy/F1, over the
+    * SQL-reconstructible embedder. Per-row scores are exact single
+    * IEEE ops on integer set sizes; the corpus-mean row folds in q_id
+    * order instead of `avg` so both engines accumulate identically. */
+  def evaluateAnswerQualitySynth(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
+    val embedder = new SyntheticEmbedder(64)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val vectors = IndexPipeline.buildIndex(docs, embedder)
+      .filter(col("vtype") === "summary")
+      .withColumn("vec_id", col("doc_id"))
+      .withColumn("label", col("doc_id"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val embUdf = udf((t: String) => embedder.embed(t))
+    val snippets = docs.filter(length(col("text")) >= 120)
+      .orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("q_id"), substring(col("text"), 40, 120).as("q_text"))
+    val queriesDf = snippets.withColumn("q_emb", embUdf(col("q_text")))
+    val top3 = topkPerQuery(scored(vectors, queriesDf), 3)
+    val ctx = top3.join(docs.select(col("doc_id").as("label"),
+      substring(col("text"), 1, 256).as("snip")), Seq("label"))
+    val answers = ctx.groupBy("q_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("rank"), col("snip")))),
+        x => x("snip")), " ").as("answer"),
+      count(lit(1)).as("n_contexts"))
+    val toks = (c: Column) => array_distinct(filter(split(c, " "), t => t =!= ""))
+    val scoredAnswers = answers
+      .join(snippets, Seq("q_id"))
+      .join(docs.select(col("doc_id").as("q_id"), col("text").as("golden")), Seq("q_id"))
+      .withColumn("qset", toks(col("q_text")))
+      .withColumn("aset", toks(col("answer")))
+      .withColumn("gset", toks(col("golden")))
+      .withColumn("relevancy",
+        size(array_intersect(col("qset"), col("aset"))).cast("double") /
+          greatest(size(col("qset")), lit(1)).cast("double"))
+      .withColumn("p",
+        size(array_intersect(col("aset"), col("gset"))).cast("double") /
+          greatest(size(col("aset")), lit(1)).cast("double"))
+      .withColumn("r",
+        size(array_intersect(col("aset"), col("gset"))).cast("double") /
+          greatest(size(col("gset")), lit(1)).cast("double"))
+      .withColumn("correctness",
+        when(col("p") + col("r") > 0, lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+          .otherwise(lit(0.0)))
+      .select(col("q_id"), col("n_contexts"), col("relevancy"), col("correctness"))
+    def ofold(x: Column, key: Column): Column =
+      aggregate(array_sort(collect_list(struct(key.as("k"), x.as("v")))),
+        lit(0.0), (a, e) => a + e.getField("v"))
+    val mean = scoredAnswers.agg(
+      sum(col("n_contexts")).as("n_contexts"),
+      (ofold(col("relevancy"), col("q_id")) /
+        count(lit(1)).cast("double")).as("relevancy"),
+      (ofold(col("correctness"), col("q_id")) /
+        count(lit(1)).cast("double")).as("correctness"))
+      .select(lit(-1L).as("q_id"), col("n_contexts"), col("relevancy"), col("correctness"))
+    scoredAnswers.unionByName(mean).orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Retrieval-metric harness over the 5 search modes (rows-only:
     // depends on the hash embedder; mode-ordering asserted in spec).
@@ -353,8 +479,12 @@ object RetrievalEval {
     "eval_retrieval_exact" -> ((s, d) => evaluateSynth(s, d)),
     // Rewrite A/B + smart-trigger (rows-only: embedder-dependent).
     "eval_rewrite_ab" -> ((s, d) => evaluateRewriteAb(s, d)),
+    // Hash-gated twin (arm logic + skip-rate arithmetic exact).
+    "eval_rewrite_exact" -> ((s, d) => evaluateRewriteAbSynth(s, d)),
     // Answer-quality lexical stand-in (rows-only: embedder-dependent).
-    "eval_answer_quality" -> ((s, d) => evaluateAnswerQuality(s, d))
+    "eval_answer_quality" -> ((s, d) => evaluateAnswerQuality(s, d)),
+    // Hash-gated twin (retrieval + lexical scoring exact).
+    "eval_answer_exact" -> ((s, d) => evaluateAnswerQualitySynth(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -463,6 +593,153 @@ object RetrievalEval {
          |  UNION ALL ${metrics("rrf_fusion", "r_rrf")}
          |  UNION ALL ${metrics("summary_only", "r_summary")})
          |ORDER BY mode""".stripMargin
+    },
+
+    "eval_rewrite_exact" -> {
+      import graft.pipelines.IndexPipeline.{t1End, summaryTxtSql, synVecOfText}
+      def arm(name: String, rel: String, skipExpr: String) =
+        s"""SELECT '$name' AS arm,
+           |  coalesce(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END), 0)::DOUBLE
+           |    / CAST(30 AS DOUBLE) AS hit5,
+           |  coalesce(CASE WHEN count(*) > 0 THEN list_reduce(
+           |    list(1.0::DOUBLE / rank ORDER BY q_id), (a, b) -> a + b) END, 0.0)
+           |    / CAST(30 AS DOUBLE) AS mrr,
+           |  $skipExpr AS skip_rate
+           |FROM $rel WHERE label = q_id""".stripMargin
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, text AS t, length(text)::BIGINT AS len
+         |  FROM documents WHERE doc_id < 200 AND length(text) > 0),
+         |walk AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS start0 FROM src
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN $t1End >= s.len THEN s.len
+         |         ELSE greatest(w.start0 + 1, ($t1End) - 50) END
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunksraw AS (
+         |  SELECT w.doc_id, w.start0,
+         |    trim(substr(s.t, w.start0 + 1, ($t1End) - w.start0)) AS chunk
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |allvec AS (
+         |  SELECT doc_id AS label,
+         |    doc_id * 1000 +
+         |      (row_number() OVER (PARTITION BY doc_id ORDER BY start0) - 1) AS vec_id,
+         |    chunk AS txt
+         |  FROM chunksraw WHERE chunk <> ''
+         |  UNION ALL
+         |  SELECT doc_id AS label, doc_id * 1000 + 999 AS vec_id,
+         |    $summaryTxtSql AS txt
+         |  FROM documents WHERE doc_id < 200),
+         |qrel AS (
+         |  SELECT doc_id AS q_id, substr(text, 40, 120) AS qt
+         |  FROM documents WHERE doc_id < 200 AND length(text) >= 120
+         |  ORDER BY doc_id LIMIT 30),
+         |qv AS (
+         |  SELECT q_id, variant, w, ${synVecOfText("t")} AS qe FROM (
+         |    SELECT q_id, 0 AS variant, '1.3'::DOUBLE AS w, qt AS t FROM qrel
+         |    UNION ALL SELECT q_id, 1, '1.1'::DOUBLE, qt || ' details' FROM qrel
+         |    UNION ALL SELECT q_id, 2, '1.0'::DOUBLE, 'about ' || qt FROM qrel)),
+         |scored AS (
+         |  SELECT q.q_id, q.variant, q.w, v.label, v.vec_id,
+         |    list_inner_product(${synVecOfText("v.txt")}, q.qe) AS sim
+         |  FROM allvec v CROSS JOIN qv q),
+         |b1 AS (
+         |  SELECT q_id, label, sim FROM (
+         |    SELECT q_id, label, sim, row_number() OVER (
+         |      PARTITION BY q_id, label ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM scored WHERE variant = 0) WHERE rn = 1),
+         |base AS (
+         |  SELECT q_id, label, rank FROM (
+         |    SELECT q_id, label, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY sim DESC, label ASC) AS rank
+         |    FROM b1) WHERE rank <= 10),
+         |m1 AS (
+         |  SELECT q_id, label, wsim FROM (
+         |    SELECT q_id, label, sim * w AS wsim, row_number() OVER (
+         |      PARTITION BY q_id, label ORDER BY sim * w DESC, vec_id ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |merged AS (
+         |  SELECT q_id, label, rank FROM (
+         |    SELECT q_id, label, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY wsim DESC, label ASC) AS rank
+         |    FROM m1) WHERE rank <= 10),
+         |probe AS (
+         |  SELECT q_id, max(sim) AS top_sim FROM scored
+         |  WHERE variant = 0 GROUP BY q_id),
+         |smart AS (
+         |  SELECT b.q_id, b.label, b.rank FROM base b
+         |  JOIN probe p ON p.q_id = b.q_id AND p.top_sim >= 0.75
+         |  UNION ALL
+         |  SELECT m.q_id, m.label, m.rank FROM merged m
+         |  JOIN probe p ON p.q_id = m.q_id AND NOT (p.top_sim >= 0.75)),
+         |skipr AS (
+         |  SELECT sum(CASE WHEN top_sim >= 0.75 THEN 1 ELSE 0 END)::DOUBLE
+         |    / CAST(30 AS DOUBLE) AS sr FROM probe)
+         |SELECT * FROM (
+         |  ${arm("always_rewrite", "merged", "CAST(0 AS DOUBLE)")}
+         |  UNION ALL ${arm("no_rewrite", "base", "CAST(0 AS DOUBLE)")}
+         |  UNION ALL ${arm("smart_trigger", "smart", "(SELECT sr FROM skipr)")})
+         |ORDER BY arm""".stripMargin
+    },
+
+    "eval_answer_exact" -> {
+      import graft.pipelines.IndexPipeline.{summaryTxtSql, synVecOfText}
+      val tokset = (x: String) =>
+        s"list_distinct(list_filter(string_split($x, ' '), t -> t <> ''))"
+      s"""WITH summ AS (
+         |  SELECT doc_id AS label, doc_id AS vec_id, $summaryTxtSql AS stext
+         |  FROM documents WHERE doc_id < 200),
+         |qrel AS (
+         |  SELECT doc_id AS q_id, substr(text, 40, 120) AS qt
+         |  FROM documents WHERE doc_id < 200 AND length(text) >= 120
+         |  ORDER BY doc_id LIMIT 30),
+         |qv AS (SELECT q_id, qt, ${synVecOfText("qt")} AS qe FROM qrel),
+         |top3 AS (
+         |  SELECT q_id, label, rank FROM (
+         |    SELECT q.q_id, s.label, row_number() OVER (
+         |      PARTITION BY q.q_id
+         |      ORDER BY list_inner_product(${synVecOfText("s.stext")}, q.qe) DESC,
+         |               s.vec_id ASC) AS rank
+         |    FROM summ s CROSS JOIN qv q) WHERE rank <= 3),
+         |answers AS (
+         |  SELECT t.q_id, string_agg(substr(d.text, 1, 256), ' ' ORDER BY t.rank) AS answer,
+         |    count(*) AS n_contexts
+         |  FROM top3 t JOIN documents d ON d.doc_id = t.label
+         |  GROUP BY t.q_id),
+         |sets AS (
+         |  SELECT a.q_id, a.n_contexts,
+         |    ${tokset("q.qt")} AS qset,
+         |    ${tokset("a.answer")} AS aset,
+         |    ${tokset("d.text")} AS gset
+         |  FROM answers a JOIN qv q USING (q_id)
+         |  JOIN documents d ON d.doc_id = a.q_id),
+         |pr AS (
+         |  SELECT q_id, n_contexts,
+         |    len(list_intersect(qset, aset))::DOUBLE
+         |      / greatest(len(qset), 1)::DOUBLE AS relevancy,
+         |    len(list_intersect(aset, gset))::DOUBLE
+         |      / greatest(len(aset), 1)::DOUBLE AS p,
+         |    len(list_intersect(aset, gset))::DOUBLE
+         |      / greatest(len(gset), 1)::DOUBLE AS r
+         |  FROM sets),
+         |per AS (
+         |  SELECT q_id, n_contexts, relevancy,
+         |    CASE WHEN p + r > 0 THEN 2.0::DOUBLE * p * r / (p + r)
+         |         ELSE CAST(0 AS DOUBLE) END AS correctness
+         |  FROM pr),
+         |mean AS (
+         |  SELECT CAST(-1 AS BIGINT) AS q_id,
+         |    CAST(sum(n_contexts) AS BIGINT) AS n_contexts,
+         |    list_reduce(list(relevancy ORDER BY q_id), (a, b) -> a + b)
+         |      / CAST(count(*) AS DOUBLE) AS relevancy,
+         |    list_reduce(list(correctness ORDER BY q_id), (a, b) -> a + b)
+         |      / CAST(count(*) AS DOUBLE) AS correctness
+         |  FROM per)
+         |SELECT q_id, n_contexts, relevancy, correctness FROM per
+         |UNION ALL SELECT q_id, n_contexts, relevancy, correctness FROM mean
+         |ORDER BY q_id""".stripMargin
     }
   )
 }

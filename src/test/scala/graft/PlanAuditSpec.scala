@@ -16,7 +16,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "eval_retrieval_metrics", // broadcast 30-query golden set × corpus scan
     "eval_retrieval_exact",   // same scan, SQL-reconstructible embedder
     "eval_rewrite_ab",        // broadcast 90-variant query set × corpus scan
-    "eval_answer_quality"     // broadcast 30-query golden set × corpus scan
+    "eval_rewrite_exact",     // same scan, SQL-reconstructible embedder
+    "eval_answer_quality",    // broadcast 30-query golden set × corpus scan
+    "eval_answer_exact"       // same scan, SQL-reconstructible embedder
   )
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in any query plan") {
