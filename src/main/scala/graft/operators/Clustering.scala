@@ -453,7 +453,137 @@ object Clustering {
     })
   )
 
+  /** The density mode IS oracle-expressible: with min_samples = 2
+    * every point that has an eps-neighbor is core, so DBSCAN's BFS
+    * degenerates to CONNECTED COMPONENTS of the eps-graph — a
+    * recursive-CTE transitive closure, the same move as
+    * dd_components. Distances replay the Scala loop exactly: ordered
+    * left-to-right fold of (aᵢ−bᵢ)², then sqrt (correctly rounded in
+    * both engines), compared to the same eps literal. Components of
+    * size < min_cluster_size demote to noise; surviving clusters
+    * renumber by smallest member id per tenant. */
+  private def densityCompsCte(eps: String): String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |pairs AS (
+       |  SELECT a.label AS tenant, a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE sqrt(list_reduce(
+       |      list_transform(range(1, 65),
+       |        j -> (a.emb[j] - b.emb[j]) * (a.emb[j] - b.emb[j])),
+       |      (x, y) -> x + y)) <= $eps),
+       |edges AS (
+       |  SELECT tenant, a_id AS a, b_id AS b FROM pairs
+       |  UNION ALL SELECT tenant, b_id, a_id FROM pairs),
+       |walk AS (
+       |  SELECT DISTINCT tenant, a AS node, a AS reach FROM edges
+       |  UNION
+       |  SELECT w.tenant, w.node, x.b AS reach
+       |  FROM walk w JOIN edges x ON x.tenant = w.tenant AND x.a = w.reach),
+       |comps AS (
+       |  SELECT tenant, node, min(reach) AS comp FROM walk
+       |  GROUP BY tenant, node),
+       |surviving AS (
+       |  SELECT tenant, comp, count(*) AS n, min(node) AS min_id FROM comps
+       |  GROUP BY tenant, comp HAVING count(*) >= 3),
+       |idx AS (
+       |  SELECT tenant, comp,
+       |    (row_number() OVER (PARTITION BY tenant ORDER BY min_id) - 1) AS cidx
+       |  FROM surviving),
+       |assign AS (
+       |  SELECT ev.label AS tenant_l, ev.vec_id AS id,
+       |    CASE WHEN i.cidx IS NOT NULL THEN i.cidx ELSE -1 END AS cluster_idx
+       |  FROM e ev
+       |  LEFT JOIN comps c ON c.tenant = ev.label AND c.node = ev.vec_id
+       |  LEFT JOIN idx i ON i.tenant = c.tenant AND i.comp = c.comp)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // C2 FAITHFUL mode under the exact gate (see densityCompsCte).
+    "c2b_density" ->
+      s"""WITH RECURSIVE ${densityCompsCte("1.25")}
+         |SELECT CAST(tenant_l AS VARCHAR) AS tenant, id,
+         |  CASE WHEN cluster_idx >= 0
+         |       THEN 'cluster_' || tenant_l || '_' || cluster_idx
+         |       ELSE 'noise' END AS cluster_id,
+         |  cluster_idx::INT AS cluster_idx
+         |FROM assign ORDER BY tenant, id""".stripMargin,
+    // X5 density mode — triage/confidence stats over the same
+    // assignment relation.
+    "x5b_clustering_density" ->
+      s"""WITH RECURSIVE ${densityCompsCte("1.25")},
+         |named AS (
+         |  SELECT CAST(tenant_l AS VARCHAR) AS tenant,
+         |    CASE WHEN cluster_idx >= 0
+         |         THEN 'cluster_' || tenant_l || '_' || cluster_idx
+         |         ELSE 'noise' END AS cluster_id
+         |  FROM assign)
+         |SELECT tenant, cluster_id, count(*) AS n,
+         |  CASE WHEN count(*) >= 3 THEN 'main'
+         |       WHEN count(*) = 2 THEN 'small' ELSE 'excluded' END AS triage,
+         |  least(0.95, 0.5 + CAST(count(*) AS DOUBLE) / 100.0) AS confidence
+         |FROM named GROUP BY tenant, cluster_id
+         |ORDER BY tenant, cluster_id""".stripMargin,
+    // C7 density mode — L0 components at eps 1.25, L1 refinement at
+    // eps 1.15 inside L0 clusters of ≥ 8 members (noise never splits);
+    // both levels are the same transitive-closure replay, L1 keyed by
+    // (tenant, l0 cluster) and renumbered by smallest member id.
+    "c7b_hierarchical_density" ->
+      s"""WITH RECURSIVE ${densityCompsCte("1.25")},
+         |l0 AS (SELECT tenant_l, id, cluster_idx AS l0_idx FROM assign),
+         |big AS (
+         |  SELECT tenant_l, l0_idx FROM l0 WHERE l0_idx >= 0
+         |  GROUP BY tenant_l, l0_idx HAVING count(*) >= 8),
+         |members AS (
+         |  SELECT l.tenant_l, l.l0_idx, l.id, ev.emb
+         |  FROM l0 l
+         |  JOIN e ev ON ev.vec_id = l.id AND ev.label = l.tenant_l
+         |  JOIN big b ON b.tenant_l = l.tenant_l AND b.l0_idx = l.l0_idx),
+         |pairs1 AS (
+         |  SELECT a.tenant_l, a.l0_idx, a.id AS a_id, b.id AS b_id
+         |  FROM members a JOIN members b
+         |    ON a.tenant_l = b.tenant_l AND a.l0_idx = b.l0_idx AND a.id < b.id
+         |  WHERE sqrt(list_reduce(
+         |      list_transform(range(1, 65),
+         |        j -> (a.emb[j] - b.emb[j]) * (a.emb[j] - b.emb[j])),
+         |      (x, y) -> x + y)) <= '1.15'::DOUBLE),
+         |edges1 AS (
+         |  SELECT tenant_l, l0_idx, a_id AS a, b_id AS b FROM pairs1
+         |  UNION ALL SELECT tenant_l, l0_idx, b_id, a_id FROM pairs1),
+         |walk1 AS (
+         |  SELECT DISTINCT tenant_l, l0_idx, a AS node, a AS reach FROM edges1
+         |  UNION
+         |  SELECT w.tenant_l, w.l0_idx, w.node, x.b AS reach
+         |  FROM walk1 w JOIN edges1 x
+         |    ON x.tenant_l = w.tenant_l AND x.l0_idx = w.l0_idx AND x.a = w.reach),
+         |comps1 AS (
+         |  SELECT tenant_l, l0_idx, node, min(reach) AS comp FROM walk1
+         |  GROUP BY tenant_l, l0_idx, node),
+         |surviving1 AS (
+         |  SELECT tenant_l, l0_idx, comp, min(node) AS min_id FROM comps1
+         |  GROUP BY tenant_l, l0_idx, comp HAVING count(*) >= 3),
+         |idx1 AS (
+         |  SELECT tenant_l, l0_idx, comp,
+         |    (row_number() OVER (PARTITION BY tenant_l, l0_idx ORDER BY min_id) - 1) AS cidx
+         |  FROM surviving1),
+         |assign1 AS (
+         |  SELECT m.tenant_l, m.l0_idx, m.id, i.cidx AS l1_idx
+         |  FROM members m
+         |  LEFT JOIN comps1 c
+         |    ON c.tenant_l = m.tenant_l AND c.l0_idx = m.l0_idx AND c.node = m.id
+         |  LEFT JOIN idx1 i
+         |    ON i.tenant_l = c.tenant_l AND i.l0_idx = c.l0_idx AND i.comp = c.comp),
+         |final AS (
+         |  SELECT l.tenant_l, l.id, l.l0_idx, a1.l1_idx
+         |  FROM l0 l LEFT JOIN assign1 a1
+         |    ON a1.tenant_l = l.tenant_l AND a1.id = l.id)
+         |SELECT CAST(tenant_l AS VARCHAR) AS tenant, id,
+         |  CASE WHEN l1_idx IS NOT NULL AND l1_idx >= 0
+         |       THEN 'cluster_' || tenant_l || '_L0_' || l0_idx || '_L1_' || l1_idx
+         |       WHEN l0_idx >= 0 THEN 'cluster_' || tenant_l || '_L0_' || l0_idx
+         |       ELSE 'noise' END AS cluster_id,
+         |  CASE WHEN l1_idx IS NOT NULL AND l1_idx >= 0
+         |       THEN 'cluster_' || tenant_l || '_L0_' || l0_idx END AS parent_cluster_id,
+         |  CASE WHEN l1_idx IS NOT NULL AND l1_idx >= 0 THEN 1 ELSE 0 END AS level
+         |FROM final ORDER BY id""".stripMargin,
     "c4_cluster_labels" ->
       """SELECT label, rnk, tok, n FROM (
         |  SELECT label, tok, count(*) AS n,
