@@ -30,7 +30,7 @@ object SparkEntry {
       sources.DocumentSources.queries ++ orchestration.Orchestration.queries ++
       evaluation.RetrievalEval.queries ++ operators.Conversations.queries ++
       operators.Skew.queries ++ operators.Temporal.queries ++
-      model.CoreModel.queries
+      model.CoreModel.queries ++ operators.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +42,5 @@ object SparkEntry {
       sources.DocumentSources.oracles ++ orchestration.Orchestration.oracles ++
       operators.Conversations.oracles ++ operators.Skew.oracles ++
       operators.Temporal.oracles ++ model.CoreModel.oracles ++
-      evaluation.RetrievalEval.oracles
+      evaluation.RetrievalEval.oracles ++ operators.Layout.oracles
 }
