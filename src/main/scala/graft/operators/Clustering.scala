@@ -496,7 +496,128 @@ object Clustering {
        |  LEFT JOIN comps c ON c.tenant = ev.label AND c.node = ev.vec_id
        |  LEFT JOIN idx i ON i.tenant = c.tenant AND i.comp = c.comp)""".stripMargin
 
+  /** Lloyd k-means replayed in SQL — the k-means fallback is ALSO
+    * oracle-expressible because every step is bit-deterministic:
+    * init = evenly spaced points in id order; assignment = argmin of
+    * SQUARED distances computed as left-to-right folds (first lowest
+    * index wins ties, the Scala `<` rule); centroid update = per-dim
+    * ordered sum over members in id order / count (empty cluster
+    * keeps its centroid). The Scala loop's early exit is a FIXPOINT
+    * (same assignment ⇒ same ordered sums ⇒ same centroids ⇒ same
+    * assignment), so replaying the full iteration count is
+    * bit-identical. State = one row per tenant holding the centroid
+    * LIST, so the recursive term references the CTE once. Final
+    * labels = assignment against the it=9 centroids (Scala's 10th
+    * and last assignment pass). Assumes ≥ k points per tenant (the
+    * fixture has ~50+). */
+  private[graft] def kmeansCte(k: Int, src: String = "e", pre: String = ""): String = {
+    val cis = (0 until k)
+    // squared distance of point emb to centroid c (1-based list index)
+    def d(ci: Int) =
+      s"""list_reduce(list_transform(range(1, 65),
+         |  j -> (p.emb[j] - s.cens[${ci + 1}][j]) * (p.emb[j] - s.cens[${ci + 1}][j])),
+         |  (x, y) -> x + y)""".stripMargin
+    // first-strict-minimum argmin, lowest index on ties: the FIRST
+    // list position holding the minimum (list_position returns the
+    // first occurrence — exactly Scala's `<` keep-earlier rule)
+    def argmin(ds: Seq[String]): String = {
+      val arr = ds.mkString("[", ", ", "]")
+      s"(list_position($arr, list_aggregate($arr, 'min')) - 1)"
+    }
+    val dNames = cis.map(ci => s"d$ci")
+    val members = cis.map(ci =>
+      s"list(p2.emb ORDER BY p2.id) FILTER (WHERE p2.best = $ci) AS m$ci").mkString(",\n    ")
+    val newCens = cis.map { ci =>
+      s"""CASE WHEN len(m$ci) > 0 THEN list_transform(range(1, 65),
+         |  j -> list_reduce(list_transform(m$ci, v -> v[j]), (x, y) -> x + y)
+         |       / CAST(len(m$ci) AS DOUBLE))
+         |ELSE oldcens[${ci + 1}] END""".stripMargin
+    }.mkString("[", ",\n ", "]")
+    s"""${pre}np AS (SELECT tenant, count(*) AS n FROM $src GROUP BY tenant),
+       |${pre}rk AS (
+       |  SELECT tenant, id, emb,
+       |    row_number() OVER (PARTITION BY tenant ORDER BY id) - 1 AS r
+       |  FROM $src),
+       |${pre}init AS (
+       |  SELECT rk.tenant,
+       |    list(rk.emb ORDER BY ci.ci) AS cens
+       |  FROM ${pre}rk rk JOIN ${pre}np np USING (tenant)
+       |  JOIN (SELECT unnest(range(0, $k)) AS ci) ci
+       |    ON rk.r = (ci.ci * np.n) // $k
+       |  GROUP BY rk.tenant),
+       |${pre}iter AS (
+       |  SELECT 0 AS it, tenant, cens FROM ${pre}init
+       |  UNION ALL
+       |  SELECT it + 1, tenant, $newCens AS cens FROM (
+       |    SELECT s_it AS it, tenant, any_value(s_cens) AS oldcens,
+       |      $members
+       |    FROM (
+       |      SELECT s.it AS s_it, p.tenant, s.cens AS s_cens, p.id, p.emb,
+       |        ${dNames.zip(cis).map { case (n, ci) => s"${d(ci)} AS $n" }.mkString(",\n        ")},
+       |        ${argmin(dNames)} AS best
+       |      FROM ${pre}iter s JOIN $src p ON p.tenant = s.tenant
+       |      WHERE s.it < 9) p2
+       |    GROUP BY s_it, tenant)),
+       |${pre}fincen AS (SELECT tenant, cens FROM ${pre}iter WHERE it = 9),
+       |${pre}kassign AS (
+       |  SELECT p.tenant, p.id,
+       |    ${dNames.zip(cis).map { case (n, ci) => s"${d(ci)} AS $n" }.mkString(",\n    ")},
+       |    ${argmin(dNames)} AS best
+       |  FROM ${pre}fincen s JOIN $src p ON p.tenant = s.tenant)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // C7 k-means hierarchy under the exact gate: L0 Lloyd (k=5) over
+    // the whole population, clusters of ≥ 8 members re-clustered by a
+    // second Lloyd replay (k=3) keyed per L0 cluster.
+    "c7_hierarchical" ->
+      s"""WITH RECURSIVE ebase AS (
+         |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |${kmeansCte(5, "ebase", "l0_")},
+         |l0big AS (
+         |  SELECT best FROM l0_kassign GROUP BY best HAVING count(*) >= 8),
+         |esub AS (
+         |  SELECT a.id, 'cluster_all_' || a.best AS tenant, p.emb
+         |  FROM l0_kassign a
+         |  JOIN ebase p ON p.id = a.id
+         |  JOIN l0big b ON b.best = a.best),
+         |${kmeansCte(3, "esub", "l1_")}
+         |SELECT 'all' AS tenant, k0.id,
+         |  CASE WHEN k1.best IS NOT NULL
+         |       THEN 'cluster_all_L0_' || k0.best || '_L1_' || k1.best
+         |       ELSE 'cluster_all_L0_' || k0.best END AS cluster_id,
+         |  CASE WHEN k1.best IS NOT NULL
+         |       THEN 'cluster_all_L0_' || k0.best END AS parent_cluster_id,
+         |  CASE WHEN k1.best IS NOT NULL THEN 1 ELSE 0 END AS level
+         |FROM l0_kassign k0 LEFT JOIN l1_kassign k1 ON k1.id = k0.id
+         |ORDER BY k0.id""".stripMargin,
+    // C2 k-means fallback under the exact gate (see kmeansCte).
+    "c2_cluster_per_tenant" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id AS id, label AS tenant, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |${kmeansCte(3)}
+         |SELECT CAST(tenant AS VARCHAR) AS tenant, id,
+         |  'cluster_' || tenant || '_' || best AS cluster_id,
+         |  best::INT AS cluster_idx
+         |FROM kassign ORDER BY tenant, id""".stripMargin,
+    // X5 — triage/confidence stats over the same k-means assignment.
+    "x5_clustering_job" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id AS id, label AS tenant, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |${kmeansCte(3)},
+         |named AS (
+         |  SELECT CAST(tenant AS VARCHAR) AS tenant,
+         |    'cluster_' || tenant || '_' || best AS cluster_id
+         |  FROM kassign)
+         |SELECT tenant, cluster_id, count(*) AS n,
+         |  CASE WHEN count(*) >= 3 THEN 'main'
+         |       WHEN count(*) = 2 THEN 'small' ELSE 'excluded' END AS triage,
+         |  least(0.95, 0.5 + CAST(count(*) AS DOUBLE) / 100.0) AS confidence
+         |FROM named GROUP BY tenant, cluster_id
+         |ORDER BY tenant, cluster_id""".stripMargin,
     // C2 FAITHFUL mode under the exact gate (see densityCompsCte).
     "c2b_density" ->
       s"""WITH RECURSIVE ${densityCompsCte("1.25")}

@@ -195,14 +195,23 @@ object Search {
   }
 
   /** Mean embedding per (tenant, cell) — the probe set. Tiny (tenants ×
-    * nCells rows): broadcast/collect freely. */
+    * nCells rows): broadcast/collect freely. The mean folds members in
+    * id order (zip_with over the sorted collect_list) rather than
+    * shuffle-order avg: bit-reproducible across runs/partitionings —
+    * a probe RANKING built on it never flips on re-run — and exactly
+    * replayable by the DuckDB oracle (ann_ivf_topk). */
   def ivfCentroids(indexed: DataFrame): DataFrame =
     indexed
-      .select(col("tenant"), col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("tenant", "cell", "dim").agg(avg(col("x")).as("cx"))
+      .select(col("tenant"), col("cell"), col("id"),
+        col("embedding").cast("array<double>").as("emb"))
       .groupBy("tenant", "cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
-      .select(col("tenant"), col("cell"), transform(col("pairs"), p => p("cx")).as("centroid"))
+      .agg(count(lit(1)).as("cnt"),
+        aggregate(
+          array_sort(collect_list(struct(col("id"), col("emb")))),
+          array_repeat(lit(0.0), 64), // vector store dim (SURVEY §1.4)
+          (acc, e) => zip_with(acc, e.getField("emb"), (a, x) => a + x)).as("sums"))
+      .select(col("tenant"), col("cell"),
+        transform(col("sums"), x => x / col("cnt").cast("double")).as("centroid"))
 
   /** IVF search: probe the nProbe nearest cells (centroid ranking on
     * the driver — O(nCells) tiny), then exact kNN inside those cells
@@ -678,6 +687,42 @@ object Search {
          |       coalesce(0.6::DOUBLE / (60 + cb.rnk), 0.0) AS rrf_score
          |FROM sb FULL OUTER JOIN cb ON sb.label = cb.label
          |ORDER BY rrf_score DESC, label ASC LIMIT 5""".stripMargin,
+    // ANN IVF pruned search under the exact gate: the cell build is the
+    // Lloyd replay (Clustering.kmeansCte, k=16 over one tenant), probe
+    // centroids are the member means folded in id order (matching the
+    // order-deterministic ivfCentroids), the probe ranking replays the
+    // driver's (-sim, cell) sort cut at nProbe=4, and only probed
+    // cells' vectors reach the exact top-10.
+    "ann_ivf_topk" -> {
+      s"""WITH RECURSIVE eall AS (
+         |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |${Clustering.kmeansCte(16, "eall", "c_")},
+         |cents AS (
+         |  SELECT k.best AS cell, count(*) AS cnt,
+         |    list(p.emb ORDER BY p.id) AS m
+         |  FROM c_kassign k JOIN eall p ON p.id = k.id
+         |  GROUP BY k.best),
+         |cenv AS (
+         |  SELECT cell,
+         |    list_transform(range(1, 65),
+         |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+         |           / CAST(cnt AS DOUBLE)) AS centroid
+         |  FROM cents),
+         |proberank AS (
+         |  SELECT cell, row_number() OVER (
+         |    ORDER BY list_inner_product(centroid, $q0) DESC, cell ASC) AS pr
+         |  FROM cenv),
+         |probed AS (SELECT cell FROM proberank WHERE pr <= 4)
+         |SELECT id, sim FROM (
+         |  SELECT k.id, list_inner_product(p.emb, $q0) AS sim
+         |  FROM c_kassign k
+         |  JOIN probed pb ON pb.cell = k.best
+         |  JOIN eall p ON p.id = k.id)
+         |WHERE sim >= 0.0
+         |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
+    },
+
     "pp_hard_negatives" -> {
       val codeExpr = graft.functions.RandomHyperplane.codeSql("embedding::DOUBLE[]")
       s"""WITH coded AS (
