@@ -85,6 +85,20 @@ object RetrievalEval {
           .select("q_id", "label", "rank")
     }
 
+  /** doc_id·1000 + slot (999 = summary, else chunk_index), with the
+    * overflow guard in EVERY harness (round-5 ADVICE): a doc with
+    * ≥ 999 chunks would silently collide with the summary slot or the
+    * next doc's id range — fail loudly instead. A doc's summary row
+    * and its chunk 0 both carry chunk_index 0, so summaries get the
+    * reserved slot to keep vec_id (the window tiebreak) unique. */
+  private def withVecId(vectors: DataFrame): DataFrame =
+    vectors.withColumn("vec_id", col("doc_id") * 1000 +
+      when(col("vtype") === "summary", lit(999))
+        .when(col("chunk_index") >= 999, raise_error(concat(
+          lit("vec_id scheme overflow: chunk_index "), col("chunk_index"),
+          lit(" >= 999 for doc_id "), col("doc_id"))))
+        .otherwise(col("chunk_index")))
+
   /** Hit@{1,3,5,10}, MRR, nDCG@{5,10} per mode — the BASELINE.md
     * metric grid (k ∈ {1,3,5,10}, `evaluate_vector_retrieval.py:
     * 357-396`). Single relevant doc per query ⇒ nDCG@k =
@@ -93,18 +107,7 @@ object RetrievalEval {
   def evaluate(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
     val embedder = new HashEmbedder(64)
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-    val vectors = IndexPipeline.buildIndex(docs, embedder)
-      // A doc's summary row and its chunk 0 both carry chunk_index 0 —
-      // give summaries a reserved slot so vec_id (the window tiebreak
-      // in legacy mode) is unique across vtypes. The id scheme only
-      // holds for chunk_index < 999 (999 is the summary slot; ≥1000
-      // would cross into the next doc's range) — enforced, not assumed.
-      .withColumn("vec_id", col("doc_id") * 1000 +
-        when(col("vtype") === "summary", lit(999))
-          .when(col("chunk_index") >= 999, raise_error(concat(
-            lit("vec_id scheme overflow: chunk_index "), col("chunk_index"),
-            lit(" >= 999 for doc_id "), col("doc_id"))))
-          .otherwise(col("chunk_index")))
+    val vectors = withVecId(IndexPipeline.buildIndex(docs, embedder))
       .withColumn("label", col("doc_id"))
       .withColumn("embedding", col("embedding").cast("array<double>"))
     val queries = goldenQueries(docs, embedder, nQueries)
@@ -164,9 +167,7 @@ object RetrievalEval {
   def evaluateSynth(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
     val embedder = new SyntheticEmbedder(64)
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-    val vectors = IndexPipeline.buildIndex(docs, embedder)
-      .withColumn("vec_id", col("doc_id") * 1000 +
-        when(col("vtype") === "summary", lit(999)).otherwise(col("chunk_index")))
+    val vectors = withVecId(IndexPipeline.buildIndex(docs, embedder))
       .withColumn("label", col("doc_id"))
       .withColumn("embedding", col("embedding").cast("array<double>"))
     val embUdf = udf((t: String) => embedder.embed(t))
@@ -221,9 +222,7 @@ object RetrievalEval {
   def evaluateRewriteAb(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
     val embedder = new HashEmbedder(64)
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-    val vectors = IndexPipeline.buildIndex(docs, embedder)
-      .withColumn("vec_id", col("doc_id") * 1000 +
-        when(col("vtype") === "summary", lit(999)).otherwise(col("chunk_index")))
+    val vectors = withVecId(IndexPipeline.buildIndex(docs, embedder))
       .withColumn("label", col("doc_id"))
       .withColumn("embedding", col("embedding").cast("array<double>"))
     // (q_id, variant, weight, q_emb): variant 0 = raw snippet, 1/2 =
@@ -289,9 +288,7 @@ object RetrievalEval {
   def evaluateRewriteAbSynth(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
     val embedder = new SyntheticEmbedder(64)
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-    val vectors = IndexPipeline.buildIndex(docs, embedder)
-      .withColumn("vec_id", col("doc_id") * 1000 +
-        when(col("vtype") === "summary", lit(999)).otherwise(col("chunk_index")))
+    val vectors = withVecId(IndexPipeline.buildIndex(docs, embedder))
       .withColumn("label", col("doc_id"))
       .withColumn("embedding", col("embedding").cast("array<double>"))
     val embUdf = udf((t: String) => embedder.embed(t))

@@ -237,7 +237,10 @@ object RandomHyperplane extends RpLsh(8, 64)
   * double: bit-exact in ANY accumulation order and across engines —
   * the whole 768-d kNN/LSH family gets hash-exact oracles, not
   * rows-only ones. Norm is the constant √dim, so dot ranking ==
-  * cosine ranking. */
+  * cosine ranking. Overflow contract: callers must keep
+  * id·dim + dim < 2⁶³ / 2246822519 ≈ 4.105e9 (id ≲ 5.3e6 at dim=768)
+  * — beyond that the JVM wraps silently while DuckDB BIGINT raises,
+  * breaking the cross-engine parity this fixture exists for. */
 object SyntheticVec {
   import org.apache.spark.sql.functions._
 
@@ -265,10 +268,18 @@ object SyntheticVec {
   * = `SyntheticVec(id)`. Unlike `HashEmbedder` (JVM MurmurHash — not
   * SQL-expressible), every produced vector is reconstructible inside
   * DuckDB from the text alone, so a pipeline that chunks, embeds and
-  * SEARCHES can sit under a hash-exact oracle end-to-end (x7). 6 hex
-  * digits keep (id·dim + j)·2246822519 < 2⁶³ at dim ≤ 512. Not a
+  * SEARCHES can sit under a hash-exact oracle end-to-end (x7). The
+  * max 6-hex-digit id is 0xFFFFFF = 16777215, so
+  * (id·dim + j)·2246822519 stays below 2⁶³−1 only for dim ≤ 244
+  * (16777215·245·2246822519 ≈ 9.24e18 overflows; the JVM would wrap
+  * silently while DuckDB BIGINT errors — exactly the cross-engine
+  * divergence this class exists to prevent), hence the require. Not a
   * semantic embedding — a parity fixture for plan/fusion math. */
 final class SyntheticEmbedder(val dim: Int = 64) extends Embedder {
+  require(dim <= 240,
+    s"SyntheticEmbedder dim=$dim: (id*dim+j)*2246822519 overflows int64 " +
+      "past dim~244 for 6-hex-digit ids; use SyntheticVec with small ids " +
+      "directly for wider parity vectors")
   def embed(text: String): Array[Double] = {
     if (text == null || text.isEmpty) return new Array[Double](dim)
     val md = java.security.MessageDigest.getInstance("MD5")

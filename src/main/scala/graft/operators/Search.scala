@@ -206,9 +206,14 @@ object Search {
         col("embedding").cast("array<double>").as("emb"))
       .groupBy("tenant", "cell")
       .agg(count(lit(1)).as("cnt"),
-        aggregate(
-          array_sort(collect_list(struct(col("id"), col("emb")))),
-          array_repeat(lit(0.0), 64), // vector store dim (SURVEY §1.4)
+        array_sort(collect_list(struct(col("id"), col("emb")))).as("lst"))
+      // Accumulator dim comes from the DATA (first member's vector),
+      // not a hard-coded 64: zip_with null-pads mismatched lengths, so
+      // a fixed-width zero vector would silently null out centroids
+      // for any other dimensionality (round-5 ADVICE).
+      .select(col("tenant"), col("cell"), col("cnt"),
+        aggregate(col("lst"),
+          array_repeat(lit(0.0), size(element_at(col("lst"), 1).getField("emb"))),
           (acc, e) => zip_with(acc, e.getField("emb"), (a, x) => a + x)).as("sums"))
       .select(col("tenant"), col("cell"),
         transform(col("sums"), x => x / col("cnt").cast("double")).as("centroid"))

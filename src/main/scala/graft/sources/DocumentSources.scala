@@ -146,13 +146,29 @@ object DocumentSources {
     spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Recursive delete for the fixture dirs the landing/log queries
-    * rebuild deterministically on every invocation. */
+    * rebuild deterministically on every invocation. The walk stream is
+    * closed (try/finally) — the previous version leaked a file handle
+    * per invocation (round-5 ADVICE). */
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
+
+  /** Fixture roots keyed on the SANITIZED FULL data-dir path plus this
+    * JVM's pid — not String.hashCode — so two concurrent runs (or two
+    * datasets whose paths happen to collide in hashCode) can never
+    * delete each other's fixture mid-query (round-5 ADVICE). The query
+    * rebuilds the dir on every invocation, so the key only has to be
+    * stable within one JVM. */
+  private def fixtureDir(kind: String, dataDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get("/tmp/graft_" + kind + "_" +
+      dataDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      ProcessHandle.current().pid())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S2+S3+S4+S5+S6 composite under ONE exact oracle: a real
@@ -165,8 +181,8 @@ object DocumentSources {
     // expected text per format (single-page pdf/docx extract to
     // trim(text), txt is byte-identical) and the status contract.
     "s1_landing_scan" -> ((s, d) => {
-      import java.nio.file.{Files, Paths}
-      val dir = Paths.get(s"/tmp/graft_landing_${Integer.toHexString(d.hashCode)}")
+      import java.nio.file.Files
+      val dir = fixtureDir("landing", d)
       deleteRecursively(dir)
       Files.createDirectories(dir)
       val exts = Array("pdf", "docx", "txt", "jpg", "xyz")
@@ -195,8 +211,7 @@ object DocumentSources {
     // fresh sink dir must BOTH survive the read-back (append never
     // replaces), proven by per-batch counts + id sums.
     "s10_log_sink" -> ((s, d) => {
-      val dir = java.nio.file.Paths.get(
-        s"/tmp/graft_logsink_${Integer.toHexString(d.hashCode)}")
+      val dir = fixtureDir("logsink", d)
       deleteRecursively(dir)
       val docs = Tables.documents(s, d)
       appendLogs(docs.select(col("doc_id"), lit(1).as("batch")), dir.toString)
