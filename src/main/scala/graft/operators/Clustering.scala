@@ -219,6 +219,222 @@ object Clustering {
     }.toArray
   }
 
+  /** TRUE HDBSCAN with `'eom'` (excess-of-mass) stability selection —
+    * the reference's actual algorithm (`clustering_service.py:421-428`:
+    * `HDBSCAN(min_cluster_size=3, min_samples=2,
+    * cluster_selection_method='eom')`), which the single-eps DBSCAN
+    * mode cannot reproduce on variable-density tenants (one eps either
+    * merges the tight clusters or over-noises the loose one —
+    * HierarchySpec proves the separation on such a fixture).
+    *
+    * Formulation: instead of the binary single-linkage dendrogram +
+    * condense pass of the original implementation, this walks the
+    * MULTIWAY threshold cascade over mutual-reachability bottleneck
+    * distances — provably label-equivalent (equal-weight binary
+    * cascades contribute zero stability, so collapsing them into one
+    * multiway split changes neither stabilities nor the eom choice)
+    * and, crucially, replayable in SQL by the DuckDB oracle
+    * (see `hdbscanCte`): components at threshold w are exactly
+    * {q : minimax-mreach(p,q) ≤ w}, computable by a Bellman-Ford-style
+    * min-max closure — no union-find needed.
+    *
+    * Steps: (1) core distance = distance to the minSamples-th nearest
+    * point, self counted first; (2) mutual reachability mreach(a,b) =
+    * max(core a, core b, d(a,b)); (3) Prim MST (index tie-break — the
+    * cascade below depends only on TRUE weights, so MST tie choices
+    * never change the output); (4) merge MST edges ascending grouped
+    * by equal weight into a multiway component tree; (5) descend from
+    * the root: at a node of weight w (split lambda λ = 1/w, +∞ for
+    * w = 0 duplicate groups), children of size < minClusterSize fall
+    * out of the current cluster at λ, ≥ 2 big children end the cluster
+    * and each becomes a new cluster born at λ, exactly 1 big child
+    * continues the cluster; (6) stability S(C) = Σ points (λ_p − λ_b)
+    * + Σ child clusters |D|·(λ_D − λ_b), each sum folded in id order
+    * (oracle parity); (7) E(C) = max(S(C), Σ E(children)) bottom-up;
+    * a cluster self-wins iff S ≥ Σ E(children); selected = self-wins
+    * with no self-winning proper ancestor (root excluded —
+    * allow_single_cluster=False); (8) labels = the unique selected
+    * ancestor-or-self of the cluster each point fell out of, noise −1,
+    * clusters renumbered by smallest member id.
+    *
+    * Cost: O(n²·dim) per tenant like localDbscan — bounded by the
+    * reference's ≤10k per-tenant cap; tenants fan out across executors
+    * via the same flatMapGroups. Third output = core distance. */
+  def localHdbscan(points: Array[(Long, Array[Double])], minSamples: Int = 2,
+                   minClusterSize: Int = 3): Array[(Long, Int, Double)] = {
+    if (points.isEmpty) return Array.empty
+    val sorted = points.sortBy(_._1)
+    val n = sorted.length
+    val dim = sorted.head._2.length
+    def dist(a: Int, b: Int): Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { val df = sorted(a)._2(j) - sorted(b)._2(j); s += df * df; j += 1 }
+      math.sqrt(s)
+    }
+    val core = Array.tabulate(n) { p =>
+      if (minSamples <= 1 || n == 1) 0.0
+      else {
+        val ds = (0 until n).filter(_ != p).map(dist(p, _)).sorted
+        if (ds.length >= minSamples - 1) ds(minSamples - 2) else Double.PositiveInfinity
+      }
+    }
+    if (n < minClusterSize)
+      return sorted.indices.map(p => (sorted(p)._1, -1, core(p))).toArray
+    def mreach(a: Int, b: Int): Double =
+      math.max(math.max(core(a), core(b)), dist(a, b))
+
+    // Prim over mreach, O(n²); deterministic (first strict minimum).
+    val inTree = new Array[Boolean](n)
+    val key = Array.fill(n)(Double.PositiveInfinity)
+    val from = Array.fill(n)(-1)
+    key(0) = 0.0
+    val mstEdges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    var step = 0
+    while (step < n) {
+      var u = -1; var best = Double.PositiveInfinity
+      var i = 0
+      while (i < n) { if (!inTree(i) && (u < 0 || key(i) < best)) { best = key(i); u = i }; i += 1 }
+      inTree(u) = true
+      if (from(u) >= 0) mstEdges += ((from(u), u, key(u)))
+      i = 0
+      while (i < n) {
+        if (!inTree(i)) { val w = mreach(u, i); if (w < key(i)) { key(i) = w; from(i) = u } }
+        i += 1
+      }
+      step += 1
+    }
+
+    // Multiway component tree: MST edges ascending, equal weights as
+    // ONE batch (simultaneous splits when read top-down).
+    val uf = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (uf(r) != r) r = uf(r)
+      var c = x; while (uf(c) != c) { val nx = uf(c); uf(c) = r; c = nx }
+      r
+    }
+    // node ids: 0..n-1 leaves; ≥ n internal (index into `tw`/`tch`)
+    val tw = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val tch = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    val tsz = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val tmin = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def nodeSize(id: Int): Int = if (id < n) 1 else tsz(id - n)
+    def nodeMin(id: Int): Long = if (id < n) sorted(id)._1 else tmin(id - n)
+    val compNode = Array.tabulate(n)(identity)
+    for ((w, es) <- mstEdges.groupBy(_._3).toSeq.sortBy(_._1)) {
+      val pres = scala.collection.mutable.LinkedHashSet.empty[Int]
+      es.foreach { case (a, b, _) => pres += find(a); pres += find(b) }
+      val preOf = pres.iterator.map(r => r -> compNode(r)).toMap
+      es.foreach { case (a, b, _) =>
+        val ra = find(a); val rb = find(b); if (ra != rb) uf(rb) = ra
+      }
+      for ((root, members) <- pres.groupBy(find(_)) if members.size > 1) {
+        val childIds = members.toArray.map(preOf).sortBy(nodeMin)
+        tw += w; tch += childIds
+        tsz += childIds.map(nodeSize).sum
+        tmin += childIds.map(nodeMin).min
+        compNode(root) = n + tw.length - 1
+      }
+    }
+    val rootNode = compNode(find(0))
+
+    // Condensed cascade: fall-out point rows + child-cluster rows.
+    val fallPts = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Int)]
+    val childRows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Int)]
+    val clBirth = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val clParent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val clMinId = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def newCluster(birth: Double, par: Int, minId: Long): Int = {
+      clBirth += birth; clParent += par; clMinId += minId; clBirth.length - 1
+    }
+    def leavesOf(id: Int): Iterator[Int] =
+      if (id < n) Iterator.single(id) else tch(id - n).iterator.flatMap(leavesOf)
+    if (nodeSize(rootNode) >= minClusterSize) {
+      val rootCl = newCluster(0.0, -1, nodeMin(rootNode))
+      val stack = scala.collection.mutable.Stack[(Int, Int)]((rootNode, rootCl))
+      while (stack.nonEmpty) {
+        val (nd, cl) = stack.pop()
+        val t = nd - n
+        val lam = if (tw(t) > 0.0) 1.0 / tw(t) else Double.PositiveInfinity
+        val (bigs, smalls) = tch(t).partition(nodeSize(_) >= minClusterSize)
+        for (s <- smalls; p <- leavesOf(s)) fallPts += ((p, lam, cl))
+        if (bigs.length >= 2) {
+          for (b <- bigs) { // minId order (children pre-sorted)
+            val c = newCluster(lam, cl, nodeMin(b))
+            childRows += ((cl, c, lam, nodeSize(b)))
+            stack.push((b, c))
+          }
+        } else if (bigs.length == 1) stack.push((bigs(0), cl))
+      }
+    }
+
+    // Stability: ordered folds (point-id order / child-minId order) so
+    // the DuckDB replay accumulates bit-identically.
+    val nCl = clBirth.length
+    val stab = new Array[Double](nCl)
+    val ptsByCl = fallPts.groupBy(_._3)
+    val chByCl = childRows.groupBy(_._1)
+    var c = 0
+    while (c < nCl) {
+      var s = 0.0
+      for ((p, lam, _) <- ptsByCl.getOrElse(c, Nil).toSeq.sortBy(x => sorted(x._1)._1))
+        s += lam - clBirth(c)
+      var cs = 0.0
+      for ((_, ch, lam, sz) <- chByCl.getOrElse(c, Nil).toSeq.sortBy(r => clMinId(r._2)))
+        cs += (lam - clBirth(c)) * sz
+      stab(c) = s + cs
+      c += 1
+    }
+    // E(C) = max(S, Σ E(children)) bottom-up (reverse creation order is
+    // a valid topological order: parents are created before children).
+    val eVal = new Array[Double](nCl)
+    val childESum = new Array[Double](nCl)
+    val childrenOf = Array.fill(nCl)(List.empty[Int])
+    c = 0
+    while (c < nCl) { if (clParent(c) >= 0) childrenOf(clParent(c)) ::= c; c += 1 }
+    c = nCl - 1
+    while (c >= 0) {
+      var cs = 0.0
+      for (ch <- childrenOf(c).sortBy(clMinId(_))) cs += eVal(ch)
+      childESum(c) = cs
+      eVal(c) = math.max(stab(c), cs)
+      c -= 1
+    }
+    val selfwin = Array.tabulate(nCl)(c => stab(c) >= childESum(c))
+    // selected = self-wins with no self-winning proper ancestor (the
+    // root, cluster 0, is excluded from selection entirely).
+    val selected = new Array[Boolean](nCl)
+    val ancWin = new Array[Boolean](nCl)
+    c = 0
+    while (c < nCl) {
+      val par = clParent(c)
+      ancWin(c) = par >= 0 && (ancWin(par) || (par != 0 && selfwin(par)))
+      selected(c) = c != 0 && selfwin(c) && !ancWin(c)
+      c += 1
+    }
+    // label = unique selected ancestor-or-self of the fall-out cluster
+    val labCl = Array.fill(n)(-1)
+    for ((p, _, cl0) <- fallPts) {
+      var k = cl0
+      while (k >= 0 && !selected(k)) k = clParent(k)
+      labCl(p) = k
+    }
+    val remap = labCl.zipWithIndex.filter(_._1 >= 0).groupBy(_._1)
+      .map { case (cl, ms) => cl -> ms.map(m => sorted(m._2)._1).min }
+      .toSeq.sortBy(_._2).map(_._1).zipWithIndex.toMap
+    sorted.indices.map { p =>
+      val l = labCl(p)
+      (sorted(p)._1, if (l >= 0) remap(l) else -1, core(p))
+    }.toArray
+  }
+
+  /** C2 true-HDBSCAN mode — per-tenant `'eom'` clustering behind the
+    * shared fan-out. */
+  def clusterPerTenantHdbscan(vectors: DataFrame, tenantCol: String, idCol: String,
+                              embCol: String, minSamples: Int = 2,
+                              minClusterSize: Int = 3): DataFrame =
+    clusterPerTenantWith(vectors, tenantCol, idCol, embCol)(
+      localHdbscan(_, minSamples, minClusterSize))
+
   /** C2/C7 — per-tenant clustering via flatMapGroups: tenants fan out
     * across executors, each clustered locally and deterministically. */
   def clusterPerTenant(vectors: DataFrame, tenantCol: String, idCol: String,
@@ -423,6 +639,35 @@ object Clustering {
           "embedding", eps = 1.25))
         .orderBy("tenant", "cluster_id")),
 
+    // C2 TRUE-HDBSCAN mode — 'eom' excess-of-mass stability selection
+    // over mutual-reachability density (see localHdbscan;
+    // clustering_service.py:421-428). HASH-exact: the oracle replays
+    // the full cascade — minimax closure, threshold components,
+    // condensed cascade, ordered stability folds, eom selection — in
+    // recursive SQL (hdbscanCte).
+    "c2h_hdbscan_eom" -> ((s, d) =>
+      clusterPerTenantHdbscan(Tables.embeddings(s, d), "label", "vec_id", "embedding")
+        .select("tenant", "id", "cluster_id", "cluster_idx")
+        .orderBy("tenant", "id")),
+
+    // C7 true-HDBSCAN hierarchy — L0 eom clustering, L0 clusters of
+    // ≥ 8 members re-clustered by a second per-cluster HDBSCAN run
+    // (core distances recomputed within the subset = the finer density
+    // scale), sub-noise stays at L0.
+    "c7h_hierarchical_hdbscan" -> ((s, d) =>
+      hierarchicalClusterBy(
+        Tables.embeddings(s, d), "label", "vec_id", "embedding",
+        clusterPerTenantHdbscan(_, _, _, _),
+        clusterPerTenantHdbscan(_, _, _, _),
+        minForSplit = 8)
+        .orderBy("id")),
+
+    // X5 true-HDBSCAN mode — the full job over eom assignments.
+    "x5h_clustering_hdbscan" -> ((s, d) =>
+      clusteringStats(
+        clusterPerTenantHdbscan(Tables.embeddings(s, d), "label", "vec_id", "embedding"))
+        .orderBy("tenant", "cluster_id")),
+
     // C3 — cluster triage: ≥3 main, ==2 small, ≤1/noise excluded
     // (clustering_service.py:159-183) over the label distribution.
     "c3_triage" -> ((s, d) =>
@@ -566,7 +811,284 @@ object Clustering {
        |  FROM ${pre}fincen s JOIN $src p ON p.tenant = s.tenant)""".stripMargin
   }
 
+  /** Full HDBSCAN-eom replayed in SQL — the cascade formulation of
+    * `localHdbscan` is chosen precisely because every stage is
+    * relational:
+    *  1. mutual reachability mr0(a,b) = max(core a, core b, d(a,b))
+    *     with core = min other-distance (min_samples = 2);
+    *  2. minimax (bottleneck) closure mm by Bellman-Ford-style
+    *     relaxation — mm_{k+1}(a,b) = min over c of max(mm_k(a,c),
+    *     mr0(c,b)) with 0-weight self loops so "keep" and "extend" are
+    *     one join (single recursive reference); k iterations cover
+    *     paths of k+1 edges, 64 > any sf tenant size;
+    *  3. threshold levels = distinct minimax values (== MST weight
+    *     set) descending, plus a w=0 sentinel; component of p at level
+    *     w = {q : mm(p,q) ≤ w}, rep = min member id;
+    *  4. cluster chain walk (recursive): a component ≥ 3 continues its
+    *     parent's cluster unless the parent split into ≥ 2 big
+    *     children — then a new cluster is born at λ = 1/w_parent;
+    *  5. fall-out rows: a point leaves its cluster at the transition
+    *     where its component size drops below 3 (λ = 1/w of the level
+    *     above; points still in a ≥3 component at the sentinel level —
+    *     duplicate groups — leave at +∞, the lib's λ = 1/0 rule);
+    *  6. stability = id-ordered fold of point rows + minId-ordered
+    *     fold of child-cluster rows (bit-identical to the Scala
+    *     accumulation);
+    *  7. E = max(S, Σ E(children)) by value iteration over the
+    *     cluster tree (self-links keep childless clusters alive in the
+    *     recursive working table);
+    *  8. eom: selected = S ≥ Σ E(children) with no self-winning proper
+    *     ancestor, root excluded; labels = selected ancestor-or-self
+    *     of each point's fall-out cluster, renumbered by smallest
+    *     member id. */
+  private[graft] def hdbscanCte(src: String, pre: String, iters: Int = 64): String =
+    s"""${pre}d0 AS MATERIALIZED (
+       |  SELECT a.tenant, a.id AS a_id, b.id AS b_id,
+       |    CASE WHEN a.id = b.id THEN CAST(0 AS DOUBLE) ELSE sqrt(list_reduce(
+       |      list_transform(range(1, 65),
+       |        j -> (a.emb[j] - b.emb[j]) * (a.emb[j] - b.emb[j])),
+       |      (x, y) -> x + y)) END AS d
+       |  FROM $src a JOIN $src b ON a.tenant = b.tenant),
+       |${pre}core AS MATERIALIZED (
+       |  SELECT tenant, a_id AS id, min(d) AS core
+       |  FROM ${pre}d0 WHERE a_id <> b_id GROUP BY tenant, a_id),
+       |${pre}mr0 AS MATERIALIZED (
+       |  SELECT d.tenant, d.a_id, d.b_id,
+       |    CASE WHEN d.a_id = d.b_id THEN CAST(0 AS DOUBLE)
+       |         ELSE greatest(d.d, ca.core, cb.core) END AS w
+       |  FROM ${pre}d0 d
+       |  JOIN ${pre}core ca ON ca.tenant = d.tenant AND ca.id = d.a_id
+       |  JOIN ${pre}core cb ON cb.tenant = d.tenant AND cb.id = d.b_id),
+       |${pre}mm AS (
+       |  SELECT 0 AS it, tenant, a_id, b_id, w FROM ${pre}mr0
+       |  UNION ALL
+       |  SELECT it + 1, tenant, a_id, b_id, min(w) AS w FROM (
+       |    SELECT m.it AS it, m.tenant AS tenant, m.a_id AS a_id,
+       |      x.b_id AS b_id, greatest(m.w, x.w) AS w
+       |    FROM ${pre}mm m JOIN ${pre}mr0 x
+       |      ON x.tenant = m.tenant AND x.a_id = m.b_id
+       |    WHERE m.it < $iters)
+       |  GROUP BY it, tenant, a_id, b_id),
+       |${pre}mmf AS MATERIALIZED (SELECT tenant, a_id, b_id, w FROM ${pre}mm WHERE it = $iters),
+       |${pre}lvl AS MATERIALIZED (
+       |  SELECT tenant, w,
+       |    row_number() OVER (PARTITION BY tenant ORDER BY w DESC) AS t
+       |  FROM (
+       |    SELECT DISTINCT tenant, w FROM ${pre}mmf WHERE a_id <> b_id
+       |    UNION
+       |    SELECT DISTINCT tenant, CAST(0 AS DOUBLE) FROM ${pre}mmf)),
+       |${pre}comp AS MATERIALIZED (
+       |  SELECT l.tenant, l.t, l.w, m.a_id AS id, min(m.b_id) AS rep
+       |  FROM ${pre}lvl l
+       |  JOIN ${pre}mmf m ON m.tenant = l.tenant AND m.w <= l.w
+       |  GROUP BY l.tenant, l.t, l.w, m.a_id),
+       |${pre}cs AS MATERIALIZED (
+       |  SELECT tenant, t, w, rep, count(*) AS sz FROM ${pre}comp
+       |  GROUP BY tenant, t, w, rep),
+       |${pre}par AS MATERIALIZED (
+       |  SELECT c.tenant, c.t, c.rep, c.sz, p.rep AS prep, p.w AS pw
+       |  FROM ${pre}cs c
+       |  JOIN ${pre}comp p ON p.tenant = c.tenant AND p.t = c.t - 1 AND p.id = c.rep),
+       |${pre}bigk AS MATERIALIZED (
+       |  SELECT tenant, t, prep, count(*) AS nbig
+       |  FROM ${pre}par WHERE sz >= 3
+       |  GROUP BY tenant, t, prep),
+       |${pre}cl AS (
+       |  SELECT tenant, CAST(1 AS BIGINT) AS t, rep, CAST(1 AS BIGINT) AS bt,
+       |    rep AS brep, CAST(0 AS DOUBLE) AS blam,
+       |    CAST(NULL AS BIGINT) AS par_bt, CAST(NULL AS BIGINT) AS par_brep
+       |  FROM ${pre}cs WHERE t = 1 AND sz >= 3
+       |  UNION ALL
+       |  SELECT p.tenant, p.t, p.rep,
+       |    CASE WHEN b.nbig >= 2 THEN p.t ELSE k.bt END,
+       |    CASE WHEN b.nbig >= 2 THEN p.rep ELSE k.brep END,
+       |    CASE WHEN b.nbig >= 2 THEN CAST(1 AS DOUBLE) / p.pw ELSE k.blam END,
+       |    CASE WHEN b.nbig >= 2 THEN k.bt ELSE k.par_bt END,
+       |    CASE WHEN b.nbig >= 2 THEN k.brep ELSE k.par_brep END
+       |  FROM ${pre}cl k
+       |  JOIN ${pre}par p ON p.tenant = k.tenant AND p.t = k.t + 1 AND p.prep = k.rep
+       |  JOIN ${pre}bigk b ON b.tenant = p.tenant AND b.t = p.t AND b.prep = p.prep
+       |  WHERE p.sz >= 3),
+       |${pre}clm AS MATERIALIZED (SELECT * FROM ${pre}cl),
+       |${pre}clusters AS MATERIALIZED (
+       |  SELECT DISTINCT tenant, bt, brep, blam, par_bt, par_brep FROM ${pre}clm),
+       |${pre}pc AS MATERIALIZED (
+       |  SELECT c.tenant, c.t, c.w, c.id, c.rep, s.sz
+       |  FROM ${pre}comp c
+       |  JOIN ${pre}cs s ON s.tenant = c.tenant AND s.t = c.t AND s.rep = c.rep),
+       |${pre}lastlvl AS MATERIALIZED (SELECT tenant, max(t) AS mt FROM ${pre}lvl GROUP BY tenant),
+       |${pre}fall AS MATERIALIZED (
+       |  SELECT a.tenant, a.id, a.t, a.rep,
+       |    CASE WHEN a.t = ll.mt THEN CAST('infinity' AS DOUBLE)
+       |         ELSE CAST(1 AS DOUBLE) / a.w END AS lam
+       |  FROM ${pre}pc a
+       |  JOIN ${pre}lastlvl ll ON ll.tenant = a.tenant
+       |  LEFT JOIN ${pre}pc b ON b.tenant = a.tenant AND b.id = a.id AND b.t = a.t + 1
+       |  WHERE a.sz >= 3 AND (a.t = ll.mt OR b.sz < 3)),
+       |${pre}fallc AS MATERIALIZED (
+       |  SELECT f.tenant, f.id, f.lam, k.bt, k.brep, k.blam
+       |  FROM ${pre}fall f
+       |  JOIN ${pre}clm k ON k.tenant = f.tenant AND k.t = f.t AND k.rep = f.rep),
+       |${pre}ps AS MATERIALIZED (
+       |  SELECT tenant, bt, brep,
+       |    list_reduce(list(lam - blam ORDER BY id), (x, y) -> x + y) AS psum
+       |  FROM ${pre}fallc GROUP BY tenant, bt, brep),
+       |${pre}chs AS MATERIALIZED (
+       |  SELECT c.tenant, c.par_bt AS bt, c.par_brep AS brep,
+       |    c.blam AS clam, c.brep AS crep, s.sz, pk.blam AS pblam
+       |  FROM ${pre}clusters c
+       |  JOIN ${pre}clusters pk ON pk.tenant = c.tenant AND pk.bt = c.par_bt
+       |    AND pk.brep = c.par_brep
+       |  JOIN ${pre}cs s ON s.tenant = c.tenant AND s.t = c.bt AND s.rep = c.brep
+       |  WHERE c.par_bt IS NOT NULL),
+       |${pre}css AS MATERIALIZED (
+       |  SELECT tenant, bt, brep,
+       |    list_reduce(list((clam - pblam) * CAST(sz AS DOUBLE) ORDER BY crep),
+       |      (x, y) -> x + y) AS csum
+       |  FROM ${pre}chs GROUP BY tenant, bt, brep),
+       |${pre}stab AS MATERIALIZED (
+       |  SELECT c.tenant, c.bt, c.brep, c.blam, c.par_bt, c.par_brep,
+       |    coalesce(p.psum, CAST(0 AS DOUBLE))
+       |      + coalesce(s.csum, CAST(0 AS DOUBLE)) AS stab
+       |  FROM ${pre}clusters c
+       |  LEFT JOIN ${pre}ps p ON p.tenant = c.tenant AND p.bt = c.bt AND p.brep = c.brep
+       |  LEFT JOIN ${pre}css s ON s.tenant = c.tenant AND s.bt = c.bt
+       |    AND s.brep = c.brep),
+       |${pre}emap AS MATERIALIZED (
+       |  SELECT tenant, bt AS src_bt, brep AS src_brep, bt AS dst_bt,
+       |    brep AS dst_brep, 0 AS iskid
+       |  FROM ${pre}clusters
+       |  UNION ALL
+       |  SELECT tenant, bt, brep, par_bt, par_brep, 1 FROM ${pre}clusters
+       |  WHERE par_bt IS NOT NULL),
+       |${pre}ev AS (
+       |  SELECT 0 AS it, tenant, bt, brep, stab AS e FROM ${pre}stab
+       |  UNION ALL
+       |  SELECT it + 1, tenant, dst_bt AS bt, dst_brep AS brep,
+       |    greatest(any_value(dstab),
+       |      coalesce(list_reduce(
+       |        list(ce ORDER BY src_brep) FILTER (WHERE iskid = 1),
+       |        (x, y) -> x + y), CAST(0 AS DOUBLE))) AS e
+       |  FROM (
+       |    SELECT v.it AS it, m.tenant AS tenant, m.dst_bt, m.dst_brep,
+       |      m.src_brep, m.iskid, v.e AS ce, st.stab AS dstab
+       |    FROM ${pre}ev v
+       |    JOIN ${pre}emap m ON m.tenant = v.tenant AND m.src_bt = v.bt
+       |      AND m.src_brep = v.brep
+       |    JOIN ${pre}stab st ON st.tenant = m.tenant AND st.bt = m.dst_bt
+       |      AND st.brep = m.dst_brep
+       |    WHERE v.it < 64)
+       |  GROUP BY it, tenant, dst_bt, dst_brep),
+       |${pre}cesum AS MATERIALIZED (
+       |  SELECT c.tenant, c.par_bt AS bt, c.par_brep AS brep,
+       |    list_reduce(list(f.e ORDER BY c.brep), (x, y) -> x + y) AS csum
+       |  FROM ${pre}clusters c
+       |  JOIN ${pre}ev f ON f.it = 64 AND f.tenant = c.tenant AND f.bt = c.bt
+       |    AND f.brep = c.brep
+       |  WHERE c.par_bt IS NOT NULL
+       |  GROUP BY c.tenant, c.par_bt, c.par_brep),
+       |${pre}win AS MATERIALIZED (
+       |  SELECT s.tenant, s.bt, s.brep, s.par_bt, s.par_brep,
+       |    (s.stab >= coalesce(cs2.csum, CAST(0 AS DOUBLE))) AS selfwin
+       |  FROM ${pre}stab s
+       |  LEFT JOIN ${pre}cesum cs2 ON cs2.tenant = s.tenant AND cs2.bt = s.bt
+       |    AND cs2.brep = s.brep),
+       |${pre}seltree AS (
+       |  SELECT tenant, bt, brep, selfwin, FALSE AS ancwin, TRUE AS isroot
+       |  FROM ${pre}win WHERE par_bt IS NULL
+       |  UNION ALL
+       |  SELECT w.tenant, w.bt, w.brep, w.selfwin,
+       |    s.ancwin OR (NOT s.isroot AND s.selfwin), FALSE
+       |  FROM ${pre}seltree s
+       |  JOIN ${pre}win w ON w.tenant = s.tenant AND w.par_bt = s.bt
+       |    AND w.par_brep = s.brep),
+       |${pre}under AS (
+       |  SELECT tenant, bt, brep, bt AS s_bt, brep AS s_brep FROM ${pre}seltree
+       |  WHERE NOT isroot AND selfwin AND NOT ancwin
+       |  UNION ALL
+       |  SELECT c.tenant, c.bt, c.brep, u.s_bt, u.s_brep
+       |  FROM ${pre}under u
+       |  JOIN ${pre}clusters c ON c.tenant = u.tenant AND c.par_bt = u.bt
+       |    AND c.par_brep = u.brep),
+       |${pre}plab AS MATERIALIZED (
+       |  SELECT f.tenant, f.id, u.s_bt, u.s_brep
+       |  FROM ${pre}fallc f
+       |  JOIN ${pre}under u ON u.tenant = f.tenant AND u.bt = f.bt
+       |    AND u.brep = f.brep),
+       |${pre}cidx AS MATERIALIZED (
+       |  SELECT tenant, s_bt, s_brep,
+       |    row_number() OVER (PARTITION BY tenant ORDER BY min_id) - 1 AS cidx
+       |  FROM (SELECT tenant, s_bt, s_brep, min(id) AS min_id FROM ${pre}plab
+       |        GROUP BY tenant, s_bt, s_brep)),
+       |${pre}assign AS (
+       |  SELECT s.tenant, s.id, coalesce(x.cidx, -1) AS cluster_idx
+       |  FROM $src s
+       |  LEFT JOIN ${pre}plab p ON p.tenant = s.tenant AND p.id = s.id
+       |  LEFT JOIN ${pre}cidx x ON x.tenant = p.tenant AND x.s_bt = p.s_bt
+       |    AND x.s_brep = p.s_brep)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // C2 true-HDBSCAN mode under the exact gate (see hdbscanCte).
+    "c2h_hdbscan_eom" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT label AS tenant, vec_id AS id, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |${hdbscanCte("e", "h_")}
+         |SELECT CAST(tenant AS VARCHAR) AS tenant, id,
+         |  CASE WHEN cluster_idx >= 0
+         |       THEN 'cluster_' || tenant || '_' || cluster_idx
+         |       ELSE 'noise' END AS cluster_id,
+         |  cluster_idx::INT AS cluster_idx
+         |FROM h_assign ORDER BY tenant, id""".stripMargin,
+    // X5 true-HDBSCAN mode — stats over the same assignment.
+    "x5h_clustering_hdbscan" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT label AS tenant, vec_id AS id, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |${hdbscanCte("e", "h_")},
+         |named AS (
+         |  SELECT CAST(tenant AS VARCHAR) AS tenant,
+         |    CASE WHEN cluster_idx >= 0
+         |         THEN 'cluster_' || tenant || '_' || cluster_idx
+         |         ELSE 'noise' END AS cluster_id
+         |  FROM h_assign)
+         |SELECT tenant, cluster_id, count(*) AS n,
+         |  CASE WHEN count(*) >= 3 THEN 'main'
+         |       WHEN count(*) = 2 THEN 'small' ELSE 'excluded' END AS triage,
+         |  least(0.95, 0.5 + CAST(count(*) AS DOUBLE) / 100.0) AS confidence
+         |FROM named GROUP BY tenant, cluster_id
+         |ORDER BY tenant, cluster_id""".stripMargin,
+    // C7 true-HDBSCAN hierarchy — the replay twice: L0 over tenants,
+    // L1 over L0 clusters of ≥ 8 members (tenant key = the L0 cluster
+    // id string), sub-noise stays at L0.
+    "c7h_hierarchical_hdbscan" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT label AS tenant, vec_id AS id, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |${hdbscanCte("e", "l0_")},
+         |l0 AS (SELECT tenant, id, cluster_idx AS l0_idx FROM l0_assign),
+         |lbig AS (
+         |  SELECT tenant, l0_idx FROM l0 WHERE l0_idx >= 0
+         |  GROUP BY tenant, l0_idx HAVING count(*) >= 8),
+         |esub AS (
+         |  SELECT 'cluster_' || l.tenant || '_' || l.l0_idx AS tenant, l.id, ev.emb
+         |  FROM l0 l
+         |  JOIN e ev ON ev.tenant = l.tenant AND ev.id = l.id
+         |  JOIN lbig b ON b.tenant = l.tenant AND b.l0_idx = l.l0_idx),
+         |${hdbscanCte("esub", "l1_")}
+         |SELECT CAST(l.tenant AS VARCHAR) AS tenant, l.id,
+         |  CASE WHEN a1.cluster_idx IS NOT NULL AND a1.cluster_idx >= 0
+         |       THEN 'cluster_' || l.tenant || '_L0_' || l.l0_idx
+         |            || '_L1_' || a1.cluster_idx
+         |       WHEN l.l0_idx >= 0 THEN 'cluster_' || l.tenant || '_L0_' || l.l0_idx
+         |       ELSE 'noise' END AS cluster_id,
+         |  CASE WHEN a1.cluster_idx IS NOT NULL AND a1.cluster_idx >= 0
+         |       THEN 'cluster_' || l.tenant || '_L0_' || l.l0_idx
+         |       END AS parent_cluster_id,
+         |  CASE WHEN a1.cluster_idx IS NOT NULL AND a1.cluster_idx >= 0
+         |       THEN 1 ELSE 0 END AS level
+         |FROM l0 l LEFT JOIN l1_assign a1 ON a1.id = l.id
+         |ORDER BY l.id""".stripMargin,
     // C7 k-means hierarchy under the exact gate: L0 Lloyd (k=5) over
     // the whole population, clusters of ≥ 8 members re-clustered by a
     // second Lloyd replay (k=3) keyed per L0 cluster.
