@@ -109,4 +109,53 @@ object BatchEmbed {
   /** Convenience: batched embedding with the deterministic double. */
   def embedColumn(df: DataFrame, textCol: String, embedder: Embedder): DataFrame =
     embedColumn(df, textCol, new EmbedderAsBackend(embedder))
+
+  /** The FAST batched runner (round-5 VERDICT #4): same per-partition
+    * handle + batch semantics as `embedColumn`, but over INTERNAL rows
+    * — the Scala-side equivalent of `mapInArrow`'s "skip the external
+    * row format" move. `embedColumn`'s `df.rdd` pays
+    * `Row.fromSeq(r.toSeq :+ ...)` per row: every field boxed to
+    * external types and converted back by the outgoing encoder —
+    * measured ~2× the scalar UDF under the microsecond hash double
+    * (the emb_batched/emb_scalar pair). Here rows stay `InternalRow`
+    * (an UnsafeRow byte copy per buffered row — iterators reuse the
+    * object), the text is read as UTF8String, and the vector is
+    * appended as `UnsafeArrayData.fromPrimitiveArray` — no per-field
+    * boxing in either direction. X1 routes through this; the
+    * embedColumn/emb_batched pair stays as the measured baseline of
+    * exactly the overhead this path removes. BatchEmbedSpec asserts
+    * all three paths produce bit-identical vectors. */
+  def embedColumnFast(df: DataFrame, textCol: String, backend: EmbedderBackend,
+                      batchSize: Int = 32, outCol: String = "embedding"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+    val inSchema = df.schema
+    val outSchema = inSchema.add(outCol, ArrayType(DoubleType, containsNull = false))
+    val idx = inSchema.fieldIndex(textCol)
+    val n = inSchema.length
+    val fieldTypes = inSchema.fields.map(_.dataType)
+    val rdd = org.apache.spark.sql.GraftBridge.toInternalRdd(df).mapPartitions { it =>
+      val handle = backend.open()
+      Option(TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => handle.close()))
+      // copy BEFORE grouped(): the unsafe iterator reuses ONE mutable
+      // row object, so a materialized batch of references would
+      // collapse to N copies of the batch's last row
+      it.map(_.copy()).grouped(batchSize).flatMap { batch =>
+        val rows = batch.toArray
+        val texts = rows.map(r =>
+          if (r.isNullAt(idx)) null else r.getUTF8String(idx).toString)
+        val embs = handle.embedBatch(texts)
+        rows.iterator.zip(embs.iterator).map { case (r, e) =>
+          val vals = new Array[Any](n + 1)
+          var i = 0
+          while (i < n) { vals(i) = r.get(i, fieldTypes(i)); i += 1 }
+          vals(n) = UnsafeArrayData.fromPrimitiveArray(e)
+          new GenericInternalRow(vals): InternalRow
+        }
+      }
+    }
+    org.apache.spark.sql.GraftBridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
+  }
 }

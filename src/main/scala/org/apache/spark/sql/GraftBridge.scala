@@ -11,4 +11,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The two `private[sql]` hooks behind `BatchEmbed.embedColumnFast`:
+    * the InternalRow RDD of a DataFrame and the inverse constructor.
+    * Together they let a batched mapPartitions run WITHOUT the
+    * external-Row conversion tax (`Row.fromSeq`/`toSeq` boxing every
+    * field both ways) that made the round-5 RDD runner ~2× slower
+    * than the scalar UDF under a cheap model. */
+  def toInternalRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): Dataset[Row] =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

@@ -48,6 +48,43 @@ class BatchEmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("fast internal-row path: bit-identical vectors, all other columns preserved") {
+    val emb = new HashEmbedder(64)
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val fast = BatchEmbed.embedColumnFast(docs, "text",
+      new EmbedderAsBackend(emb))
+      .select("doc_id", "source", "n_chars", "embedding").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getSeq[Double](3)))
+      .toMap
+    val embedUdf = udf((t: String) => emb.embed(t))
+    val scalar = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        embedUdf(col("text")).as("embedding")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getSeq[Double](3)))
+      .toMap
+    assert(fast.keySet == scalar.keySet)
+    fast.foreach { case (id, v) =>
+      assert(v == scalar(id), s"doc $id: fast-path row != scalar row")
+    }
+  }
+
+  test("fast path keeps the per-partition handle + batch contract") {
+    val sc = spark.sparkContext
+    val opens = sc.longAccumulator("f_opens")
+    val closes = sc.longAccumulator("f_closes")
+    val batches = sc.longAccumulator("f_batches")
+    val rows = sc.longAccumulator("f_rows")
+    val oversize = sc.longAccumulator("f_oversize")
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).repartition(4)
+    val backend = new CountingBackend(64, opens, closes, batches, rows, oversize, 32)
+    val n = BatchEmbed.embedColumnFast(docs, "text", backend, 32).count()
+    assert(rows.value == n && oversize.value == 0)
+    assert(opens.value == 4 && closes.value == opens.value)
+    assert(batches.value <= n / 32 + 4 && batches.value > opens.value)
+  }
+
   test("handle opened once per non-empty partition, closed once, batches ≤ batchSize") {
     val sc = spark.sparkContext
     val opens = sc.longAccumulator("opens")

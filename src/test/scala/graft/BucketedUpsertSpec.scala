@@ -79,4 +79,117 @@ class BucketedUpsertSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
+
+  private def tableState(path: String): Set[(Long, String, Int, String)] =
+    spark.read.parquet(path)
+      .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+
+  test("crash between stage and publish leaves the live table byte-identical") {
+    val root = Files.createTempDirectory("graft-wap-stage-")
+    val path = root.toString
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 60)
+    IndexPipeline.writeVectorsBucketed(IndexPipeline.buildIndex(docs), path)
+    val before = partitionChecksums(root)
+    val beforeRows = tableState(path)
+
+    val batch = IndexPipeline.buildIndex(
+      docs.filter(col("doc_id").isin(7, 8))
+        .withColumn("text", translate(col("text"), "e", "_")))
+    // stage, then "crash": publish never runs
+    IndexPipeline.stageUpsert(spark, path, batch)
+    assert(partitionChecksums(root) == before,
+      "staging must not touch a single live byte")
+    assert(tableState(path) == beforeRows, "live rows changed during staging")
+
+    // recovery: simply re-running the full upsert from the crash point
+    // converges to the merged state
+    IndexPipeline.upsertDocsBucketed(spark, path, batch)
+    val expected = IndexPipeline.buildIndex(docs)
+      .join(batch.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(batch)
+      .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(tableState(path) == expected)
+
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  test("audit rejects incomplete staging and live data stays intact") {
+    val root = Files.createTempDirectory("graft-wap-audit-")
+    val path = root.toString
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 60)
+    IndexPipeline.writeVectorsBucketed(IndexPipeline.buildIndex(docs), path)
+    val before = partitionChecksums(root)
+
+    val batch = IndexPipeline.buildIndex(
+      docs.filter(col("doc_id") === 7).withColumn("text", translate(col("text"), "a", "!")))
+    val st = IndexPipeline.stageUpsert(spark, path, batch)
+    // corrupt staging: drop a staged data file (simulated partial write)
+    import scala.jdk.CollectionConverters._
+    val stagedFile = Files.walk(Paths.get(path + "__staging")).iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+      .toSeq.head
+    Files.delete(stagedFile)
+    val e = intercept[IllegalArgumentException] {
+      IndexPipeline.auditStaged(spark, path, st)
+    }
+    assert(e.getMessage.contains("audit"), e.getMessage)
+    assert(partitionChecksums(root) == before, "audit failure must not touch live data")
+
+    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  test("crash mid-publish: every bucket fully-old or fully-new; retry converges") {
+    val root = Files.createTempDirectory("graft-wap-partial-")
+    val path = root.toString
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 60)
+    IndexPipeline.writeVectorsBucketed(IndexPipeline.buildIndex(docs), path)
+    val before = partitionChecksums(root)
+
+    // batch touches TWO buckets (docs 7 and 8 → buckets 7, 8)
+    val batch = IndexPipeline.buildIndex(
+      docs.filter(col("doc_id").isin(7, 8))
+        .withColumn("text", translate(col("text"), "o", "0")))
+    val st = IndexPipeline.stageUpsert(spark, path, batch)
+    assert(st.touched.size == 2, s"want 2 touched buckets, got ${st.touched}")
+    IndexPipeline.auditStaged(spark, path, st)
+    // "crash" after the first bucket's rename pair: publish only bucket 1
+    IndexPipeline.publishStaged(spark, path, st.copy(touched = st.touched.take(1)))
+
+    // the table is READABLE and every bucket is a complete version:
+    // published bucket = new rows, unpublished = old rows
+    val mixed = tableState(path)
+    val oldState = IndexPipeline.buildIndex(docs)
+      .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    val (pubOwner, pubBucket) = st.touched.head
+    val pubDocs = Set(7L, 8L).filter(_ % 16 == pubBucket)
+    val expectedMixed =
+      oldState.filterNot(r => pubDocs.contains(r._1)) ++
+        batch.filter(col("doc_id").isin(pubDocs.toSeq.map(Long.box): _*))
+          .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")).as("h"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(mixed == expectedMixed,
+      "mid-publish crash must leave complete old/new buckets only")
+
+    // retry from the top (the documented recovery): converges
+    IndexPipeline.upsertDocsBucketed(spark, path, batch)
+    val expected = IndexPipeline.buildIndex(docs)
+      .join(batch.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(batch)
+      .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(tableState(path) == expected)
+    // untouched buckets never changed across the whole sequence
+    val after = partitionChecksums(root)
+    val touchedDirs = st.touched.map { case (o, b) => s"owner=$o/bucket=$b" }.toSet
+    (before.keySet -- touchedDirs).foreach { dir =>
+      assert(after(dir) == before(dir), s"untouched partition $dir changed")
+    }
+
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
 }
