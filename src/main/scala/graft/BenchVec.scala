@@ -1,0 +1,294 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Search
+
+/** Scale-realistic vector benchmark — BASELINE.md's own BENCH target
+  * ("synthetic vector corpus, 100k docs × ~5 chunks, 768-d"), which
+  * the 2k-row sf0.1 embeddings table cannot exercise: IVF probe
+  * pruning, RP-LSH bucket sizing and SemDeDup cell balance only show
+  * their constants at realistic cardinality (round-5 VERDICT, next
+  * item #1). NOT part of the driver's Bench contract — run manually:
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.BenchVec"
+  *
+  * Writes BENCHVEC.json (committed; PERF.md quotes it). The corpus
+  * (~500k hash-random unit vectors at 768-d, so dot == cosine) is
+  * materialized once under benchdata/ (gitignored) and regenerated
+  * when missing — fully deterministic, seed-free.
+  *
+  * What it measures, and why each survives 100×:
+  *  - brute_force_knn: one full scan + codegen dot + TakeOrdered —
+  *    the exact baseline every ANN path must beat.
+  *  - ivf (train-on-sample → broadcast-argmin assign → write
+  *    partitioned by cell → probe nProbe/nCells cells): the probe
+  *    scan reads only the probed PARTITIONS — scan fraction, not
+  *    corpus size, sets the cost.
+  *  - rp_lsh (10-plane code = partition column, Hamming-2 multiprobe
+  *    = 56/1024 partitions): training-free pruning, same property.
+  *  - semdedup at 16 planes (65,536 cells): candidate pairs grow with
+  *    Σ bucket², so cell occupancy (reported) is the scale knob.
+  *  - x1_index_100k: chunk → batch-embed → index over 100k synthetic
+  *    docs — the pipeline's map-only shape at corpus scale.
+  * Recall@10 vs brute force is reported for both ANN paths; ±1
+  * synthetic vectors are the structureless worst case for recall, so
+  * real-corpus recall sits above these numbers while the SPEED ratio
+  * (the thing this benchmark pins) is structure-independent.
+  */
+object BenchVec extends Serializable {
+  private val NDocs = 100000
+  private val Dim = 768
+  private val NCells = 64
+  private val NProbe = 4
+  private val NQueries = 8
+
+  /** splitmix64 finalizer — the standard 64-bit mix. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic unit vector of `id`: splitmix64 uniforms in [-1, 1)
+    * per component, L2-normalized. Shared by the corpus UDF and the
+    * driver-side query vectors so both sides compute identical math. */
+  private[graft] def hashUnitVec(id: Long, dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
+    var ss = 0.0
+    var j = 0
+    while (j < dim) {
+      val x = (mix(id * dim + j) >>> 11).toDouble / (1L << 52).toDouble - 1.0
+      v(j) = x; ss += x * x; j += 1
+    }
+    val n = math.sqrt(ss)
+    var k = 0
+    while (k < dim) { v(k) /= n; k += 1 }
+    v
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val vecDir = sys.env.getOrElse("SPARK_GRAFT_VEC_DIR", "benchdata")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import java.nio.file.{Files, Paths}
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      timings(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+    // ---- corpus: ~500k hash-random unit vectors (3 + id%5 chunks/doc)
+    // Components are splitmix64-derived uniforms in [-1, 1) normalized
+    // to unit length — deterministic, seed-free, UNSTRUCTURED, and
+    // generated in one tight primitive UDF loop (a column-expression
+    // variant with nested higher-order functions fell out of codegen
+    // and ran interpreted — minutes instead of seconds).
+    // (SyntheticVec's ±1 parity vectors were tried first: their bit
+    // patterns correlate with the ±1 RP-LSH planes and collapse the
+    // 10-bit code distribution to ~100 of 1,024 buckets — useless for
+    // the occupancy realism this bench exists to measure. No oracle
+    // consumes this corpus, so SQL reconstructibility is not needed;
+    // the hash-exact 768-d family keeps using SyntheticVec at sf.)
+    val vecUdf = udf((id: Long) => hashUnitVec(id, Dim))
+    val basePath = s"$vecDir/vec768_500k"
+    if (!Files.exists(Paths.get(basePath))) timed("gen_corpus") {
+      spark.range(NDocs)
+        .select(col("id").as("doc_id"),
+          explode(sequence(lit(0L), lit(2L) + pmod(col("id"), lit(5L)))).as("cidx"))
+        .select((col("doc_id") * 8 + col("cidx")).as("vec_id"), col("doc_id"),
+          vecUdf(col("doc_id") * 8 + col("cidx")).cast("array<float>").as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(basePath)
+    }
+    val corpus = spark.read.parquet(basePath)
+      .select(col("vec_id"), col("doc_id"), col("embedding").cast("array<double>").as("embedding"))
+    val nVecs = corpus.count()
+    stats("n_vectors") = nVecs.toString
+
+    // Query vectors: PERTURBED corpus vectors — query i targets corpus
+    // vec_id 8000·i with ~0.89 cosine (unit(v + 0.5·noise)), the
+    // realistic "query resembles some documents" shape. Pure-random
+    // queries have NO true neighbors (every top-10 is marginal noise),
+    // which makes recall@10 meaningless; perturbation makes it a real
+    // measurement of the pruning/recall trade.
+    val targets: Map[Int, Array[Double]] = {
+      val ids = (0 until NQueries).map(i => 8000L * i)
+      val m = corpus.filter(col("vec_id").isin(ids: _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      (0 until NQueries).map(i => i -> m(8000L * i)).toMap
+    }
+    def qv(i: Int): Seq[Double] = {
+      val t = targets(i)
+      val noise = hashUnitVec(3000000L + i, Dim)
+      val v = Array.tabulate(Dim)(j => t(j) + 0.5 * noise(j))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+
+    // ---- brute force: the exact baseline ----
+    val brute: Seq[Set[Long]] = timed("brute_force_knn_8q") {
+      (0 until NQueries).map { i =>
+        Search.knn(corpus, qv(i), 10, -1.0, idCol = "vec_id")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+    }
+
+    // ---- IVF: sampled train → broadcast argmin assign → cell layout ----
+    val ivfPath = s"$vecDir/vec768_500k_ivf"
+    val centroids = timed("ivf_train_sampled") {
+      Search.ivfTrainSampled(corpus.withColumn("tenant", lit("u1")),
+        "tenant", "vec_id", "embedding", NCells)
+    }
+    if (!Files.exists(Paths.get(ivfPath))) timed("ivf_assign_write") {
+      Search.ivfAssign(corpus.withColumn("tenant", lit("u1")),
+          "tenant", "vec_id", "embedding", centroids)
+        .write.mode("overwrite").partitionBy("tenant", "cell").parquet(ivfPath)
+    }
+    val ivfIndexed = spark.read.parquet(ivfPath)
+    val ivfHits: Seq[Set[Long]] = timed("ivf_topk_8q_nprobe4") {
+      (0 until NQueries).map { i =>
+        val cells = Search.ivfProbeCells(centroids, "u1", qv(i), NProbe)
+        Search.knn(ivfIndexed.filter(col("cell").isin(cells: _*)), qv(i), 10, -1.0,
+            idCol = "id", embCol = "embedding")
+          .select("id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    stats("ivf_recall_at_10") =
+      f3(ivfHits.zip(brute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+    // the sharper signal: each query targets corpus vector 8000·i at
+    // ~0.89 cosine — did the pruned search find its intended nearest
+    // neighbor? (recall@10 also counts the other 9 slots, which on a
+    // random corpus are near-tie marginals scattered across all cells)
+    stats("ivf_target_found") =
+      f3((0 until NQueries).count(i => ivfHits(i).contains(8000L * i)).toDouble / NQueries)
+    val cellSizes = ivfIndexed.groupBy("cell").count()
+      .select("count").collect().map(_.getLong(0)).sorted
+    stats("ivf_cell_occupancy") =
+      s"""{"cells":${cellSizes.length},"min":${cellSizes.head},"p50":${cellSizes(cellSizes.length / 2)},"max":${cellSizes.last}}"""
+
+    // ---- RP-LSH: 10-plane code as partition column, Hamming-2 probe ----
+    // Bench-local random hyperplanes from the splitmix generator: the
+    // engine's RpLsh ±1 parity planes are engine-neutral for ORACLE
+    // parity, but consecutive planes share multiplicative bit
+    // structure — at 10+ planes the inter-plane correlation skews the
+    // code distribution badly (measured here before the switch: max
+    // bucket 46,328 of 500k at 10 planes ≈ 95× the uniform share, and
+    // a 9,257-row max cell at 16 planes that made the SemDeDup pair
+    // join quadratic). Isotropic splitmix planes restore the uniform
+    // occupancy LSH analysis assumes; the oracled sf-scale family
+    // keeps the engine planes (parity matters more than balance at 2k
+    // rows — and the skew is a documented finding for the engine's
+    // plane formula at high plane counts).
+    def mkPlanes(n: Int, seedBase: Long): Array[Array[Double]] =
+      Array.tabulate(n)(p => hashUnitVec(seedBase + p, Dim))
+    def codeOfLocal(planes: Array[Array[Double]], v: Seq[Double]): Long = {
+      val a = v.toArray
+      var code = 0L; var p = 0
+      while (p < planes.length) {
+        val pl = planes(p); var s = 0.0; var j = 0
+        while (j < Dim) { s += a(j) * pl(j); j += 1 }
+        if (s >= 0.0) code |= (1L << p)
+        p += 1
+      }
+      code
+    }
+    def codeUdf(planes: Array[Array[Double]]) =
+      udf((e: Seq[Double]) => codeOfLocal(planes, e))
+    def multiprobeLocal(nPlanes: Int, code: Long, radius: Int): Seq[Long] = {
+      def flips(c: Long, r: Int, from: Int): Seq[Long] =
+        if (r == 0) Seq(c)
+        else c +: (from until nPlanes).flatMap(p => flips(c ^ (1L << p), r - 1, p + 1))
+      flips(code, radius, 0).distinct.sorted
+    }
+    val planes10 = mkPlanes(10, 7000000L)
+    val lshPath = s"$vecDir/vec768_500k_lsh"
+    if (!Files.exists(Paths.get(lshPath))) timed("lsh_code_write") {
+      corpus.withColumn("code", codeUdf(planes10)(col("embedding")))
+        .repartition(64, col("code")) // bound file count: ≤64 files/bucket dir
+        .write.mode("overwrite").partitionBy("code").parquet(lshPath)
+    }
+    val lshIndexed = spark.read.parquet(lshPath)
+    val lshHits: Seq[Set[Long]] = timed("lsh_multiprobe_8q_r2") {
+      (0 until NQueries).map { i =>
+        val probes = multiprobeLocal(10, codeOfLocal(planes10, qv(i)), 2)
+        Search.knn(lshIndexed.filter(col("code").isin(probes: _*)), qv(i), 10, -1.0,
+          idCol = "vec_id").select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    stats("lsh_recall_at_10") =
+      f3(lshHits.zip(brute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+    stats("lsh_target_found") =
+      f3((0 until NQueries).count(i => lshHits(i).contains(8000L * i)).toDouble / NQueries)
+    val bucketSizes = lshIndexed.groupBy("code").count()
+      .select("count").collect().map(_.getLong(0)).sorted
+    stats("lsh_bucket_occupancy") =
+      s"""{"buckets":${bucketSizes.length},"min":${bucketSizes.head},"p50":${bucketSizes(bucketSizes.length / 2)},"max":${bucketSizes.last}}"""
+
+    // ---- SemDeDup at 16 planes (65,536 cells) with injected copies ----
+    val planes16 = mkPlanes(16, 7100000L)
+    val drops = timed("semdedup_16planes") {
+      val copies = corpus.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val coded = corpus.select(col("vec_id"), col("embedding"))
+        .unionByName(copies)
+        .withColumn("code", codeUdf(planes16)(col("embedding")))
+        .persist()
+      val a = coded.select(col("code"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = coded.select(col("code"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val n = a.join(b, Seq("code"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", VectorFunctions.dot(col("emb_a"), col("emb_b")))
+        .filter(col("sim") >= 0.95)
+        .select("id_b").distinct().count()
+      coded.unpersist()
+      n
+    }
+    stats("semdedup_drops") = drops.toString
+    val bucket16 = corpus.select(codeUdf(planes16)(col("embedding")).as("code"))
+      .groupBy("code").count().select("count").collect().map(_.getLong(0)).sorted
+    stats("semdedup_cell_occupancy") =
+      s"""{"cells":${bucket16.length},"min":${bucket16.head},"p50":${bucket16(bucket16.length / 2)},"max":${bucket16.last}}"""
+
+    // ---- X1 at corpus scale: chunk → batch-embed → index 100k docs ----
+    val nIndexed = timed("x1_index_100k_docs") {
+      val docs = spark.range(NDocs).select(col("id").as("doc_id"),
+        lit("upload").as("source"),
+        concat(lit("doc "), col("id"), lit(" "),
+          // deterministic ~1.2 KB body, vocabulary rotates by doc id
+          repeat(concat(lit("w"), pmod(col("id"), lit(997)),
+            lit(" lorem ipsum dolor sit amet consectetur ")), 28)).as("text"))
+      pipelines.IndexPipeline.buildIndex(docs).count()
+    }
+    stats("x1_vectors_built") = nIndexed.toString
+
+    val json =
+      ("{\"corpus\":{\"n_vectors\":" + nVecs + ",\"dim\":" + Dim + ",\"docs\":" + NDocs + "}," +
+        "\"timings_sec\":" +
+        timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}") + "," +
+        "\"stats\":" +
+        stats.map { case (k, v) =>
+          "\"" + k + "\":" + (if (v.startsWith("{")) v else "\"" + v + "\"")
+        }.mkString("{", ",", "}") + "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCHVEC.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

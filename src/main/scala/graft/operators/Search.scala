@@ -237,6 +237,99 @@ object Search {
       queryVec, k, 0.0, idCol = "id")
   }
 
+  /** Scale-path IVF centroid training (the 100 TB variant of the
+    * per-tenant local build): `ivfBuild`'s in-task k-means is exact for
+    * the reference's ≤10k-vector tenants but cannot run inside one
+    * task when a tenant shard holds millions of vectors. Centroids are
+    * trained on a bounded DETERMINISTIC sample per tenant (the
+    * `sampleCap` lowest ids — reproducible, no RNG) with the same
+    * deterministic Lloyd kernel, and derived as member means folded in
+    * id order. Returns tenant → centroid matrix; the map is tiny
+    * (tenants × nCells × dim) and broadcasts. */
+  def ivfTrainSampled(vectors: DataFrame, tenantCol: String, idCol: String,
+                      embCol: String, nCells: Int,
+                      sampleCap: Int = 2048): Map[String, Array[Array[Double]]] = {
+    // The rank window runs over (tenant, id) KEYS ONLY — windowing full
+    // rows would sort every embedding of a tenant through one task
+    // (500k × 6 KB at BenchVec scale). The sampled key set is bounded
+    // (tenants × sampleCap) and broadcast back for the embedding fetch.
+    val keys = vectors
+      .select(col(tenantCol).cast("string").as("tenant"), col(idCol).cast("long").as("id"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("tenant").orderBy("id")))
+      .filter(col("_rn") <= sampleCap)
+      .select("tenant", "id")
+    val sample = vectors
+      .select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .join(broadcast(keys), Seq("tenant", "id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    sample.groupBy(_._1).map { case (t, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val dim = pts.head._2.length
+      val assigned = Clustering.localKMeans(pts, nCells)
+      val embById = pts.toMap
+      val cents = assigned.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, ms) =>
+        val sum = new Array[Double](dim)
+        ms.sortBy(_._1).foreach { m =>
+          val v = embById(m._1); var j = 0
+          while (j < dim) { sum(j) += v(j); j += 1 }
+        }
+        sum.map(_ / ms.length)
+      }
+      t -> cents.toArray
+    }
+  }
+
+  /** Distributed cell assignment against broadcast centroids: argmin
+    * of squared distance in a tight local loop — ONE narrow map over
+    * the corpus, zero shuffle. Write the result partitioned by
+    * (tenant, cell) and `ivfProbeCells` + a partition-pruned scan
+    * replace the full-corpus kNN (BenchVec measures the win at 500k ×
+    * 768-d). */
+  def ivfAssign(vectors: DataFrame, tenantCol: String, idCol: String,
+                embCol: String,
+                centroids: Map[String, Array[Array[Double]]]): DataFrame = {
+    val spark = vectors.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val argminUdf = udf { (t: String, e: Seq[Double]) =>
+      val cents = bc.value(t)
+      val v = e.toArray // one primitive copy, then a boxing-free hot loop
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val cen = cents(c); var s = 0.0; var j = 0
+        while (j < cen.length) { val df = v(j) - cen(j); s += df * df; j += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    vectors.select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("embedding"))
+      .withColumn("cell", argminUdf(col("tenant"), col("embedding")))
+  }
+
+  /** Train + assign in one call — the sampled counterpart of
+    * `ivfBuild`, same output shape. */
+  def ivfBuildSampled(vectors: DataFrame, tenantCol: String, idCol: String,
+                      embCol: String, nCells: Int, sampleCap: Int = 2048): DataFrame =
+    ivfAssign(vectors, tenantCol, idCol, embCol,
+      ivfTrainSampled(vectors, tenantCol, idCol, embCol, nCells, sampleCap))
+
+  /** Probe ranking for a trained centroid set: the `nProbe` cells
+    * nearest (by dot) to the query — driver-side over the tiny
+    * broadcastable matrix, same ranking rule as `ivfSearch`. */
+  def ivfProbeCells(centroids: Map[String, Array[Array[Double]]], tenant: String,
+                    queryVec: Seq[Double], nProbe: Int): Seq[Int] =
+    centroids(tenant).zipWithIndex.map { case (cen, c) =>
+      var s = 0.0; var j = 0
+      while (j < cen.length) { s += cen(j) * queryVec(j); j += 1 }
+      (c, s)
+    }.sortBy { case (c, s) => (-s, c) }.take(nProbe).map(_._1).toSeq
+
   /** Fetch several query vectors in ONE action (one isin scan +
     * collect), never one .head() job per id — the driver-round-trip
     * anti-pattern flagged in round 3 (x2_standard_qa 0.62 s → 7.2 s
@@ -311,6 +404,27 @@ object Search {
       Tables.embeddings(s, d).filter(col("label") === 3)
         .select(col("vec_id"), col("label"), lit(1.0).as("sim"))
         .orderBy("vec_id")),
+
+    // V1 under the reference's single most-tested property — OWNER
+    // ISOLATION (`test_vector_db_api.py:442-472`, SURVEY §5): an
+    // adversarial copy of the QUERY VECTOR ITSELF (sim = ‖q‖² — would
+    // rank first corpus-wide) is injected under another tenant; the
+    // tenant-scoped kNN must never surface it. The oracle injects the
+    // same bait row and proves the tenant-pruned ranking hash-exactly.
+    // TenantIsolationSpec runs the same adversarial shape over every
+    // tenant-scoped operator (IVF, clustering, dedup).
+    "v1_knn_isolation" -> ((s, d) => {
+      val q = qvec(s, d, 0)
+      val bait = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select((col("vec_id") + 50000).as("vec_id"),
+          typedLit(q).as("embedding"), lit(99).as("label"))
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+          col("label"))
+        .unionByName(bait)
+      knn(corpus.filter(col("label") === 3), q, 10, 0.0)
+        .select("vec_id", "label", "sim")
+    }),
 
     // V5 — summary-only kNN (type pinned, enhanced_search_service.py:205-257).
     "v5_summary_only" -> ((s, d) =>
@@ -782,6 +896,16 @@ object Search {
     "v2_get_by_doc" ->
       """SELECT vec_id, label, 1.0::DOUBLE AS sim FROM embeddings
         |WHERE label = 3 ORDER BY vec_id""".stripMargin,
+    "v1_knn_isolation" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 50000, $q0, 99 FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, sim FROM (
+         |  SELECT vec_id, label, list_inner_product(emb, $q0) AS sim
+         |  FROM corpus WHERE label = 3)
+         |WHERE sim >= 0.0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "v5_summary_only" ->
       s"""SELECT vec_id, label, list_inner_product(embedding::DOUBLE[], $q0) AS sim
          |FROM embeddings WHERE vec_id % 2 = 0

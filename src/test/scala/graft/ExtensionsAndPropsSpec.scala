@@ -14,8 +14,11 @@ class ExtensionsAndPropsSpec extends AnyFunSuite {
     val orphanHeadline = Bench.headline.toSet -- qkeys
     assert(orphanHeadline.isEmpty,
       s"Bench.headline entries without a query (rename?): $orphanHeadline")
-    // the stdout line must stay inside the driver's ~2.9 KB tail window
-    assert(Bench.headline.size <= 35)
+    // the stdout line must stay inside the driver's ~2.9 KB tail window —
+    // assert the actual byte budget (name + `":":0.000,` per entry + ~120 B
+    // wrapper, with slack for 4-digit seconds and a failed:[] list)
+    val estLine = Bench.headline.map(_.length + 10).sum + 200
+    assert(estLine <= 2000, s"headline stdout line ~$estLine B risks the tail window")
   }
 
   test("GraftExtensions registers dot_product / l2_normalize for SQL") {
