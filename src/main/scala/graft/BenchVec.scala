@@ -91,6 +91,19 @@ object BenchVec extends Serializable {
       timings(name) = (System.nanoTime() - t0) / 1e9
       r
     }
+    // Query stages report the MIN of two passes (same rule as
+    // graft.Bench): single cold samples on this shared box swing ±30 %,
+    // which is larger than the pruning ratios being measured. One-time
+    // build/write stages stay single-pass — they ARE cold costs.
+    def timedMin2[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      body
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val r = body
+      timings(name) = math.min(s1, (System.nanoTime() - t1) / 1e9)
+      r
+    }
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     // ---- corpus: ~500k hash-random unit vectors (3 + id%5 chunks/doc)
@@ -143,7 +156,7 @@ object BenchVec extends Serializable {
     }
 
     // ---- brute force: the exact baseline ----
-    val brute: Seq[Set[Long]] = timed("brute_force_knn_8q") {
+    val brute: Seq[Set[Long]] = timedMin2("brute_force_knn_8q") {
       (0 until NQueries).map { i =>
         Search.knn(corpus, qv(i), 10, -1.0, idCol = "vec_id")
           .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -162,7 +175,7 @@ object BenchVec extends Serializable {
         .write.mode("overwrite").partitionBy("tenant", "cell").parquet(ivfPath)
     }
     val ivfIndexed = spark.read.parquet(ivfPath)
-    val ivfHits: Seq[Set[Long]] = timed("ivf_topk_8q_nprobe4") {
+    val ivfHits: Seq[Set[Long]] = timedMin2("ivf_topk_8q_nprobe4") {
       (0 until NQueries).map { i =>
         val cells = Search.ivfProbeCells(centroids, "u1", qv(i), NProbe)
         Search.knn(ivfIndexed.filter(col("cell").isin(cells: _*)), qv(i), 10, -1.0,
@@ -225,7 +238,7 @@ object BenchVec extends Serializable {
         .write.mode("overwrite").partitionBy("code").parquet(lshPath)
     }
     val lshIndexed = spark.read.parquet(lshPath)
-    val lshHits: Seq[Set[Long]] = timed("lsh_multiprobe_8q_r2") {
+    val lshHits: Seq[Set[Long]] = timedMin2("lsh_multiprobe_8q_r2") {
       (0 until NQueries).map { i =>
         val probes = multiprobeLocal(10, codeOfLocal(planes10, qv(i)), 2)
         Search.knn(lshIndexed.filter(col("code").isin(probes: _*)), qv(i), 10, -1.0,
@@ -243,7 +256,7 @@ object BenchVec extends Serializable {
 
     // ---- SemDeDup at 16 planes (65,536 cells) with injected copies ----
     val planes16 = mkPlanes(16, 7100000L)
-    val drops = timed("semdedup_16planes") {
+    val drops = timedMin2("semdedup_16planes") {
       val copies = corpus.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       val coded = corpus.select(col("vec_id"), col("embedding"))
@@ -267,7 +280,7 @@ object BenchVec extends Serializable {
       s"""{"cells":${bucket16.length},"min":${bucket16.head},"p50":${bucket16(bucket16.length / 2)},"max":${bucket16.last}}"""
 
     // ---- X1 at corpus scale: chunk → batch-embed → index 100k docs ----
-    val nIndexed = timed("x1_index_100k_docs") {
+    val nIndexed = timedMin2("x1_index_100k_docs") {
       val docs = spark.range(NDocs).select(col("id").as("doc_id"),
         lit("upload").as("source"),
         concat(lit("doc "), col("id"), lit(" "),

@@ -541,6 +541,27 @@ object Search {
         .select("id", "sim")
     }),
 
+    // The SAMPLED IVF build under the exact gate, with a cap that
+    // actually subsamples (256 of the corpus): deterministic
+    // lowest-id sample → Lloyd on the sample → member-mean centroids →
+    // argmin re-assignment of EVERY vector (the one step the full
+    // build doesn't have) → probe-4 pruned top-10. The oracle replays
+    // all five stages; the argmin's squared-distance fold and
+    // lowest-cell tiebreak are bit-replayed by an explicit
+    // list_reduce in id-ascending component order.
+    "ann_ivf_sampled" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .withColumn("tenant", lit("all"))
+      val cents = ivfTrainSampled(base, "tenant", "vec_id", "embedding", 16,
+        sampleCap = 256)
+      val indexed = ivfAssign(base, "tenant", "vec_id", "embedding", cents)
+      val cells = ivfProbeCells(cents, "all", qvec(s, d, 0), 4)
+      knn(indexed.filter(col("cell").isin(cells: _*)), qvec(s, d, 0), 10, 0.0,
+        idCol = "id")
+        .select("id", "sim")
+    }),
+
     // ANN IVF full-probe — nProbe = nCells scans every cell, so the
     // result provably equals brute-force kNN (same oracle). This gives
     // the IVF build/probe machinery an exact correctness gate; the
@@ -838,6 +859,57 @@ object Search {
          |  FROM c_kassign k
          |  JOIN probed pb ON pb.cell = k.best
          |  JOIN eall p ON p.id = k.id)
+         |WHERE sim >= 0.0
+         |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
+    },
+    // Sampled IVF build replayed end-to-end: deterministic lowest-id
+    // sample (rank replay), Lloyd over the SAMPLE, member-mean
+    // centroids in id order, argmin re-assignment of every vector
+    // (squared-distance left fold + lowest-cell tiebreak — exactly
+    // ivfAssign's keep-first `<` loop), then the probe-4 top-10.
+    // Cell ids here are raw Lloyd cluster ids while the engine uses
+    // their dense renumbering — a monotone relabeling, so every
+    // tiebreak and the probed set are identical.
+    "ann_ivf_sampled" -> {
+      s"""WITH RECURSIVE eall AS (
+         |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |esample AS (
+         |  SELECT id, tenant, emb FROM (
+         |    SELECT id, tenant, emb,
+         |      row_number() OVER (PARTITION BY tenant ORDER BY id) AS rn FROM eall)
+         |  WHERE rn <= 256),
+         |${Clustering.kmeansCte(16, "esample", "s_")},
+         |cents AS (
+         |  SELECT k.best AS cell, count(*) AS cnt,
+         |    list(p.emb ORDER BY p.id) AS m
+         |  FROM s_kassign k JOIN esample p ON p.id = k.id
+         |  GROUP BY k.best),
+         |cenv AS (
+         |  SELECT cell,
+         |    list_transform(range(1, 65),
+         |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+         |           / CAST(cnt AS DOUBLE)) AS centroid
+         |  FROM cents),
+         |assignall AS (
+         |  SELECT id, cell FROM (
+         |    SELECT p.id, c.cell,
+         |      row_number() OVER (PARTITION BY p.id ORDER BY
+         |        list_reduce(list_transform(range(1, 65),
+         |          j -> (p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])),
+         |          (x, y) -> x + y) ASC, c.cell ASC) AS rnk
+         |    FROM eall p CROSS JOIN cenv c)
+         |  WHERE rnk = 1),
+         |proberank AS (
+         |  SELECT cell, row_number() OVER (
+         |    ORDER BY list_inner_product(centroid, $q0) DESC, cell ASC) AS pr
+         |  FROM cenv),
+         |probed AS (SELECT cell FROM proberank WHERE pr <= 4)
+         |SELECT id, sim FROM (
+         |  SELECT a.id, list_inner_product(p.emb, $q0) AS sim
+         |  FROM assignall a
+         |  JOIN probed pb ON pb.cell = a.cell
+         |  JOIN eall p ON p.id = a.id)
          |WHERE sim >= 0.0
          |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
     },

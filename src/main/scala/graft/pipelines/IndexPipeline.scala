@@ -180,6 +180,11 @@ object IndexPipeline {
         throw new java.io.IOException(s"upsert publish: cannot create ${old.getParent}")
       if (fs.exists(live) && !fs.rename(live, old))
         throw new java.io.IOException(s"upsert publish: cannot move $live aside")
+      // a brand-new (owner, bucket) — e.g. a first-seen doc arriving via
+      // the incremental stream — has no live parent dir yet; rename
+      // requires one
+      if (!fs.exists(live.getParent) && !fs.mkdirs(live.getParent))
+        throw new java.io.IOException(s"upsert publish: cannot create ${live.getParent}")
       if (!fs.rename(staged, live)) {
         val restored = fs.exists(old) && fs.rename(old, live)
         throw new java.io.IOException(
@@ -188,6 +193,45 @@ object IndexPipeline {
     }
     fs.delete(backup, true)
     fs.delete(new Path(stagingRoot(path)), true)
+  }
+
+  /** One incremental-indexing micro-batch: build vectors for the
+    * arriving documents and merge them into the bucketed table —
+    * initial load when the table doesn't exist yet, write-audit-publish
+    * upsert afterwards. This IS the `foreachBatch` body of
+    * `StreamingOps.streamIndexIncremental` (the reference's continuous
+    * ingest: uploaded docs become searchable vectors as they arrive,
+    * `document_processing_service.py` scheduling around
+    * `semantic_summary_service.py:257-431`); the driver query
+    * `st_index_incremental` replays three batches through this exact
+    * function and hashes the final on-disk table. */
+  def indexMicroBatch(spark: SparkSession, docs: DataFrame, path: String,
+                      embedder: Embedder = new HashEmbedder(64),
+                      nBuckets: Int = 16): Unit = {
+    if (docs.isEmpty) return // streaming triggers can deliver empty batches
+    val vectors = buildIndex(docs, embedder)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      writeVectorsBucketed(vectors, path, nBuckets)
+    else upsertDocsBucketed(spark, path, vectors, nBuckets)
+  }
+
+  /** Fixture root for `st_index_incremental`, keyed on the sanitized
+    * data dir + this JVM's pid (the round-5 concurrent-run rule; see
+    * `DocumentSources.fixtureDir`). */
+  private def stIdxDir(dataDir: String): String =
+    "/tmp/graft_stidx_" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      ProcessHandle.current().pid()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,6 +286,35 @@ object IndexPipeline {
       merged.withColumn("bucket", docBucket(col("doc_id"), 16))
         .groupBy("bucket", "doc_id")
         .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("bucket", "doc_id")
+    }),
+
+    // Incremental indexing through the REAL disk path: three
+    // micro-batches replayed through indexMicroBatch (initial load of
+    // docs <150; re-index of docs 7+21 with modified text arriving with
+    // first-seen docs 150..169; doc 7 re-indexed AGAIN) — the exact
+    // foreachBatch body of StreamingOps.streamIndexIncremental, so the
+    // write-audit-publish upsert machinery itself sits under the hash
+    // gate. Final table read back from parquet; digest = per-doc vector
+    // count + md5 over the doc's sorted chunk md5s, which pins
+    // last-writer-wins (doc 7 must show its SECOND re-index, doc 21 its
+    // first, everyone else their original text).
+    "st_index_incremental" -> ((s, d) => {
+      val dir = stIdxDir(d)
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      val b1 = docs.filter(col("doc_id") < 150)
+      val b2 = docs.filter(col("doc_id").isin(7, 21))
+        .withColumn("text", translate(col("text"), "a", "."))
+        .unionByName(docs.filter(col("doc_id") >= 150 && col("doc_id") < 170))
+      val b3 = docs.filter(col("doc_id") === 7)
+        .withColumn("text", translate(col("text"), "o", "0"))
+      Seq(b1, b2, b3).foreach(indexMicroBatch(s, _, dir))
+      s.read.parquet(dir)
+        .groupBy(pmod(col("doc_id"), lit(16L)).as("bucket"), col("doc_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          md5(concat_ws("", array_sort(collect_list(
+            when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("chunks_md5"))
         .orderBy("bucket", "doc_id")
     }),
 
@@ -476,6 +549,43 @@ object IndexPipeline {
          |  CAST(coalesce(c.n_chunks, 0) + 1 AS BIGINT) AS n_vectors
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
          |LEFT JOIN cnt c USING (doc_id)
+         |ORDER BY bucket, doc_id""".stripMargin,
+    // Incremental-index replay: the chunk walk over each doc's FINAL
+    // text version (doc 7 = second re-index o→0, doc 21 = first
+    // re-index a→., docs ≥150 first seen in batch 2, everyone else
+    // original), digest = md5 of the sorted chunk-md5 concatenation
+    // (lexicographic hex order matches Spark's array_sort).
+    "st_index_incremental" ->
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, t, length(t)::BIGINT AS len FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN doc_id = 7 THEN translate(text, 'o', '0')
+         |           WHEN doc_id = 21 THEN translate(text, 'a', '.')
+         |           ELSE text END AS t
+         |    FROM documents WHERE doc_id < 170)
+         |  WHERE length(t) > 0),
+         |walk AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS start0 FROM src
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN $t1End >= s.len THEN s.len
+         |         ELSE greatest(w.start0 + 1, ($t1End) - 50) END
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |chunks AS (
+         |  SELECT w.doc_id,
+         |    trim(substr(s.t, w.start0 + 1, ($t1End) - w.start0)) AS chunk
+         |  FROM walk w JOIN src s USING (doc_id)
+         |  WHERE w.start0 < s.len),
+         |digest AS (
+         |  SELECT doc_id, count(*) AS n_chunks,
+         |    md5(string_agg(md5(chunk), '' ORDER BY md5(chunk))) AS chunks_md5
+         |  FROM chunks WHERE chunk <> '' GROUP BY doc_id)
+         |SELECT d.doc_id % 16 AS bucket, d.doc_id,
+         |  CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS n_vectors,
+         |  coalesce(g.chunks_md5, md5('')) AS chunks_md5
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 170) d
+         |LEFT JOIN digest g USING (doc_id)
          |ORDER BY bucket, doc_id""".stripMargin,
 
     // The embedding VALUES aren't SQL-expressible; the oracle pins the

@@ -201,6 +201,33 @@ object StreamingOps {
       .toDF("user_id", "session_idx", "event_id")
   }
 
+  /** Continuous incremental indexing — the reference's ingest loop
+    * (upload → pending queue → vectorize → searchable,
+    * `document_processing_service.py`) as a Structured Streaming sink:
+    * each micro-batch of arriving documents is chunked, embedded and
+    * MERGED into the bucketed vectors table through the
+    * write-audit-publish upsert (`IndexPipeline.indexMicroBatch`), so
+    * the searchable table is crash-consistent at every instant —
+    * per-bucket fully-old or fully-new, retry converges. The batch
+    * semantics are driver-verified hash-exact by
+    * `st_index_incremental`, which replays three micro-batches through
+    * the same function; StreamingSpec runs the real `readStream` path
+    * over file-arrival micro-batches.
+    *
+    * Scale: each micro-batch is one map-only index build plus a
+    * partition-pruned merge bounded by the batch's touched buckets —
+    * corpus size never enters the per-batch cost. */
+  def streamIndexIncremental(docsStream: DataFrame, path: String,
+                             checkpointDir: String, nBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipelines.IndexPipeline.indexMicroBatch(
+          batch.sparkSession, batch, path, nBuckets = nBuckets)
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 15-min window agg (streaming-equivalent batch form;
     // qa_analytics daily trend A4 generalized to sub-day windows).

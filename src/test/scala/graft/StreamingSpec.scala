@@ -243,4 +243,45 @@ class StreamingSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(replayed == survivors, "batch replay diverged from streaming output")
   }
+
+  test("streamIndexIncremental: file-arrival micro-batches converge to the merged index") {
+    import graft.pipelines.IndexPipeline
+    val in = java.nio.file.Files.createTempDirectory("graft_stidx_in").toString
+    val table = java.nio.file.Files.createTempDirectory("graft_stidx_tbl").toString + "/vectors"
+    val chk = java.nio.file.Files.createTempDirectory("graft_stidx_chk").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    val b1 = docs.filter(col("doc_id") < 40)
+    val b2 = docs.filter(col("doc_id").isin(7, 21))
+      .withColumn("text", translate(col("text"), "a", "."))
+      .unionByName(docs.filter(col("doc_id") >= 40 && col("doc_id") < 50))
+    val b3 = docs.filter(col("doc_id") === 7)
+      .withColumn("text", translate(col("text"), "o", "0"))
+
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamingOps.streamIndexIncremental(streamed, table, chk)
+    // one file per wave; processAllAvailable between waves pins the
+    // micro-batch order so last-writer-wins is actually exercised
+    for (b <- Seq(b1, b2, b3)) {
+      b.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    def digest(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    val finalDocs = docs.filter(col("doc_id") < 50)
+      .withColumn("text",
+        when(col("doc_id") === 7, translate(col("text"), "o", "0"))
+          .when(col("doc_id") === 21, translate(col("text"), "a", "."))
+          .otherwise(col("text")))
+    assert(digest(spark.read.parquet(table)) == digest(IndexPipeline.buildIndex(finalDocs)),
+      "streamed table diverged from the batch-built index of final text versions")
+    // no staging/backup residue after a clean run
+    val root = new java.io.File(table).getParentFile
+    assert(root.listFiles().map(_.getName).toSet == Set("vectors"),
+      s"leftover staging dirs: ${root.listFiles().map(_.getName).mkString(",")}")
+  }
 }
