@@ -20,6 +20,13 @@ import sys
 
 def main() -> None:
     detail = json.load(open("BENCH_DETAIL.json"))["queries"]
+    # BENCHVEC stage timings share the namespace (stage names and query
+    # names are disjoint), so PERF.md's scale-bench table is checked by
+    # the same patterns.
+    try:
+        detail = {**json.load(open("BENCHVEC.json"))["timings_sec"], **detail}
+    except FileNotFoundError:
+        pass
     md = open("PERF.md").read()
     blocks = re.findall(
         r"<!-- drift-check:begin -->(.*?)<!-- drift-check:end -->", md, re.S)

@@ -142,23 +142,43 @@ object IndexPipeline {
     val survivors = spark.read.parquet(path)
       .filter(touchedPred)
       .join(broadcast(nv.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
-    val content = survivors.unionByName(nv).localCheckpoint()
+    // Repartition on the PARTITION COLUMNS before the write: without
+    // it every one of the N shuffle partitions writes its own sliver
+    // file into every touched bucket dir (N files of ~rows/N each) —
+    // a small-files tax on the staging write, the audit read-back AND
+    // the per-bucket publish renames. Partition count is bounded by
+    // the touched-bucket count, which is batch-bounded by definition.
+    val content = survivors.unionByName(nv)
+      .repartition(touched.size, col("owner"), col("bucket"))
+      .localCheckpoint()
     val expected = content.count()
     content.write.mode("overwrite").partitionBy("owner", "bucket")
       .parquet(stagingRoot(path))
     StagedUpsert(touched, expected)
   }
 
-  /** Validate the staged replacement before any live mutation. */
+  /** Validate the staged replacement before any live mutation — row
+    * count and partition set in ONE job (a per-partition count
+    * collect; the result is touched-bucket-bounded). */
   private[graft] def auditStaged(spark: SparkSession, path: String,
                                  st: StagedUpsert): Unit = {
-    val staged = spark.read.parquet(stagingRoot(path))
-    val gotRows = staged.count()
+    // partition discovery infers `bucket` as INT on read-back — cast.
+    // An unreadable/empty staging dir (e.g. a lost data file) is an
+    // audit failure like any other: abort with live data intact.
+    val perPart =
+      try spark.read.parquet(stagingRoot(path))
+        .groupBy(col("owner"), col("bucket").cast("long").as("bucket"))
+        .count()
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"upsert audit: staging unreadable — aborting publish (${e.getMessage})", e)
+      }
+    val gotRows = perPart.map(_._2).sum
     require(gotRows == st.expectedRows,
       s"upsert audit: staged $gotRows rows, expected ${st.expectedRows} — aborting publish")
-    // partition discovery infers `bucket` as INT on read-back — cast
-    val gotParts = staged.select(col("owner"), col("bucket").cast("long")).distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotParts = perPart.map(_._1).toSet
     require(gotParts == st.touched.toSet,
       s"upsert audit: staged partitions $gotParts != touched ${st.touched.toSet}")
   }
