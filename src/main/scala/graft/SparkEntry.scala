@@ -30,7 +30,8 @@ object SparkEntry {
       sources.DocumentSources.queries ++ orchestration.Orchestration.queries ++
       evaluation.RetrievalEval.queries ++ operators.Conversations.queries ++
       operators.Skew.queries ++ operators.Temporal.queries ++
-      model.CoreModel.queries ++ operators.Layout.queries
+      model.CoreModel.queries ++ operators.Layout.queries ++
+      operators.ResponseCache.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       sources.DocumentSources.oracles ++ orchestration.Orchestration.oracles ++
       operators.Conversations.oracles ++ operators.Skew.oracles ++
       operators.Temporal.oracles ++ model.CoreModel.oracles ++
-      evaluation.RetrievalEval.oracles ++ operators.Layout.oracles
+      evaluation.RetrievalEval.oracles ++ operators.Layout.oracles ++
+      operators.ResponseCache.oracles
 }
