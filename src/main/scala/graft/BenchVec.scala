@@ -170,6 +170,12 @@ object BenchVec extends Serializable {
         "tenant", "vec_id", "embedding", NCells)
     }
     if (!Files.exists(Paths.get(ivfPath))) timed("ivf_assign_write") {
+      // NOT repartitioned by cell (unlike the S8 serving table): a
+      // one-file-per-cell layout halves the write time but caps a
+      // 4-cell probe read at 4 tasks (measured ivf_topk 1.2 → 2.9 s on
+      // 32 cores). At real scale maxPartitionBytes re-splits big cell
+      // files anyway; at bench scale the sliver files ARE the read
+      // parallelism, so the probe path keeps them.
       Search.ivfAssign(corpus.withColumn("tenant", lit("u1")),
           "tenant", "vec_id", "embedding", centroids)
         .write.mode("overwrite").partitionBy("tenant", "cell").parquet(ivfPath)
@@ -280,16 +286,39 @@ object BenchVec extends Serializable {
       s"""{"cells":${bucket16.length},"min":${bucket16.head},"p50":${bucket16(bucket16.length / 2)},"max":${bucket16.last}}"""
 
     // ---- X1 at corpus scale: chunk → batch-embed → index 100k docs ----
+    def docsCorpus = spark.range(NDocs).select(col("id").as("doc_id"),
+      lit("upload").as("source"),
+      concat(lit("doc "), col("id"), lit(" "),
+        // deterministic ~1.2 KB body, vocabulary rotates by doc id
+        repeat(concat(lit("w"), pmod(col("id"), lit(997)),
+          lit(" lorem ipsum dolor sit amet consectetur ")), 28)).as("text"))
     val nIndexed = timedMin2("x1_index_100k_docs") {
-      val docs = spark.range(NDocs).select(col("id").as("doc_id"),
-        lit("upload").as("source"),
-        concat(lit("doc "), col("id"), lit(" "),
-          // deterministic ~1.2 KB body, vocabulary rotates by doc id
-          repeat(concat(lit("w"), pmod(col("id"), lit(997)),
-            lit(" lorem ipsum dolor sit amet consectetur ")), 28)).as("text"))
-      pipelines.IndexPipeline.buildIndex(docs).count()
+      pipelines.IndexPipeline.buildIndex(docsCorpus).count()
     }
     stats("x1_vectors_built") = nIndexed.toString
+
+    // ---- S8 at scale: the doc-granular upsert's cost must be bounded
+    // by the TOUCHED buckets, not the table. 400k vectors are written
+    // once partitioned (owner, bucket) at 256 buckets; then 16 docs —
+    // all ≡ 7 (mod 256), i.e. ONE bucket — are re-indexed with new
+    // text through the full write-audit-publish path. The ratio of the
+    // two timings is the pruning: the upsert re-reads and rewrites
+    // ~1/256 of the table plus fixed per-action driver overhead.
+    // (timedMin2 doubles as an idempotence demonstration — the second
+    // pass replays the same merge and must converge to the same
+    // state.)
+    val s8Path = s"$vecDir/vec768_100kdocs_bucketed"
+    if (!Files.exists(Paths.get(s8Path))) timed("s8_bucketed_write_400k") {
+      pipelines.IndexPipeline.writeVectorsBucketed(
+        pipelines.IndexPipeline.buildIndex(docsCorpus), s8Path, nBuckets = 256)
+    }
+    val reBatch = pipelines.IndexPipeline.buildIndex(
+      docsCorpus.filter(pmod(col("doc_id"), lit(256)) === 7 && col("doc_id") < 4096)
+        .withColumn("text", concat(col("text"), lit(" v2"))))
+    timedMin2("s8_upsert_16docs_1bucket") {
+      pipelines.IndexPipeline.upsertDocsBucketed(spark, s8Path, reBatch, nBuckets = 256)
+    }
+    stats("s8_touched_buckets") = "1 of 256"
 
     val json =
       ("{\"corpus\":{\"n_vectors\":" + nVecs + ",\"dim\":" + Dim + ",\"docs\":" + NDocs + "}," +

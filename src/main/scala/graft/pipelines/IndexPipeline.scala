@@ -83,6 +83,14 @@ object IndexPipeline {
     * the tenant owns — the SURVEY §7.4 risk). */
   def writeVectorsBucketed(vectors: DataFrame, path: String, nBuckets: Int = 16): Unit =
     vectors.withColumn("bucket", docBucket(col("doc_id"), nBuckets))
+      // repartition on the partition columns: each (owner, bucket)
+      // lands in exactly one shuffle partition, so a bucket dir gets
+      // ONE file instead of one sliver per upstream partition (at 256
+      // buckets × 32 partitions the naive write creates ~8k files and
+      // the write time is dominated by file open/close — measured 52 s
+      // naive vs 2.6 s repartitioned for 400k vectors in BenchVec's
+      // s8 stage)
+      .repartition(col("owner"), col("bucket"))
       .write.mode("overwrite").partitionBy("owner", "bucket").parquet(path)
 
   /** Per-document upsert over the bucketed layout — WRITE-AUDIT-PUBLISH
