@@ -192,4 +192,59 @@ class BucketedUpsertSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
+
+  test("property: random batch sequences — relational MERGE semantics, idempotent, bucket-isolated") {
+    // Deterministic pseudo-random batch generator (no RNG: splitmix of
+    // the trial index picks doc subsets + a text perturbation), so a
+    // failure reproduces exactly.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val root = Files.createTempDirectory("graft-wap-prop-")
+    val path = root.toString
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 60)
+    IndexPipeline.writeVectorsBucketed(IndexPipeline.buildIndex(docs), path)
+
+    // expected state: doc_id → latest text version applied
+    var latest = Map.empty[Long, Int]
+    for (trial <- 1 to 4) {
+      val picked = (0L until 60L).filter(id => (mix(trial * 100 + id) & 7) == 0)
+      assert(picked.nonEmpty)
+      val marker = "abcdefgh".charAt(trial % 8).toString
+      val batchDocs = docs.filter(col("doc_id").isin(picked.map(Long.box): _*))
+        .withColumn("text", translate(col("text"), marker, "#"))
+      val batch = IndexPipeline.buildIndex(batchDocs)
+      val beforeTrial = partitionChecksums(root)
+      IndexPipeline.upsertDocsBucketed(spark, path, batch)
+      // repeat the SAME upsert: must converge to the same row set
+      // (asserted via the final-state check below)
+      IndexPipeline.upsertDocsBucketed(spark, path, batch)
+      picked.foreach(id => latest += id -> trial)
+      // bucket isolation: partitions outside the batch's buckets kept
+      // their exact files from before this trial
+      val touched = picked.map(_ % 16).toSet
+      val after = partitionChecksums(root)
+      beforeTrial.keys.filterNot(dir => touched.exists(b => dir.endsWith(s"bucket=$b")))
+        .foreach(dir => assert(after(dir) == beforeTrial(dir), s"trial $trial touched $dir"))
+    }
+    // final relational state == MERGE of the latest version per doc
+    val expectedDocs = docs.withColumn("text",
+      (1 to 4).foldLeft(col("text")) { (c, trial) =>
+        val ids = (0L until 60L).filter(id =>
+          (mix(trial * 100 + id) & 7) == 0 && latest(id) == trial)
+        if (ids.isEmpty) c
+        else when(col("doc_id").isin(ids.map(Long.box): _*),
+          translate(col("text"), "abcdefgh".charAt(trial % 8).toString, "#")).otherwise(c)
+      })
+    val expected = IndexPipeline.buildIndex(expectedDocs)
+      .select(col("doc_id"), col("vtype"), col("chunk_index"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(tableState(path) == expected, "final table != latest-version merge")
+
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
 }
