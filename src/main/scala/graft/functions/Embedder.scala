@@ -75,6 +75,79 @@ final class EmbedderAsBackend(embedder: Embedder) extends EmbedderBackend {
   }
 }
 
+/** A REAL out-of-process backend: one child process per partition
+  * (opened by `open()`, killed on task completion), batches piped over
+  * stdin/stdout — exactly how the reference serves its model (a Python
+  * worker process hosting sentence-transformers,
+  * `embedding_service.py:132-179`). Deploy by pointing `command` at a
+  * worker script that loads the real model; SubprocessEmbedSpec drives
+  * the full path through a plain-python child whose toy math is
+  * bit-identical cross-language, so the protocol, batching, lifecycle
+  * and float round-trip are all proven without any model runtime.
+  *
+  * Wire protocol (line-based, deadlock-free because the child answers
+  * only after reading the whole batch):
+  *   parent → child:  "<n>\n" then n payload lines — "-" for null,
+  *                    else base64(UTF-8(text));
+  *   child → parent:  n lines, each `dim` space-separated C99 hex
+  *                    float literals (Python `float.hex()`; parsed
+  *                    bit-exactly by `java.lang.Double.parseDouble`);
+  *   parent → child:  "q\n" on close.
+  * Hex floats make the vector transport lossless — no decimal
+  * round-trip, no locale surprises. */
+final class SubprocessEmbedderBackend(command: Seq[String], val dim: Int)
+    extends EmbedderBackend {
+  def open(): EmbedderHandle = new EmbedderHandle {
+    import java.nio.charset.StandardCharsets.UTF_8
+    private val proc = {
+      val pb = new ProcessBuilder(command: _*)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT) // keep stderr visible, never deadlock
+      pb.start()
+    }
+    private val toChild = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream, UTF_8))
+    private val fromChild = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, UTF_8))
+
+    private def died(cause: Throwable): Nothing =
+      throw new java.io.IOException(
+        s"embed worker ${command.head} died (exit ${if (proc.isAlive) "?" else proc.exitValue()})",
+        cause)
+
+    def embedBatch(texts: Array[String]): Array[Array[Double]] = {
+      try {
+        toChild.write(texts.length.toString); toChild.newLine()
+        texts.foreach { t =>
+          val payload =
+            if (t == null) "-"
+            else java.util.Base64.getEncoder.encodeToString(t.getBytes(UTF_8))
+          toChild.write(payload); toChild.newLine()
+        }
+        toChild.flush()
+      } catch { case e: java.io.IOException => died(e) }
+      texts.map { _ =>
+        val line = fromChild.readLine()
+        if (line == null) died(null)
+        val parts = line.trim.split(" ")
+        require(parts.length == dim,
+          s"embed worker returned ${parts.length} components, expected $dim")
+        parts.map(java.lang.Double.parseDouble)
+      }
+    }
+
+    override def close(): Unit = {
+      try { toChild.write("q"); toChild.newLine(); toChild.flush() }
+      catch { case _: java.io.IOException => () }
+      if (!proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+      // stream closes re-flush; a dead pipe must not fail task cleanup
+      try toChild.close() catch { case _: java.io.IOException => () }
+      try fromChild.close() catch { case _: java.io.IOException => () }
+    }
+  }
+}
+
 /** The batched embedding runner: mapPartitions with per-partition
   * handle init and fixed-size batches — the JVM equivalent of the
   * reference's worker loop (`embedding_service.py:132-179`) and of
