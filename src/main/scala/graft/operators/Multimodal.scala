@@ -35,6 +35,173 @@ object Multimodal {
     }
   }
 
+  /** REAL container-header decoder — the DocFormats move applied to
+    * media (S5/L2 ingest metadata): dependency-free parsers for the
+    * four headers the reference's upload path accepts
+    * (`document_processing_service.py:93-121` routes png/jpg/gif/… to
+    * vision). Full pixel decode stays a deployment plug-in (no codec
+    * libs offline), but width/height/channels — the metadata the
+    * engine actually stores and filters on — come from the REAL bytes:
+    *  - PNG:  IHDR width/height (big-endian at 16/20), channels from
+    *    the color type (0 gray→1, 2 rgb→3, 3 palette→1, 4 gray+α→2,
+    *    6 rgba→4);
+    *  - JPEG: marker walk from SOI skipping by segment length to the
+    *    first SOF0–SOF15 frame header (DHT/DAC/RST excluded), then
+    *    precision/height/width/nComponents;
+    *  - GIF:  logical screen descriptor, little-endian 6/8, RGB;
+    *  - BMP:  DIB width/height (LE at 18/22), channels = bpp/8.
+    * `mm_decode_real` gates writer AND parser: real bytes are built by
+    * `MediaFormats` with dims derived from doc_id, the decoder must
+    * read those dims back from the bytes, and the oracle recomputes
+    * them from the formula. */
+  object HeaderDecoder extends MediaDecoder {
+    private def be16(b: Array[Byte], i: Int) = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int) =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def le16(b: Array[Byte], i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int) =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = {
+      require(bytes.length >= 10, "media too short for any container header")
+      if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+        val channels = (bytes(25) & 0xff) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case ct => throw new IllegalArgumentException(s"PNG color type $ct")
+        }
+        (be32(bytes, 16), be32(bytes, 20), channels)
+      } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+        var i = 2
+        while (i + 4 <= bytes.length) {
+          if ((bytes(i) & 0xff) != 0xff)
+            throw new IllegalArgumentException(s"JPEG marker sync lost at $i")
+          val m = bytes(i + 1) & 0xff
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof)
+            return (be16(bytes, i + 7), be16(bytes, i + 5), bytes(i + 9) & 0xff)
+          // RST0-7/SOI/EOI are bare markers (no length word)
+          i += 2 + (if (m >= 0xd0 && m <= 0xd9) 0 else be16(bytes, i + 2))
+        }
+        throw new IllegalArgumentException("JPEG: no SOF marker before EOF")
+      } else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
+        (le16(bytes, 6), le16(bytes, 8), 3)
+      } else if (bytes(0) == 'B' && bytes(1) == 'M') {
+        (le32(bytes, 18), le32(bytes, 22), (le16(bytes, 28)) / 8)
+      } else throw new IllegalArgumentException("unsupported media container")
+    }
+  }
+
+  /** Minimal REAL media writers (the fixture side of `mm_decode_real`,
+    * same pattern as DocFormats' PDF/DOCX writers): bytes any external
+    * tool recognizes, built dependency-free. */
+  object MediaFormats {
+    /** 8-bit grayscale PNG with real zlib IDAT and CRCs. */
+    def writePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def chunk(tpe: String, data: Array[Byte]): Unit = {
+        val len = data.length
+        out.write(Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+        val body = tpe.getBytes("US-ASCII") ++ data
+        out.write(body)
+        val crc = new java.util.zip.CRC32(); crc.update(body)
+        val c = crc.getValue.toInt
+        out.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      chunk("IHDR", ihdr)
+      val raw = new Array[Byte](h * (w + 1))
+      var y = 0
+      while (y < h) {
+        raw(y * (w + 1)) = 0 // filter: none
+        var x = 0
+        while (x < w) {
+          raw(y * (w + 1) + 1 + x) = ((seed + y * 31 + x) % 251).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val m = defl.deflate(buf); defl.end()
+      chunk("IDAT", buf.take(m))
+      chunk("IEND", Array.empty)
+      out.toByteArray
+    }
+
+    /** JPEG header skeleton: SOI + APP0/JFIF + SOF0 + EOI (no entropy
+      * data — header-level metadata only, which is what the decoder
+      * contract reads). */
+    def writeJpeg(w: Int, h: Int, nComp: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+      val jfif = Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      out.write(Array(0xff, 0xe0, 0, (jfif.length + 2)).map(_.toByte))
+      out.write(jfif)
+      val sofLen = 8 + 3 * nComp
+      out.write(Array(0xff, 0xc0, (sofLen >>> 8), sofLen & 0xff, 8,
+        (h >>> 8), h & 0xff, (w >>> 8), w & 0xff, nComp).map(_.toByte))
+      for (c <- 1 to nComp) out.write(Array(c, 0x11, 0).map(_.toByte))
+      out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
+      out.toByteArray
+    }
+
+    /** Complete GIF89a: logical screen descriptor, 2-color global
+      * table, image descriptor and real LZW pixel data (the classic
+      * "clear code after every pixel" trick keeps the code width
+      * constant at 3 bits — valid LZW any decoder accepts, no
+      * dictionary needed). */
+    def writeGif(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(Array[Byte]((w & 0xff).toByte, ((w >>> 8) & 0xff).toByte,
+        (h & 0xff).toByte, ((h >>> 8) & 0xff).toByte,
+        0x80.toByte, 0, 0)) // GCT present, 2 entries
+      out.write(Array[Byte](0, 0, 0, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+      out.write(Array[Byte](0x2c, 0, 0, 0, 0,
+        (w & 0xff).toByte, ((w >>> 8) & 0xff).toByte,
+        (h & 0xff).toByte, ((h >>> 8) & 0xff).toByte, 0))
+      out.write(2) // LZW minimum code size
+      val data = new java.io.ByteArrayOutputStream()
+      var cur = 0; var nbits = 0
+      def put(code: Int): Unit = { // LSB-first, constant 3-bit codes
+        cur |= code << nbits; nbits += 3
+        while (nbits >= 8) { data.write(cur & 0xff); cur >>>= 8; nbits -= 8 }
+      }
+      put(4) // clear
+      var i = 0; val n = w * h
+      while (i < n) { put(i & 1); put(4); i += 1 }
+      put(5) // end of information
+      if (nbits > 0) data.write(cur & 0xff)
+      val d = data.toByteArray
+      var off = 0
+      while (off < d.length) { // ≤255-byte sub-blocks
+        val len = math.min(255, d.length - off)
+        out.write(len); out.write(d, off, len); off += len
+      }
+      out.write(0)    // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** 24-bit uncompressed BMP with a pixel payload. */
+    def writeBmp(w: Int, h: Int): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      val dataSize = rowBytes * h
+      val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54)
+        .putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      b.array()
+    }
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("n_bytes", LongType),
     StructField("width", IntegerType), StructField("height", IntegerType),
@@ -97,6 +264,30 @@ object Multimodal {
     "mm_decode_meta" -> ((s, d) =>
       decodeMedia(mediaTable(s, d)).orderBy("doc_id")),
 
+    // REAL decode over REAL bytes: the fixture builds genuine
+    // PNG/JPEG/GIF/BMP containers (format cycles by doc_id, dims
+    // derived from doc_id), HeaderDecoder parses them back, and the
+    // oracle recomputes the dims from the formula — a write→parse
+    // round-trip gate on BOTH the writers and the parser (the
+    // DocFormats pattern for media).
+    "mm_decode_real" -> ((s, d) => {
+      val mediaUdf = udf((id: Long) => {
+        val w = 16 + (id % 23).toInt
+        val h = 16 + ((id * 7) % 19).toInt
+        (id % 4) match {
+          case 0 => MediaFormats.writePng(w, h, id)
+          case 1 => MediaFormats.writeJpeg(w, h, 3)
+          case 2 => MediaFormats.writeGif(w, h)
+          case _ => MediaFormats.writeBmp(w, h)
+        }
+      })
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), mediaUdf(col("doc_id")).as("content"))
+      decodeMedia(media, HeaderDecoder)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"))
+        .orderBy("doc_id")
+    }),
+
     // Feature extraction over binary media (stubbed model, real
     // mapPartitions batch plumbing).
     "mm_feature_extract" -> ((s, d) =>
@@ -128,6 +319,14 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Real-decode round trip: dims recomputed from the fixture
+    // formula; PNG rows are grayscale (1 channel), the others RGB.
+    "mm_decode_real" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 23 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 19 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS INT) AS channels
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  (64 + octet_length(encode(text)) % 512)::INT AS width,
