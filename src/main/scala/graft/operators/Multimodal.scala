@@ -91,6 +91,35 @@ object Multimodal {
     }
   }
 
+  /** RIFF/WAVE header parse — the audio leg of the real-decode story:
+    * walks the chunk list (fmt may not be first in the wild), returns
+    * (sampleRate, channels, nSamples). Duration = nSamples/sampleRate
+    * downstream; `mm_audio_meta` gates writer + parser like
+    * `mm_decode_real` does for images. */
+  object AudioHeader {
+    def parseWav(bytes: Array[Byte]): (Int, Int, Long) = {
+      require(bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+        bytes(10) == 'V' && bytes(11) == 'E', "not a RIFF/WAVE file")
+      val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var rate = -1; var channels = -1; var blockAlign = -1; var dataLen = -1L
+      while (pos + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val len = b.getInt(pos + 4)
+        if (id == "fmt ") {
+          channels = b.getShort(pos + 10).toInt
+          rate = b.getInt(pos + 12)
+          blockAlign = b.getShort(pos + 20).toInt
+        } else if (id == "data") dataLen = len.toLong
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && channels > 0 && blockAlign > 0 && dataLen >= 0,
+        "WAV: missing fmt or data chunk")
+      (rate, channels, dataLen / blockAlign)
+    }
+  }
+
   /** Minimal REAL media writers (the fixture side of `mm_decode_real`,
     * same pattern as DocFormats' PDF/DOCX writers): bytes any external
     * tool recognizes, built dependency-free. */
@@ -185,6 +214,25 @@ object Multimodal {
       out.write(0)    // block terminator
       out.write(0x3b) // trailer
       out.toByteArray
+    }
+
+    /** Canonical RIFF/WAVE file: fmt chunk (PCM) + data chunk of
+      * silence — real audio bytes for the audio-metadata path. */
+    def writeWav(sampleRate: Int, channels: Int, nSamples: Int,
+                 bitsPerSample: Int = 16): Array[Byte] = {
+      val dataSize = nSamples * channels * (bitsPerSample / 8)
+      val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * (bitsPerSample / 8))
+        .putShort((channels * (bitsPerSample / 8)).toShort)
+        .putShort(bitsPerSample.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      b.array()
     }
 
     /** 24-bit uncompressed BMP with a pixel payload. */
@@ -288,6 +336,25 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // Audio leg of the real-decode story: genuine RIFF/WAVE bytes
+    // (PCM fmt + data chunks, params derived from doc_id), parsed
+    // back by the chunk-walking AudioHeader, duration computed from
+    // the REAL data-chunk length — oracle recomputes the formula.
+    "mm_audio_meta" -> ((s, d) => {
+      val wavUdf = udf((id: Long) => MediaFormats.writeWav(
+        sampleRate = 8000 + (id % 3).toInt * 4025, // 8000/12025/16050
+        channels = 1 + (id % 2).toInt,
+        nSamples = 400 + (id * 13 % 1600).toInt))
+      val parseUdf = udf((bytes: Array[Byte]) => AudioHeader.parseWav(bytes))
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), parseUdf(wavUdf(col("doc_id"))).as("m"))
+        .select(col("doc_id"), col("m._1").as("sample_rate"),
+          col("m._2").as("channels"), col("m._3").as("n_samples"),
+          // duration in whole ms — INTEGER division, exact cross-engine
+          expr("m._3 * 1000 div m._1").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // Feature extraction over binary media (stubbed model, real
     // mapPartitions batch plumbing).
     "mm_feature_extract" -> ((s, d) =>
@@ -326,6 +393,14 @@ object Multimodal {
         |  CAST(16 + doc_id % 23 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 19 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS INT) AS channels
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 3) * 4025 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(400 + (doc_id * 13) % 1600 AS BIGINT) AS n_samples,
+        |  CAST((400 + (doc_id * 13) % 1600) * 1000
+        |       // (8000 + (doc_id % 3) * 4025) AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -47,6 +47,31 @@ class MediaFormatsSpec extends AnyFunSuite {
     assert(HeaderDecoder.decode(MediaFormats.writeBmp(8, 9)) == ((8, 9, 3)))
   }
 
+  test("our WAV bytes parse with the JDK's audio system to the written params") {
+    import graft.operators.Multimodal.AudioHeader
+    for ((rate, ch, n) <- Seq((8000, 1, 400), (16050, 2, 1999), (44100, 2, 1))) {
+      val bytes = MediaFormats.writeWav(rate, ch, n)
+      // independent codec: javax.sound.sampled
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(aff.getFormat.getSampleRate.toInt == rate)
+      assert(aff.getFormat.getChannels == ch)
+      assert(aff.getFrameLength == n, s"JDK frame length ${aff.getFrameLength} != $n")
+      // our parser agrees
+      assert(AudioHeader.parseWav(bytes) == ((rate, ch, n.toLong)))
+    }
+  }
+
+  test("WAV chunk walk survives an extra chunk before fmt") {
+    import graft.operators.Multimodal.AudioHeader
+    val base = MediaFormats.writeWav(8000, 1, 10)
+    // splice a LIST chunk between 'WAVE' and 'fmt '
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.take(12) ++ extra ++ base.drop(12)
+    assert(AudioHeader.parseWav(spliced) == ((8000, 1, 10L)))
+  }
+
   test("corrupt or unknown containers fail loudly") {
     intercept[IllegalArgumentException] {
       HeaderDecoder.decode("not an image at all".getBytes)
