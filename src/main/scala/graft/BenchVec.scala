@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 import graft.operators.Search
+import graft.operators.{ProductQuantization => PQ}
 
 /** Scale-realistic vector benchmark — BASELINE.md's own BENCH target
   * ("synthetic vector corpus, 100k docs × ~5 chunks, 768-d"), which
@@ -30,12 +31,20 @@ import graft.operators.Search
   *    = 56/1024 partitions): training-free pruning, same property.
   *  - semdedup at 16 planes (65,536 cells): candidate pairs grow with
   *    Σ bucket², so cell occupancy (reported) is the scale knob.
+  *  - pq / ivf-pq (96-subspace × 256-codeword product quantization):
+  *    the compressed-scan tier — codes are 96 B vs 3,072 B float32,
+  *    ADC scoring against a broadcast lookup table, exact rescore of
+  *    the top 200; IVF-PQ writes codes partitioned by cell so a query
+  *    reads (nProbe/nCells) × 3 % of the corpus bytes.
   *  - x1_index_100k: chunk → batch-embed → index over 100k synthetic
   *    docs — the pipeline's map-only shape at corpus scale.
-  * Recall@10 vs brute force is reported for both ANN paths; ±1
-  * synthetic vectors are the structureless worst case for recall, so
-  * real-corpus recall sits above these numbers while the SPEED ratio
-  * (the thing this benchmark pins) is structure-independent.
+  * Recall@10 vs brute force is reported for every ANN path, twice:
+  * on the UNSTRUCTURED corpus (the provable worst case — true top-10
+  * are near-tie marginals, so recall there measures the corpus, not
+  * the index) and on a CLUSTERED corpus of the same size (1,024
+  * latent centers — the shape real embedding corpora have, and the
+  * recall that predicts production). The nProbe sweep reports the
+  * recall/scan-fraction curve an operator would actually tune.
   */
 object BenchVec extends Serializable {
   private val NDocs = 100000
@@ -197,6 +206,25 @@ object BenchVec extends Serializable {
     // random corpus are near-tie marginals scattered across all cells)
     stats("ivf_target_found") =
       f3((0 until NQueries).count(i => ivfHits(i).contains(8000L * i)).toDouble / NQueries)
+
+    // Probe sweep — the recall/scan-fraction CURVE, not one point: at
+    // 100 TB nProbe is the knob an operator actually turns, and the
+    // sweep shows where the random-corpus recall saturates vs the
+    // nProbe/nCells scan cost. (nProbe=4 is measured above.)
+    for (np <- Seq(1, 8, 16)) {
+      val hits: Seq[Set[Long]] = timedMin2(s"ivf_topk_8q_nprobe$np") {
+        (0 until NQueries).map { i =>
+          val cells = Search.ivfProbeCells(centroids, "u1", qv(i), np)
+          Search.knn(ivfIndexed.filter(col("cell").isin(cells: _*)), qv(i), 10, -1.0,
+              idCol = "id", embCol = "embedding")
+            .select("id").collect().map(_.getLong(0)).toSet
+        }
+      }
+      stats(s"ivf_recall_nprobe$np") =
+        f3(hits.zip(brute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+      stats(s"ivf_target_found_nprobe$np") =
+        f3((0 until NQueries).count(i => hits(i).contains(8000L * i)).toDouble / NQueries)
+    }
     val cellSizes = ivfIndexed.groupBy("cell").count()
       .select("count").collect().map(_.getLong(0)).sorted
     stats("ivf_cell_occupancy") =
@@ -285,6 +313,70 @@ object BenchVec extends Serializable {
     stats("semdedup_cell_occupancy") =
       s"""{"cells":${bucket16.length},"min":${bucket16.head},"p50":${bucket16(bucket16.length / 2)},"max":${bucket16.last}}"""
 
+    // ---- PQ: compressed-scan ANN (m=96 × ksub=256 ⇒ 96 B codes vs
+    // 3,072 B float32 embeddings — a 32× smaller full-corpus scan,
+    // ADC-scored against a broadcast 96×256 lookup table, exact
+    // rescore of the top 200). The scan-bytes ratio is the 100 TB
+    // story: the raw table is touched for rescoreK rows only. ----
+    val corpusT = corpus.withColumn("tenant", lit("all"))
+    val pqBooks = timed("pq_train_sampled") {
+      PQ.pqTrainSampled(corpusT, "tenant", "vec_id", "embedding", 96, 256, 2048)
+    }
+    val pqPath = s"$vecDir/vec768_500k_pq"
+    if (!Files.exists(Paths.get(pqPath))) timed("pq_encode_write") {
+      PQ.pqEncode(corpusT, "tenant", "vec_id", "embedding", pqBooks)
+        .write.mode("overwrite").parquet(pqPath)
+    }
+    val pqEnc = spark.read.parquet(pqPath)
+    val pqHits: Seq[Set[Long]] = timedMin2("pq_adc_topk_8q_rescore200") {
+      (0 until NQueries).map { i =>
+        PQ.pqSearch(pqEnc, corpusT, pqBooks, "all", qv(i), 10, 200,
+            threshold = -1.0, idCol = "vec_id", embCol = "embedding")
+          .select("id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    stats("pq_recall_at_10") =
+      f3(pqHits.zip(brute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+    stats("pq_target_found") =
+      f3((0 until NQueries).count(i => pqHits(i).contains(8000L * i)).toDouble / NQueries)
+    stats("pq_code_bytes") = "96 of 3072 float32 (32x)"
+
+    // ---- IVF-PQ: the full FAISS-shaped serving layout — codes joined
+    // to their IVF cell, written partitioned by cell. A query reads
+    // ONLY the probed partitions' CODES: per-query scan ≈
+    // (nProbe/nCells) × 96 B/row, compounding both prunings. ----
+    val ivfpqPath = s"$vecDir/vec768_500k_ivfpq"
+    if (!Files.exists(Paths.get(ivfpqPath))) timed("ivfpq_codes_write") {
+      pqEnc.join(ivfIndexed.select(col("id").as("vec_id"), col("cell")), Seq("vec_id"))
+        .select("vec_id", "codes", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(ivfpqPath)
+    }
+    val ivfpq = spark.read.parquet(ivfpqPath)
+    val ivfpqHits: Seq[Set[Long]] = timedMin2("ivfpq_topk_8q_nprobe8_rescore200") {
+      (0 until NQueries).map { i =>
+        val cells = Search.ivfProbeCells(centroids, "u1", qv(i), 8)
+        val lut = spark.sparkContext.broadcast(PQ.adcLut(pqBooks("all"), qv(i)))
+        val adcUdf = udf { (codes: Seq[Int]) =>
+          val l = lut.value; var acc = 0.0; var s = 0
+          while (s < l.length) { acc += l(s)(codes(s)); s += 1 }
+          acc
+        }
+        val cand = ivfpq.filter(col("cell").isin(cells: _*))
+          .withColumn("adc", adcUdf(col("codes")))
+          .orderBy(col("adc").desc, col("vec_id").asc).limit(200)
+          .select("vec_id")
+        corpus.join(broadcast(cand), Seq("vec_id"))
+          .withColumn("sim", VectorFunctions.dot(col("embedding"),
+            typedLit(qv(i))))
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    stats("ivfpq_recall_at_10") =
+      f3(ivfpqHits.zip(brute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+    stats("ivfpq_target_found") =
+      f3((0 until NQueries).count(i => ivfpqHits(i).contains(8000L * i)).toDouble / NQueries)
+
     // ---- X1 at corpus scale: chunk → batch-embed → index 100k docs ----
     def docsCorpus = spark.range(NDocs).select(col("id").as("doc_id"),
       lit("upload").as("source"),
@@ -319,6 +411,106 @@ object BenchVec extends Serializable {
       pipelines.IndexPipeline.upsertDocsBucketed(spark, s8Path, reBatch, nBuckets = 256)
     }
     stats("s8_touched_buckets") = "1 of 256"
+
+    // ---- CLUSTERED corpus: recall realism. The sections above run on
+    // UNSTRUCTURED random vectors — the provable worst case for any
+    // pruned search (true top-10 are near-tie marginals scattered
+    // uniformly, so low recall@10 there measures the corpus, not the
+    // index). Real embedding corpora are clustered; this section draws
+    // the same 500k vectors around 1,024 latent centers
+    // (unit(center + 0.6·noise) ⇒ ~0.73 within-cluster cosine vs ~0
+    // cross-cluster) and re-measures — the number that predicts
+    // production recall. ----
+    val cluUdf = udf { (id: Long) =>
+      val c = hashUnitVec(9000000L + id % 1024, Dim)
+      val n = hashUnitVec(4000000L + id, Dim)
+      val v = Array.tabulate(Dim)(j => c(j) + 0.6 * n(j))
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nn)
+    }
+    val cluPath = s"$vecDir/vec768_500k_clu"
+    if (!Files.exists(Paths.get(cluPath))) timed("clu_gen_corpus") {
+      spark.range(NDocs)
+        .select(col("id").as("doc_id"),
+          explode(sequence(lit(0L), lit(2L) + pmod(col("id"), lit(5L)))).as("cidx"))
+        .select((col("doc_id") * 8 + col("cidx")).as("vec_id"),
+          cluUdf(col("doc_id") * 8 + col("cidx")).cast("array<float>").as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(cluPath)
+    }
+    val clu = spark.read.parquet(cluPath)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    def cluVec(id: Long): Array[Double] = {
+      val c = hashUnitVec(9000000L + id % 1024, Dim)
+      val n = hashUnitVec(4000000L + id, Dim)
+      val v = Array.tabulate(Dim)(j => c(j) + 0.6 * n(j))
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nn)
+    }
+    def cluQv(i: Int): Seq[Double] = {
+      val t = cluVec(8000L * i)
+      val noise = hashUnitVec(3100000L + i, Dim)
+      val v = Array.tabulate(Dim)(j => t(j) + 0.5 * noise(j))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val cluBrute: Seq[Set[Long]] = timedMin2("clu_brute_force_8q") {
+      (0 until NQueries).map { i =>
+        Search.knn(clu, cluQv(i), 10, -1.0, idCol = "vec_id")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    val cluT = clu.withColumn("tenant", lit("u1"))
+    val cluCents = timed("clu_ivf_train_sampled") {
+      Search.ivfTrainSampled(cluT, "tenant", "vec_id", "embedding", NCells)
+    }
+    val cluIvfPath = s"$vecDir/vec768_500k_clu_ivf"
+    if (!Files.exists(Paths.get(cluIvfPath))) timed("clu_ivf_assign_write") {
+      Search.ivfAssign(cluT, "tenant", "vec_id", "embedding", cluCents)
+        .write.mode("overwrite").partitionBy("tenant", "cell").parquet(cluIvfPath)
+    }
+    val cluIvf = spark.read.parquet(cluIvfPath)
+    for (np <- Seq(4, 8)) {
+      val hits: Seq[Set[Long]] = timedMin2(s"clu_ivf_topk_8q_nprobe$np") {
+        (0 until NQueries).map { i =>
+          val cells = Search.ivfProbeCells(cluCents, "u1", cluQv(i), np)
+          Search.knn(cluIvf.filter(col("cell").isin(cells: _*)), cluQv(i), 10, -1.0,
+              idCol = "id", embCol = "embedding")
+            .select("id").collect().map(_.getLong(0)).toSet
+        }
+      }
+      stats(s"clu_ivf_recall_nprobe$np") =
+        f3(hits.zip(cluBrute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+      stats(s"clu_ivf_target_found_nprobe$np") =
+        f3((0 until NQueries).count(i => hits(i).contains(8000L * i)).toDouble / NQueries)
+    }
+    val cluCellSizes = cluIvf.groupBy("cell").count()
+      .select("count").collect().map(_.getLong(0)).sorted
+    stats("clu_ivf_cell_occupancy") =
+      s"""{"cells":${cluCellSizes.length},"min":${cluCellSizes.head},"p50":${cluCellSizes(cluCellSizes.length / 2)},"max":${cluCellSizes.last}}"""
+    val cluBooks = timed("clu_pq_train_sampled") {
+      PQ.pqTrainSampled(cluT.withColumn("tenant", lit("all")),
+        "tenant", "vec_id", "embedding", 96, 256, 2048)
+    }
+    val cluPqPath = s"$vecDir/vec768_500k_clu_pq"
+    if (!Files.exists(Paths.get(cluPqPath))) timed("clu_pq_encode_write") {
+      PQ.pqEncode(cluT.withColumn("tenant", lit("all")),
+          "tenant", "vec_id", "embedding", cluBooks)
+        .write.mode("overwrite").parquet(cluPqPath)
+    }
+    val cluPqEnc = spark.read.parquet(cluPqPath)
+    val cluPqHits: Seq[Set[Long]] = timedMin2("clu_pq_adc_topk_8q_rescore200") {
+      (0 until NQueries).map { i =>
+        PQ.pqSearch(cluPqEnc, cluT.withColumn("tenant", lit("all")), cluBooks, "all",
+            cluQv(i), 10, 200, threshold = -1.0,
+            idCol = "vec_id", embCol = "embedding")
+          .select("id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    stats("clu_pq_recall_at_10") =
+      f3(cluPqHits.zip(cluBrute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+    stats("clu_pq_target_found") =
+      f3((0 until NQueries).count(i => cluPqHits(i).contains(8000L * i)).toDouble / NQueries)
 
     val json =
       ("{\"corpus\":{\"n_vectors\":" + nVecs + ",\"dim\":" + Dim + ",\"docs\":" + NDocs + "}," +

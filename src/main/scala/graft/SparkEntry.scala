@@ -31,7 +31,7 @@ object SparkEntry {
       evaluation.RetrievalEval.queries ++ operators.Conversations.queries ++
       operators.Skew.queries ++ operators.Temporal.queries ++
       model.CoreModel.queries ++ operators.Layout.queries ++
-      operators.ResponseCache.queries
+      operators.ResponseCache.queries ++ operators.ProductQuantization.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +44,5 @@ object SparkEntry {
       operators.Conversations.oracles ++ operators.Skew.oracles ++
       operators.Temporal.oracles ++ model.CoreModel.oracles ++
       evaluation.RetrievalEval.oracles ++ operators.Layout.oracles ++
-      operators.ResponseCache.oracles
+      operators.ResponseCache.oracles ++ operators.ProductQuantization.oracles
 }

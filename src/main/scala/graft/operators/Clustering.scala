@@ -755,11 +755,12 @@ object Clustering {
     * labels = assignment against the it=9 centroids (Scala's 10th
     * and last assignment pass). Assumes ≥ k points per tenant (the
     * fixture has ~50+). */
-  private[graft] def kmeansCte(k: Int, src: String = "e", pre: String = ""): String = {
+  private[graft] def kmeansCte(k: Int, src: String = "e", pre: String = "",
+                               dim: Int = 64): String = {
     val cis = (0 until k)
     // squared distance of point emb to centroid c (1-based list index)
     def d(ci: Int) =
-      s"""list_reduce(list_transform(range(1, 65),
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
          |  j -> (p.emb[j] - s.cens[${ci + 1}][j]) * (p.emb[j] - s.cens[${ci + 1}][j])),
          |  (x, y) -> x + y)""".stripMargin
     // first-strict-minimum argmin, lowest index on ties: the FIRST
@@ -773,7 +774,7 @@ object Clustering {
     val members = cis.map(ci =>
       s"list(p2.emb ORDER BY p2.id) FILTER (WHERE p2.best = $ci) AS m$ci").mkString(",\n    ")
     val newCens = cis.map { ci =>
-      s"""CASE WHEN len(m$ci) > 0 THEN list_transform(range(1, 65),
+      s"""CASE WHEN len(m$ci) > 0 THEN list_transform(range(1, ${dim + 1}),
          |  j -> list_reduce(list_transform(m$ci, v -> v[j]), (x, y) -> x + y)
          |       / CAST(len(m$ci) AS DOUBLE))
          |ELSE oldcens[${ci + 1}] END""".stripMargin

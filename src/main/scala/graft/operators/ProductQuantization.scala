@@ -1,0 +1,318 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions.dot
+
+/** Product quantization (PQ) — the compressed-scan ANN path for the
+  * 100 TB tier, complementing the IVF cell layout (`Search.ivfBuild`)
+  * and int8 scalar quantization (`vq_quantize_int8`).
+  *
+  * The reference serves vectors from an in-process ChromaDB store
+  * (`vector_db_service.py:165-261`) and never needs compression at its
+  * ≤10k-vector tenant scale; at corpus scale the dominant ANN cost is
+  * the bytes scanned per query, and PQ attacks exactly that: each
+  * embedding is split into `m` subvectors, each subvector replaced by
+  * the index of its nearest codeword in a per-subspace codebook
+  * trained on a bounded sample. A 768-d float64 vector (6,144 B)
+  * becomes `m` small ints (m bytes at ksub ≤ 256) — a 32–64×
+  * smaller scan with query-time scoring via an m×ksub lookup table
+  * (asymmetric distance computation, ADC), then exact rescoring of
+  * the top candidates from the uncompressed store.
+  *
+  * Every stage is deterministic and oracle-replayable (the same
+  * discipline as the sampled IVF build, `Search.ivfTrainSampled`):
+  *  - TRAIN: per tenant, the `sampleCap` lowest-id vectors; per
+  *    subspace, the shared deterministic Lloyd kernel
+  *    (`Clustering.localKMeans` — evenly-spaced id-order init, 10
+  *    iterations, keep-first argmin) over the subvector slices;
+  *    codewords are member means folded in id order. The DuckDB
+  *    oracle replays this with `Clustering.kmeansCte` at dim = dsub.
+  *  - ENCODE: one narrow map over the corpus against the broadcast
+  *    codebooks — argmin of squared distance, left fold, keep-first
+  *    `<` tiebreak (exactly `Search.ivfAssign`'s loop). Zero shuffle.
+  *  - SEARCH: the ADC lookup table is built driver-side (m×ksub
+  *    doubles — tiny) and broadcast; scoring the code column is a
+  *    narrow map + TakeOrderedAndProject; the `rescoreK` survivors
+  *    broadcast-join back to the uncompressed table for exact dots.
+  *
+  * Scale posture: train is bounded (sampleCap × tenants rows through
+  * the driver), encode and ADC scan are shuffle-free maps, rescore
+  * touches `rescoreK` rows. At 100 TB the codes table is the only
+  * full-corpus scan — `m / (8 × dim)` of the raw bytes — and pairs
+  * with the IVF (tenant, cell) layout for probe-pruned ADC
+  * (`BenchVec` measures both at 500k × 768-d).
+  */
+object ProductQuantization {
+
+  /** codebooks(s)(c) = codeword c of subspace s, a dsub-length vector. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Train per-tenant PQ codebooks on a deterministic bounded sample
+    * (the `sampleCap` lowest ids — same rank rule as
+    * `Search.ivfTrainSampled`, no RNG). `m` must divide the embedding
+    * dim. Returns tenant → m codebooks of ≤ ksub codewords each
+    * (Lloyd cells that end empty are dropped by the dense renumbering,
+    * same as the IVF build). */
+  def pqTrainSampled(vectors: DataFrame, tenantCol: String, idCol: String,
+                     embCol: String, m: Int, ksub: Int,
+                     sampleCap: Int = 2048): Map[String, Codebooks] = {
+    // keys-only rank window, embeddings fetched by broadcast join —
+    // never sorts full rows through one task (see ivfTrainSampled)
+    val keys = vectors
+      .select(col(tenantCol).cast("string").as("tenant"), col(idCol).cast("long").as("id"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("tenant").orderBy("id")))
+      .filter(col("_rn") <= sampleCap)
+      .select("tenant", "id")
+    val sample = vectors
+      .select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .join(broadcast(keys), Seq("tenant", "id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    sample.groupBy(_._1).map { case (t, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val dim = pts.head._2.length
+      require(dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
+      val books: Codebooks = Array.tabulate(m) { s =>
+        val sub = pts.map { case (id, v) =>
+          (id, java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+        }
+        val assigned = Clustering.localKMeans(sub, ksub)
+        val byId = sub.toMap
+        // member means folded in id order — bit-reproducible and
+        // exactly the oracle's list(emb ORDER BY id) fold
+        assigned.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, ms) =>
+          val sum = new Array[Double](dsub)
+          ms.sortBy(_._1).foreach { mm =>
+            val v = byId(mm._1); var j = 0
+            while (j < dsub) { sum(j) += v(j); j += 1 }
+          }
+          sum.map(_ / ms.length)
+        }.toArray
+      }
+      t -> books
+    }
+  }
+
+  /** Encode every vector as its m nearest-codeword indices — ONE
+    * narrow map against the broadcast codebooks (squared-distance
+    * left fold, keep-first `<` tiebreak). Output (tenant, id, codes);
+    * write this partitioned/bucketed and the ADC scan never touches
+    * the raw embeddings. */
+  def pqEncode(vectors: DataFrame, tenantCol: String, idCol: String,
+               embCol: String, codebooks: Map[String, Codebooks]): DataFrame = {
+    val bc = vectors.sparkSession.sparkContext.broadcast(codebooks)
+    val encUdf = udf { (t: String, e: Seq[Double]) =>
+      val books = bc.value(t)
+      val m = books.length
+      val v = e.toArray
+      val dsub = v.length / m
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val cb = books(s)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          val cen = cb(c); var dd = 0.0; var j = 0
+          while (j < dsub) { val df = v(s * dsub + j) - cen(j); dd += df * df; j += 1 }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        codes(s) = best; s += 1
+      }
+      codes
+    }
+    vectors
+      .select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("embedding"))
+      .select(col("tenant"), col("id"),
+        encUdf(col("tenant"), col("embedding")).as("codes"))
+  }
+
+  /** ADC lookup table for one query: lut(s)(c) = dot(query subvector
+    * s, codeword c) — m×ksub doubles, built driver-side, broadcast.
+    * Σ_s lut(s)(code_s) approximates dot(query, vector) with the
+    * vector snapped to its codewords. */
+  def adcLut(books: Codebooks, queryVec: Seq[Double]): Array[Array[Double]] = {
+    val q = queryVec.toArray
+    val m = books.length
+    val dsub = q.length / m
+    Array.tabulate(m) { s =>
+      val cb = books(s)
+      Array.tabulate(cb.length) { c =>
+        var acc = 0.0; var j = 0
+        while (j < dsub) { acc += q(s * dsub + j) * cb(c)(j); j += 1 }
+        acc
+      }
+    }
+  }
+
+  /** PQ search: ADC-score the code column (narrow map + TakeOrdered),
+    * take the `rescoreK` best candidates, broadcast them back to the
+    * uncompressed vectors for exact cosine, return the exact top-k.
+    * The full-corpus scan reads ONLY the codes; the embedding store is
+    * touched for `rescoreK` rows. */
+  def pqSearch(encoded: DataFrame, vectors: DataFrame,
+               codebooks: Map[String, Codebooks], tenant: String,
+               queryVec: Seq[Double], k: Int, rescoreK: Int,
+               threshold: Double = 0.0, tenantCol: String = "tenant",
+               idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val spark = encoded.sparkSession
+    val bc = spark.sparkContext.broadcast(adcLut(codebooks(tenant), queryVec))
+    val adcUdf = udf { (codes: Seq[Int]) =>
+      val l = bc.value
+      var acc = 0.0; var s = 0
+      while (s < l.length) { acc += l(s)(codes(s)); s += 1 }
+      acc
+    }
+    val cand = encoded.filter(col("tenant") === tenant)
+      .withColumn("adc_score", adcUdf(col("codes")))
+      .orderBy(col("adc_score").desc, col("id").asc)
+      .limit(rescoreK)
+      .select("id", "adc_score")
+    vectors.filter(col(tenantCol) === tenant)
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .join(broadcast(cand), Seq("id"))
+      .withColumn("sim", dot(col("emb"), typedLit(queryVec)))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+      .select("id", "adc_score", "sim")
+  }
+
+  // ---------------------------------------------------------------- //
+
+  private val M = 4
+  private val Ksub = 8
+  private val SampleCap = 256
+  private val RescoreK = 50
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("tenant", lit("all"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PQ ANN end-to-end under the exact gate: sampled per-subspace
+    // Lloyd training (m=4 × k=8 over the 256 lowest ids), full-corpus
+    // encode, ADC top-50 by lookup-table score, exact rescore top-10.
+    // The oracle replays all four stages (kmeansCte at dim=16 per
+    // subspace); codeword ids differ by a monotone relabeling (dense
+    // vs raw Lloyd ids) that no output column observes.
+    "ann_pq_topk" -> ((s, d) => {
+      val e = base(s, d)
+      val books = pqTrainSampled(e, "tenant", "vec_id", "embedding", M, Ksub, SampleCap)
+      val enc = pqEncode(e, "tenant", "vec_id", "embedding", books)
+      val q = Search.qvecs(s, d, Seq(0L)).head
+      pqSearch(enc, e, books, "all", q, 10, RescoreK,
+        idCol = "vec_id", embCol = "embedding")
+    }),
+
+    // Full-corpus encode distribution: every vector's code assignment
+    // per subspace, reduced to the per-subspace occupancy profile
+    // (rank by descending count). Gates the ENCODE stage over ALL
+    // vectors — ann_pq_topk only observes codes that survive the ADC
+    // cut. Rows are (s, rank, cnt): on count ties the rank↔codeword
+    // pairing is arbitrary on both engines but the emitted rows are
+    // identical, so the hash is stable.
+    "pq_code_balance" -> ((s, d) => {
+      val e = base(s, d)
+      val books = pqTrainSampled(e, "tenant", "vec_id", "embedding", M, Ksub, SampleCap)
+      val enc = pqEncode(e, "tenant", "vec_id", "embedding", books)
+      enc.select(posexplode(col("codes")).as(Seq("s", "code")))
+        .groupBy("s", "code").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("s").orderBy(col("cnt").desc, col("code").asc)))
+        .select(col("s"), col("rnk"), col("cnt"))
+        .orderBy("s", "rnk")
+    })
+  )
+
+  /** Per-subspace slice source + Lloyd replay + member-mean codebook +
+    * full-corpus argmin encode, with the subspace's ADC lut score
+    * attached to the winning codeword. `off` = s × dsub. */
+  private def subspaceCte(s: Int, dsub: Int): String = {
+    val off = s * dsub
+    val rng = s"range(1, ${dsub + 1})"
+    s"""p${s}src AS (
+       |  SELECT id, tenant, list_transform($rng, j -> emb[j + $off]) AS emb
+       |  FROM esample),
+       |${Clustering.kmeansCte(Ksub, s"p${s}src", s"p${s}_", dsub)},
+       |p${s}cb AS (
+       |  SELECT k.best AS cell, count(*) AS cnt, list(p.emb ORDER BY p.id) AS m
+       |  FROM p${s}_kassign k JOIN p${s}src p ON p.id = k.id
+       |  GROUP BY k.best),
+       |p${s}cen AS (
+       |  SELECT cell,
+       |    list_transform($rng,
+       |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+       |           / CAST(cnt AS DOUBLE)) AS centroid
+       |  FROM p${s}cb),
+       |p${s}a AS (
+       |  SELECT id, cell, sc FROM (
+       |    SELECT p.id, c.cell,
+       |      list_inner_product(c.centroid,
+       |        list_transform($rng, j -> q.qv[j + $off])) AS sc,
+       |      row_number() OVER (PARTITION BY p.id ORDER BY
+       |        list_reduce(list_transform($rng,
+       |          j -> (p.emb[j + $off] - c.centroid[j]) * (p.emb[j + $off] - c.centroid[j])),
+       |          (x, y) -> x + y) ASC,
+       |        c.cell ASC) AS rnk
+       |    FROM eall p CROSS JOIN p${s}cen c CROSS JOIN q)
+       |  WHERE rnk = 1)""".stripMargin
+  }
+
+  private def pqPrelude(dim: Int): String = {
+    val dsub = dim / M
+    s"""eall AS (
+       |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |esample AS (
+       |  SELECT id, tenant, emb FROM (
+       |    SELECT id, tenant, emb,
+       |      row_number() OVER (PARTITION BY tenant ORDER BY id) AS rn FROM eall)
+       |  WHERE rn <= $SampleCap),
+       |${(0 until M).map(subspaceCte(_, dsub)).mkString(",\n")},
+       |subsc AS (
+       |${(0 until M).map(s => s"  SELECT id, $s AS s, sc FROM p${s}a")
+          .mkString("\n  UNION ALL\n")}),
+       |adc AS (
+       |  SELECT id, list_reduce(list(sc ORDER BY s), (a, b) -> a + b) AS adc_score
+       |  FROM subsc GROUP BY id)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    // the 64-d embeddings table → dsub=16 per subspace; ADC fold in
+    // subspace order (list ORDER BY s) mirrors the engine's ascending
+    // accumulation; rescore-50 then exact top-10 as the engine does.
+    "ann_pq_topk" ->
+      s"""WITH RECURSIVE ${pqPrelude(64)},
+         |cand AS (
+         |  SELECT id, adc_score FROM adc
+         |  ORDER BY adc_score DESC, id ASC LIMIT $RescoreK)
+         |SELECT c.id AS id, c.adc_score,
+         |       list_inner_product(p.emb, q.qv) AS sim
+         |FROM cand c JOIN eall p ON p.id = c.id CROSS JOIN q
+         |WHERE list_inner_product(p.emb, q.qv) >= 0.0
+         |ORDER BY sim DESC, c.id ASC LIMIT 10""".stripMargin,
+
+    "pq_code_balance" ->
+      s"""WITH RECURSIVE ${pqPrelude(64)},
+         |percell AS (
+         |${(0 until M).map(s => s"  SELECT $s AS s, cell, count(*) AS cnt FROM p${s}a GROUP BY cell")
+            .mkString("\n  UNION ALL\n")})
+         |SELECT s, row_number() OVER (PARTITION BY s ORDER BY cnt DESC, cell ASC) AS rnk, cnt
+         |FROM percell
+         |ORDER BY s, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{ProductQuantization => PQ, Search}
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def base = Tables.embeddings(spark, d)
+    .select($"vec_id".cast("long").as("vec_id"),
+      $"embedding".cast("array<double>").as("embedding"))
+    .withColumn("tenant", lit("all"))
+
+  test("pq: training is deterministic and codebooks have the declared shape") {
+    val b1 = PQ.pqTrainSampled(base, "tenant", "vec_id", "embedding", 4, 8, 256)
+    val b2 = PQ.pqTrainSampled(base, "tenant", "vec_id", "embedding", 4, 8, 256)
+    assert(b1.keySet == Set("all"))
+    val books = b1("all")
+    assert(books.length == 4)                      // m subspaces
+    books.foreach { cb =>
+      assert(cb.nonEmpty && cb.length <= 8)        // ≤ ksub codewords
+      cb.foreach(cw => assert(cw.length == 16))    // dsub = 64/4
+    }
+    // bit-identical across runs — no RNG anywhere in the train path
+    assert(b1("all").map(_.map(_.toSeq).toSeq).toSeq ==
+      b2("all").map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("pq: encode emits one valid code per subspace for every vector") {
+    val books = PQ.pqTrainSampled(base, "tenant", "vec_id", "embedding", 4, 8, 256)
+    val enc = PQ.pqEncode(base, "tenant", "vec_id", "embedding", books).cache()
+    assert(enc.count() == base.count())
+    val bad = enc.select(posexplode($"codes").as(Seq("s", "code")))
+      .join(spark.createDataset((0 until 4).map(s => (s, books("all")(s).length)))
+        .toDF("s", "k"), Seq("s"))
+      .filter($"code" < 0 || $"code" >= $"k").count()
+    assert(bad == 0, s"$bad out-of-range codes")
+    enc.unpersist()
+  }
+
+  test("pq: rescoring the whole corpus recovers exact brute-force top-k") {
+    // rescoreK = corpus size ⇒ the ADC cut keeps everyone and the
+    // exact-rescore stage alone decides — must equal brute force kNN.
+    val books = PQ.pqTrainSampled(base, "tenant", "vec_id", "embedding", 4, 8, 256)
+    val enc = PQ.pqEncode(base, "tenant", "vec_id", "embedding", books)
+    val q = Tables.embeddings(spark, d).filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toSeq
+    val n = base.count().toInt
+    val pq = PQ.pqSearch(enc, base, books, "all", q, 10, n,
+        idCol = "vec_id", embCol = "embedding")
+      .select("id").as[Long].collect().toSeq
+    val brute = Search.knn(Tables.embeddings(spark, d), q, 10, 0.0)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pq == brute)
+  }
+
+  test("pq: ADC ranking has real recall at a 10x candidate cut") {
+    val books = PQ.pqTrainSampled(base, "tenant", "vec_id", "embedding", 4, 8, 256)
+    val enc = PQ.pqEncode(base, "tenant", "vec_id", "embedding", books)
+    val q = Tables.embeddings(spark, d).filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toSeq
+    val pq = PQ.pqSearch(enc, base, books, "all", q, 10, 50,
+        idCol = "vec_id", embCol = "embedding")
+      .select("id").as[Long].collect().toSet
+    val brute = Search.knn(Tables.embeddings(spark, d), q, 10, 0.0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq.intersect(brute).size >= 5,
+      s"recall too low through a 50-of-500 ADC cut: ${pq.intersect(brute).size}/10")
+  }
+
+  test("pq: ADC separates tight clusters (structured-data contract)") {
+    // Two tight clusters far apart; PQ codes must place every member
+    // with its own cluster under ADC scoring even at m=2, ksub=2.
+    val a = Array(10.0, 10.0, 10.0, 10.0)
+    val b = Array(-10.0, -10.0, -10.0, -10.0)
+    // ids 0-9 = cluster a, 10-19 = cluster b: the deterministic
+    // evenly-spaced-in-id-order init then seeds one codeword per
+    // cluster (interleaved ids would seed two identical a-points and
+    // leave a codeword empty — an init property, not a PQ bug)
+    val rows = (0L until 20L).map { i =>
+      val c = if (i < 10) a else b
+      val jit = 0.01 * (i % 5)
+      (i, c.zipWithIndex.map { case (x, j) => x + (if (j == 0) jit else 0.0) }.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding").withColumn("tenant", lit("all"))
+    val books = PQ.pqTrainSampled(df, "tenant", "vec_id", "embedding", 2, 2, 20)
+    val enc = PQ.pqEncode(df, "tenant", "vec_id", "embedding", books)
+    val top = PQ.pqSearch(enc, df, books, "all", a.toSeq, 10, 10,
+        threshold = -1e9, idCol = "vec_id", embCol = "embedding")
+      .select("id").as[Long].collect().toSet
+    assert(top == (0L until 10L).toSet,
+      s"ADC cut failed to isolate the query's cluster: $top")
+  }
+}

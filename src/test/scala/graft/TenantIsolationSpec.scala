@@ -79,6 +79,29 @@ class TenantIsolationSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ train/encode/search stay inside the tenant") {
+    import graft.operators.{ProductQuantization => PQ}
+    // identical twins ⇒ identical per-tenant codebooks (determinism)
+    // and zero cross-tenant rows anywhere in the PQ path
+    val books = PQ.pqTrainSampled(twins, "tenant", "id", "embedding", 2, 3, 64)
+    assert(books.keySet == Set("a", "b"))
+    assert(books("a").map(_.map(_.toSeq).toSeq).toSeq ==
+      books("b").map(_.map(_.toSeq).toSeq).toSeq,
+      "twin tenants must train identical codebooks")
+    val enc = PQ.pqEncode(twins, "tenant", "id", "embedding", books).cache()
+    enc.collect().foreach { r =>
+      assert(idsOf(r.getString(0)).contains(r.getLong(1)), s"encode leaked: $r")
+    }
+    val q = SyntheticVec.vecLocal(3L, 16).toSeq
+    for (t <- Seq("a", "b")) {
+      val hits = PQ.pqSearch(enc, twins, books, t, q, 5, 20, threshold = -1e9)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(hits.nonEmpty && hits.subsetOf(idsOf(t)), s"pqSearch($t) leaked: $hits")
+    }
+    enc.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("driver v1_knn_isolation: the cross-tenant bait never surfaces") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("v1_knn_isolation")(spark, d).collect()
