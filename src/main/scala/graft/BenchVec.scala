@@ -143,6 +143,27 @@ object BenchVec extends Serializable {
     val nVecs = corpus.count()
     stats("n_vectors") = nVecs.toString
 
+    // Raw store keyed for point fetches: range-partitioned and SORTED
+    // by vec_id, so a rescore's isin(candidate ids) predicate pushes
+    // into the scan and parquet page statistics skip everything else.
+    // Without this layout a 200-row rescore costs a full-table
+    // embedding decode (measured: the broadcast-join rescore against
+    // the unsorted corpus made ADC+rescore SLOWER than brute force —
+    // 11.1 s vs 6.8 s — because the join probes every row; the 100 TB
+    // raw store is id-keyed for exactly this reason).
+    val byidPath = s"$vecDir/vec768_500k_byid"
+    if (!Files.exists(Paths.get(byidPath))) timed("byid_sorted_write") {
+      corpus.repartitionByRange(32, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(byidPath)
+    }
+    val byid = spark.read.parquet(byidPath)
+    def rescoreTop10(candIds: Array[Long], q: Seq[Double],
+                     src: DataFrame = byid, idCol: String = "vec_id"): Set[Long] =
+      src.filter(col(idCol).isin(candIds: _*))
+        .withColumn("sim", VectorFunctions.dot(col("embedding"), typedLit(q)))
+        .orderBy(col("sim").desc, col(idCol).asc).limit(10)
+        .select(idCol).collect().map(_.getLong(0)).toSet
+
     // Query vectors: PERTURBED corpus vectors — query i targets corpus
     // vec_id 8000·i with ~0.89 cosine (unit(v + 0.5·noise)), the
     // realistic "query resembles some documents" shape. Pure-random
@@ -187,6 +208,9 @@ object BenchVec extends Serializable {
       // parallelism, so the probe path keeps them.
       Search.ivfAssign(corpus.withColumn("tenant", lit("u1")),
           "tenant", "vec_id", "embedding", centroids)
+        // id-sorted within each cell file: the IVF-PQ rescore's
+        // isin(candidates) then page-skips inside the probed cells
+        .sortWithinPartitions("cell", "id")
         .write.mode("overwrite").partitionBy("tenant", "cell").parquet(ivfPath)
     }
     val ivfIndexed = spark.read.parquet(ivfPath)
@@ -324,15 +348,22 @@ object BenchVec extends Serializable {
     }
     val pqPath = s"$vecDir/vec768_500k_pq"
     if (!Files.exists(Paths.get(pqPath))) timed("pq_encode_write") {
-      PQ.pqEncode(corpusT, "tenant", "vec_id", "embedding", pqBooks)
+      PQ.pqEncodePacked(corpusT, "tenant", "vec_id", "embedding", pqBooks)
         .write.mode("overwrite").parquet(pqPath)
     }
     val pqEnc = spark.read.parquet(pqPath)
     val pqHits: Seq[Set[Long]] = timedMin2("pq_adc_topk_8q_rescore200") {
       (0 until NQueries).map { i =>
-        PQ.pqSearch(pqEnc, corpusT, pqBooks, "all", qv(i), 10, 200,
-            threshold = -1.0, idCol = "vec_id", embCol = "embedding")
-          .select("id").collect().map(_.getLong(0)).toSet
+        // ADC over the 96 B/row codes table (codegen AdcScore), then
+        // the 200 survivors fetched from the id-sorted raw store with
+        // the isin pushed into the scan — page skipping, not a
+        // full-table embedding decode
+        val cand = pqEnc
+          .withColumn("adc", VectorFunctions.adcScore(col("codes"),
+            PQ.adcLut(pqBooks("all"), qv(i))))
+          .orderBy(col("adc").desc, col("id").asc).limit(200)
+          .select("id").collect().map(_.getLong(0))
+        rescoreTop10(cand, qv(i))
       }
     }
     stats("pq_recall_at_10") =
@@ -347,7 +378,8 @@ object BenchVec extends Serializable {
     // (nProbe/nCells) × 96 B/row, compounding both prunings. ----
     val ivfpqPath = s"$vecDir/vec768_500k_ivfpq"
     if (!Files.exists(Paths.get(ivfpqPath))) timed("ivfpq_codes_write") {
-      pqEnc.join(ivfIndexed.select(col("id").as("vec_id"), col("cell")), Seq("vec_id"))
+      pqEnc.select(col("id").as("vec_id"), col("codes"))
+        .join(ivfIndexed.select(col("id").as("vec_id"), col("cell")), Seq("vec_id"))
         .select("vec_id", "codes", "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(ivfpqPath)
     }
@@ -355,21 +387,15 @@ object BenchVec extends Serializable {
     val ivfpqHits: Seq[Set[Long]] = timedMin2("ivfpq_topk_8q_nprobe8_rescore200") {
       (0 until NQueries).map { i =>
         val cells = Search.ivfProbeCells(centroids, "u1", qv(i), 8)
-        val lut = spark.sparkContext.broadcast(PQ.adcLut(pqBooks("all"), qv(i)))
-        val adcUdf = udf { (codes: Seq[Int]) =>
-          val l = lut.value; var acc = 0.0; var s = 0
-          while (s < l.length) { acc += l(s)(codes(s)); s += 1 }
-          acc
-        }
         val cand = ivfpq.filter(col("cell").isin(cells: _*))
-          .withColumn("adc", adcUdf(col("codes")))
+          .withColumn("adc",
+            VectorFunctions.adcScore(col("codes"), PQ.adcLut(pqBooks("all"), qv(i))))
           .orderBy(col("adc").desc, col("vec_id").asc).limit(200)
-          .select("vec_id")
-        corpus.join(broadcast(cand), Seq("vec_id"))
-          .withColumn("sim", VectorFunctions.dot(col("embedding"),
-            typedLit(qv(i))))
-          .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
+          .select("vec_id").collect().map(_.getLong(0))
+        // rescore from the PROBED CELLS of the IVF layout (partition
+        // pruning bounds the raw read to nProbe/nCells of the corpus)
+        rescoreTop10(cand, qv(i),
+          src = ivfIndexed.filter(col("cell").isin(cells: _*)), idCol = "id")
       }
     }
     stats("ivfpq_recall_at_10") =
@@ -467,6 +493,7 @@ object BenchVec extends Serializable {
     val cluIvfPath = s"$vecDir/vec768_500k_clu_ivf"
     if (!Files.exists(Paths.get(cluIvfPath))) timed("clu_ivf_assign_write") {
       Search.ivfAssign(cluT, "tenant", "vec_id", "embedding", cluCents)
+        .sortWithinPartitions("cell", "id")
         .write.mode("overwrite").partitionBy("tenant", "cell").parquet(cluIvfPath)
     }
     val cluIvf = spark.read.parquet(cluIvfPath)
@@ -494,17 +521,25 @@ object BenchVec extends Serializable {
     }
     val cluPqPath = s"$vecDir/vec768_500k_clu_pq"
     if (!Files.exists(Paths.get(cluPqPath))) timed("clu_pq_encode_write") {
-      PQ.pqEncode(cluT.withColumn("tenant", lit("all")),
+      PQ.pqEncodePacked(cluT.withColumn("tenant", lit("all")),
           "tenant", "vec_id", "embedding", cluBooks)
         .write.mode("overwrite").parquet(cluPqPath)
     }
+    val cluByidPath = s"$vecDir/vec768_500k_clu_byid"
+    if (!Files.exists(Paths.get(cluByidPath))) timed("clu_byid_sorted_write") {
+      clu.repartitionByRange(32, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(cluByidPath)
+    }
+    val cluByid = spark.read.parquet(cluByidPath)
     val cluPqEnc = spark.read.parquet(cluPqPath)
     val cluPqHits: Seq[Set[Long]] = timedMin2("clu_pq_adc_topk_8q_rescore200") {
       (0 until NQueries).map { i =>
-        PQ.pqSearch(cluPqEnc, cluT.withColumn("tenant", lit("all")), cluBooks, "all",
-            cluQv(i), 10, 200, threshold = -1.0,
-            idCol = "vec_id", embCol = "embedding")
-          .select("id").collect().map(_.getLong(0)).toSet
+        val cand = cluPqEnc
+          .withColumn("adc", VectorFunctions.adcScore(col("codes"),
+            PQ.adcLut(cluBooks("all"), cluQv(i))))
+          .orderBy(col("adc").desc, col("id").asc).limit(200)
+          .select("id").collect().map(_.getLong(0))
+        rescoreTop10(cand, cluQv(i), src = cluByid)
       }
     }
     stats("clu_pq_recall_at_10") =

@@ -85,6 +85,71 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ ADC (asymmetric distance computation) score: Σ_s lut(s)(code_s)
+  * — the product-quantization scoring kernel
+  * (`operators/ProductQuantization`) as a native codegen expression.
+  * The lookup table is query-constant (m×ksub doubles), baked into the
+  * generated code as a reference object, so the full-corpus code scan
+  * stays inside whole-stage codegen with zero per-row boxing — the
+  * preference order custom-Expression > UDF for the one expression
+  * PQ evaluates 100%-of-corpus-rows times per query. Accumulates in
+  * ascending subspace order, matching the oracle's
+  * `list_reduce(list(sc ORDER BY s), +)` fold exactly. */
+case class AdcScore(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_score requires array<int> or binary codes, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case BinaryType =>
+      // packed layout: one unsigned byte per subspace (ksub ≤ 256) —
+      // 96 B/row literal, the cheapest possible parquet decode
+      val codes = v.asInstanceOf[Array[Byte]]
+      val m = math.min(codes.length, lut.length)
+      var acc = 0.0
+      var s = 0
+      while (s < m) { acc += lut(s)(codes(s) & 0xFF); s += 1 }
+      acc
+    case _ =>
+      val codes = v.asInstanceOf[ArrayData]
+      val m = math.min(codes.numElements(), lut.length)
+      var acc = 0.0
+      var s = 0
+      while (s < m) { acc += lut(s)(codes.getInt(s)); s += 1 }
+      acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val lutRef = ctx.addReferenceObj("adcLut", lut, "double[][]")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val (len, elem) = child.dataType match {
+        case BinaryType => (s"$c.length", s"($c[$s] & 0xFF)")
+        case _          => (s"$c.numElements()", s"$c.getInt($s)")
+      }
+      s"""
+         |int $m = java.lang.Math.min($len, $lutRef.length);
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $acc += $lutRef[$s][$elem];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** L2-normalize an array<float|double> → array<double> (zero vector
   * stays zero, mirroring the reference's zero-vector fallback at
   * `embedding_service.py:114-115,129-130`). Interpreted eval only —
@@ -123,6 +188,10 @@ object VectorFunctions {
 
   def l2normalize(a: Column): Column =
     GraftBridge.column(L2Normalize(GraftBridge.expression(a)))
+
+  /** PQ ADC score of a codes column against a query's lookup table. */
+  def adcScore(codes: Column, lut: Array[Array[Double]]): Column =
+    GraftBridge.column(AdcScore(GraftBridge.expression(codes), lut))
 
   /** Full cosine (un-normalized inputs): dot / (|a|·|b|), 0 on zero norm —
     * reference zero-norm guard `embedding_service.py:195-200`. */

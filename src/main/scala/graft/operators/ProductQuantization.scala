@@ -136,6 +136,48 @@ object ProductQuantization {
         encUdf(col("tenant"), col("embedding")).as("codes"))
   }
 
+  /** `pqEncode` with the serving layout: codes PACKED as one unsigned
+    * byte per subspace (requires ksub ≤ 256) — the m-byte binary
+    * column a 100 TB codes table actually stores. Parquet decodes a
+    * binary literal far cheaper than an m-element int array (BenchVec
+    * measures the ADC scan dropping under brute force only with this
+    * layout: the array form's decode cost swamps the 8× arithmetic
+    * win at page-cached local scale), and `AdcScore` reads it natively
+    * in codegen. Same argmin loop, same code values — PqSpec asserts
+    * byte-for-int parity with the array encoder. */
+  def pqEncodePacked(vectors: DataFrame, tenantCol: String, idCol: String,
+                     embCol: String, codebooks: Map[String, Codebooks]): DataFrame = {
+    require(codebooks.values.forall(_.forall(_.length <= 256)),
+      "packed codes need ksub <= 256")
+    val bc = vectors.sparkSession.sparkContext.broadcast(codebooks)
+    val encUdf = udf { (t: String, e: Seq[Double]) =>
+      val books = bc.value(t)
+      val m = books.length
+      val v = e.toArray
+      val dsub = v.length / m
+      val codes = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cb = books(s)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          val cen = cb(c); var dd = 0.0; var j = 0
+          while (j < dsub) { val df = v(s * dsub + j) - cen(j); dd += df * df; j += 1 }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        codes(s) = (best & 0xFF).toByte; s += 1
+      }
+      codes
+    }
+    vectors
+      .select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("embedding"))
+      .select(col("tenant"), col("id"),
+        encUdf(col("tenant"), col("embedding")).as("codes"))
+  }
+
   /** ADC lookup table for one query: lut(s)(c) = dot(query subvector
     * s, codeword c) — m×ksub doubles, built driver-side, broadcast.
     * Σ_s lut(s)(code_s) approximates dot(query, vector) with the
@@ -158,22 +200,29 @@ object ProductQuantization {
     * take the `rescoreK` best candidates, broadcast them back to the
     * uncompressed vectors for exact cosine, return the exact top-k.
     * The full-corpus scan reads ONLY the codes; the embedding store is
-    * touched for `rescoreK` rows. */
+    * touched for `rescoreK` rows — IN ROWS. In BYTES the broadcast
+    * join still scans the raw table (the hash probe decodes every
+    * row), which is fine at tenant scale but at corpus scale the raw
+    * store must be id-keyed: BenchVec measures the difference (the
+    * join-rescore was SLOWER than brute force at 500k×768-d; an
+    * id-sorted layout + isin pushdown page-skips to the 200
+    * candidates). Serving deployments pair this with the sorted/
+    * bucketed-by-id raw layout or the IVF cell layout (rescore from
+    * probed cells only — `ann_ivfpq_topk`). */
   def pqSearch(encoded: DataFrame, vectors: DataFrame,
                codebooks: Map[String, Codebooks], tenant: String,
                queryVec: Seq[Double], k: Int, rescoreK: Int,
                threshold: Double = 0.0, tenantCol: String = "tenant",
                idCol: String = "id", embCol: String = "embedding"): DataFrame = {
-    val spark = encoded.sparkSession
-    val bc = spark.sparkContext.broadcast(adcLut(codebooks(tenant), queryVec))
-    val adcUdf = udf { (codes: Seq[Int]) =>
-      val l = bc.value
-      var acc = 0.0; var s = 0
-      while (s < l.length) { acc += l(s)(codes(s)); s += 1 }
-      acc
-    }
+    // ADC scoring runs as a native codegen expression (the lut is
+    // query-constant and tiny — m×ksub doubles — so it rides inside
+    // the generated code, not a broadcast+UDF boundary): the one
+    // expression evaluated for every corpus row stays in
+    // whole-stage codegen.
     val cand = encoded.filter(col("tenant") === tenant)
-      .withColumn("adc_score", adcUdf(col("codes")))
+      .withColumn("adc_score",
+        graft.functions.VectorFunctions.adcScore(col("codes"),
+          adcLut(codebooks(tenant), queryVec)))
       .orderBy(col("adc_score").desc, col("id").asc)
       .limit(rescoreK)
       .select("id", "adc_score")
@@ -215,6 +264,39 @@ object ProductQuantization {
       val q = Search.qvecs(s, d, Seq(0L)).head
       pqSearch(enc, e, books, "all", q, 10, RescoreK,
         idCol = "vec_id", embCol = "embedding")
+    }),
+
+    // IVF-PQ combined — the full FAISS-shaped serving path as ONE
+    // query: sampled IVF cells (16, probe 4) bound the scan, PQ codes
+    // (m=4 × k=8) replace the embeddings inside the probed cells, ADC
+    // ranks, the top 50 rescore exactly. Both prunings compound: at
+    // 100 TB the per-query scan is (nProbe/nCells) of the corpus at
+    // m/(4·dim) of the bytes. The oracle replays BOTH builds (five
+    // Lloyd replays total) plus probe, ADC fold and rescore.
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val e = base(s, d)
+      val cents = Search.ivfTrainSampled(e, "tenant", "vec_id", "embedding", 16,
+        sampleCap = SampleCap)
+      val assigned = Search.ivfAssign(e, "tenant", "vec_id", "embedding", cents)
+      val books = pqTrainSampled(e, "tenant", "vec_id", "embedding", M, Ksub, SampleCap)
+      val enc = pqEncode(e, "tenant", "vec_id", "embedding", books)
+        .join(assigned.select(col("tenant"), col("id"), col("cell")), Seq("tenant", "id"))
+      val q = Search.qvecs(s, d, Seq(0L)).head
+      val cells = Search.ivfProbeCells(cents, "all", q, 4)
+      val cand = enc.filter(col("cell").isin(cells: _*))
+        .withColumn("adc_score",
+          graft.functions.VectorFunctions.adcScore(col("codes"), adcLut(books("all"), q)))
+        .orderBy(col("adc_score").desc, col("id").asc)
+        .limit(RescoreK)
+        .select("id", "adc_score")
+      e.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .join(broadcast(cand), Seq("id"))
+        .withColumn("sim", graft.functions.VectorFunctions.dot(col("emb"), typedLit(q)))
+        .filter(col("sim") >= 0.0)
+        .orderBy(col("sim").desc, col("id").asc)
+        .limit(10)
+        .select("id", "adc_score", "sim")
     }),
 
     // Full-corpus encode distribution: every vector's code assignment
@@ -300,6 +382,51 @@ object ProductQuantization {
          |cand AS (
          |  SELECT id, adc_score FROM adc
          |  ORDER BY adc_score DESC, id ASC LIMIT $RescoreK)
+         |SELECT c.id AS id, c.adc_score,
+         |       list_inner_product(p.emb, q.qv) AS sim
+         |FROM cand c JOIN eall p ON p.id = c.id CROSS JOIN q
+         |WHERE list_inner_product(p.emb, q.qv) >= 0.0
+         |ORDER BY sim DESC, c.id ASC LIMIT 10""".stripMargin,
+
+    // both builds replayed: the PQ prelude (4 subspace Lloyd replays +
+    // encode + ADC) plus the sampled-IVF cell replay of ann_ivf_sampled
+    // (Lloyd on the same esample, member-mean centroids, full argmin
+    // re-assignment, probe-4) — candidates are ADC-ranked WITHIN the
+    // probed cells, then exact-rescored.
+    "ann_ivfpq_topk" ->
+      s"""WITH RECURSIVE ${pqPrelude(64)},
+         |${Clustering.kmeansCte(16, "esample", "s_")},
+         |cents AS (
+         |  SELECT k.best AS cell, count(*) AS cnt,
+         |    list(p.emb ORDER BY p.id) AS m
+         |  FROM s_kassign k JOIN esample p ON p.id = k.id
+         |  GROUP BY k.best),
+         |cenv AS (
+         |  SELECT cell,
+         |    list_transform(range(1, 65),
+         |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+         |           / CAST(cnt AS DOUBLE)) AS centroid
+         |  FROM cents),
+         |assignall AS (
+         |  SELECT id, cell FROM (
+         |    SELECT p.id, c.cell,
+         |      row_number() OVER (PARTITION BY p.id ORDER BY
+         |        list_reduce(list_transform(range(1, 65),
+         |          j -> (p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])),
+         |          (x, y) -> x + y) ASC, c.cell ASC) AS rnk
+         |    FROM eall p CROSS JOIN cenv c)
+         |  WHERE rnk = 1),
+         |proberank AS (
+         |  SELECT cell, row_number() OVER (
+         |    ORDER BY list_inner_product(centroid, q.qv) DESC, cell ASC) AS pr
+         |  FROM cenv CROSS JOIN q),
+         |probed AS (SELECT cell FROM proberank WHERE pr <= 4),
+         |cand AS (
+         |  SELECT a.id, a.adc_score
+         |  FROM adc a
+         |  JOIN assignall asg ON asg.id = a.id
+         |  JOIN probed pb ON pb.cell = asg.cell
+         |  ORDER BY a.adc_score DESC, a.id ASC LIMIT $RescoreK)
          |SELECT c.id AS id, c.adc_score,
          |       list_inner_product(p.emb, q.qv) AS sim
          |FROM cand c JOIN eall p ON p.id = c.id CROSS JOIN q

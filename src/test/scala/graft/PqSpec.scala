@@ -72,6 +72,26 @@ class PqSpec extends AnyFunSuite {
       s"recall too low through a 50-of-500 ADC cut: ${pq.intersect(brute).size}/10")
   }
 
+  test("pq: packed byte codes match the array encoder and score identically") {
+    val books = PQ.pqTrainSampled(base, "tenant", "vec_id", "embedding", 4, 8, 256)
+    val arr = PQ.pqEncode(base, "tenant", "vec_id", "embedding", books)
+    val pk = PQ.pqEncodePacked(base, "tenant", "vec_id", "embedding", books)
+    // code values byte-for-int identical on every row
+    val aCodes = arr.select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val pCodes = pk.select("id", "codes").as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> b.map(_ & 0xFF).toSeq }.toMap
+    assert(aCodes == pCodes, "packed codes != array codes")
+    // AdcScore reads both representations to the same double
+    val q = Tables.embeddings(spark, d).filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toSeq
+    val lut = PQ.adcLut(books("all"), q)
+    val a = arr.withColumn("s", graft.functions.VectorFunctions.adcScore($"codes", lut))
+      .select("id", "s").as[(Long, Double)].collect().toMap
+    val b = pk.withColumn("s", graft.functions.VectorFunctions.adcScore($"codes", lut))
+      .select("id", "s").as[(Long, Double)].collect().toMap
+    assert(a == b, "ADC scores differ between array and packed codes")
+  }
+
   test("pq: ADC separates tight clusters (structured-data contract)") {
     // Two tight clusters far apart; PQ codes must place every member
     // with its own cluster under ADC scoring even at m=2, ksub=2.
