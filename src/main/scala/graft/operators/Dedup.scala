@@ -284,7 +284,56 @@ object Dedup {
     labels
   }
 
+  /** Corpus-wide repeated-sentence removal — the CCNet/RefinedWeb
+    * boilerplate pass: split each document into sentences, count each
+    * sentence's distinct owning documents CORPUS-WIDE (one shuffle on
+    * a 16-byte hash with map-side partial counts — `dd_exact`'s shape
+    * at sentence granularity), drop every sentence appearing in more
+    * than `maxDocs` documents (navigation chrome, legal footers,
+    * cookie banners), and reassemble the survivors in original order.
+    * Emits (doc_id, n_sent, n_dropped, kept_digest) where kept_digest
+    * pins the EXACT reassembled text. At 100 TB both shuffles key on
+    * fixed-width hashes, never on sentence text. */
+  def sentenceDedup(docs: DataFrame, maxDocs: Long,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    sep: String = "\\. ", joiner: String = ". "): DataFrame = {
+    val sents = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("idx", "sent")))
+      .withColumn("sh", md5(col("sent")))
+    val freq = sents.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    sents.join(freq, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sent"),
+        sum(when(col("n_docs") > maxDocs, 1L).otherwise(0L)).as("n_dropped"),
+        // survivors back in document order: collect_list skips the
+        // null (dropped) slots, the struct sort restores idx order
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("n_docs") <= maxDocs,
+            struct(col("idx"), col("sent"))))),
+          x => x.getField("sent")), joiner)).as("kept_digest"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus-wide repeated-sentence removal: deterministic boilerplate
+    // injected on doc_id % 5 (newsletter header + rights footer) and
+    // % 7 (cookie banner) forms the repeated classes — bodies stay
+    // unique — so dropping sentences owned by > 3 docs must strip
+    // EXACTLY the boilerplate and the kept_digest must equal the
+    // original text's md5 for every doc.
+    "dd_sentence" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(lit("subscribe to our newsletter for updates. "), col("text"),
+              lit(". all rights reserved worldwide")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("cookie policy accepted by continuing. "), col("text")))
+          .otherwise(col("text")))
+      sentenceDedup(base, maxDocs = 3)
+    }),
+
     // Exact dedup: group by content hash, keep lowest doc_id per group.
     "dd_exact" -> ((s, d) =>
       Tables.documents(s, d)
@@ -667,6 +716,29 @@ object Dedup {
          |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin)
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "dd_sentence" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN 'subscribe to our newsletter for updates. ' || text
+        |              || '. all rights reserved worldwide'
+        |         WHEN doc_id % 7 = 0
+        |         THEN 'cookie policy accepted by continuing. ' || text
+        |         ELSE text END AS text2
+        |  FROM documents WHERE n_chars > 0),
+        |sents AS (
+        |  SELECT doc_id, i AS idx, parts[i + 1] AS sent
+        |  FROM (SELECT doc_id, string_split(text2, '. ') AS parts FROM corpus),
+        |  LATERAL (SELECT unnest(generate_series(0, len(parts) - 1)) AS i)),
+        |freq AS (
+        |  SELECT md5(sent) AS sh, count(DISTINCT doc_id) AS n_docs
+        |  FROM sents GROUP BY 1)
+        |SELECT s.doc_id, count(*) AS n_sent,
+        |  CAST(sum(CASE WHEN f.n_docs > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN f.n_docs <= 3 THEN s.sent END,
+        |    '. ' ORDER BY s.idx), '')) AS kept_digest
+        |FROM sents s JOIN freq f ON f.sh = md5(s.sent)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

@@ -24,6 +24,23 @@ class CurationOpsSpec extends AnyFunSuite {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0)
 
+  test("dd_sentence strips exactly the injected boilerplate, bodies intact") {
+    val res = SparkEntry.queries("dd_sentence")(spark, d)
+      .select("doc_id", "n_sent", "n_dropped", "kept_digest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val origDigest = Tables.documents(spark, d).filter(col("n_chars") > 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res.nonEmpty)
+    res.foreach { case (id, nSent, nDropped, digest) =>
+      val expDropped = if (id % 5 == 0) 2L else if (id % 7 == 0) 1L else 0L
+      assert(nDropped == expDropped, s"doc $id dropped $nDropped != $expDropped")
+      assert(nSent == expDropped + 1, s"doc $id n_sent $nSent")
+      // what survives the corpus-wide pass is EXACTLY the original body
+      assert(digest == origDigest(id), s"doc $id body mutated by dedup")
+    }
+  }
+
   test("ann_rp_lsh prunes the scan and keeps recall vs brute force") {
     val res = SparkEntry.queries("ann_rp_lsh")(spark, d).collect()
     assert(res.length == 10)
