@@ -193,6 +193,21 @@ object BenchVec extends Serializable {
       }
     }
 
+    // ---- Batched serving: the SAME 8 queries through ONE scan
+    // (knnBatch: explode against the literal query matrix + map-side
+    // bounded top-k) — the amortization ratio vs the per-query loop
+    // above is the headline number for query-throughput serving. ----
+    val qbatch: Seq[(Long, Seq[Double])] =
+      (0 until NQueries).map(i => (i.toLong, qv(i)))
+    val batchHits: Map[Long, Set[Long]] = timedMin2("batch_knn_8q_one_scan") {
+      Search.knnBatch(corpus, qbatch, 10, -1.0)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    stats("batch_knn_matches_loop") =
+      s"${(0 until NQueries).count(i => batchHits(i.toLong) == brute(i))} of $NQueries"
+
     // ---- IVF: sampled train → broadcast argmin assign → cell layout ----
     val ivfPath = s"$vecDir/vec768_500k_ivf"
     val centroids = timed("ivf_train_sampled") {
@@ -249,6 +264,20 @@ object BenchVec extends Serializable {
       stats(s"ivf_target_found_nprobe$np") =
         f3((0 until NQueries).count(i => hits(i).contains(8000L * i)).toDouble / NQueries)
     }
+    // Batched IVF: all 8 queries' probe-4 sets union into ONE pruned
+    // scan (cell partition pruning still bounds the read), each row
+    // scored only for the queries that probed its cell.
+    val ivfBatchHits: Map[Long, Set[Long]] =
+      timedMin2("ivf_batch_8q_one_scan_nprobe4") {
+        Search.ivfSearchBatch(ivfIndexed, centroids, "u1", qbatch, 10, NProbe,
+            threshold = -1.0)
+          .select("q_id", "id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      }
+    stats("ivf_batch_matches_loop") =
+      s"${(0 until NQueries).count(i => ivfBatchHits(i.toLong) == ivfHits(i))} of $NQueries"
+
     val cellSizes = ivfIndexed.groupBy("cell").count()
       .select("count").collect().map(_.getLong(0)).sorted
     stats("ivf_cell_occupancy") =

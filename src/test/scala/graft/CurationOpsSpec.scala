@@ -41,6 +41,23 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_gopher_quality signals are bounded and the pass flag is the conjunction") {
+    val rows = SparkEntry.queries("ta_gopher_quality")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, mwl, fa, nStop) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      val (top2, dup5, passes) = (r.getDouble(5), r.getDouble(6), r.getInt(7))
+      assert(fa >= 0.0 && fa <= 1.0 && top2 >= 0.0 && top2 <= 1.0 && dup5 >= 0.0)
+      val expect = nWords >= 50 && nWords <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        fa >= 0.8 && nStop >= 2 && top2 <= 0.2 && dup5 <= 0.15
+      assert(passes == (if (expect) 1 else 0), s"doc ${r.getLong(0)} flag mismatch")
+    }
+    // the gate discriminates on this corpus: both outcomes occur
+    val flags = rows.map(_.getInt(7)).toSet
+    assert(flags == Set(0, 1), s"degenerate gate: $flags")
+  }
+
   test("ann_rp_lsh prunes the scan and keeps recall vs brute force") {
     val res = SparkEntry.queries("ann_rp_lsh")(spark, d).collect()
     assert(res.length == 10)
