@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorFunctions.dot
 
@@ -27,6 +28,14 @@ import graft.functions.VectorFunctions.dot
   *    dot product ≥ threshold (an IVF-style centroid block at scale).
   */
 object Dedup {
+
+  /** The 16 distinct tokens appended as the injected shared passage in
+    * `dd_shared_spans` — shared between the query and its oracle so
+    * the two engines see byte-identical corpora. Declared FIRST in the
+    * object: `val oracles` (init'd in declaration order) interpolates
+    * it; a later declaration would interpolate null. */
+  private val spanPassage: String =
+    (0 until 16).map(i => f"span$i%02d").mkString(" ")
 
   /** Distinct word n-gram shingles, single pass. (A declarative
     * `transform(sequence(...), i -> element_at(toks, i+k))` form
@@ -315,7 +324,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-document exact shared-SPAN detection — the distributed
+    * stand-in for suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * token k-grams with positions, an equi-join on the k-gram hash
+    * (the blocking step — only docs sharing a k-gram ever pair), then
+    * maximal runs of CONSECUTIVE matches along each (doc_a, doc_b,
+    * pa−pb) diagonal via the islands trick. A run of r consecutive
+    * k-gram matches is a shared span of r+k−1 tokens. Sub-quadratic
+    * end-to-end: the pair relation is bounded by true k-gram overlap,
+    * the run windows partition by (pair, diagonal) — never corpus-
+    * wide. Same verify-stage caveat as n-gram Jaccard: two
+    * near-identical docs cost O(len²) in their own block. */
+  def sharedSpans(docs: DataFrame, k: Int, minSpan: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toked = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), " "), t => t =!= "").as("toks"))
+    val grams = toked.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*)))
+        .as(Seq("pos", "g")))
+      .withColumn("gh", md5(col("g"))).drop("g")
+    grams.as("a").join(grams.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
+      .withColumn("isl", col("pa") - col("rn"))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+      .orderBy(col("span_tokens").desc, col("doc_a").asc, col("doc_b").asc,
+        col("a_start").asc, col("b_start").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Shared-span detection under an exact gate: a 16-token passage is
+    // appended to every doc_id % 13 == 0 document, so each such pair
+    // must surface exactly one 16-token span at the right offsets
+    // (bodies are random words — no accidental ≥ 8-token runs).
+    "dd_shared_spans" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" " + spanPassage)))
+          .otherwise(col("text")))
+      sharedSpans(base, k = 5, minSpan = 8)
+    }),
+
     // Corpus-wide repeated-sentence removal: deterministic boilerplate
     // injected on doc_id % 5 (newsletter header + rights footer) and
     // % 7 (cookie banner) forms the repeated classes — bodies stay
@@ -716,6 +779,35 @@ object Dedup {
          |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin)
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "dd_shared_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' $spanPassage'
+         |         ELSE text END AS text2
+         |  FROM documents WHERE n_chars > 0),
+         |toked AS (
+         |  SELECT doc_id, list_filter(string_split(text2, ' '), t -> t <> '') AS toks
+         |  FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+         |        || toks[i+3] || ' ' || toks[i+4]) AS gh
+         |  FROM toked, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i)
+         |  WHERE len(toks) >= 5),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         |  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+         |runs AS (
+         |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+         |      ORDER BY pa) AS isl
+         |  FROM pairs)
+         |SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+         |  CAST(count(*) + 4 AS BIGINT) AS span_tokens
+         |FROM runs GROUP BY doc_a, doc_b, diag, isl
+         |HAVING count(*) + 4 >= 8
+         |ORDER BY span_tokens DESC, doc_a ASC, doc_b ASC, a_start ASC, b_start ASC
+         |LIMIT 100""".stripMargin,
     "dd_sentence" ->
       """WITH corpus AS (
         |  SELECT doc_id,

@@ -41,6 +41,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_shared_spans finds every injected 16-token passage pair") {
+    // bounded sub-corpus so every tagged pair fits under the top-100
+    // cap; passage tokens can't collide with body words
+    val passage = (0 until 16).map(i => f"zq$i%02d").mkString(" ")
+    val base = Tables.documents(spark, d)
+      .filter(col("n_chars") > 0 && col("doc_id") < 130)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" " + passage)))
+          .otherwise(col("text")))
+    val rows = graft.operators.Dedup.sharedSpans(base, k = 5, minSpan = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val tagged = base.filter(col("doc_id") % 13 === 0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(tagged.length >= 3)
+    for (a <- tagged; b <- tagged if a < b) {
+      assert(rows.exists { case (da, db, st) => da == a && db == b && st >= 16 },
+        s"injected pair ($a, $b) missing a >= 16-token span")
+    }
+    // and the driver query itself fills its cap with real spans
+    val q = SparkEntry.queries("dd_shared_spans")(spark, d).collect()
+    assert(q.nonEmpty && q.forall(_.getLong(4) >= 8))
+  }
+
   test("ta_gopher_quality signals are bounded and the pass flag is the conjunction") {
     val rows = SparkEntry.queries("ta_gopher_quality")(spark, d).collect()
     assert(rows.nonEmpty)
