@@ -365,7 +365,88 @@ object Dedup {
       .limit(100)
   }
 
+  /** The rewrite core of `sentenceDedup`: (doc_id, text) with corpus-
+    * repeated sentences removed and survivors rejoined in original
+    * order. Same shuffles (one hash groupBy for the frequency table,
+    * one for the reassembly). */
+  def sentenceClean(docs: DataFrame, maxDocs: Long,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    sep: String = "\\. ", joiner: String = ". "): DataFrame = {
+    val sents = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("idx", "sent")))
+      .withColumn("sh", md5(col("sent")))
+    val freq = sents.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    sents.join(freq, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(when(col("n_docs") <= maxDocs,
+          struct(col("idx"), col("sent"))))),
+        x => x.getField("sent")), joiner).as("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The MODERN curation funnel — the four passes a current
+    // pretraining pipeline actually runs, chained as one relation:
+    // corpus-wide boilerplate-sentence removal (a REWRITE stage — the
+    // ids survive, the text changes) → the Gopher quality battery on
+    // the cleaned text → exact dedup (which only fires BECAUSE
+    // cleaning normalized the boilerplate away) → benchmark
+    // decontamination. Per-stage (n_docs, sorted-ids digest,
+    // sorted-content digest) so the oracle pins both membership AND
+    // the rewritten bytes at every stage. Injections make every leg
+    // bite: %5/%7 boilerplate (cleaned), %50 duplicated under
+    // +1,000,000 (deduped), %97 raw token windows as the eval set
+    // (decontaminated).
+    "curate_corpus_v2" -> ((s, d) => {
+      val raw = Tables.documents(s, d).filter(col("n_chars") > 0)
+      val injected = raw.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(lit("subscribe to our newsletter for updates. "), col("text"),
+            lit(". all rights reserved worldwide")))
+        .when(col("doc_id") % 7 === 0,
+          concat(lit("cookie policy accepted by continuing. "), col("text")))
+        .otherwise(col("text")))
+      val all0 = injected.select("doc_id", "text").unionByName(
+        injected.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .persist()
+      val cleaned = sentenceClean(all0, maxDocs = 3).persist()
+      val gpass = TextAnalysis.gopherQuality(cleaned)
+        .filter(col("passes") === 1).select("doc_id")
+      val s2 = cleaned.join(gpass, Seq("doc_id")).persist()
+      val s3 = s2.withColumn("_h", md5(col("text")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("_h").orderBy(col("doc_id").asc)))
+        .filter(col("_rn") === 1).drop("_h", "_rn").persist()
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val sh5 = shinglesUdf(5)
+      val ev = raw.filter(col("doc_id") % 97 === 0)
+        .withColumn("etoks", slice(toks, 5, 21))
+        .filter(size(toks) >= 25)
+        .select(explode(sh5(array_join(col("etoks"), " "))).as("sh"))
+        .distinct()
+      val contaminated = s3.filter(size(toks) >= 5)
+        .select(col("doc_id"), explode(sh5(col("text"))).as("sh"))
+        .join(ev, Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      def stage(id: Long, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+          md5(array_join(array_sort(collect_list(col("doc_id").cast("string"))), ","))
+            .as("ids_md5"),
+          md5(array_join(array_sort(collect_list(md5(col("text")))), ","))
+            .as("text_md5"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("ids_md5"), col("text_md5"))
+      stage(0L, "0_all", all0)
+        .unionByName(stage(1L, "1_boilerplate_clean", cleaned))
+        .unionByName(stage(2L, "2_gopher", s2))
+        .unionByName(stage(3L, "3_dedup", s3))
+        .unionByName(stage(4L, "4_decontaminated", s4))
+        .orderBy("stage_id")
+    }),
+
     // Shared-span detection under an exact gate: a 16-token passage is
     // appended to every doc_id % 13 == 0 document, so each such pair
     // must surface exactly one 16-token span at the right offsets
@@ -779,6 +860,75 @@ object Dedup {
          |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin)
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    // the full modern funnel replayed: sentence-clean rewrite, the
+    // shared Gopher CTE chain over the CLEANED text, min-id dedup,
+    // shingle decontamination — membership and content digests per
+    // stage.
+    "curate_corpus_v2" -> {
+      val digest =
+        """CAST(count(*) AS BIGINT) AS n_docs,
+          |    md5(coalesce(array_to_string(list_sort(list(doc_id::VARCHAR)), ','), '')) AS ids_md5,
+          |    md5(coalesce(array_to_string(list_sort(list(md5(text))), ','), '')) AS text_md5""".stripMargin
+      s"""WITH injected AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN 'subscribe to our newsletter for updates. ' || text
+         |              || '. all rights reserved worldwide'
+         |         WHEN doc_id % 7 = 0
+         |         THEN 'cookie policy accepted by continuing. ' || text
+         |         ELSE text END AS text
+         |  FROM documents WHERE n_chars > 0),
+         |all0 AS (
+         |  SELECT doc_id, text FROM injected
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM injected WHERE doc_id % 50 = 0),
+         |vsents AS (
+         |  SELECT doc_id, i AS idx, parts[i + 1] AS sent
+         |  FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM all0),
+         |  LATERAL (SELECT unnest(generate_series(0, len(parts) - 1)) AS i)),
+         |vfreq AS (
+         |  SELECT md5(sent) AS sh, count(DISTINCT doc_id) AS n_docs
+         |  FROM vsents GROUP BY 1),
+         |cleaned AS (
+         |  SELECT s.doc_id,
+         |    coalesce(string_agg(CASE WHEN f.n_docs <= 3 THEN s.sent END,
+         |      '. ' ORDER BY s.idx), '') AS text
+         |  FROM vsents s JOIN vfreq f ON f.sh = md5(s.sent)
+         |  GROUP BY s.doc_id),
+         |${TextAnalysis.gopherCte("cleaned")},
+         |s2 AS (
+         |  SELECT c.doc_id, c.text FROM cleaned c
+         |  JOIN gsig g USING (doc_id) WHERE g.passes = 1),
+         |s3 AS (
+         |  SELECT doc_id, text FROM s2
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY md5(text))),
+         |ev AS (
+         |  SELECT doc_id AS eval_id, ($toksSql)[5:25] AS etoks
+         |  FROM documents
+         |  WHERE n_chars > 0 AND doc_id % 97 = 0 AND len($toksSql) >= 25),
+         |evsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(etoks) - 4),
+         |    i -> array_to_string(etoks[i:i+4], ' ')))) AS sh FROM ev),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len($toksSql) - 4),
+         |    i -> array_to_string(($toksSql)[i:i+4], ' ')))) AS sh
+         |  FROM s3 WHERE len($toksSql) >= 5),
+         |contaminated AS (
+         |  SELECT DISTINCT c.doc_id FROM csh c JOIN evsh e USING (sh)),
+         |s4 AS (
+         |  SELECT doc_id, text FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |funnel AS (
+         |  SELECT 0 AS stage_id, '0_all' AS stage, $digest FROM all0
+         |  UNION ALL SELECT 1, '1_boilerplate_clean', $digest FROM cleaned
+         |  UNION ALL SELECT 2, '2_gopher', $digest FROM s2
+         |  UNION ALL SELECT 3, '3_dedup', $digest FROM s3
+         |  UNION ALL SELECT 4, '4_decontaminated', $digest FROM s4)
+         |SELECT stage_id, stage, n_docs, ids_md5, text_md5
+         |FROM funnel ORDER BY stage_id""".stripMargin
+    },
     "dd_shared_spans" ->
       s"""WITH corpus AS (
          |  SELECT doc_id,

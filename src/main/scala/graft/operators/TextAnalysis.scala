@@ -47,6 +47,124 @@ object TextAnalysis {
         .otherwise("zh").as("pred_lang"))
   }
 
+  /** Gopher-rule quality signals (Rae et al. 2021 §A1.1) for a
+    * (doc_id, text) relation — word-count window [50, 100k], mean word
+    * length [3, 10], alphabetic-word fraction ≥ 0.8, ≥ 2 stop words,
+    * top-2-gram character fraction ≤ 0.20, duplicate-5-gram character
+    * fraction ≤ 0.15, plus the conjunctive `passes` flag. N-gram char
+    * fractions use the (occurrences × n-gram length) / text length
+    * convention; duplicate mass counts occurrences beyond the first.
+    * Every signal reduces via hash groupBys with map-side partials
+    * (the top-2-gram argmax is a min-struct fold, not a window) — no
+    * corpus-wide sorts. Callers must pre-filter empty text. */
+  def gopherQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col("doc_id"), length(col("text")).as("n_chars_t"),
+        tokens(col("text")).as("toks"))
+    def grams(n: Int) = transform(
+      sequence(lit(0), size(col("toks")) - n),
+      i => concat_ws(" ",
+        (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))
+    val words = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        (sum(length(col("tok"))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_word_len"),
+        (sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("frac_alpha"),
+        sum(when(col("tok").isin("the", "be", "to", "of", "and", "that",
+          "have", "with"), 1L).otherwise(0L)).as("n_stop"))
+    val g2top = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("n_chars_t"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "n_chars_t", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_chars_t")
+      // argmax by (count DESC, gram ASC) as a partial-aggregable min
+      // over a (-count, gram) struct
+      .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("top"))
+      .select(col("doc_id"),
+        ((-col("top.nc")) * length(col("top.g"))).cast("double")
+          ./(col("n_chars_t").cast("double")).as("top2_frac"))
+    val g5dup = base.filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("n_chars_t"), explode(grams(5)).as("g"))
+      .groupBy("doc_id", "n_chars_t", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_chars_t")
+      .agg(sum(when(col("c") > 1, (col("c") - 1) * length(col("g")))
+        .otherwise(0L)).as("dupchars"))
+      .select(col("doc_id"),
+        (col("dupchars").cast("double") / col("n_chars_t").cast("double"))
+          .as("dup5_frac"))
+    words.join(g2top, Seq("doc_id"), "left_outer")
+      .join(g5dup, Seq("doc_id"), "left_outer")
+      .withColumn("top2_frac", coalesce(col("top2_frac"), lit(0.0)))
+      .withColumn("dup5_frac", coalesce(col("dup5_frac"), lit(0.0)))
+      .withColumn("passes",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("frac_alpha") >= 0.8 && col("n_stop") >= 2 &&
+          col("top2_frac") <= 0.2 && col("dup5_frac") <= 0.15).cast("int"))
+      .select("doc_id", "n_words", "mean_word_len", "frac_alpha", "n_stop",
+        "top2_frac", "dup5_frac", "passes")
+  }
+
+  /** DuckDB CTE chain computing the same Gopher signals over `rel`
+    * (any relation expression exposing doc_id, text); ends at
+    * `gsig(doc_id, n_words, mean_word_len, frac_alpha, n_stop,
+    * top2_frac, dup5_frac, passes)`. Shared by the ta_gopher_quality
+    * oracle and the curate_corpus_v2 funnel oracle. Callers embed the
+    * result in their own stripMargin strings, so no emitted line may
+    * begin with '|' (a leading `||` continuation would lose a pipe). */
+  private[operators] def gopherCte(rel: String): String =
+    s"""gbase AS (
+       |  SELECT doc_id, length(text) AS n_chars_t, $toksSql AS toks
+       |  FROM $rel),
+       |gwords AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(length(tok)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_word_len,
+       |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS frac_alpha,
+       |    CAST(sum(CASE WHEN tok IN ('the','be','to','of','and','that','have','with')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM gbase) GROUP BY doc_id),
+       |gg2 AS (
+       |  SELECT doc_id, n_chars_t, g, count(*) AS c FROM (
+       |    SELECT doc_id, n_chars_t, unnest(CASE WHEN len(toks) >= 2 THEN
+       |      list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS g FROM gbase)
+       |  GROUP BY 1, 2, 3),
+       |gg2top AS (
+       |  SELECT doc_id,
+       |    CAST(c * length(g) AS DOUBLE) / CAST(n_chars_t AS DOUBLE) AS top2_frac
+       |  FROM (SELECT doc_id, n_chars_t, g, c, row_number() OVER (
+       |          PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM gg2)
+       |  WHERE rn = 1),
+       |gg5 AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c > 1 THEN (c - 1) * length(g) ELSE 0 END) AS DOUBLE)
+       |      / CAST(n_chars_t AS DOUBLE) AS dup5_frac
+       |  FROM (
+       |    SELECT doc_id, n_chars_t, g, count(*) AS c FROM (
+       |      SELECT doc_id, n_chars_t, unnest(CASE WHEN len(toks) >= 5 THEN
+       |        list_transform(generate_series(1, len(toks) - 4),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |            toks[i+3] || ' ' || toks[i+4]) ELSE [] END) AS g FROM gbase)
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY doc_id, n_chars_t),
+       |gsig AS (
+       |  SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop,
+       |    top2_frac, dup5_frac,
+       |    CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+       |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |      AND frac_alpha >= 0.8 AND n_stop >= 2
+       |      AND top2_frac <= 0.2 AND dup5_frac <= 0.15
+       |      THEN 1 ELSE 0 END AS INTEGER) AS passes
+       |  FROM (
+       |    SELECT w.doc_id, w.n_words, w.mean_word_len, w.frac_alpha, w.n_stop,
+       |      coalesce(t.top2_frac, 0.0) AS top2_frac,
+       |      coalesce(f.dup5_frac, 0.0) AS dup5_frac
+       |    FROM gwords w
+       |    LEFT JOIN gg2top t ON t.doc_id = w.doc_id
+       |    LEFT JOIN gg5 f ON f.doc_id = w.doc_id))""".stripMargin
+
   /** Adds `quality_score` — the ta_quality_score formula, shared with
     * the corpus-curation funnel. */
   private[graft] def withQualityScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -445,55 +563,9 @@ object TextAnalysis {
     // occurrences beyond the first. Every signal reduces via hash
     // groupBys with map-side partials (the top-2-gram argmax is a
     // min-struct fold, not a window) — no corpus-wide sorts.
-    "ta_gopher_quality" -> ((s, d) => {
-      val base = Tables.documents(s, d).filter(col("n_chars") > 0)
-        .select(col("doc_id"), length(col("text")).as("n_chars_t"),
-          tokens(col("text")).as("toks"))
-      def grams(n: Int) = transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ",
-          (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))
-      val words = base.select(col("doc_id"), explode(col("toks")).as("tok"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_words"),
-          (sum(length(col("tok"))).cast("double") /
-            count(lit(1)).cast("double")).as("mean_word_len"),
-          (sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).cast("double") /
-            count(lit(1)).cast("double")).as("frac_alpha"),
-          sum(when(col("tok").isin("the", "be", "to", "of", "and", "that",
-            "have", "with"), 1L).otherwise(0L)).as("n_stop"))
-      val g2top = base.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("n_chars_t"), explode(grams(2)).as("g"))
-        .groupBy("doc_id", "n_chars_t", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n_chars_t")
-        // argmax by (count DESC, gram ASC) as a partial-aggregable
-        // min over a (-count, gram) struct
-        .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("top"))
-        .select(col("doc_id"),
-          ((-col("top.nc")) * length(col("top.g"))).cast("double")
-            ./(col("n_chars_t").cast("double")).as("top2_frac"))
-      val g5dup = base.filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), col("n_chars_t"), explode(grams(5)).as("g"))
-        .groupBy("doc_id", "n_chars_t", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n_chars_t")
-        .agg(sum(when(col("c") > 1, (col("c") - 1) * length(col("g")))
-          .otherwise(0L)).as("dupchars"))
-        .select(col("doc_id"),
-          (col("dupchars").cast("double") / col("n_chars_t").cast("double"))
-            .as("dup5_frac"))
-      words.join(g2top, Seq("doc_id"), "left_outer")
-        .join(g5dup, Seq("doc_id"), "left_outer")
-        .withColumn("top2_frac", coalesce(col("top2_frac"), lit(0.0)))
-        .withColumn("dup5_frac", coalesce(col("dup5_frac"), lit(0.0)))
-        .withColumn("passes",
-          (col("n_words") >= 50 && col("n_words") <= 100000 &&
-            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-            col("frac_alpha") >= 0.8 && col("n_stop") >= 2 &&
-            col("top2_frac") <= 0.2 && col("dup5_frac") <= 0.15).cast("int"))
-        .select("doc_id", "n_words", "mean_word_len", "frac_alpha", "n_stop",
-          "top2_frac", "dup5_frac", "passes")
-        .orderBy("doc_id")
-    }),
+    "ta_gopher_quality" -> ((s, d) =>
+      gopherQuality(Tables.documents(s, d).filter(col("n_chars") > 0))
+        .orderBy("doc_id")),
 
     // SimHash (16-bit): per-token md5, bit j from hex digit j's high
     // bit, sign of the per-bit vote sum over all tokens.
@@ -1127,56 +1199,10 @@ object TextAnalysis {
          |      FROM pc GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
     "ta_gopher_quality" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, length(text) AS n_chars_t, $toksSql AS toks
-         |  FROM documents WHERE n_chars > 0),
-         |words AS (
-         |  SELECT doc_id, count(*) AS n_words,
-         |    CAST(sum(length(tok)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_word_len,
-         |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END) AS DOUBLE)
-         |      / CAST(count(*) AS DOUBLE) AS frac_alpha,
-         |    CAST(sum(CASE WHEN tok IN ('the','be','to','of','and','that','have','with')
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY doc_id),
-         |g2 AS (
-         |  SELECT doc_id, n_chars_t, g, count(*) AS c FROM (
-         |    SELECT doc_id, n_chars_t, unnest(CASE WHEN len(toks) >= 2 THEN
-         |      list_transform(generate_series(1, len(toks) - 1),
-         |        i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS g FROM base)
-         |  GROUP BY 1, 2, 3),
-         |g2top AS (
-         |  SELECT doc_id,
-         |    CAST(c * length(g) AS DOUBLE) / CAST(n_chars_t AS DOUBLE) AS top2_frac
-         |  FROM (SELECT doc_id, n_chars_t, g, c, row_number() OVER (
-         |          PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g2)
-         |  WHERE rn = 1),
-         |g5 AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN c > 1 THEN (c - 1) * length(g) ELSE 0 END) AS DOUBLE)
-         |      / CAST(n_chars_t AS DOUBLE) AS dup5_frac
-         |  FROM (
-         |    SELECT doc_id, n_chars_t, g, count(*) AS c FROM (
-         |      SELECT doc_id, n_chars_t, unnest(CASE WHEN len(toks) >= 5 THEN
-         |        list_transform(generate_series(1, len(toks) - 4),
-         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
-         |               || toks[i+3] || ' ' || toks[i+4]) ELSE [] END) AS g FROM base)
-         |    GROUP BY 1, 2, 3)
-         |  GROUP BY doc_id, n_chars_t),
-         |joined AS (
-         |  SELECT w.doc_id, w.n_words, w.mean_word_len, w.frac_alpha, w.n_stop,
-         |    coalesce(t.top2_frac, 0.0) AS top2_frac,
-         |    coalesce(f.dup5_frac, 0.0) AS dup5_frac
-         |  FROM words w
-         |  LEFT JOIN g2top t ON t.doc_id = w.doc_id
-         |  LEFT JOIN g5 f ON f.doc_id = w.doc_id)
+      s"""WITH ${gopherCte("(SELECT doc_id, text FROM documents WHERE n_chars > 0)")}
          |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop,
-         |  top2_frac, dup5_frac,
-         |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
-         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |    AND frac_alpha >= 0.8 AND n_stop >= 2
-         |    AND top2_frac <= 0.2 AND dup5_frac <= 0.15
-         |    THEN 1 ELSE 0 END AS INTEGER) AS passes
-         |FROM joined ORDER BY doc_id""".stripMargin,
+         |  top2_frac, dup5_frac, passes
+         |FROM gsig ORDER BY doc_id""".stripMargin,
     "ta_language_id" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),

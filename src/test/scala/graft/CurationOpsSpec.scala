@@ -64,6 +64,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(q.nonEmpty && q.forall(_.getLong(4) >= 8))
   }
 
+  test("curate_corpus_v2 funnel: every leg bites, rewrite stage keeps ids") {
+    val st = SparkEntry.queries("curate_corpus_v2")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(st.length == 5)
+    val counts = st.map(_._2)
+    // cleaning rewrites text without dropping docs; later stages drop
+    assert(counts(0) == counts(1) && st(0)._3 == st(1)._3, "stage 1 must keep ids")
+    assert(st(0)._4 != st(1)._4, "stage 1 must rewrite content")
+    assert(counts(1) > counts(2) && counts(2) >= counts(3) && counts(3) >= counts(4))
+    assert(counts(2) > counts(4), "dedup+decontamination must drop something")
+  }
+
   test("ta_gopher_quality signals are bounded and the pass flag is the conjunction") {
     val rows = SparkEntry.queries("ta_gopher_quality")(spark, d).collect()
     assert(rows.nonEmpty)
