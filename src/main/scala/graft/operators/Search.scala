@@ -312,6 +312,37 @@ object Search {
       .withColumn("cell", argminUdf(col("tenant"), col("embedding")))
   }
 
+  /** `ivfAssign` plus the squared distance to the winning centroid —
+    * the maintenance signal an incremental index append monitors
+    * (rising assign distance on new batches = centroid drift; the
+    * retrain trigger). Same broadcast-argmin narrow map; the distance
+    * fold accumulates in ascending component order so it replays
+    * bitwise in the oracle. */
+  def ivfAssignWithDist(vectors: DataFrame, tenantCol: String, idCol: String,
+                        embCol: String,
+                        centroids: Map[String, Array[Array[Double]]]): DataFrame = {
+    val spark = vectors.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (t: String, e: Seq[Double]) =>
+      val cents = bc.value(t)
+      val v = e.toArray
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val cen = cents(c); var s = 0.0; var j = 0
+        while (j < cen.length) { val df = v(j) - cen(j); s += df * df; j += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      (best, bestD)
+    }
+    vectors.select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("embedding"))
+      .withColumn("_a", assignUdf(col("tenant"), col("embedding")))
+      .select(col("tenant"), col("id"), col("embedding"),
+        col("_a._1").as("cell"), col("_a._2").as("d2"))
+  }
+
   /** Train + assign in one call — the sampled counterpart of
     * `ivfBuild`, same output shape. */
   def ivfBuildSampled(vectors: DataFrame, tenantCol: String, idCol: String,
@@ -629,6 +660,42 @@ object Search {
       val indexed = ivfAssign(base, "tenant", "vec_id", "embedding", cents)
       val ids = Seq(0L, 1L, 2L, 3L)
       ivfSearchBatch(indexed, cents, "all", ids.zip(qvecs(s, d, ids)), 10, 4)
+    }),
+
+    // Incremental IVF maintenance: the index is trained ONCE on the
+    // base corpus (vec_id % 5 != 0); a new batch (vec_id % 5 == 0)
+    // arrives and is assigned against the FROZEN centroids — one
+    // narrow map, no retrain, the cell layout just appends. The
+    // output is the maintenance dashboard: per-cell base/new counts,
+    // the worst assign distance of the new batch (drift signal), and
+    // an integer-math imbalance flag (cell > 2× the mean ⇒ split/
+    // retrain). The oracle replays the sampled train on the base and
+    // BOTH argmin assignments with bitwise distance folds.
+    "ann_ivf_incremental" -> ((s, d) => {
+      val all = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .withColumn("tenant", lit("all"))
+      val base = all.filter(col("vec_id") % 5 =!= 0)
+      val fresh = all.filter(col("vec_id") % 5 === 0)
+      val cents = ivfTrainSampled(base, "tenant", "vec_id", "embedding", 16,
+        sampleCap = 256)
+      val bc = ivfAssign(base, "tenant", "vec_id", "embedding", cents)
+        .groupBy("cell").agg(count(lit(1)).as("n_base"))
+      val fc = ivfAssignWithDist(fresh, "tenant", "vec_id", "embedding", cents)
+        .groupBy("cell").agg(count(lit(1)).as("n_new"),
+          max(col("d2")).as("max_d2_new"))
+      val agg = bc.join(fc, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("max_d2_new"), lit(0.0)).as("max_d2_new"))
+        .withColumn("n_total", col("n_base") + col("n_new"))
+      agg.withColumn("_tot",
+          sum(col("n_total")).over(graft.functions.BoundedWindow.all(col("cell"))))
+        .withColumn("needs_split",
+          (col("n_total") * 16 > col("_tot") * 2).cast("int"))
+        .select("cell", "n_base", "n_new", "n_total", "max_d2_new", "needs_split")
+        .orderBy("cell")
     }),
 
     // ANN IVF — centroid-pruned search (rows-only: k-means build not
@@ -1012,6 +1079,68 @@ object Search {
          |  JOIN eall p ON p.id = a.id)
          |WHERE sim >= 0.0
          |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
+    },
+
+    // the sampled train replayed on the BASE corpus only, then BOTH
+    // argmin assignments (base and the frozen-centroid new batch)
+    // with bitwise distance folds; per-cell counts + max new-batch
+    // distance + integer-math imbalance flag.
+    "ann_ivf_incremental" -> {
+      s"""WITH RECURSIVE eall AS (
+         |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |ebase AS (SELECT * FROM eall WHERE id % 5 <> 0),
+         |efresh AS (SELECT * FROM eall WHERE id % 5 = 0),
+         |esample AS (
+         |  SELECT id, tenant, emb FROM (
+         |    SELECT id, tenant, emb,
+         |      row_number() OVER (PARTITION BY tenant ORDER BY id) AS rn FROM ebase)
+         |  WHERE rn <= 256),
+         |${graft.operators.Clustering.kmeansCte(16, "esample", "s_")},
+         |cents AS (
+         |  SELECT k.best AS cell, count(*) AS cnt,
+         |    list(p.emb ORDER BY p.id) AS m
+         |  FROM s_kassign k JOIN esample p ON p.id = k.id
+         |  GROUP BY k.best),
+         |cenv AS (
+         |  SELECT cell,
+         |    list_transform(range(1, 65),
+         |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+         |           / CAST(cnt AS DOUBLE)) AS centroid
+         |  FROM cents),
+         |db AS (
+         |  SELECT id, cell, dd FROM (
+         |    SELECT id, cell, dd, row_number() OVER (PARTITION BY id
+         |      ORDER BY dd ASC, cell ASC) AS rnk
+         |    FROM (SELECT p.id, c.cell,
+         |      list_reduce(list_transform(range(1, 65),
+         |        j -> (p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])),
+         |        (x, y) -> x + y) AS dd
+         |      FROM ebase p CROSS JOIN cenv c))
+         |  WHERE rnk = 1),
+         |dn AS (
+         |  SELECT id, cell, dd FROM (
+         |    SELECT id, cell, dd, row_number() OVER (PARTITION BY id
+         |      ORDER BY dd ASC, cell ASC) AS rnk
+         |    FROM (SELECT p.id, c.cell,
+         |      list_reduce(list_transform(range(1, 65),
+         |        j -> (p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])),
+         |        (x, y) -> x + y) AS dd
+         |      FROM efresh p CROSS JOIN cenv c))
+         |  WHERE rnk = 1),
+         |bc AS (SELECT cell, count(*) AS n_base FROM db GROUP BY cell),
+         |fc AS (SELECT cell, count(*) AS n_new, max(dd) AS max_d2_new
+         |       FROM dn GROUP BY cell),
+         |agg AS (
+         |  SELECT coalesce(bc.cell, fc.cell) AS cell,
+         |    coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new,
+         |    coalesce(n_base, 0) + coalesce(n_new, 0) AS n_total,
+         |    coalesce(max_d2_new, 0.0) AS max_d2_new
+         |  FROM bc FULL OUTER JOIN fc ON bc.cell = fc.cell)
+         |SELECT cell, n_base, n_new, n_total, max_d2_new,
+         |  CAST(CASE WHEN n_total * 16 > (SELECT sum(n_total) FROM agg) * 2
+         |    THEN 1 ELSE 0 END AS INTEGER) AS needs_split
+         |FROM agg ORDER BY cell""".stripMargin
     },
 
     // the sampled-IVF replay (one Lloyd + member-mean + full argmin)

@@ -73,6 +73,32 @@ class BatchAnnSpec extends AnyFunSuite {
     indexed.unpersist()
   }
 
+  test("ann_ivf_incremental accounts for every vector and flags only heavy cells") {
+    val rows = SparkEntry.queries("ann_ivf_incremental")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    val n = emb.count()
+    assert(rows.map(_._4).sum == n, "per-cell totals must cover the corpus")
+    assert(rows.exists(_._3 > 0) && rows.forall(_._5 >= 0.0))
+    val tot = rows.map(_._4).sum
+    rows.foreach { case (cell, _, _, nt, _, flag) =>
+      assert(flag == (if (nt * 16 > tot * 2) 1 else 0), s"cell $cell flag wrong")
+    }
+  }
+
+  test("ivfAssignWithDist matches ivfAssign cell-for-cell") {
+    val base = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .withColumn("tenant", lit("all"))
+    val cents = Search.ivfTrainSampled(base, "tenant", "vec_id", "embedding",
+      16, sampleCap = 256)
+    val a = Search.ivfAssign(base, "tenant", "vec_id", "embedding", cents)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    val b = Search.ivfAssignWithDist(base, "tenant", "vec_id", "embedding", cents)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(a == b)
+  }
+
   test("knnBatch plan has no window exec — top-k is the partial aggregator") {
     val qs = qset(Seq(0L, 1L))
     val plan = Search.knnBatch(emb, qs, 5, 0.0)
