@@ -31,7 +31,8 @@ object SparkEntry {
       evaluation.RetrievalEval.queries ++ operators.Conversations.queries ++
       operators.Skew.queries ++ operators.Temporal.queries ++
       model.CoreModel.queries ++ operators.Layout.queries ++
-      operators.ResponseCache.queries ++ operators.ProductQuantization.queries
+      operators.ResponseCache.queries ++ operators.ProductQuantization.queries ++
+      operators.Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.Conversations.oracles ++ operators.Skew.oracles ++
       operators.Temporal.oracles ++ model.CoreModel.oracles ++
       evaluation.RetrievalEval.oracles ++ operators.Layout.oracles ++
-      operators.ResponseCache.oracles ++ operators.ProductQuantization.oracles
+      operators.ResponseCache.oracles ++ operators.ProductQuantization.oracles ++
+      operators.Bpe.oracles
 }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Trainable byte-pair-encoding tokenizer (Sennrich et al. 2016) —
+  * the "BPE-ish" tier of the text-analysis family (SURVEY §2.8's
+  * token counting runs whitespace + regex; this LEARNS the subword
+  * vocabulary from the corpus and tokenizes with it).
+  *
+  * Distributed shape: the word-frequency vocabulary is a DataFrame
+  * (at 100 TB it has millions of rows and never collects); each merge
+  * iteration is ONE explode+groupBy shuffle over the vocabulary to
+  * count adjacent symbol pairs, an argmax of that tiny aggregate
+  * pulled to the driver (one row), and a narrow map applying the
+  * merge. Training cost is nMerges shuffles over the VOCAB (not the
+  * corpus — the corpus is read once for frequencies); production
+  * trainers at larger vocab counts batch several merges per count
+  * pass, same loop skeleton.
+  *
+  * Everything is integer/string arithmetic — pair counts are
+  * freq-weighted BIGINTs, the argmax tie-break is lexicographic on
+  * "left|right" — so the oracle replays training EXACTLY: a
+  * recursive CTE carries the whole (tiny) vocabulary as one list-
+  * packed state row per iteration, extracts pair counts with list
+  * lambdas, and applies the merge with the same greedy left-to-right
+  * non-overlapping semantics (String.replace == DuckDB replace on a
+  * "{sym}{sym}" wrapped encoding).
+  */
+object Bpe {
+
+  /** Greedy left-to-right single-pair merge — the same non-overlapping
+    * scan `String.replace` performs: [a,a,a] under (a,a) → [aa,a]. */
+  private[graft] def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Word-frequency vocabulary of a (doc_id, text) relation. */
+  private def vocab(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** Train `nMerges` BPE merges. Returns the ranked merge table and
+    * the final per-word segmentation (w, f, syms). */
+  def train(docs: DataFrame, nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // localCheckpoint (not persist): each iteration stacks a merge map
+    // on the previous plan, and 20 stacked iterations make the LOGICAL
+    // plan itself explode (AQE's explainString OOMed the driver before
+    // any task ran) — the same lineage-control problem the star-
+    // contraction components loop hits, same fix.
+    var cur = vocab(docs)
+      .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+      .localCheckpoint(true)
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val best = cur.filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, concat(col("l"), lit("|"), col("r")).asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, c))
+        val mergeUdf = udf((syms: Seq[String]) => mergeOnce(syms, l, r))
+        val next = cur.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint(true)
+        cur.unpersist()
+        cur = next
+        rank += 1
+      }
+    }
+    (merges.toSeq, cur)
+  }
+
+  private val NMerges = 20
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The learned merge table, rank by rank — every row pins one
+    // training iteration's freq-weighted argmax (count DESC,
+    // "l|r" ASC tie-break).
+    "ts_bpe_train" -> ((s, d) => {
+      val (merges, fin) = train(Tables.documents(s, d).filter(col("n_chars") > 0), NMerges)
+      fin.unpersist()
+      import s.implicits._
+      merges.toDF("rank", "mleft", "mright", "cnt")
+        .select(col("rank"), col("mleft"), col("mright"),
+          concat(col("mleft"), col("mright")).as("merged"), col("cnt"))
+        .orderBy("rank")
+    }),
+
+    // Tokenize the corpus with the learned vocabulary: per-doc word
+    // count, BPE token count, and a digest of the full ordered
+    // segmentation ("sym|sym" per word, space-joined in doc order).
+    "ts_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+      val (_, fin) = train(docs, NMerges)
+      val segs = fin.select(col("w"), size(col("syms")).cast("long").as("n_syms"),
+        array_join(col("syms"), "|").as("seg"))
+      val toks = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+      val out = toks.join(segs, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("n_bpe_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ")).as("seg_digest"))
+        .orderBy("doc_id")
+      fin.unpersist()
+      out
+    })
+  )
+
+  /** The training replay: one recursive CTE whose state row packs the
+    * whole vocabulary (list of (w, f, enc)) plus the merge list; each
+    * iteration derives pair counts with list lambdas (the
+    * `list_transform([x], v -> …)[1]` let-binding idiom) and applies
+    * the winning merge via `replace` on the "{sym}{sym}" encoding —
+    * greedy left-to-right non-overlapping, exactly `mergeOnce`. */
+  private def bpeCte(nMerges: Int): String =
+    s"""words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |    FROM documents WHERE n_chars > 0) GROUP BY w),
+       |winit AS (
+       |  SELECT w, f,
+       |    array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> '{' || w[i] || '}'), '') AS enc
+       |  FROM words),
+       |bpe AS (
+       |  SELECT 0 AS it,
+       |    list(struct_pack(w := w, f := f, enc := enc) ORDER BY w) AS st,
+       |    CAST([] AS STRUCT(l VARCHAR, r VARCHAR, c BIGINT)[]) AS merges
+       |  FROM winit
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    list_transform(st, s -> struct_pack(w := s.w, f := s.f,
+       |      enc := replace(s.enc, '{' || best.l || '}{' || best.r || '}',
+       |                     '{' || best.l || best.r || '}'))),
+       |    list_append(merges, best)
+       |  FROM (
+       |    SELECT it, st, merges,
+       |      list_transform([
+       |        flatten(list_transform(st, s ->
+       |          list_transform([string_split(trim(s.enc, '{}'), '}{')], sy ->
+       |            list_transform(range(1, len(sy)),
+       |              i -> struct_pack(p := sy[i] || '|' || sy[i+1],
+       |                               f := s.f)))[1]))
+       |      ], pa ->
+       |        list_transform([
+       |          list_transform(list_distinct(list_transform(pa, x -> x.p)), p ->
+       |            struct_pack(p := p,
+       |              c := CAST(list_sum(list_transform(
+       |                     list_filter(pa, x -> x.p = p), x -> x.f)) AS BIGINT)))
+       |        ], pc ->
+       |          list_transform([
+       |            list_sort(list_transform(list_filter(pc,
+       |              x -> x.c = list_aggregate(list_transform(pc, y -> y.c), 'max')),
+       |              x -> x.p))[1]
+       |          ], bp ->
+       |            struct_pack(l := string_split(bp, '|')[1],
+       |                        r := string_split(bp, '|')[2],
+       |                        c := list_filter(pc, x -> x.p = bp)[1].c))[1])[1])[1]
+       |      AS best
+       |    FROM bpe WHERE it < $nMerges)
+       |  WHERE best.c IS NOT NULL)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ts_bpe_train" ->
+      s"""WITH RECURSIVE ${bpeCte(NMerges)}
+         |SELECT i AS rank, m[i].l AS mleft, m[i].r AS mright,
+         |  m[i].l || m[i].r AS merged, m[i].c AS cnt
+         |FROM (SELECT merges AS m FROM bpe WHERE it = $NMerges),
+         |LATERAL (SELECT unnest(generate_series(1, len(m))) AS i)
+         |ORDER BY rank""".stripMargin,
+
+    "ts_bpe_encode" ->
+      s"""WITH RECURSIVE ${bpeCte(NMerges)},
+         |fin AS (
+         |  SELECT u.s.w AS w,
+         |    CAST(len(string_split(trim(u.s.enc, '{}'), '}{')) AS BIGINT) AS n_syms,
+         |    array_to_string(string_split(trim(u.s.enc, '{}'), '}{'), '|') AS seg
+         |  FROM (SELECT unnest(st) AS s FROM bpe WHERE it = $NMerges) u),
+         |toks AS (
+         |  SELECT doc_id, i - 1 AS pos, tk[i] AS w
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |        FROM documents WHERE n_chars > 0),
+         |  LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i))
+         |SELECT t.doc_id, count(*) AS n_words,
+         |  CAST(sum(f.n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  md5(string_agg(f.seg, ' ' ORDER BY t.pos)) AS seg_digest
+         |FROM toks t JOIN fin f ON f.w = t.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("mergeOnce is greedy left-to-right non-overlapping") {
+    assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.mergeOnce(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Bpe.mergeOnce(Seq("x", "a", "b", "y", "a", "b"), "a", "b") ==
+      Seq("x", "ab", "y", "ab"))
+    assert(Bpe.mergeOnce(Seq("a"), "a", "a") == Seq("a"))
+  }
+
+  test("train is deterministic and replaying its merges reproduces the vocab") {
+    val docs = Tables.documents(spark, d).filter(col("n_chars") > 0)
+    val (m1, f1) = Bpe.train(docs, 10)
+    val (m2, f2) = Bpe.train(docs, 10)
+    assert(m1 == m2, "training must be RNG-free deterministic")
+    assert(m1.size == 10 && m1.map(_._1) == (1 to 10))
+    // final segmentation == chars run through the merge list in rank order
+    val fin = f1.select("w", "syms").as[(String, Seq[String])].collect().toMap
+    fin.foreach { case (w, syms) =>
+      val replayed = m1.foldLeft(w.map(_.toString): Seq[String]) {
+        case (s, (_, l, r, _)) => Bpe.mergeOnce(s, l, r)
+      }
+      assert(syms == replayed, s"word $w: $syms != $replayed")
+      assert(syms.mkString("") == w, s"segmentation must concatenate back to $w")
+    }
+    f1.unpersist(); f2.unpersist()
+  }
+
+  test("encode compresses: n_words <= n_bpe_tokens <= total chars") {
+    val rows = SparkEntry.queries("ts_bpe_encode")(spark, d)
+      .join(Tables.documents(spark, d).select(col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace")),
+        Seq("doc_id"))
+      .select("n_words", "n_bpe_tokens", "n_chars_nospace")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nw, nb, nc) =>
+      assert(nw <= nb && nb <= nc, s"($nw, $nb, $nc) violates bounds")
+    }
+    // merges actually fired: strictly fewer bpe tokens than chars overall
+    assert(rows.map(_._2).sum < rows.map(_._3.toLong).sum)
+  }
+}
