@@ -67,6 +67,26 @@ class TenantIsolationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("batched IVF search serves only the queried tenant") {
+    val cents = Search.ivfTrainSampled(twins, "tenant", "id", "embedding", 4,
+      sampleCap = 32)
+    val indexed = Search.ivfAssign(twins, "tenant", "id", "embedding", cents)
+    val qs = Seq(0L, 1L, 2L).map(i =>
+      i -> SyntheticVec.vecLocal(i, 16).toSeq)
+    // tenant b holds IDENTICAL vectors (sim ties corpus-wide): any
+    // cross-tenant candidate admission would change the id sets
+    val hits = Search.ivfSearchBatch(indexed, cents, "a", qs, 5, 2,
+        threshold = -1e9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.subsetOf(idsOf("a")),
+      s"ivfSearchBatch leaked across tenants: $hits")
+    // incremental maintenance keeps per-tenant assignment too
+    val inc = Search.ivfAssignWithDist(twins, "tenant", "id", "embedding", cents)
+    inc.collect().foreach { r =>
+      assert(idsOf(r.getString(0)).contains(r.getLong(1)), r.toString)
+    }
+  }
+
   test("hierarchical clustering keeps L1 refinement inside the tenant") {
     val out = Clustering.hierarchicalClusterBy(twins, "tenant", "id", "embedding",
       Clustering.clusterPerTenantHdbscan(_, _, _, _),
