@@ -27,6 +27,10 @@ def main() -> None:
         detail = {**json.load(open("BENCHVEC.json"))["timings_sec"], **detail}
     except FileNotFoundError:
         pass
+    try:
+        detail = {**json.load(open("BENCHDOC.json"))["timings_sec"], **detail}
+    except FileNotFoundError:
+        pass
     md = open("PERF.md").read()
     blocks = re.findall(
         r"<!-- drift-check:begin -->(.*?)<!-- drift-check:end -->", md, re.S)
