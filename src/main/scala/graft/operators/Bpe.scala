@@ -88,7 +88,33 @@ object Bpe {
 
   private val NMerges = 20
 
+  /** Tokenize an arbitrary (possibly unseen) word with a trained merge
+    * list: start from characters, apply every merge in rank order with
+    * the same greedy scan — the standard BPE inference rule. */
+  def encodeWord(w: String, merges: Seq[(Int, String, String, Long)]): Seq[String] =
+    merges.sortBy(_._1).foldLeft(w.map(_.toString): Seq[String]) {
+      case (s, (_, l, r, _)) => mergeOnce(s, l, r)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // OOV generalization: words the trainer never saw (adjacent token
+    // pairs concatenated) segmented by rank-ordered merge application.
+    // Every output row pins the full segmentation of an unseen word.
+    "ts_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+      val (merges, fin) = train(docs, NMerges)
+      fin.unpersist()
+      val bc = s.sparkContext.broadcast(merges)
+      val encUdf = udf((w: String) => encodeWord(w, bc.value))
+      val toks = TextAnalysis.tokens(col("text"))
+      docs.filter(size(toks) >= 2)
+        .select(concat(element_at(toks, 1), element_at(toks, 2)).as("w"))
+        .distinct()
+        .withColumn("syms", encUdf(col("w")))
+        .select(col("w"), size(col("syms")).cast("long").as("n_syms"),
+          array_join(col("syms"), "|").as("seg"))
+        .orderBy("w")
+    }),
     // The learned merge table, rank by rank — every row pins one
     // training iteration's freq-weighted argmax (count DESC,
     // "l|r" ASC tie-break).
@@ -180,11 +206,42 @@ object Bpe {
        |  WHERE best.c IS NOT NULL)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // a second recursive CTE replays INFERENCE: the unseen-word list
+    // starts at characters and applies merge #(it+1) from the trained
+    // list at each step — the same replace-on-{sym}{sym} greedy rule.
+    "ts_bpe_apply" ->
+      s"""WITH RECURSIVE ${bpeCte(NMerges)},
+         |unseen AS (
+         |  SELECT DISTINCT tk[1] || tk[2] AS w
+         |  FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |        FROM documents WHERE n_chars > 0)
+         |  WHERE len(tk) >= 2),
+         |uinit AS (
+         |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> '{' || w[i] || '}'), '') AS enc
+         |  FROM unseen),
+         |app AS (
+         |  SELECT 0 AS it, list(struct_pack(w := w, enc := enc) ORDER BY w) AS ws
+         |  FROM uinit
+         |  UNION ALL
+         |  SELECT a.it + 1,
+         |    list_transform(a.ws, s -> struct_pack(w := s.w,
+         |      enc := replace(s.enc,
+         |        '{' || b.merges[a.it + 1].l || '}{' || b.merges[a.it + 1].r || '}',
+         |        '{' || b.merges[a.it + 1].l || b.merges[a.it + 1].r || '}')))
+         |  FROM app a, (SELECT merges FROM bpe WHERE it = (SELECT max(it) FROM bpe)) b
+         |  WHERE a.it < len(b.merges))
+         |SELECT u.s.w AS w,
+         |  CAST(len(string_split(trim(u.s.enc, '{}'), '}{')) AS BIGINT) AS n_syms,
+         |  array_to_string(string_split(trim(u.s.enc, '{}'), '}{'), '|') AS seg
+         |FROM (SELECT unnest(ws) AS s FROM app WHERE it = (SELECT max(it) FROM app)) u
+         |ORDER BY w""".stripMargin,
+
     "ts_bpe_train" ->
       s"""WITH RECURSIVE ${bpeCte(NMerges)}
          |SELECT i AS rank, m[i].l AS mleft, m[i].r AS mright,
          |  m[i].l || m[i].r AS merged, m[i].c AS cnt
-         |FROM (SELECT merges AS m FROM bpe WHERE it = $NMerges),
+         |FROM (SELECT merges AS m FROM bpe WHERE it = (SELECT max(it) FROM bpe)),
          |LATERAL (SELECT unnest(generate_series(1, len(m))) AS i)
          |ORDER BY rank""".stripMargin,
 
@@ -194,7 +251,7 @@ object Bpe {
          |  SELECT u.s.w AS w,
          |    CAST(len(string_split(trim(u.s.enc, '{}'), '}{')) AS BIGINT) AS n_syms,
          |    array_to_string(string_split(trim(u.s.enc, '{}'), '}{'), '|') AS seg
-         |  FROM (SELECT unnest(st) AS s FROM bpe WHERE it = $NMerges) u),
+         |  FROM (SELECT unnest(st) AS s FROM bpe WHERE it = (SELECT max(it) FROM bpe)) u),
          |toks AS (
          |  SELECT doc_id, i - 1 AS pos, tk[i] AS w
          |  FROM (SELECT doc_id,

@@ -36,6 +36,20 @@ class BpeSpec extends AnyFunSuite {
     f1.unpersist(); f2.unpersist()
   }
 
+  test("encodeWord generalizes: unseen words reuse learned subwords") {
+    val docs = Tables.documents(spark, d).filter(col("n_chars") > 0)
+    val (merges, fin) = Bpe.train(docs, 20)
+    fin.unpersist()
+    // a word the trainer never saw, built from seen material
+    val syms = Bpe.encodeWord("joinhash", merges)
+    assert(syms.mkString("") == "joinhash")
+    // the learned 'join' and 'hash' merges fire inside the OOV word
+    assert(syms.length < "joinhash".length,
+      s"no merges fired on an in-distribution OOV word: $syms")
+    // unseen characters stay single symbols, never crash
+    assert(Bpe.encodeWord("zq9", merges).mkString("") == "zq9")
+  }
+
   test("encode compresses: n_words <= n_bpe_tokens <= total chars") {
     val rows = SparkEntry.queries("ts_bpe_encode")(spark, d)
       .join(Tables.documents(spark, d).select(col("doc_id"),
