@@ -24,7 +24,7 @@ object Bench {
     "ann_rp_lsh", "pp_token_budget", "v1_knn_768", "ann_rp_lsh_768",
     "emb_batched", "emb_fast", "c2h_hdbscan_eom", "ann_ivf_sampled",
     "st_index_incremental", "l11_response_cache", "ann_pq_topk",
-    "ann_batch_topk", "curate_corpus_v2", "dd_shared_spans")
+    "ann_batch_topk", "curate_corpus_v2", "dd_shared_spans", "ts_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

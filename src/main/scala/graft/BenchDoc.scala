@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.operators.{Bpe, Dedup, TextAnalysis}
 
 /** Document-curation scale bench — BENCHVEC's counterpart for the
@@ -19,7 +18,7 @@ import graft.operators.{Bpe, Dedup, TextAnalysis}
   * scale), and %5/%7 ids get the boilerplate injections. Corpus B
   * (spans): bodies made replica-disjoint by suffixing every word with
   * the replica id, with the 16-token passage planted on ~10 sparse
-  * ids — true pair overlap stays bounded, so the measurement is the
+  * ids (all in replica 0) — true pair overlap stays bounded, so the measurement is the
   * 500k-doc gram equi-join, not a quadratic duplicate-group blowup
   * (which `dd_shared_spans` would CORRECTLY report on a 100×
   * replicated corpus, at quadratic cost — that's what the LSH dedup
@@ -33,7 +32,8 @@ object BenchDoc {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.driver.memory", "16g")
+      // heap comes from build.sbt's -Xmx (SPARK_DRIVER_MEM, default
+      // 8g) — spark.driver.memory is ignored once the JVM is up
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -94,37 +94,17 @@ object BenchDoc {
       g
     }
 
-    // full funnel: clean → gate → exact dedup → decontaminate
+    // full funnel: EXACTLY the curate_corpus_v2 stage chain (shared
+    // code — the bench cannot drift from the oracle-pinned pipeline)
     timedMin2("funnel_500k") {
-      val gpass = TextAnalysis.gopherQuality(cleaned)
-        .filter(col("passes") === 1).select("doc_id")
-      val s2 = cleaned.join(gpass, Seq("doc_id"))
-      val s3 = s2.withColumn("_h", md5(col("text")))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("_h").orderBy(col("doc_id").asc)))
-        .filter(col("_rn") === 1).drop("_h", "_rn")
-      val toks = filter(split(col("text"), " "), t => t =!= "")
-      val ev = raw.filter(col("doc_id") % 97 === 0)
-        .withColumn("etoks", slice(toks, 5, 21))
-        .filter(size(toks) >= 25)
-        .select(explode(transform(sequence(lit(0), size(col("etoks")) - 5),
-          i => concat_ws(" ", (0 until 5).map(j =>
-            element_at(col("etoks"), i + j + 1)): _*))).as("sh"))
-        .distinct()
-      val contaminated = s3
-        .select(col("doc_id"), explode(transform(sequence(lit(0), size(toks) - 5),
-          i => concat_ws(" ", (0 until 5).map(j =>
-            element_at(toks, i + j + 1)): _*))).as("sh"))
-        .join(ev, Seq("sh"), "left_semi")
-        .select("doc_id").distinct()
-      val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
-      stats("funnel_survivors") = s4.count().toString
+      val stages = Dedup.curationFunnelV2(corpus, raw, maxDocs = 3 * NRep)
+      stats("funnel_survivors") = stages.last._2.count().toString
+      stages.foreach { case (_, df) => df.unpersist() }
     }
 
     // BPE training: 20 merges, each one explode+groupBy over the vocab
     timed("bpe_train20_500k") {
       val (merges, fin) = Bpe.train(corpus, 20)
-      fin.unpersist()
       stats("bpe_top3") = merges.take(3)
         .map { case (_, l, r, c) => s"$l+$r:$c" }.mkString(" ")
     }
@@ -136,13 +116,23 @@ object BenchDoc {
         array_join(transform(filter(split(col("text"), " "), t => t =!= ""),
           t => concat(t, lit("x"), col("r"))), " ").as("text"))
       .withColumn("text",
-        when(col("doc_id") % 50023 === 0, concat(col("text"), lit(" " + passage)))
+        // ~10 tagged docs, all in replica 0 (ids < 100000): 45 pairs,
+        // comfortably under sharedSpans' top-100 cap so spans_found is
+        // a real count, not a saturated limit
+        when(col("doc_id") < 100000 && col("doc_id") % 499 === 0,
+          concat(col("text"), lit(" " + passage)))
           .otherwise(col("text")))
       .repartition(32).persist()
     spansCorpus.count()
     timedMin2("shared_spans_500k") {
-      stats("spans_found") =
-        Dedup.sharedSpans(spansCorpus, k = 5, minSpan = 8).count().toString
+      // each replica carries the base corpus's natural 90+-token
+      // near-dup pairs (~25 × 100 replicas), so the top-100 report
+      // fills its cap with the longest spans — record the cap AND the
+      // longest span so a quality regression is still visible
+      val top = Dedup.sharedSpans(spansCorpus, k = 5, minSpan = 8)
+        .select("span_tokens").collect().map(_.getLong(0))
+      stats("spans_reported") = s"${top.length} (top-100 cap)"
+      stats("spans_longest") = top.max.toString
     }
 
     val json =

@@ -86,11 +86,25 @@ object BenchVec extends Serializable {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.driver.memory", "16g")
+      // heap comes from build.sbt's -Xmx (SPARK_DRIVER_MEM, default
+      // 8g) — spark.driver.memory is ignored once the JVM is up
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import java.nio.file.{Files, Paths}
+
+    // Layout staleness guard: the on-disk layouts are reused across
+    // runs, but their FORMAT has changed across commits (packed PQ
+    // codes, id-sorted cell files) — a bare Files.exists would
+    // silently measure an old layout under the new label. Each layout
+    // dir carries a version marker; bump LayoutVersion whenever any
+    // writer below changes its output format.
+    val LayoutVersion = "2"
+    def isFresh(path: String): Boolean =
+      Files.exists(Paths.get(path, "_LAYOUT_VERSION")) &&
+        Files.readString(Paths.get(path, "_LAYOUT_VERSION")).trim == LayoutVersion
+    def stamp(path: String): Unit =
+      Files.writeString(Paths.get(path, "_LAYOUT_VERSION"), LayoutVersion)
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -100,6 +114,8 @@ object BenchVec extends Serializable {
       timings(name) = (System.nanoTime() - t0) / 1e9
       r
     }
+    def buildIfStale(path: String, name: String)(body: => Unit): Unit =
+      if (!isFresh(path)) { timed(name)(body); stamp(path) }
     // Query stages report the MIN of two passes (same rule as
     // graft.Bench): single cold samples on this shared box swing ±30 %,
     // which is larger than the pruning ratios being measured. One-time
@@ -129,7 +145,7 @@ object BenchVec extends Serializable {
     // the hash-exact 768-d family keeps using SyntheticVec at sf.)
     val vecUdf = udf((id: Long) => hashUnitVec(id, Dim))
     val basePath = s"$vecDir/vec768_500k"
-    if (!Files.exists(Paths.get(basePath))) timed("gen_corpus") {
+    buildIfStale(basePath, "gen_corpus") {
       spark.range(NDocs)
         .select(col("id").as("doc_id"),
           explode(sequence(lit(0L), lit(2L) + pmod(col("id"), lit(5L)))).as("cidx"))
@@ -152,7 +168,7 @@ object BenchVec extends Serializable {
     // 11.1 s vs 6.8 s — because the join probes every row; the 100 TB
     // raw store is id-keyed for exactly this reason).
     val byidPath = s"$vecDir/vec768_500k_byid"
-    if (!Files.exists(Paths.get(byidPath))) timed("byid_sorted_write") {
+    buildIfStale(byidPath, "byid_sorted_write") {
       corpus.repartitionByRange(32, col("vec_id")).sortWithinPartitions("vec_id")
         .write.mode("overwrite").parquet(byidPath)
     }
@@ -214,7 +230,7 @@ object BenchVec extends Serializable {
       Search.ivfTrainSampled(corpus.withColumn("tenant", lit("u1")),
         "tenant", "vec_id", "embedding", NCells)
     }
-    if (!Files.exists(Paths.get(ivfPath))) timed("ivf_assign_write") {
+    buildIfStale(ivfPath, "ivf_assign_write") {
       // NOT repartitioned by cell (unlike the S8 serving table): a
       // one-file-per-cell layout halves the write time but caps a
       // 4-cell probe read at 4 tasks (measured ivf_topk 1.2 → 2.9 s on
@@ -319,7 +335,7 @@ object BenchVec extends Serializable {
     }
     val planes10 = mkPlanes(10, 7000000L)
     val lshPath = s"$vecDir/vec768_500k_lsh"
-    if (!Files.exists(Paths.get(lshPath))) timed("lsh_code_write") {
+    buildIfStale(lshPath, "lsh_code_write") {
       corpus.withColumn("code", codeUdf(planes10)(col("embedding")))
         .repartition(64, col("code")) // bound file count: ≤64 files/bucket dir
         .write.mode("overwrite").partitionBy("code").parquet(lshPath)
@@ -376,7 +392,7 @@ object BenchVec extends Serializable {
       PQ.pqTrainSampled(corpusT, "tenant", "vec_id", "embedding", 96, 256, 2048)
     }
     val pqPath = s"$vecDir/vec768_500k_pq"
-    if (!Files.exists(Paths.get(pqPath))) timed("pq_encode_write") {
+    buildIfStale(pqPath, "pq_encode_write") {
       PQ.pqEncodePacked(corpusT, "tenant", "vec_id", "embedding", pqBooks)
         .write.mode("overwrite").parquet(pqPath)
     }
@@ -406,7 +422,7 @@ object BenchVec extends Serializable {
     // ONLY the probed partitions' CODES: per-query scan ≈
     // (nProbe/nCells) × 96 B/row, compounding both prunings. ----
     val ivfpqPath = s"$vecDir/vec768_500k_ivfpq"
-    if (!Files.exists(Paths.get(ivfpqPath))) timed("ivfpq_codes_write") {
+    buildIfStale(ivfpqPath, "ivfpq_codes_write") {
       pqEnc.select(col("id").as("vec_id"), col("codes"))
         .join(ivfIndexed.select(col("id").as("vec_id"), col("cell")), Seq("vec_id"))
         .select("vec_id", "codes", "cell")
@@ -455,7 +471,7 @@ object BenchVec extends Serializable {
     // pass replays the same merge and must converge to the same
     // state.)
     val s8Path = s"$vecDir/vec768_100kdocs_bucketed"
-    if (!Files.exists(Paths.get(s8Path))) timed("s8_bucketed_write_400k") {
+    buildIfStale(s8Path, "s8_bucketed_write_400k") {
       pipelines.IndexPipeline.writeVectorsBucketed(
         pipelines.IndexPipeline.buildIndex(docsCorpus), s8Path, nBuckets = 256)
     }
@@ -484,7 +500,7 @@ object BenchVec extends Serializable {
       v.map(_ / nn)
     }
     val cluPath = s"$vecDir/vec768_500k_clu"
-    if (!Files.exists(Paths.get(cluPath))) timed("clu_gen_corpus") {
+    buildIfStale(cluPath, "clu_gen_corpus") {
       spark.range(NDocs)
         .select(col("id").as("doc_id"),
           explode(sequence(lit(0L), lit(2L) + pmod(col("id"), lit(5L)))).as("cidx"))
@@ -520,7 +536,7 @@ object BenchVec extends Serializable {
       Search.ivfTrainSampled(cluT, "tenant", "vec_id", "embedding", NCells)
     }
     val cluIvfPath = s"$vecDir/vec768_500k_clu_ivf"
-    if (!Files.exists(Paths.get(cluIvfPath))) timed("clu_ivf_assign_write") {
+    buildIfStale(cluIvfPath, "clu_ivf_assign_write") {
       Search.ivfAssign(cluT, "tenant", "vec_id", "embedding", cluCents)
         .sortWithinPartitions("cell", "id")
         .write.mode("overwrite").partitionBy("tenant", "cell").parquet(cluIvfPath)
@@ -549,13 +565,13 @@ object BenchVec extends Serializable {
         "tenant", "vec_id", "embedding", 96, 256, 2048)
     }
     val cluPqPath = s"$vecDir/vec768_500k_clu_pq"
-    if (!Files.exists(Paths.get(cluPqPath))) timed("clu_pq_encode_write") {
+    buildIfStale(cluPqPath, "clu_pq_encode_write") {
       PQ.pqEncodePacked(cluT.withColumn("tenant", lit("all")),
           "tenant", "vec_id", "embedding", cluBooks)
         .write.mode("overwrite").parquet(cluPqPath)
     }
     val cluByidPath = s"$vecDir/vec768_500k_clu_byid"
-    if (!Files.exists(Paths.get(cluByidPath))) timed("clu_byid_sorted_write") {
+    buildIfStale(cluByidPath, "clu_byid_sorted_write") {
       clu.repartitionByRange(32, col("vec_id")).sortWithinPartitions("vec_id")
         .write.mode("overwrite").parquet(cluByidPath)
     }

@@ -108,22 +108,27 @@ case class AdcScore(child: Expression, lut: Array[Array[Double]])
           s"adc_score requires array<int> or binary codes, got $t")
     }
 
+  // codes/LUT arity must agree exactly: a silent min() truncation
+  // would rank candidates on a subset of the subspaces when the wrong
+  // codebooks are paired with an encoder — fail loudly instead.
   override def nullSafeEval(v: Any): Any = child.dataType match {
     case BinaryType =>
       // packed layout: one unsigned byte per subspace (ksub ≤ 256) —
       // 96 B/row literal, the cheapest possible parquet decode
       val codes = v.asInstanceOf[Array[Byte]]
-      val m = math.min(codes.length, lut.length)
+      if (codes.length != lut.length) throw new IllegalArgumentException(
+        s"adc_score: ${codes.length} codes vs ${lut.length}-subspace lut")
       var acc = 0.0
       var s = 0
-      while (s < m) { acc += lut(s)(codes(s) & 0xFF); s += 1 }
+      while (s < codes.length) { acc += lut(s)(codes(s) & 0xFF); s += 1 }
       acc
     case _ =>
       val codes = v.asInstanceOf[ArrayData]
-      val m = math.min(codes.numElements(), lut.length)
+      if (codes.numElements() != lut.length) throw new IllegalArgumentException(
+        s"adc_score: ${codes.numElements()} codes vs ${lut.length}-subspace lut")
       var acc = 0.0
       var s = 0
-      while (s < m) { acc += lut(s)(codes.getInt(s)); s += 1 }
+      while (s < lut.length) { acc += lut(s)(codes.getInt(s)); s += 1 }
       acc
   }
 
@@ -131,16 +136,18 @@ case class AdcScore(child: Expression, lut: Array[Array[Double]])
     nullSafeCodeGen(ctx, ev, c => {
       val lutRef = ctx.addReferenceObj("adcLut", lut, "double[][]")
       val s = ctx.freshName("s")
-      val m = ctx.freshName("m")
       val acc = ctx.freshName("acc")
       val (len, elem) = child.dataType match {
         case BinaryType => (s"$c.length", s"($c[$s] & 0xFF)")
         case _          => (s"$c.numElements()", s"$c.getInt($s)")
       }
       s"""
-         |int $m = java.lang.Math.min($len, $lutRef.length);
+         |if ($len != $lutRef.length) {
+         |  throw new IllegalArgumentException(
+         |    "adc_score: " + $len + " codes vs " + $lutRef.length + "-subspace lut");
+         |}
          |double $acc = 0.0;
-         |for (int $s = 0; $s < $m; $s++) {
+         |for (int $s = 0; $s < $lutRef.length; $s++) {
          |  $acc += $lutRef[$s][$elem];
          |}
          |${ev.value} = $acc;

@@ -56,11 +56,20 @@ object Bpe {
     // on the previous plan, and 20 stacked iterations make the LOGICAL
     // plan itself explode (AQE's explainString OOMed the driver before
     // any task ran) — the same lineage-control problem the star-
-    // contraction components loop hits, same fix.
+    // contraction components loop hits, same fix. Checkpoint blocks
+    // are vocab-sized (distinct words, not the corpus) and are freed
+    // by the ContextCleaner when superseded snapshots are GC'd.
     var cur = vocab(docs)
       .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))))
       .localCheckpoint(true)
+    // the oracle's {sym}{sym} / "l|r" string encodings require tokens
+    // free of the three delimiter characters — fail loudly rather than
+    // silently diverging from the SQL replay on a hostile corpus (the
+    // Scala side itself would handle them fine). Checked on the
+    // already-materialized vocab, so it costs a vocab-sized scan.
+    require(cur.filter(col("w").rlike("[{}|]")).limit(1).count() == 0,
+      "BPE oracle parity requires tokens free of '{', '}', '|'")
     var rank = 1
     var done = false
     while (rank <= nMerges && !done) {
@@ -77,9 +86,7 @@ object Bpe {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, c))
         val mergeUdf = udf((syms: Seq[String]) => mergeOnce(syms, l, r))
-        val next = cur.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint(true)
-        cur.unpersist()
-        cur = next
+        cur = cur.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint(true)
         rank += 1
       }
     }
@@ -103,7 +110,6 @@ object Bpe {
     "ts_bpe_apply" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
       val (merges, fin) = train(docs, NMerges)
-      fin.unpersist()
       val bc = s.sparkContext.broadcast(merges)
       val encUdf = udf((w: String) => encodeWord(w, bc.value))
       val toks = TextAnalysis.tokens(col("text"))
@@ -120,7 +126,6 @@ object Bpe {
     // "l|r" ASC tie-break).
     "ts_bpe_train" -> ((s, d) => {
       val (merges, fin) = train(Tables.documents(s, d).filter(col("n_chars") > 0), NMerges)
-      fin.unpersist()
       import s.implicits._
       merges.toDF("rank", "mleft", "mright", "cnt")
         .select(col("rank"), col("mleft"), col("mright"),
@@ -146,7 +151,6 @@ object Bpe {
             array_sort(collect_list(struct(col("pos"), col("seg")))),
             x => x.getField("seg")), " ")).as("seg_digest"))
         .orderBy("doc_id")
-      fin.unpersist()
       out
     })
   )

@@ -303,15 +303,23 @@ object Dedup {
     * Emits (doc_id, n_sent, n_dropped, kept_digest) where kept_digest
     * pins the EXACT reassembled text. At 100 TB both shuffles key on
     * fixed-width hashes, never on sentence text. */
-  def sentenceDedup(docs: DataFrame, maxDocs: Long,
-                    idCol: String = "doc_id", textCol: String = "text",
-                    sep: String = "\\. ", joiner: String = ". "): DataFrame = {
+  /** Shared core of the sentence family: every (doc, sentence
+    * position) tagged with the sentence's corpus-wide distinct-owner
+    * count — one hash shuffle for the frequency table, joined back. */
+  private def sentenceOwners(docs: DataFrame, idCol: String, textCol: String,
+                             sep: String): DataFrame = {
     val sents = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), sep)).as(Seq("idx", "sent")))
       .withColumn("sh", md5(col("sent")))
     val freq = sents.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     sents.join(freq, Seq("sh"))
+  }
+
+  def sentenceDedup(docs: DataFrame, maxDocs: Long,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    sep: String = "\\. ", joiner: String = ". "): DataFrame =
+    sentenceOwners(docs, idCol, textCol, sep)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sent"),
         sum(when(col("n_docs") > maxDocs, 1L).otherwise(0L)).as("n_dropped"),
@@ -322,7 +330,6 @@ object Dedup {
             struct(col("idx"), col("sent"))))),
           x => x.getField("sent")), joiner)).as("kept_digest"))
       .orderBy("doc_id")
-  }
 
   /** Cross-document exact shared-SPAN detection — the distributed
     * stand-in for suffix-array substring dedup (Lee et al. 2022,
@@ -365,24 +372,50 @@ object Dedup {
       .limit(100)
   }
 
-  /** The rewrite core of `sentenceDedup`: (doc_id, text) with corpus-
-    * repeated sentences removed and survivors rejoined in original
-    * order. Same shuffles (one hash groupBy for the frequency table,
-    * one for the reassembly). */
+  /** The rewrite form of `sentenceDedup` (same `sentenceOwners` core):
+    * (doc_id, text) with corpus-repeated sentences removed and
+    * survivors rejoined in original order. */
   def sentenceClean(docs: DataFrame, maxDocs: Long,
                     idCol: String = "doc_id", textCol: String = "text",
-                    sep: String = "\\. ", joiner: String = ". "): DataFrame = {
-    val sents = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), sep)).as(Seq("idx", "sent")))
-      .withColumn("sh", md5(col("sent")))
-    val freq = sents.groupBy("sh")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    sents.join(freq, Seq("sh"))
+                    sep: String = "\\. ", joiner: String = ". "): DataFrame =
+    sentenceOwners(docs, idCol, textCol, sep)
       .groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(when(col("n_docs") <= maxDocs,
           struct(col("idx"), col("sent"))))),
         x => x.getField("sent")), joiner).as("text"))
+
+  /** The curate_corpus_v2 stage chain over an arbitrary corpus —
+    * shared verbatim by the gated query and `graft.BenchDoc`, so the
+    * bench can never drift from the pipeline the oracle pins. Returns
+    * the five named stage relations; `cleaned`/`s2`/`s3` are persisted
+    * (multi-consumer chain — the caller's clearCache contract, or
+    * unpersist, releases them). `evalSource` supplies the raw docs
+    * whose %97 token windows form the benchmark eval set. */
+  def curationFunnelV2(all0: DataFrame, evalSource: DataFrame,
+                       maxDocs: Long): Seq[(String, DataFrame)] = {
+    val cleaned = sentenceClean(all0, maxDocs).persist()
+    val gpass = TextAnalysis.gopherQuality(cleaned)
+      .filter(col("passes") === 1).select("doc_id")
+    val s2 = cleaned.join(gpass, Seq("doc_id")).persist()
+    val s3 = s2.withColumn("_h", md5(col("text")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_h").orderBy(col("doc_id").asc)))
+      .filter(col("_rn") === 1).drop("_h", "_rn").persist()
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val sh5 = shinglesUdf(5)
+    val ev = evalSource.filter(col("doc_id") % 97 === 0)
+      .withColumn("etoks", slice(toks, 5, 21))
+      .filter(size(toks) >= 25)
+      .select(explode(sh5(array_join(col("etoks"), " "))).as("sh"))
+      .distinct()
+    val contaminated = s3.filter(size(toks) >= 5)
+      .select(col("doc_id"), explode(sh5(col("text"))).as("sh"))
+      .join(ev, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+    Seq("0_all" -> all0, "1_boilerplate_clean" -> cleaned,
+      "2_gopher" -> s2, "3_dedup" -> s3, "4_decontaminated" -> s4)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -411,26 +444,7 @@ object Dedup {
         injected.filter(col("doc_id") % 50 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         .persist()
-      val cleaned = sentenceClean(all0, maxDocs = 3).persist()
-      val gpass = TextAnalysis.gopherQuality(cleaned)
-        .filter(col("passes") === 1).select("doc_id")
-      val s2 = cleaned.join(gpass, Seq("doc_id")).persist()
-      val s3 = s2.withColumn("_h", md5(col("text")))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("_h").orderBy(col("doc_id").asc)))
-        .filter(col("_rn") === 1).drop("_h", "_rn").persist()
-      val toks = filter(split(col("text"), " "), t => t =!= "")
-      val sh5 = shinglesUdf(5)
-      val ev = raw.filter(col("doc_id") % 97 === 0)
-        .withColumn("etoks", slice(toks, 5, 21))
-        .filter(size(toks) >= 25)
-        .select(explode(sh5(array_join(col("etoks"), " "))).as("sh"))
-        .distinct()
-      val contaminated = s3.filter(size(toks) >= 5)
-        .select(col("doc_id"), explode(sh5(col("text"))).as("sh"))
-        .join(ev, Seq("sh"), "left_semi")
-        .select("doc_id").distinct()
-      val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      val stages = curationFunnelV2(all0, raw, maxDocs = 3)
       def stage(id: Long, name: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs"),
           md5(array_join(array_sort(collect_list(col("doc_id").cast("string"))), ","))
@@ -439,12 +453,9 @@ object Dedup {
             .as("text_md5"))
           .select(lit(id).as("stage_id"), lit(name).as("stage"),
             col("n_docs"), col("ids_md5"), col("text_md5"))
-      stage(0L, "0_all", all0)
-        .unionByName(stage(1L, "1_boilerplate_clean", cleaned))
-        .unionByName(stage(2L, "2_gopher", s2))
-        .unionByName(stage(3L, "3_dedup", s3))
-        .unionByName(stage(4L, "4_decontaminated", s4))
-        .orderBy("stage_id")
+      stages.zipWithIndex.map { case ((name, df), i) =>
+        stage(i.toLong, name, df)
+      }.reduce(_ unionByName _).orderBy("stage_id")
     }),
 
     // Shared-span detection under an exact gate: a 16-token passage is

@@ -39,7 +39,6 @@ class BpeSpec extends AnyFunSuite {
   test("encodeWord generalizes: unseen words reuse learned subwords") {
     val docs = Tables.documents(spark, d).filter(col("n_chars") > 0)
     val (merges, fin) = Bpe.train(docs, 20)
-    fin.unpersist()
     // a word the trainer never saw, built from seen material
     val syms = Bpe.encodeWord("joinhash", merges)
     assert(syms.mkString("") == "joinhash")
