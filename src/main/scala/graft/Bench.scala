@@ -47,7 +47,12 @@ object Bench {
     // Caches created inside a query (persisted multi-consumer
     // relations) are intra-query optimizations — clear between queries
     // so entries don't accumulate across 2×N runs and squeeze memory.
+    // SPARK_GRAFT_PROGRESS=1 prints each query name to stderr before it
+    // runs (local warning-attribution only; the driver never sets it,
+    // keeping its parsed tail free of extra lines).
+    val progress = sys.env.contains("SPARK_GRAFT_PROGRESS")
     def run(n: String, recordFailure: Boolean): Unit = {
+      if (progress) System.err.println(s"[bench] >> $n")
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch {
         case e: Throwable =>

@@ -155,6 +155,21 @@ case class AdcScore(child: Expression, lut: Array[Array[Double]])
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  // Case-class equals/hashCode on Array fields compare by reference, so
+  // two semantically identical adc_score expressions would never be
+  // equal — defeating Catalyst canonicalization / common-subexpression
+  // reuse and giving identity hashCodes. Compare the LUT by value.
+  override def equals(other: Any): Boolean = other match {
+    case a: AdcScore =>
+      child == a.child &&
+        java.util.Arrays.deepEquals(
+          lut.asInstanceOf[Array[AnyRef]], a.lut.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(lut.asInstanceOf[Array[AnyRef]])
 }
 
 /** L2-normalize an array<float|double> → array<double> (zero vector

@@ -59,14 +59,10 @@ object ProductQuantization {
   def pqTrainSampled(vectors: DataFrame, tenantCol: String, idCol: String,
                      embCol: String, m: Int, ksub: Int,
                      sampleCap: Int = 2048): Map[String, Codebooks] = {
-    // keys-only rank window, embeddings fetched by broadcast join —
-    // never sorts full rows through one task (see ivfTrainSampled)
-    val keys = vectors
-      .select(col(tenantCol).cast("string").as("tenant"), col(idCol).cast("long").as("id"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("tenant").orderBy("id")))
-      .filter(col("_rn") <= sampleCap)
-      .select("tenant", "id")
+    // bounded sample keys (partial-aggregated, window-free — see
+    // Search.sampleKeys), embeddings fetched by broadcast join —
+    // never sorts full rows through one task
+    val keys = Search.sampleKeys(vectors, tenantCol, idCol, sampleCap)
     val sample = vectors
       .select(col(tenantCol).cast("string").as("tenant"),
         col(idCol).cast("long").as("id"),

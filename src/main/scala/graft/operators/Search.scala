@@ -237,6 +237,34 @@ object Search {
       queryVec, k, 0.0, idCol = "id")
   }
 
+  /** Deterministic bounded sample keys: the `cap` LOWEST ids per
+    * tenant (reproducible, no RNG), selected by the partial-aggregating
+    * `TopKAggregator` with a constant score — its (score DESC, id ASC)
+    * total order then reduces to id ASC, so each map task keeps ≤cap
+    * keys per tenant and the shuffle carries ≤ cap·partitions rows.
+    * This replaces a per-tenant rank window over the keys, which had
+    * two problems at scale: (a) a single-tenant corpus sorts EVERY key
+    * through one task — 10B rows of ids is still an 80 GB single-task
+    * sort; (b) when the tenant column is a constant (`lit("all")`),
+    * Catalyst folds the foldable partition key away and the empty-spec
+    * WindowExec warning fires (the round-7 bench-tail regression). The
+    * aggregator form is bounded for ANY tenant cardinality and has no
+    * window at all. */
+  def sampleKeys(vectors: DataFrame, tenantCol: String, idCol: String,
+                 cap: Int): DataFrame = {
+    val sess = vectors.sparkSession
+    import sess.implicits._
+    vectors
+      .select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.ScoredRow(0.0, t._2))
+      .agg(graft.functions.TopK.topK(cap).name("top"))
+      .toDF("tenant", "top")
+      .select(col("tenant"), explode(col("top.id")).as("id"))
+  }
+
   /** Scale-path IVF centroid training (the 100 TB variant of the
     * per-tenant local build): `ivfBuild`'s in-task k-means is exact for
     * the reference's ≤10k-vector tenants but cannot run inside one
@@ -249,16 +277,9 @@ object Search {
   def ivfTrainSampled(vectors: DataFrame, tenantCol: String, idCol: String,
                       embCol: String, nCells: Int,
                       sampleCap: Int = 2048): Map[String, Array[Array[Double]]] = {
-    // The rank window runs over (tenant, id) KEYS ONLY — windowing full
-    // rows would sort every embedding of a tenant through one task
-    // (500k × 6 KB at BenchVec scale). The sampled key set is bounded
-    // (tenants × sampleCap) and broadcast back for the embedding fetch.
-    val keys = vectors
-      .select(col(tenantCol).cast("string").as("tenant"), col(idCol).cast("long").as("id"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("tenant").orderBy("id")))
-      .filter(col("_rn") <= sampleCap)
-      .select("tenant", "id")
+    // Bounded sample-key selection; fetched embeddings ride a broadcast
+    // join — never sorts full rows through one task (see sampleKeys).
+    val keys = sampleKeys(vectors, tenantCol, idCol, sampleCap)
     val sample = vectors
       .select(col(tenantCol).cast("string").as("tenant"),
         col(idCol).cast("long").as("id"),
@@ -378,10 +399,21 @@ object Search {
                excludeSelf: Boolean = false): DataFrame = {
     val sess = vectors.sparkSession
     import sess.implicits._
-    val exploded = vectors
+    val base = vectors
       .select(col(idCol).cast("long").as("id"),
         col(embCol).cast("array<double>").as("emb"))
-      .select(col("id"), col("emb"), explode(typedLit(queries)).as("q"))
+    // Small batches ride as a plan literal (a codegen generator, no
+    // join); past ~64 queries the literal bloats the logical plan and
+    // generated code linearly in Q, so large batches become a broadcast
+    // cross join instead — same rows, same scoring, one corpus scan
+    // either way (ADVICE r7).
+    val exploded = (if (queries.size <= 64)
+      base.select(col("id"), col("emb"), explode(typedLit(queries)).as("q"))
+    else {
+      val qdf = queries.toDF("_1", "_2")
+      base.crossJoin(broadcast(qdf))
+        .select(col("id"), col("emb"), struct(col("_1"), col("_2")).as("q"))
+    })
       .withColumn("sim", dot(col("emb"), col("q._2")))
       .filter(col("sim") >= threshold)
     val scored = if (excludeSelf) exploded.filter(col("id") =!= col("q._1"))

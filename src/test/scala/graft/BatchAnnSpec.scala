@@ -37,6 +37,24 @@ class BatchAnnSpec extends AnyFunSuite {
       s"batch path diverged from the per-query loop")
   }
 
+  test("knnBatch large batch (broadcast-join path) == per-query knn loop") {
+    // >64 queries switches from the plan-literal generator to the
+    // broadcast cross join (ADVICE r7: literal plan size grows with Q);
+    // results must be identical rank-for-rank either way.
+    val ids = (0L until 70L)
+    val qs = qset(ids)
+    val batch = Search.knnBatch(emb, qs, 5, threshold = 0.0)
+      .select("q_id", "rank", "vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val loop = qs.flatMap { case (qid, qv) =>
+      Search.knn(emb, qv, 5, 0.0)
+        .select("vec_id", "sim").collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(1)) }
+    }
+    assert(batch.toSeq == loop,
+      "broadcast-join batch path diverged from the per-query loop")
+  }
+
   test("knnBatch excludeSelf drops exactly the query's own row") {
     val qs = qset(Seq(3L))
     val withSelf = Search.knnBatch(emb, qs, 5, Double.NegativeInfinity)

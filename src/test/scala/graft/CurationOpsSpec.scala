@@ -84,7 +84,11 @@ class CurationOpsSpec extends AnyFunSuite {
       val (nWords, mwl, fa, nStop) =
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
       val (top2, dup5, passes) = (r.getDouble(5), r.getDouble(6), r.getInt(7))
-      assert(fa >= 0.0 && fa <= 1.0 && top2 >= 0.0 && top2 <= 1.0 && dup5 >= 0.0)
+      // top2_frac uses the (occurrences × gram length)/n_chars convention
+      // shared with the oracle; overlapping repeated 2-grams can push it
+      // past 1.0 (e.g. "a a a a" → 9/7), so only the lower bound is an
+      // invariant.
+      assert(fa >= 0.0 && fa <= 1.0 && top2 >= 0.0 && dup5 >= 0.0)
       val expect = nWords >= 50 && nWords <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
         fa >= 0.8 && nStop >= 2 && top2 <= 0.2 && dup5 <= 0.15
       assert(passes == (if (expect) 1 else 0), s"doc ${r.getLong(0)} flag mismatch")
