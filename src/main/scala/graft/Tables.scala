@@ -22,11 +22,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark only reads via `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in Verify/Bench/test sessions). Normalize: `ts` becomes a
-    * micros-precision timestamp, `ts_ns` keeps the exact long for
-    * precise ordering.
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: parquet TIMESTAMP(NANOS) (readable only as a long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), and parquet
+    * timestamp[us] (which Spark 4 reads as TIMESTAMP_NTZ when
+    * isAdjustedToUTC=false). Normalize both to one contract:
+    * `ts` is always a micros-precision TimestampType and `ts_ns` is
+    * always exact epoch nanos. Sessions pin UTC, so the NTZ→LTZ cast
+    * is an identity on the underlying micros value — and never use
+    * `cast(ts as long)` (illegal for NTZ, epoch-*seconds* for LTZ).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
@@ -34,7 +38,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_ns", F.col("ts"))
           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-      case _ => raw.withColumn("ts_ns", F.col("ts").cast("long"))
+      case _ =>
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+          .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000L))
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
