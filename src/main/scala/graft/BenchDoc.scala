@@ -135,6 +135,22 @@ object BenchDoc {
       stats("spans_longest") = top.max.toString
     }
 
+    // ---- corpus C: planted ubiquitous gram — the 100 TB skew bomb --
+    // a 12-token boilerplate on EVERY doc (gram df = 500k). Without
+    // the df cap the gram self-join is a C(500k,2) single-key pair
+    // explosion; the default maxGramDf=1000 prunes it up front, so
+    // this leg must stay in the same runtime band as shared_spans_500k
+    // and report the same sparse-passage spans.
+    val boiler = (0 until 12).map(i => f"bp$i%02d").mkString(" ")
+    val hotCorpus = spansCorpus
+      .withColumn("text", concat(col("text"), lit(" " + boiler)))
+    timedMin2("shared_spans_hotgram_500k") {
+      val top = Dedup.sharedSpans(hotCorpus, k = 5, minSpan = 8)
+        .select("span_tokens").collect().map(_.getLong(0))
+      stats("hotgram_spans_reported") = s"${top.length} (top-100 cap)"
+      stats("hotgram_spans_longest") = top.max.toString
+    }
+
     val json =
       "{\"timings_sec\":" +
         timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}") +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{HashEmbedder, SyntheticEmbedder, VectorFunctions}
+import graft.functions.{HashEmbedder, SyntheticEmbedder, SyntheticVec, VectorFunctions}
 import graft.pipelines.IndexPipeline
 
 /** Retrieval-quality evaluation harness (SURVEY.md §5.3): the
@@ -208,6 +208,106 @@ object RetrievalEval {
           (coalesce(col("dcg5"), lit(0.0)) / n).as("ndcg5"),
           (coalesce(col("dcg10"), lit(0.0)) / n).as("ndcg10"))
     }.reduce(_ unionByName _).orderBy("mode")
+  }
+
+  /** QAdataset-shaped retrieval-quality grid (SURVEY §5.3;
+    * `generate_test_dataset.py:423-604`): the reference generates ONE
+    * thematic (主題級) question from each document's SUMMARY and
+    * detail (細節級) questions from individual CHUNKS, each with the
+    * source doc as the single relevant result, then compares the 5
+    * search modes' Hit@k/MRR/nDCG per question type
+    * (`evaluate_vector_retrieval.py:357-396`). Deterministic analogue:
+    * vectors are SyntheticVec's of structured ids (summary s_d =
+    * 10⁶+d; chunks c_{d,k} = 2·10⁶+10d+k, k<3), and each question
+    * embedding is a PER-DIMENSION MIX of its target vector (the
+    * summary for thematic, one chunk for detail), the doc's other
+    * branch, and query-specific noise — selected by a deterministic
+    * integer hash both engines evaluate bit-identically. Detail
+    * questions cycle through three affinity regimes
+    * (balanced-weak / chunk-strong / chunk-weak+summary-moderate), so
+    * single-branch modes each have a failure regime while fusion sees
+    * both branches — which is exactly the reference's observed mode
+    * ordering (rrf_fusion ≥ hybrid ≥ single modes on detail
+    * questions), asserted in RetrievalEvalSpec and hash-gated here. */
+  def evalModesGrid(s: SparkSession, d: String): DataFrame = {
+    val nDocs = 40
+    val dim = 64
+    def bitOf(id: Column, j: Column): Column =
+      when(shiftright((id * lit(dim.toLong) + j) * lit(2246822519L), 16)
+        .bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+    def pctOf(qkey: Column, j: Column): Column =
+      shiftright((qkey * lit(dim.toLong) + j) * lit(1099087573L), 8) % 100
+
+    val docs = Tables.documents(s, d).filter(col("doc_id") < nDocs).select("doc_id")
+    val vectors = docs.select(col("doc_id").as("label"),
+        lit("summary").as("vtype"), (lit(1000000L) + col("doc_id")).as("vec_id"))
+      .unionByName(docs
+        .select(col("doc_id").as("label"), explode(sequence(lit(0L), lit(2L))).as("k"))
+        .select(col("label"), lit("chunk").as("vtype"),
+          (lit(2000000L) + col("label") * 10 + col("k")).as("vec_id")))
+      .withColumn("embedding", SyntheticVec.vecCol(col("vec_id"), dim))
+
+    val qmeta = docs.select(col("doc_id").as("rel_doc"),
+        explode(sequence(lit(0L), lit(2L))).as("qslot"))
+      .withColumn("q_id", col("rel_doc") * 3 + col("qslot"))
+      .withColumn("qtype",
+        when(col("qslot") === 0, lit("thematic")).otherwise(lit("detail")))
+      .withColumn("sum_id", lit(1000000L) + col("rel_doc"))
+      .withColumn("target_id", when(col("qslot") === 0, col("sum_id"))
+        .otherwise(lit(2000000L) + col("rel_doc") * 10 + (col("qslot") - 1)))
+      .withColumn("second_id", when(col("qslot") === 0,
+          lit(2000000L) + col("rel_doc") * 10).otherwise(col("sum_id")))
+      .withColumn("regime", (col("rel_doc") + col("qslot")) % 3)
+      .withColumn("p1", when(col("qslot") === 0, lit(60L))
+        .when(col("regime") === 0, lit(38L))
+        .when(col("regime") === 1, lit(60L)).otherwise(lit(28L)))
+      .withColumn("p2", when(col("qslot") === 0, lit(22L))
+        .when(col("regime") === 0, lit(38L))
+        .when(col("regime") === 1, lit(12L)).otherwise(lit(52L)))
+      .withColumn("q_emb", transform(sequence(lit(0L), lit(dim - 1L)), j =>
+        bitOf(
+          when(pctOf(col("q_id"), j) < col("p1"), col("target_id"))
+            .when(pctOf(col("q_id"), j) < col("p1") + col("p2"), col("second_id"))
+            .otherwise(lit(3000000L) + col("q_id")), j)))
+
+    val allScored = scored(vectors, qmeta.select("q_id", "q_emb"))
+      .select("q_id", "label", "vec_id", "vtype", "sim").cache()
+    val ss = allScored.filter(col("vtype") === "summary")
+    val sc = allScored.filter(col("vtype") === "chunk")
+    val meta = qmeta.select("q_id", "rel_doc", "qtype")
+    val nOf = Map("thematic" -> nDocs, "detail" -> 2 * nDocs)
+
+    def ofold(x: Column, key: Column): Column =
+      aggregate(array_sort(collect_list(struct(key.as("k"), x.as("v")))),
+        lit(0.0), (a, e) => a + e.getField("v"))
+    val tab = typedLit(invLog2Table)
+    val modes = Seq("rrf_fusion", "hybrid", "summary_only", "chunks_only", "legacy")
+    modes.flatMap { m =>
+      val ranked = runModeScored(m, ss, sc, 10)
+        .join(broadcast(meta), Seq("q_id"))
+        .filter(col("label") === col("rel_doc"))
+        .select("q_id", "qtype", "rank")
+      Seq("detail", "thematic").map { qt =>
+        val n = lit(nOf(qt).toDouble)
+        ranked.filter(col("qtype") === qt).agg(
+          sum(when(col("rank") <= 1, 1.0).otherwise(0.0)).as("h1"),
+          sum(when(col("rank") <= 3, 1.0).otherwise(0.0)).as("h3"),
+          sum(when(col("rank") <= 5, 1.0).otherwise(0.0)).as("h5"),
+          sum(when(col("rank") <= 10, 1.0).otherwise(0.0)).as("h10"),
+          ofold(lit(1.0) / col("rank"), col("q_id")).as("rr"),
+          ofold(when(col("rank") <= 5, element_at(tab, col("rank").cast("int")))
+            .otherwise(lit(0.0)), col("q_id")).as("dcg5"),
+          ofold(element_at(tab, col("rank").cast("int")), col("q_id")).as("dcg10"))
+          .select(lit(m).as("mode"), lit(qt).as("qtype"),
+            (coalesce(col("h1"), lit(0.0)) / n).as("hit1"),
+            (coalesce(col("h3"), lit(0.0)) / n).as("hit3"),
+            (coalesce(col("h5"), lit(0.0)) / n).as("hit5"),
+            (coalesce(col("h10"), lit(0.0)) / n).as("hit10"),
+            (coalesce(col("rr"), lit(0.0)) / n).as("mrr"),
+            (coalesce(col("dcg5"), lit(0.0)) / n).as("ndcg5"),
+            (coalesce(col("dcg10"), lit(0.0)) / n).as("ndcg10"))
+      }
+    }.reduce(_ unionByName _).orderBy("mode", "qtype")
   }
 
   /** Query-rewrite A/B + smart-trigger harness — the reference's second
@@ -477,6 +577,7 @@ object RetrievalEval {
   // covered by RetrievalEvalSpec, where invariants — mode ordering,
   // metric ranges, skip-rate bounds — are asserted without an oracle.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_modes_grid" -> ((s, d) => evalModesGrid(s, d)),
     "eval_retrieval_metrics" -> ((s, d) => evaluateSynth(s, d, nQueries = 40)),
     "eval_retrieval_exact" -> ((s, d) => evaluateSynth(s, d)),
     "eval_rewrite_ab" -> ((s, d) => evaluateRewriteAbSynth(s, d, nQueries = 40)),
@@ -741,7 +842,121 @@ object RetrievalEval {
          |ORDER BY q_id""".stripMargin
   }
 
+  /** The eval_modes_grid replay: structured-id SyntheticVec corpus,
+    * the same per-dim query-mix arithmetic (every integer op mirrored
+    * with full parenthesization), the 5 mode plans, and the per-
+    * (mode, qtype) metric grid with q_id-ordered folds. */
+  private def modesGridOracle: String = {
+      def vec(idExpr: String) = graft.functions.SyntheticVec.vecSql(idExpr, 64)
+      // per-dim selector: pct(q_id, j) routes to target/second/noise id
+      val pct = "((((qm.q_id * 64 + j) * 1099087573) >> 8) % 100)"
+      val sel = s"(CASE WHEN $pct < qm.p1 THEN qm.target_id " +
+        s"WHEN $pct < qm.p1 + qm.p2 THEN qm.second_id " +
+        "ELSE 3000000 + qm.q_id END)"
+      val qe = "list_transform(range(0, 64), j -> CASE WHEN " +
+        s"(((($sel * 64 + j) * 2246822519) >> 16) & 1) = 0 " +
+        "THEN 1.0 ELSE -1.0 END)"
+      def bestPerDoc(rel: String) =
+        s"""SELECT q_id, label, vec_id, sim FROM (
+           |  SELECT q_id, label, vec_id, sim, row_number() OVER (
+           |    PARTITION BY q_id, label ORDER BY sim DESC, vec_id ASC) AS rn
+           |  FROM $rel) WHERE rn = 1""".stripMargin
+      def rankTop10(rel: String) =
+        s"""SELECT q_id, label, rank FROM (
+           |  SELECT q_id, label, row_number() OVER (
+           |    PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+           |  FROM $rel) WHERE rank <= 10""".stripMargin
+      def metrics(mode: String, qt: String, rel: String, n: Int) =
+        s"""SELECT '$mode' AS mode, '$qt' AS qtype,
+           |  coalesce(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END), 0)::DOUBLE / CAST($n AS DOUBLE) AS hit1,
+           |  coalesce(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END), 0)::DOUBLE / CAST($n AS DOUBLE) AS hit3,
+           |  coalesce(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END), 0)::DOUBLE / CAST($n AS DOUBLE) AS hit5,
+           |  coalesce(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END), 0)::DOUBLE / CAST($n AS DOUBLE) AS hit10,
+           |  coalesce(CASE WHEN count(*) > 0 THEN list_reduce(
+           |    list(1.0::DOUBLE / rank ORDER BY q_id), (a, b) -> a + b) END, 0.0)
+           |    / CAST($n AS DOUBLE) AS mrr,
+           |  coalesce(CASE WHEN count(*) > 0 THEN list_reduce(
+           |    list(CASE WHEN rank <= 5 THEN $invLog2Sql[rank::INT] ELSE 0.0::DOUBLE END
+           |         ORDER BY q_id), (a, b) -> a + b) END, 0.0)
+           |    / CAST($n AS DOUBLE) AS ndcg5,
+           |  coalesce(CASE WHEN count(*) > 0 THEN list_reduce(
+           |    list($invLog2Sql[rank::INT] ORDER BY q_id), (a, b) -> a + b) END, 0.0)
+           |    / CAST($n AS DOUBLE) AS ndcg10
+           |FROM (
+           |  SELECT r.q_id, r.rank FROM $rel r JOIN qm ON r.q_id = qm.q_id
+           |  WHERE r.label = qm.rel_doc AND qm.qtype = '$qt')""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+         |vecs AS (
+         |  SELECT doc_id AS label, 'summary' AS vtype, 1000000 + doc_id AS vec_id
+         |  FROM docs
+         |  UNION ALL
+         |  SELECT doc_id, 'chunk', 2000000 + doc_id * 10 + k
+         |  FROM docs, LATERAL (SELECT unnest([0, 1, 2]) AS k)),
+         |qm AS (
+         |  SELECT doc_id AS rel_doc, qslot, doc_id * 3 + qslot AS q_id,
+         |    CASE WHEN qslot = 0 THEN 'thematic' ELSE 'detail' END AS qtype,
+         |    CASE WHEN qslot = 0 THEN 1000000 + doc_id
+         |         ELSE 2000000 + doc_id * 10 + (qslot - 1) END AS target_id,
+         |    CASE WHEN qslot = 0 THEN 2000000 + doc_id * 10
+         |         ELSE 1000000 + doc_id END AS second_id,
+         |    CASE WHEN qslot = 0 THEN 60
+         |         WHEN (doc_id + qslot) % 3 = 0 THEN 38
+         |         WHEN (doc_id + qslot) % 3 = 1 THEN 60 ELSE 28 END AS p1,
+         |    CASE WHEN qslot = 0 THEN 22
+         |         WHEN (doc_id + qslot) % 3 = 0 THEN 38
+         |         WHEN (doc_id + qslot) % 3 = 1 THEN 12 ELSE 52 END AS p2
+         |  FROM docs, LATERAL (SELECT unnest([0, 1, 2]) AS qslot)),
+         |qv AS (SELECT qm.q_id, $qe AS qe FROM qm),
+         |ssim AS (
+         |  SELECT q.q_id, v.label, v.vec_id,
+         |    list_inner_product(${vec("v.vec_id")}, q.qe) AS sim
+         |  FROM vecs v CROSS JOIN qv q WHERE v.vtype = 'summary'),
+         |csim AS (
+         |  SELECT q.q_id, v.label, v.vec_id,
+         |    list_inner_product(${vec("v.vec_id")}, q.qe) AS sim
+         |  FROM vecs v CROSS JOIN qv q WHERE v.vtype = 'chunk'),
+         |r_summary AS (${rankTop10("ssim")}),
+         |bd_chunks AS (${bestPerDoc("csim")}),
+         |r_chunks AS (${rankTop10("bd_chunks")}),
+         |bd_legacy AS (${bestPerDoc(
+            "(SELECT * FROM ssim UNION ALL SELECT * FROM csim)")}),
+         |r_legacy AS (${rankTop10("bd_legacy")}),
+         |pruned AS (
+         |  SELECT c.* FROM csim c
+         |  WHERE EXISTS (SELECT 1 FROM r_summary s
+         |                WHERE s.q_id = c.q_id AND s.label = c.label)),
+         |bd_hybrid AS (${bestPerDoc("pruned")}),
+         |r_hybrid AS (${rankTop10("bd_hybrid")}),
+         |bd_ssim AS (${bestPerDoc("ssim")}),
+         |sb AS (${rankTop10("bd_ssim")}),
+         |rrf0 AS (
+         |  SELECT coalesce(s.q_id, c.q_id) AS q_id,
+         |         coalesce(s.label, c.label) AS label,
+         |         coalesce(0.4::DOUBLE / (60 + s.rank), 0.0) +
+         |         coalesce(0.6::DOUBLE / (60 + c.rank), 0.0) AS rrf
+         |  FROM sb s FULL OUTER JOIN r_chunks c
+         |    ON s.q_id = c.q_id AND s.label = c.label),
+         |r_rrf AS (
+         |  SELECT q_id, label, rank FROM (
+         |    SELECT q_id, label, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY rrf DESC, label ASC) AS rank
+         |    FROM rrf0) WHERE rank <= 10)
+         |SELECT * FROM (
+         |  ${metrics("chunks_only", "detail", "r_chunks", 80)}
+         |  UNION ALL ${metrics("chunks_only", "thematic", "r_chunks", 40)}
+         |  UNION ALL ${metrics("hybrid", "detail", "r_hybrid", 80)}
+         |  UNION ALL ${metrics("hybrid", "thematic", "r_hybrid", 40)}
+         |  UNION ALL ${metrics("legacy", "detail", "r_legacy", 80)}
+         |  UNION ALL ${metrics("legacy", "thematic", "r_legacy", 40)}
+         |  UNION ALL ${metrics("rrf_fusion", "detail", "r_rrf", 80)}
+         |  UNION ALL ${metrics("rrf_fusion", "thematic", "r_rrf", 40)}
+         |  UNION ALL ${metrics("summary_only", "detail", "r_summary", 80)}
+         |  UNION ALL ${metrics("summary_only", "thematic", "r_summary", 40)})
+         |ORDER BY mode, qtype""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "eval_modes_grid" -> modesGridOracle,
     "eval_retrieval_exact" -> retrievalOracle(30),
     "eval_retrieval_metrics" -> retrievalOracle(40),
     "eval_rewrite_exact" -> rewriteOracle(30),

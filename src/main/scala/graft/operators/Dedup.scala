@@ -342,9 +342,19 @@ object Dedup {
     * end-to-end: the pair relation is bounded by true k-gram overlap,
     * the run windows partition by (pair, diagonal) — never corpus-
     * wide. Same verify-stage caveat as n-gram Jaccard: two
-    * near-identical docs cost O(len²) in their own block. */
+    * near-identical docs cost O(len²) in their own block.
+    *
+    * `maxGramDf` caps gram document frequency before the self-join: a
+    * gram occurring in f docs generates O(f²) pair rows, so one
+    * boilerplate gram ("all rights reserved …") at corpus scale is a
+    * single-key shuffle bomb. Grams in more than `maxGramDf` distinct
+    * docs are dropped up front (suffix-array-dedup practice —
+    * ubiquitous spans aren't useful dedup evidence). The df aggregate
+    * itself is skew-safe (two-phase partial agg), and the hot set is
+    * ≤ total_grams/maxGramDf rows, so it broadcasts. */
   def sharedSpans(docs: DataFrame, k: Int, minSpan: Int,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxGramDf: Long = 1000L): DataFrame = {
     val toked = docs.select(col(idCol).as("doc_id"),
       filter(split(col(textCol), " "), t => t =!= "").as("toks"))
     val grams = toked.filter(size(col("toks")) >= k)
@@ -354,7 +364,12 @@ object Dedup {
           (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*)))
         .as(Seq("pos", "g")))
       .withColumn("gh", md5(col("g"))).drop("g")
-    grams.as("a").join(grams.as("b"),
+    val hot = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxGramDf)
+      .select("gh")
+    val kept = grams.join(broadcast(hot), Seq("gh"), "left_anti")
+    kept.as("a").join(kept.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
@@ -955,9 +970,14 @@ object Dedup {
          |        || toks[i+3] || ' ' || toks[i+4]) AS gh
          |  FROM toked, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i)
          |  WHERE len(toks) >= 5),
+         |kept AS (
+         |  SELECT g.* FROM grams g
+         |  WHERE g.gh NOT IN (
+         |    SELECT gh FROM grams GROUP BY gh
+         |    HAVING count(DISTINCT doc_id) > 1000)),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-         |  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+         |  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id),
          |runs AS (
          |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
          |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb

@@ -64,6 +64,61 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(q.nonEmpty && q.forall(_.getLong(4) >= 8))
   }
 
+  test("sharedSpans maxGramDf drops ubiquitous grams, keeps rare pairs") {
+    // one 12-token boilerplate span on EVERY doc (df = corpus size)
+    // plus the rare %13 passage: with the cap below corpus size, only
+    // the rare pairs may surface; with the cap at corpus size, the
+    // boilerplate floods every pair. Also pins that the default cap
+    // (1000) is inert at reference scale: identical to uncapped.
+    val boiler = (0 until 12).map(i => f"bp$i%02d").mkString(" ")
+    val passage = (0 until 16).map(i => f"zq$i%02d").mkString(" ")
+    val base = Tables.documents(spark, d)
+      .filter(col("n_chars") > 0 && col("doc_id") < 130)
+      .withColumn("text", concat(col("text"), lit(" " + boiler)))
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" " + passage)))
+          .otherwise(col("text")))
+    val nDocs = base.count()
+    val tagged = base.filter(col("doc_id") % 13 === 0)
+      .select("doc_id").as[Long].collect().sorted
+    // cap sits between the rare-passage df (|tagged|) and corpus df
+    val cap = tagged.length + 2L
+    assert(cap < nDocs)
+    val capped = graft.operators.Dedup
+      .sharedSpans(base, k = 5, minSpan = 8, maxGramDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // boilerplate grams (df = nDocs > cap) are pruned: surfaced pairs
+    // are exactly the corpus's genuine dup pairs (present WITHOUT the
+    // boilerplate) plus the tagged pairs — the all-pairs flood is gone
+    val baselinePairs = graft.operators.Dedup
+      .sharedSpans(
+        Tables.documents(spark, d).filter(col("n_chars") > 0 && col("doc_id") < 130),
+        k = 5, minSpan = 8, maxGramDf = nDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val taggedPairs = (for (a <- tagged; b <- tagged if a < b) yield (a, b)).toSet
+    assert(capped.nonEmpty)
+    assert(capped.forall { case (a, b, _) =>
+      baselinePairs.contains((a, b)) || taggedPairs.contains((a, b)) },
+      "hot-gram boilerplate pair leaked past the df cap")
+    for (a <- tagged; b <- tagged if a < b)
+      assert(capped.exists { case (da, db, st) => da == a && db == b && st >= 16 },
+        s"rare pair ($a, $b) lost to the df cap")
+    // and without the cap the boilerplate floods every doc pair
+    val flood = graft.operators.Dedup
+      .sharedSpans(base, k = 5, minSpan = 8, maxGramDf = nDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flood.exists(p => !baselinePairs.contains(p) && !taggedPairs.contains(p)),
+      "uncapped run should show boilerplate-only pairs")
+    // default cap is inert where no gram exceeds it
+    val dflt = graft.operators.Dedup
+      .sharedSpans(base, k = 5, minSpan = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val uncapped = graft.operators.Dedup
+      .sharedSpans(base, k = 5, minSpan = 8, maxGramDf = nDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(dflt.sameElements(uncapped), "default df cap changed reference-scale results")
+  }
+
   test("curate_corpus_v2 funnel: every leg bites, rewrite stage keeps ids") {
     val st = SparkEntry.queries("curate_corpus_v2")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getString(4)))

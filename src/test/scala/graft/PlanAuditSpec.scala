@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "eval_rewrite_ab",        // broadcast 90-variant query set × corpus scan
     "eval_rewrite_exact",     // same scan, SQL-reconstructible embedder
     "eval_answer_quality",    // broadcast 30-query golden set × corpus scan
-    "eval_answer_exact"       // same scan, SQL-reconstructible embedder
+    "eval_answer_exact",      // same scan, SQL-reconstructible embedder
+    "eval_modes_grid"         // broadcast 120-question QA set × corpus scan
   )
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in any query plan") {

@@ -25,6 +25,36 @@ class RetrievalEvalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("eval_modes_grid: QAdataset mode ordering holds per question type") {
+    // columns: mode, qtype, hit1, hit3, hit5, hit10, mrr, ndcg5, ndcg10
+    val rows = RetrievalEval.evalModesGrid(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(6), r.getDouble(8))).toMap
+    val modes = Set("rrf_fusion", "hybrid", "summary_only", "chunks_only", "legacy")
+    assert(rows.keySet == modes.flatMap(m => Seq(m -> "detail", m -> "thematic")))
+    rows.foreach { case ((m, qt), (h1, mrr, n10)) =>
+      Seq(h1, mrr, n10).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0, s"$m/$qt metric $v out of range"))
+    }
+    // the reference's regression signal (SURVEY §5.3): on DETAIL
+    // questions fusion ≥ gated hybrid ≥ either single-branch mode
+    def mrrD(m: String) = rows((m, "detail"))._2
+    def h1D(m: String) = rows((m, "detail"))._1
+    assert(mrrD("rrf_fusion") >= mrrD("hybrid"),
+      s"rrf ${mrrD("rrf_fusion")} < hybrid ${mrrD("hybrid")} on detail MRR")
+    assert(mrrD("hybrid") >= mrrD("summary_only") &&
+      mrrD("hybrid") >= mrrD("chunks_only"),
+      s"hybrid ${mrrD("hybrid")} below a single mode on detail MRR")
+    assert(h1D("rrf_fusion") >= h1D("hybrid") &&
+      h1D("hybrid") >= math.max(h1D("summary_only"), h1D("chunks_only")),
+      "detail hit@1 ordering violated")
+    // and THEMATIC questions are best served by the summary branch
+    def mrrT(m: String) = rows((m, "thematic"))._2
+    assert(modes.forall(m => mrrT("summary_only") >= mrrT(m)),
+      "summary_only is not the best thematic mode")
+    spark.catalog.clearCache()
+  }
+
   test("5 search modes produce sane retrieval metrics on verbatim-snippet queries") {
     // columns: mode, hit1, hit3, hit5, hit10, mrr, ndcg5, ndcg10
     val r = RetrievalEval.evaluate(spark, "/root/testdata/sf0.001", nQueries = 20)
