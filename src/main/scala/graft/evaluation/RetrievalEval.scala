@@ -451,11 +451,43 @@ object RetrievalEval {
     * answer (X2's assembled top-3 contexts) lexically — relevancy = the
     * fraction of question tokens the answer covers, correctness =
     * token-set F1 between the answer and the golden source document.
+    * context_precision is the RAGAS rank-weighted analogue (full mode,
+    * `evaluate_full_qa_system.py:38-39`): a retrieved context is
+    * "relevant" when ≥ half its tokens appear in the golden document,
+    * and the score is Σₖ rel_k · precision@k / Σₖ rel_k over the
+    * ranked contexts — 1.0 when every relevant context outranks every
+    * irrelevant one, degrading as relevant contexts sink.
     * One broadcast-queries × summary-vectors scan feeds everything; a
     * q_id = -1 summary row carries the corpus means (the number the
     * reference's `result.to_pandas().mean()` reports). Rows-only:
     * retrieval depends on the hash embedder; invariants in spec.
     */
+  /** (q_id, context_precision) over ranked retrieved contexts: rel_k =
+    * 1 when ≥ 0.5 of the context's tokens occur in the golden doc for
+    * q_id; score = Σ rel_k·(cum_rel_k/rank_k) / max(Σ rel_k, 1), folded
+    * in rank order (3 contexts/query ⇒ the per-group state is O(k)). */
+  private[graft] def contextPrecision(ctx: DataFrame, docs: DataFrame,
+                                      toks: Column => Column): DataFrame = {
+    val rel = ctx
+      .join(docs.select(col("doc_id").as("q_id"), col("text").as("golden_txt")), Seq("q_id"))
+      .withColumn("cset", toks(col("snip")))
+      .withColumn("rel",
+        when(size(array_intersect(col("cset"), toks(col("golden_txt")))).cast("double") /
+             greatest(size(col("cset")), lit(1)).cast("double") >= lit(0.5), lit(1.0))
+          .otherwise(lit(0.0)))
+      .select("q_id", "rank", "rel")
+    rel.groupBy("q_id").agg(
+      aggregate(
+        array_sort(collect_list(struct(col("rank"), col("rel")))),
+        struct(lit(0.0).as("cum"), lit(0.0).as("acc")),
+        (a, e) => struct(
+          (a.getField("cum") + e.getField("rel")).as("cum"),
+          (a.getField("acc") + e.getField("rel") * (a.getField("cum") + e.getField("rel"))
+            / e.getField("rank").cast("double")).as("acc")),
+        a => a.getField("acc") / greatest(a.getField("cum"), lit(1.0))
+      ).as("context_precision"))
+  }
+
   def evaluateAnswerQuality(s: SparkSession, d: String, nQueries: Int = 30): DataFrame = {
     val embedder = new HashEmbedder(64)
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
@@ -500,11 +532,15 @@ object RetrievalEval {
       .withColumn("correctness",
         when(col("p") + col("r") > 0, lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
           .otherwise(lit(0.0)))
-      .select(col("q_id"), col("n_contexts"), col("relevancy"), col("correctness"))
+      .join(contextPrecision(ctx, docs, toks), Seq("q_id"))
+      .select(col("q_id"), col("n_contexts"), col("relevancy"), col("correctness"),
+        col("context_precision"))
     val mean = scoredAnswers.agg(
       sum(col("n_contexts")).as("n_contexts"),
-      avg(col("relevancy")).as("relevancy"), avg(col("correctness")).as("correctness"))
-      .select(lit(-1L).as("q_id"), col("n_contexts"), col("relevancy"), col("correctness"))
+      avg(col("relevancy")).as("relevancy"), avg(col("correctness")).as("correctness"),
+      avg(col("context_precision")).as("context_precision"))
+      .select(lit(-1L).as("q_id"), col("n_contexts"), col("relevancy"), col("correctness"),
+        col("context_precision"))
     scoredAnswers.unionByName(mean).orderBy("q_id")
   }
 
@@ -553,7 +589,9 @@ object RetrievalEval {
       .withColumn("correctness",
         when(col("p") + col("r") > 0, lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
           .otherwise(lit(0.0)))
-      .select(col("q_id"), col("n_contexts"), col("relevancy"), col("correctness"))
+      .join(contextPrecision(ctx, docs, toks), Seq("q_id"))
+      .select(col("q_id"), col("n_contexts"), col("relevancy"), col("correctness"),
+        col("context_precision"))
     def ofold(x: Column, key: Column): Column =
       aggregate(array_sort(collect_list(struct(key.as("k"), x.as("v")))),
         lit(0.0), (a, e) => a + e.getField("v"))
@@ -562,8 +600,11 @@ object RetrievalEval {
       (ofold(col("relevancy"), col("q_id")) /
         count(lit(1)).cast("double")).as("relevancy"),
       (ofold(col("correctness"), col("q_id")) /
-        count(lit(1)).cast("double")).as("correctness"))
-      .select(lit(-1L).as("q_id"), col("n_contexts"), col("relevancy"), col("correctness"))
+        count(lit(1)).cast("double")).as("correctness"),
+      (ofold(col("context_precision"), col("q_id")) /
+        count(lit(1)).cast("double")).as("context_precision"))
+      .select(lit(-1L).as("q_id"), col("n_contexts"), col("relevancy"), col("correctness"),
+        col("context_precision"))
     scoredAnswers.unionByName(mean).orderBy("q_id")
   }
 
@@ -829,16 +870,40 @@ object RetrievalEval {
          |    CASE WHEN p + r > 0 THEN 2.0::DOUBLE * p * r / (p + r)
          |         ELSE CAST(0 AS DOUBLE) END AS correctness
          |  FROM pr),
+         |ctxrel AS (
+         |  SELECT t.q_id, t.rank,
+         |    CASE WHEN len(list_intersect(${tokset("substr(c.text, 1, 256)")},
+         |                                 ${tokset("g.text")}))::DOUBLE
+         |           / greatest(len(${tokset("substr(c.text, 1, 256)")}), 1)::DOUBLE
+         |           >= 0.5::DOUBLE
+         |         THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rel
+         |  FROM top3 t
+         |  JOIN documents c ON c.doc_id = t.label
+         |  JOIN documents g ON g.doc_id = t.q_id),
+         |cums AS (
+         |  SELECT q_id, rank, rel,
+         |    sum(rel) OVER (PARTITION BY q_id ORDER BY rank) AS cum
+         |  FROM ctxrel),
+         |cp AS (
+         |  SELECT q_id,
+         |    list_reduce(list(rel * cum / rank::DOUBLE ORDER BY rank), (a, b) -> a + b)
+         |      / greatest(sum(rel), 1.0::DOUBLE) AS context_precision
+         |  FROM cums GROUP BY q_id),
+         |perq AS (
+         |  SELECT p.q_id, p.n_contexts, p.relevancy, p.correctness, c.context_precision
+         |  FROM per p JOIN cp c USING (q_id)),
          |mean AS (
          |  SELECT CAST(-1 AS BIGINT) AS q_id,
          |    CAST(sum(n_contexts) AS BIGINT) AS n_contexts,
          |    list_reduce(list(relevancy ORDER BY q_id), (a, b) -> a + b)
          |      / CAST(count(*) AS DOUBLE) AS relevancy,
          |    list_reduce(list(correctness ORDER BY q_id), (a, b) -> a + b)
-         |      / CAST(count(*) AS DOUBLE) AS correctness
-         |  FROM per)
-         |SELECT q_id, n_contexts, relevancy, correctness FROM per
-         |UNION ALL SELECT q_id, n_contexts, relevancy, correctness FROM mean
+         |      / CAST(count(*) AS DOUBLE) AS correctness,
+         |    list_reduce(list(context_precision ORDER BY q_id), (a, b) -> a + b)
+         |      / CAST(count(*) AS DOUBLE) AS context_precision
+         |  FROM perq)
+         |SELECT q_id, n_contexts, relevancy, correctness, context_precision FROM perq
+         |UNION ALL SELECT q_id, n_contexts, relevancy, correctness, context_precision FROM mean
          |ORDER BY q_id""".stripMargin
   }
 

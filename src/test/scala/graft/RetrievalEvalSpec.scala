@@ -96,22 +96,48 @@ class RetrievalEvalSpec extends AnyFunSuite {
   }
 
   test("answer-quality lexical metrics are bounded, populated, and mean-consistent") {
-    // columns: q_id, n_contexts, relevancy, correctness
+    // columns: q_id, n_contexts, relevancy, correctness, context_precision
     val rows = RetrievalEval.evaluateAnswerQuality(spark, "/root/testdata/sf0.001", nQueries = 20)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     val (summary, perQuery) = rows.partition(_._1 == -1L)
     assert(summary.length == 1 && perQuery.length == 20)
-    perQuery.foreach { case (_, n, rel, corr) =>
+    perQuery.foreach { case (_, n, rel, corr, cp) =>
       assert(n == 3, s"expected 3 contexts, got $n") // top-3 retrieval always fills
       assert(rel >= 0.0 && rel <= 1.0 && corr >= 0.0 && corr <= 1.0)
+      assert(cp >= 0.0 && cp <= 1.0, s"context_precision $cp out of range")
     }
     // verbatim-snippet queries: the golden doc is usually retrieved, so
     // lexical overlap with it cannot be all-zero across 20 queries
     assert(perQuery.map(_._4).max > 0.0, "all correctness scores are zero")
-    val (_, nSum, relMean, corrMean) = summary.head
+    // ... and when it IS retrieved its 256-char prefix is a token
+    // subset of the full text (rel = 1), so context_precision cannot be
+    // all-zero either
+    assert(perQuery.map(_._5).max > 0.0, "all context_precision scores are zero")
+    val (_, nSum, relMean, corrMean, cpMean) = summary.head
     assert(nSum == perQuery.map(_._2).sum)
     assert(math.abs(relMean - perQuery.map(_._3).sum / 20) < 1e-9)
     assert(math.abs(corrMean - perQuery.map(_._4).sum / 20) < 1e-9)
+    assert(math.abs(cpMean - perQuery.map(_._5).sum / 20) < 1e-9)
     spark.catalog.clearCache()
+  }
+
+  test("context_precision formula: rank-weighted precision on hand fixtures") {
+    // three contexts, relevance pattern (1, 0, 1) ⇒
+    //   precision@1 = 1/1, precision@3 = 2/3; cp = (1 + 2/3) / 2 = 5/6
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ctx = Seq(
+      (10L, 1, "alpha beta"), (10L, 2, "zzz yyy"), (10L, 3, "alpha gamma"),
+      (20L, 1, "zzz yyy"), (20L, 2, "qqq www"), (20L, 3, "rrr sss")
+    ).toDF("q_id", "rank", "snip")
+    val docs = Seq((10L, "alpha beta gamma delta"), (20L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val toks = (c: org.apache.spark.sql.Column) =>
+      array_distinct(filter(split(c, " "), t => t =!= ""))
+    val out = RetrievalEval.contextPrecision(ctx, docs, toks)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(10L) - 5.0 / 6.0) < 1e-12, s"got ${out(10L)}")
+    assert(out(20L) == 0.0, s"all-irrelevant contexts must score 0, got ${out(20L)}")
   }
 }
