@@ -57,7 +57,11 @@ trait EmbedderHandle extends AutoCloseable {
   * No ONNX runtime jar is available offline in this build, so the
   * model-backed implementation is a deployment plug-in; the
   * deterministic double below keeps the whole batched path testable
-  * and oracle-stable. */
+  * and oracle-stable. EMBEDDING.md (repo root) is the deploy recipe
+  * that completes this seam: in-JVM ONNX Runtime backend (jar
+  * coordinates, model export, full `OnnxEmbedderBackend` listing) and
+  * the worker script for `SubprocessEmbedderBackend`, with batch /
+  * partition / thread / memory sizing for cluster scale. */
 trait EmbedderBackend extends Serializable {
   def dim: Int
   def open(): EmbedderHandle
