@@ -351,7 +351,20 @@ object Dedup {
     * docs are dropped up front (suffix-array-dedup practice —
     * ubiquitous spans aren't useful dedup evidence). The df aggregate
     * itself is skew-safe (two-phase partial agg), and the hot set is
-    * ≤ total_grams/maxGramDf rows, so it broadcasts. */
+    * ≤ total_grams/maxGramDf rows, so it broadcasts.
+    *
+    * The blocking key is `xxhash64(gram)` — a LONG, not an md5 hex
+    * string: the gram relation is the dominant shuffle in this
+    * operator (it feeds the df aggregate and both self-join sides), so
+    * the 8-byte key vs a 32-char string is a ~4× shuffle-width cut on
+    * exactly the hottest exchange, and xxhash64 is far cheaper per row
+    * than md5. Collisions are harmless to the RESULT: equal grams
+    * always collide (that's the join), and a false 64-bit collision
+    * manufactures a single matched gram whose run (span_tokens = k)
+    * sits below any sane `minSpan` — extending a real run needs
+    * consecutive same-diagonal collisions (~2⁻¹²⁸). The relation is
+    * persisted for the duration of the query (df pass + join reuse it;
+    * the session's clearCache contract between queries releases it). */
   def sharedSpans(docs: DataFrame, k: Int, minSpan: Int,
                   idCol: String = "doc_id", textCol: String = "text",
                   maxGramDf: Long = 1000L): DataFrame = {
@@ -363,7 +376,8 @@ object Dedup {
         i => concat_ws(" ",
           (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*)))
         .as(Seq("pos", "g")))
-      .withColumn("gh", md5(col("g"))).drop("g")
+      .withColumn("gh", xxhash64(col("g"))).drop("g")
+      .persist()
     val hot = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxGramDf)
