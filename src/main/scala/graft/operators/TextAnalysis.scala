@@ -801,10 +801,144 @@ object TextAnalysis {
       selFull.select("doc_id", "n_tokens")
         .unionByName(selBnd.select("doc_id", "n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // TRAINED quality classifier (training-pipeline op): pretraining
+    // corpus builds (GPT-3 appendix A, LLaMA, CCNet) train a
+    // classifier separating a small curated seed corpus from the
+    // background crawl, then keep background docs that score
+    // seed-like — the step AFTER the heuristic gates (ta_gopher /
+    // ta_quality_score) in a real curation funnel. Seed here = the
+    // src0..src3 sources (the "Wikipedia" stand-in); the model is
+    // per-token seed/background likelihood ratios over the 256 most
+    // frequent tokens (qualityModel) and pp_quality_model reports the
+    // 25 most seed-discriminative ones.
+    "pp_quality_model" -> ((s, d) =>
+      qualityModel(Tables.documents(s, d), Seq("src0", "src1", "src2", "src3"))
+        .orderBy(col("lr").desc, col("tok").asc).limit(25)),
+
+    // The scoring pass: per-doc mean token likelihood ratio + the two
+    // keep decisions (hard threshold, and the LLaMA-style stochastic
+    // keep that admits sub-threshold docs with probability rising in
+    // the score — deterministic via the md5-uniform, so any engine
+    // or rerun keeps the same docs). See qualityClassify for the
+    // engine-parity and 100 TB shape notes.
+    "pp_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      qualityClassify(docs,
+        qualityModel(docs, Seq("src0", "src1", "src2", "src3")))
+        .orderBy("doc_id")
     })
   )
 
+  /** Token likelihood-ratio model of seed-vs-background (the trained
+    * half of a CCNet/LLaMA-style quality classifier): tokens of docs
+    * whose `source` ∈ `seedSources` are the positive corpus, all other
+    * docs the background; the model is the `vocabSize` most frequent
+    * tokens (count desc, token asc — a global top-k, never a full
+    * sort) with lr(t) = P̂(t|seed) / P̂(t|bg), add-one smoothed over
+    * the fixed vocab. ENGINE PARITY: lr is three correctly-rounded
+    * double divisions over exact integer counts — deliberately NOT
+    * log-odds, because ln is the one op the DuckDB/JVM pair disagrees
+    * on by ±1 ulp (`lnTable` note); the mean-of-ratios score
+    * downstream preserves the keep ordering. A production deployment
+    * summing log(lr) reuses this exact model column.
+    * Scale shape: one explode + map-side-combined groupBy(token),
+    * TakeOrdered(vocabSize), scalar totals via a bounded window over
+    * the ≤vocabSize-row vocab. */
+  private[graft] def qualityModel(docs: DataFrame, seedSources: Seq[String],
+                                  vocabSize: Int = 256): DataFrame = {
+    val counts = docs
+      .select(col("source").isin(seedSources: _*).as("is_seed"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("is_seed"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("is_seed"), 1L).otherwise(0L)).as("c_neg"))
+    val vocab = counts
+      .orderBy((col("c_pos") + col("c_neg")).desc, col("tok").asc)
+      .limit(vocabSize)
+    val wAll = graft.functions.BoundedWindow.all(col("c_pos"))
+    vocab
+      .withColumn("p_tot", sum(col("c_pos")).over(wAll))
+      .withColumn("n_tot", sum(col("c_neg")).over(wAll))
+      .withColumn("lr",
+        ((col("c_pos") + lit(1L)).cast("double") /
+          (col("p_tot") + lit(vocabSize.toLong)).cast("double")) /
+          ((col("c_neg") + lit(1L)).cast("double") /
+            (col("n_tot") + lit(vocabSize.toLong)).cast("double")))
+      .select("tok", "c_pos", "c_neg", "lr")
+  }
+
+  /** Score every doc against a `qualityModel` and decide keeps:
+    * score = mean lr over the doc's in-vocab tokens (folded in token-
+    * position order — the cross-engine ordered-reduce pattern; OOV
+    * tokens are neutral), `keep` = score ≥ 1 (the LR decision
+    * boundary), `sample_keep` = the stochastic keep, admitting a doc
+    * iff u < min(1, score/2) where u is the 12-bit md5 uniform of the
+    * doc id — "keep low scorers with probability rising in the score"
+    * (LLaMA uses a Pareto draw; the linear ramp keeps every op
+    * exact-rounded so the oracle stays hash-exact, and is monotone in
+    * the score like the original). Scale: broadcast the ≤vocab-row
+    * model, one narrow join + one groupBy(doc) whose state is bounded
+    * by tokens/doc — a map-shuffle-map pass, no global anything. */
+  private[graft] def qualityClassify(docs: DataFrame, model: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(broadcast(model.select("tok", "lr")), Seq("tok"))
+    val perDoc = perTok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_invocab"),
+      aggregate(array_sort(collect_list(struct(col("pos"), col("lr").as("v")))),
+        lit(0.0), (a, e) => a + e.getField("v")).as("s"))
+    val h = md5(concat(lit("qc:"), col("doc_id").cast("string")))
+    def hv(i: Int): Column = {
+      val a = ascii(substring(h, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    val bucket = (hv(1) * 256 + hv(2) * 16 + hv(3)).cast("long")
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_invocab", coalesce(col("n_invocab"), lit(0L)))
+      .withColumn("score",
+        when(col("n_invocab") > 0, col("s") / col("n_invocab").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", when(col("score") >= 1.0, 1L).otherwise(0L))
+      .withColumn("sample_keep",
+        when(bucket.cast("double") / lit(4096.0) * lit(2.0) <
+          least(col("score"), lit(2.0)), 1L).otherwise(0L))
+      .select("doc_id", "n_invocab", "score", "keep", "sample_keep")
+  }
+
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Shared model CTEs for the two pp_quality_* oracles: token counts
+    * by seed membership, the 256-token vocab (count desc, tok asc),
+    * scalar totals over the vocab, and the three-division lr — each
+    * expression shaped exactly like `qualityModel`'s so every double
+    * op is the identical correctly-rounded operation in both
+    * engines. */
+  private def qcModelCte: String =
+    s"""WITH tokrel AS (
+       |  SELECT (source IN ('src0','src1','src2','src3')) AS is_seed,
+       |    unnest($toksSql) AS tok
+       |  FROM documents),
+       |counts AS (
+       |  SELECT tok,
+       |    CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |    CAST(sum(CASE WHEN NOT is_seed THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+       |  FROM tokrel GROUP BY tok),
+       |vocab AS (
+       |  SELECT tok, c_pos, c_neg FROM counts
+       |  ORDER BY (c_pos + c_neg) DESC, tok ASC LIMIT 256),
+       |tot AS (
+       |  SELECT tok, c_pos, c_neg,
+       |    CAST(sum(c_pos) OVER () AS BIGINT) AS p_tot,
+       |    CAST(sum(c_neg) OVER () AS BIGINT) AS n_tot
+       |  FROM vocab),
+       |model AS (
+       |  SELECT tok, c_pos, c_neg,
+       |    (CAST(c_pos + 1 AS DOUBLE) / CAST(p_tot + 256 AS DOUBLE))
+       |      / (CAST(c_neg + 1 AS DOUBLE) / CAST(n_tot + 256 AS DOUBLE)) AS lr
+       |  FROM tot)""".stripMargin
 
   /** DuckDB: integer value of one lowercase hex digit expression —
     * the same ascii arithmetic the Spark side uses, so md5-derived
@@ -1031,6 +1165,42 @@ object TextAnalysis {
          |  FROM q)
          |SELECT doc_id, n_tokens FROM run, bud
          |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+    "pp_quality_model" ->
+      s"""$qcModelCte
+         |SELECT tok, c_pos, c_neg, lr FROM model
+         |ORDER BY lr DESC, tok ASC LIMIT 25""".stripMargin,
+    "pp_quality_classifier" ->
+      s"""$qcModelCte,
+         |dtok AS (
+         |  SELECT d.doc_id, i - 1 AS pos, toks[i] AS tok
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) d,
+         |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+         |scoredt AS (
+         |  SELECT t.doc_id, t.pos, m.lr FROM dtok t JOIN model m USING (tok)),
+         |per AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_invocab,
+         |    list_reduce(list(lr ORDER BY pos), (a, b) -> a + b) AS s
+         |  FROM scoredt GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.doc_id,
+         |    coalesce(p.n_invocab, 0)::BIGINT AS n_invocab,
+         |    CASE WHEN coalesce(p.n_invocab, 0) > 0
+         |         THEN p.s / CAST(p.n_invocab AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END AS score
+         |  FROM documents d LEFT JOIN per p USING (doc_id)),
+         |bkt AS (
+         |  SELECT doc_id,
+         |    (${hexValSql("substr(md5('qc:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 256
+         |     + ${hexValSql("substr(md5('qc:' || CAST(doc_id AS VARCHAR)), 2, 1)")} * 16
+         |     + ${hexValSql("substr(md5('qc:' || CAST(doc_id AS VARCHAR)), 3, 1)")}) AS bucket
+         |  FROM documents)
+         |SELECT s.doc_id, s.n_invocab, s.score,
+         |  CAST(CASE WHEN s.score >= 1.0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  CAST(CASE WHEN CAST(b.bucket AS DOUBLE) / 4096.0 * 2.0
+         |                 < least(s.score, CAST(2.0 AS DOUBLE))
+         |            THEN 1 ELSE 0 END AS BIGINT) AS sample_keep
+         |FROM sc s JOIN bkt b USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     "t5_text_source" ->
       """WITH base AS (
         |  SELECT doc_id,

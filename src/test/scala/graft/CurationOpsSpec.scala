@@ -317,4 +317,37 @@ class CurationOpsSpec extends AnyFunSuite {
     val trainFrac = bySplit("train").toDouble / total
     assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
   }
+
+  test("quality classifier: seed-discriminative lr and score-ordered keeps on a planted corpus") {
+    val docs = Seq(
+      (1L, "good clean prose words", "seed"),
+      (2L, "good clean prose words", "seed"),
+      (3L, "spam spam click here", "web"),
+      (4L, "good clean words mixed spam", "web"),
+      (5L, "click spam spam spam", "web")
+    ).toDF("doc_id", "text", "source")
+    val model = TextAnalysis.qualityModel(docs, Seq("seed"), vocabSize = 16)
+    val lr = model.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // seed-only tokens score above 1, background-only tokens below
+    assert(lr("prose") > lr("good") && lr("good") > 1.0, s"lr=$lr")
+    assert(lr("spam") < lr("click") && lr("click") < 1.0, s"lr=$lr")
+    // hand check: 8 seed tokens, 13 background tokens, V = 16 ⇒
+    // lr(good) = ((2+1)/(8+16)) / ((1+1)/(13+16)) = (3/24)/(2/29) = 1.8125
+    assert(math.abs(lr("good") - 1.8125) < 1e-12)
+    val out = TextAnalysis.qualityClassify(docs, model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    // every token of every doc is in the 16-token vocab
+    assert(out.values.forall(_._1 > 0))
+    // pure seed > mixed > pure spam, and the LR boundary splits them
+    assert(out(1L)._2 > out(4L)._2 && out(4L)._2 > out(3L)._2)
+    assert(out(1L)._3 == 1L && out(2L)._3 == 1L, "seed-like docs must pass keep")
+    assert(out(3L)._3 == 0L && out(5L)._3 == 0L, "spam docs must fail keep")
+    // stochastic keep admits every hard-keep doc whose score clears the
+    // ramp ceiling (score >= 2 means probability 1 regardless of u)
+    out.foreach { case (id, (_, score, _, sk)) =>
+      if (score >= 2.0) assert(sk == 1L, s"doc $id score $score must sample_keep")
+      if (score == 0.0) assert(sk == 0L, s"doc $id score 0 cannot sample_keep")
+    }
+  }
 }
