@@ -109,6 +109,21 @@ object BenchDoc {
         .map { case (_, l, r, c) => s"$l+$r:$c" }.mkString(" ")
     }
 
+    // Trained quality classifier at 500k docs: one 27M-token count +
+    // top-256 vocab for the model, then a broadcast-model join and one
+    // bounded groupBy(doc) for scoring — the corpus passes twice
+    // (train + score), nothing else scales with corpus size. Seed =
+    // replica-0 src0..src3 ids; every replica repeats the same text so
+    // the model trains on a realistic seed fraction (~2%).
+    timedMin2("quality_classifier_500k") {
+      val seeded = corpus.withColumn("source",
+        when(col("doc_id") % 100000L < 100L, "seedsrc").otherwise("web"))
+      val model = TextAnalysis.qualityModel(seeded, Seq("seedsrc"))
+      val out = TextAnalysis.qualityClassify(seeded, model)
+      stats("qc_kept") = out.filter(col("keep") === 1L).count().toString
+      stats("qc_sample_kept") = out.filter(col("sample_keep") === 1L).count().toString
+    }
+
     // ---- corpus B: replica-disjoint bodies, sparse shared passage ---
     val passage = (0 until 16).map(i => f"span$i%02d").mkString(" ")
     val spansCorpus = raw.crossJoin(broadcast(reps))
