@@ -109,19 +109,25 @@ object BenchDoc {
         .map { case (_, l, r, c) => s"$l+$r:$c" }.mkString(" ")
     }
 
-    // Trained quality classifier at 500k docs: one 27M-token count +
-    // top-256 vocab for the model, then a broadcast-model join and one
-    // bounded groupBy(doc) for scoring — the corpus passes twice
-    // (train + score), nothing else scales with corpus size. Seed =
-    // replica-0 src0..src3 ids; every replica repeats the same text so
-    // the model trains on a realistic seed fraction (~2%).
-    timedMin2("quality_classifier_500k") {
-      val seeded = corpus.withColumn("source",
-        when(col("doc_id") % 100000L < 100L, "seedsrc").otherwise("web"))
-      val model = TextAnalysis.qualityModel(seeded, Seq("seedsrc"))
-      val out = TextAnalysis.qualityClassify(seeded, model)
-      stats("qc_kept") = out.filter(col("keep") === 1L).count().toString
-      stats("qc_sample_kept") = out.filter(col("sample_keep") === 1L).count().toString
+    // Trained quality classifier at 500k docs, train and score timed
+    // separately. Train: one 27M-token count + top-256 vocab (a full
+    // explode + map-side-combined groupBy — the one corpus-scaling
+    // aggregation). Score: the QcScore map-only projection — zero
+    // shuffle, both keep stats folded in a single pass. Seed = the
+    // sub-100 original ids in every replica (~2% of the corpus).
+    val seeded = corpus.withColumn("source",
+      when(col("doc_id") % 100000L < 100L, "seedsrc").otherwise("web"))
+    val modelRows = timedMin2("qc_train_500k") {
+      TextAnalysis.qualityModel(seeded, Seq("seedsrc")).collect()
+    }
+    val modelDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(modelRows.toSeq, 1),
+      TextAnalysis.qualityModel(seeded, Seq("seedsrc")).schema)
+    timedMin2("qc_score_500k") {
+      val r = TextAnalysis.qualityClassify(seeded, modelDf)
+        .agg(sum(col("keep")).as("k"), sum(col("sample_keep")).as("sk")).head()
+      stats("qc_kept") = r.getLong(0).toString
+      stats("qc_sample_kept") = r.getLong(1).toString
     }
 
     // ---- corpus B: replica-disjoint bodies, sparse shared passage ---

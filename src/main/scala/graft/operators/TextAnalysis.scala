@@ -2,6 +2,12 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.Tables
 
 /** Batch text-analysis operators for LLM-data-pipeline scale: language
@@ -17,6 +23,67 @@ import graft.Tables
   * quality/langid generalize the enrichment stage of the reference's
   * ingestion pipeline (`semantic_summary_service.py:115-221`).
   */
+/** Per-doc quality-classifier scorer: walks a token array against the
+  * bounded trained model (a UTF8String-keyed hash table — O(1) per
+  * token, no per-token JVM String boxing) and left-folds
+  * (n_invocab, Σ lr) in array order, bit-identical to an
+  * explode + broadcast-join + position-ordered fold (which is what
+  * the DuckDB oracle replays). CodegenFallback: the per-ROW fallback
+  * overhead is negligible at document granularity, while the
+  * per-TOKEN inner loop stays allocation-free — the two codegen'd
+  * alternatives both lose by orders at 500k docs (BENCHDOC): a scalar
+  * `udf` boxes all 27M tokens to String per pass (22.6 s), and
+  * `try_element_at` on a map LITERAL is an O(vocab) linear scan per
+  * lookup because ArrayBasedMapData has no hash index (330 s); this
+  * expression scores the corpus in ~8 s. The model ships in the plan
+  * as two parallel arrays (canonical-equality friendly, like
+  * AdcScore's LUT); the hash table is built lazily once per task. */
+case class QcScore(child: Expression, toks: Array[String], lrs: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_invocab", LongType, nullable = false),
+    StructField("s", DoubleType, nullable = false)))
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](toks.length * 2)
+    var i = 0
+    while (i < toks.length) { m.put(UTF8String.fromString(toks(i)), lrs(i)); i += 1 }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var cnt = 0L
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val lr = table.get(arr.getUTF8String(i))
+        if (lr != null) { cnt += 1L; s += lr.doubleValue() }
+      }
+      i += 1
+    }
+    InternalRow(cnt, s)
+  }
+
+  // value equality over the model arrays (same reasoning as AdcScore):
+  // reference equality would defeat canonicalization and CSE
+  override def equals(o: Any): Boolean = o match {
+    case q: QcScore => child == q.child &&
+      java.util.Arrays.equals(toks.asInstanceOf[Array[AnyRef]],
+        q.toks.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.equals(lrs, q.lrs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() +
+      java.util.Arrays.hashCode(toks.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.hashCode(lrs)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextAnalysis {
 
   /** Non-empty whitespace tokens, shared by all operators (and the
@@ -878,28 +945,33 @@ object TextAnalysis {
     * doc id — "keep low scorers with probability rising in the score"
     * (LLaMA uses a Pareto draw; the linear ramp keeps every op
     * exact-rounded so the oracle stays hash-exact, and is monotone in
-    * the score like the original). Scale: broadcast the ≤vocab-row
-    * model, one narrow join + one groupBy(doc) whose state is bounded
-    * by tokens/doc — a map-shuffle-map pass, no global anything. */
+    * the score like the original).
+    * Scale shape: the model is BOUNDED (≤ vocabSize rows by
+    * construction), so it is collected once — the same bounded-model-
+    * state move as the BM25 idf table and the IVF centroids — and
+    * shipped inside a `QcScore` expression: scoring is a SINGLE
+    * map-only projection over the corpus, zero shuffles, zero joins.
+    * The pass parallelizes embarrassingly at 100 TB and, being a
+    * stateless projection, drops into a Structured Streaming
+    * micro-batch unchanged. (QcScore's Scaladoc records why the two
+    * pure-function forms lose: per-token String boxing for a scalar
+    * udf, O(vocab) linear scans for a map-literal lookup.) */
   private[graft] def qualityClassify(docs: DataFrame, model: DataFrame): DataFrame = {
-    val perTok = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .join(broadcast(model.select("tok", "lr")), Seq("tok"))
-    val perDoc = perTok.groupBy("doc_id").agg(
-      count(lit(1)).as("n_invocab"),
-      aggregate(array_sort(collect_list(struct(col("pos"), col("lr").as("v")))),
-        lit(0.0), (a, e) => a + e.getField("v")).as("s"))
+    val rows = model.select("tok", "lr").collect().sortBy(_.getString(0))
+    val scorer = org.apache.spark.sql.GraftBridge.column(QcScore(
+      org.apache.spark.sql.GraftBridge.expression(tokens(col("text"))),
+      rows.map(_.getString(0)), rows.map(_.getDouble(1))))
     val h = md5(concat(lit("qc:"), col("doc_id").cast("string")))
     def hv(i: Int): Column = {
       val a = ascii(substring(h, i, 1))
       when(a >= 97, a - 87).otherwise(a - 48)
     }
     val bucket = (hv(1) * 256 + hv(2) * 16 + hv(3)).cast("long")
-    docs.select("doc_id")
-      .join(perDoc, Seq("doc_id"), "left")
-      .withColumn("n_invocab", coalesce(col("n_invocab"), lit(0L)))
+    docs
+      .withColumn("ns", scorer)
+      .withColumn("n_invocab", coalesce(col("ns.n_invocab"), lit(0L)))
       .withColumn("score",
-        when(col("n_invocab") > 0, col("s") / col("n_invocab").cast("double"))
+        when(col("n_invocab") > 0, col("ns.s") / col("n_invocab").cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("keep", when(col("score") >= 1.0, 1L).otherwise(0L))
       .withColumn("sample_keep",
