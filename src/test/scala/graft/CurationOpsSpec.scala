@@ -350,4 +350,30 @@ class CurationOpsSpec extends AnyFunSuite {
       if (score == 0.0) assert(sk == 0L, s"doc $id score 0 cannot sample_keep")
     }
   }
+
+  test("property: QcScore scoring equals a driver-side reference fold on random corpora") {
+    // guards the custom expression against refactors: same hash-map
+    // lookups, same left-fold order, EXACT double equality expected
+    val rnd = new scala.util.Random(99)
+    val vocabWords = (0 until 30).map(i => s"w$i")
+    val docsSeq = (0 until 200).map { id =>
+      val words = (0 until rnd.nextInt(40)).map(_ =>
+        if (rnd.nextBoolean()) vocabWords(rnd.nextInt(30)) else s"oov${rnd.nextInt(50)}")
+      (id.toLong, words.mkString(" "), if (id % 3 == 0) "seed" else "web")
+    }
+    val docs = docsSeq.toDF("doc_id", "text", "source")
+    val model = TextAnalysis.qualityModel(docs, Seq("seed"), vocabSize = 20)
+    val lr = model.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val got = TextAnalysis.qualityClassify(docs, model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    docsSeq.foreach { case (id, text, _) =>
+      var n = 0L
+      var s = 0.0
+      text.split(" ").filter(_.nonEmpty)
+        .foreach(t => lr.get(t).foreach { v => n += 1; s += v })
+      val score = if (n > 0) s / n else 0.0
+      assert(got(id)._1 == n, s"doc $id n_invocab: got ${got(id)._1}, expected $n")
+      assert(got(id)._2 == score, s"doc $id score: got ${got(id)._2}, expected $score")
+    }
+  }
 }

@@ -9,6 +9,26 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkSessionHelper.spark
   import spark.implicits._
 
+  test("quality-classifier scoring is a stateless streaming projection: stream == batch") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_stream").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").parquet(dir)
+    val model = TextAnalysis.qualityModel(docs, Seq("src0", "src1", "src2", "src3"))
+    val streamed = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    // no aggregation, no watermark, append mode: the scoring pass is a
+    // pure projection, so the SAME function runs on the stream —
+    // model-serving inside a micro-batch with zero changes
+    val q = TextAnalysis.qualityClassify(streamed, model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qc_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("qc_out").orderBy("doc_id").collect()
+    val exp = TextAnalysis.qualityClassify(docs, model).orderBy("doc_id").collect()
+    assert(got.nonEmpty && got.toSeq == exp.toSeq)
+  }
+
   test("windowedCounts over a real stream matches the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
