@@ -891,6 +891,45 @@ object Search {
         .orderBy("anchor_id", "rnk")
     }),
 
+    // Diversity-preserving subsample (training-pipeline op): cap the
+    // corpus at ~20% while keeping EVERY region of embedding space —
+    // uniform per-bucket quotas over the RP-LSH buckets, the
+    // training-free analogue of cluster-balanced sampling (the
+    // flattening move SemDeDup-style pipelines apply after dedup so
+    // dense regions don't drown sparse ones). Quotas: target
+    // N = total/5 split evenly across occupied buckets, remainder to
+    // the lowest codes (the pp_domain_upmix exact-count move, so
+    // Σ quota = N exactly when every bucket can fill); selection
+    // within a bucket ranks by the md5 of the vec id. Scale: coding
+    // is map-only; the rank window is per bucket (bounded by bucket
+    // occupancy); the quota plan is a ≤256-row agg under a bounded
+    // window — no global sort, no training, fully hash-exact.
+    "pp_diversity_sample" -> ((s, d) => {
+      import graft.functions.{BoundedWindow, RandomHyperplane}
+      val coded = Tables.embeddings(s, d)
+        .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
+      val wAll = BoundedWindow.all(col("n_in"))
+      val plan = coded.groupBy("code").agg(count(lit(1)).as("n_in"))
+        .withColumn("total", sum(col("n_in")).over(wAll))
+        .withColumn("n_used", count(lit(1)).over(wAll))
+        .withColumn("base", expr("(total div 5) div n_used"))
+        .withColumn("rem", expr("(total div 5) % n_used"))
+        .withColumn("code_rank", row_number().over(
+          BoundedWindow.orderBy(col("code"), col("code").asc)))
+        .withColumn("quota", least(col("n_in"),
+          col("base") + when(col("code_rank") <= col("rem"), 1L).otherwise(0L)))
+        .select("code", "n_in", "quota")
+      coded.join(broadcast(plan), Seq("code"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("code").orderBy(
+            md5(concat(lit("div:"), col("vec_id").cast("string"))), col("vec_id"))))
+        .filter(col("rnk") <= col("quota"))
+        .groupBy("code")
+        .agg(max(col("n_in")).as("n_in"), max(col("quota")).as("quota"),
+          count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_sum_id"))
+        .orderBy("code")
+    }),
+
     // Quantized ANN with float rescore — the production two-tier
     // pattern behind every large-scale vector index: a cheap int8
     // coarse pass ranks the corpus (4× smaller vectors, integer
@@ -1244,6 +1283,31 @@ object Search {
          |  WHERE a.vec_id % 10 = 0)
          |SELECT anchor_id, rnk, negative_id, sim FROM pairs
          |WHERE rnk <= 2 ORDER BY anchor_id, rnk""".stripMargin
+    },
+
+    "pp_diversity_sample" -> {
+      val codeExpr = graft.functions.RandomHyperplane.codeSql("embedding::DOUBLE[]")
+      s"""WITH coded AS (
+         |  SELECT vec_id, $codeExpr AS code FROM embeddings),
+         |counts AS (SELECT code, count(*) AS n_in FROM coded GROUP BY code),
+         |tot AS (SELECT CAST(sum(n_in) AS BIGINT) AS total,
+         |               CAST(count(*) AS BIGINT) AS n_used FROM counts),
+         |planq AS (
+         |  SELECT code, n_in,
+         |    least(n_in, (total // 5) // n_used +
+         |      CASE WHEN row_number() OVER (ORDER BY code ASC)
+         |                <= (total // 5) % n_used THEN 1 ELSE 0 END) AS quota
+         |  FROM counts, tot),
+         |ranked AS (
+         |  SELECT vec_id, code,
+         |    row_number() OVER (PARTITION BY code
+         |      ORDER BY md5('div:' || CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+         |  FROM coded)
+         |SELECT p.code, max(p.n_in) AS n_in, max(p.quota) AS quota,
+         |  count(*) AS n_kept, CAST(sum(r.vec_id) AS BIGINT) AS kept_sum_id
+         |FROM ranked r JOIN planq p USING (code)
+         |WHERE r.rnk <= p.quota
+         |GROUP BY p.code ORDER BY p.code""".stripMargin
     },
     "ann_rp_lsh_768" ->
       s"""WITH $v768Cte,

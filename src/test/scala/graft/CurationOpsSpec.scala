@@ -351,6 +351,31 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pp_diversity_sample: per-bucket quotas are even and exactly filled") {
+    val rows = SparkEntry.queries("pp_diversity_sample")(spark, d)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (code, nIn, quota, nKept, _) =>
+      assert(nKept == quota, s"bucket $code kept $nKept != quota $quota")
+      assert(quota <= nIn, s"bucket $code quota $quota > occupancy $nIn")
+    }
+    // total comes from the CORPUS, not the output: buckets whose quota
+    // rounded to zero are absent from the result by construction
+    val total = Tables.embeddings(spark, d).count()
+    val kept = rows.map(_._4).sum
+    assert(kept <= total / 5, s"kept $kept exceeds the ${total / 5} target")
+    // every bucket that could fill got base or base+1 — the flattening
+    // property that makes this a DIVERSITY sample
+    val uncapped = rows.filter(r => r._3 < r._2).map(_._3)
+    if (uncapped.nonEmpty)
+      assert(uncapped.max - uncapped.min <= 1,
+        s"uncapped quotas uneven: ${uncapped.min}..${uncapped.max}")
+    if (rows.forall(r => r._3 <= r._2))
+      assert(kept == math.min(total / 5, rows.map(_._3).sum),
+        "every emitted bucket must fill its quota exactly")
+  }
+
   test("property: QcScore scoring equals a driver-side reference fold on random corpora") {
     // guards the custom expression against refactors: same hash-map
     // lookups, same left-fold order, EXACT double equality expected
