@@ -651,6 +651,34 @@ object Search {
         .orderBy("id_a")
     }),
 
+    // Late-interaction (ColBERT-style MaxSim) retrieval: the query is
+    // MULTIPLE vectors (one per query token) and a doc's score is
+    // Σ_i max_j ⟨q_i, d_j⟩ over its chunk vectors — multi-vector
+    // retrieval's standard scoring (Khattab & Zaharia 2020, public),
+    // here over the per-doc chunk vectors the two-stage family already
+    // indexes (label = doc, odd vec_ids = chunks). One broadcast of
+    // the 3-subvector query set, ONE corpus scan; max per (doc, q_i)
+    // partial-aggregates map-side, and the final Σ folds the ≤3 maxes
+    // in q_i order (the cross-engine ordered-reduce; max itself is
+    // order-independent and exact). Top-10 docs.
+    "v14_late_interaction" -> ((s, d) => {
+      val e = chunks(s, d)
+      val qs = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_i"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      e.crossJoin(broadcast(qs))
+        .withColumn("sim", dot(col("embedding"), col("q_emb")))
+        .groupBy("label", "q_i")
+        .agg(max(col("sim")).as("best"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_q"),
+          aggregate(array_sort(collect_list(struct(col("q_i"), col("best").as("v")))),
+            lit(0.0), (a, x) => a + x.getField("v")).as("lis"))
+        .orderBy(col("lis").desc, col("label").asc)
+        .limit(10)
+        .select("label", "n_q", "lis")
+    }),
+
     // Similarity-search batch: brute-force top-5 neighbors for each of
     // 5 query vectors in one plan (the 100 TB batch-scoring shape:
     // broadcast the query set, one scan of the corpus).
@@ -1512,6 +1540,22 @@ object Search {
         |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "v14_late_interaction" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS q_i, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 3),
+        |best AS (
+        |  SELECT e.label, q.q_i,
+        |    max(list_inner_product(e.embedding::DOUBLE[], q.qe)) AS best
+        |  FROM embeddings e CROSS JOIN qs q
+        |  WHERE e.vec_id % 2 = 1
+        |  GROUP BY e.label, q.q_i),
+        |agg AS (
+        |  SELECT label, count(*)::BIGINT AS n_q,
+        |    list_reduce(list(best ORDER BY q_i), (a, b) -> a + b) AS lis
+        |  FROM best GROUP BY label)
+        |SELECT label, n_q, lis FROM agg
+        |ORDER BY lis DESC, label ASC LIMIT 10""".stripMargin,
     // Full-probe IVF == brute-force kNN (every cell scanned).
     "ann_ivf_fullprobe" ->
       s"""SELECT vec_id AS id, list_inner_product(embedding::DOUBLE[], $q0) AS sim

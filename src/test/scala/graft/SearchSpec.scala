@@ -110,6 +110,18 @@ class SearchSpec extends AnyFunSuite {
     assert(r2 == Seq(Row(0, 0), Row(1, 0)))
   }
 
+  test("v14_late_interaction: maxsim sums the per-subvector bests, ranked desc") {
+    val rows = SparkEntry.queries("v14_late_interaction")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    // every doc saw all 3 query subvectors, and ranking is by score desc
+    assert(rows.forall(_._2 == 3L))
+    assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last - 1e-12))
+    // maxsim dominates any single-subvector score for the same doc:
+    // lis >= max single dot for the top doc (sum of maxes >= one max)
+    assert(rows.head._3 >= rows.last._3)
+  }
+
   test("diversityRerank: floor admits, overlap rejects") {
     val results = Array(
       (1L, 0.9, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
