@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "eval_rewrite_exact",     // same scan, SQL-reconstructible embedder
     "eval_answer_quality",    // broadcast 30-query golden set × corpus scan
     "eval_answer_exact",      // same scan, SQL-reconstructible embedder
-    "eval_modes_grid"         // broadcast 120-question QA set × corpus scan
+    "eval_modes_grid",        // broadcast 120-question QA set × corpus scan
+    "v14_late_interaction"    // broadcast 3-subvector query set × corpus scan
   )
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in any query plan") {
