@@ -295,6 +295,68 @@ object ProductQuantization {
         .select("id", "adc_score", "sim")
     }),
 
+    // Binary quantization — the cheapest scan tier of the quantization
+    // ladder (float → int8 → PQ → 1 bit/dim): each dim collapses to
+    // its sign bit, 64 dims pack into two 32-bit words, and the coarse
+    // pass ranks the corpus by Hamming distance (two XOR+popcount ops
+    // per vector — 8 bytes scanned instead of 512). The top-50 then
+    // pay the exact float dot. Sign-bit hashing is the classic SRP/
+    // binary-embedding scheme (Charikar 2002) modern vector stores
+    // ship as their "binary quantization" tier; here the planes are
+    // the coordinate axes, so pack/unpack is SQL-expressible and the
+    // whole pipeline — packing, XOR, popcount, rescore — is exact in
+    // both engines (every step is integer). Scale: packing is a
+    // map-only scan, the coarse rank is TakeOrderedAndProject (no
+    // shuffle beyond the bounded top-k), rescore touches 50 rows.
+    "ann_binary_hamming" -> ((s, d) => {
+      val packWord = (off: Int) =>
+        expr(s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+          s"IF(element_at(emb, i + ${off + 1}) > 0.0D, CAST(pow(2, i) AS BIGINT), 0L))")
+      val packed = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("w0", packWord(0))
+        .withColumn("w1", packWord(32))
+      val qRow = packed.filter(col("vec_id") === 0).select("w0", "w1", "emb").head()
+      val (qw0, qw1) = (qRow.getLong(0), qRow.getLong(1))
+      val qe = qRow.getSeq[Double](2)
+      packed.filter(col("vec_id") =!= 0)
+        .withColumn("x0", col("w0").bitwiseXOR(lit(qw0)))
+        .withColumn("x1", col("w1").bitwiseXOR(lit(qw1)))
+        .withColumn("hamming", expr("CAST(bit_count(x0) + bit_count(x1) AS BIGINT)"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(RescoreK)
+        .withColumn("sim", dot(col("emb"), typedLit(qe)))
+        .select("vec_id", "hamming", "sim")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // Matryoshka truncation (Kusupati et al. 2022, public): MRL-style
+    // embeddings front-load information, so the coarse pass scores
+    // only the first 16 of 64 dims (4× fewer bytes and FLOPs per
+    // candidate) and the top-50 rescore on the full vector. Unlike
+    // PQ/binary this needs no training or codebook at all — the
+    // "index" is a column projection, which at 100 TB means the
+    // coarse scan reads a quarter of the vector bytes (or a separate
+    // 16-dim column pruned at the parquet reader). Both stages are
+    // plain dots — hash-exact in both engines.
+    "ann_mrl_truncated" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("emb16", slice(col("emb"), 1, 16))
+      val qRow = e.filter(col("vec_id") === 0).select("emb", "emb16").head()
+      val qe = qRow.getSeq[Double](0)
+      val q16 = qRow.getSeq[Double](1)
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("coarse", dot(col("emb16"), typedLit(q16)))
+        .orderBy(col("coarse").desc, col("vec_id").asc)
+        .limit(RescoreK)
+        .withColumn("sim", dot(col("emb"), typedLit(qe)))
+        .select("vec_id", "coarse", "sim")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Full-corpus encode distribution: every vector's code assignment
     // per subspace, reduced to the per-subspace occupancy profile
     // (rank by descending count). Gates the ENCODE stage over ALL
@@ -370,6 +432,44 @@ object ProductQuantization {
   }
 
   val oracles: Map[String, String] = Map(
+    // sign-bit pack → XOR+popcount Hamming coarse-50 → exact rescore.
+    // Every stage is integer (or the final exact dot), so the replay
+    // is bit-exact: 2**i is a double but exact through i=31, and the
+    // two engines see the same floats so `> 0` agrees dim-for-dim.
+    "ann_binary_hamming" ->
+      """WITH packed AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    CAST(list_sum(list_transform(range(0,32),
+        |      i -> CASE WHEN embedding[i+1] > 0 THEN CAST(2**i AS BIGINT) ELSE 0 END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(0,32),
+        |      i -> CASE WHEN embedding[i+33] > 0 THEN CAST(2**i AS BIGINT) ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |q AS (SELECT w0 AS qw0, w1 AS qw1, emb AS qe FROM packed WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT p.vec_id, p.emb,
+        |    CAST(bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1)) AS BIGINT) AS hamming
+        |  FROM packed p CROSS JOIN q WHERE p.vec_id <> 0
+        |  ORDER BY hamming ASC, p.vec_id ASC LIMIT 50)
+        |SELECT vec_id, hamming, list_inner_product(emb, (SELECT qe FROM q)) AS sim
+        |FROM coarse ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // first-16-dims coarse dot → exact full-dim rescore; both stages
+    // are the same sequential-fold inner product the v1 family already
+    // gates, just over a sliced list.
+    "ann_mrl_truncated" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qe,
+        |         array_slice(embedding::DOUBLE[], 1, 16) AS q16
+        |  FROM embeddings WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    list_inner_product(array_slice(embedding::DOUBLE[], 1, 16),
+        |                       (SELECT q16 FROM q)) AS coarse
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY coarse DESC, vec_id ASC LIMIT 50)
+        |SELECT vec_id, coarse, list_inner_product(emb, (SELECT qe FROM q)) AS sim
+        |FROM coarse ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
     // the 64-d embeddings table → dsub=16 per subspace; ADC fold in
     // subspace order (list ORDER BY s) mirrors the engine's ascending
     // accumulation; rescore-50 then exact top-10 as the engine does.

@@ -115,4 +115,53 @@ class PqSpec extends AnyFunSuite {
     assert(top == (0L until 10L).toSet,
       s"ADC cut failed to isolate the query's cluster: $top")
   }
+
+  // ---- cheaper quantization tiers (binary / Matryoshka) ---------- //
+
+  private def bruteTop10: (Seq[Double], Map[Long, Double], Set[Long]) = {
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val q = e.filter($"vec_id" === 0).head().getSeq[Double](1).toSeq
+    val scored = e.filter($"vec_id" =!= 0)
+      .withColumn("sim", graft.functions.VectorFunctions.dot($"emb", typedLit(q)))
+    val sims = scored.select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    val top = scored.orderBy($"sim".desc, $"vec_id".asc).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    (q, sims, top)
+  }
+
+  test("binary quantization: hamming in range, rescore exact, recall pinned") {
+    val rows = SparkEntry.queries("ann_binary_hamming")(spark, d).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == 10)
+    val (_, sims, brute) = bruteTop10
+    rows.foreach { r =>
+      val h = r.getLong(1)
+      assert(h >= 0 && h <= 64, s"hamming out of range: $h")
+      // the rescore stage is the exact float dot — no approximation
+      assert(r.getDouble(2) == sims(r.getLong(0)),
+        s"rescored sim differs from brute dot for id ${r.getLong(0)}")
+    }
+    val recall = rows.map(_.getLong(0)).toSet.intersect(brute).size
+    assert(recall >= 7, s"binary recall@10 through a 50-candidate cut: $recall")
+  }
+
+  test("matryoshka truncation: coarse is the 16-dim dot, recall pinned") {
+    val rows = SparkEntry.queries("ann_mrl_truncated")(spark, d).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == 10)
+    val (q, sims, brute) = bruteTop10
+    val q16 = q.take(16)
+    val embOf = Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val coarse = embOf(id).take(16).zip(q16).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      assert(r.getDouble(1) == coarse, s"coarse != 16-dim dot for id $id")
+      assert(r.getDouble(2) == sims(id), s"rescored sim differs from brute dot for id $id")
+    }
+    val recall = rows.map(_.getLong(0)).toSet.intersect(brute).size
+    assert(recall >= 4, s"mrl recall@10 through a 50-candidate cut: $recall")
+  }
 }
