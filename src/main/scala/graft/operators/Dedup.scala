@@ -421,6 +421,23 @@ object Dedup {
     * (multi-consumer chain — the caller's clearCache contract, or
     * unpersist, releases them). `evalSource` supplies the raw docs
     * whose %97 token windows form the benchmark eval set. */
+  /** Split a batch into (definitely-new, maybe-dup) against a corpus
+    * key column via a broadcast Bloom sketch. No false negatives: every
+    * batch row whose key IS in `corpus` lands in `maybe`; a row in
+    * `defNew` is guaranteed absent. `maybe` still needs the exact
+    * anti-join — the sketch only shrinks the join's probe side. The
+    * sketch itself is insertion-order-independent (a bitwise OR), so
+    * the split is deterministic for a given corpus and sizing. */
+  def bloomSplit(s: SparkSession, batch: DataFrame, corpus: DataFrame,
+                 keyCol: String, expectedItems: Long = 100000L,
+                 fpp: Double = 0.01): (DataFrame, DataFrame) = {
+    val sketch = corpus.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bc = s.sparkContext.broadcast(sketch)
+    val mightContain = udf((k: String) => bc.value.mightContainString(k))
+    (batch.filter(!mightContain(col(keyCol))),
+      batch.filter(mightContain(col(keyCol))))
+  }
+
   def curationFunnelV2(all0: DataFrame, evalSource: DataFrame,
                        maxDocs: Long): Seq[(String, DataFrame)] = {
     val cleaned = sentenceClean(all0, maxDocs).persist()
@@ -733,6 +750,31 @@ object Dedup {
         .orderBy("new_id")
     }),
 
+    // Bloom-prefiltered incremental exact dedup — the shuffle-saving
+    // wrapper around the daily-ingest anti-join. A Bloom sketch of the
+    // corpus content hashes broadcasts to every executor; batch rows
+    // the sketch rejects are DEFINITELY new (Bloom has no false
+    // negatives) and skip the join entirely — only the "maybe dup"
+    // sliver pays the shuffle, where the exact anti-join removes the
+    // false positives. The output is therefore EXACT (hash-gated
+    // against the plain anti-join), while the expensive join's probe
+    // side shrinks from |batch| to |true dups| + fpp·|batch|. This is
+    // the same move Spark's runtime row-level filtering injects
+    // (BloomFilterMightContain under joins); `DataFrameStatFunctions
+    // .bloomFilter` + a broadcast probe is its public-API form for a
+    // persisted corpus sketch. Scale: the sketch is ~1.2 GB/10⁹ keys
+    // at 1% fpp — at that size shard it by hash prefix and probe the
+    // matching shard; here one broadcast suffices and is the shape.
+    "dd_bloom_prefilter" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("h", md5(col("text")))
+      val base = docs.filter(col("doc_id") % 3 =!= 0).select("h")
+      val batch = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "h")
+      val (defNew, maybe) = bloomSplit(s, batch, base, "h")
+      defNew.unionByName(maybe.join(base.distinct(), Seq("h"), "left_anti"))
+        .select("doc_id", "h")
+        .orderBy("doc_id")
+    }),
+
     // Duplicate-group resolution: connected components over the LSH
     // candidate graph. Pairs tell you WHO matches; groups tell you what
     // to keep — comp = min doc_id per group is the canonical survivor.
@@ -1029,6 +1071,15 @@ object Dedup {
     "dd_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    // the Bloom sketch is a pure prefilter — the engine's output is the
+    // exact anti-join result, so the oracle IS the plain anti-join.
+    "dd_bloom_prefilter" ->
+      """WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |base AS (SELECT h FROM docs WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT doc_id, h FROM docs WHERE doc_id % 2 = 0)
+        |SELECT doc_id, h FROM batch
+        |WHERE h NOT IN (SELECT h FROM base)
+        |ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH ds AS (
          |  SELECT doc_id, source, unnest($shSql) AS sh FROM documents),

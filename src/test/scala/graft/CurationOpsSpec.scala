@@ -401,4 +401,27 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(got(id)._2 == score, s"doc $id score: got ${got(id)._2}, expected $score")
     }
   }
+
+  test("dd_bloom_prefilter: no false negatives, exact result, prefilter bites") {
+    val docs = Tables.documents(spark, d).withColumn("h", md5($"text"))
+    val base = docs.filter($"doc_id" % 3 =!= 0).select("h")
+    val batch = docs.filter($"doc_id" % 2 === 0).select("doc_id", "h")
+    val (defNew, maybe) = graft.operators.Dedup.bloomSplit(spark, batch, base, "h")
+    // no false negatives: a row routed past the join must truly be new
+    assert(defNew.join(base.distinct(), Seq("h"), "left_semi").count() == 0,
+      "bloom claimed a present key was absent")
+    // the split partitions the batch
+    assert(defNew.count() + maybe.count() == batch.count())
+    // every true dup is in `maybe` (so the exact join sees it)
+    val trueDups = batch.join(base.distinct(), Seq("h"), "left_semi")
+    assert(maybe.join(trueDups.select("doc_id"), Seq("doc_id"), "left_semi").count()
+      == trueDups.count())
+    // gated query output == plain anti-join
+    val got = SparkEntry.queries("dd_bloom_prefilter")(spark, d)
+      .select("doc_id").as[Long].collect().toSeq
+    spark.catalog.clearCache()
+    val exp = batch.join(base.distinct(), Seq("h"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == exp)
+  }
 }
