@@ -376,6 +376,32 @@ object TextAnalysis {
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)),
 
+    // Pseudo-relevance feedback (RM3-family, Lavrenko & Croft 2001):
+    // a first BM25 pass retrieves the top-5 feedback docs, the 3
+    // most-frequent non-seed terms (≥ 4 chars — the cheap stopword
+    // gate) of those docs expand the query, and a second BM25 pass
+    // over seed ∪ expansion produces the final ranking — the classic
+    // recall lever when the seed query undersells the topic. Driver
+    // state is bounded (3 strings); both passes are the ts_bm25 plan
+    // (one tokens scan each, term-sorted score fold), so the whole
+    // two-pass pipeline stays hash-exact against the SQL replay.
+    "ts_rm3_expansion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val seed = Seq("join", "vector", "dup")
+      val fb = bm25Scores(docs, seed)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(5)
+        .select("doc_id")
+      val expTerms = docs.join(fb, Seq("doc_id"), "left_semi")
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) >= 4 && !col("term").isin(seed: _*))
+        .groupBy("term").agg(count(lit(1)).as("tfb"))
+        .orderBy(col("tfb").desc, col("term").asc).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      bm25Scores(docs, seed ++ expTerms)
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // T2 — smartTruncate (the real UDF, not a SQL re-derivation) under
     // an exact oracle: the oracle mirrors the UDF's branch logic
     // (sentence-end ≥ 70% in → cut there; space ≥ 80% in → cut + "...";
@@ -748,6 +774,33 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // Per-domain quota cap (RefinedWeb/FineWeb-style curation): keep
+    // at most K docs per source, highest-quality first (score =
+    // n_chars here; any scalar score plugs in), so no single domain
+    // dominates the mix. The plan is the TopKAggregator partial-agg
+    // shape, NOT a window: each map task keeps ≤ K rows per source and
+    // the shuffle carries K·partitions rows per domain instead of
+    // sort-shuffling every row of every domain — at 100 TB with a
+    // handful of mega-domains that is the difference between shuffling
+    // the corpus and shuffling the survivors. The aggregator's total
+    // order (score DESC, id ASC) makes the cap deterministic, so the
+    // window-form oracle replays it exactly. score stays exact through
+    // the double round-trip (n_chars < 2^53).
+    "pp_domain_cap" -> ((s, d) => {
+      import s.implicits._
+      val typed = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("double"), col("doc_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.ScoredRow(t._2, t._3))
+        .agg(graft.functions.TopK.topK(10).name("top"))
+      typed.toDF("source", "top")
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+          col("r.id").as("doc_id"), col("r.score").cast("long").as("n_chars"))
+        .orderBy("source", "rnk")
+    }),
+
     // Domain mixture WITH replication (training-pipeline op): where
     // pp_domain_mix only downsamples, this hits the target mixture
     // exactly by giving every source-i doc ⌊needed_i/c_i⌋ copies and
@@ -982,6 +1035,21 @@ object TextAnalysis {
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** The ts_bm25 scoring stage as reusable CTE fragments: `${p}hits`
+    * (doc_id, term) in → `${p}scored` (doc_id, term, sc) out. Needs
+    * `dl` and `stats` CTEs in scope. Fractional literals ::DOUBLE for
+    * the DECIMAL-vs-binary-double parity noted at ts_bm25. */
+  private def bm25ScoredCte(p: String): String =
+    s"""${p}tf AS (SELECT doc_id, term, count(*) AS tf FROM ${p}hits GROUP BY 1, 2),
+       |${p}dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ${p}hits GROUP BY 1),
+       |${p}scored AS (
+       |  SELECT t.doc_id, t.term,
+       |    ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+       |      * (t.tf * 2.2::DOUBLE)
+       |      / (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl
+       |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+       |  FROM ${p}tf t JOIN ${p}dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)""".stripMargin
+
   /** Shared model CTEs for the two pp_quality_* oracles: token counts
     * by seed membership, the 256-token vocab (count desc, tok asc),
     * scalar totals over the vocab, and the three-division lr — each
@@ -1145,6 +1213,14 @@ object TextAnalysis {
          |       WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
          |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    // the aggregator's (score DESC, id ASC) total order == row_number
+    "pp_domain_cap" ->
+      """SELECT source, rnk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
     "pp_domain_mix" ->
       s"""WITH counts AS (
          |  SELECT source, count(*) AS n_in,
@@ -1357,6 +1433,34 @@ object TextAnalysis {
          |  FROM items i LEFT JOIN (SELECT * FROM finals WHERE rn = 1) f USING (doc_id))
          |SELECT doc_id, compressed, length(compressed)::BIGINT AS clen
          |FROM compressed ORDER BY doc_id""".stripMargin,
+    // two chained ts_bm25 replays: pass-1 picks the 5 feedback docs,
+    // their top-3 long non-seed terms join the query, pass-2 reranks.
+    "ts_rm3_expansion" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(len($toksSql)) AS BIGINT) AS sum_dl FROM documents),
+         |f1hits AS (SELECT doc_id, term FROM toks
+         |           WHERE term IN ('join','vector','dup')),
+         |${bm25ScoredCte("f1")},
+         |fb AS (SELECT doc_id FROM (
+         |  SELECT doc_id, list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS bm25
+         |  FROM f1scored GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id ASC LIMIT 5)),
+         |exp AS (SELECT term FROM (
+         |  SELECT t.term, count(*) AS tfb
+         |  FROM toks t JOIN fb USING (doc_id)
+         |  WHERE length(t.term) >= 4 AND t.term NOT IN ('join','vector','dup')
+         |  GROUP BY t.term ORDER BY tfb DESC, term ASC LIMIT 3)),
+         |f2hits AS (SELECT doc_id, term FROM toks
+         |           WHERE term IN ('join','vector','dup')
+         |              OR term IN (SELECT term FROM exp)),
+         |${bm25ScoredCte("f2")}
+         |SELECT doc_id,
+         |  list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS bm25,
+         |  count(*) AS n_terms
+         |FROM f2scored GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
     "ts_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |hits AS (SELECT doc_id, term FROM toks WHERE term IN ('join','vector','dup')),

@@ -402,6 +402,38 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pp_domain_cap: aggregator cap equals the window form, <= 10 per source") {
+    val got = SparkEntry.queries("pp_domain_cap")(spark, d)
+      .select("source", "rnk", "doc_id").as[(String, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.size <= 10, s"source $src kept ${rows.size} > 10") }
+    val win = Tables.documents(spark, d)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy($"n_chars".desc, $"doc_id".asc)).cast("long"))
+      .filter($"rnk" <= 10)
+      .select("source", "rnk", "doc_id").as[(String, Long, Long)]
+      .collect().toSeq.sorted
+    assert(got.sorted == win)
+  }
+
+  test("ts_rm3_expansion: deterministic, expansion differs from plain bm25") {
+    val run1 = SparkEntry.queries("ts_rm3_expansion")(spark, d).collect().toSeq
+    spark.catalog.clearCache()
+    val run2 = SparkEntry.queries("ts_rm3_expansion")(spark, d).collect().toSeq
+    spark.catalog.clearCache()
+    assert(run1 == run2, "feedback term selection must be rerun-deterministic")
+    assert(run1.size == 10)
+    val plain = TextAnalysis.bm25Scores(
+        Tables.documents(spark, d), Seq("join", "vector", "dup"))
+      .orderBy($"bm25".desc, $"doc_id".asc).limit(10).collect().toSeq
+    // expansion must actually change scoring: some doc matches more
+    // terms than the 3-seed query can, or the ranking moved
+    assert(run1.map(r => (r.getLong(0), r.getDouble(1))) !=
+      plain.map(r => (r.getLong(0), r.getDouble(1))),
+      "expanded ranking identical to seed-only bm25 — expansion had no effect")
+  }
+
   test("dd_bloom_prefilter: no false negatives, exact result, prefilter bites") {
     val docs = Tables.documents(spark, d).withColumn("h", md5($"text"))
     val base = docs.filter($"doc_id" % 3 =!= 0).select("h")
