@@ -119,6 +119,27 @@ object Relational {
         .orderBy("day")
     }),
 
+    // A16 — cohort retention (beyond-reference analytics op): users
+    // cohorted by first-activity week, each retention cell =
+    // distinct users from cohort c active in week c+k — the standard
+    // product-analytics matrix. Two shuffles: the per-user min (user
+    // key) and the cell aggregation (cohort, offset); the self-join
+    // back to events reuses the user_id partitioning from the first.
+    // Both date_truncs land on Monday in Spark and DuckDB; offsets
+    // are exact multiples of 7 days, so the integer division is safe.
+    "a16_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val firstWk = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      ev.join(firstWk, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+        .groupBy(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // A5 — keyword frequency: explode + count + top-k (clustering_service.py:793-865).
     "a5_keyword_freq" -> ((s, d) => {
       Tables.documents(s, d)
@@ -527,6 +548,14 @@ object Relational {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "a16_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+        |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |  CAST(datediff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN fw USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "a5_keyword_freq" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -299,7 +299,57 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
   }
 
+  /** Per-partition Misra–Gries candidate generation for heavy-hitter
+    * queries: each partition streams its terms through a bounded
+    * k-counter summary (decrement-all on overflow — the classic
+    * frequent-items sketch) and emits its surviving keys. SUPERSET
+    * guarantee: an item with global count ≥ T has ≥ T/P occurrences in
+    * some partition (pigeonhole over P partitions), and MG(k) only
+    * evicts items with partition count ≤ n_p/(k+1) — so with
+    * k+1 > P·n_p/T the item survives somewhere and reaches the exact
+    * recount. This is one of the few honest `mapPartitions` cases:
+    * genuinely imperative per-partition state that no builtin
+    * expresses, and the ONLY thing it produces is a small candidate
+    * column — all counting stays declarative. */
+  def heavyHitterCandidates(terms: DataFrame, capacity: Int): DataFrame = {
+    val s = terms.sparkSession
+    import s.implicits._
+    terms.select("term").as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counts.contains(t) || counts.size < capacity) {
+          counts(t) = counts.getOrElse(t, 0L) + 1L
+        } else {
+          counts.keys.toArray.foreach { k =>
+            val v = counts(k) - 1L
+            if (v == 0L) counts.remove(k) else counts(k) = v
+          }
+        }
+      }
+      counts.keysIterator
+    }.toDF("term").distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Heavy hitters over the token stream — the 100 TB "derive the
+    // stopword list" pass. Exact top-frequency terms (count ≥ 1/200 of
+    // the stream) without ever shuffling the full vocabulary: the
+    // Misra–Gries candidates (bounded per-partition state, no-false-
+    // negative superset) broadcast back over the token stream, so the
+    // groupBy counts only candidate rows and the shuffle is
+    // |candidates|·partitions, not |vocab|·partitions. Output is the
+    // EXACT recount, so the plain HAVING oracle gates it.
+    "ta_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+      val threshold = toks.count() / 200L
+      val cands = heavyHitterCandidates(toks, 4096)
+      toks.join(broadcast(cands), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= threshold)
+        .orderBy(col("cnt").desc, col("term").asc)
+    }),
+
     // Language-ID: count marker-stopword hits per language, argmax with
     // deterministic priority order on ties.
     "ta_language_id" -> ((s, d) => {
@@ -1433,6 +1483,14 @@ object TextAnalysis {
          |  FROM items i LEFT JOIN (SELECT * FROM finals WHERE rn = 1) f USING (doc_id))
          |SELECT doc_id, compressed, length(compressed)::BIGINT AS clen
          |FROM compressed ORDER BY doc_id""".stripMargin,
+    // MG candidates are a pure prefilter; the output is the exact
+    // recount, so the oracle is the plain threshold aggregation.
+    "ta_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+         |tot AS (SELECT count(*) // 200 AS t FROM toks)
+         |SELECT term, count(*) AS cnt FROM toks CROSS JOIN tot
+         |GROUP BY term, t HAVING count(*) >= t
+         |ORDER BY cnt DESC, term ASC""".stripMargin,
     // two chained ts_bm25 replays: pass-1 picks the 5 feedback docs,
     // their top-3 long non-seed terms join the query, pass-2 reranks.
     "ts_rm3_expansion" ->

@@ -152,4 +152,40 @@ class QueryOpsSpec extends AnyFunSuite {
     assert(total > 500 * 3.0 / 16 * 0.5 && total < 500 * 3.0 / 16 * 1.8,
       s"sample rate off: $total of 500")
   }
+
+  test("a16_cohort_retention: offset-0 cells cover every user exactly once") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("a16_cohort_retention")(spark, d).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    // every user appears in their own cohort's offset-0 cell (they were
+    // active in their first week by definition), and in exactly one cohort
+    val offset0Users = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val nUsers = Tables.events(spark, d).select("user_id").distinct().count()
+    assert(offset0Users == nUsers,
+      s"offset-0 retention must equal the user universe: $offset0Users vs $nUsers")
+    // offsets are non-negative and cells are positive
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L)
+      assert(r.getLong(2) > 0L)
+    }
+  }
+
+  test("ta_heavy_hitters: MG candidates are a superset, output is the exact recount") {
+    val d = "/root/testdata/sf0.01"
+    val toks = Tables.documents(spark, d)
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+    val threshold = toks.count() / 200L
+    val exact = toks.groupBy("term").count()
+      .filter(col("count") >= threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cands = graft.operators.TextAnalysis.heavyHitterCandidates(toks, 4096)
+      .collect().map(_.getString(0)).toSet
+    assert(exact.keySet.subsetOf(cands),
+      s"MG missed heavy hitters: ${exact.keySet -- cands}")
+    val got = SparkEntry.queries("ta_heavy_hitters")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(got == exact)
+  }
 }
