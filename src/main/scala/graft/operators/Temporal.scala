@@ -91,7 +91,30 @@ object Temporal {
     }),
 
     // Ordered funnel over the events stream (signup → view → purchase).
-    "st_funnel" -> ((s, d) => funnel(eventsUs(s, d)))
+    "st_funnel" -> ((s, d) => funnel(eventsUs(s, d))),
+
+    // SCD2 dimension build (warehouse staple Spark has no builtin
+    // for): collapse each user's event_type history into validity
+    // intervals [from_us, to_us) — a row per CHANGE, to_us = next
+    // change (null while current), version = change ordinal. Two
+    // windows over the SAME (user_id, time, id) sort order, so the
+    // whole build is ONE sort-shuffle on the user key; at 100 TB
+    // that's the same cost as any per-key windowed agg, and the
+    // (ts, event_id) tiebreak makes the intervals total-order
+    // deterministic. */
+    "t14_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val chg = eventsUs(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      chg.withColumn("to_us", lead(col("ts_us"), 1).over(w2))
+        .withColumn("version", row_number().over(w2).cast("long"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts_us").as("from_us"), col("to_us"))
+        .orderBy("user_id", "version")
+    })
   )
 
   private val funnelStages = Seq("signup", "view", "purchase")
@@ -139,6 +162,23 @@ object Temporal {
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "t14_scd2_intervals" ->
+      """WITH ord AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, ts_us, event_type FROM ord
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS BIGINT) AS version,
+        |  event_type,
+        |  ts_us AS from_us,
+        |  lead(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS to_us
+        |FROM chg ORDER BY user_id, version""".stripMargin,
     "st_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events

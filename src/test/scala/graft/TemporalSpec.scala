@@ -102,4 +102,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(r(2L) == Seq(10L, 20L)) // shorter than n → whole array, not empty
     assert(r(3L) == Seq.empty)
   }
+
+  test("t14_scd2_intervals: contiguous, non-overlapping, change-only, one open tail") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t14_scd2_intervals")(spark, d)
+      .select("user_id", "version", "event_type", "from_us", "to_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, ivs0) =>
+      val ivs = ivs0.sortBy(_._2)
+      // versions are 1..n dense
+      assert(ivs.map(_._2).toSeq == (1L to ivs.length.toLong))
+      // exactly the LAST interval is open; every other to == next from
+      ivs.init.zip(ivs.tail).foreach { case (a, b) =>
+        assert(a._5.contains(b._4), s"user $u: interval v${a._2} not contiguous")
+        assert(a._3 != b._3, s"user $u: consecutive intervals share event_type")
+      }
+      assert(ivs.last._5.isEmpty, s"user $u: tail interval must be open")
+    }
+  }
 }
