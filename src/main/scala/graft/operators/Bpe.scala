@@ -95,6 +95,57 @@ object Bpe {
 
   private val NMerges = 20
 
+  /** Train `nMerges` WordPiece merges (Schuster & Nakajima 2012; the
+    * BERT tokenizer's selection rule): same greedy loop as BPE but the
+    * argmax maximizes LIKELIHOOD GAIN score = count(l,r) /
+    * (count(l)·count(r)) — merging the pair whose co-occurrence is
+    * most surprising given its parts, not merely the most frequent.
+    * Each iteration adds ONE extra vocab-sized shuffle vs BPE (the
+    * per-symbol frequency aggregation); the argmax stays a single
+    * collected row and the double division is one IEEE op sequence
+    * (c / (fl·fr), all operands exact integers), so the score itself
+    * replays bit-exactly in the SQL oracle. */
+  def trainWordPiece(docs: DataFrame,
+                     nMerges: Int): Seq[(Int, String, String, Long, Double)] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Double)]
+    var cur = vocab(docs)
+      .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+      .localCheckpoint(true)
+    require(cur.filter(col("w").rlike("[{}|]")).limit(1).count() == 0,
+      "WordPiece oracle parity requires tokens free of '{', '}', '|'")
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val pairs = cur.filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("c"))
+      val symFreq = cur
+        .select(col("f"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum(col("f")).as("sf"))
+      val best = pairs
+        .join(symFreq.select(col("sym").as("l"), col("sf").as("fl")), Seq("l"))
+        .join(symFreq.select(col("sym").as("r"), col("sf").as("fr")), Seq("r"))
+        .withColumn("score", col("c").cast("double") /
+          (col("fl").cast("double") * col("fr").cast("double")))
+        .orderBy(col("score").desc, concat(col("l"), lit("|"), col("r")).asc)
+        .limit(1).select("l", "r", "c", "score").collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c, sc) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2), best(0).getDouble(3))
+        merges += ((rank, l, r, c, sc))
+        val mergeUdf = udf((syms: Seq[String]) => mergeOnce(syms, l, r))
+        cur = cur.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Tokenize an arbitrary (possibly unseen) word with a trained merge
     * list: start from characters, apply every merge in rank order with
     * the same greedy scan — the standard BPE inference rule. */
@@ -121,6 +172,20 @@ object Bpe {
           array_join(col("syms"), "|").as("seg"))
         .orderBy("w")
     }),
+    // The WordPiece merge table — every row pins one iteration's
+    // likelihood-gain argmax (score DESC, "l|r" ASC tie-break),
+    // count AND score (the exact double) both gated.
+    "ts_wordpiece_train" -> ((s, d) => {
+      val merges = trainWordPiece(
+        Tables.documents(s, d).filter(col("n_chars") > 0), NMerges)
+      import s.implicits._
+      merges.toDF("rank", "mleft", "mright", "cnt", "score")
+        .select(col("rank"), col("mleft"), col("mright"),
+          concat(col("mleft"), col("mright")).as("merged"),
+          col("cnt"), col("score"))
+        .orderBy("rank")
+    }),
+
     // The learned merge table, rank by rank — every row pins one
     // training iteration's freq-weighted argmax (count DESC,
     // "l|r" ASC tie-break).
@@ -209,7 +274,87 @@ object Bpe {
        |    FROM bpe WHERE it < $nMerges)
        |  WHERE best.c IS NOT NULL)""".stripMargin
 
+  /** WordPiece training replay: the bpeCte skeleton with two more
+    * let-bound lists per iteration — `sa` (weighted symbol
+    * occurrences) and `sfr` (per-symbol totals) — and the argmax over
+    * score = c / (fl·fr), the same IEEE double op sequence the engine
+    * computes, so even the score column hash-matches. */
+  private def wpCte(nMerges: Int): String =
+    s"""words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |    FROM documents WHERE n_chars > 0) GROUP BY w),
+       |winit AS (
+       |  SELECT w, f,
+       |    array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> '{' || w[i] || '}'), '') AS enc
+       |  FROM words),
+       |wp AS (
+       |  SELECT 0 AS it,
+       |    list(struct_pack(w := w, f := f, enc := enc) ORDER BY w) AS st,
+       |    CAST([] AS STRUCT(l VARCHAR, r VARCHAR, c BIGINT, score DOUBLE)[]) AS merges
+       |  FROM winit
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    list_transform(st, s -> struct_pack(w := s.w, f := s.f,
+       |      enc := replace(s.enc, '{' || best.l || '}{' || best.r || '}',
+       |                     '{' || best.l || best.r || '}'))),
+       |    list_append(merges, best)
+       |  FROM (
+       |    SELECT it, st, merges,
+       |      list_transform([
+       |        flatten(list_transform(st, s ->
+       |          list_transform([string_split(trim(s.enc, '{}'), '}{')], sy ->
+       |            list_transform(range(1, len(sy)),
+       |              i -> struct_pack(p := sy[i] || '|' || sy[i+1],
+       |                               f := s.f)))[1]))
+       |      ], pa ->
+       |        list_transform([
+       |          flatten(list_transform(st, s ->
+       |            list_transform([string_split(trim(s.enc, '{}'), '}{')], sy ->
+       |              list_transform(range(1, len(sy) + 1),
+       |                i -> struct_pack(sym := sy[i], f := s.f)))[1]))
+       |        ], sa ->
+       |          list_transform([
+       |            list_transform(list_distinct(list_transform(sa, x -> x.sym)), sym ->
+       |              struct_pack(sym := sym,
+       |                sf := CAST(list_sum(list_transform(
+       |                       list_filter(sa, x -> x.sym = sym), x -> x.f)) AS BIGINT)))
+       |          ], sfr ->
+       |            list_transform([
+       |              list_transform(list_distinct(list_transform(pa, x -> x.p)), p ->
+       |                struct_pack(p := p,
+       |                  c := CAST(list_sum(list_transform(
+       |                         list_filter(pa, x -> x.p = p), x -> x.f)) AS BIGINT)))
+       |            ], pc ->
+       |              list_transform([
+       |                list_transform(pc, x -> struct_pack(p := x.p, c := x.c,
+       |                  score := CAST(x.c AS DOUBLE) /
+       |                    (CAST(list_filter(sfr, y -> y.sym = string_split(x.p, '|')[1])[1].sf AS DOUBLE)
+       |                     * CAST(list_filter(sfr, y -> y.sym = string_split(x.p, '|')[2])[1].sf AS DOUBLE))))
+       |              ], sco ->
+       |                list_transform([
+       |                  list_sort(list_transform(list_filter(sco,
+       |                    x -> x.score = list_aggregate(list_transform(sco, y -> y.score), 'max')),
+       |                    x -> x.p))[1]
+       |                ], bp ->
+       |                  struct_pack(l := string_split(bp, '|')[1],
+       |                              r := string_split(bp, '|')[2],
+       |                              c := list_filter(sco, x -> x.p = bp)[1].c,
+       |                              score := list_filter(sco, x -> x.p = bp)[1].score))[1]
+       |              )[1])[1])[1])[1])[1]
+       |      AS best
+       |    FROM wp WHERE it < $nMerges)
+       |  WHERE best.c IS NOT NULL)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ts_wordpiece_train" ->
+      s"""WITH RECURSIVE ${wpCte(NMerges)}
+         |SELECT i AS rank, m[i].l AS mleft, m[i].r AS mright,
+         |  m[i].l || m[i].r AS merged, m[i].c AS cnt, m[i].score AS score
+         |FROM (SELECT merges AS m FROM wp WHERE it = (SELECT max(it) FROM wp)),
+         |LATERAL (SELECT unnest(generate_series(1, len(m))) AS i)
+         |ORDER BY rank""".stripMargin,
     // a second recursive CTE replays INFERENCE: the unseen-word list
     // starts at characters and applies merge #(it+1) from the trained
     // list at each step — the same replace-on-{sym}{sym} greedy rule.

@@ -63,4 +63,23 @@ class BpeSpec extends AnyFunSuite {
     // merges actually fired: strictly fewer bpe tokens than chars overall
     assert(rows.map(_._2).sum < rows.map(_._3.toLong).sum)
   }
+
+  test("wordpiece: likelihood argmax diverges from BPE's count argmax") {
+    val docs = Tables.documents(spark, d).filter(col("n_chars") > 0)
+    val wp = Bpe.trainWordPiece(docs, 3)
+    spark.catalog.clearCache()
+    // independently-computed reference for this fixed corpus (same
+    // values the DuckDB oracle reproduces)
+    assert(wp.map(m => (m._1, m._2, m._3, m._4)) ==
+      Seq((1, "q", "u", 934L), (2, "i", "n", 2858L), (3, "f", "i", 917L)))
+    wp.foreach(m => assert(m._5 > 0.0 && m._5 < 1.0))
+    // BPE picks the highest-COUNT pair first; WordPiece demotes pairs
+    // of individually-common symbols — on this corpus the two criteria
+    // observably choose different first merges
+    val (bpe, _) = Bpe.train(docs, 1)
+    spark.catalog.clearCache()
+    assert((bpe.head._2, bpe.head._3) != (wp.head._2, wp.head._3),
+      s"expected BPE ${(bpe.head._2, bpe.head._3)} to differ from WordPiece (q,u)")
+    assert(wp.head._2 == "q" && wp.head._3 == "u")
+  }
 }
