@@ -108,6 +108,19 @@ object BenchVec extends Serializable {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // pre-seed from the previous artifact so build stages skipped by
+    // the layout cache keep their last measured cost instead of
+    // silently vanishing from the JSON on a partial re-run
+    locally {
+      val prev = Paths.get("BENCHVEC.json")
+      if (Files.exists(prev)) {
+        val txt = Files.readString(prev)
+        "\"timings_sec\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).foreach { sec =>
+          "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(sec.group(1))
+            .foreach(m => timings(m.group(1)) = m.group(2).toDouble)
+        }
+      }
+    }
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -416,6 +429,65 @@ object BenchVec extends Serializable {
     stats("pq_target_found") =
       f3((0 until NQueries).count(i => pqHits(i).contains(8000L * i)).toDouble / NQueries)
     stats("pq_code_bytes") = "96 of 3072 float32 (32x)"
+
+    // ---- Binary quantization: 1 bit/dim — the same 96 B/row as the
+    // PQ codes but with NO training and integer-only scoring (12
+    // XOR+popcount word ops per row vs 96 LUT lookups). The cheapest
+    // coarse tier; recall trails PQ at equal bytes, which is exactly
+    // the trade this section quantifies. ----
+    val binPath = s"$vecDir/vec768_500k_bin"
+    buildIfStale(binPath, "bin_pack_write") {
+      // pack with a plain UDF, not SQL higher-order functions: HOF
+      // lambdas are interpreted per element (384M lambda calls for
+      // 500k×768 measured 533 s); the tight JVM loop is one pass
+      val packUdf = udf((emb: Seq[Double]) => {
+        val out = new Array[Long](12)
+        var w = 0
+        while (w < 12) {
+          var acc = 0L
+          var i = 0
+          while (i < 64) { if (emb(w * 64 + i) > 0.0) acc |= (1L << i); i += 1 }
+          out(w) = acc; w += 1
+        }
+        out.toSeq
+      })
+      // FLAT word columns, not array<long>: parquet array decode pays
+      // per-element repetition-level overhead on every row; 12 plain
+      // BIGINT columns read as vectorized flat pages and the XOR+
+      // popcount chain runs on them directly inside codegen
+      corpus.select(col("vec_id"), packUdf(col("embedding")).as("bw"))
+        .select(Seq(col("vec_id")) ++
+          (0 until 12).map(w => element_at(col("bw"), w + 1).as(s"w$w")): _*)
+        .write.mode("overwrite").parquet(binPath)
+    }
+    val binCodes = spark.read.parquet(binPath)
+    def packQ(q: Seq[Double]): Seq[Long] = (0 until 12).map { w =>
+      var acc = 0L
+      var i = 0
+      while (i < 64) { if (q(w * 64 + i) > 0.0) acc |= (1L << i); i += 1 }
+      acc
+    }
+    val binHits: Seq[Set[Long]] = timedMin2("binary_hamming_8q_rescore200") {
+      (0 until NQueries).map { i =>
+        val qw = packQ(qv(i))
+        // 12 unrolled bit_count(word ^ query-word) terms — plain
+        // codegen expressions over flat columns, no interpreted
+        // lambda and no array accessor in the scan
+        val hamming = (0 until 12).map { w =>
+          expr(s"CAST(bit_count(w$w ^ CAST('${qw(w)}' AS BIGINT)) AS BIGINT)")
+        }.reduce(_ + _)
+        val cand = binCodes
+          .withColumn("hamming", hamming)
+          .orderBy(col("hamming").asc, col("vec_id").asc).limit(200)
+          .select("vec_id").collect().map(_.getLong(0))
+        rescoreTop10(cand, qv(i))
+      }
+    }
+    stats("binary_recall_at_10") =
+      f3(binHits.zip(brute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+    stats("binary_target_found") =
+      f3((0 until NQueries).count(i => binHits(i).contains(8000L * i)).toDouble / NQueries)
+    stats("binary_code_bytes") = "96 of 3072 float32 (32x, no codebook)"
 
     // ---- IVF-PQ: the full FAISS-shaped serving layout — codes joined
     // to their IVF cell, written partitioned by cell. A query reads
