@@ -32,7 +32,7 @@ object SparkEntry {
       operators.Skew.queries ++ operators.Temporal.queries ++
       model.CoreModel.queries ++ operators.Layout.queries ++
       operators.ResponseCache.queries ++ operators.ProductQuantization.queries ++
-      operators.Bpe.queries
+      operators.Bpe.queries ++ operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +46,5 @@ object SparkEntry {
       operators.Temporal.oracles ++ model.CoreModel.oracles ++
       evaluation.RetrievalEval.oracles ++ operators.Layout.oracles ++
       operators.ResponseCache.oracles ++ operators.ProductQuantization.oracles ++
-      operators.Bpe.oracles
+      operators.Bpe.oracles ++ operators.Graph.oracles
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative link-graph analytics over the document corpus — the
+  * web-graph quality-signal family of a training-data pipeline
+  * (Common Crawl ranks hosts by centrality before curation; FineWeb
+  * filters on URL/host structure). The reference has no graph engine;
+  * this is a beyond-reference operator in the same spirit as the
+  * dedup connected-components pair (`Dedup.duplicateComponents`):
+  * PageRank as repeated relational passes, no GraphX dependency.
+  *
+  * Fixture graph (deterministic in BOTH engines, so the full power
+  * iteration sits under the exact DuckDB hash gate): nodes = doc_ids
+  * (dense 0..N-1 in the testdata); each node gets 3 hashed out-edges
+  * (16-bit md5 bucket of "pr:<id>:<salt>" mod N — the same
+  * ascii-arithmetic md5 parity used by `pp_split_assign`) plus one
+  * ring edge (id+1 mod N) guaranteeing outdeg ≥ 1 and connectivity;
+  * self-loops dropped, duplicates deduped.
+  *
+  * Scale shape (per iteration): one equi-join of the rank relation
+  * against the edge list on src (at 100 TB both sides pre-partitioned
+  * by the join key — edges are static, so their partitioning is paid
+  * once), then one shuffle keyed by dst whose payload is the
+  * contribution list (collect_list is partial-aggregatable: map-side
+  * concat). Rounds are a fixed constant (8), lineage truncated per
+  * round with an eager localCheckpoint — the same OOM guard the
+  * connected-components loops needed (PERF.md round-4 finding).
+  * Double parity: contributions fold left-to-right in src order
+  * (array_sort + aggregate with a 0.0 seed == DuckDB list_reduce over
+  * list_prepend('0.0', list ORDER BY src)), and the damping constants
+  * enter as strtod doubles in both engines.
+  */
+object Graph {
+  private val Iters = 8
+  private val Salts = 3
+
+  /** Integer value of lowercase hex digit i (1-based) of md5 col. */
+  private def hv(h: Column, i: Int): Column = {
+    val a = ascii(substring(h, i, 1))
+    when(a >= 97, a - 87).otherwise(a - 48)
+  }
+
+  /** 16-bit integer from the first 4 hex digits of md5(s). */
+  private def hex16(h: Column): Column =
+    (((hv(h, 1) * 16 + hv(h, 2)) * 16 + hv(h, 3)) * 16 + hv(h, 4)).cast("long")
+
+  /** Edge list (src, dst): 3 salted hash edges + the ring edge,
+    * self-loops dropped, deduped. n = node count (ids dense 0..n-1). */
+  private[graft] def edges(docs: DataFrame, n: Long): DataFrame = {
+    val hashed = (0 until Salts).map { s =>
+      val h = md5(concat(lit("pr:"), col("doc_id").cast("string"), lit(":" + s)))
+      docs.select(col("doc_id").as("src"), (hex16(h) % n).as("dst"))
+    }
+    val ring = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") + 1) % n).as("dst"))
+    (hashed :+ ring).reduce(_ union _)
+      .where(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Fixed-iteration PageRank (d = 0.85, 8 iterations) over the
+    * fixture graph; returns (doc_id, pagerank, out_deg, in_deg)
+    * ordered by rank. Every node has outdeg ≥ 1 (ring edge), so
+    * there is no dangling mass and the teleport term keeps the ranks
+    * a probability distribution (GraphSpec pins Σ = 1). */
+  private[graft] def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    // Bounded driver state: one scalar (metadata-cheap on parquet).
+    val n = docs.count()
+    val e = edges(docs, n).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val eo = e.join(outdeg, "src").persist()
+
+    var ranks = docs.select(col("doc_id").as("id"),
+      (lit(1.0) / lit(n)).as("rank"))
+    for (_ <- 1 to Iters) {
+      val folded = eo.join(ranks, col("src") === col("id"))
+        .select(col("dst"), col("src"),
+          (col("rank") / col("out_deg").cast("double")).as("contrib"))
+        .groupBy("dst")
+        .agg(aggregate(array_sort(collect_list(struct(col("src"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("insum"))
+      ranks = docs.select(col("doc_id").as("id"))
+        .join(folded, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(0.15) / lit(n) + lit(0.85) * coalesce(col("insum"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    val indeg = e.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    ranks
+      .join(outdeg, col("id") === outdeg("src"))
+      .join(indeg, col("id") === indeg("dst"), "left")
+      .select(col("id").as("doc_id"), col("rank").as("pagerank"),
+        col("out_deg"), coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(col("pagerank").desc, col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_pagerank" -> ((s, d) => pagerank(s, d))
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private def hexValSql(c: String): String =
+    s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+
+  private val prHashSql = {
+    val h = "md5('pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR))"
+    s"""(((${hexValSql(s"substr($h, 1, 1)")} * 16
+       | + ${hexValSql(s"substr($h, 2, 1)")}) * 16
+       | + ${hexValSql(s"substr($h, 3, 1)")}) * 16
+       | + ${hexValSql(s"substr($h, 4, 1)")})""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    // The ENTIRE 8-iteration power method replayed list-packed (the
+    // kmeansCte technique): state = one row holding the rank list
+    // ordered by id; in-neighbor ids + outdegs pre-packed as parallel
+    // list-of-lists so the recursive term is pure list arithmetic.
+    "gr_pagerank" ->
+      s"""WITH RECURSIVE prn AS (SELECT count(*) AS nn FROM documents),
+         |pre AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src, CAST($prHashSql AS BIGINT) % nn AS dst
+         |    FROM documents, (SELECT unnest([0, 1, 2]) AS s) s, prn
+         |    UNION ALL
+         |    SELECT doc_id AS src, (doc_id + 1) % nn AS dst FROM documents, prn)
+         |  WHERE src <> dst),
+         |prout AS (SELECT src, count(*) AS outdeg FROM pre GROUP BY src),
+         |prinl AS (
+         |  SELECT e.dst, list(e.src ORDER BY e.src) AS srcs,
+         |         list(o.outdeg ORDER BY e.src) AS outds
+         |  FROM pre e JOIN prout o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |packed AS (
+         |  SELECT any_value(n.nn) AS nn,
+         |    list(COALESCE(i.srcs, CAST([] AS BIGINT[])) ORDER BY d.doc_id) AS srcs,
+         |    list(COALESCE(i.outds, CAST([] AS BIGINT[])) ORDER BY d.doc_id) AS outds
+         |  FROM documents d
+         |  LEFT JOIN prinl i ON i.dst = d.doc_id
+         |  CROSS JOIN prn n),
+         |priter AS (
+         |  SELECT 0 AS it, list_transform(range(0, nn), x -> '1.0'::DOUBLE / nn) AS ranks
+         |  FROM packed
+         |  UNION ALL
+         |  SELECT r.it + 1, list_transform(range(0, p.nn), i ->
+         |    '0.15'::DOUBLE / p.nn + '0.85'::DOUBLE * list_reduce(
+         |      list_prepend('0.0'::DOUBLE,
+         |        list_transform(range(1, len(p.srcs[i + 1]) + 1),
+         |          j -> r.ranks[p.srcs[i + 1][j] + 1] / CAST(p.outds[i + 1][j] AS DOUBLE))),
+         |      (a, b) -> a + b))
+         |  FROM priter r, packed p WHERE r.it < $Iters),
+         |unp AS (
+         |  SELECT CAST(generate_subscripts(ranks, 1) - 1 AS BIGINT) AS doc_id,
+         |         unnest(ranks) AS pagerank
+         |  FROM priter WHERE it = $Iters),
+         |prindeg AS (SELECT dst, count(*) AS c FROM pre GROUP BY dst)
+         |SELECT u.doc_id, u.pagerank, o.outdeg AS out_deg,
+         |  COALESCE(g.c, 0) AS in_deg
+         |FROM unp u
+         |JOIN prout o ON o.src = u.doc_id
+         |LEFT JOIN prindeg g ON g.dst = u.doc_id
+         |ORDER BY u.pagerank DESC, u.doc_id""".stripMargin
+  )
+}

@@ -636,6 +636,33 @@ object TextAnalysis {
           md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp_bag"))
         .orderBy("doc_id")),
 
+    // Unicode NFC normalization + mojibake detection (corpus hygiene:
+    // the same text can arrive precomposed U+00E9, decomposed
+    // e+U+0301, or double-encoded "Ã©" — exact dedup and
+    // fingerprinting disagree on the first two and keep the third
+    // unless this pass runs first). The fixture plants all three
+    // variants by doc_id % 3; Spark normalizes via the codegen
+    // NfcExpr (JDK Normalizer — map-only, stays in whole-stage
+    // codegen), DuckDB via nfc_normalize. Canonical composition is a
+    // Unicode standard, so the normalized md5 hash-matches
+    // cross-engine.
+    "ta_unicode_nfc" -> ((s, d) => {
+      val suffix = when(col("doc_id") % 3 === 0, lit("café"))
+        .when(col("doc_id") % 3 === 1, lit("café"))
+        .otherwise(lit("cafÃ©"))
+      Tables.documents(s, d)
+        .withColumn("raw", concat(substring(col("text"), 1, 64), lit(" "), suffix))
+        .withColumn("norm", graft.functions.UnicodeNorm.nfcCol(col("raw")))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          length(col("norm")).cast("long").as("n_norm"),
+          (col("norm") =!= col("raw")).as("changed"),
+          (length(col("raw")) - length(regexp_replace(col("raw"), "Ã", "")))
+            .cast("long").as("mojibake_marks"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     // T7 — key_terms normalization: a comma-joined string column is
     // split/trimmed/empty-dropped into a term list
     // (semantic_summary_service.py:138-139,192-193).
@@ -1654,6 +1681,24 @@ object TextAnalysis {
          |  md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fp_exact,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp_bag
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // chr() builds the three variants unambiguously: 233 = precomposed
+    // U+00E9, 769 = combining acute, 195/169 = the mojibake pair.
+    "ta_unicode_nfc" ->
+      """WITH nb AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 64) || ' ' ||
+        |      (CASE WHEN doc_id % 3 = 0 THEN 'caf' || chr(233)
+        |            WHEN doc_id % 3 = 1 THEN 'cafe' || chr(769)
+        |            ELSE 'caf' || chr(195) || chr(169) END) AS raw
+        |  FROM documents),
+        |nn AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM nb)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+        |  CAST(length(norm) AS BIGINT) AS n_norm,
+        |  (norm <> raw) AS changed,
+        |  CAST(length(raw) - length(replace(raw, chr(195), '')) AS BIGINT)
+        |    AS mojibake_marks,
+        |  md5(norm) AS norm_md5
+        |FROM nn ORDER BY doc_id""".stripMargin,
     "t7_keyterms_normalize" ->
       """SELECT doc_id,
         |  len(list_filter(list_transform(string_split(regexp_replace(substr(text, 1, 60), ' ', ',', 'g'), ','),

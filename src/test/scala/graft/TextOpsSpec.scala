@@ -77,4 +77,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.textSource(None, None, None, Some("d")) == ("d", "analysis.extracted_text"))
     assert(TextOps.textSource(None, None, None, None) == ("", "none"))
   }
+
+  test("UnicodeNorm.nfc: composes decomposed text, no-copy on normalized, codegen path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dec = UTF8String.fromString("café")
+    val pre = UTF8String.fromString("café")
+    assert(graft.functions.UnicodeNorm.nfc(dec) == pre)
+    // already-NFC input comes back as the same instance (fast path)
+    assert(graft.functions.UnicodeNorm.nfc(pre) eq pre)
+    // mojibake bytes are valid precomposed chars — NFC must NOT touch them
+    val moji = UTF8String.fromString("cafÃ©")
+    assert(graft.functions.UnicodeNorm.nfc(moji) eq moji)
+    // through the Spark expression (exercises doGenCode)
+    val spark = SparkSessionHelper.spark
+    import spark.implicits._
+    val out = Seq("café", "café", "x")
+      .toDF("s")
+      .select(graft.functions.UnicodeNorm.nfcCol(org.apache.spark.sql.functions.col("s")).as("n"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("café", "café", "x"))
+  }
 }
