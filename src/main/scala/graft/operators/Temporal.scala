@@ -102,20 +102,59 @@ object Temporal {
     // that's the same cost as any per-key windowed agg, and the
     // (ts, event_id) tiebreak makes the intervals total-order
     // deterministic. */
-    "t14_scd2_intervals" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val chg = eventsUs(s, d)
-        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-      val w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      chg.withColumn("to_us", lead(col("ts_us"), 1).over(w2))
-        .withColumn("version", row_number().over(w2).cast("long"))
-        .select(col("user_id"), col("version"), col("event_type"),
-          col("ts_us").as("from_us"), col("to_us"))
-        .orderBy("user_id", "version")
+    "t14_scd2_intervals" -> ((s, d) =>
+      scdIntervals(eventsUs(s, d)).orderBy("user_id", "version")),
+
+    // Point-in-time (PIT) dimension lookup against the SCD2 table:
+    // each purchase enriched with the interval valid at its
+    // timestamp (from_us <= ts, ts < to_us-or-open). The naive form
+    // is a non-equi interval join; the scalable form is the SAME
+    // union-then-window shape as the as-of join — dim-change rows and
+    // probe rows share ONE sort-shuffle on the user key, changes
+    // ordered before probes at equal timestamps (inclusive-from
+    // semantics), and `last(..., ignoreNulls)` carries the valid
+    // version forward. Zero join explosion at any scale; empty
+    // intervals (two changes at one µs) are skipped by construction,
+    // exactly like the oracle's ts < to_us predicate.
+    "t15_scd2_lookup" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val dim = scdIntervals(ev)
+        .select(col("user_id"), col("from_us").as("ts_w"), lit(0).as("ord"),
+          col("version").as("tie"), col("version"),
+          col("event_type").as("state_at"), col("from_us"),
+          lit(null).cast("long").as("event_id"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("ts_w"), lit(1).as("ord"),
+          col("event_id").as("tie"), lit(null).cast("long").as("version"),
+          lit(null).cast("string").as("state_at"),
+          lit(null).cast("long").as("from_us"), col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_w").asc, col("ord").asc, col("tie").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dim.union(probe)
+        .withColumn("v", last(col("version"), ignoreNulls = true).over(w))
+        .withColumn("st", last(col("state_at"), ignoreNulls = true).over(w))
+        .withColumn("fr", last(col("from_us"), ignoreNulls = true).over(w))
+        .filter(col("ord") === 1)
+        .select(col("event_id"), col("user_id"), col("v").as("version"),
+          col("st").as("state_at"), col("fr").as("from_us"))
+        .orderBy("event_id")
     })
   )
+
+  /** SCD2 validity-interval build (see t14): a row per change with
+    * [from_us, to_us) and a per-user version ordinal — one
+    * sort-shuffle on the user key. */
+  def scdIntervals(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev.select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts_us").as("from_us"), col("to_us"))
+  }
 
   private val funnelStages = Seq("signup", "view", "purchase")
 
@@ -179,6 +218,33 @@ object Temporal {
         |  lead(ts_us) OVER (
         |    PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS to_us
         |FROM chg ORDER BY user_id, version""".stripMargin,
+    // interval join form: intervals partition each user's timeline
+    // (half-open, empty ones unsatisfiable), so exactly one row
+    // matches per purchase — the window form's carried state.
+    "t15_scd2_lookup" ->
+      """WITH ord AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, ts_us, event_type FROM ord
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |scd AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS BIGINT) AS version,
+        |    event_type, ts_us AS from_us,
+        |    lead(ts_us) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS to_us
+        |  FROM chg),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, s.version, s.event_type AS state_at,
+        |       s.from_us
+        |FROM p JOIN scd s ON s.user_id = p.user_id
+        |  AND s.from_us <= p.ts_us AND (s.to_us IS NULL OR p.ts_us < s.to_us)
+        |ORDER BY p.event_id""".stripMargin,
     "st_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events

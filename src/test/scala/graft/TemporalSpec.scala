@@ -124,4 +124,32 @@ class TemporalSpec extends AnyFunSuite {
       assert(ivs.last._5.isEmpty, s"user $u: tail interval must be open")
     }
   }
+
+  test("t15_scd2_lookup: every purchase hits exactly its containing interval") {
+    val d = "/root/testdata/sf0.001"
+    val looked = SparkEntry.queries("t15_scd2_lookup")(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+    spark.catalog.clearCache()
+    val intervals = SparkEntry.queries("t14_scd2_intervals")(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    spark.catalog.clearCache()
+    val purchases = graft.Tables.events(spark, d)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("event_id", "user_id", "ts_ns div 1000 as ts_us").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    spark.catalog.clearCache()
+    assert(looked.nonEmpty && looked.length == purchases.size)
+    // one row per purchase; the claimed (user, version) interval CONTAINS ts
+    assert(looked.map(_._1).distinct.length == looked.length)
+    looked.foreach { case (eid, (u, v, state, from)) =>
+      val (pu, ts) = purchases(eid)
+      assert(pu == u)
+      val (ivState, ivFrom, ivTo) = intervals((u, v))
+      assert(ivState == state && ivFrom == from)
+      assert(ivFrom <= ts && ivTo.forall(ts < _),
+        s"purchase $eid ts=$ts outside interval v$v [$ivFrom, $ivTo)")
+    }
+  }
 }
