@@ -1025,6 +1025,87 @@ object TextAnalysis {
       qualityClassify(docs,
         qualityModel(docs, Seq("src0", "src1", "src2", "src3")))
         .orderBy("doc_id")
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling", public arXiv
+    // 2302.03169): features are HASHED BIGRAMS (256 md5 buckets — the
+    // paper's hashed n-gram trick, so no vocabulary ships with the
+    // job), the importance weight is the seed-vs-background bucket
+    // likelihood ratio averaged over the doc's bigram occurrences,
+    // and selection is SYSTEMATIC RESAMPLING to exactly k = 64 slots
+    // with probability proportional to weight (the particle-filter
+    // resampler with offset 1/2 — deterministic where the paper draws
+    // Gumbel noise, so the whole pass replays under the hash gate).
+    // Engine parity + scale, by stage: the lr is qualityModel's
+    // 3-division shape over exact integer counts; scoring is the
+    // map-only QcScore walk (bucket strings as "tokens", all
+    // in-vocab); the weight QUANTIZES to integer 2^20ths before the
+    // prefix sum, so the two-phase distributed prefix (per-range
+    // partial sums + a bounded window over the range relation — never
+    // a global single-partition cumsum) is bitwise equal to the
+    // oracle's sequential cumsum in any association order; and the
+    // per-doc slot count is pure integer arithmetic,
+    // n_i = (2·hi·k + W) div 2W − (2·lo·k + W) div 2W, which
+    // telescopes to exactly k (spec-pinned). Headroom note: operands
+    // stay under 2·W·k ≈ 2^27·|docs| weight-units — rescale the
+    // quantization at trillion-doc corpora.
+    "pp_importance_resample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      def bucketArr(toks: Column): Column =
+        when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => substring(md5(concat(lit("ds:"), element_at(toks, i + 1),
+              lit(" "), element_at(toks, i + 2))), 1, 2)))
+          .otherwise(array().cast("array<string>"))
+      val base = docs.withColumn("bks", bucketArr(tokens(col("text"))))
+      val counts = base
+        .select(col("source").isin("src0", "src1", "src2", "src3").as("is_seed"),
+          explode(col("bks")).as("bk"))
+        .groupBy("bk")
+        .agg(sum(when(col("is_seed"), 1L).otherwise(0L)).as("c_pos"),
+          sum(when(!col("is_seed"), 1L).otherwise(0L)).as("c_neg"))
+      val wAll = graft.functions.BoundedWindow.all(col("c_pos"))
+      val model = counts
+        .withColumn("p_tot", sum(col("c_pos")).over(wAll))
+        .withColumn("n_tot", sum(col("c_neg")).over(wAll))
+        .withColumn("lr",
+          ((col("c_pos") + lit(1L)).cast("double") /
+            (col("p_tot") + lit(256L)).cast("double")) /
+            ((col("c_neg") + lit(1L)).cast("double") /
+              (col("n_tot") + lit(256L)).cast("double")))
+      val rows = model.select("bk", "lr").collect().sortBy(_.getString(0))
+      val scorer = org.apache.spark.sql.GraftBridge.column(QcScore(
+        org.apache.spark.sql.GraftBridge.expression(col("bks")),
+        rows.map(_.getString(0)), rows.map(_.getDouble(1))))
+      val scored = base
+        .withColumn("ns", scorer)
+        .withColumn("n_bigrams", coalesce(col("ns.n_invocab"), lit(0L)))
+        .withColumn("score", when(col("n_bigrams") > 0,
+          col("ns.s") / col("n_bigrams").cast("double")).otherwise(lit(0.0)))
+        .withColumn("w", floor(col("score") * lit(1048576.0)).cast("long"))
+        .withColumn("rng", expr("doc_id div 64"))
+      val offsets = scored.groupBy("rng").agg(sum("w").as("wr"))
+        .withColumn("off", coalesce(
+          sum(col("wr")).over(graft.functions.BoundedWindow
+            .orderBy(col("rng"), col("rng").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("wtot",
+          sum(col("wr")).over(graft.functions.BoundedWindow.all(col("rng"))))
+        .select("rng", "off", "wtot")
+      val wDoc = Window.partitionBy("rng").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      scored
+        .withColumn("intra", sum(col("w")).over(wDoc))
+        .join(offsets, "rng")
+        .withColumn("hi", col("off") + col("intra"))
+        .withColumn("lo", col("hi") - col("w"))
+        .withColumn("n_samples",
+          expr("(2*hi*64 + wtot) div (2*wtot) - (2*lo*64 + wtot) div (2*wtot)"))
+        .filter(col("n_samples") > 0)
+        .select("doc_id", "n_bigrams", "score", "w", "n_samples")
+        .orderBy("doc_id")
     })
   )
 
@@ -1426,6 +1507,57 @@ object TextAnalysis {
          |            THEN 1 ELSE 0 END AS BIGINT) AS sample_keep
          |FROM sc s JOIN bkt b USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin,
+    // the systematic-resampler slot counts are pure integer math over
+    // the sequential integer cumsum — bitwise equal to the engine's
+    // two-phase prefix because quantized weights are exact
+    "pp_importance_resample" ->
+      s"""WITH dsb AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1),
+         |      i -> substr(md5('ds:' || toks[i] || ' ' || toks[i+1]), 1, 2)) ELSE [] END AS bks
+         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+         |dscnt AS (
+         |  SELECT bk,
+         |    CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         |    CAST(sum(CASE WHEN is_seed THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+         |  FROM (SELECT (source IN ('src0','src1','src2','src3')) AS is_seed,
+         |               unnest(bks) AS bk FROM dsb)
+         |  GROUP BY bk),
+         |dstot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS p_tot,
+         |                 CAST(sum(c_neg) AS BIGINT) AS n_tot FROM dscnt),
+         |dsmodel AS (
+         |  SELECT bk,
+         |    (CAST(c_pos + 1 AS DOUBLE) / CAST(p_tot + 256 AS DOUBLE))
+         |      / (CAST(c_neg + 1 AS DOUBLE) / CAST(n_tot + 256 AS DOUBLE)) AS lr
+         |  FROM dscnt, dstot),
+         |dshit AS (
+         |  SELECT d.doc_id, i AS pos, d.bks[i] AS bk
+         |  FROM dsb d, LATERAL (SELECT unnest(generate_series(1, len(d.bks))) AS i)),
+         |dsper AS (
+         |  SELECT h.doc_id, count(*)::BIGINT AS nb,
+         |    list_reduce(list(m.lr ORDER BY h.pos), (a, b) -> a + b) AS s
+         |  FROM dshit h JOIN dsmodel m USING (bk) GROUP BY h.doc_id),
+         |dssc AS (
+         |  SELECT d.doc_id, coalesce(p.nb, 0)::BIGINT AS n_bigrams,
+         |    CASE WHEN coalesce(p.nb, 0) > 0 THEN p.s / CAST(p.nb AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END AS score
+         |  FROM documents d LEFT JOIN dsper p USING (doc_id)),
+         |dsw AS (
+         |  SELECT doc_id, n_bigrams, score,
+         |    CAST(floor(score * CAST(1048576 AS DOUBLE)) AS BIGINT) AS w
+         |  FROM dssc),
+         |dscum AS (
+         |  SELECT doc_id, n_bigrams, score, w,
+         |    CAST(sum(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+         |  FROM dsw),
+         |dswt AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM dsw)
+         |SELECT doc_id, n_bigrams, score, w,
+         |  CAST(((2*hi*64 + wt) // (2*wt))
+         |     - ((2*(hi - w)*64 + wt) // (2*wt)) AS BIGINT) AS n_samples
+         |FROM dscum, dswt
+         |WHERE ((2*hi*64 + wt) // (2*wt)) - ((2*(hi - w)*64 + wt) // (2*wt)) > 0
+         |ORDER BY doc_id""".stripMargin,
     "t5_text_source" ->
       """WITH base AS (
         |  SELECT doc_id,

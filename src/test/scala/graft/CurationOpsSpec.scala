@@ -456,4 +456,28 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == exp)
   }
+
+  test("pp_importance_resample: systematic resampler fills exactly k slots ∝ weight") {
+    val rows = SparkEntry.queries("pp_importance_resample")(spark, d)
+      .select("doc_id", "score", "w", "n_samples").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val k = 64L
+    // Σ n_samples telescopes to exactly k — the resampler's defining
+    // invariant (floor((2Wk+W)/2W) − floor(W/2W) = k)
+    assert(rows.map(_._4).sum == k, s"slots = ${rows.map(_._4).sum}")
+    // only positive-weight docs are sampled, each at least once
+    assert(rows.forall(r => r._3 > 0 && r._4 >= 1))
+    // low-variance proportionality: slot counts are floor(w·k/W) or
+    // one more, so counts are monotone in weight up to ±1 — a
+    // strictly heavier doc never trails a lighter one by 2+ slots
+    for ((_, _, wi, ni) <- rows; (_, _, wj, nj) <- rows if wi >= wj)
+      assert(ni >= nj - 1, s"monotonicity: w=$wi got $ni slots, w=$wj got $nj")
+    // determinism: a rerun is bit-identical
+    val again = SparkEntry.queries("pp_importance_resample")(spark, d)
+      .select("doc_id", "score", "w", "n_samples").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(rows.sameElements(again))
+  }
 }
