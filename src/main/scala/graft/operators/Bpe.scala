@@ -154,6 +154,42 @@ object Bpe {
       case (s, (_, l, r, _)) => mergeOnce(s, l, r)
     }
 
+  /** Max learned piece length for the unigram segmenter. */
+  private val MaxPiece = 4
+
+  /** Viterbi segmentation under an integer-scored piece inventory —
+    * the unigram-LM tokenizer's inference rule (Kudo 2018,
+    * SentencePiece; public arXiv 1804.10959). best(i) = max over
+    * split points j of best(j) + score(w[j..i)); the FIRST strict
+    * maximum wins, so ties pick the smallest j — exactly the oracle's
+    * first-occurrence `list_position(cands, max)`. Single-character
+    * pieces are always in the inventory, so every position is
+    * reachable. All-integer scores keep the DP bit-exact
+    * cross-engine. */
+  private[graft] def viterbi(w: String, inv: Map[String, Long]): (Seq[String], Long) = {
+    val L = w.length
+    val best = Array.fill(L + 1)(Long.MinValue)
+    val back = Array.fill(L + 1)(-1)
+    best(0) = 0L
+    var i = 1
+    while (i <= L) {
+      var j = math.max(0, i - MaxPiece)
+      while (j < i) {
+        inv.get(w.substring(j, i)) match {
+          case Some(sc) if best(j) != Long.MinValue && best(j) + sc > best(i) =>
+            best(i) = best(j) + sc; back(i) = j
+          case _ => ()
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val segs = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = L
+    while (pos > 0) { val j = back(pos); segs.prepend(w.substring(j, pos)); pos = j }
+    (segs.toList, best(L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // OOV generalization: words the trainer never saw (adjacent token
     // pairs concatenated) segmented by rank-ordered merge application.
@@ -217,6 +253,55 @@ object Bpe {
             x => x.getField("seg")), " ")).as("seg_digest"))
         .orderBy("doc_id")
       out
+    }),
+
+    // Unigram-LM segmentation (the third classic subword algorithm
+    // next to BPE and WordPiece): an integer-scored piece inventory —
+    // every character, plus the 64 highest-frequency substrings of
+    // length 2..4 (freq-weighted over the word vocabulary) — and
+    // Viterbi DP per word maximizing Σ len(p)²·4096 + min(count, 4095)
+    // (the quadratic length term plays log-probability's role of
+    // favoring fewer, longer pieces; the capped count bonus breaks
+    // ties toward frequent pieces; all integers so the DP replays
+    // bit-exactly). Scale shape: the inventory is BOUNDED (alphabet +
+    // 64 rows — collected and broadcast like the BM25 stats), the
+    // substring counting is one explode+groupBy over the VOCABULARY
+    // (not the corpus), and segmentation is a map-only UDF walk over
+    // the top-400 word relation. The oracle replays the whole DP as a
+    // 12-iteration recursive CTE (bests+backpointer lists per word)
+    // and a backpointer-walk reconstruction CTE.
+    "ts_unigram_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+      val voc = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")).persist()
+      val pieces = (2 to MaxPiece).map { n =>
+        voc.filter(length(col("w")) >= n)
+          .select(col("f"), explode(transform(
+            sequence(lit(1), length(col("w")) - (n - 1)),
+            i => col("w").substr(i, lit(n)))).as("p"))
+      }.reduce(_ union _)
+        .groupBy("p").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc).limit(64)
+      val chars = voc
+        .select(col("f"), explode(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("p"))
+        .groupBy("p").agg(sum(col("f")).as("cnt"))
+      val inv = chars.union(pieces)
+        .withColumn("sc", (length(col("p")) * length(col("p")) * lit(4096L))
+          + least(col("cnt"), lit(4095L)))
+        .select("p", "sc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bc = s.sparkContext.broadcast(inv)
+      val segUdf = udf((w: String) => {
+        val (segs, sc) = viterbi(w, bc.value)
+        (segs.mkString("|"), segs.length.toLong, sc)
+      })
+      voc.filter(length(col("w")).between(2, 12))
+        .orderBy(col("f").desc, col("w").asc).limit(400)
+        .withColumn("r", segUdf(col("w")))
+        .select(col("w"), col("r._2").as("n_pieces"), col("r._1").as("seg"),
+          col("r._3").as("total_score"))
+        .orderBy("w")
     })
   )
 
@@ -348,6 +433,63 @@ object Bpe {
        |  WHERE best.c IS NOT NULL)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The whole Viterbi DP replayed: bests+backpointer lists grow one
+    // position per recursion round (12 = the word-length cap), the
+    // argmax is first-occurrence list_position (ties → smallest split
+    // point, Scala's strictly-greater rule), and a second recursive
+    // CTE walks the backpointers to reconstruct the segmentation.
+    "ts_unigram_segment" ->
+      s"""WITH RECURSIVE uvoc AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+         |    FROM documents WHERE n_chars > 0) GROUP BY w),
+         |upc AS (
+         |  SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM (
+         |    SELECT f, unnest(list_concat(list_concat(
+         |      CASE WHEN length(w) >= 2 THEN list_transform(generate_series(1, length(w)-1), i -> substr(w, i, 2)) ELSE [] END,
+         |      CASE WHEN length(w) >= 3 THEN list_transform(generate_series(1, length(w)-2), i -> substr(w, i, 3)) ELSE [] END),
+         |      CASE WHEN length(w) >= 4 THEN list_transform(generate_series(1, length(w)-3), i -> substr(w, i, 4)) ELSE [] END)) AS p
+         |    FROM uvoc)
+         |  GROUP BY p ORDER BY cnt DESC, p ASC LIMIT 64),
+         |uch AS (
+         |  SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM (
+         |    SELECT f, unnest(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1))) AS p
+         |    FROM uvoc) GROUP BY p),
+         |uinv AS (
+         |  SELECT p, CAST(length(p)*length(p)*4096 + least(cnt, 4095) AS BIGINT) AS sc FROM uch
+         |  UNION ALL
+         |  SELECT p, CAST(length(p)*length(p)*4096 + least(cnt, 4095) AS BIGINT) AS sc FROM upc),
+         |upack AS (SELECT list(p ORDER BY p) AS ps, list(sc ORDER BY p) AS scs FROM uinv),
+         |uw AS (SELECT w FROM uvoc WHERE length(w) BETWEEN 2 AND 12
+         |       ORDER BY f DESC, w ASC LIMIT 400),
+         |udp AS (
+         |  SELECT 0 AS it, w, [CAST(0 AS BIGINT)] AS bests, [CAST(-1 AS BIGINT)] AS backs FROM uw
+         |  UNION ALL
+         |  SELECT it + 1, w,
+         |    CASE WHEN it + 1 > length(w) THEN bests
+         |         ELSE list_append(bests, list_aggregate(cands, 'max')) END,
+         |    CASE WHEN it + 1 > length(w) THEN backs
+         |         ELSE list_append(backs, CAST(lo - 1 + list_position(cands,
+         |                list_aggregate(cands, 'max')) AS BIGINT)) END
+         |  FROM (
+         |    SELECT u.it, u.w, u.bests, u.backs, greatest(0, u.it + 1 - 4) AS lo,
+         |      list_transform(generate_series(greatest(0, u.it + 1 - 4), u.it),
+         |        j -> CASE WHEN list_position(p.ps, substr(u.w, CAST(j + 1 AS INT), CAST(u.it + 1 - j AS INT))) > 0
+         |             THEN u.bests[j + 1] + p.scs[list_position(p.ps, substr(u.w, CAST(j + 1 AS INT), CAST(u.it + 1 - j AS INT)))]
+         |             END) AS cands
+         |    FROM udp u, upack p WHERE u.it < 12)),
+         |useg AS (
+         |  SELECT w, CAST(length(w) AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS piece, backs
+         |  FROM udp WHERE it = 12
+         |  UNION ALL
+         |  SELECT w, backs[pos + 1],
+         |    substr(w, CAST(backs[pos + 1] AS INT) + 1, CAST(pos - backs[pos + 1] AS INT)), backs
+         |  FROM useg WHERE pos > 0)
+         |SELECT s.w, CAST(count(s.piece) AS BIGINT) AS n_pieces,
+         |  string_agg(s.piece, '|' ORDER BY s.pos ASC) AS seg,
+         |  any_value(d.bests[length(s.w) + 1]) AS total_score
+         |FROM useg s JOIN udp d ON d.w = s.w AND d.it = 12
+         |GROUP BY s.w ORDER BY s.w""".stripMargin,
     "ts_wordpiece_train" ->
       s"""WITH RECURSIVE ${wpCte(NMerges)}
          |SELECT i AS rank, m[i].l AS mleft, m[i].r AS mright,

@@ -82,4 +82,49 @@ class BpeSpec extends AnyFunSuite {
       s"expected BPE ${(bpe.head._2, bpe.head._3)} to differ from WordPiece (q,u)")
     assert(wp.head._2 == "q" && wp.head._3 == "u")
   }
+
+  test("viterbi: optimal vs brute-force enumeration, lossless, smallest-split ties") {
+    // deterministic pseudo-random inventory over a 4-letter alphabet
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(60)(Seq.fill(2 + rnd.nextInt(9))(
+      ('a' + rnd.nextInt(4)).toChar).mkString)
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, w.length)).flatMap(n =>
+        allSegs(w.drop(n)).map(w.take(n) +: _))
+    for (trial <- 0 until 5) {
+      val chars = "abcd".map(_.toString)
+      val multi = Seq.fill(12)(Seq.fill(2 + rnd.nextInt(3))(
+        ('a' + rnd.nextInt(4)).toChar).mkString).distinct
+      val inv: Map[String, Long] =
+        (chars.map(c => c -> (4096L + rnd.nextInt(4095))) ++
+          multi.map(p => p -> (p.length.toLong * p.length * 4096 + rnd.nextInt(4095)))).toMap
+      words.foreach { w =>
+        val (segs, sc) = Bpe.viterbi(w, inv)
+        // lossless: pieces concatenate back to the word
+        assert(segs.mkString == w)
+        // every piece is in the inventory and total matches
+        assert(segs.forall(inv.contains) && segs.map(inv).sum == sc)
+        // optimal: equals the brute-force max over all segmentations
+        val best = allSegs(w).filter(_.forall(inv.contains)).map(_.map(inv).sum).max
+        assert(sc == best, s"$w: viterbi $sc vs brute $best")
+      }
+    }
+  }
+
+  test("ts_unigram_segment: frequent whole words survive, rare words shatter") {
+    val rows = SparkEntry.queries("ts_unigram_segment")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, n, seg, sc) =>
+      assert(seg.split('|').mkString == w, s"$w segmentation not lossless: $seg")
+      assert(n == seg.split('|').length && sc > 0)
+    }
+    // determinism
+    val again = SparkEntry.queries("ts_unigram_segment")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(rows.sameElements(again))
+  }
 }
