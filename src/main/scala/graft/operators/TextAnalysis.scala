@@ -1106,6 +1106,64 @@ object TextAnalysis {
         .filter(col("n_samples") > 0)
         .select("doc_id", "n_bigrams", "score", "w", "n_samples")
         .orderBy("doc_id")
+    }),
+
+    // T5/UL2-style span corruption (Raffel et al. 2020 §3.1.4, public
+    // arXiv 1910.10683): the denoising-objective builder of a
+    // pretraining pipeline — mask contiguous token spans, emit the
+    // input with one sentinel per span and the target as
+    // sentinel+span pairs. Production batchers use STRUCTURED
+    // masking for speed; here each 10-token block masks the 3 tokens
+    // at a deterministic md5 offset (0..7), which keeps spans
+    // non-overlapping BY CONSTRUCTION — no sequential greedy state,
+    // so the whole op is one map-only projection (pure list
+    // arithmetic, zero shuffles, streams unchanged) and replays
+    // hash-exactly. Sentinels are block-indexed (<extra_id_b>), the
+    // fixed-grid analogue of T5's consecutive numbering.
+    "pp_span_corruption" -> ((s, d) => {
+      val span = 3
+      def off(b: Column): Column = {
+        val h = md5(concat(lit("sp:"), col("doc_id").cast("string"), lit(":"),
+          b.cast("string")))
+        val a = ascii(substring(h, 1, 1))
+        (when(a >= 97, a - 87).otherwise(a - 48) % 8).cast("int")
+      }
+      val base = Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+      // per position p (1-based): block b = (p-1) div 10, masked iff
+      // (p-1) mod 10 ∈ [off_b, off_b + span), sentinel at the run start
+      val marked = base.withColumn("cells",
+        transform(sequence(lit(1), col("n")), p => {
+          val b = ((p - 1) / 10).cast("int")
+          val o = off(b)
+          val rel = (p - 1) % 10
+          struct(
+            when(rel === o, concat(lit("<extra_id_"), b.cast("string"), lit(">")))
+              .otherwise(element_at(col("toks"), p)).as("v"),
+            (rel >= o && rel < o + span).as("masked"),
+            (rel === o).as("start"))
+        }))
+      marked
+        .withColumn("inp", transform(
+          filter(col("cells"), c => !c.getField("masked") || c.getField("start")),
+          c => c.getField("v")))
+        .withColumn("n_masked",
+          size(filter(col("cells"), c => c.getField("masked"))).cast("long"))
+        .withColumn("tgt", array_join(flatten(
+          transform(sequence(lit(0), ((col("n") - 1) / 10).cast("int")), b => {
+            val start = b * 10 + off(b) + 1
+            when(start <= col("n"),
+              concat(array(concat(lit("<extra_id_"), b.cast("string"), lit(">"))),
+                slice(col("toks"), start, lit(span))))
+              .otherwise(array().cast("array<string>"))
+          })), " "))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("n_masked"),
+          md5(array_join(col("inp"), " ")).as("input_md5"),
+          md5(col("tgt")).as("target_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1558,6 +1616,33 @@ object TextAnalysis {
          |FROM dscum, dswt
          |WHERE ((2*hi*64 + wt) // (2*wt)) - ((2*(hi - w)*64 + wt) // (2*wt)) > 0
          |ORDER BY doc_id""".stripMargin,
+    "pp_span_corruption" ->
+      s"""WITH spb AS (
+         |  SELECT doc_id, toks, len(toks) AS n FROM (
+         |    SELECT doc_id, $toksSql AS toks FROM documents WHERE n_chars > 0)),
+         |spc AS (
+         |  SELECT doc_id, n, toks,
+         |    list_transform(generate_series(1, n), p ->
+         |      struct_pack(
+         |        v := CASE WHEN (p-1) % 10 = ${hexValSql("substr(md5('sp:' || CAST(doc_id AS VARCHAR) || ':' || CAST((p-1) // 10 AS VARCHAR)), 1, 1)")} % 8
+         |             THEN '<extra_id_' || CAST((p-1) // 10 AS VARCHAR) || '>'
+         |             ELSE toks[p] END,
+         |        m := (p-1) % 10 >= ${hexValSql("substr(md5('sp:' || CAST(doc_id AS VARCHAR) || ':' || CAST((p-1) // 10 AS VARCHAR)), 1, 1)")} % 8
+         |             AND (p-1) % 10 < ${hexValSql("substr(md5('sp:' || CAST(doc_id AS VARCHAR) || ':' || CAST((p-1) // 10 AS VARCHAR)), 1, 1)")} % 8 + 3,
+         |        s := (p-1) % 10 = ${hexValSql("substr(md5('sp:' || CAST(doc_id AS VARCHAR) || ':' || CAST((p-1) // 10 AS VARCHAR)), 1, 1)")} % 8)) AS cells
+         |  FROM spb)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(cells, c -> c.m)) AS BIGINT) AS n_masked,
+         |  md5(array_to_string(list_transform(
+         |    list_filter(cells, c -> NOT c.m OR c.s), c -> c.v), ' ')) AS input_md5,
+         |  md5(array_to_string(flatten(
+         |    list_transform(generate_series(0, (n-1) // 10), b ->
+         |      CASE WHEN b*10 + ${hexValSql("substr(md5('sp:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)")} % 8 + 1 <= n
+         |      THEN list_concat(['<extra_id_' || CAST(b AS VARCHAR) || '>'],
+         |        toks[(b*10 + ${hexValSql("substr(md5('sp:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)")} % 8 + 1) :
+         |             least(b*10 + ${hexValSql("substr(md5('sp:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)")} % 8 + 3, n)])
+         |      ELSE [] END)), ' ')) AS target_md5
+         |FROM spc ORDER BY doc_id""".stripMargin,
     "t5_text_source" ->
       """WITH base AS (
         |  SELECT doc_id,

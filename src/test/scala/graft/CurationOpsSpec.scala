@@ -480,4 +480,25 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(rows.sameElements(again))
   }
+
+  test("pp_span_corruption: every full 10-token block masks exactly one 3-span") {
+    val rows = SparkEntry.queries("pp_span_corruption")(spark, d)
+      .select("doc_id", "n_tokens", "n_masked", "input_md5", "target_md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, m, inp, tgt) =>
+      val fullBlocks = n / 10
+      // offsets are ≤ 7, so a full block always fits its whole 3-span;
+      // the tail partial block contributes 0..3 masked tokens
+      assert(m >= 3 * fullBlocks && m <= 3 * fullBlocks + 3,
+        s"doc $id: n=$n masked=$m outside [${3 * fullBlocks}, ${3 * fullBlocks + 3}]")
+      assert(inp.length == 32 && tgt.length == 32)
+    }
+    val again = SparkEntry.queries("pp_span_corruption")(spark, d)
+      .select("doc_id", "n_tokens", "n_masked", "input_md5", "target_md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    spark.catalog.clearCache()
+    assert(rows.sameElements(again))
+  }
 }
