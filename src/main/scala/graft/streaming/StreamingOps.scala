@@ -32,6 +32,17 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Sliding-window event counts (window > slide ⇒ overlapping
+    * windows — the rate-metrics shape, "per 30 min updated every 10").
+    * Batch/stream agnostic like `windowedCounts`; on a stream the
+    * watermark closes each window (window/slide) slides after its
+    * start, and state is bounded by windows-per-key in flight. */
+  def slidingCounts(events: DataFrame, windowDuration: String,
+                    slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDuration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
   /** Gap-based sessionization, batch form: a new session starts when
     * the gap to the previous event of the same user exceeds gapNs. */
   def sessionizeBatch(events: DataFrame, gapNs: Long): DataFrame = {
@@ -241,6 +252,23 @@ object StreamingOps {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // Sliding-window aggregation (30-min window / 10-min slide): every
+    // event lands in exactly win/slide = 3 overlapping windows. The
+    // oracle replays window MEMBERSHIP by fanning each event out to
+    // its 3 aligned starts (time_bucket − k·slide) — the same rule
+    // Spark's window() uses. Decimal value sums keep the overlap
+    // arithmetic order-independent.
+    "st_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
     // Gap-based sessionization (30-min gap). Timestamps truncated to
     // micros (×1000 back to ns units) — DuckDB reads the NANOS parquet
     // at TIMESTAMP (µs) precision, so exact parity lives at µs.
@@ -319,6 +347,15 @@ object StreamingOps {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "st_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) - k.k * INTERVAL '10 minutes' AS ws,
+        |         event_type, value
+        |  FROM events, (SELECT unnest([0, 1, 2]) AS k) k)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "st_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,

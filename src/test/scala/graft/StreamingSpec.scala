@@ -139,6 +139,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted == Map("10:00" -> 1L, "10:15" -> 1L), emitted.toString)
   }
 
+  test("sliding windows over a real stream match the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "value", "event_id")
+    batch.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = StreamingOps.slidingCounts(
+      streamed.withWatermark("ts", "1 hour"), "30 minutes", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("slide_out")
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect()
+    val exp = StreamingOps.slidingCounts(batch, "30 minutes", "10 minutes")
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect()
+    assert(got.nonEmpty && got.toSeq == exp.toSeq)
+    // overlap sanity: Σ window counts = 3 × the event count
+    val total = spark.table("slide_out").agg(sum("n")).as[Long].head()
+    assert(total == 3 * batch.count(), s"each event must land in exactly 3 windows")
+  }
+
+  test("dropDuplicatesWithinWatermark: dups inside the delay drop, state expires after") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $s:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ddww_out").start()
+    try {
+      // batch 1: A + a within-delay duplicate of A → one A emitted
+      input.addData((ts("10:00"), "A"), (ts("10:02"), "A"))
+      q.processAllAvailable() // watermark → 09:52
+      // batch 2: advance event time so A's state (≤10:02+10m) expires
+      input.addData((ts("10:30"), "B"))
+      q.processAllAvailable() // watermark → 10:20 > 10:12 ⇒ A evicted
+      // batch 3: A again AFTER expiry → re-admitted (the contract that
+      // distinguishes this from unbounded dropDuplicates state)
+      input.addData((ts("10:31"), "A"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("ddww_out")
+      .select(date_format(col("ts"), "HH:mm").as("t"), col("k"))
+      .as[(String, String)].collect().sorted.toSeq
+    assert(emitted == Seq(("10:00", "A"), ("10:30", "B"), ("10:31", "A")),
+      emitted.toString)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter(col("event_type") === "purchase")
