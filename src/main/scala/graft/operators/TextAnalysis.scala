@@ -554,6 +554,56 @@ object TextAnalysis {
         .orderBy("source", "pack_id")
     }),
 
+    // Best-fit-decreasing sequence packing — the bin-packing-quality
+    // upgrade over pp_sequence_pack's contiguous greedy: docs sorted
+    // by (n_tokens DESC, doc_id ASC) within each shard, each placed
+    // into the FULLEST bin that still fits (first such bin on ties),
+    // else a new bin. BFD's 11/9·OPT+1 guarantee (classic bin-packing
+    // result) buys measurably fewer, fuller packs than arrival-order
+    // greedy at the cost of losing intra-pack doc contiguity — the
+    // trade an offline pretraining batcher takes. Same scale shape as
+    // the greedy packer: ONE shuffle on the shard key, then an
+    // executor-local walk per shard (a shard is one loader stream);
+    // the oracle replays the walk as a recursive CTE over (bins,
+    // assignment) list state with the identical first-max tie rule.
+    "pp_pack_bfd" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1024L
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      val toks = Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .filter(col("n_tokens") > 0)
+      val bfdU = udf((sizes: Seq[Long]) => {
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sizes.map { n =>
+          var best = -1
+          var i = 0
+          while (i < loads.length) {
+            if (loads(i) + n <= budget && (best == -1 || loads(i) > loads(best)))
+              best = i
+            i += 1
+          }
+          if (best == -1) { loads += n; (loads.length - 1).toLong }
+          else { loads(best) += n; best.toLong }
+        }
+      })
+      val packed = toks
+        .withColumn("pos", row_number().over(w).cast("int"))
+        .groupBy("source")
+        .agg(sort_array(collect_list(struct(col("pos"), col("doc_id"),
+          col("n_tokens")))).as("run"))
+        .withColumn("binsv", bfdU(expr("transform(run, x -> x.n_tokens)")))
+        .select(col("source"), explode(arrays_zip(col("run"), col("binsv"))).as("z"))
+        .select(col("source"), col("z.run.doc_id").as("doc_id"),
+          col("z.run.n_tokens").as("n_tokens"), col("z.binsv").as("bin_id"))
+      packed.groupBy("source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill"),
+          md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",")).as("members_md5"))
+        .orderBy("source", "bin_id")
+    }),
+
     // T5 — text-source priority coalesce (the real function) under an
     // exact oracle: the four candidate fields are synthesized with
     // nulls AND empty strings injected by doc_id residue (empty must
@@ -1616,6 +1666,45 @@ object TextAnalysis {
          |FROM dscum, dswt
          |WHERE ((2*hi*64 + wt) // (2*wt)) - ((2*(hi - w)*64 + wt) // (2*wt)) > 0
          |ORDER BY doc_id""".stripMargin,
+    // the BFD walk replayed: one recursive row per (shard, step),
+    // bins+assignment lists as state; best bin = first position of the
+    // max fitting load (Scala's strictly-greater ascending scan)
+    "pp_pack_bfd" ->
+      s"""WITH RECURSIVE bfdocs AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len($toksSql) > 0),
+         |bfrun AS (
+         |  SELECT source, list(struct_pack(doc_id := doc_id, n := n_tokens)
+         |           ORDER BY n_tokens DESC, doc_id ASC) AS run
+         |  FROM bfdocs GROUP BY source),
+         |bfwalk AS (
+         |  SELECT source, 0 AS i, run, CAST([] AS BIGINT[]) AS bins,
+         |         CAST([] AS BIGINT[]) AS assigns
+         |  FROM bfrun
+         |  UNION ALL
+         |  SELECT source, i + 1, run,
+         |    CASE WHEN best IS NULL THEN list_append(bins, n)
+         |         ELSE list_transform(generate_series(1, len(bins)),
+         |                j -> CASE WHEN j = best THEN bins[j] + n ELSE bins[j] END) END,
+         |    list_append(assigns,
+         |      CAST(CASE WHEN best IS NULL THEN len(bins) ELSE best - 1 END AS BIGINT))
+         |  FROM (
+         |    SELECT source, i, run, bins, assigns, run[i + 1].n AS n,
+         |      list_position(
+         |        list_transform(bins, b -> CASE WHEN b + run[i + 1].n <= 1024 THEN b END),
+         |        list_aggregate(list_transform(bins,
+         |          b -> CASE WHEN b + run[i + 1].n <= 1024 THEN b END), 'max')) AS best
+         |    FROM bfwalk WHERE i < len(run))),
+         |bffin AS (SELECT source, run, assigns FROM bfwalk WHERE i = len(run)),
+         |bfasg AS (
+         |  SELECT source, run[j].doc_id AS doc_id, run[j].n AS n_tokens,
+         |         assigns[j] AS bin_id
+         |  FROM bffin, LATERAL (SELECT unnest(generate_series(1, len(run))) AS j))
+         |SELECT source, bin_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS fill,
+         |  md5(array_to_string(list_transform(list_sort(list(doc_id)),
+         |    x -> CAST(x AS VARCHAR)), ',')) AS members_md5
+         |FROM bfasg GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
     "pp_span_corruption" ->
       s"""WITH spb AS (
          |  SELECT doc_id, toks, len(toks) AS n FROM (

@@ -481,6 +481,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("pp_pack_bfd: feasible bins, every doc packed once, beats-or-ties greedy") {
+    val bfd = SparkEntry.queries("pp_pack_bfd")(spark, d)
+      .select("source", "bin_id", "n_docs", "fill").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val greedy = SparkEntry.queries("pp_sequence_pack")(spark, d)
+      .select("source", "pack_id", "n_docs", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(bfd.nonEmpty)
+    // feasibility: a bin over budget can only be a single oversize doc
+    bfd.foreach { case (src, bin, nd, fill) =>
+      assert(fill <= 1024 || nd == 1, s"$src bin $bin: $nd docs, fill $fill")
+    }
+    // partition: same doc universe as the greedy packer
+    assert(bfd.map(_._3).sum == greedy.map(_._3).sum)
+    assert(bfd.map(_._4).sum == greedy.map(_._4).sum)
+    // the quality claim: per shard, BFD never uses more bins than the
+    // arrival-order greedy walk
+    val bfdBins = bfd.groupBy(_._1).view.mapValues(_.length).toMap
+    val greedyBins = greedy.groupBy(_._1).view.mapValues(_.length).toMap
+    bfdBins.foreach { case (src, nb) =>
+      assert(nb <= greedyBins(src), s"$src: BFD $nb bins vs greedy ${greedyBins(src)}")
+    }
+  }
+
   test("pp_span_corruption: every full 10-token block masks exactly one 3-span") {
     val rows = SparkEntry.queries("pp_span_corruption")(spark, d)
       .select("doc_id", "n_tokens", "n_masked", "input_md5", "target_md5").collect()
