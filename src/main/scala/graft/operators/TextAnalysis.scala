@@ -393,6 +393,40 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Corpus data card (the FineWeb/Dolma-style dataset report every
+    // published pretraining corpus ships): per (source, lang) — doc
+    // and token volumes, exact-dup count, quality-gate pass count,
+    // mean doc length. One groupBy with map-side partials plus the
+    // distinct-hash sub-aggregation; the per-doc quality score reuses
+    // ta_quality_score's parity-proven expression shape.
+    "ta_corpus_card" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val per = Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("sum_tok_len",
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+        .withColumn("n_stop",
+          size(filter(toks, t => t.isin("the", "a", "is", "of", "and"))).cast("long"))
+        .withColumn("avg_tok_len",
+          col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("q",
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * lit(0.5) +
+            least(lit(1.0), col("stop_ratio") * lit(5.0)) * lit(0.3) +
+            when(col("avg_tok_len") >= 3.0 && col("avg_tok_len") <= 8.0, lit(0.2))
+              .otherwise(lit(0.0)))
+      per.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dup"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_quality_pass"))
+        .withColumn("mean_tokens",
+          col("n_tokens").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source", "lang")
+    }),
+
     // Token counting: whitespace tokens + regex-lexer tokens + chars.
     "ta_token_count" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1982,6 +2016,27 @@ object TextAnalysis {
          |  len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_re_tokens,
          |  length(text)::BIGINT AS n_chars_m
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_corpus_card" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+         |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens
+         |FROM (
+         |  SELECT source, lang, text, n_chars, n_tokens,
+         |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
+         |    least(1.0, stop_ratio * 5.0) * 0.3 +
+         |    CASE WHEN avg_tok_len >= 3.0 AND avg_tok_len <= 8.0 THEN 0.2 ELSE 0.0 END AS q
+         |  FROM (
+         |    SELECT source, lang, text, n_chars,
+         |      len($toksSql)::BIGINT AS n_tokens,
+         |      CAST(list_sum(list_transform($toksSql, t -> length(t)::BIGINT)) AS DOUBLE)
+         |        / CAST(len($toksSql) AS DOUBLE) AS avg_tok_len,
+         |      CAST(len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS DOUBLE)
+         |        / CAST(len($toksSql) AS DOUBLE) AS stop_ratio
+         |    FROM documents))
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "ta_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fp_exact,
