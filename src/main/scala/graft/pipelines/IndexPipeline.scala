@@ -252,6 +252,11 @@ object IndexPipeline {
     "/tmp/graft_stidx_" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
       ProcessHandle.current().pid()
 
+  /** Fixture root for `s14_time_travel` (same concurrent-run rule). */
+  private def snapDir(dataDir: String): String =
+    "/tmp/graft_snap_" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      ProcessHandle.current().pid()
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
@@ -346,6 +351,33 @@ object IndexPipeline {
         .orderBy("bucket", "doc_id")
     }),
 
+    // Snapshot-versioned store through the REAL disk path: initial
+    // load (snapshot 1) then a versioned upsert re-indexing doc 7
+    // with modified text (snapshot 2, committed by ONE manifest
+    // rename). BOTH snapshots are then read back — snapshot 1 must
+    // still digest to the ORIGINAL corpus (time travel), snapshot 2
+    // to the merged one; untouched buckets share the same v=1 files
+    // between the two reads (VersionedStoreSpec pins sharing,
+    // crash-before-commit invisibility, and vacuum).
+    "s14_time_travel" -> ((s, d) => {
+      val dir = snapDir(d)
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(docs))
+      val batch = buildIndex(docs.filter(col("doc_id") === 7)
+        .withColumn("text", translate(col("text"), "a", ".")))
+      VersionedStore.upsertVersioned(s, dir, batch)
+      Seq(1, 2).map { n =>
+        VersionedStore.readSnapshot(s, dir, n)
+          .groupBy(lit(n.toLong).as("snapshot_id"),
+            pmod(col("doc_id"), lit(16L)).as("bucket"), col("doc_id"))
+          .agg(count(lit(1)).as("n_vectors"),
+            md5(concat_ws("", array_sort(collect_list(
+              when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("chunks_md5"))
+      }.reduce(_ unionByName _)
+        .orderBy("snapshot_id", "bucket", "doc_id")
+    }),
+
     // Batched-vs-scalar embedding throughput pair: both embed the full
     // documents text column with the SAME HashEmbedder math — emb_batched
     // through BatchEmbed (mapPartitions, per-partition handle, batch 32),
@@ -424,6 +456,39 @@ object IndexPipeline {
   // t1_chunk_sentence comment; w = walk state row, s = src doc row).
   // Shared with DocumentSources' x6_email_import oracle, which replays
   // the same walk over the imported email bodies.
+  private def snapV1Src: String =
+    "SELECT doc_id, text AS t FROM documents WHERE doc_id < 150"
+  private def snapV2Src: String =
+    "SELECT doc_id, CASE WHEN doc_id = 7 THEN translate(text, 'a', '.') " +
+      "ELSE text END AS t FROM documents WHERE doc_id < 150"
+
+  /** The chunker state-machine replay (walk + chunk extraction + a
+    * per-doc sorted chunk-md5 digest) as prefixed CTEs over any
+    * `SELECT doc_id, … AS t` source — shared by the
+    * st_index_incremental and s14_time_travel oracles. Inner aliases
+    * `w`/`s` are per-CTE-scoped, so prefixing the CTE names suffices. */
+  private def chunkDigestCtes(pre: String, srcSql: String): String =
+    s"""${pre}src AS (
+       |  SELECT doc_id, t, length(t)::BIGINT AS len FROM ($srcSql)
+       |  WHERE length(t) > 0),
+       |${pre}walk AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS start0 FROM ${pre}src
+       |  UNION ALL
+       |  SELECT w.doc_id,
+       |    CASE WHEN $t1End >= s.len THEN s.len
+       |         ELSE greatest(w.start0 + 1, ($t1End) - 50) END
+       |  FROM ${pre}walk w JOIN ${pre}src s USING (doc_id)
+       |  WHERE w.start0 < s.len),
+       |${pre}chunks AS (
+       |  SELECT w.doc_id,
+       |    trim(substr(s.t, w.start0 + 1, ($t1End) - w.start0)) AS chunk
+       |  FROM ${pre}walk w JOIN ${pre}src s USING (doc_id)
+       |  WHERE w.start0 < s.len),
+       |${pre}digest AS (
+       |  SELECT doc_id, count(*) AS n_chunks,
+       |    md5(string_agg(md5(chunk), '' ORDER BY md5(chunk))) AS chunks_md5
+       |  FROM ${pre}chunks WHERE chunk <> '' GROUP BY doc_id)""".stripMargin
+
   private[graft] val t1End: String = {
     val end0 = "least(w.start0 + 462, s.len)"
     val from0 = s"greatest(w.start0 + 231, $end0 - 100)"
@@ -583,6 +648,23 @@ object IndexPipeline {
     // re-index a→., docs ≥150 first seen in batch 2, everyone else
     // original), digest = md5 of the sorted chunk-md5 concatenation
     // (lexicographic hex order matches Spark's array_sort).
+    // two independent chunk-walk replays in one statement: snapshot 1
+    // digests the original docs, snapshot 2 the doc-7-modified merge
+    "s14_time_travel" ->
+      s"""WITH RECURSIVE ${chunkDigestCtes("v1", snapV1Src)},
+         |${chunkDigestCtes("v2", snapV2Src)},
+         |snbase AS (SELECT doc_id FROM documents WHERE doc_id < 150)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS snapshot_id, d.doc_id % 16 AS bucket, d.doc_id,
+         |    CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS n_vectors,
+         |    coalesce(g.chunks_md5, md5('')) AS chunks_md5
+         |  FROM snbase d LEFT JOIN v1digest g USING (doc_id)
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), d.doc_id % 16, d.doc_id,
+         |    CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT),
+         |    coalesce(g.chunks_md5, md5(''))
+         |  FROM snbase d LEFT JOIN v2digest g USING (doc_id))
+         |ORDER BY snapshot_id, bucket, doc_id""".stripMargin,
     "st_index_incremental" ->
       s"""WITH RECURSIVE src AS (
          |  SELECT doc_id, t, length(t)::BIGINT AS len FROM (

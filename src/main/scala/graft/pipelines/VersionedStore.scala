@@ -1,0 +1,230 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Snapshot-versioned bucketed vector store — the manifest layer the
+  * write-audit-publish upsert's Scaladoc names as the one contract
+  * plain parquet renames cannot give: CROSS-BUCKET ATOMICITY (every
+  * touched bucket flips in one commit) plus TIME TRAVEL (any previous
+  * snapshot stays readable until vacuumed). The design is the
+  * Iceberg/Delta core reduced to its essentials, with no table-format
+  * dependency:
+  *
+  * Layout:
+  * {{{
+  *   path/data/owner=o/bucket=b/v=N/part-*.parquet   immutable version dirs
+  *   path/manifest/snap-N.txt                        snapshot manifests
+  * }}}
+  *
+  * A manifest lists every live (owner, bucket) → data version. Commit
+  * = write `snap-N.txt.tmp`, then ONE atomic rename to `snap-N.txt`
+  * (snapshot ids are monotonic, so the destination never exists).
+  * Readers never run partition discovery over `data/` — they read the
+  * manifest and scan exactly its version dirs, so uncommitted writer
+  * output (a crash before commit) is invisible garbage, not
+  * corruption, and concurrent readers of snapshot K are never
+  * affected by a writer building K+1. Untouched buckets carry their
+  * pointer forward — snapshots SHARE unchanged files (storage grows
+  * with churn, not table size × snapshots). Single-writer (like Delta
+  * without a locking service); `vacuum` drops data dirs no retained
+  * manifest references.
+  *
+  * At 100 TB: the manifest is bucket-count-bounded (one line per
+  * bucket — the same granularity Iceberg tracks per data file, far
+  * coarser here), commits are O(touched buckets) appends + one
+  * rename, and a snapshot read plans partition-pruned scans from the
+  * manifest's explicit path list.
+  */
+object VersionedStore {
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = s"${path.stripSuffix("/")}/manifest"
+  private def dataDir(path: String) = s"${path.stripSuffix("/")}/data"
+  private def manifestFile(path: String, n: Int) = s"${manifestDir(path)}/snap-$n.txt"
+
+  /** Committed snapshot ids, ascending (only fully-committed manifests
+    * appear — the tmp file is never listed as a snapshot). */
+  def snapshots(spark: SparkSession, path: String): Seq[Int] = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(manifestDir(path))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("snap-") && s.endsWith(".txt") =>
+        s.stripPrefix("snap-").stripSuffix(".txt").toInt }
+      .sorted.toSeq
+  }
+
+  def currentSnapshot(spark: SparkSession, path: String): Option[Int] =
+    snapshots(spark, path).lastOption
+
+  /** (owner, bucket, data version) entries of snapshot `n`. */
+  private[graft] def readManifest(spark: SparkSession, path: String,
+                                  n: Int): Seq[(String, Long, Int)] = {
+    val fs = fsOf(spark, path)
+    val in = fs.open(new Path(manifestFile(path, n)))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val Array(o, b, v) = line.split('\t')
+          (o, b.toLong, v.toInt)
+        }.toList
+    } finally in.close()
+  }
+
+  /** Write manifest `n` then commit with one atomic rename — the
+    * cross-bucket commit point. */
+  private[graft] def commitManifest(spark: SparkSession, path: String, n: Int,
+                                    entries: Seq[(String, Long, Int)]): Unit = {
+    val fs = fsOf(spark, path)
+    val tmp = new Path(manifestFile(path, n) + ".tmp")
+    val fin = new Path(manifestFile(path, n))
+    if (!fs.exists(tmp.getParent)) fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(entries.sortBy(e => (e._1, e._2))
+      .map { case (o, b, v) => s"$o\t$b\t$v" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"versioned commit: cannot rename $tmp → $fin")
+  }
+
+  private def bucketDir(path: String, o: String, b: Long, v: Int) =
+    s"${dataDir(path)}/owner=$o/bucket=$b/v=$v"
+
+  /** First load: every bucket's data at v=1, then the snapshot-1
+    * commit. */
+  def initialLoad(spark: SparkSession, path: String, vectors: DataFrame,
+                  nBuckets: Int = 16): Unit = {
+    require(currentSnapshot(spark, path).isEmpty,
+      s"initialLoad: $path already has snapshots")
+    val nv = vectors.withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), nBuckets))
+      .withColumn("v", lit(1))
+    nv.repartition(col("owner"), col("bucket"))
+      .write.mode("overwrite").partitionBy("owner", "bucket", "v")
+      .parquet(dataDir(path))
+    val entries = nv.select("owner", "bucket").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), 1)).toSeq
+    commitManifest(spark, path, 1, entries)
+  }
+
+  private[graft] case class StagedVersion(next: Int, expectedRows: Long,
+                                          touched: Seq[(String, Long)],
+                                          entries: Seq[(String, Long, Int)])
+
+  /** Stage the next snapshot's data: merged content of every touched
+    * bucket written to NEW v=next dirs (append-only — live version
+    * dirs and the current manifest are untouched, so a crash anywhere
+    * in here leaves orphan dirs no reader can see). */
+  private[graft] def stageVersion(spark: SparkSession, path: String, batch: DataFrame,
+                                  nBuckets: Int = 16): StagedVersion = {
+    val cur = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"upsertVersioned: no snapshot at $path"))
+    val next = cur + 1
+    val man = readManifest(spark, path, cur)
+    val nv = batch.withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), nBuckets))
+    val touched = nv.select("owner", "bucket").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(touched.nonEmpty, "upsertVersioned: empty batch")
+    val touchedSet = touched.toSet
+    val survivorPaths = man.collect {
+      case (o, b, v) if touchedSet((o, b)) => bucketDir(path, o, b, v)
+    }
+    val content =
+      if (survivorPaths.isEmpty) nv
+      else {
+        val survivors = spark.read.option("basePath", dataDir(path))
+          .parquet(survivorPaths: _*)
+          .withColumn("bucket", col("bucket").cast("long")).drop("v")
+          .join(broadcast(nv.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+        survivors.unionByName(nv.drop("v"), allowMissingColumns = false)
+      }
+    val staged = content.withColumn("v", lit(next))
+      .repartition(touched.size, col("owner"), col("bucket"))
+      .localCheckpoint()
+    val expected = staged.count()
+    staged.write.mode("append").partitionBy("owner", "bucket", "v")
+      .parquet(dataDir(path))
+    val entries = man.filterNot(e => touchedSet((e._1, e._2))) ++
+      touched.map { case (o, b) => (o, b, next) }
+    StagedVersion(next, expected, touched, entries)
+  }
+
+  /** Audit the staged version dirs (row count + bucket set), then
+    * commit — one rename flips every touched bucket at once. */
+  private[graft] def auditAndCommit(spark: SparkSession, path: String,
+                                    st: StagedVersion): Unit = {
+    val paths = st.touched.map { case (o, b) => bucketDir(path, o, b, st.next) }
+    val perPart = spark.read.option("basePath", dataDir(path)).parquet(paths: _*)
+      .groupBy(col("owner"), col("bucket").cast("long").as("bucket")).count()
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val gotRows = perPart.map(_._2).sum
+    require(gotRows == st.expectedRows,
+      s"versioned audit: staged $gotRows rows, expected ${st.expectedRows}")
+    require(perPart.map(_._1).toSet == st.touched.toSet,
+      s"versioned audit: staged buckets ${perPart.map(_._1).toSet} != ${st.touched.toSet}")
+    commitManifest(spark, path, st.next, st.entries)
+  }
+
+  /** Doc-granular upsert as a new snapshot: stage → audit → commit.
+    * Re-running after ANY crash converges: pre-commit crashes leave
+    * the old snapshot live (orphan v-dirs are overwritten by the
+    * retry's append of identical content under the same v — then
+    * superseded when the retry commits). */
+  def upsertVersioned(spark: SparkSession, path: String, batch: DataFrame,
+                      nBuckets: Int = 16): Unit = {
+    // a retry after a crashed commit attempt must not double-append
+    // into the same v dirs: clear any orphan v=next dirs first
+    val cur = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"upsertVersioned: no snapshot at $path"))
+    val fs = fsOf(spark, path)
+    val nvb = batch.withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), nBuckets))
+    nvb.select("owner", "bucket").distinct().collect().foreach { r =>
+      val orphan = new Path(bucketDir(path, r.getString(0), r.getLong(1), cur + 1))
+      if (fs.exists(orphan)) fs.delete(orphan, true)
+    }
+    val st = stageVersion(spark, path, batch, nBuckets)
+    auditAndCommit(spark, path, st)
+  }
+
+  /** Read a snapshot (default: latest). Plans a scan over exactly the
+    * manifest's version dirs — no discovery, orphan dirs invisible. */
+  def readSnapshot(spark: SparkSession, path: String, snapshot: Int = -1): DataFrame = {
+    val snap = if (snapshot > 0) snapshot
+    else currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"readSnapshot: no snapshot at $path"))
+    val paths = readManifest(spark, path, snap).map { case (o, b, v) =>
+      bucketDir(path, o, b, v)
+    }
+    spark.read.option("basePath", dataDir(path)).parquet(paths: _*)
+      .withColumn("bucket", col("bucket").cast("long")).drop("v")
+  }
+
+  /** Drop data dirs referenced by NO retained manifest (keep the last
+    * `retain` snapshots). Returns deleted dir count. */
+  def vacuum(spark: SparkSession, path: String, retain: Int = 2): Int = {
+    val fs = fsOf(spark, path)
+    val snaps = snapshots(spark, path)
+    val keep = snaps.takeRight(retain)
+    // live keys as the last three path segments: owner=o/bucket=b/v=N
+    val live = keep.flatMap(readManifest(spark, path, _))
+      .map { case (o, b, v) => s"owner=$o/bucket=$b/v=$v" }.toSet
+    var deleted = 0
+    val root = new Path(dataDir(path))
+    if (fs.exists(root)) {
+      for (oDir <- fs.listStatus(root) if oDir.isDirectory;
+           bDir <- fs.listStatus(oDir.getPath) if bDir.isDirectory;
+           vDir <- fs.listStatus(bDir.getPath) if vDir.isDirectory) {
+        val key = s"${oDir.getPath.getName}/${bDir.getPath.getName}/${vDir.getPath.getName}"
+        if (!live.contains(key)) { fs.delete(vDir.getPath, true); deleted += 1 }
+      }
+      // drop superseded manifests
+      snaps.dropRight(retain).foreach(n =>
+        fs.delete(new Path(manifestFile(path, n)), false))
+    }
+    deleted
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipelines.{IndexPipeline, VersionedStore}
+
+/** Snapshot-versioned bucketed store: cross-bucket-atomic commits,
+  * time travel, file sharing across snapshots, crash invisibility,
+  * retry convergence, vacuum. */
+class VersionedStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionHelper.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_vs_$tag").toString + "/store"
+
+  private def digest(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
+    df.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws("", array_sort(collect_list(
+          when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("dg"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  private def docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+  private def modified = docs.filter(col("doc_id") === 7)
+    .withColumn("text", translate(col("text"), "a", "."))
+
+  test("time travel: snapshot 1 survives the upsert byte-for-byte; snapshot 2 is the merge") {
+    val dir = freshDir("tt")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    val before = digest(VersionedStore.readSnapshot(spark, dir))
+    VersionedStore.upsertVersioned(spark, dir, IndexPipeline.buildIndex(modified))
+    assert(VersionedStore.snapshots(spark, dir) == Seq(1, 2))
+    // snapshot 1 unchanged
+    assert(digest(VersionedStore.readSnapshot(spark, dir, 1)) == before)
+    // snapshot 2: doc 7 re-indexed, everyone else identical
+    val after = digest(VersionedStore.readSnapshot(spark, dir, 2))
+    assert(after.keySet == before.keySet)
+    assert(after(7L) != before(7L))
+    assert((after - 7L) == (before - 7L))
+    // untouched buckets SHARE files: every v=1 dir outside doc 7's
+    // bucket is referenced by both manifests
+    val m1 = VersionedStore.readManifest(spark, dir, 1).toSet
+    val m2 = VersionedStore.readManifest(spark, dir, 2).toSet
+    val touchedBucket = 7L % 16
+    assert(m1.filterNot(_._2 == touchedBucket) == m2.filterNot(_._2 == touchedBucket))
+    assert(m2.exists(e => e._2 == touchedBucket && e._3 == 2))
+    spark.catalog.clearCache()
+  }
+
+  test("a crash before the manifest commit is invisible to readers; retry converges") {
+    val dir = freshDir("crash")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    val before = digest(VersionedStore.readSnapshot(spark, dir))
+    // simulate: stage the data (v=2 dirs appear on disk) but DIE
+    // before auditAndCommit
+    VersionedStore.stageVersion(spark, dir, IndexPipeline.buildIndex(modified))
+    assert(VersionedStore.currentSnapshot(spark, dir).contains(1))
+    assert(digest(VersionedStore.readSnapshot(spark, dir)) == before,
+      "orphan v-dirs leaked into the committed snapshot")
+    // retry the full upsert over the orphaned staging → correct snapshot 2
+    VersionedStore.upsertVersioned(spark, dir, IndexPipeline.buildIndex(modified))
+    val after = digest(VersionedStore.readSnapshot(spark, dir, 2))
+    assert(after(7L) != before(7L) && (after - 7L) == (before - 7L))
+    spark.catalog.clearCache()
+  }
+
+  test("vacuum(retain=1) drops only unreferenced version dirs; latest snapshot intact") {
+    val dir = freshDir("vac")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    VersionedStore.upsertVersioned(spark, dir, IndexPipeline.buildIndex(modified))
+    val latest = digest(VersionedStore.readSnapshot(spark, dir, 2))
+    val deleted = VersionedStore.vacuum(spark, dir, retain = 1)
+    // exactly doc 7's bucket had a superseded v=1 dir
+    assert(deleted == 1, s"deleted $deleted dirs")
+    assert(VersionedStore.snapshots(spark, dir) == Seq(2))
+    assert(digest(VersionedStore.readSnapshot(spark, dir, 2)) == latest)
+    spark.catalog.clearCache()
+  }
+}
