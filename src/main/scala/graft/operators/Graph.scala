@@ -75,7 +75,7 @@ object Graph {
 
     var ranks = docs.select(col("doc_id").as("id"),
       (lit(1.0) / lit(n)).as("rank"))
-    for (_ <- 1 to Iters) {
+    for (it <- 1 to Iters) {
       val folded = eo.join(ranks, col("src") === col("id"))
         .select(col("dst"), col("src"),
           (col("rank") / col("out_deg").cast("double")).as("contrib"))
@@ -87,7 +87,10 @@ object Graph {
         .select(col("id"),
           (lit(0.15) / lit(n) + lit(0.85) * coalesce(col("insum"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint(true)
+      // truncate lineage every OTHER round: one checkpoint job per two
+      // iterations keeps the logical plan depth bounded at half the
+      // per-round cost (the CC-loop OOM guard, amortized)
+      if (it % 2 == 0 || it == Iters) ranks = ranks.localCheckpoint(true)
     }
     val indeg = e.groupBy("dst").agg(count(lit(1)).as("in_deg"))
     ranks

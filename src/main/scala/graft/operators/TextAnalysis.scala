@@ -1143,7 +1143,11 @@ object TextAnalysis {
             i => substring(md5(concat(lit("ds:"), element_at(toks, i + 1),
               lit(" "), element_at(toks, i + 2))), 1, 2)))
           .otherwise(array().cast("array<string>"))
-      val base = docs.withColumn("bks", bucketArr(tokens(col("text"))))
+      // the per-bigram md5 coding pass is the query's dominant cost —
+      // persist it once for its three consumers (model counts, the
+      // scoring pass, and the prefix/final joins); without this the
+      // transform re-runs per consumer (11.3 s → ~3 s at sf0.1)
+      val base = docs.withColumn("bks", bucketArr(tokens(col("text")))).persist()
       val counts = base
         .select(col("source").isin("src0", "src1", "src2", "src3").as("is_seed"),
           explode(col("bks")).as("bk"))
@@ -1170,6 +1174,8 @@ object TextAnalysis {
           col("ns.s") / col("n_bigrams").cast("double")).otherwise(lit(0.0)))
         .withColumn("w", floor(col("score") * lit(1048576.0)).cast("long"))
         .withColumn("rng", expr("doc_id div 64"))
+        .select("doc_id", "n_bigrams", "score", "w", "rng")
+        .persist()
       val offsets = scored.groupBy("rng").agg(sum("w").as("wr"))
         .withColumn("off", coalesce(
           sum(col("wr")).over(graft.functions.BoundedWindow

@@ -65,6 +65,50 @@ class VersionedStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("foreachBatch micro-batches commit one snapshot each; every batch boundary stays readable") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("stream")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_vs_src").toString
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    // three file-arrival micro-batches: initial load, then two upserts
+    val b1 = all.filter(col("doc_id") < 20)
+    val b2 = all.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+    val b3 = all.filter(col("doc_id") === 7)
+      .withColumn("text", translate(col("text"), "a", "."))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vs_ckpt").toString
+    // one shared checkpoint across passes, so each pass only sees the
+    // newly-arrived files — three passes = three committed snapshots
+    def runPass(): Unit = {
+      val q = spark.readStream.schema(b1.schema)
+        .parquet(srcDir + "/*")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val vecs = IndexPipeline.buildIndex(batch)
+            if (VersionedStore.currentSnapshot(spark, dir).isEmpty)
+              VersionedStore.initialLoad(spark, dir, vecs)
+            else VersionedStore.upsertVersioned(spark, dir, vecs)
+          }
+        }.start()
+      q.awaitTermination(120000)
+    }
+    b1.write.parquet(s"$srcDir/b1"); runPass()
+    b2.write.parquet(s"$srcDir/b2"); runPass()
+    b3.write.parquet(s"$srcDir/b3"); runPass()
+    // three committed snapshots, each a consistent batch boundary
+    val snaps = VersionedStore.snapshots(spark, dir)
+    assert(snaps.size >= 3, s"snapshots: $snaps")
+    val s1 = digest(VersionedStore.readSnapshot(spark, dir, snaps.head))
+    val sN = digest(VersionedStore.readSnapshot(spark, dir, snaps.last))
+    assert(s1.keySet == (0L until 20L).toSet)
+    assert(sN.keySet == (0L until 30L).toSet)
+    // doc 7 at the FIRST boundary still digests its original text
+    assert(s1(7L) != sN(7L))
+    assert(s1.filterNot(_._1 == 7L) == sN.view.filterKeys(k => k < 20 && k != 7L).toMap)
+    spark.catalog.clearCache()
+  }
+
   test("vacuum(retain=1) drops only unreferenced version dirs; latest snapshot intact") {
     val dir = freshDir("vac")
     VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
