@@ -393,6 +393,66 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Trained n-gram language identification (Cavnar & Trenkle 1994,
+    // "N-Gram-Based Text Categorization" — the textcat/langid.py
+    // ancestor): per-language character-bigram RANK profiles (top 50)
+    // trained on the doc_id % 5 != 0 split, held-out docs classified
+    // by the OUT-OF-PLACE distance (Σ |doc rank − profile rank|,
+    // penalty 50 for bigrams absent from the profile), argmin over
+    // candidate languages with a (dist, lang) tie order. The synthetic
+    // corpus's text carries no real language signal, so the fixture
+    // plants one deterministically — a per-lang vowel permutation via
+    // translate, the same plant-the-variant move as ta_unicode_nfc —
+    // and the classifier then measurably works (spec: accuracy ≥ 0.9
+    // on the held-out split). All-integer math end to end. Scale
+    // shape: two explode+groupBy passes (profiles: |langs|×50 rows,
+    // bounded; doc profiles: one shuffle on doc_id), a bounded
+    // |langs|-way fan-out via an array explode (never a cross join),
+    // and a partial-agg struct-min argmin.
+    "ta_langid_trained" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val variant = when(col("lang") === "es", translate(col("text"), "aeiou", "eaiou"))
+        .when(col("lang") === "de", translate(col("text"), "aeiou", "aeoiu"))
+        .when(col("lang") === "fr", translate(col("text"), "aeiou", "aeiuo"))
+        .when(col("lang") === "zh", translate(col("text"), "aeiou", "uoiea"))
+        .otherwise(col("text"))
+      val base = Tables.documents(s, d)
+        .withColumn("v", variant)
+        .filter(length(col("v")) >= 2)
+        .withColumn("bgs", transform(sequence(lit(1), length(col("v")) - 1),
+          i => col("v").substr(i, lit(2))))
+        .persist()
+      val langProf = base.filter(col("doc_id") % 5 =!= 0)
+        .select(col("lang"), explode(col("bgs")).as("g"))
+        .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+        .withColumn("lrank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)).cast("long"))
+        .filter(col("lrank") <= 50)
+        .select("lang", "g", "lrank")
+        .persist()
+      val cands = langProf.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      val docProf = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang").as("actual"), explode(col("bgs")).as("g"))
+        .groupBy("doc_id", "actual", "g").agg(count(lit(1)).as("c"))
+        .withColumn("drank", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("c").desc, col("g").asc)).cast("long"))
+        .filter(col("drank") <= 20)
+      docProf
+        .withColumn("cand", explode(array(cands.map(lit): _*)))
+        .join(langProf.withColumnRenamed("lang", "cand"), Seq("cand", "g"), "left")
+        .withColumn("oop", coalesce(abs(col("drank") - col("lrank")), lit(50L)))
+        .groupBy("doc_id", "actual", "cand")
+        .agg(sum(col("oop")).as("dist"))
+        .groupBy("doc_id", "actual")
+        .agg(min(struct(col("dist"), col("cand"))).as("best"))
+        .select(col("doc_id"), col("actual").as("lang"),
+          col("best.cand").as("pred_lang"), col("best.dist").as("dist"))
+        .withColumn("correct",
+          when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+        .orderBy("doc_id")
+    }),
+
     // Corpus data card (the FineWeb/Dolma-style dataset report every
     // published pretraining corpus ships): per (source, lang) — doc
     // and token volumes, exact-dup count, quality-gate pass count,
@@ -2022,6 +2082,49 @@ object TextAnalysis {
          |  len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_re_tokens,
          |  length(text)::BIGINT AS n_chars_m
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_langid_trained" ->
+      s"""WITH ltv AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN lang = 'es' THEN translate(text, 'aeiou', 'eaiou')
+         |         WHEN lang = 'de' THEN translate(text, 'aeiou', 'aeoiu')
+         |         WHEN lang = 'fr' THEN translate(text, 'aeiou', 'aeiuo')
+         |         WHEN lang = 'zh' THEN translate(text, 'aeiou', 'uoiea')
+         |         ELSE text END AS v
+         |  FROM documents),
+         |ltb AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(generate_series(1, length(v) - 1),
+         |      i -> substr(v, CAST(i AS INT), 2))) AS g
+         |  FROM ltv WHERE length(v) >= 2),
+         |ltp AS (
+         |  SELECT lang, g, lrank FROM (
+         |    SELECT lang, g, CAST(row_number() OVER (
+         |      PARTITION BY lang ORDER BY c DESC, g ASC) AS BIGINT) AS lrank
+         |    FROM (SELECT lang, g, count(*) AS c FROM ltb
+         |          WHERE doc_id % 5 <> 0 GROUP BY 1, 2))
+         |  WHERE lrank <= 50),
+         |ltd AS (
+         |  SELECT doc_id, actual, g, drank FROM (
+         |    SELECT doc_id, actual, g, CAST(row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS BIGINT) AS drank
+         |    FROM (SELECT doc_id, lang AS actual, g, count(*) AS c FROM ltb
+         |          WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3))
+         |  WHERE drank <= 20),
+         |ltl AS (SELECT DISTINCT lang AS cand FROM ltp),
+         |ltx AS (
+         |  SELECT d.doc_id, d.actual, l.cand,
+         |    CAST(sum(coalesce(abs(d.drank - p.lrank), 50)) AS BIGINT) AS dist
+         |  FROM ltd d
+         |  CROSS JOIN ltl l
+         |  LEFT JOIN ltp p ON p.lang = l.cand AND p.g = d.g
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, actual AS lang, cand AS pred_lang, dist,
+         |  CAST(CASE WHEN actual = cand THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM (
+         |  SELECT doc_id, actual, cand, dist, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY dist ASC, cand ASC) AS rn
+         |  FROM ltx)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ta_corpus_card" ->
       s"""SELECT source, lang, count(*) AS n_docs,
          |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup,

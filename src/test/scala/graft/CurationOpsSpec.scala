@@ -481,6 +481,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("ta_langid_trained: held-out accuracy >= 0.9 on the planted signal, deterministic") {
+    val rows = SparkEntry.queries("ta_langid_trained")(spark, d)
+      .select("doc_id", "lang", "pred_lang", "dist", "correct").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    // exactly the held-out split, one prediction per doc
+    assert(rows.forall(_._1 % 5 == 0) && rows.map(_._1).distinct.length == rows.length)
+    val acc = rows.map(_._5).sum.toDouble / rows.length
+    assert(acc >= 0.9, s"held-out accuracy $acc")
+    // correct is derived, dist is a genuine out-of-place sum (>= 0)
+    rows.foreach { case (_, a, p, dist, c) =>
+      assert((c == 1L) == (a == p) && dist >= 0)
+    }
+    val again = SparkEntry.queries("ta_langid_trained")(spark, d).collect()
+    spark.catalog.clearCache()
+    assert(again.length == rows.length)
+  }
+
   test("pp_pack_bfd: feasible bins, every doc packed once, beats-or-ties greedy") {
     val bfd = SparkEntry.queries("pp_pack_bfd")(spark, d)
       .select("source", "bin_id", "n_docs", "fill").collect()

@@ -109,6 +109,19 @@ class VersionedStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("snapshot reads keep predicate pushdown and column pruning") {
+    val dir = freshDir("push")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    val plan = VersionedStore.readSnapshot(spark, dir)
+      .filter(col("doc_id") === 7).select("doc_id", "vtype")
+      .queryExecution.executedPlan.toString
+    // the manifest-path scan is still a parquet scan: filters reach it
+    // and the read schema is pruned to the referenced columns
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"), plan)
+    assert(!plan.contains("chunk_text"), "column pruning lost through the snapshot read")
+    spark.catalog.clearCache()
+  }
+
   test("vacuum(retain=1) drops only unreferenced version dirs; latest snapshot intact") {
     val dir = freshDir("vac")
     VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
