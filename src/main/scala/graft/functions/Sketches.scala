@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005, public) as a
+  * typed, partial-aggregable Aggregator — the mergeable-frequency
+  * member of the sketch family (HLL distinct, percentile_approx,
+  * Bloom, Misra–Gries already ship). The buffer is a FIXED d×w cell
+  * array: reduce increments one cell per hash row, merge is
+  * elementwise addition, so the shuffle carries d·w longs per map
+  * partition regardless of the key universe — where the exact
+  * groupBy-on-key count shuffles every distinct key. Estimates are
+  * upward-biased: est(t) = min_r cells(r·w + h_r(t)) ≥ true(t), with
+  * the classic overestimate bound (ε = e/w of the total mass w.h.p.).
+  * Callers precompute the d column indices as md5-derived bucket
+  * columns (codegen), so the whole sketch — cells and estimates —
+  * replays hash-exactly in a DuckDB oracle.
+  */
+class CmsAggregator(d: Int, w: Int)
+    extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+  override def zero: Array[Long] = new Array[Long](d * w)
+
+  override def reduce(buf: Array[Long], cols: Seq[Int]): Array[Long] = {
+    var r = 0
+    while (r < d) { buf(r * w + cols(r)) += 1L; r += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object Sketches {
+  /** Typed column folding (d column indices per occurrence) into the
+    * d×w Count-Min cell array. */
+  def countMin(d: Int, w: Int): TypedColumn[Seq[Int], Seq[Long]] =
+    new CmsAggregator(d, w).toColumn
+}

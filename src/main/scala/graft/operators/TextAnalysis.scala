@@ -393,6 +393,47 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    // 2005) through the typed CmsAggregator: one pass over the token
+    // occurrences folds a FIXED 4×256 cell array with map-side
+    // partials (the shuffle carries 1,024 longs per partition, never
+    // the key universe — the groupBy truth beside it shuffles every
+    // distinct token), then the 20 most frequent tokens are estimated
+    // as min over their 4 md5-bucket cells. The upward-bias contract
+    // (est ≥ true, always) is pinned per row by the oracle, which
+    // replays cells AND estimates exactly from the same md5
+    // arithmetic.
+    "a18_cms_sketch" -> ((s, d) => {
+      import s.implicits._
+      val dRows = 4; val wCols = 256
+      def cmsCol(r: Int, t: Column): Column = {
+        val h = md5(concat(lit(s"cms:$r:"), t))
+        def hvv(i: Int): Column = {
+          val a = ascii(substring(h, i, 1))
+          when(a >= 97, a - 87).otherwise(a - 48)
+        }
+        (hvv(1) * 16 + hvv(2)).cast("int")
+      }
+      val occ = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok")).persist()
+      val cells = occ
+        .select(array((0 until dRows).map(r => cmsCol(r, col("tok"))): _*).as("cols"))
+        .as[Seq[Int]]
+        .groupByKey(_ => 0)
+        .agg(graft.functions.Sketches.countMin(dRows, wCols).name("cells"))
+        .head()._2 // bounded model state: 1,024 longs
+      val cellsLit = typedLit(cells)
+      val top = occ.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+      top
+        .withColumn("est", (0 until dRows).map(r =>
+          element_at(cellsLit, cmsCol(r, col("tok")) + lit(r * wCols) + 1))
+          .reduce(least(_, _)))
+        .select(col("tok"), col("true_cnt"), col("est"),
+          (col("est") - col("true_cnt")).as("overcount"))
+        .orderBy(col("true_cnt").desc, col("tok").asc)
+    }),
+
     // Trained n-gram language identification (Cavnar & Trenkle 1994,
     // "N-Gram-Based Text Categorization" — the textcat/langid.py
     // ancestor): per-language character-bigram RANK profiles (top 50)
@@ -2082,6 +2123,32 @@ object TextAnalysis {
          |  len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_re_tokens,
          |  length(text)::BIGINT AS n_chars_m
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "a18_cms_sketch" -> {
+      def hex2(r: String): String = {
+        val h = s"md5('cms:' || $r || ':' || tok)"
+        s"(${hexValSql(s"substr($h, 1, 1)")} * 16 + ${hexValSql(s"substr($h, 2, 1)")})"
+      }
+      s"""WITH cmocc AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |cmcells AS (
+         |  SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT 0 AS r, ${hex2("'0'")} AS c FROM cmocc
+         |    UNION ALL SELECT 1, ${hex2("'1'")} FROM cmocc
+         |    UNION ALL SELECT 2, ${hex2("'2'")} FROM cmocc
+         |    UNION ALL SELECT 3, ${hex2("'3'")} FROM cmocc)
+         |  GROUP BY r, c),
+         |cmtop AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM cmocc
+         |  GROUP BY tok ORDER BY true_cnt DESC, tok ASC LIMIT 20),
+         |cmest AS (
+         |  SELECT t.tok, t.true_cnt, CAST(min(c.cnt) AS BIGINT) AS est
+         |  FROM cmtop t
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rr
+         |  JOIN cmcells c ON c.r = rr.r
+         |   AND c.c = ${hex2("CAST(rr.r AS VARCHAR)")}
+         |  GROUP BY 1, 2)
+         |SELECT tok, true_cnt, est, CAST(est - true_cnt AS BIGINT) AS overcount
+         |FROM cmest ORDER BY true_cnt DESC, tok ASC""".stripMargin
+    },
     "ta_langid_trained" ->
       s"""WITH ltv AS (
          |  SELECT doc_id, lang,

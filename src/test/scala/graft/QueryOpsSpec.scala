@@ -188,4 +188,29 @@ class QueryOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(got == exact)
   }
+
+  test("a18_cms_sketch: upward-biased within the epsilon bound; merge-order independent") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("a18_cms_sketch")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(rows.length == 20)
+    val n = Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.TextAnalysis.tokens(
+          org.apache.spark.sql.functions.col("text")))).count()
+    rows.foreach { case (tok, t, est, over) =>
+      assert(est >= t && over == est - t, s"$tok: est $est < true $t")
+      // generous multiple of the e/w expectation bound for a fixed corpus
+      assert(over <= 4 * n / 256, s"$tok overcount $over vs bound ${4 * n / 256}")
+    }
+    // the aggregator's merge is elementwise: sketch(A ++ B) == merge(sk(A), sk(B))
+    val agg = new graft.functions.CmsAggregator(2, 16)
+    val xs = (0 until 200).map(i => Seq(i % 16, (i * 7) % 16))
+    val (a, b) = xs.splitAt(83)
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))
+    assert(java.util.Arrays.equals(whole, merged))
+  }
 }
