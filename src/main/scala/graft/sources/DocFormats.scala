@@ -329,6 +329,180 @@ object DocFormats {
   // DOCX reader
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // HTML writer
+  // ------------------------------------------------------------------
+
+  /** Minimal realistic web page for the `s15_html_extract` round-trip
+    * oracle: head (title/style/script), a nav of pure links, an h1 +
+    * content paragraphs, a body script, a comment, and a link-dense
+    * footer. The main-content extractor must keep exactly the h1 +
+    * paragraphs and drop everything else. Byte-deterministic. */
+  def writeHtml(title: String, paragraphs: Seq[String],
+                navLinks: Seq[String], footerLinks: Seq[String]): Array[Byte] = {
+    val sb = new StringBuilder(512)
+    sb ++= "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n"
+    sb ++= s"<meta charset=\"utf-8\">\n<title>${escXml(title)}</title>\n"
+    sb ++= "<style>body { margin: 0 auto; max-width: 40em; } nav > ul { list-style: none; }</style>\n"
+    sb ++= "</head>\n<body>\n<nav><ul>\n"
+    navLinks.zipWithIndex.foreach { case (l, i) =>
+      sb ++= s"""<li><a href="/nav/$i">${escXml(l)}</a></li>\n"""
+    }
+    sb ++= "</ul></nav>\n"
+    sb ++= s"<h1>${escXml(title)}</h1>\n<!-- main content -->\n"
+    paragraphs.foreach(p => sb ++= s"<p>${escXml(p)}</p>\n")
+    sb ++= "<script>document.write(\"<p>not & text</p>\"); if (1 < 2) { x(); }</script>\n"
+    sb ++= "<footer>" +
+      footerLinks.zipWithIndex.map { case (l, i) =>
+        s"""<a href="/f/$i">${escXml(l)}</a>"""
+      }.mkString(" · ") + "</footer>\n"
+    sb ++= "</body>\n</html>\n"
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  // ------------------------------------------------------------------
+  // HTML reader (main-content extraction)
+  // ------------------------------------------------------------------
+
+  /** Tags that terminate a text block; everything else (a, b, em,
+    * span, …) is inline and keeps the block open — the jusText/
+    * trafilatura block model. */
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "br", "hr", "table", "thead", "tbody", "tr", "td", "th", "nav",
+    "header", "footer", "section", "article", "aside", "main",
+    "blockquote", "pre", "form", "figure", "figcaption", "dl", "dt",
+    "dd", "title", "body", "html")
+
+  /** S15 — main-content extraction from HTML (the dominant real
+    * web-corpus format; extends the reference's extractor family,
+    * `document_processing_service.py:123-192`, with the format its
+    * MIME dispatch lists but never parses). Dependency-free
+    * single-pass parser over the raw markup:
+    *
+    *   - `<!-- -->` comments, `<script>`/`<style>` element content and
+    *     everything inside `<head>` are skipped outright;
+    *   - block-level tags (BlockTags) close the current text block,
+    *     inline tags do not — `a <b>bold</b> c` stays one block;
+    *   - character/entity references decode (named core set + numeric
+    *     dec/hex), a lone `&` passes through literally;
+    *   - whitespace runs ([ \t\n\r\f]+) collapse to one space per
+    *     block, blocks trim, empty blocks drop;
+    *   - boilerplate rule (jusText-style): a block whose non-space
+    *     chars are >50 % inside `<a>` anchors is link boilerplate
+    *     (nav menus, footers, pagination) and is dropped;
+    *   - surviving blocks join "\n\n" (the S2 page contract).
+    *
+    * Malformed input is handled leniently (unclosed tags at EOF,
+    * `>` inside quoted attributes, stray `<`); only non-HTML bytes
+    * (no tag at all) raise, mapping to PROCESSING_ERROR upstream. */
+  def extractHtml(bytes: Array[Byte]): String = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    require(s.indexOf('<') >= 0, "not HTML (no markup found)")
+    val blocks = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var curNonWs = 0
+    var curLinkNonWs = 0
+    var anchorDepth = 0
+    var i = 0
+    val n = s.length
+
+    def flush(): Unit = {
+      // collapse [ \t\n\r\f]+ → ' ', trim; drop empty + link-dense blocks
+      val collapsed = new StringBuilder(cur.length)
+      var lastWs = true
+      cur.foreach { c =>
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+        if (ws) { if (!lastWs) collapsed += ' '; lastWs = true }
+        else { collapsed += c; lastWs = false }
+      }
+      val t = collapsed.toString.trim
+      if (t.nonEmpty && curLinkNonWs * 2 <= curNonWs) blocks += t
+      cur.setLength(0); curNonWs = 0; curLinkNonWs = 0
+    }
+
+    def append(c: Char): Unit = {
+      cur += c
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+      if (!ws) { curNonWs += 1; if (anchorDepth > 0) curLinkNonWs += 1 }
+    }
+
+    /** Case-insensitive indexOf for closing-tag search. */
+    def findCi(needle: String, from: Int): Int = {
+      var j = from
+      while (j <= n - needle.length) {
+        if (s.regionMatches(true, j, needle, 0, needle.length)) return j
+        j += 1
+      }
+      -1
+    }
+
+    /** Skip one tag starting at '<'; returns index after '>' (quote-
+      * aware: '>' inside a quoted attribute value does not close). */
+    def tagEnd(from: Int): Int = {
+      var j = from
+      var quote: Char = 0
+      while (j < n) {
+        val c = s.charAt(j)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return j + 1
+        j += 1
+      }
+      n
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+            (Character.isLetter(s.charAt(i + 1)) || s.charAt(i + 1) == '/' ||
+              s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val closing = s.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val st = j
+          while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+          val name = s.substring(st, j).toLowerCase
+          i = tagEnd(j)
+          if (!closing && (name == "script" || name == "style" || name == "head")) {
+            if (BlockTags.contains(name)) flush()
+            val close = findCi(s"</$name", i)
+            i = if (close < 0) n else tagEnd(close + 2 + name.length)
+          } else if (name == "a") {
+            if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+            else anchorDepth += 1
+          } else if (BlockTags.contains(name)) flush()
+        } else { append(c); i += 1 } // stray '<' is text
+      } else if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val ent = if (semi > i && semi - i <= 10) s.substring(i + 1, semi) else null
+        val decoded: String = ent match {
+          case null     => null
+          case "amp"    => "&"
+          case "lt"     => "<"
+          case "gt"     => ">"
+          case "quot"   => "\""
+          case "apos"   => "'"
+          case "nbsp"   => "\u0020"
+          case e if e.startsWith("#x") || e.startsWith("#X") =>
+            try new String(Character.toChars(Integer.parseInt(e.drop(2), 16)))
+            catch { case _: Exception => null }
+          case e if e.startsWith("#") =>
+            try new String(Character.toChars(Integer.parseInt(e.drop(1))))
+            catch { case _: Exception => null }
+          case _ => null
+        }
+        if (decoded == null) { append('&'); i += 1 }
+        else { decoded.foreach(append); i = semi + 1 }
+      } else { append(c); i += 1 }
+    }
+    flush()
+    blocks.mkString("\n\n").trim
+  }
+
   /** S3 — extract text from a DOCX: body paragraphs joined "\n", runs
     * concatenated, w:tab → \t, w:br/w:cr → \n, result stripped (the
     * reference's python-docx contract). */

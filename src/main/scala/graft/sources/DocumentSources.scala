@@ -35,6 +35,7 @@ object DocumentSources {
   def extractorFor(extension: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(extension === "pdf", "pdf_extractor")
       .when(extension.isin("docx", "doc"), "docx_extractor")
+      .when(extension.isin("html", "htm", "xhtml"), "html_extractor")
       .when(extension.isin("txt", "md", "log"), "text_extractor")
       .when(extension.isin("jpg", "jpeg", "png", "gif", "webp"), "image_passthrough")
       .otherwise("unsupported")
@@ -58,6 +59,11 @@ object DocumentSources {
     def extract(bytes: Array[Byte]): String =
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
+  /** S15 — real HTML main-content extraction (jusText-style
+    * link-density boilerplate removal; see DocFormats.extractHtml). */
+  object HtmlExtractor extends TextExtractor {
+    def extract(bytes: Array[Byte]): String = DocFormats.extractHtml(bytes)
+  }
 
   /** S2-S6 — attach extracted_text by dispatching on extension.
     * Unsupported/image rows keep null text and their status; a parse
@@ -71,11 +77,13 @@ object DocumentSources {
     val pdfU = safely(PdfExtractor)
     val docxU = safely(DocxExtractor)
     val txtU = safely(TxtExtractor)
+    val htmlU = safely(HtmlExtractor)
     files
       .withColumn("extractor", extractorFor(col("extension")))
       .withColumn("extracted_text",
         when(col("extractor") === "pdf_extractor", pdfU(col("content")))
           .when(col("extractor") === "docx_extractor", docxU(col("content")))
+          .when(col("extractor") === "html_extractor", htmlU(col("content")))
           .when(col("extractor") === "text_extractor", txtU(col("content")))
           .otherwise(lit(null).cast("string")))
       .withColumn("status",
@@ -318,6 +326,32 @@ object DocumentSources {
         .orderBy("doc_id")
     }),
 
+    // S15 — REAL HTML main-content extraction proven by round-trip:
+    // each document's text becomes a full page (head with title/style,
+    // nav of pure links, h1 + three paragraphs — one carrying every
+    // core entity — a body script, a comment, a link-dense footer).
+    // The extractor must return exactly h1 + paragraphs joined "\n\n":
+    // any drift in the tag walk, the entity decoder, the script/head
+    // skip, or the link-density boilerplate rule fails the gate. The
+    // oracle recomputes the expected text directly (corpus text is
+    // single-spaced ASCII, so block whitespace-collapse is identity
+    // and DuckDB trim == Scala trim).
+    "s15_html_extract" -> ((s, d) => {
+      val mk = udf((text: String) => DocFormats.writeHtml(
+        text.substring(0, 40),
+        Seq(text.substring(40, 100), text.substring(100),
+          "Fee & fi < fo > \"fum\" 'qux'"),
+        Seq("Home", "Archive", "About"),
+        Seq("privacy policy", "terms of service")))
+      val ex = udf((b: Array[Byte]) => DocFormats.extractHtml(b))
+      Tables.documents(s, d).filter(col("n_chars") > 100)
+        .withColumn("extracted", ex(mk(col("text"))))
+        .select(col("doc_id"),
+          length(col("extracted")).cast("long").as("n_extracted"),
+          md5(col("extracted")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // S8 upsert: every 7th doc is re-analyzed (text prefixed, source
     // re-tagged); the merged relation must show replaced rows under the
     // new source and untouched rows under their originals.
@@ -391,6 +425,24 @@ object DocumentSources {
         |  CAST(length(trim(substr(text, 1, 100) || chr(10) || substr(text, 101))) AS BIGINT) AS n_extracted,
         |  md5(trim(substr(text, 1, 100) || chr(10) || substr(text, 101))) AS text_md5
         |FROM documents WHERE n_chars > 100 ORDER BY doc_id""".stripMargin,
+    // The surviving blocks are the h1 (title = 40-char text prefix)
+    // plus the three content paragraphs; nav/footer fall to the
+    // link-density rule, head/script/comment are skipped, and the
+    // entity paragraph round-trips through escape + decode to its
+    // literal form.
+    "s15_html_extract" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(substr(text, 1, 40)) AS t,
+        |    trim(substr(text, 41, 60)) AS p1, trim(substr(text, 101)) AS p2
+        |  FROM documents WHERE n_chars > 100),
+        |asm AS (
+        |  SELECT doc_id,
+        |    t || chr(10) || chr(10) || p1 || chr(10) || chr(10) || p2 ||
+        |      chr(10) || chr(10) || 'Fee & fi < fo > "fum" ''qux''' AS ext
+        |  FROM base)
+        |SELECT doc_id, CAST(length(ext) AS BIGINT) AS n_extracted,
+        |  md5(ext) AS text_md5
+        |FROM asm ORDER BY doc_id""".stripMargin,
     "x6_email_import" -> {
       val t1End = graft.pipelines.IndexPipeline.t1End
       s"""WITH RECURSIVE inc AS (

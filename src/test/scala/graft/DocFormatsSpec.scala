@@ -78,5 +78,49 @@ class DocFormatsSpec extends AnyFunSuite {
     val p = Seq("alpha beta", "gamma")
     assert(DocFormats.writePdf(p).sameElements(DocFormats.writePdf(p)))
     assert(DocFormats.writeDocx(p).sameElements(DocFormats.writeDocx(p)))
+    assert(DocFormats.writeHtml("t", p, Seq("n"), Seq("f"))
+      .sameElements(DocFormats.writeHtml("t", p, Seq("n"), Seq("f"))))
+  }
+
+  private def html(s: String): String =
+    DocFormats.extractHtml(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("html round-trip: head/nav/footer dropped, h1 + paragraphs kept, entities decode") {
+    val text = DocFormats.extractHtml(DocFormats.writeHtml(
+      "The Title", Seq("first para", "a < b & c > d"),
+      Seq("Home", "About"), Seq("privacy policy", "terms of use")))
+    assert(text == "The Title\n\nfirst para\n\na < b & c > d")
+  }
+
+  test("html reader: inline tags keep one block, block tags split") {
+    assert(html("<body><p>a <b>bold</b> <a href=x>tiny</a> c</p><div>next</div></body>")
+      == "a bold tiny c\n\nnext")
+    assert(html("<p>one<br>two</p>") == "one\n\ntwo")
+  }
+
+  test("html reader: script/style/comment content and head are excluded") {
+    val page = "<head><title>skip me</title><style>p > a { color: red }</style></head>" +
+      "<body><SCRIPT>var a = \"<p>fake</p>\";</SCRIPT><p>real</p><!-- <p>no</p> --></body>"
+    assert(html(page) == "real")
+  }
+
+  test("html reader: link-density boilerplate rule") {
+    // pure-link block dropped; mostly-text block with a small link kept
+    assert(html("<div><a href=1>only links here</a></div><p>kept text <a href=2>x</a></p>")
+      == "kept text x")
+    // exactly half link chars is NOT dropped (rule is strictly >50%)
+    assert(html("<p><a href=1>abcd</a> efgh</p>") == "abcd efgh")
+  }
+
+  test("html reader: numeric entities, nbsp, lone ampersand, whitespace collapse") {
+    assert(html("<p>em&#8212;dash &#x41;&nbsp;B</p>") == "em—dash A B")
+    assert(html("<p>AT&T  and\n\tmore</p>") == "AT&T and more")
+  }
+
+  test("html reader: malformed input is lenient, non-HTML raises") {
+    assert(html("<p>attr gt <span title=\"a > b\">inside</span></p>") == "attr gt inside")
+    assert(html("<p>unclosed at eof") == "unclosed at eof")
+    assert(html("<p>stray < char</p>") == "stray < char")
+    intercept[Exception](html("no markup at all"))
   }
 }
