@@ -32,7 +32,8 @@ object SparkEntry {
       operators.Skew.queries ++ operators.Temporal.queries ++
       model.CoreModel.queries ++ operators.Layout.queries ++
       operators.ResponseCache.queries ++ operators.ProductQuantization.queries ++
-      operators.Bpe.queries ++ operators.Graph.queries
+      operators.Bpe.queries ++ operators.Graph.queries ++
+      operators.Perplexity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.Temporal.oracles ++ model.CoreModel.oracles ++
       evaluation.RetrievalEval.oracles ++ operators.Layout.oracles ++
       operators.ResponseCache.oracles ++ operators.ProductQuantization.oracles ++
-      operators.Bpe.oracles ++ operators.Graph.oracles
+      operators.Bpe.oracles ++ operators.Graph.oracles ++
+      operators.Perplexity.oracles
 }

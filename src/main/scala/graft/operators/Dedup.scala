@@ -37,6 +37,51 @@ object Dedup {
   private val spanPassage: String =
     (0 until 16).map(i => f"span$i%02d").mkString(" ")
 
+  /** Shared CTE chain for the two span oracles (`dd_shared_spans`,
+    * `dd_span_rewrite`): the %13-injected corpus, tokenization, k=5
+    * gram build with the df>1000 hot-gram cap, candidate pairs, the
+    * islands trick along (pair, diagonal), and the top-100 spans.
+    * One val, two consumers — the detection and rewrite gates can
+    * never drift apart. Declared before `oracles` (decl-order init). */
+  private val spanCtes: String =
+    s"""corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || ' $spanPassage'
+       |         ELSE text END AS text2
+       |  FROM documents WHERE n_chars > 0),
+       |toked AS (
+       |  SELECT doc_id, list_filter(string_split(text2, ' '), t -> t <> '') AS toks
+       |  FROM corpus),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+       |        || toks[i+3] || ' ' || toks[i+4]) AS gh
+       |  FROM toked, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i)
+       |  WHERE len(toks) >= 5),
+       |kept AS (
+       |  SELECT g.* FROM grams g
+       |  WHERE g.gh NOT IN (
+       |    SELECT gh FROM grams GROUP BY gh
+       |    HAVING count(DISTINCT doc_id) > 1000)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |      ORDER BY pa) AS isl
+       |  FROM pairs),
+       |spans AS (
+       |  SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+       |    CAST(count(*) + 4 AS BIGINT) AS span_tokens
+       |  FROM runs GROUP BY doc_a, doc_b, diag, isl
+       |  HAVING count(*) + 4 >= 8
+       |  ORDER BY span_tokens DESC, doc_a ASC, doc_b ASC, a_start ASC, b_start ASC
+       |  LIMIT 100)"""
+  // NOTE: no .stripMargin here — spanCtes is interpolated into oracle
+  // strings that stripMargin the COMBINED text; stripping twice would
+  // eat one pipe of every line-leading `||` concat operator.
+
   /** Distinct word n-gram shingles, single pass. (A declarative
     * `transform(sequence(...), i -> element_at(toks, i+k))` form
     * re-evaluates the tokenization per element — O(len²) per doc —
@@ -401,6 +446,41 @@ object Dedup {
       .limit(100)
   }
 
+  /** The rewrite form of `sharedSpans` (Lee et al. 2022 actually
+    * DELETES the duplicated substrings from all-but-one occurrence):
+    * every token of the LATER document (doc_b — doc_a keeps the
+    * earlier copy) inside any detected span is removed, survivors
+    * rejoin in original order. The span set is bounded (sharedSpans
+    * caps at its top-100), so it broadcasts and the rewrite is one
+    * MAP-ONLY pass over the corpus — per-token membership is an
+    * `exists` over the doc's own ≤bounded span list, no shuffle, no
+    * explode. Overlapping spans union (a token inside two spans is
+    * removed once). */
+  def spanRewrite(docs: DataFrame, spans: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rem = spans.groupBy(col("doc_b").as("doc_id"))
+      .agg(collect_list(struct(col("b_start").cast("long").as("st"),
+        (col("b_start") + col("span_tokens")).cast("long").as("en"))).as("sp"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), t => t =!= "").as("toks"))
+      .join(broadcast(rem), Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        array().cast("array<struct<st:bigint,en:bigint>>")))
+      .withColumn("flags", transform(sequence(lit(0), size(col("toks")) - 1),
+        i => exists(col("sp"),
+          r => i >= r.getField("st") && i < r.getField("en"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("flags"), f => f)).cast("long").as("n_removed"),
+        // array_join skips null elements, so masked tokens vanish
+        // without doubling the delimiter
+        md5(array_join(zip_with(col("toks"), col("flags"),
+          (t, f) => when(f, lit(null).cast("string")).otherwise(t)), " "))
+          .as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** The rewrite form of `sentenceDedup` (same `sentenceOwners` core):
     * (doc_id, text) with corpus-repeated sentences removed and
     * survivors rejoined in original order. */
@@ -515,6 +595,20 @@ object Dedup {
             concat(col("text"), lit(" " + spanPassage)))
           .otherwise(col("text")))
       sharedSpans(base, k = 5, minSpan = 8)
+    }),
+
+    // The span REWRITE gate on the same injected corpus: every doc
+    // must come back with its full token count, %13 docs that are the
+    // doc_b of a detected pair lose exactly their copy of the injected
+    // passage (n_removed pins it), and kept_md5 hashes the rewritten
+    // text — exercising removal, overlap-union, and pass-through rows.
+    "dd_span_rewrite" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" " + spanPassage)))
+          .otherwise(col("text")))
+      spanRewrite(base, sharedSpans(base, k = 5, minSpan = 8))
     }),
 
     // Corpus-wide repeated-sentence removal: deterministic boilerplate
@@ -1012,39 +1106,28 @@ object Dedup {
          |FROM funnel ORDER BY stage_id""".stripMargin
     },
     "dd_shared_spans" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 13 = 0 THEN text || ' $spanPassage'
-         |         ELSE text END AS text2
-         |  FROM documents WHERE n_chars > 0),
-         |toked AS (
-         |  SELECT doc_id, list_filter(string_split(text2, ' '), t -> t <> '') AS toks
-         |  FROM corpus),
-         |grams AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
-         |        || toks[i+3] || ' ' || toks[i+4]) AS gh
-         |  FROM toked, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i)
-         |  WHERE len(toks) >= 5),
-         |kept AS (
-         |  SELECT g.* FROM grams g
-         |  WHERE g.gh NOT IN (
-         |    SELECT gh FROM grams GROUP BY gh
-         |    HAVING count(DISTINCT doc_id) > 1000)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-         |  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id),
-         |runs AS (
-         |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
-         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
-         |      ORDER BY pa) AS isl
-         |  FROM pairs)
-         |SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
-         |  CAST(count(*) + 4 AS BIGINT) AS span_tokens
-         |FROM runs GROUP BY doc_a, doc_b, diag, isl
-         |HAVING count(*) + 4 >= 8
-         |ORDER BY span_tokens DESC, doc_a ASC, doc_b ASC, a_start ASC, b_start ASC
-         |LIMIT 100""".stripMargin,
+      s"""WITH $spanCtes
+         |SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spans
+         |ORDER BY span_tokens DESC, doc_a ASC, doc_b ASC, a_start ASC, b_start ASC""".stripMargin,
+    // The rewrite form: tokens of the LATER doc (doc_b keeps the
+    // earlier occurrence in doc_a) falling inside any detected span
+    // are removed; survivors rejoin in original order.
+    "dd_span_rewrite" ->
+      s"""WITH $spanCtes,
+         |tokpos AS (
+         |  SELECT doc_id, i - 1 AS p, toks[i] AS tok
+         |  FROM toked, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+         |dropped AS (
+         |  SELECT DISTINCT t.doc_id, t.p
+         |  FROM tokpos t JOIN spans r ON t.doc_id = r.doc_b
+         |    AND t.p >= r.b_start AND t.p < r.b_start + r.span_tokens)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN dr.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN dr.p IS NULL THEN t.tok END,
+         |    ' ' ORDER BY t.p), '')) AS kept_md5
+         |FROM tokpos t LEFT JOIN dropped dr ON dr.doc_id = t.doc_id AND dr.p = t.p
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "dd_sentence" ->
       """WITH corpus AS (
         |  SELECT doc_id,

@@ -546,4 +546,95 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(rows.sameElements(again))
   }
+
+  test("dd_span_rewrite: later docs lose exactly the shared span, earlier/unique docs untouched, overlaps union") {
+    import graft.operators.Dedup
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, s"u1 u2 u3 u4 u5 $p"),   // earliest owner: keeps its copy
+      (2L, s"v1 v2 v3 v4 v5 $p"),   // later: must lose the 10 tokens
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"), // unique: untouched
+      (6L, s"$p z1 z2 z3 z4 z5")    // pairs with BOTH 1 and 2 → same
+                                     // range twice → removed ONCE
+    ).toDF("doc_id", "text")
+    val res = Dedup.spanRewrite(docsDf, Dedup.sharedSpans(docsDf, k = 5, minSpan = 8))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def h(s: String): String =
+      spark.sql(s"SELECT md5('$s')").head().getString(0)
+    assert(res(1L) == ((15L, 0L, h(s"u1 u2 u3 u4 u5 $p"))))
+    assert(res(2L) == ((15L, 10L, h("v1 v2 v3 v4 v5"))))
+    assert(res(3L) == ((8L, 0L, h("w1 w2 w3 w4 w5 w6 w7 w8"))))
+    assert(res(6L) == ((15L, 10L, h("z1 z2 z3 z4 z5"))))
+  }
+
+  test("qlog8: monotone eighth-bit log2, exact at powers of two, within one bit of 8*log2") {
+    import graft.operators.Perplexity.qlog8
+    val xs = (1L to 4096L) ++ Seq(1L << 20, (1L << 20) + 7, (1L << 40) - 1, 1L << 40)
+    xs.sliding(2).foreach { case Seq(a, b) =>
+      assert(qlog8(a) <= qlog8(b), s"qlog8 not monotone at $a -> $b")
+    }
+    for (k <- 0 to 40) assert(qlog8(1L << k) == 8L * k)
+    xs.foreach { x =>
+      val t = 8.0 * math.log(x.toDouble) / math.log(2.0)
+      assert(qlog8(x) <= t + 1e-9 && qlog8(x) >= t - 8.0,
+        s"qlog8($x)=${qlog8(x)} vs 8*log2=$t")
+    }
+  }
+
+  test("pp_perplexity_filter: BigramNll == driver reference fold; seed-fluent scores below gibberish") {
+    import graft.operators.Perplexity
+    val docs = Tables.documents(spark, d).filter(col("n_chars") > 0)
+    val model = Perplexity.perplexityModel(docs, Seq("src0", "src1", "src2", "src3"))
+    // reference fold: recompute a doc's nll driver-side from the model arrays
+    val bg = model.bgV.indices.map(i => (model.bgV(i), model.bgW(i)) -> model.bgQ(i)).toMap
+    val cx = model.ctxK.zip(model.ctxQ).toMap
+    val vs = model.vocab.toSet
+    def refNll(text: String): (Long, Long) = {
+      val toks = text.split(" ").filter(_.nonEmpty).map(t => if (vs(t)) t else "<unk>")
+      var prev = "<s>"; var s = 0L
+      toks.foreach { m => s += cx(prev) - bg.getOrElse((prev, m), 0L); prev = m }
+      (toks.length.toLong, s)
+    }
+    val sample = docs.select("doc_id", "text").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = Perplexity.perplexityScore(docs, model)
+      .filter(col("doc_id").isin(sample.keys.toSeq: _*))
+      .select("doc_id", "n_tokens", "nll_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(scored.length == sample.size)
+    scored.foreach { case (id, n, nll) =>
+      val (en, enll) = refNll(sample(id))
+      assert(n == en && nll == enll, s"doc $id: engine ($n,$nll) != ref ($en,$enll)")
+    }
+    // discrimination: a doc of common seed tokens must sit well below
+    // a doc of never-seen tokens (every bigram OOV-context+unseen)
+    val fluent = model.vocab.take(30).mkString(" ")
+    val gibberish = (0 until 30).map(i => f"zzqx$i%03d").mkString(" ")
+    val two = Perplexity.perplexityScore(
+      Seq((1L, fluent, "xx"), (2L, gibberish, "xx"))
+        .toDF("doc_id", "text", "lang"), model)
+      .select("doc_id", "xent8").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(two(1L) < two(2L),
+      s"fluent ${two(1L)} not below gibberish ${two(2L)}")
+  }
+
+  test("pp_perplexity_filter: buckets ordered head<=middle<=tail per lang, rerun-deterministic") {
+    val rows = SparkEntry.queries("pp_perplexity_filter")(spark, d)
+      .select("lang", "xent8", "ppl_bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      def rng(b: String) = g.filter(_._3 == b).map(_._2)
+      for (b <- Seq("head", "middle", "tail")) assert(rng(b).nonEmpty, s"$lang missing $b")
+      assert(rng("head").max <= rng("middle").min + 1e-12, s"$lang head>middle")
+      assert(rng("middle").max <= rng("tail").min + 1e-12, s"$lang middle>tail")
+    }
+    val again = SparkEntry.queries("pp_perplexity_filter")(spark, d)
+      .select("lang", "xent8", "ppl_bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    spark.catalog.clearCache()
+    assert(rows.sameElements(again))
+  }
 }
