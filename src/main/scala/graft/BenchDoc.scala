@@ -130,6 +130,22 @@ object BenchDoc {
       stats("qc_sample_kept") = r.getLong(1).toString
     }
 
+    // CCNet perplexity filter at 500k docs, train and score timed
+    // separately (the classifier's sibling): train = one seed-slice
+    // bigram count collected at ≤258² rows; score = the BigramNll
+    // map-only projection over the corpus — zero shuffle, the whole
+    // 500k-doc NLL pass in one scan.
+    timedMin2("ppl_train_500k") {
+      graft.operators.Perplexity.perplexityModel(seeded, Seq("seedsrc"))
+    }
+    val pplModel = graft.operators.Perplexity.perplexityModel(seeded, Seq("seedsrc"))
+    timedMin2("ppl_score_500k") {
+      val r = graft.operators.Perplexity
+        .perplexityScore(seeded.withColumn("lang", lit("xx")), pplModel)
+        .agg(sum(col("nll_q")).as("nll"), sum(col("n_tokens")).as("nt")).head()
+      stats("ppl_mean_xent8") = f3(r.getLong(0).toDouble / r.getLong(1).toDouble)
+    }
+
     // ---- corpus B: replica-disjoint bodies, sparse shared passage ---
     val passage = (0 until 16).map(i => f"span$i%02d").mkString(" ")
     val spansCorpus = raw.crossJoin(broadcast(reps))

@@ -193,15 +193,17 @@ object DocumentSources {
       val dir = fixtureDir("landing", d)
       deleteRecursively(dir)
       Files.createDirectories(dir)
-      val exts = Array("pdf", "docx", "txt", "jpg", "xyz")
+      val exts = Array("pdf", "docx", "txt", "html", "jpg", "xyz")
       Tables.documents(s, d).filter(col("doc_id") < 500 && col("n_chars") > 0)
         .select("doc_id", "text").collect().foreach { r =>
           val id = r.getLong(0)
           val text = r.getString(1)
-          val ext = exts((id % 5).toInt)
+          val ext = exts((id % 6).toInt)
           val bytes = ext match {
             case "pdf"  => DocFormats.writePdf(Seq(text))
             case "docx" => DocFormats.writeDocx(Seq(text))
+            case "html" => DocFormats.writeHtml(s"Doc $id", Seq(text),
+              Seq("Home"), Seq("privacy policy", "terms"))
             case "txt"  => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             case "jpg"  => s"IMG$id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
             case _      => s"BIN$id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -235,8 +237,9 @@ object DocumentSources {
     "s6_mime_dispatch" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("extension",
-          element_at(array(lit("pdf"), lit("docx"), lit("txt"), lit("jpg"), lit("xyz")),
-            (col("doc_id") % 5 + 1).cast("int")))
+          element_at(array(lit("pdf"), lit("docx"), lit("txt"), lit("html"),
+            lit("jpg"), lit("xyz")),
+            (col("doc_id") % 6 + 1).cast("int")))
         .withColumn("extractor", extractorFor(col("extension")))
         .groupBy("extractor").agg(count(lit(1)).as("n"))
         .orderBy("extractor")),
@@ -376,14 +379,16 @@ object DocumentSources {
         |    'up_' || lpad(doc_id::VARCHAR, 5, '0') || '.' || ext AS filename,
         |    CASE WHEN ext = 'pdf' THEN trim(text)
         |         WHEN ext = 'docx' THEN trim(text)
+        |         WHEN ext = 'html' THEN 'Doc ' || doc_id || chr(10) || chr(10) || trim(text)
         |         WHEN ext = 'txt' THEN text END AS xt
         |  FROM (SELECT doc_id, text,
-        |          (['pdf','docx','txt','jpg','xyz'])[(doc_id % 5 + 1)::INT] AS ext
+        |          (['pdf','docx','txt','html','jpg','xyz'])[(doc_id % 6 + 1)::INT] AS ext
         |        FROM documents WHERE doc_id < 500 AND n_chars > 0)),
         |g AS (
         |  SELECT filename, ext AS extension,
         |    CASE WHEN ext = 'pdf' THEN 'pdf_extractor'
         |         WHEN ext IN ('docx','doc') THEN 'docx_extractor'
+        |         WHEN ext IN ('html','htm','xhtml') THEN 'html_extractor'
         |         WHEN ext IN ('txt','md','log') THEN 'text_extractor'
         |         WHEN ext IN ('jpg','jpeg','png','gif','webp') THEN 'image_passthrough'
         |         ELSE 'unsupported' END AS extractor, xt
@@ -404,11 +409,12 @@ object DocumentSources {
       """SELECT CASE
         |    WHEN ext = 'pdf' THEN 'pdf_extractor'
         |    WHEN ext IN ('docx','doc') THEN 'docx_extractor'
+        |    WHEN ext IN ('html','htm','xhtml') THEN 'html_extractor'
         |    WHEN ext IN ('txt','md','log') THEN 'text_extractor'
         |    WHEN ext IN ('jpg','jpeg','png','gif','webp') THEN 'image_passthrough'
         |    ELSE 'unsupported' END AS extractor,
         |  count(*) AS n
-        |FROM (SELECT (['pdf','docx','txt','jpg','xyz'])[(doc_id % 5 + 1)::INT] AS ext
+        |FROM (SELECT (['pdf','docx','txt','html','jpg','xyz'])[(doc_id % 6 + 1)::INT] AS ext
         |      FROM documents)
         |GROUP BY 1 ORDER BY extractor""".stripMargin,
     // Round-trip expectation computed directly on the text: the PDF

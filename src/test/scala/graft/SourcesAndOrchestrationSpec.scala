@@ -22,9 +22,12 @@ class SourcesAndOrchestrationSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(dir.resolve("f.pdf"), "%PDF-truncated garbage")
     java.nio.file.Files.writeString(dir.resolve("c.jpg"), "JFIFfake")
     java.nio.file.Files.writeString(dir.resolve("d.weird"), "???")
+    java.nio.file.Files.write(dir.resolve("g.html"),
+      graft.sources.DocFormats.writeHtml("Title", Seq("body text"),
+        Seq("Nav"), Seq("privacy policy", "terms")))
 
     val scanned = DocumentSources.readLandingDir(spark, dir.toString)
-    assert(scanned.count() == 6)
+    assert(scanned.count() == 7)
     val extracted = DocumentSources.extractText(scanned)
       .select("filename", "extractor", "extracted_text", "status")
       .collect().map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2)), r.getString(3))).toMap
@@ -34,6 +37,7 @@ class SourcesAndOrchestrationSpec extends AnyFunSuite {
     assert(extracted("f.pdf") == (("pdf_extractor", None, "PROCESSING_ERROR")))
     assert(extracted("c.jpg") == (("image_passthrough", None, "UPLOADED")))
     assert(extracted("d.weird") == (("unsupported", None, "UPLOADED")))
+    assert(extracted("g.html") == (("html_extractor", Some("Title\n\nbody text"), "TEXT_EXTRACTED")))
   }
 
   test("S7: importNew drops already-imported keys") {

@@ -29,6 +29,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == exp.toSeq)
   }
 
+  test("perplexity scoring is a stateless streaming projection: stream == batch") {
+    import graft.operators.Perplexity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl_stream").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("n_chars") > 0)
+    docs.write.mode("overwrite").parquet(dir)
+    val model = Perplexity.perplexityModel(docs, Seq("src0", "src1", "src2", "src3"))
+    val streamed = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = Perplexity.perplexityScore(streamed, model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ppl_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ppl_out").orderBy("doc_id").collect()
+    val exp = Perplexity.perplexityScore(docs, model).orderBy("doc_id").collect()
+    assert(got.nonEmpty && got.toSeq == exp.toSeq)
+  }
+
   test("windowedCounts over a real stream matches the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
