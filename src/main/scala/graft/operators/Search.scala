@@ -768,6 +768,24 @@ object Search {
         .select("id", "sim")
     }),
 
+    // FILTERED ANN serving — the "filtered vector search" problem: a
+    // metadata predicate (here id % 8 == 3, a 1/8-selective stand-in
+    // for any pushed-down attribute filter) composes with IVF probe
+    // pruning. The predicate lands on the probed scan (at the
+    // (tenant, cell)-partitioned layout both prunings compound:
+    // partition pruning bounds the files, the pushed filter bounds
+    // the rows), and nProbe doubles (4 → 8) to compensate the thinned
+    // cells — the standard filtered-search recall trade. Same oracle
+    // machinery as ann_ivf_topk with the predicate in the scan.
+    "ann_ivf_filtered" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).withColumn("tenant", lit("all"))
+      val indexed = ivfBuild(base, "tenant", "vec_id", "embedding", 16).cache()
+      val centroids = ivfCentroids(indexed)
+      ivfSearch(indexed.filter(col("id") % 8 === 3), centroids, "all",
+        qvec(s, d, 0), 10, 8)
+        .select("id", "sim")
+    }),
+
     // The SAMPLED IVF build under the exact gate, with a cap that
     // actually subsamples (256 of the corpus): deterministic
     // lowest-id sample → Lloyd on the sample → member-mean centroids →
@@ -1125,6 +1143,38 @@ object Search {
          |  FROM c_kassign k
          |  JOIN probed pb ON pb.cell = k.best
          |  JOIN eall p ON p.id = k.id)
+         |WHERE sim >= 0.0
+         |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
+    },
+    // Filtered twin of ann_ivf_topk: identical Lloyd replay, probe-8
+    // ranking, and the id % 8 = 3 predicate inside the pruned scan.
+    "ann_ivf_filtered" -> {
+      s"""WITH RECURSIVE eall AS (
+         |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |${Clustering.kmeansCte(16, "eall", "c_")},
+         |cents AS (
+         |  SELECT k.best AS cell, count(*) AS cnt,
+         |    list(p.emb ORDER BY p.id) AS m
+         |  FROM c_kassign k JOIN eall p ON p.id = k.id
+         |  GROUP BY k.best),
+         |cenv AS (
+         |  SELECT cell,
+         |    list_transform(range(1, 65),
+         |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+         |           / CAST(cnt AS DOUBLE)) AS centroid
+         |  FROM cents),
+         |proberank AS (
+         |  SELECT cell, row_number() OVER (
+         |    ORDER BY list_inner_product(centroid, $q0) DESC, cell ASC) AS pr
+         |  FROM cenv),
+         |probed AS (SELECT cell FROM proberank WHERE pr <= 8)
+         |SELECT id, sim FROM (
+         |  SELECT k.id, list_inner_product(p.emb, $q0) AS sim
+         |  FROM c_kassign k
+         |  JOIN probed pb ON pb.cell = k.best
+         |  JOIN eall p ON p.id = k.id
+         |  WHERE k.id % 8 = 3)
          |WHERE sim >= 0.0
          |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
     },

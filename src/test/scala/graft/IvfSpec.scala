@@ -38,6 +38,24 @@ class IvfSpec extends AnyFunSuite {
     assert(largest4 < 500, s"4 largest cells hold $largest4/500 — no pruning")
   }
 
+  test("ivf filtered search: predicate respected, full-probe filtered == filtered brute force") {
+    val base = Tables.embeddings(spark, d).withColumn("tenant", lit("all"))
+    val q = Tables.embeddings(spark, d).filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toSeq
+    val indexed = Search.ivfBuild(base, "tenant", "vec_id", "embedding", 16).cache()
+    val centroids = Search.ivfCentroids(indexed).cache()
+    val got = Search.ivfSearch(indexed.filter($"id" % 8 === 3), centroids, "all", q, 10, 16)
+      .select("id").as[Long].collect()
+    assert(got.nonEmpty && got.forall(_ % 8 == 3))
+    val brute = Search.knn(Tables.embeddings(spark, d).filter($"vec_id" % 8 === 3), q, 10, 0.0)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSet == brute.toSet) // all cells probed ⇒ filter commutes with probe
+    // partial probe stays inside the predicate too
+    val partial = Search.ivfSearch(indexed.filter($"id" % 8 === 3), centroids, "all", q, 10, 4)
+      .select("id").as[Long].collect()
+    assert(partial.forall(_ % 8 == 3))
+  }
+
   test("ivf index written partitioned by cell gets partition-pruned scans") {
     // The 100 TB serving path: vectors written partitioned by cell so a
     // probe scans only nProbe directories. Assert the physical plan
