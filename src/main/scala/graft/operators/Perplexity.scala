@@ -249,6 +249,13 @@ case class BigramNll(child: Expression, vocab: Array[String],
     StructField("n_tokens", LongType, nullable = false),
     StructField("nll", LongType, nullable = false)))
 
+  /** Per-context node: the denominator code length plus this
+    * context's seen-successor table — one lookup on `prev` serves
+    * both, so the hot loop is exactly two hash probes per token
+    * (vocab membership of the token + the prev node). */
+  private final class Node(val den: Long) {
+    val next = new java.util.HashMap[UTF8String, java.lang.Long]()
+  }
   @transient private lazy val unk = UTF8String.fromString(Perplexity.Unk)
   @transient private lazy val bos = UTF8String.fromString(Perplexity.Bos)
   @transient private lazy val vset: java.util.HashSet[UTF8String] = {
@@ -256,22 +263,16 @@ case class BigramNll(child: Expression, vocab: Array[String],
     vocab.foreach(v => s.add(UTF8String.fromString(v)))
     s
   }
-  @transient private lazy val ctx: java.util.HashMap[UTF8String, java.lang.Long] = {
-    val m = new java.util.HashMap[UTF8String, java.lang.Long](ctxK.length * 2)
+  @transient private lazy val ctx: java.util.HashMap[UTF8String, Node] = {
+    val m = new java.util.HashMap[UTF8String, Node](ctxK.length * 2)
     var i = 0
-    while (i < ctxK.length) { m.put(UTF8String.fromString(ctxK(i)), ctxQ(i)); i += 1 }
-    m
-  }
-  @transient private lazy val big:
-      java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]] = {
-    val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]()
-    var i = 0
-    while (i < bgV.length) {
-      val v = UTF8String.fromString(bgV(i))
-      var inner = m.get(v)
-      if (inner == null) { inner = new java.util.HashMap[UTF8String, java.lang.Long](); m.put(v, inner) }
-      inner.put(UTF8String.fromString(bgW(i)), bgQ(i))
-      i += 1
+    while (i < ctxK.length) { m.put(UTF8String.fromString(ctxK(i)), new Node(ctxQ(i))); i += 1 }
+    var j = 0
+    while (j < bgV.length) {
+      // every bigram context is in ctxK by construction (complete alphabet)
+      m.get(UTF8String.fromString(bgV(j))).next
+        .put(UTF8String.fromString(bgW(j)), bgQ(j))
+      j += 1
     }
     m
   }
@@ -287,12 +288,10 @@ case class BigramNll(child: Expression, vocab: Array[String],
       if (!arr.isNullAt(i)) {
         val t = arr.getUTF8String(i)
         val m = if (vset.contains(t)) t else unk
-        s += ctx.get(prev).longValue()
-        val inner = big.get(prev)
-        if (inner != null) {
-          val q = inner.get(m)
-          if (q != null) s -= q.longValue()
-        }
+        val node = ctx.get(prev)
+        s += node.den
+        val q = node.next.get(m)
+        if (q != null) s -= q.longValue()
         prev = m
         cnt += 1L
       }
