@@ -934,6 +934,36 @@ object Dedup {
         .orderBy("vec_id")
     }),
 
+    // Doc-level embedding pooling: chunk vectors (8 per doc here —
+    // vec_id div 8 is the doc key) mean-pooled elementwise and
+    // L2-renormalized — the standard summary-vector build when a doc
+    // representation is derived from its chunk embeddings instead of
+    // re-embedding. One groupBy(doc) shuffle, bounded per-doc member
+    // lists; the elementwise sum folds in vec_id order (the
+    // ivfCentroids cross-engine ordered-reduce pattern), sqrt and the
+    // divisions are correctly-rounded IEEE in both engines.
+    "vq_mean_pool" -> ((s, d) => {
+      val zero = array((0 until 64).map(_ => lit(0.0)): _*)
+      Tables.embeddings(s, d)
+        .select(expr("vec_id div 8").as("doc_id"), col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          aggregate(
+            array_sort(collect_list(struct(col("vec_id"), col("emb")))),
+            zero,
+            (acc, x) => zip_with(acc, x.getField("emb"), (a, b) => a + b))
+            .as("sumv"))
+        .withColumn("mean",
+          transform(col("sumv"), v => v / col("n_chunks").cast("double")))
+        .withColumn("norm",
+          sqrt(aggregate(col("mean"), lit(0.0), (acc, v) => acc + v * v)))
+        .select(col("doc_id"), col("n_chunks"), col("norm"),
+          (element_at(col("mean"), 1) / col("norm")).as("c_first"),
+          (element_at(col("mean"), 64) / col("norm")).as("c_last"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: label-blocked self-join, dot ≥ 0.8.
     "dd_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1199,6 +1229,27 @@ object Dedup {
          |  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
          |ORDER BY n_bands DESC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
+    "vq_mean_pool" ->
+      """WITH e AS (
+        |  SELECT vec_id // 8 AS doc_id, vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |    list(emb ORDER BY vec_id) AS m
+        |  FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, n_chunks,
+        |    list_transform(range(1, 65),
+        |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+        |           / CAST(n_chunks AS DOUBLE)) AS mean
+        |  FROM g),
+        |q AS (
+        |  SELECT doc_id, n_chunks, mean,
+        |    sqrt(list_reduce(list_transform(mean, x -> x * x), (a, b) -> a + b)) AS nrm
+        |  FROM p)
+        |SELECT doc_id, n_chunks, nrm AS norm,
+        |  mean[1] / nrm AS c_first, mean[64] / nrm AS c_last
+        |FROM q ORDER BY doc_id""".stripMargin,
     "vq_quantize_int8" ->
       """SELECT vec_id,
         |  CAST(list_sum(q8) AS BIGINT) AS q_sum,

@@ -117,6 +117,21 @@ class DocFormatsSpec extends AnyFunSuite {
     assert(html("<p>AT&T  and\n\tmore</p>") == "AT&T and more")
   }
 
+  test("html reader: fuzz — arbitrary tag soup never throws, output is whitespace-normalized") {
+    val rng = new scala.util.Random(42)
+    val frags = Array("<", ">", "</", "<!--", "-->", "<p", "<a href=\"", "\"",
+      "'", "<script>", "</script>", "&", "&amp;", "&#", "&#x", ";", "text ",
+      "<div>", "</div>", "  ", "\n", "<b>", "=", "<head>", "</head>", "é漢")
+    (0 until 200).foreach { _ =>
+      val soup = (0 until 40).map(_ => frags(rng.nextInt(frags.length))).mkString
+      if (soup.contains('<')) {
+        val out = html(soup) // must not throw
+        assert(!out.exists(c => c == '\t' || c == '\r' || c == '\f'))
+        assert(!out.contains("  ") && out == out.trim)
+      }
+    }
+  }
+
   test("html reader: malformed input is lenient, non-HTML raises") {
     assert(html("<p>attr gt <span title=\"a > b\">inside</span></p>") == "attr gt inside")
     assert(html("<p>unclosed at eof") == "unclosed at eof")
