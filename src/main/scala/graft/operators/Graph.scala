@@ -101,8 +101,64 @@ object Graph {
       .orderBy(col("pagerank").desc, col("doc_id"))
   }
 
+  private val LpaIters = 4
+
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks") over the
+    * UNDIRECTED form of the fixture link graph — the second
+    * graph-as-curation-signal operator beside [[pagerank]] (host-level
+    * communities group near-duplicate mirror sites; FineWeb-style
+    * curation caps per-community volume the same way `pp_domain_cap`
+    * caps per-domain volume).
+    *
+    * Determinism (the property that lets the whole iteration sit
+    * under the exact DuckDB hash gate): updates are SYNCHRONOUS
+    * (round t+1 reads only round-t labels — the asynchronous variant
+    * of the paper is order-dependent) and the vote is all-integer:
+    * new label = the neighbor label with the highest count, ties
+    * broken by SMALLEST label. Fixed [[LpaIters]] rounds, no
+    * convergence test — a fixed-step replay like the Lloyd loops.
+    *
+    * Scale shape per round: one equi-join of the bounded label
+    * relation against the static symmetrized edge list (pre-partition
+    * both by the key at 100 TB; edges partition once), then one
+    * (dst, label) partial-agg count and one per-dst max — both
+    * map-side combinable, shuffle rows ≤ distinct (dst, label) pairs,
+    * never the raw neighbor multiset. Lineage truncated every other
+    * round like the PageRank loop.
+    */
+  private[graft] def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count() // bounded driver state: one scalar
+    val e = edges(docs, n)
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labs = docs.select(col("doc_id").as("id"), col("doc_id").as("lab"))
+    for (it <- 1 to LpaIters) {
+      val voted = sym.join(labs, col("src") === col("id"))
+        .select(col("dst"), col("lab"))
+        .groupBy("dst", "lab").agg(count(lit(1)).as("cnt"))
+        .groupBy("dst")
+        // max over struct(cnt, -lab): largest count, then smallest label
+        .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("best"))
+        .select(col("dst"), (-col("best.neg")).as("newlab"))
+      // every node is a dst in sym (the ring edge symmetrized), so the
+      // inner join preserves the node universe
+      labs = docs.select(col("doc_id").as("id"))
+        .join(voted, col("id") === col("dst"))
+        .select(col("id"), col("newlab").as("lab"))
+      if (it % 2 == 0 || it == LpaIters) labs = labs.localCheckpoint(true)
+    }
+    val sizes = labs.groupBy("lab").agg(count(lit(1)).as("csize"))
+    labs.join(sizes, "lab")
+      .select(col("id").as("doc_id"), col("lab").as("community"), col("csize"))
+      .orderBy("community", "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gr_pagerank" -> ((s, d) => pagerank(s, d))
+    "gr_pagerank" -> ((s, d) => pagerank(s, d)),
+    "gr_labelprop" -> ((s, d) => labelProp(s, d))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -166,6 +222,53 @@ object Graph {
          |FROM unp u
          |JOIN prout o ON o.src = u.doc_id
          |LEFT JOIN prindeg g ON g.dst = u.doc_id
-         |ORDER BY u.pagerank DESC, u.doc_id""".stripMargin
+         |ORDER BY u.pagerank DESC, u.doc_id""".stripMargin,
+
+    // All LpaIters synchronous rounds replayed list-packed: state =
+    // one row holding the label list ordered by id; per-node neighbor
+    // id lists pre-packed. The vote (max count, min label) is pure
+    // integer list arithmetic — list_filter counts, list_max for the
+    // mode count, list_min over the arg-set — so every round is
+    // bit-identical to the Spark groupBy/max(struct) form.
+    "gr_labelprop" -> {
+      val ls = "list_transform(p.nbrs[i + 1], u -> r.labs[u + 1])"
+      s"""WITH RECURSIVE prn AS (SELECT count(*) AS nn FROM documents),
+         |pre AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src, CAST($prHashSql AS BIGINT) % nn AS dst
+         |    FROM documents, (SELECT unnest([0, 1, 2]) AS s) s, prn
+         |    UNION ALL
+         |    SELECT doc_id AS src, (doc_id + 1) % nn AS dst FROM documents, prn)
+         |  WHERE src <> dst),
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM pre UNION ALL SELECT dst, src FROM pre)),
+         |lpn AS (SELECT dst, list(src ORDER BY src) AS nbrs FROM und GROUP BY dst),
+         |lpacked AS (
+         |  SELECT any_value(n.nn) AS nn,
+         |    list(COALESCE(i.nbrs, CAST([] AS BIGINT[])) ORDER BY d.doc_id) AS nbrs
+         |  FROM documents d
+         |  LEFT JOIN lpn i ON i.dst = d.doc_id
+         |  CROSS JOIN prn n),
+         |lpiter AS (
+         |  SELECT 0 AS it, list_transform(range(0, nn), x -> x) AS labs
+         |  FROM lpacked
+         |  UNION ALL
+         |  SELECT r.it + 1, list_transform(range(0, p.nn), i ->
+         |    list_min(list_filter($ls,
+         |      x -> len(list_filter($ls, y -> y = x)) =
+         |        list_max(list_transform($ls,
+         |          x2 -> len(list_filter($ls, y2 -> y2 = x2)))))))
+         |  FROM lpiter r, lpacked p WHERE r.it < $LpaIters),
+         |unl AS (
+         |  SELECT CAST(generate_subscripts(labs, 1) - 1 AS BIGINT) AS doc_id,
+         |         unnest(labs) AS community
+         |  FROM lpiter WHERE it = $LpaIters),
+         |lsz AS (SELECT community, CAST(count(*) AS BIGINT) AS csize
+         |        FROM unl GROUP BY community)
+         |SELECT u.doc_id, u.community, z.csize
+         |FROM unl u JOIN lsz z USING (community)
+         |ORDER BY u.community, u.doc_id""".stripMargin
+    }
   )
 }

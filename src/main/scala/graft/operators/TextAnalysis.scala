@@ -434,6 +434,91 @@ object TextAnalysis {
         .orderBy(col("true_cnt").desc, col("tok").asc)
     }),
 
+    // Join-cardinality estimation via the Count-Min INNER PRODUCT
+    // (Cormode & Muthukrishnan 2005 §4.2; the AQE-style stats signal
+    // a cost-based planner wants BEFORE running a join): sketch each
+    // side's join-key column independently — two single-pass bounded
+    // aggregations that never co-locate the inputs — then
+    // est_r = Σ_c A_r[c]·B_r[c] per hash row and est = min_r est_r.
+    // The estimate is an upper bound (collisions only add mass), so
+    // est_min ≥ |A ⋈ B| always; at 100 TB the two sketches are
+    // 1,024 longs each regardless of key cardinality, where the exact
+    // answer costs the full shuffle the estimate exists to avoid.
+    "a19_join_size_est" -> ((s, d) => {
+      import s.implicits._
+      val dRows = 4; val wCols = 256
+      def cmjCol(r: Int, k: Column): Column = {
+        val h = md5(concat(lit(s"cmj:$r:"), k.cast("string")))
+        def hvv(i: Int): Column = {
+          val a = ascii(substring(h, i, 1))
+          when(a >= 97, a - 87).otherwise(a - 48)
+        }
+        (hvv(1) * 16 + hvv(2)).cast("int")
+      }
+      def sketch(df: DataFrame, key: String): Seq[Long] =
+        df.select(array((0 until dRows).map(r => cmjCol(r, col(key))): _*).as("cols"))
+          .as[Seq[Int]].groupByKey(_ => 0)
+          .agg(graft.functions.Sketches.countMin(dRows, wCols).name("cells"))
+          .head()._2 // bounded model state: 1,024 longs per side
+      val a = sketch(Tables.orders(s, d), "o_custkey")
+      val b = sketch(Tables.customer(s, d), "c_custkey")
+      val estR = (0 until dRows).map { r =>
+        (0 until wCols).map(c => a(r * wCols + c) * b(r * wCols + c)).sum
+      }
+      val estMin = estR.min
+      val trueCnt = Tables.orders(s, d).join(
+        Tables.customer(s, d), col("o_custkey") === col("c_custkey")).count()
+      estR.zipWithIndex
+        .map { case (e, r) => (r, e, estMin, trueCnt, estMin - trueCnt) }
+        .toDF("r", "est_r", "est_min", "true_cnt", "overcount")
+        .orderBy("r")
+    }),
+
+    // HyperLogLog register sketch (Flajolet et al. 2007) through the
+    // typed HllAggregator: one pass over token occurrences folds 256
+    // max-registers with map-side partials (the shuffle is 256 ints
+    // per partition — register merge is elementwise max, so shard
+    // sketches union exactly, the property that makes HLL the
+    // standard distributed distinct counter). The raw estimate is
+    // kept ALL-INTEGER so it replays bit-exactly cross-engine:
+    // Σ 2^-M_b is represented as N = Σ 2^(40-M_b) (exact BIGINT — M_b
+    // ≤ 33), and α_256·m² enters as the dyadic rational 1471/2048
+    // (= 0.71826…, within 2e-5 of the paper's α_256 ≈ 0.71827), so
+    // est = (1471·2^45) div N in exact 64-bit arithmetic. The
+    // small-range linear-counting correction (needed below ~2.5m =
+    // 640 distinct) is deliberately omitted — it requires ln — and
+    // the fixture key universe (distinct l_orderkey: ~1.5k at sf0.001,
+    // ~15k at sf0.01) sits above that regime. (The documents token
+    // vocabulary does NOT — 31 distinct tokens — which is why the
+    // sketch counts keys, not tokens.)
+    "a20_hll_sketch" -> ((s, d) => {
+      import s.implicits._
+      val occ = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("string").as("tok")).persist()
+      val h = md5(concat(lit("hll:"), col("tok")))
+      def hvv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val bucket = (hvv(1) * 16 + hvv(2)).cast("int")
+      val v32 = (4 to 10).map(hvv)
+        .foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
+      val rho = when(v32 === 0, lit(33))
+        .otherwise(lit(33) - length(bin(v32))).cast("int")
+      val regs = occ
+        .select(array(bucket, rho).as("br")).as[Seq[Int]]
+        .groupByKey(_ => 0)
+        .agg(graft.functions.Sketches.hll(256).name("regs"))
+        .head()._2 // bounded model state: 256 ints
+      val nSum = regs.map(r0 => 1L << (40 - r0)).sum
+      val est = (1471L << 45) / nSum
+      val trueD = occ.select(col("tok")).distinct().count()
+      regs.zipWithIndex
+        .map { case (reg, b) => (b, reg, trueD, est, est - trueD) }
+        .toDF("b", "reg", "true_distinct", "est", "err")
+        .orderBy("b")
+    }),
+
     // Trained n-gram language identification (Cavnar & Trenkle 1994,
     // "N-Gram-Based Text Categorization" — the textcat/langid.py
     // ancestor): per-language character-bigram RANK profiles (top 50)
@@ -2148,6 +2233,59 @@ object TextAnalysis {
          |  GROUP BY 1, 2)
          |SELECT tok, true_cnt, est, CAST(est - true_cnt AS BIGINT) AS overcount
          |FROM cmest ORDER BY true_cnt DESC, tok ASC""".stripMargin
+    },
+    "a19_join_size_est" -> {
+      def hex2j(r: String): String = {
+        val h = s"md5('cmj:' || $r || ':' || k)"
+        s"(${hexValSql(s"substr($h, 1, 1)")} * 16 + ${hexValSql(s"substr($h, 2, 1)")})"
+      }
+      def cellsCte(src: String): String =
+        s"""SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT 0 AS r, ${hex2j("'0'")} AS c FROM $src
+           |    UNION ALL SELECT 1, ${hex2j("'1'")} FROM $src
+           |    UNION ALL SELECT 2, ${hex2j("'2'")} FROM $src
+           |    UNION ALL SELECT 3, ${hex2j("'3'")} FROM $src)
+           |  GROUP BY r, c""".stripMargin
+      s"""WITH ja AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+         |jb AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+         |jac AS (${cellsCte("ja")}),
+         |jbc AS (${cellsCte("jb")}),
+         |jest AS (
+         |  SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS est_r
+         |  FROM jac a JOIN jbc b ON a.r = b.r AND a.c = b.c
+         |  GROUP BY a.r),
+         |jtrue AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS true_cnt
+         |  FROM orders JOIN customer ON o_custkey = c_custkey)
+         |SELECT r, est_r, min(est_r) OVER () AS est_min, true_cnt,
+         |  min(est_r) OVER () - true_cnt AS overcount
+         |FROM jest CROSS JOIN jtrue ORDER BY r""".stripMargin
+    },
+    "a20_hll_sketch" -> {
+      val hh = "md5('hll:' || tok)"
+      val bucketSql =
+        s"(${hexValSql(s"substr($hh, 1, 1)")} * 16 + ${hexValSql(s"substr($hh, 2, 1)")})"
+      val vSql = (4 to 10).foldLeft(
+        s"CAST(${hexValSql(s"substr($hh, 3, 1)")} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${hexValSql(s"substr($hh, $i, 1)")})")
+      s"""WITH hocc AS (SELECT CAST(l_orderkey AS VARCHAR) AS tok FROM lineitem),
+         |hbr AS (
+         |  SELECT bucket, CASE WHEN v = 0 THEN 33
+         |                      ELSE 33 - length(bin(v)) END AS rho
+         |  FROM (SELECT $bucketSql AS bucket, $vSql AS v FROM hocc)),
+         |hreg AS (
+         |  SELECT g.b, COALESCE(max(h.rho), 0) AS reg
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS b) g
+         |  LEFT JOIN hbr h ON h.bucket = g.b
+         |  GROUP BY g.b),
+         |hn AS (
+         |  SELECT CAST(sum(CAST(1 AS BIGINT) << (40 - reg)) AS BIGINT) AS nsum
+         |  FROM hreg),
+         |hest AS (SELECT (CAST(1471 AS BIGINT) << 45) // nsum AS est FROM hn),
+         |htrue AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS true_distinct
+         |          FROM hocc)
+         |SELECT b, reg, true_distinct, est, est - true_distinct AS err
+         |FROM hreg CROSS JOIN hest CROSS JOIN htrue ORDER BY b""".stripMargin
     },
     "ta_langid_trained" ->
       s"""WITH ltv AS (

@@ -44,4 +44,36 @@ class GraphSpec extends AnyFunSuite {
     val b = run().map(r => (r.getLong(0), r.getDouble(1)))
     assert(a.sameElements(b))
   }
+
+  private def runLpa() = {
+    val df = SparkEntry.queries("gr_labelprop")(spark, sf)
+    val rows = df.collect()
+    spark.catalog.clearCache()
+    rows
+  }
+
+  test("label propagation: labels are node ids, sizes partition the graph") {
+    val rows = runLpa()
+    assert(rows.length == 500)
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids == (0L until 500L).toSet)
+    // every community label is itself a node id (labels only ever copy)
+    val labels = rows.map(_.getLong(1)).toSet
+    assert(labels.subsetOf(ids))
+    // propagation actually merged communities vs the singleton init
+    assert(labels.size < 500, s"${labels.size} communities")
+    // csize is the exact member count of each community, and the
+    // sizes partition the node universe
+    val bySize = rows.groupBy(_.getLong(1))
+    rows.foreach { r =>
+      assert(r.getLong(2) == bySize(r.getLong(1)).length.toLong)
+    }
+    assert(bySize.values.map(_.length).sum == 500)
+  }
+
+  test("label propagation: deterministic across runs (bit-identical labels)") {
+    val a = runLpa().map(r => (r.getLong(0), r.getLong(1)))
+    val b = runLpa().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
 }

@@ -213,4 +213,61 @@ class QueryOpsSpec extends AnyFunSuite {
       b.foldLeft(agg.zero)(agg.reduce))
     assert(java.util.Arrays.equals(whole, merged))
   }
+
+  test("a19_join_size_est: CMS inner product upper-bounds the true join size") {
+    val rows = SparkEntry.queries("a19_join_size_est")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    val trueCnt = rows.head._4
+    assert(trueCnt > 0)
+    rows.foreach { case (_, estR, estMin, t) =>
+      assert(estR >= estMin && estMin >= t, s"est_r $estR est_min $estMin true $t")
+    }
+    // the min-row estimate is usefully tight: within 3x of the truth
+    // on the fixture (w=256 cells vs ~100 distinct custkeys at sf0.001)
+    assert(rows.head._3 <= 3 * trueCnt, s"est_min ${rows.head._3} vs 3x $trueCnt")
+  }
+
+  test("a20_hll_sketch: registers match the relational max, estimate within 3 sigma") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("a20_hll_sketch")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(rows.length == 256)
+    val trueD = rows.head._3
+    val est = rows.head._4
+    // m=256 gives sigma = 1.04/sqrt(256) = 6.5%; the fixed corpus is a
+    // single hash draw (measured: -14.4% at sf0.01), so gate at ~3
+    // sigma = 20% — tight enough to catch a broken register fold,
+    // loose enough for one deterministic draw
+    assert(trueD > 640, s"fixture must sit above the linear-counting regime: $trueD")
+    assert(math.abs(est - trueD).toDouble / trueD < 0.20,
+      s"est $est vs true $trueD")
+    assert(rows.forall { case (_, reg, _, _) => reg >= 0 && reg <= 33 })
+    // aggregator merge == whole-input fold (register max is exact under union)
+    val agg = new graft.functions.HllAggregator(16)
+    val xs = (0 until 300).map(i => Seq(i % 16, (i * 13) % 30 + 1))
+    val (a, b) = xs.splitAt(117)
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))
+    assert(java.util.Arrays.equals(whole, merged))
+    // and the typed aggregator agrees with the plain groupBy-max form
+    val h = md5(concat(lit("hll:"), col("tok")))
+    def hvv(i: Int) = {
+      val x = ascii(substring(h, i, 1)); when(x >= 97, x - 87).otherwise(x - 48)
+    }
+    val v32 = (4 to 10).map(hvv).foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
+    val rel = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").cast("string").as("tok"))
+      .select((hvv(1) * 16 + hvv(2)).cast("int").as("b"),
+        when(v32 === 0, lit(33)).otherwise(lit(33) - length(bin(v32))).cast("int").as("rho"))
+      .groupBy("b").agg(max(col("rho")).as("reg"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    rows.foreach { case (b2, reg, _, _) =>
+      assert(rel.getOrElse(b2, 0) == reg, s"bucket $b2")
+    }
+  }
 }
