@@ -267,7 +267,10 @@ object TextAnalysis {
   private val bm25StatsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, Seq[String]), (Long, Double, Map[String, Double])]()
 
-  def bm25Scores(docs: DataFrame, qterms: Seq[String]): DataFrame = {
+  /** Per-(doc, term) BM25 contributions — the posting-level relation
+    * [[bm25Scores]] folds per doc and [[queries]]' MaxScore variant
+    * prunes with. Same stats memo, same IEEE op sequence. */
+  def bm25TermScores(docs: DataFrame, qterms: Seq[String]): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val hits = toks.filter(col("term").isin(qterms: _*))
     val memoKey = (docs.queryExecution.logical.canonicalized.semanticHash(), qterms)
@@ -293,11 +296,19 @@ object TextAnalysis {
       .withColumn("sc", idfCol * (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) *
           (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
-      .groupBy("doc_id")
+      .select("doc_id", "term", "sc")
+  }
+
+  /** The per-doc fold of [[bm25TermScores]]: term-sorted left-to-right
+    * sum, mirrored by the oracle's list_reduce(list(sc ORDER BY term)). */
+  private def bm25Fold(scored: DataFrame): DataFrame =
+    scored.groupBy("doc_id")
       .agg(aggregate(array_sort(collect_list(struct(col("term"), col("sc")))),
           lit(0.0), (acc, x) => acc + x.getField("sc")).as("bm25"),
         count(lit(1)).as("n_terms"))
-  }
+
+  def bm25Scores(docs: DataFrame, qterms: Seq[String]): DataFrame =
+    bm25Fold(bm25TermScores(docs, qterms))
 
   /** Per-partition Misra–Gries candidate generation for heavy-hitter
     * queries: each partition streams its terms through a bounded
@@ -645,6 +656,50 @@ object TextAnalysis {
       bm25Scores(Tables.documents(s, d), Seq("join", "vector", "dup"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)),
+
+    // MaxScore-style LOSSLESS top-k pruning (Turtle & Flood 1995; the
+    // block-max/WAND family's batch analog — how a lexical serving
+    // tier avoids fully scoring every matching document at corpus
+    // scale). Three bounded passes: (1) per-term score upper bounds
+    // (|q| doubles of driver state); (2) a cheap threshold θ₀ = the
+    // k-th best SINGLE-TERM partial score over the champion term's
+    // postings (θ₀ ≤ the true k-th best full score, since partial ≤
+    // full and champion postings ⊆ corpus); (3) full scoring ONLY for
+    // docs whose upper bound Σ_{t ∈ d∩q} ub(t) ≥ θ₀ — a pruned doc
+    // has score ≤ its bound < θ₀ ≤ θ*, so the returned top-k is
+    // IDENTICAL to exhaustive ts_bm25 (spec-asserted rank-for-rank).
+    // Both the doc bound and the final score fold term-sorted
+    // left-to-right, so every pruning decision replays bit-exactly in
+    // the oracle. At 100 TB the win is phase-3 scoring touching the
+    // bound-surviving sliver instead of every posting.
+    "ts_bm25_maxscore" -> ((s, d) => {
+      val k = 20
+      val qterms = Seq("join", "vector", "dup")
+      val scored = bm25TermScores(Tables.documents(s, d), qterms).persist()
+      val ubs = scored.groupBy("term").agg(max(col("sc")).as("ub"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val champ = ubs.toSeq.sortBy { case (t, u) => (-u, t) }.head._1
+      val champTop = scored.filter(col("term") === champ)
+        .orderBy(col("sc").desc, col("doc_id").asc).limit(k)
+        .select("sc").collect().map(_.getDouble(0))
+      val theta0 = if (champTop.length < k) 0.0 else champTop.last
+      val ubCol = qterms.filter(ubs.contains).foldLeft(lit(null).cast("double")) {
+        (w, t) => when(col("term") === t, lit(ubs(t))).otherwise(w)
+      }
+      val docUb = scored.withColumn("ub", ubCol)
+        .groupBy("doc_id")
+        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("ub")))),
+          lit(0.0), (a, x) => a + x.getField("ub")).as("doc_ub"))
+        .persist()
+      val survivors = docUb.filter(col("doc_ub") >= lit(theta0)).select("doc_id")
+      val nCand = docUb.count()
+      val nScored = survivors.count()
+      bm25Fold(scored.join(survivors, Seq("doc_id"), "left_semi"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+        .withColumn("n_candidates", lit(nCand))
+        .withColumn("n_scored", lit(nScored))
+        .withColumn("n_pruned", lit(nCand - nScored))
+    }),
 
     // Pseudo-relevance feedback (RM3-family, Lavrenko & Croft 2001):
     // a first BM25 pass retrieves the top-5 feedback docs, the 3
@@ -2100,6 +2155,43 @@ object TextAnalysis {
          |  list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS bm25,
          |  count(*) AS n_terms
          |FROM scored GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // The full MaxScore decision sequence replayed: per-term bounds,
+    // champion pick, theta0 from the champion's postings, the
+    // term-sorted doc-bound fold, the >= theta0 gate, and the final
+    // fold over survivors only.
+    "ts_bm25_maxscore" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |mshits AS (SELECT doc_id, term FROM toks WHERE term IN ('join','vector','dup')),
+         |dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(len($toksSql)) AS BIGINT) AS sum_dl FROM documents),
+         |${bm25ScoredCte("ms")},
+         |msub AS (SELECT term, max(sc) AS ub FROM msscored GROUP BY term),
+         |mschamp AS (SELECT term FROM msub ORDER BY ub DESC, term ASC LIMIT 1),
+         |mstop AS (
+         |  SELECT sc FROM msscored WHERE term = (SELECT term FROM mschamp)
+         |  ORDER BY sc DESC, doc_id ASC LIMIT 20),
+         |msth AS (
+         |  SELECT CASE WHEN count(*) < 20 THEN 0.0::DOUBLE ELSE min(sc) END AS th
+         |  FROM mstop),
+         |msdub AS (
+         |  SELECT s.doc_id,
+         |    list_reduce(list(u.ub ORDER BY s.term), (a, b) -> a + b) AS dub
+         |  FROM msscored s JOIN msub u USING (term) GROUP BY s.doc_id),
+         |mssurv AS (SELECT doc_id FROM msdub CROSS JOIN msth WHERE dub >= th),
+         |msstats AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM msdub) AS n_candidates,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM mssurv) AS n_scored),
+         |msfold AS (
+         |  SELECT s.doc_id,
+         |    list_reduce(list(s.sc ORDER BY s.term), (a, b) -> a + b) AS bm25,
+         |    CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM msscored s JOIN mssurv v USING (doc_id)
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, bm25, n_terms, n_candidates, n_scored,
+         |  n_candidates - n_scored AS n_pruned
+         |FROM msfold CROSS JOIN msstats
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // Thresholds: (80*0.7).toInt = 56 and (80*0.8).toInt = 64 are
     // 0-based indexes in the UDF; the 1-based SQL positions compare
