@@ -636,6 +636,51 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
         .orderBy("h")),
 
+    // URL canonicalization + URL-level dedup — the front door of every
+    // web curation pipeline (CCNet/FineWeb dedup by canonical URL
+    // before any content pass; the same page arrives as http/HTTPS,
+    // host-case, trailing-slash and utm-tagged variants). The fixture
+    // plants those variants deterministically (host = doc_id%5, slug =
+    // doc_id%20, surface class = (doc_id div 20)%4: plain / UPPER
+    // scheme+host+trailing slash / +utm_source noise / +real params
+    // unsorted+fragment), so classes 0-1 MUST collapse (found only via
+    // canonicalization — the raw strings differ) while 2-3 stay
+    // distinct (their surviving query params genuinely differ).
+    // Canonicalization is pure per-row string work — map-only, no
+    // shuffle; the dedup itself is one canonical-key groupBy with
+    // min-doc_id representative selection, the dd_exact shape.
+    "dd_url_canonical" -> ((s, d) => {
+      val host = concat(lit("example"), (col("doc_id") % 5).cast("string"), lit(".com"))
+      val path = concat(lit("/p/"), (col("doc_id") % 20).cast("string"))
+      val variant = expr("(doc_id div 20) % 4")
+      val url = when(variant === 0, concat(lit("https://"), host, path))
+        .when(variant === 1, concat(lit("HTTPS://"), upper(host), path, lit("/")))
+        .when(variant === 2, concat(lit("https://"), host, path, lit("?utm_source=feed&x=1")))
+        .otherwise(concat(lit("https://"), host, path, lit("?b=2&a=1#sec")))
+      val docs = Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+      val noFrag = try_element_at(split(col("url"), "#"), lit(1))
+      val scheme = lower(try_element_at(split(noFrag, "://"), lit(1)))
+      val rest = try_element_at(split(noFrag, "://"), lit(2))
+      val hostC = lower(try_element_at(split(rest, "/"), lit(1)))
+      val pathq = rest.substr(length(hostC) + 1, length(rest))
+      val pathOnly = try_element_at(split(pathq, "\\?"), lit(1))
+      val qRaw = try_element_at(split(pathq, "\\?"), lit(2))
+      val pathNorm = when(length(pathOnly) > 1 && pathOnly.endsWith("/"),
+        pathOnly.substr(lit(1), length(pathOnly) - 1)).otherwise(pathOnly)
+      val qNorm = array_join(
+        array_sort(filter(split(qRaw, "&"), p => !p.startsWith("utm_"))), "&")
+      val canonical = concat(scheme, lit("://"), hostC, pathNorm,
+        when(qNorm.isNotNull && qNorm =!= "", concat(lit("?"), qNorm))
+          .otherwise(lit("")))
+      val canon = docs.withColumn("canonical", canonical)
+      val grp = canon.groupBy("canonical")
+        .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("rep"))
+      canon.join(grp, "canonical")
+        .select(col("doc_id"), col("url"), col("canonical"), col("dup_count"),
+          (col("doc_id") === col("rep")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // N-gram (3-shingle) Jaccard similarity join, blocked by source.
     // The exploded shingle relation feeds three consumers (sizes, both
     // join sides) — persist it so the scan+explode runs once.
@@ -1184,6 +1229,59 @@ object Dedup {
     "dd_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    // Planted URL surface variants + the full canonicalization chain
+    // (fragment strip, scheme/host lowercase, trailing-slash trim,
+    // utm_* drop, param sort) replayed with DuckDB string/list ops.
+    "dd_url_canonical" ->
+      """WITH uraw AS (
+        |  SELECT doc_id,
+        |    CASE (doc_id // 20) % 4
+        |      WHEN 0 THEN 'https://example' || (doc_id % 5) || '.com/p/' || (doc_id % 20)
+        |      WHEN 1 THEN 'HTTPS://' || upper('example' || (doc_id % 5) || '.com')
+        |                  || '/p/' || (doc_id % 20) || '/'
+        |      WHEN 2 THEN 'https://example' || (doc_id % 5) || '.com/p/' || (doc_id % 20)
+        |                  || '?utm_source=feed&x=1'
+        |      ELSE 'https://example' || (doc_id % 5) || '.com/p/' || (doc_id % 20)
+        |                  || '?b=2&a=1#sec'
+        |    END AS url
+        |  FROM documents),
+        |uparts AS (
+        |  SELECT doc_id, url,
+        |    lower(string_split(string_split(url, '#')[1], '://')[1]) AS scheme,
+        |    string_split(string_split(url, '#')[1], '://')[2] AS rest
+        |  FROM uraw),
+        |uhp AS (
+        |  SELECT doc_id, url, scheme,
+        |    lower(string_split(rest, '/')[1]) AS host,
+        |    substr(rest, len(string_split(rest, '/')[1]) + 1) AS pathq
+        |  FROM uparts),
+        |upq AS (
+        |  SELECT doc_id, url, scheme, host,
+        |    string_split(pathq, '?')[1] AS path0,
+        |    string_split(pathq, '?')[2] AS qraw
+        |  FROM uhp),
+        |ucanon AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN len(path0) > 1 AND path0 LIKE '%/'
+        |          THEN substr(path0, 1, len(path0) - 1) ELSE path0 END) ||
+        |    (CASE WHEN array_to_string(list_sort(list_filter(
+        |            string_split(qraw, '&'), p -> NOT starts_with(p, 'utm_'))), '&')
+        |            IS NOT NULL
+        |          AND array_to_string(list_sort(list_filter(
+        |            string_split(qraw, '&'), p -> NOT starts_with(p, 'utm_'))), '&') <> ''
+        |          THEN '?' || array_to_string(list_sort(list_filter(
+        |            string_split(qraw, '&'), p -> NOT starts_with(p, 'utm_'))), '&')
+        |          ELSE '' END) AS canonical
+        |  FROM upq),
+        |ugrp AS (
+        |  SELECT canonical, CAST(count(*) AS BIGINT) AS dup_count,
+        |         min(doc_id) AS rep
+        |  FROM ucanon GROUP BY canonical)
+        |SELECT c.doc_id, c.url, c.canonical, g.dup_count,
+        |  c.doc_id = g.rep AS keep
+        |FROM ucanon c JOIN ugrp g USING (canonical)
+        |ORDER BY c.doc_id""".stripMargin,
     // the Bloom sketch is a pure prefilter — the engine's output is the
     // exact anti-join result, so the oracle IS the plain anti-join.
     "dd_bloom_prefilter" ->

@@ -701,6 +701,52 @@ object TextAnalysis {
         .withColumn("n_pruned", lit(nCand - nScored))
     }),
 
+    // SymSpell-style typo-tolerant term correction (Garbe's symmetric
+    // delete algorithm, public; the serving-side typo tolerance every
+    // lexical search tier needs). The quadratic fuzzy match — every
+    // query term × every vocab term through an edit-distance UDF — is
+    // replaced by a DELETION-VARIANT EQUI-JOIN: each vocab term emits
+    // itself + its single-char-deletion variants (len+1 rows, bounded
+    // by term length), each typo emits the same, and two strings
+    // within edit distance 1 MUST share a variant — so candidates
+    // come out of a hash join on the variant key and only that sliver
+    // is verified with real levenshtein ≤ 1. At 100 TB vocab the
+    // variant relation is ~avg_len× the vocab (static, built once);
+    // the per-query work is a handful of variant probes — the same
+    // bucket-join-not-cross-join move as MinHash-LSH. Typos are
+    // planted deterministically (2nd char deleted from the 5 most
+    // frequent length≥4 vocab terms), correction = best candidate by
+    // (distance asc, vocab freq desc, term asc).
+    "ts_spell_correct" -> ((s, d) => {
+      def delVariants(c: Column): Column = concat(
+        array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - lit(1)),
+            c.substr(i + lit(1), length(c) - i))))
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .persist()
+      val typos = vocab.filter(length(col("term")) >= 4)
+        .orderBy(col("freq").desc, col("term").asc).limit(5)
+        .select(concat(substring(col("term"), 1, 1),
+          expr("substring(term, 3)")).as("typo"))
+      val vvar = vocab.select(col("term"), col("freq"),
+        explode(delVariants(col("term"))).as("variant"))
+      val qvar = typos.select(col("typo"),
+        explode(delVariants(col("typo"))).as("variant"))
+      val cand = qvar.join(vvar, "variant")
+        .select("typo", "term", "freq").distinct()
+        .filter(levenshtein(col("typo"), col("term")) <= 1)
+        .withColumn("dist", levenshtein(col("typo"), col("term")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("typo")
+        .orderBy(col("dist").asc, col("freq").desc, col("term").asc)
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("typo"), col("term").as("corrected"), col("dist"), col("freq"))
+        .orderBy("typo")
+    }),
+
     // Pseudo-relevance feedback (RM3-family, Lavrenko & Croft 2001):
     // a first BM25 pass retrieves the top-5 feedback docs, the 3
     // most-frequent non-seed terms (≥ 4 chars — the cheap stopword
@@ -2156,6 +2202,40 @@ object TextAnalysis {
          |  count(*) AS n_terms
          |FROM scored GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // Deletion-variant candidate generation + levenshtein verify +
+    // (dist, freq desc, term) best-per-typo, replayed with DuckDB's
+    // own levenshtein (identical unit-cost edit distance).
+    "ts_spell_correct" -> {
+      def delVarSql(c: String): String =
+        s"""list_prepend($c, list_transform(generate_series(1, len($c)),
+           |  i -> substr($c, 1, i - 1) || substr($c, i + 1, len($c) - i)))""".stripMargin
+      s"""WITH spv AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest($toksSql) AS term FROM documents)
+         |  GROUP BY term),
+         |spq AS (
+         |  SELECT substr(term, 1, 1) || substr(term, 3) AS typo
+         |  FROM spv WHERE len(term) >= 4
+         |  ORDER BY freq DESC, term ASC LIMIT 5),
+         |spvv AS (
+         |  SELECT term, freq, unnest(${delVarSql("term")}) AS variant FROM spv),
+         |spqv AS (
+         |  SELECT typo, unnest(${delVarSql("typo")}) AS variant FROM spq),
+         |spcand AS (
+         |  SELECT DISTINCT typo, term, freq
+         |  FROM spqv JOIN spvv USING (variant)),
+         |spver AS (
+         |  SELECT typo, term, freq,
+         |    CAST(levenshtein(typo, term) AS BIGINT) AS dist
+         |  FROM spcand WHERE levenshtein(typo, term) <= 1),
+         |spbest AS (
+         |  SELECT typo, term AS corrected, dist, freq,
+         |    row_number() OVER (PARTITION BY typo
+         |      ORDER BY dist ASC, freq DESC, term ASC) AS rn
+         |  FROM spver)
+         |SELECT typo, corrected, dist, freq FROM spbest
+         |WHERE rn = 1 ORDER BY typo""".stripMargin
+    },
     // The full MaxScore decision sequence replayed: per-term bounds,
     // champion pick, theta0 from the champion's postings, the
     // term-sorted doc-bound fold, the >= theta0 gate, and the final

@@ -452,6 +452,54 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(nPruned > nCand / 2, s"pruned $nPruned of $nCand — bound too weak")
   }
 
+  test("ts_spell_correct: every planted typo resolves to a distance-1 vocab term") {
+    val rows = SparkEntry.queries("ts_spell_correct")(spark, d).collect().toSeq
+    spark.catalog.clearCache()
+    assert(rows.size == 5)
+    val vocab = Tables.documents(spark, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().as[String].collect().toSet
+    rows.foreach { r =>
+      val (typo, corrected, dist) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(vocab.contains(corrected), s"$corrected not in vocab")
+      assert(!vocab.contains(typo), s"planted typo $typo collides with vocab")
+      assert(dist == 1, s"$typo -> $corrected dist $dist")
+      // the deletion-variant join really found the deleted-char parent
+      assert(corrected.length == typo.length + 1)
+    }
+    // deterministic rerun
+    val again = SparkEntry.queries("ts_spell_correct")(spark, d).collect().toSeq
+    spark.catalog.clearCache()
+    assert(rows == again)
+  }
+
+  test("dd_url_canonical: surface variants 0-1 collapse, param-bearing classes stay distinct") {
+    val rows = SparkEntry.queries("dd_url_canonical")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
+    spark.catalog.clearCache()
+    assert(rows.length == 500)
+    val byCanon = rows.groupBy(_._3)
+    // plain (class 0) and UPPER+trailing-slash (class 1) forms of the
+    // same page share a canonical even though raw strings differ
+    val c0 = rows.find(_._1 == 0).get  // class 0: doc 0
+    val c1 = rows.find(_._1 == 20).get // class 1: doc 20, same host/slug
+    assert(c0._2 != c1._2, "raw urls must differ")
+    assert(c0._3 == c1._3, s"canonicals must collapse: ${c0._3} vs ${c1._3}")
+    // utm_source is stripped but the real param survives, sorted
+    val c2 = rows.find(_._1 == 40).get // class 2
+    assert(c2._3.endsWith("?x=1") && !c2._3.contains("utm_"), c2._3)
+    val c3 = rows.find(_._1 == 60).get // class 3
+    assert(c3._3.endsWith("?a=1&b=2") && !c3._3.contains("#"), c3._3)
+    // class 2/3 canonicals differ from the collapsed 0/1 group
+    assert(Set(c0._3, c2._3, c3._3).size == 3)
+    // exactly one representative per canonical group, the min doc_id
+    byCanon.foreach { case (_, g) =>
+      assert(g.count(_._5) == 1)
+      assert(g.filter(_._5).head._1 == g.map(_._1).min)
+      assert(g.forall(_._4 == g.length.toLong))
+    }
+  }
+
   test("dd_bloom_prefilter: no false negatives, exact result, prefilter bites") {
     val docs = Tables.documents(spark, d).withColumn("h", md5($"text"))
     val base = docs.filter($"doc_id" % 3 =!= 0).select("h")
