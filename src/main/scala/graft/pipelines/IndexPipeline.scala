@@ -378,6 +378,58 @@ object IndexPipeline {
         .orderBy("snapshot_id", "bucket", "doc_id")
     }),
 
+    // Change-data-feed between two committed snapshots (the Delta CDF /
+    // Iceberg incremental-read shape, on the same manifest store
+    // s14 time-travels): snapshot 1 = initial load of docs < 150;
+    // snapshot 2 = one versioned upsert that UPDATES doc 7 (modified
+    // text) and INSERTS docs 150-154. The feed is the doc-level diff
+    // of the two snapshot reads — full-outer join on doc_id over
+    // per-doc chunk digests, emitting ONLY changes: insert / delete /
+    // update_preimage+update_postimage pairs (unchanged docs, the
+    // overwhelming majority, produce nothing). At 100 TB both
+    // snapshot reads are manifest-planned partition-pruned scans, and
+    // a bucket untouched between the snapshots points at the SAME
+    // files — a smarter CDC skips it entirely; the join here is the
+    // semantics contract, the manifest diff is the fast path.
+    "s15_snapshot_cdc" -> ((s, d) => {
+      val dir = snapDir(d) + "_cdc"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(base))
+      val batch = buildIndex(
+        base.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", "."))
+          .unionByName(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155)))
+      VersionedStore.upsertVersioned(s, dir, batch)
+      def digest(n: Int): DataFrame = VersionedStore.readSnapshot(s, dir, n)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          md5(concat_ws("", array_sort(collect_list(
+            when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("chunks_md5"))
+      val s1 = digest(1).select(col("doc_id"),
+        col("n_vectors").as("n1"), col("chunks_md5").as("m1"))
+      val s2 = digest(2).select(col("doc_id"),
+        col("n_vectors").as("n2"), col("chunks_md5").as("m2"))
+      val j = s1.join(s2, Seq("doc_id"), "full_outer").persist()
+      val ins = j.filter(col("m1").isNull).select(col("doc_id"),
+        lit("insert").as("change_type"),
+        col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
+      val del = j.filter(col("m2").isNull).select(col("doc_id"),
+        lit("delete").as("change_type"),
+        col("n1").as("n_vectors"), col("m1").as("chunks_md5"))
+      val upd = j.filter(col("m1").isNotNull && col("m2").isNotNull &&
+        col("m1") =!= col("m2"))
+      val pre = upd.select(col("doc_id"),
+        lit("update_preimage").as("change_type"),
+        col("n1").as("n_vectors"), col("m1").as("chunks_md5"))
+      val post = upd.select(col("doc_id"),
+        lit("update_postimage").as("change_type"),
+        col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
+      ins.unionByName(del).unionByName(pre).unionByName(post)
+        .orderBy("doc_id", "change_type")
+    }),
+
     // Batched-vs-scalar embedding throughput pair: both embed the full
     // documents text column with the SAME HashEmbedder math — emb_batched
     // through BatchEmbed (mapPartitions, per-partition handle, batch 32),
@@ -461,6 +513,9 @@ object IndexPipeline {
   private def snapV2Src: String =
     "SELECT doc_id, CASE WHEN doc_id = 7 THEN translate(text, 'a', '.') " +
       "ELSE text END AS t FROM documents WHERE doc_id < 150"
+  private def snapV2CdcSrc: String =
+    "SELECT doc_id, CASE WHEN doc_id = 7 THEN translate(text, 'a', '.') " +
+      "ELSE text END AS t FROM documents WHERE doc_id < 155"
 
   /** The chunker state-machine replay (walk + chunk extraction + a
     * per-doc sorted chunk-md5 digest) as prefixed CTEs over any
@@ -665,6 +720,37 @@ object IndexPipeline {
          |    coalesce(g.chunks_md5, md5(''))
          |  FROM snbase d LEFT JOIN v2digest g USING (doc_id))
          |ORDER BY snapshot_id, bucket, doc_id""".stripMargin,
+    // The two snapshot states rebuilt via the shared chunk-walk CTEs,
+    // then the change feed is their doc-level full-outer diff —
+    // change rows only, update emitted as preimage+postimage.
+    "s15_snapshot_cdc" ->
+      s"""WITH RECURSIVE ${chunkDigestCtes("c1", snapV1Src)},
+         |${chunkDigestCtes("c2", snapV2CdcSrc)},
+         |cs1 AS (
+         |  SELECT d.doc_id, CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS n1,
+         |         coalesce(g.chunks_md5, md5('')) AS m1
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+         |  LEFT JOIN c1digest g USING (doc_id)),
+         |cs2 AS (
+         |  SELECT d.doc_id, CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS n2,
+         |         coalesce(g.chunks_md5, md5('')) AS m2
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 155) d
+         |  LEFT JOIN c2digest g USING (doc_id)),
+         |cj AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.n1, a.m1, b.n2, b.m2
+         |  FROM cs1 a FULL OUTER JOIN cs2 b ON a.doc_id = b.doc_id)
+         |SELECT * FROM (
+         |  SELECT doc_id, 'insert' AS change_type, n2 AS n_vectors, m2 AS chunks_md5
+         |  FROM cj WHERE m1 IS NULL
+         |  UNION ALL
+         |  SELECT doc_id, 'delete', n1, m1 FROM cj WHERE m2 IS NULL
+         |  UNION ALL
+         |  SELECT doc_id, 'update_preimage', n1, m1 FROM cj
+         |  WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m1 <> m2
+         |  UNION ALL
+         |  SELECT doc_id, 'update_postimage', n2, m2 FROM cj
+         |  WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m1 <> m2)
+         |ORDER BY doc_id, change_type""".stripMargin,
     "st_index_incremental" ->
       s"""WITH RECURSIVE src AS (
          |  SELECT doc_id, t, length(t)::BIGINT AS len FROM (

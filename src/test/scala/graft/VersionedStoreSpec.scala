@@ -134,4 +134,17 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(digest(VersionedStore.readSnapshot(spark, dir, 2)) == latest)
     spark.catalog.clearCache()
   }
+
+  test("s15_snapshot_cdc: change feed is changes-only — one update pair, five inserts, no deletes") {
+    val rows = SparkEntry.queries("s15_snapshot_cdc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    spark.catalog.clearCache()
+    // unchanged docs (149 of the 150 in snapshot 1) emit NOTHING
+    assert(rows.length == 7, rows.mkString(","))
+    assert(rows.count(_._2 == "insert") == 5)
+    assert(rows.filter(_._2 == "insert").map(_._1).toSet == Set(150L, 151L, 152L, 153L, 154L))
+    assert(rows.filter(_._1 == 7L).map(_._2).sorted.toSeq ==
+      Seq("update_postimage", "update_preimage"))
+    assert(!rows.exists(_._2 == "delete"), "upsert-only feed must carry no deletes")
+  }
 }
