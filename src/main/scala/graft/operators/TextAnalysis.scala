@@ -530,6 +530,51 @@ object TextAnalysis {
         .orderBy("b")
     }),
 
+    // The HLL register sketch in its natural GROUPED setting: distinct
+    // ACTIVE USER-DAYS per event_type in ONE pass over events — the
+    // everyday dashboard metric (DAU-by-surface) that at 100 TB is
+    // served by exactly this shape: a typed partial-aggregable sketch
+    // per group, shuffle payload = 256 ints per (partition, group),
+    // never the (user × day) universe. Per-group output is the
+    // register digest + the same all-integer raw estimate as a20.
+    // The counted key is user_id:date (~1.6k distinct per type at
+    // sf0.01 — above the 640 linear-counting floor; at sf0.001 it
+    // sits below and the estimate is still bit-exactly replayed,
+    // just biased — the a20 caveat applies per group).
+    "a21_grouped_hll" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("ts").cast("date").cast("string")).as("user_day"))
+      val h = md5(concat(lit("hllg:"), col("user_day")))
+      def hvv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val bucket = (hvv(1) * 16 + hvv(2)).cast("int")
+      val v32 = (4 to 10).map(hvv)
+        .foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
+      val rho = when(v32 === 0, lit(33))
+        .otherwise(lit(33) - length(bin(v32))).cast("int")
+      val regs = ev.select(col("event_type"), array(bucket, rho).as("br"))
+        .as[(String, Seq[Int])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.Sketches.hll(256).name("regs"))
+        .toDF("event_type", "regs")
+      val est = regs
+        .withColumn("reg_digest",
+          md5(concat_ws(",", transform(col("regs"), r => r.cast("string")))))
+        .withColumn("nsum",
+          expr("aggregate(regs, 0L, (a, x) -> a + shiftleft(1L, 40 - x))"))
+        .withColumn("est", expr(s"${1471L << 45}L div nsum"))
+      val truth = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_day")).as("true_distinct"))
+      est.join(truth, "event_type")
+        .select(col("event_type"), col("reg_digest"), col("est"),
+          col("true_distinct"), (col("est") - col("true_distinct")).as("err"))
+        .orderBy("event_type")
+    }),
+
     // Trained n-gram language identification (Cavnar & Trenkle 1994,
     // "N-Gram-Based Text Categorization" — the textcat/langid.py
     // ancestor): per-language character-bigram RANK profiles (top 50)
@@ -699,6 +744,42 @@ object TextAnalysis {
         .withColumn("n_candidates", lit(nCand))
         .withColumn("n_scored", lit(nScored))
         .withColumn("n_pruned", lit(nCand - nScored))
+    }),
+
+    // Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    // sampling for estimation of arbitrary subset sums") — the
+    // weighted counterpart of the hash-prefix stratified sample:
+    // ONE map-only pass assigns each doc priority q = w/u (w =
+    // n_chars, u = a 52-bit md5-derived uniform in (0,1] — exactly
+    // representable, so q is one IEEE division in both engines), the
+    // sample is the top-k by priority (TakeOrderedAndProject — the
+    // partial-agg top-k, no global sort), τ = the (k+1)-th priority,
+    // and each sampled doc carries the unbiased subset-sum estimator
+    // ŵ = max(w, τ): E[Σ_{S∩A} ŵ] = Σ_A w for ANY subset A, the
+    // property that lets a 100 TB pipeline answer weighted questions
+    // from a k-row sample. Heavy docs (w ≥ τ) enter certainly.
+    "pp_priority_sample" -> ((s, d) => {
+      val k = 50
+      val h = md5(concat(lit("ps:"), col("doc_id").cast("string")))
+      def hvv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val hBig = (2 to 13).map(hvv)
+        .foldLeft(hvv(1).cast("long"))((acc, x) => acc * 16 + x)
+      val pr = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("w"),
+          ((hBig + 1).cast("double") / lit(4503599627370496.0)).as("u"))
+        .withColumn("q", col("w").cast("double") / col("u"))
+        .persist()
+      val top51 = pr.orderBy(col("q").desc, col("doc_id"))
+        .limit(k + 1).select("q").collect() // bounded: k+1 doubles
+      val tau = if (top51.length == k + 1) top51.last.getDouble(0) else 0.0
+      pr.orderBy(col("q").desc, col("doc_id")).limit(k)
+        .withColumn("tau", lit(tau))
+        .withColumn("est_weight", greatest(col("w").cast("double"), lit(tau)))
+        .select("doc_id", "w", "q", "tau", "est_weight")
+        .orderBy("doc_id")
     }),
 
     // SymSpell-style typo-tolerant term correction (Garbe's symmetric
@@ -2202,6 +2283,28 @@ object TextAnalysis {
          |  count(*) AS n_terms
          |FROM scored GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // Priorities, the (k+1)-th threshold and the max(w, τ) estimator
+    // replayed; u's 52-bit integer fold mirrors the Spark hex
+    // arithmetic so both divisions see identical doubles.
+    "pp_priority_sample" -> {
+      val hh = "md5('ps:' || CAST(doc_id AS VARCHAR))"
+      val hBig = (2 to 13).foldLeft(
+        s"CAST(${hexValSql(s"substr($hh, 1, 1)")} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${hexValSql(s"substr($hh, $i, 1)")})")
+      s"""WITH ppq AS (
+         |  SELECT doc_id, n_chars AS w,
+         |    CAST(n_chars AS DOUBLE)
+         |      / (CAST($hBig + 1 AS DOUBLE) / 4503599627370496.0) AS q
+         |  FROM documents),
+         |pptop AS (SELECT q FROM ppq ORDER BY q DESC, doc_id LIMIT 51),
+         |pptau AS (
+         |  SELECT CASE WHEN count(*) = 51 THEN min(q) ELSE 0.0::DOUBLE END AS tau
+         |  FROM pptop),
+         |ppsel AS (SELECT doc_id, w, q FROM ppq ORDER BY q DESC, doc_id LIMIT 50)
+         |SELECT doc_id, w, q, tau,
+         |  greatest(CAST(w AS DOUBLE), tau) AS est_weight
+         |FROM ppsel CROSS JOIN pptau ORDER BY doc_id""".stripMargin
+    },
     // Deletion-variant candidate generation + levenshtein verify +
     // (dist, freq desc, term) best-per-typo, replayed with DuckDB's
     // own levenshtein (identical unit-cost edit distance).
@@ -2458,6 +2561,43 @@ object TextAnalysis {
          |          FROM hocc)
          |SELECT b, reg, true_distinct, est, est - true_distinct AS err
          |FROM hreg CROSS JOIN hest CROSS JOIN htrue ORDER BY b""".stripMargin
+    },
+    "a21_grouped_hll" -> {
+      val hh = "md5('hllg:' || CAST(user_id AS VARCHAR) || ':' " +
+        "|| CAST(CAST(ts AS DATE) AS VARCHAR))"
+      val bucketSql =
+        s"(${hexValSql(s"substr($hh, 1, 1)")} * 16 + ${hexValSql(s"substr($hh, 2, 1)")})"
+      val vSql = (4 to 10).foldLeft(
+        s"CAST(${hexValSql(s"substr($hh, 3, 1)")} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${hexValSql(s"substr($hh, $i, 1)")})")
+      s"""WITH ghbr AS (
+         |  SELECT event_type, bucket,
+         |    CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rho
+         |  FROM (SELECT event_type, $bucketSql AS bucket, $vSql AS v FROM events)),
+         |ggrid AS (
+         |  SELECT t.event_type, g.b
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) g),
+         |gregs AS (
+         |  SELECT g.event_type, g.b, COALESCE(max(h.rho), 0) AS reg
+         |  FROM ggrid g LEFT JOIN ghbr h
+         |    ON h.event_type = g.event_type AND h.bucket = g.b
+         |  GROUP BY g.event_type, g.b),
+         |gagg AS (
+         |  SELECT event_type,
+         |    md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY b)) AS reg_digest,
+         |    CAST(sum(CAST(1 AS BIGINT) << (40 - reg)) AS BIGINT) AS nsum
+         |  FROM gregs GROUP BY event_type),
+         |gtrue AS (
+         |  SELECT event_type,
+         |    CAST(count(DISTINCT CAST(user_id AS VARCHAR) || ':'
+         |      || CAST(CAST(ts AS DATE) AS VARCHAR)) AS BIGINT) AS true_distinct
+         |  FROM events GROUP BY event_type)
+         |SELECT a.event_type, a.reg_digest,
+         |  (CAST(1471 AS BIGINT) << 45) // a.nsum AS est, t.true_distinct,
+         |  (CAST(1471 AS BIGINT) << 45) // a.nsum - t.true_distinct AS err
+         |FROM gagg a JOIN gtrue t USING (event_type)
+         |ORDER BY a.event_type""".stripMargin
     },
     "ta_langid_trained" ->
       s"""WITH ltv AS (
