@@ -681,6 +681,54 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // EXACT set-similarity join with PPJoin-style prefix filtering
+    // (Chaudhuri/Ganti/Kaushik 2006 SSJoin, Xiao et al. 2008 PPJoin —
+    // the LOSSLESS counterpart of MinHash-LSH): two sets with Jaccard
+    // ≥ τ must share at least one token among the first
+    // |x| − ⌈τ|x|⌉ + 1 tokens of a GLOBAL canonical order (rarest
+    // first — the order that makes prefixes selective), so candidates
+    // come from an equi-join on prefix tokens only and the full
+    // intersection is computed for just that sliver. τ = 0.5 keeps
+    // the verify all-integer: Jaccard ≥ 1/2 ⟺ 2·|∩| ≥ |∪|. Unlike
+    // dd_ngram_jaccard (source-blocked) this is corpus-wide and
+    // unlike dd_minhash_lsh it misses NOTHING — the spec pins
+    // equality with the brute-force all-pairs join. At 100 TB the
+    // prefix relation is ~half the shingle relation, and rare-first
+    // ordering keeps the join's per-key fan-out bounded by token
+    // rarity (the df-cap hazard of sharedSpans doesn't arise: a
+    // ubiquitous shingle lands at the END of every ordered set, past
+    // every prefix).
+    "dd_setjoin_prefix" -> ((s, d) => {
+      val sh = docShingles(s, d).select("doc_id", "sh").persist()
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val ordered = sh.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ts"))
+        .select(col("doc_id"),
+          transform(col("ts"), t => t.getField("sh")).as("toks"),
+          size(col("ts")).as("sz"))
+        .persist()
+      val pref = ordered.select(col("doc_id"),
+        explode(slice(col("toks"), lit(1), expr("sz div 2 + 1"))).as("sh"))
+      val cand = pref.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(pref.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().persist()
+      val nCand = cand.count() // bounded driver state: one scalar
+      val a = ordered.select(col("doc_id").as("doc_a"),
+        col("toks").as("toks_a"), col("sz").as("sz_a"))
+      val b = ordered.select(col("doc_id").as("doc_b"),
+        col("toks").as("toks_b"), col("sz").as("sz_b"))
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+        .withColumn("uni", (col("sz_a") + col("sz_b")).cast("long") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .withColumn("jac_bp", expr("(inter * 10000) div uni"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+          col("jac_bp"), lit(nCand).as("n_candidates"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // N-gram (3-shingle) Jaccard similarity join, blocked by source.
     // The exploded shingle relation feeds three consumers (sizes, both
     // join sides) — persist it so the scan+explode runs once.
@@ -1291,6 +1339,35 @@ object Dedup {
         |SELECT doc_id, h FROM batch
         |WHERE h NOT IN (SELECT h FROM base)
         |ORDER BY doc_id""".stripMargin,
+    // Prefix-filter candidate generation + integer Jaccard verify
+    // replayed: global (df, sh) order, sz//2+1 prefixes, the prefix
+    // equi-join, list_intersect verify with 2·inter ≥ uni.
+    "dd_setjoin_prefix" ->
+      s"""WITH ssh AS (
+         |  SELECT doc_id, unnest($shSql) AS sh FROM documents),
+         |ssf AS (SELECT sh, count(*) AS df FROM ssh GROUP BY sh),
+         |sso AS (
+         |  SELECT doc_id, list(s.sh ORDER BY f.df, s.sh) AS toks,
+         |         CAST(count(*) AS BIGINT) AS sz
+         |  FROM ssh s JOIN ssf f USING (sh) GROUP BY doc_id),
+         |ssp AS (
+         |  SELECT doc_id, unnest(toks[1:(CAST(sz AS INTEGER) // 2 + 1)]) AS sh
+         |  FROM sso),
+         |ssc AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ssp a JOIN ssp b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |ssv AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter,
+         |    x.sz + y.sz - CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS uni
+         |  FROM ssc c JOIN sso x ON x.doc_id = c.doc_a
+         |              JOIN sso y ON y.doc_id = c.doc_b),
+         |ssstat AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM ssc)
+         |SELECT doc_a, doc_b, inter, uni, (inter * 10000) // uni AS jac_bp,
+         |       n_candidates
+         |FROM ssv CROSS JOIN ssstat
+         |WHERE 2 * inter >= uni
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH ds AS (
          |  SELECT doc_id, source, unnest($shSql) AS sh FROM documents),

@@ -473,6 +473,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows == again)
   }
 
+  test("dd_setjoin_prefix: lossless vs brute-force all-pairs; prefix filter prunes hard") {
+    val got = SparkEntry.queries("dd_setjoin_prefix")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nCand = SparkEntry.queries("dd_setjoin_prefix")(spark, d)
+      .select("n_candidates").head().getLong(0)
+    spark.catalog.clearCache()
+    // brute force: all doc pairs' shingle-set Jaccard >= 1/2
+    val shUdf = udf((text: String) => {
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.length < 3) Seq.empty[String]
+      else t.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    })
+    val sets = Tables.documents(spark, d)
+      .select(col("doc_id"), shUdf(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    spark.catalog.clearCache()
+    val brute = (for {
+      (ida, sa) <- sets; (idb, sb) <- sets
+      if ida < idb && sa.nonEmpty
+      inter = (sa & sb).size
+      uni = sa.size + sb.size - inter
+      if uni > 0 && 2 * inter >= uni
+    } yield (ida, idb, inter.toLong, uni.toLong)).toSet
+    assert(got.toSet == brute,
+      s"prefix join ${got.length} pairs vs brute ${brute.size}")
+    // the filter's whole point: candidates << all pairs (1,139 vs
+    // 124,750 measured at sf0.001)
+    val n = sets.length.toLong
+    assert(nCand < n * (n - 1) / 2 / 10, s"$nCand candidates of ${n * (n - 1) / 2}")
+  }
+
   test("pp_priority_sample: top-k by priority, estimator tracks the corpus total") {
     val rows = SparkEntry.queries("pp_priority_sample")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
