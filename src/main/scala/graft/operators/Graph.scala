@@ -156,9 +156,41 @@ object Graph {
       .orderBy("community", "doc_id")
   }
 
+  /** Triangle counting over the undirected fixture graph — the third
+    * classic graph-analytics primitive beside [[pagerank]] and
+    * [[labelProp]] (triangle density = clustering coefficient = the
+    * standard spam-farm / link-ring curation signal). Edges are
+    * canonicalized to ordered pairs u < v, so each triangle is
+    * enumerated EXACTLY once as a < b < c by construction: wedge join
+    * (a,b)⋈(b,c) then closure probe (a,c) — two equi-joins, no
+    * direction dedup pass. At 100 TB the standard refinement applies
+    * unchanged (orient edges low-degree → high-degree to bound wedge
+    * fan-out by the arboricity); the fixture's degree is ~8 so the
+    * plain ordered form is already bounded. All-integer.
+    */
+  private[graft] def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count() // bounded driver state: one scalar
+    val und = edges(docs, n)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().persist()
+    val tri = und.select(col("u").as("a"), col("v").as("b"))
+      .join(und.select(col("u").as("b2"), col("v").as("c")), col("b") === col("b2"))
+      .join(und.select(col("u").as("a3"), col("v").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c").persist()
+    val total = tri.count() // bounded driver state: one scalar
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .withColumn("total_triangles", lit(total))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> ((s, d) => pagerank(s, d)),
-    "gr_labelprop" -> ((s, d) => labelProp(s, d))
+    "gr_labelprop" -> ((s, d) => labelProp(s, d)),
+    "gr_triangles" -> ((s, d) => triangles(s, d))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -269,6 +301,32 @@ object Graph {
          |SELECT u.doc_id, u.community, z.csize
          |FROM unl u JOIN lsz z USING (community)
          |ORDER BY u.community, u.doc_id""".stripMargin
-    }
+    },
+
+    // Ordered-pair canonicalization, the wedge join and the closure
+    // probe replayed; per-node counts via the 3-way unnest.
+    "gr_triangles" ->
+      s"""WITH prn AS (SELECT count(*) AS nn FROM documents),
+         |pre AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src, CAST($prHashSql AS BIGINT) % nn AS dst
+         |    FROM documents, (SELECT unnest([0, 1, 2]) AS s) s, prn
+         |    UNION ALL
+         |    SELECT doc_id AS src, (doc_id + 1) % nn AS dst FROM documents, prn)
+         |  WHERE src <> dst),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM pre),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM und e1
+         |  JOIN und e2 ON e2.u = e1.v
+         |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tcnt AS (
+         |  SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT unnest([a, b, c]) AS x FROM tri) GROUP BY x),
+         |ttot AS (SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM tri)
+         |SELECT doc_id, n_triangles, total_triangles
+         |FROM tcnt CROSS JOIN ttot ORDER BY doc_id""".stripMargin
   )
 }

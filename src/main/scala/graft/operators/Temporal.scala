@@ -93,6 +93,40 @@ object Temporal {
     // Ordered funnel over the events stream (signup → view → purchase).
     "st_funnel" -> ((s, d) => funnel(eventsUs(s, d))),
 
+    // Peak concurrency per day via the BOUNDARY SWEEP — the classic
+    // interval-overlap aggregation (max concurrent sessions / active
+    // connections) that a naive interval self-join computes in O(n²):
+    // each (user, day) activity interval [first event, last event]
+    // emits +1 at its start and −1 just past its end (half-open, so
+    // back-to-back intervals never overlap), one running sum over the
+    // (t, delta, user) total order per day gives the concurrency
+    // curve, and the per-day max is the peak. One sort-shuffle keyed
+    // by day; at 100 TB the partition key is (day) or (day, shard)
+    // with a per-shard max merged after — the sweep itself never
+    // joins. All-integer.
+    "t16_peak_concurrency" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+        .select(col("user_id"), col("ts").cast("date").cast("string").as("day"),
+          col("ts_us"))
+      val iv = ev.groupBy("user_id", "day")
+        .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("e0"))
+        .persist()
+      val bounds = iv.select(col("day"), col("user_id"), explode(array(
+        struct(col("s0").as("t"), lit(1).as("delta")),
+        struct((col("e0") + 1).as("t"), lit(-1).as("delta")))).as("b"))
+        .select(col("day"), col("user_id"),
+          col("b.t").as("t"), col("b.delta").as("delta"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("day")
+        .orderBy(col("t"), col("delta"), col("user_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val run = bounds.withColumn("run", sum(col("delta")).over(w))
+      val nIv = iv.groupBy("day").agg(count(lit(1)).as("n_intervals"))
+      run.groupBy("day").agg(max(col("run")).as("peak_concurrency"))
+        .join(nIv, "day")
+        .select("day", "peak_concurrency", "n_intervals")
+        .orderBy("day")
+    }),
+
     // SCD2 dimension build (warehouse staple Spark has no builtin
     // for): collapse each user's event_type history into validity
     // intervals [from_us, to_us) — a row per CHANGE, to_us = next
@@ -201,6 +235,31 @@ object Temporal {
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    // The boundary sweep replayed: same half-open +1/−1 emission, same
+    // (t, delta, user) total order, per-day running-sum max.
+    "t16_peak_concurrency" ->
+      """WITH pce AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |         epoch_us(ts) AS ts_us
+        |  FROM events),
+        |pci AS (
+        |  SELECT user_id, day, min(ts_us) AS s0, max(ts_us) AS e0
+        |  FROM pce GROUP BY user_id, day),
+        |pcb AS (
+        |  SELECT day, user_id, s0 AS t, 1 AS delta FROM pci
+        |  UNION ALL
+        |  SELECT day, user_id, e0 + 1, -1 FROM pci),
+        |pcr AS (
+        |  SELECT day, CAST(sum(delta) OVER (PARTITION BY day
+        |    ORDER BY t, delta, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |  FROM pcb),
+        |pcn AS (SELECT day, CAST(count(*) AS BIGINT) AS n_intervals
+        |        FROM pci GROUP BY day)
+        |SELECT r.day, CAST(max(r.run) AS BIGINT) AS peak_concurrency,
+        |       any_value(n.n_intervals) AS n_intervals
+        |FROM pcr r JOIN pcn n USING (day)
+        |GROUP BY r.day ORDER BY r.day""".stripMargin,
     "t14_scd2_intervals" ->
       """WITH ord AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,

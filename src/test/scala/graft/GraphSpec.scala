@@ -76,4 +76,28 @@ class GraphSpec extends AnyFunSuite {
     val b = runLpa().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.sameElements(b))
   }
+
+  test("triangles: per-node counts sum to 3x the total; matches a local recount") {
+    val rows = SparkEntry.queries("gr_triangles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    val total = rows.head._3
+    assert(total > 0, "fixture graph must contain triangles")
+    assert(rows.map(_._2).sum == 3 * total, "each triangle touches 3 nodes")
+    // local recount over the same fixture edges
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    val und = graft.operators.Graph.edges(docs, 500)
+      .collect().map(r => {
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }).toSet
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var cnt = 0L
+    for ((a, b) <- und; c <- adj.getOrElse(b, Set.empty))
+      if (und.contains((a, c))) cnt += 1
+    spark.catalog.clearCache()
+    assert(cnt == total, s"local recount $cnt vs $total")
+  }
 }

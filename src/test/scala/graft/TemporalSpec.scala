@@ -152,4 +152,32 @@ class TemporalSpec extends AnyFunSuite {
         s"purchase $eid ts=$ts outside interval v$v [$ivFrom, $ivTo)")
     }
   }
+
+  test("t16_peak_concurrency: sweep max equals a brute-force overlap count per day") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t16_peak_concurrency")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    // brute force: per (user, day) interval, concurrency at every start
+    val iv = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date").cast("string").as("day"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .groupBy("user_id", "day")
+      .agg(min("ts_us").as("s"), max("ts_us").as("e"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val byDay = iv.groupBy(_._1)
+    rows.foreach { case (day, peak, nIv) =>
+      val ivs = byDay(day).map(x => (x._2, x._3))
+      assert(nIv == ivs.length.toLong)
+      // concurrency peaks at some interval start (closed intervals)
+      val brute = ivs.map { case (s0, _) =>
+        ivs.count { case (s1, e1) => s1 <= s0 && s0 <= e1 }
+      }.max
+      assert(peak == brute.toLong, s"$day sweep $peak vs brute $brute")
+      assert(peak >= 1 && peak <= nIv)
+    }
+  }
 }
