@@ -746,6 +746,37 @@ object TextAnalysis {
         .withColumn("n_pruned", lit(nCand - nScored))
     }),
 
+    // Positional phrase search — the inverted-index feature BM25's
+    // bag-of-words scoring can't express: an exact-phrase query is an
+    // EQUI-JOIN on the positional index ((doc, pos) for term₁ meets
+    // (doc, pos+1) for term₂), never a substring rescan of the corpus.
+    // At 100 TB the positional index is built once, partitioned by
+    // term (each query term's postings are one partition-pruned
+    // read), and the position join is per-doc local after the doc_id
+    // co-partitioning — the standard search-engine phrase plan
+    // (Lucene's exact PhraseQuery walk, relationally). Three 2-gram
+    // queries batched through one index scan; positions are 1-based
+    // in both engines.
+    "ts_phrase_search" -> ((s, d) => {
+      val idx = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
+        .persist()
+      val phrases = Seq(("table", "scan"), ("batch", "stream"), ("sort", "merge"))
+      phrases.map { case (w1, w2) =>
+        idx.filter(col("term") === w1)
+          .select(col("doc_id"), col("pos"))
+          .join(idx.filter(col("term") === w2)
+            .select(col("doc_id").as("doc_b"), col("pos").as("pos_b")),
+            col("doc_id") === col("doc_b") && col("pos_b") === col("pos") + 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occ"), min(col("pos")).cast("long").as("first_pos"))
+          .withColumn("phrase", lit(s"$w1 $w2"))
+      }.reduce(_ unionByName _)
+        .select("phrase", "doc_id", "n_occ", "first_pos")
+        .orderBy("phrase", "doc_id")
+    }),
+
     // Priority sampling (Duffield, Lund & Thorup 2007, "Priority
     // sampling for estimation of arbitrary subset sums") — the
     // weighted counterpart of the hash-prefix stratified sample:
@@ -2283,6 +2314,24 @@ object TextAnalysis {
          |  count(*) AS n_terms
          |FROM scored GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // Positional index + the (doc, pos+1) phrase join replayed;
+    // 1-based generate_subscripts matches the Spark posexplode+1.
+    "ts_phrase_search" ->
+      s"""WITH phidx AS (
+         |  SELECT doc_id, unnest($toksSql) AS term,
+         |         generate_subscripts($toksSql, 1) AS pos
+         |  FROM documents),
+         |phq AS (SELECT * FROM (VALUES
+         |  ('table', 'scan'), ('batch', 'stream'), ('sort', 'merge')) v(w1, w2))
+         |SELECT p.w1 || ' ' || p.w2 AS phrase, a.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_occ,
+         |  CAST(min(a.pos) AS BIGINT) AS first_pos
+         |FROM phq p
+         |JOIN phidx a ON a.term = p.w1
+         |JOIN phidx b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |            AND b.term = p.w2
+         |GROUP BY 1, 2
+         |ORDER BY phrase, a.doc_id""".stripMargin,
     // Priorities, the (k+1)-th threshold and the max(w, τ) estimator
     // replayed; u's 52-bit integer fold mirrors the Spark hex
     // arithmetic so both divisions see identical doubles.

@@ -97,4 +97,31 @@ class TextOpsSpec extends AnyFunSuite {
       .as[String].collect()
     assert(out.toSeq == Seq("café", "café", "x"))
   }
+
+  test("ts_phrase_search: every hit is a real consecutive bigram, counts exact") {
+    val spark = SparkSessionHelper.spark
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ts_phrase_search")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    spark.catalog.clearCache()
+    // recount every reported phrase occurrence against the raw text
+    val reported = rows.map { case (ph, id, _, _) => (ph, id) }.toSet
+    rows.foreach { case (phrase, docId, nOcc, firstPos) =>
+      val Array(w1, w2) = phrase.split(" ")
+      val toks = texts(docId)
+      val occ = toks.indices.dropRight(1)
+        .filter(i => toks(i) == w1 && toks(i + 1) == w2)
+      assert(occ.length.toLong == nOcc, s"$phrase in $docId")
+      assert((occ.head + 1).toLong == firstPos, s"$phrase first pos in $docId")
+    }
+    // and no hit was missed: every doc containing a phrase is reported
+    for ((id, toks) <- texts; (w1, w2) <- Seq(("table", "scan"), ("batch", "stream"), ("sort", "merge")))
+      if (toks.indices.dropRight(1).exists(i => toks(i) == w1 && toks(i + 1) == w2))
+        assert(reported.contains((s"$w1 $w2", id)), s"missed $w1 $w2 in $id")
+  }
 }
