@@ -188,6 +188,50 @@ object BenchDoc {
       stats("hotgram_spans_longest") = top.max.toString
     }
 
+    // ---- MaxScore BM25 serving at 500k: one bounds pass + a pruned
+    // full-scoring sliver — the lexical serving tier's scan economy --
+    timedMin2("bm25_maxscore_500k") {
+      val top = TextAnalysis
+        .bm25MaxScore(corpus, Seq("join", "vector", "dup"), 20).collect()
+      stats("maxscore_pruned") =
+        s"${top.head.getLong(5)} of ${top.head.getLong(3)} candidates"
+    }
+
+    // ---- prefix set-similarity join at 500k ------------------------
+    // Corpus D: the prefix filter's candidate bound assumes a
+    // long-tail (zipf) token-frequency distribution — real web text —
+    // where a set's rarest-half shingles have df = O(1). The base
+    // corpus's 31-token vocabulary is the OPPOSITE (every shingle's
+    // df is O(corpus): on corpora A/B the exact join is correctly
+    // quadratic — that's what the LSH family is for). Corpus D
+    // emulates the zipf tail the same way corpus B emulates
+    // replica-disjointness: tokens suffixed per (base doc, replica
+    // pair), so shingle df is ≤ 2, every replica pair (2r, 2r+1) of
+    // an original is a true near-dup (they differ only in the repN
+    // tail), and the measurement is the rarest-first prefix
+    // self-join + verify over 500k docs / ~25M shingle rows with
+    // ~240k true pairs out.
+    // (the per-token suffix is computed BEFORE the id-aliasing select:
+    // a lambda's col("doc_id") inside that select resolves against the
+    // projection's own aliased output — the replica id — not the input)
+    val setjoinCorpus = raw.crossJoin(broadcast(reps))
+      .withColumn("suff", concat(lit("x"), col("doc_id"), lit("g"),
+        (col("r") / 2).cast("int")))
+      .select((col("r").cast("long") * 100000L + col("doc_id")).as("doc_id"),
+        concat(
+          array_join(transform(filter(split(col("text"), " "), t => t =!= ""),
+            t => concat(t, col("suff"))), " "),
+          lit(" rep"), col("r")).as("text"))
+      .repartition(32).persist()
+    setjoinCorpus.count()
+    timedMin2("setjoin_prefix_500k") {
+      val r = Dedup.prefixSetJoin(Dedup.shingleRel(setjoinCorpus))
+      val rows = r.select("n_candidates").limit(1).collect()
+      stats("setjoin_pairs") = r.count().toString
+      stats("setjoin_candidates") =
+        if (rows.isEmpty) "0" else rows.head.getLong(0).toString
+    }
+
     val json =
       "{\"timings_sec\":" +
         timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}") +

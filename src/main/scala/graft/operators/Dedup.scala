@@ -99,6 +99,47 @@ object Dedup {
 
   private def shingles(textCol: Column, n: Int = 3): Column = shinglesUdf(n)(textCol)
 
+  /** PPJoin-style prefix-filtered exact Jaccard ≥ 1/2 join over an
+    * exploded (doc_id, sh) set relation — the engine behind
+    * `dd_setjoin_prefix` and the BenchDoc 500k leg. Returns
+    * (doc_a, doc_b, inter, uni, jac_bp, n_candidates). */
+  private[graft] def prefixSetJoin(shRel: DataFrame): DataFrame = {
+    val sh = shRel.persist()
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(freq, "sh")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), t => t.getField("sh")).as("toks"),
+        size(col("ts")).as("sz"))
+      .persist()
+    val pref = ordered.select(col("doc_id"),
+      explode(slice(col("toks"), lit(1), expr("sz div 2 + 1"))).as("sh"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct().persist()
+    val nCand = cand.count() // bounded driver state: one scalar
+    val a = ordered.select(col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val b = ordered.select(col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("uni", (col("sz_a") + col("sz_b")).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .withColumn("jac_bp", expr("(inter * 10000) div uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        col("jac_bp"), lit(nCand).as("n_candidates"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exploded (doc_id, sh) relation over any (doc_id, text) input —
+    * the [[prefixSetJoin]] feed (BenchDoc builds it over the 500k
+    * replica corpus). */
+  private[graft] def shingleRel(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+
   /** Exploded (doc_id, source, shingle) relation. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -698,36 +739,8 @@ object Dedup {
     // rarity (the df-cap hazard of sharedSpans doesn't arise: a
     // ubiquitous shingle lands at the END of every ordered set, past
     // every prefix).
-    "dd_setjoin_prefix" -> ((s, d) => {
-      val sh = docShingles(s, d).select("doc_id", "sh").persist()
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      val ordered = sh.join(freq, "sh")
-        .groupBy("doc_id")
-        .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ts"))
-        .select(col("doc_id"),
-          transform(col("ts"), t => t.getField("sh")).as("toks"),
-          size(col("ts")).as("sz"))
-        .persist()
-      val pref = ordered.select(col("doc_id"),
-        explode(slice(col("toks"), lit(1), expr("sz div 2 + 1"))).as("sh"))
-      val cand = pref.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(pref.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-          col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct().persist()
-      val nCand = cand.count() // bounded driver state: one scalar
-      val a = ordered.select(col("doc_id").as("doc_a"),
-        col("toks").as("toks_a"), col("sz").as("sz_a"))
-      val b = ordered.select(col("doc_id").as("doc_b"),
-        col("toks").as("toks_b"), col("sz").as("sz_b"))
-      cand.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
-        .withColumn("uni", (col("sz_a") + col("sz_b")).cast("long") - col("inter"))
-        .filter(col("inter") * 2 >= col("uni"))
-        .withColumn("jac_bp", expr("(inter * 10000) div uni"))
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
-          col("jac_bp"), lit(nCand).as("n_candidates"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd_setjoin_prefix" -> ((s, d) =>
+      prefixSetJoin(docShingles(s, d).select("doc_id", "sh"))),
 
     // N-gram (3-shingle) Jaccard similarity join, blocked by source.
     // The exploded shingle relation feeds three consumers (sizes, both

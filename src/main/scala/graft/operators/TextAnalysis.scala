@@ -310,6 +310,36 @@ object TextAnalysis {
   def bm25Scores(docs: DataFrame, qterms: Seq[String]): DataFrame =
     bm25Fold(bm25TermScores(docs, qterms))
 
+  /** MaxScore lossless top-k pruning over [[bm25TermScores]] — the
+    * engine behind `ts_bm25_maxscore` (see that query's comment for
+    * the contract) and the BenchDoc 500k serving leg. */
+  def bm25MaxScore(docs: DataFrame, qterms: Seq[String], k: Int): DataFrame = {
+    val scored = bm25TermScores(docs, qterms).persist()
+    val ubs = scored.groupBy("term").agg(max(col("sc")).as("ub"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val champ = ubs.toSeq.sortBy { case (t, u) => (-u, t) }.head._1
+    val champTop = scored.filter(col("term") === champ)
+      .orderBy(col("sc").desc, col("doc_id").asc).limit(k)
+      .select("sc").collect().map(_.getDouble(0))
+    val theta0 = if (champTop.length < k) 0.0 else champTop.last
+    val ubCol = qterms.filter(ubs.contains).foldLeft(lit(null).cast("double")) {
+      (w, t) => when(col("term") === t, lit(ubs(t))).otherwise(w)
+    }
+    val docUb = scored.withColumn("ub", ubCol)
+      .groupBy("doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("ub")))),
+        lit(0.0), (a, x) => a + x.getField("ub")).as("doc_ub"))
+      .persist()
+    val survivors = docUb.filter(col("doc_ub") >= lit(theta0)).select("doc_id")
+    val nCand = docUb.count()
+    val nScored = survivors.count()
+    bm25Fold(scored.join(survivors, Seq("doc_id"), "left_semi"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+      .withColumn("n_candidates", lit(nCand))
+      .withColumn("n_scored", lit(nScored))
+      .withColumn("n_pruned", lit(nCand - nScored))
+  }
+
   /** Per-partition Misra–Gries candidate generation for heavy-hitter
     * queries: each partition streams its terms through a bounded
     * k-counter summary (decrement-all on overflow — the classic
@@ -717,34 +747,8 @@ object TextAnalysis {
     // left-to-right, so every pruning decision replays bit-exactly in
     // the oracle. At 100 TB the win is phase-3 scoring touching the
     // bound-surviving sliver instead of every posting.
-    "ts_bm25_maxscore" -> ((s, d) => {
-      val k = 20
-      val qterms = Seq("join", "vector", "dup")
-      val scored = bm25TermScores(Tables.documents(s, d), qterms).persist()
-      val ubs = scored.groupBy("term").agg(max(col("sc")).as("ub"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val champ = ubs.toSeq.sortBy { case (t, u) => (-u, t) }.head._1
-      val champTop = scored.filter(col("term") === champ)
-        .orderBy(col("sc").desc, col("doc_id").asc).limit(k)
-        .select("sc").collect().map(_.getDouble(0))
-      val theta0 = if (champTop.length < k) 0.0 else champTop.last
-      val ubCol = qterms.filter(ubs.contains).foldLeft(lit(null).cast("double")) {
-        (w, t) => when(col("term") === t, lit(ubs(t))).otherwise(w)
-      }
-      val docUb = scored.withColumn("ub", ubCol)
-        .groupBy("doc_id")
-        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("ub")))),
-          lit(0.0), (a, x) => a + x.getField("ub")).as("doc_ub"))
-        .persist()
-      val survivors = docUb.filter(col("doc_ub") >= lit(theta0)).select("doc_id")
-      val nCand = docUb.count()
-      val nScored = survivors.count()
-      bm25Fold(scored.join(survivors, Seq("doc_id"), "left_semi"))
-        .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
-        .withColumn("n_candidates", lit(nCand))
-        .withColumn("n_scored", lit(nScored))
-        .withColumn("n_pruned", lit(nCand - nScored))
-    }),
+    "ts_bm25_maxscore" -> ((s, d) =>
+      bm25MaxScore(Tables.documents(s, d), Seq("join", "vector", "dup"), 20)),
 
     // Positional phrase search — the inverted-index feature BM25's
     // bag-of-words scoring can't express: an exact-phrase query is an
