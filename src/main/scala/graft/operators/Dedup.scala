@@ -742,6 +742,75 @@ object Dedup {
     "dd_setjoin_prefix" -> ((s, d) =>
       prefixSetJoin(docShingles(s, d).select("doc_id", "sh"))),
 
+    // MULTI-PASS SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo 1995's
+    // merge/purge — the third classic blocking strategy beside
+    // LSH-banding and prefix filtering): sort the corpus by a cheap
+    // discriminating key, compare only docs within a sliding window of
+    // w = 4 ranks, and run MULTIPLE passes with different keys (raw
+    // text prefix + canonical sorted-token prefix, which catches
+    // token-permuted near-dups the raw order misses) so a near-dup
+    // pair only needs to collide in ONE pass. Cost is O(n·w) verifies
+    // after a sort — never the all-pairs square. The global rank is
+    // the scale move: NOT one global row_number window (a
+    // single-partition non-starter at 100 TB) but the two-phase form —
+    // per-bucket partitioned windows (bucket = 2-char key prefix, so
+    // bucket order is consistent with key order by construction) plus
+    // offsets from the BOUNDED per-bucket count relation, broadcast
+    // back. Candidate pairs then come from an EQUI-join on rank+j
+    // (j ∈ 1..w−1), and only that O(n·w) sliver pays the exact
+    // shingle-Jaccard verify (≥ 0.2, the dd_ngram_jaccard line).
+    // Oracle = the naive single-window global sort, proving the
+    // two-phase rank is exactly the sequential one.
+    "dd_sorted_neighborhood" -> ((s, d) => {
+      import graft.functions.BoundedWindow
+      val w = 4
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), shingles(col("text")).as("shs"))
+        .persist()
+      val canon = array_join(array_sort(array_distinct(
+        filter(split(col("text"), " "), t => t =!= ""))), " ")
+      val ranked = Seq(
+        ("canon", substring(canon, 1, 24)),
+        ("raw", substring(col("text"), 1, 24))).map { case (pname, keyCol) =>
+        val keyed = docs.select(col("doc_id"), keyCol.as("k"))
+          .withColumn("bkt", substring(col("k"), 1, 2))
+        val offs = keyed.groupBy("bkt").agg(count(lit(1)).as("bc"))
+          .withColumn("off", coalesce(sum(col("bc")).over(
+            BoundedWindow.orderBy(col("bc"), col("bkt").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "off")
+        keyed.join(broadcast(offs), "bkt")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("bkt").orderBy(col("k"), col("doc_id")))
+            .cast("long"))
+          .select(lit(pname).as("pass"), col("doc_id"),
+            (col("off") + col("rn")).as("rnk"))
+      }.reduce(_ unionByName _)
+      val cand = ranked
+        .withColumn("j", explode(sequence(lit(1L), lit((w - 1).toLong))))
+        .select(col("pass"), col("doc_id").as("doc_a"),
+          (col("rnk") + col("j")).as("rnk_b"))
+        .join(ranked.select(col("pass"), col("doc_id").as("doc_b"),
+          col("rnk").as("rnk_b")), Seq("pass", "rnk_b"))
+        .select(col("pass"),
+          least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct()
+      val pairs = cand.groupBy("doc_a", "doc_b")
+        .agg(array_join(array_sort(collect_set(col("pass"))), ",").as("passes"))
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("uni",
+          (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+        .filter(col("uni") > 0 && col("inter") * 5 >= col("uni"))
+        .withColumn("jac_bp", expr("(inter * 10000) div uni"))
+        .select("doc_a", "doc_b", "inter", "uni", "jac_bp", "passes")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // N-gram (3-shingle) Jaccard similarity join, blocked by source.
     // The exploded shingle relation feeds three consumers (sizes, both
     // join sides) — persist it so the scan+explode runs once.
@@ -1380,6 +1449,41 @@ object Dedup {
          |       n_candidates
          |FROM ssv CROSS JOIN ssstat
          |WHERE 2 * inter >= uni
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_sorted_neighborhood" ->
+      s"""WITH snt AS (
+         |  SELECT doc_id, substr(text, 1, 24) AS kraw,
+         |    substr(array_to_string(list_sort(list_distinct($toksSql)), ' '),
+         |      1, 24) AS kcanon,
+         |    $shSql AS shs
+         |  FROM documents),
+         |snr AS (
+         |  SELECT 'raw' AS pass, doc_id,
+         |    CAST(row_number() OVER (ORDER BY kraw, doc_id) AS BIGINT) AS rnk
+         |  FROM snt
+         |  UNION ALL
+         |  SELECT 'canon', doc_id,
+         |    CAST(row_number() OVER (ORDER BY kcanon, doc_id) AS BIGINT)
+         |  FROM snt),
+         |snc AS (
+         |  SELECT DISTINCT a.pass, least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM snr a JOIN snr b
+         |    ON a.pass = b.pass AND b.rnk - a.rnk BETWEEN 1 AND 3),
+         |snp AS (
+         |  SELECT doc_a, doc_b,
+         |    array_to_string(list_sort(list(DISTINCT pass)), ',') AS passes
+         |  FROM snc GROUP BY 1, 2),
+         |snv AS (
+         |  SELECT p.doc_a, p.doc_b, p.passes,
+         |    CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT) AS inter,
+         |    CAST(len(x.shs) + len(y.shs) AS BIGINT)
+         |      - CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT) AS uni
+         |  FROM snp p JOIN snt x ON x.doc_id = p.doc_a
+         |              JOIN snt y ON y.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, inter, uni, (inter * 10000) // uni AS jac_bp,
+         |       passes
+         |FROM snv WHERE uni > 0 AND inter * 5 >= uni
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH ds AS (

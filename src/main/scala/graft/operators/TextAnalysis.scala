@@ -605,6 +605,82 @@ object TextAnalysis {
         .orderBy("event_type")
     }),
 
+    // HLL SET ALGEBRA — the payoff of keeping registers rather than a
+    // scalar estimate: sketches of different groups COMPOSE. Audience
+    // overlap between event-type pairs (shared active USER-DAYS — the
+    // a21 key, which at sf0.01 sits above the ~640 linear-counting
+    // floor where the per-type plain-user counts do not) without ever
+    // joining the key universes: the union sketch is the elementwise
+    // register max (EXACT — the same idempotent-max property that
+    // makes shard merge exact), and |A∩B| / |A\B| follow by
+    // inclusion–exclusion on the all-integer raw estimates. At 100 TB
+    // each surface's sketch is 256 ints built in one partial-agg pass
+    // over its shard of events; every pairwise overlap estimate after
+    // that is arithmetic on 2×256 ints — no re-scan, no key×key join,
+    // and sketches built by different jobs on different days still
+    // compose. Caveat carried on the output: est_inter differences
+    // three ~6.5%-σ estimates of union-sized magnitudes, so its
+    // absolute error scales with |A∪B|, not |A∩B| — the known
+    // inclusion–exclusion degradation when the overlap is a small
+    // fraction of the union (spec pins both bounds). The exact truth
+    // columns ride along for the err columns; at real scale they are
+    // precisely the computation the sketch replaces. Driver state is
+    // bounded model state: |event_types| × 256 ints (a20 precedent).
+    "a22_hll_set_algebra" -> ((s, d) => {
+      import s.implicits._
+      val du = Tables.events(s, d)
+        .select(col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            col("ts").cast("date").cast("string")).as("ud"))
+        .distinct().persist()
+      val h = md5(concat(lit("hsa:"), col("ud")))
+      def hvv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val bucket = (hvv(1) * 16 + hvv(2)).cast("int")
+      val v32 = (4 to 10).map(hvv)
+        .foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
+      val rho = when(v32 === 0, lit(33))
+        .otherwise(lit(33) - length(bin(v32))).cast("int")
+      val regRows = du.select(col("event_type"), array(bucket, rho).as("br"))
+        .as[(String, Seq[Int])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.Sketches.hll(256).name("regs"))
+        .collect().sortBy(_._1) // bounded: |types| × 256 ints
+      def estOf(regs: Seq[Int]): Long =
+        (1471L << 45) / regs.map(r0 => 1L << (40 - r0)).sum
+      val est = (for {
+        (ta, ra) <- regRows.toSeq; (tb, rb) <- regRows.toSeq; if ta < tb
+      } yield {
+        val eu = estOf(ra.zip(rb).map { case (x, y) => math.max(x, y) })
+        val (ea, eb) = (estOf(ra), estOf(rb))
+        (ta, tb, ea, eb, eu, ea + eb - eu, eu - eb)
+      }).toDF("type_a", "type_b", "est_a", "est_b",
+        "est_union", "est_inter", "est_anotb")
+      val cnt = du.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt")).persist()
+      val inter = du.select(col("event_type").as("type_a"), col("ud"))
+        .join(du.select(col("event_type").as("type_b"), col("ud")), "ud")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("ti"))
+      est
+        .join(cnt.select(col("event_type").as("type_a"),
+          col("cnt").as("true_a")), "type_a")
+        .join(cnt.select(col("event_type").as("type_b"),
+          col("cnt").as("true_b")), "type_b")
+        .join(inter, Seq("type_a", "type_b"), "left")
+        .withColumn("true_inter", coalesce(col("ti"), lit(0L)))
+        .withColumn("true_union",
+          col("true_a") + col("true_b") - col("true_inter"))
+        .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+          col("est_union"), col("est_inter"), col("est_anotb"),
+          col("true_union"), col("true_inter"),
+          (col("est_union") - col("true_union")).as("err_union"),
+          (col("est_inter") - col("true_inter")).as("err_inter"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Trained n-gram language identification (Cavnar & Trenkle 1994,
     // "N-Gram-Based Text Categorization" — the textcat/langid.py
     // ancestor): per-language character-bigram RANK profiles (top 50)
@@ -2651,6 +2727,67 @@ object TextAnalysis {
          |  (CAST(1471 AS BIGINT) << 45) // a.nsum - t.true_distinct AS err
          |FROM gagg a JOIN gtrue t USING (event_type)
          |ORDER BY a.event_type""".stripMargin
+    },
+    "a22_hll_set_algebra" -> {
+      val hh = "md5('hsa:' || ud)"
+      val bucketSql =
+        s"(${hexValSql(s"substr($hh, 1, 1)")} * 16 + ${hexValSql(s"substr($hh, 2, 1)")})"
+      val vSql = (4 to 10).foldLeft(
+        s"CAST(${hexValSql(s"substr($hh, 3, 1)")} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${hexValSql(s"substr($hh, $i, 1)")})")
+      s"""WITH sdu AS (
+         |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) || ':'
+         |    || CAST(CAST(ts AS DATE) AS VARCHAR) AS ud FROM events),
+         |sbr AS (
+         |  SELECT event_type, bucket, CASE WHEN v = 0 THEN 33
+         |                                  ELSE 33 - length(bin(v)) END AS rho
+         |  FROM (SELECT event_type, $bucketSql AS bucket, $vSql AS v FROM sdu)),
+         |sgrid AS (
+         |  SELECT t.event_type, g.b
+         |  FROM (SELECT DISTINCT event_type FROM sdu) t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) g),
+         |sregs AS (
+         |  SELECT g.event_type, g.b, COALESCE(max(h.rho), 0) AS reg
+         |  FROM sgrid g LEFT JOIN sbr h
+         |    ON h.event_type = g.event_type AND h.bucket = g.b
+         |  GROUP BY g.event_type, g.b),
+         |sest AS (
+         |  SELECT event_type, (CAST(1471 AS BIGINT) << 45) //
+         |    CAST(sum(CAST(1 AS BIGINT) << (40 - reg)) AS BIGINT) AS est
+         |  FROM sregs GROUP BY event_type),
+         |suni AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    (CAST(1471 AS BIGINT) << 45) //
+         |      CAST(sum(CAST(1 AS BIGINT) << (40 - greatest(a.reg, b.reg)))
+         |        AS BIGINT) AS est_union
+         |  FROM sregs a JOIN sregs b
+         |    ON a.b = b.b AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |scnt AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM sdu GROUP BY event_type),
+         |sinter AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST(count(*) AS BIGINT) AS true_inter
+         |  FROM sdu a JOIN sdu b
+         |    ON a.ud = b.ud AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT u.type_a, u.type_b, ea.est AS est_a, eb.est AS est_b,
+         |  u.est_union, ea.est + eb.est - u.est_union AS est_inter,
+         |  u.est_union - eb.est AS est_anotb,
+         |  ta.cnt + tb.cnt - COALESCE(i.true_inter, 0) AS true_union,
+         |  COALESCE(i.true_inter, 0) AS true_inter,
+         |  u.est_union - (ta.cnt + tb.cnt - COALESCE(i.true_inter, 0))
+         |    AS err_union,
+         |  (ea.est + eb.est - u.est_union) - COALESCE(i.true_inter, 0)
+         |    AS err_inter
+         |FROM suni u
+         |JOIN sest ea ON ea.event_type = u.type_a
+         |JOIN sest eb ON eb.event_type = u.type_b
+         |JOIN scnt ta ON ta.event_type = u.type_a
+         |JOIN scnt tb ON tb.event_type = u.type_b
+         |LEFT JOIN sinter i ON i.type_a = u.type_a AND i.type_b = u.type_b
+         |ORDER BY u.type_a, u.type_b""".stripMargin
     },
     "ta_langid_trained" ->
       s"""WITH ltv AS (

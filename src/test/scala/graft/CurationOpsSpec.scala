@@ -757,4 +757,48 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(rows.sameElements(again))
   }
+
+  test("dd_sorted_neighborhood: two-phase rank pairs == naive global-sort replay") {
+    val res = SparkEntry.queries("dd_sorted_neighborhood")(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    spark.catalog.clearCache()
+    assert(res.nonEmpty, "fixture near-dups must surface pairs")
+    // driver-side naive replay: ONE global sort per pass, window w=4,
+    // exact shingle Jaccard >= 0.2 — the single-partition form the
+    // two-phase rank provably equals
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty)
+    def shs(t: String) = {
+      val ts = toks(t)
+      if (ts.length < 3) Set.empty[String]
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val keys = Map(
+      "raw" -> docs.map { case (id, t) => id -> t.take(24) }.toMap,
+      "canon" -> docs.map { case (id, t) =>
+        id -> toks(t).distinct.sorted.mkString(" ").take(24) }.toMap)
+    val naive = scala.collection.mutable.Map[(Long, Long), Set[String]]()
+    for ((pname, km) <- keys) {
+      val order = docs.map(_._1).sortBy(id => (km(id), id))
+      for (i <- order.indices; j <- (i + 1) until math.min(i + 4, order.length)) {
+        val (lo, hi) = (math.min(order(i), order(j)), math.max(order(i), order(j)))
+        naive((lo, hi)) = naive.getOrElse((lo, hi), Set.empty[String]) + pname
+      }
+    }
+    val shsMap = docs.map { case (id, t) => id -> shs(t) }.toMap
+    val expected = naive.toSeq.flatMap { case ((a, b), ps) =>
+      val (sa, sb) = (shsMap(a), shsMap(b))
+      val inter = (sa & sb).size.toLong
+      val uni = sa.size + sb.size - inter
+      if (uni > 0 && inter * 5 >= uni)
+        Some((a, b) -> (inter, uni, inter * 10000 / uni, ps.toSeq.sorted.mkString(",")))
+      else None
+    }.toMap
+    assert(res == expected)
+    // passes column is the sorted distinct pass set (which passes found
+    // each pair is corpus-dependent; the equality above pins it exactly)
+    assert(res.values.map(_._4).toSet.subsetOf(Set("canon", "raw", "canon,raw")))
+  }
 }

@@ -271,6 +271,55 @@ class QueryOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a22_hll_set_algebra: identities hold, union merge == direct sketch, error bounded") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("a22_hll_set_algebra")(spark, d).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == 10, "5 event types -> 10 unordered pairs")
+    rows.foreach { r =>
+      val estA = r.getAs[Long]("est_a"); val estB = r.getAs[Long]("est_b")
+      val estU = r.getAs[Long]("est_union")
+      // inclusion-exclusion identities are exact by construction
+      assert(estA + estB - estU == r.getAs[Long]("est_inter"))
+      assert(estU - estB == r.getAs[Long]("est_anotb"))
+      // register max never loses evidence: union est >= each side's est
+      assert(estU >= math.max(estA, estB))
+      val tu = r.getAs[Long]("true_union")
+      assert(tu > 640, s"fixture pair union below the linear-counting floor: $tu")
+      assert(math.abs(estU - tu).toDouble / tu < 0.20,
+        s"${r.getString(0)}/${r.getString(1)} est_union $estU vs $tu")
+      // est_inter differences three ~6.5%-sigma union-sized estimates,
+      // so its error scales with |A∪B| (inclusion-exclusion caveat on
+      // the query): bound it against the union, not the intersection
+      val errI = r.getAs[Long]("err_inter")
+      assert(math.abs(errI).toDouble / tu < 0.25,
+        s"${r.getString(0)}/${r.getString(1)} err_inter $errI vs union $tu")
+    }
+    // composability: sketching the A∪B user set DIRECTLY yields the same
+    // estimate as the elementwise register max of the two per-type
+    // sketches (the property that lets sketches built by different jobs
+    // compose without re-scanning)
+    val first = rows.head
+    val (ta, tb) = (first.getString(0), first.getString(1))
+    val h = md5(concat(lit("hsa:"), col("ud")))
+    def hvv(i: Int) = {
+      val x = ascii(substring(h, i, 1)); when(x >= 97, x - 87).otherwise(x - 48)
+    }
+    val v32 = (4 to 10).map(hvv).foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
+    val regs = Tables.events(spark, d)
+      .filter(col("event_type").isin(ta, tb))
+      .select(concat(col("user_id").cast("string"), lit(":"),
+        col("ts").cast("date").cast("string")).as("ud")).distinct()
+      .select((hvv(1) * 16 + hvv(2)).cast("int").as("b"),
+        when(v32 === 0, lit(33)).otherwise(lit(33) - length(bin(v32))).cast("int").as("rho"))
+      .groupBy("b").agg(max(col("rho")).as("reg"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val nsum = (0 until 256).map(b => 1L << (40 - regs.getOrElse(b, 0))).sum
+    assert((1471L << 45) / nsum == first.getAs[Long]("est_union"),
+      "direct union sketch != register max-merge")
+  }
+
   test("a21_grouped_hll: per-group estimates track per-group truth at sf0.01") {
     val rows = SparkEntry.queries("a21_grouped_hll")(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
