@@ -376,4 +376,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(root.listFiles().map(_.getName).toSet == Set("vectors"),
       s"leftover staging dirs: ${root.listFiles().map(_.getName).mkString(",")}")
   }
+
+  test("streaming HLL maintenance: per-batch register max-merge == one-shot sketch") {
+    // The a22 composability property in its streaming setting: each
+    // micro-batch folds its own per-type 256-register sketch, the
+    // running state merges by elementwise max (idempotent, so replayed
+    // or overlapping batches are harmless — the crash-recovery story),
+    // and the final registers equal the one-shot batch sketch
+    // BIT-FOR-BIT. A continuously-maintained audience sketch therefore
+    // never needs a reprocessing window, and a22's set algebra runs on
+    // live state.
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d).select(col("event_type"),
+      concat(col("user_id").cast("string"), lit(":"),
+        col("ts").cast("date").cast("string")).as("ud"))
+    def sketch(df: org.apache.spark.sql.DataFrame): Map[String, Map[Int, Int]] = {
+      val h = md5(concat(lit("hsa:"), col("ud")))
+      def hvv(i: Int) = {
+        val x = ascii(substring(h, i, 1)); when(x >= 97, x - 87).otherwise(x - 48)
+      }
+      val v32 = (4 to 10).map(hvv)
+        .foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
+      df.select(col("event_type"), (hvv(1) * 16 + hvv(2)).cast("int").as("b"),
+        when(v32 === 0, lit(33)).otherwise(lit(33) - length(bin(v32)))
+          .cast("int").as("rho"))
+        .groupBy("event_type", "b").agg(max(col("rho")).as("reg"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1).map { case (t, rs) =>
+          t -> rs.map(r => r._2 -> r._3).toMap }
+    }
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_hll_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_ckpt").toString
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val state = scala.collection.mutable.Map[String, Array[Int]]()
+    var batches = 0
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1") // force >1 micro-batch
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        sketch(batch).foreach { case (t, regs) =>
+          val cur = state.getOrElseUpdate(t, new Array[Int](256))
+          regs.foreach { case (b, r) => if (r > cur(b)) cur(b) = r }
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(batches > 1, "expected multiple micro-batches")
+    val whole = sketch(ev)
+    assert(state.keySet == whole.keySet)
+    state.foreach { case (t, regs) =>
+      val exp = whole(t)
+      (0 until 256).foreach { b =>
+        assert(regs(b) == exp.getOrElse(b, 0), s"type $t bucket $b")
+      }
+    }
+  }
 }
