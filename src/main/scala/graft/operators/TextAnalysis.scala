@@ -391,6 +391,48 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("term").asc)
     }),
 
+    // COLLOCATION / PHRASE DISCOVERY (Mikolov et al. 2013 §4, the
+    // word2phrase pass — the public algorithm behind "new_york" tokens
+    // in word2vec vocabularies, and the phrase-induction step a
+    // tokenizer-training pipeline runs before BPE): adjacent-bigram
+    // score = (c_ab − δ)·N / (c_a·c_b) with the paper's discount δ = 5
+    // suppressing rare-pair noise; top-100 by score. Cross-engine
+    // exactness without ln: both integer products stay under 2⁵³
+    // (c_ab·N ≤ ~10¹³ at sf0.1), so each side of the ONE double
+    // division is an exactly-represented integer and the quotient is
+    // bit-identical in any IEEE engine. Scale shape: two explode +
+    // map-side partial-agg counts (unigram relation is vocab-sized →
+    // broadcast joins onto the bigram counts), one bounded driver
+    // scalar (N), and the top-100 is a TakeOrderedAndProject — no
+    // global sort materializes.
+    "ta_collocations" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .persist()
+      val uni = base.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .persist()
+      val nTok = uni.agg(sum(col("c"))).head().getLong(0) // bounded scalar
+      val bi = base
+        .filter(size(col("tk")) >= 2) // guards sequence(1, 0) descending
+        .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat(element_at(col("tk"), i), lit(" "),
+            element_at(col("tk"), i + 1)))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+        .filter(col("c_ab") > 5)
+        .withColumn("score",
+          ((col("c_ab") - lit(5L)) * lit(nTok)).cast("double") /
+            (col("c_a") * col("c_b")).cast("double"))
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          col("score"))
+        .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+        .limit(100)
+    }),
+
     // Language-ID: count marker-stopword hits per language, argmax with
     // deterministic priority order on ties.
     "ta_language_id" -> ((s, d) => {
@@ -2343,6 +2385,27 @@ object TextAnalysis {
          |SELECT term, count(*) AS cnt FROM toks CROSS JOIN tot
          |GROUP BY term, t HAVING count(*) >= t
          |ORDER BY cnt DESC, term ASC""".stripMargin,
+    "ta_collocations" ->
+      s"""WITH ct AS (SELECT $toksSql AS tk FROM documents),
+         |cu AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(tk) AS w FROM ct) GROUP BY w),
+         |cn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cu),
+         |cb AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM ct WHERE len(tk) >= 2),
+         |cbc AS (
+         |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         |    CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM cb GROUP BY 1, 2)
+         |SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, bb.c AS c_b,
+         |  CAST((b.c_ab - 5) * cn.n AS DOUBLE)
+         |    / CAST(a.c * bb.c AS DOUBLE) AS score
+         |FROM cbc b JOIN cu a ON a.w = b.w1 JOIN cu bb ON bb.w = b.w2
+         |CROSS JOIN cn
+         |WHERE b.c_ab > 5
+         |ORDER BY score DESC, b.w1 ASC, b.w2 ASC LIMIT 100""".stripMargin,
     // two chained ts_bm25 replays: pass-1 picks the 5 feedback docs,
     // their top-3 long non-seed terms join the query, pass-2 reranks.
     "ts_rm3_expansion" ->

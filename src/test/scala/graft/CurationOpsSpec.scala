@@ -801,4 +801,35 @@ class CurationOpsSpec extends AnyFunSuite {
     // each pair is corpus-dependent; the equality above pins it exactly)
     assert(res.values.map(_._4).toSet.subsetOf(Set("canon", "raw", "canon,raw")))
   }
+
+  test("ta_collocations: counts and scores match an exact driver recount, true top-100") {
+    val rows = SparkEntry.queries("ta_collocations")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val texts = Tables.documents(spark, d).select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse(""))
+    val toks = texts.map(_.split(" ").filter(_.nonEmpty))
+    val uni = scala.collection.mutable.Map[String, Long]()
+    val bi = scala.collection.mutable.Map[(String, String), Long]()
+    toks.foreach { ts =>
+      ts.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ts.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); bi(k) = bi.getOrElse(k, 0L) + 1
+      }
+    }
+    val n = uni.values.sum
+    def scoreOf(k: (String, String)) =
+      ((bi(k) - 5L) * n).toDouble / (uni(k._1) * uni(k._2)).toDouble
+    rows.foreach { case (w1, w2, cab, ca, cb, sc) =>
+      assert(bi((w1, w2)) == cab && uni(w1) == ca && uni(w2) == cb)
+      assert(cab > 5)
+      assert(sc == scoreOf((w1, w2)), s"$w1 $w2") // bit-exact: one division
+    }
+    // the reported rows ARE the global top-100 under (score desc, w1, w2)
+    val expTop = bi.keys.filter(bi(_) > 5).toSeq
+      .sortBy(k => (-scoreOf(k), k._1, k._2)).take(100)
+    assert(rows.map(r => (r._1, r._2)).toSeq == expTop)
+  }
 }
