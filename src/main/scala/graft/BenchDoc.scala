@@ -232,6 +232,20 @@ object BenchDoc {
         if (rows.isEmpty) "0" else rows.head.getLong(0).toString
     }
 
+    // ---- multi-pass sorted-neighborhood at 500k --------------------
+    // the duplicate-cluster shape the LSH family pays band-bucket
+    // joins for: ~100 replicas of each base doc sort ADJACENTLY, and
+    // the w=4 window bounds comparisons at O(n·w) regardless of
+    // cluster size (the exact set join on this corpus is correctly
+    // quadratic inside each replica cluster — see corpus D's note).
+    // The two-phase rank — per-bucket partitioned windows + offsets
+    // from the bounded bucket relation — is what lets the "global
+    // sort" run as a range-partitioned sort at 100 TB.
+    timedMin2("sorted_neighborhood_500k") {
+      val r = Dedup.sortedNeighborhood(corpus)
+      stats("snd_pairs") = r.count().toString
+    }
+
     val json =
       "{\"timings_sec\":" +
         timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}") +

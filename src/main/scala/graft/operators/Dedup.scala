@@ -140,6 +140,60 @@ object Dedup {
   private[graft] def shingleRel(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
+  /** Multi-pass sorted-neighborhood dedup engine over any
+    * (doc_id, text) input — the machinery behind
+    * `dd_sorted_neighborhood` (see that query's comment for the
+    * contract) and the BenchDoc 500k leg. Returns
+    * (doc_a, doc_b, inter, uni, jac_bp, passes). */
+  private[graft] def sortedNeighborhood(input: DataFrame, w: Int = 4): DataFrame = {
+    import graft.functions.BoundedWindow
+    val docs = input
+      .select(col("doc_id"), col("text"), shingles(col("text")).as("shs"))
+      .persist()
+    val canon = array_join(array_sort(array_distinct(
+      filter(split(col("text"), " "), t => t =!= ""))), " ")
+    val ranked = Seq(
+      ("canon", substring(canon, 1, 24)),
+      ("raw", substring(col("text"), 1, 24))).map { case (pname, keyCol) =>
+      val keyed = docs.select(col("doc_id"), keyCol.as("k"))
+        .withColumn("bkt", substring(col("k"), 1, 2))
+      val offs = keyed.groupBy("bkt").agg(count(lit(1)).as("bc"))
+        .withColumn("off", coalesce(sum(col("bc")).over(
+          BoundedWindow.orderBy(col("bc"), col("bkt").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      keyed.join(broadcast(offs), "bkt")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bkt").orderBy(col("k"), col("doc_id")))
+          .cast("long"))
+        .select(lit(pname).as("pass"), col("doc_id"),
+          (col("off") + col("rn")).as("rnk"))
+    }.reduce(_ unionByName _)
+    val cand = ranked
+      .withColumn("j", explode(sequence(lit(1L), lit((w - 1).toLong))))
+      .select(col("pass"), col("doc_id").as("doc_a"),
+        (col("rnk") + col("j")).as("rnk_b"))
+      .join(ranked.select(col("pass"), col("doc_id").as("doc_b"),
+        col("rnk").as("rnk_b")), Seq("pass", "rnk_b"))
+      .select(col("pass"),
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    val pairs = cand.groupBy("doc_a", "doc_b")
+      .agg(array_join(array_sort(collect_set(col("pass"))), ",").as("passes"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .filter(col("uni") > 0 && col("inter") * 5 >= col("uni"))
+      .withColumn("jac_bp", expr("(inter * 10000) div uni"))
+      .select("doc_a", "doc_b", "inter", "uni", "jac_bp", "passes")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exploded (doc_id, source, shingle) relation. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -761,55 +815,8 @@ object Dedup {
     // shingle-Jaccard verify (≥ 0.2, the dd_ngram_jaccard line).
     // Oracle = the naive single-window global sort, proving the
     // two-phase rank is exactly the sequential one.
-    "dd_sorted_neighborhood" -> ((s, d) => {
-      import graft.functions.BoundedWindow
-      val w = 4
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), shingles(col("text")).as("shs"))
-        .persist()
-      val canon = array_join(array_sort(array_distinct(
-        filter(split(col("text"), " "), t => t =!= ""))), " ")
-      val ranked = Seq(
-        ("canon", substring(canon, 1, 24)),
-        ("raw", substring(col("text"), 1, 24))).map { case (pname, keyCol) =>
-        val keyed = docs.select(col("doc_id"), keyCol.as("k"))
-          .withColumn("bkt", substring(col("k"), 1, 2))
-        val offs = keyed.groupBy("bkt").agg(count(lit(1)).as("bc"))
-          .withColumn("off", coalesce(sum(col("bc")).over(
-            BoundedWindow.orderBy(col("bc"), col("bkt").asc)
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("bkt", "off")
-        keyed.join(broadcast(offs), "bkt")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("bkt").orderBy(col("k"), col("doc_id")))
-            .cast("long"))
-          .select(lit(pname).as("pass"), col("doc_id"),
-            (col("off") + col("rn")).as("rnk"))
-      }.reduce(_ unionByName _)
-      val cand = ranked
-        .withColumn("j", explode(sequence(lit(1L), lit((w - 1).toLong))))
-        .select(col("pass"), col("doc_id").as("doc_a"),
-          (col("rnk") + col("j")).as("rnk_b"))
-        .join(ranked.select(col("pass"), col("doc_id").as("doc_b"),
-          col("rnk").as("rnk_b")), Seq("pass", "rnk_b"))
-        .select(col("pass"),
-          least(col("doc_a"), col("doc_b")).as("doc_a"),
-          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-        .distinct()
-      val pairs = cand.groupBy("doc_a", "doc_b")
-        .agg(array_join(array_sort(collect_set(col("pass"))), ",").as("passes"))
-      pairs
-        .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-        .withColumn("inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("uni",
-          (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
-        .filter(col("uni") > 0 && col("inter") * 5 >= col("uni"))
-        .withColumn("jac_bp", expr("(inter * 10000) div uni"))
-        .select("doc_a", "doc_b", "inter", "uni", "jac_bp", "passes")
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd_sorted_neighborhood" -> ((s, d) =>
+      sortedNeighborhood(Tables.documents(s, d))),
 
     // N-gram (3-shingle) Jaccard similarity join, blocked by source.
     // The exploded shingle relation feeds three consumers (sizes, both
