@@ -522,7 +522,9 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxGramDf)
       .select("gh")
-    val kept = grams.join(broadcast(hot), Seq("gh"), "left_anti")
+    // no broadcast hint: |hot| ≤ gramRows/maxGramDf grows linearly with
+    // the corpus (10⁸+ at web scale) — AQE broadcasts when it IS small
+    val kept = grams.join(hot, Seq("gh"), "left_anti")
     kept.as("a").join(kept.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -167,13 +167,15 @@ object Relational {
     }),
 
     // J1 — enrich ids with dimension data via broadcast joins (crud_documents.py:319-357
-    // batch-$in fetch). Dims are broadcast: zero shuffle on the join at any scale.
+    // batch-$in fetch). Only the DOMAIN-BOUNDED dims (nation=25, region=5 rows at
+    // any scale) carry a broadcast hint; customer grows with the corpus, so its
+    // join is left to AQE — broadcast at small SF, shuffle join at 100 TB.
     "j1_join_enrich" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))

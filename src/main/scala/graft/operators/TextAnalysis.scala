@@ -404,7 +404,11 @@ object TextAnalysis {
     // map-side partial-agg counts (unigram relation is vocab-sized →
     // broadcast joins onto the bigram counts), one bounded driver
     // scalar (N), and the top-100 is a TakeOrderedAndProject — no
-    // global sort materializes.
+    // global sort materializes. The unigram→bigram joins carry NO
+    // broadcast hint on purpose: the unigram relation is CORPUS-derived
+    // (web-scale vocab is 10⁸+ rows — a forced broadcast is a driver
+    // OOM at 100 TB); at small SF, AQE still picks a broadcast join on
+    // its own from the observed size.
     "ta_collocations" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -421,8 +425,8 @@ object TextAnalysis {
         .groupBy("bg").agg(count(lit(1)).as("c_ab"))
         .withColumn("w1", split(col("bg"), " ").getItem(0))
         .withColumn("w2", split(col("bg"), " ").getItem(1))
-      bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
-        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+      bi.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
         .filter(col("c_ab") > 5)
         .withColumn("score",
           ((col("c_ab") - lit(5L)) * lit(nTok)).cast("double") /
