@@ -232,6 +232,14 @@ object BenchDoc {
         if (rows.isEmpty) "0" else rows.head.getLong(0).toString
     }
 
+    // release the ~25M-row setjoin shingle cache AND prefixSetJoin's
+    // three internal persists before the next timed leg — left pinned,
+    // they squeezed the sorted-neighborhood leg's executor memory.
+    // clearCache drops corpus A too, so re-materialize it (untimed).
+    spark.catalog.clearCache()
+    corpus.persist()
+    corpus.count()
+
     // ---- multi-pass sorted-neighborhood at 500k --------------------
     // the duplicate-cluster shape the LSH family pays band-bucket
     // joins for: ~100 replicas of each base doc sort ADJACENTLY, and

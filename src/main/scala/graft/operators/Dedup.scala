@@ -119,7 +119,13 @@ object Dedup {
       .join(pref.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct().persist()
-    val nCand = cand.count() // bounded driver state: one scalar
+    // n_candidates rides along as a broadcast 1-row aggregate (an
+    // INTENTIONAL 1-row nested-loop cross — PlanAuditSpec allowlists
+    // it) so that CONSTRUCTING this DataFrame stays lazy — an eager
+    // cand.count() here ran the full candidate join before any
+    // consumer action (e.g. a limit(1) probe) and then re-ran it for
+    // the real action.
+    val nCandRel = cand.agg(count(lit(1)).as("n_candidates"))
     val a = ordered.select(col("doc_id").as("doc_a"),
       col("toks").as("toks_a"), col("sz").as("sz_a"))
     val b = ordered.select(col("doc_id").as("doc_b"),
@@ -129,8 +135,9 @@ object Dedup {
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("long") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .withColumn("jac_bp", expr("(inter * 10000) div uni"))
+      .crossJoin(broadcast(nCandRel))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
-        col("jac_bp"), lit(nCand).as("n_candidates"))
+        col("jac_bp"), col("n_candidates"))
       .orderBy("doc_a", "doc_b")
   }
 

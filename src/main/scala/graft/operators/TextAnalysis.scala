@@ -317,6 +317,14 @@ object TextAnalysis {
     val scored = bm25TermScores(docs, qterms).persist()
     val ubs = scored.groupBy("term").agg(max(col("sc")).as("ub"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // no query term occurs in the corpus: nothing to prune, nothing to
+    // score — return the (empty) fold with zeroed pruning counters
+    // rather than picking a champion from an empty upper-bound set
+    if (ubs.isEmpty)
+      return bm25Fold(scored)
+        .withColumn("n_candidates", lit(0L))
+        .withColumn("n_scored", lit(0L))
+        .withColumn("n_pruned", lit(0L))
     val champ = ubs.toSeq.sortBy { case (t, u) => (-u, t) }.head._1
     val champTop = scored.filter(col("term") === champ)
       .orderBy(col("sc").desc, col("doc_id").asc).limit(k)
@@ -369,6 +377,27 @@ object TextAnalysis {
       }
       counts.keysIterator
     }.toDF("term").distinct()
+  }
+
+  /** md5-derived HLL register coordinates shared by a20/a21/a22:
+    * bucket = first md5 hex byte of salt||key (0..255); rho = leading
+    * zeros + 1 over the NEXT 32-bit fold (hex digits 3..10), encoded
+    * all-integer as 33 - bitlength(v32) with v32 = 0 pinned at 33 so
+    * the oracle replays it with `length(bin(v))` on both engines. The
+    * oracle SQL and test-side replays stay textually independent by
+    * design — this helper is the single engine-side encoding. */
+  private def hllBucketRho(salt: String, key: Column): (Column, Column) = {
+    val h = md5(concat(lit(salt), key))
+    def hvv(i: Int): Column = {
+      val a = ascii(substring(h, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    val bucket = (hvv(1) * 16 + hvv(2)).cast("int")
+    val v32 = (4 to 10).map(hvv)
+      .foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
+    val rho = when(v32 === 0, lit(33))
+      .otherwise(lit(33) - length(bin(v32))).cast("int")
+    (bucket, rho)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -562,6 +591,7 @@ object TextAnalysis {
     }),
 
     // HyperLogLog register sketch (Flajolet et al. 2007) through the
+    // (shared bucket/rho derivation: `hllBucketRho` below the map)
     // typed HllAggregator: one pass over token occurrences folds 256
     // max-registers with map-side partials (the shuffle is 256 ints
     // per partition — register merge is elementwise max, so shard
@@ -582,16 +612,7 @@ object TextAnalysis {
       import s.implicits._
       val occ = Tables.lineitem(s, d)
         .select(col("l_orderkey").cast("string").as("tok")).persist()
-      val h = md5(concat(lit("hll:"), col("tok")))
-      def hvv(i: Int): Column = {
-        val a = ascii(substring(h, i, 1))
-        when(a >= 97, a - 87).otherwise(a - 48)
-      }
-      val bucket = (hvv(1) * 16 + hvv(2)).cast("int")
-      val v32 = (4 to 10).map(hvv)
-        .foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
-      val rho = when(v32 === 0, lit(33))
-        .otherwise(lit(33) - length(bin(v32))).cast("int")
+      val (bucket, rho) = hllBucketRho("hll:", col("tok"))
       val regs = occ
         .select(array(bucket, rho).as("br")).as[Seq[Int]]
         .groupByKey(_ => 0)
@@ -622,16 +643,7 @@ object TextAnalysis {
       val ev = Tables.events(s, d).select(col("event_type"),
         concat(col("user_id").cast("string"), lit(":"),
           col("ts").cast("date").cast("string")).as("user_day"))
-      val h = md5(concat(lit("hllg:"), col("user_day")))
-      def hvv(i: Int): Column = {
-        val a = ascii(substring(h, i, 1))
-        when(a >= 97, a - 87).otherwise(a - 48)
-      }
-      val bucket = (hvv(1) * 16 + hvv(2)).cast("int")
-      val v32 = (4 to 10).map(hvv)
-        .foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
-      val rho = when(v32 === 0, lit(33))
-        .otherwise(lit(33) - length(bin(v32))).cast("int")
+      val (bucket, rho) = hllBucketRho("hllg:", col("user_day"))
       val regs = ev.select(col("event_type"), array(bucket, rho).as("br"))
         .as[(String, Seq[Int])]
         .groupByKey(_._1).mapValues(_._2)
@@ -679,16 +691,7 @@ object TextAnalysis {
           concat(col("user_id").cast("string"), lit(":"),
             col("ts").cast("date").cast("string")).as("ud"))
         .distinct().persist()
-      val h = md5(concat(lit("hsa:"), col("ud")))
-      def hvv(i: Int): Column = {
-        val a = ascii(substring(h, i, 1))
-        when(a >= 97, a - 87).otherwise(a - 48)
-      }
-      val bucket = (hvv(1) * 16 + hvv(2)).cast("int")
-      val v32 = (4 to 10).map(hvv)
-        .foldLeft(hvv(3).cast("long"))((acc, x) => acc * 16 + x)
-      val rho = when(v32 === 0, lit(33))
-        .otherwise(lit(33) - length(bin(v32))).cast("int")
+      val (bucket, rho) = hllBucketRho("hsa:", col("ud"))
       val regRows = du.select(col("event_type"), array(bucket, rho).as("br"))
         .as[(String, Seq[Int])]
         .groupByKey(_._1).mapValues(_._2)

@@ -452,6 +452,14 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(nPruned > nCand / 2, s"pruned $nPruned of $nCand — bound too weak")
   }
 
+  test("bm25MaxScore: no query term in the corpus returns empty, not a crash") {
+    val out = TextAnalysis.bm25MaxScore(
+      Tables.documents(spark, d).select("doc_id", "text"),
+      Seq("zzqx_not_in_corpus", "zzqy_also_absent"), 10).collect().toSeq
+    spark.catalog.clearCache()
+    assert(out.isEmpty, s"expected no rows for absent terms, got ${out.size}")
+  }
+
   test("ts_spell_correct: every planted typo resolves to a distance-1 vocab term") {
     val rows = SparkEntry.queries("ts_spell_correct")(spark, d).collect().toSeq
     spark.catalog.clearCache()

@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "eval_answer_quality",    // broadcast 30-query golden set × corpus scan
     "eval_answer_exact",      // same scan, SQL-reconstructible embedder
     "eval_modes_grid",        // broadcast 120-question QA set × corpus scan
-    "v14_late_interaction"    // broadcast 3-subvector query set × corpus scan
+    "v14_late_interaction",   // broadcast 3-subvector query set × corpus scan
+    "dd_setjoin_prefix"       // broadcast 1-row n_candidates rider × result rows
   )
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in any query plan") {
@@ -53,6 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "c7_hierarchical" -> "per-cluster sizes: rows ≤ tenants × k (model state)",
     "c7b_hierarchical_density" -> "per-cluster sizes: rows ≤ tenants × k",
     "c7h_hierarchical_hdbscan" -> "per-cluster sizes: rows ≤ tenants × k",
+    "dd_setjoin_prefix" -> "1-row candidate-count aggregate riding along",
     "dd_span_rewrite" -> "removal spans from the top-100-capped span report",
     "dd_sorted_neighborhood" -> "per-bucket offsets: 2-char-prefix domain ≤ charset²",
     "eval_answer_exact" -> "fixed golden query set (bounded grid)",
