@@ -19,7 +19,12 @@ import sys
 
 
 def main() -> None:
-    detail = json.load(open("BENCH_DETAIL.json"))["queries"]
+    artifact = json.load(open("BENCH_DETAIL.json"))
+    detail = dict(artifact["queries"])
+    # the box-weather probe is quotable like a query (PERF.md's
+    # calibration story sits inside drift-checked blocks too)
+    if "calibration" in artifact:
+        detail["calibration"] = artifact["calibration"]
     # BENCHVEC stage timings share the namespace (stage names and query
     # names are disjoint), so PERF.md's scale-bench table is checked by
     # the same patterns.
