@@ -67,6 +67,79 @@ trait EmbedderBackend extends Serializable {
   def open(): EmbedderHandle
 }
 
+/** Config-driven backend resolution (round-9 verdict task 3): the ONNX
+  * jar drop-in from EMBEDDING.md requires ZERO code changes — drop the
+  * jar on the classpath and set `graft.embedder` (system property,
+  * wins) or `GRAFT_EMBEDDER` (env var) on the DRIVER; resolution
+  * happens once at plan-construction time and the resolved backend
+  * object is what ships to executors, so a driver-side property
+  * configures the whole cluster.
+  *
+  * Spec grammar:
+  *   `hash:<dim>`                 deterministic double (the default)
+  *   `subprocess:<dim>:<cmd...>`  out-of-process worker, cmd split on
+  *                                whitespace (EMBEDDING.md option B)
+  *   `class:<fqcn>`               reflective no-arg construction
+  *   `class:<fqcn>?a1,a2,...`     reflective: the public constructor
+  *                                whose arity matches gets each arg
+  *                                parsed to its parameter type
+  *                                (String/Int/Long/Double/Boolean) —
+  *                                e.g. EMBEDDING.md option A is
+  *     class:OnnxEmbedderBackend?/local/model.onnx,/local/tokenizer.json,128
+  *
+  * ReflectiveBackendSpec proves the claim end-to-end: a fake backend
+  * loaded through this exact path drives `buildIndex` with no source
+  * change. */
+object EmbedderBackend {
+  def resolve(spec: String): EmbedderBackend = spec.split(":", 2) match {
+    case Array("hash", d) => new EmbedderAsBackend(new HashEmbedder(d.trim.toInt))
+    case Array("subprocess", rest) =>
+      val Array(d, cmd) = rest.split(":", 2)
+      new SubprocessEmbedderBackend(cmd.trim.split("\\s+").toSeq, d.trim.toInt)
+    case Array("class", rest) =>
+      val (fqcn, args) = rest.split("\\?", 2) match {
+        case Array(c, a) => (c.trim, a.split(",", -1).toSeq)
+        case Array(c)    => (c.trim, Seq.empty[String])
+      }
+      reflective(fqcn, args)
+    case _ => reflective(spec.trim, Seq.empty) // bare FQCN shorthand
+  }
+
+  private def reflective(fqcn: String, args: Seq[String]): EmbedderBackend = {
+    val cls = Class.forName(fqcn)
+    require(classOf[EmbedderBackend].isAssignableFrom(cls),
+      s"$fqcn does not implement graft.functions.EmbedderBackend")
+    val ctor = cls.getConstructors.find(_.getParameterCount == args.length)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$fqcn has no public ${args.length}-arg constructor " +
+          s"(give every constructor arg explicitly — Scala default " +
+          s"args are not reflectable)"))
+    val bound = ctor.getParameterTypes.zip(args).map {
+      case (t, a) if t == classOf[String]            => a
+      case (t, a) if t == classOf[Int] || t == classOf[java.lang.Integer] =>
+        java.lang.Integer.valueOf(a.trim)
+      case (t, a) if t == classOf[Long] || t == classOf[java.lang.Long] =>
+        java.lang.Long.valueOf(a.trim)
+      case (t, a) if t == classOf[Double] || t == classOf[java.lang.Double] =>
+        java.lang.Double.valueOf(a.trim)
+      case (t, a) if t == classOf[Boolean] || t == classOf[java.lang.Boolean] =>
+        java.lang.Boolean.valueOf(a.trim)
+      case (t, a) => throw new IllegalArgumentException(
+        s"$fqcn: cannot bind constructor arg '$a' to parameter type $t")
+    }
+    ctor.newInstance(bound.toSeq: _*).asInstanceOf[EmbedderBackend]
+  }
+
+  /** The deployment seam: configured backend if `graft.embedder` /
+    * `GRAFT_EMBEDDER` is set, else the caller's default (the
+    * deterministic hash double everywhere in this repo — the driver
+    * sets neither, so every oracle gate stays stable). */
+  def fromEnv(default: => EmbedderBackend =
+                new EmbedderAsBackend(new HashEmbedder(64))): EmbedderBackend =
+    sys.props.get("graft.embedder").orElse(sys.env.get("GRAFT_EMBEDDER"))
+      .map(resolve).getOrElse(default)
+}
+
 /** Deterministic backend double: wraps an `Embedder` so the batched
   * runner produces BIT-IDENTICAL vectors to the scalar UDF path —
   * swapping X1 to `BatchEmbed` changes the execution shape, never the

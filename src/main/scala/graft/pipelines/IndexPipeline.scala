@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{BatchEmbed, Embedder, EmbedderAsBackend, HashEmbedder, TextOps}
+import graft.functions.{BatchEmbed, Embedder, EmbedderAsBackend, EmbedderBackend, HashEmbedder, TextOps}
 
 /** X1 — the vectorization/indexing pipeline (SURVEY.md §2.11;
   * `semantic_summary_service.py:257-431`): documents → summary text
@@ -31,7 +31,7 @@ object IndexPipeline {
     * chunk, schema (doc_id, owner, vtype, chunk_index, total_chunks,
     * chunk_text, embedding).
     */
-  def buildIndex(docs: DataFrame, embedder: Embedder = new HashEmbedder(64),
+  def buildIndex(docs: DataFrame, backend: EmbedderBackend = EmbedderBackend.fromEnv(),
                  chunkSize: Int = 462, overlap: Int = 50,
                  batchSize: Int = 32): DataFrame = {
     val chunkUdf = udf((t: String) => TextOps.chunkText(t, chunkSize, overlap))
@@ -57,8 +57,16 @@ object IndexPipeline {
     // boxing tax (see BatchEmbed.embedColumnFast; emb_fast vs
     // emb_batched vs emb_scalar quantify the three shapes)
     BatchEmbed.embedColumnFast(summaries.unionByName(chunks), "chunk_text",
-      new EmbedderAsBackend(embedder), batchSize)
+      backend, batchSize)
   }
+
+  /** Explicit-embedder overload (fixture embedders in tests/gates);
+    * the primary overload's default resolves the DEPLOYED backend via
+    * `EmbedderBackend.fromEnv()` — set `graft.embedder` /
+    * `GRAFT_EMBEDDER` and every no-arg `buildIndex` call site swaps
+    * models with zero code changes (EMBEDDING.md). */
+  def buildIndex(docs: DataFrame, embedder: Embedder): DataFrame =
+    buildIndex(docs, new EmbedderAsBackend(embedder))
 
   /** S8 — partitioned vector sink with overwrite-by-tenant-partition
     * (dynamic partition overwrite ≈ the reference's per-doc
@@ -234,7 +242,7 @@ object IndexPipeline {
     * `st_index_incremental` replays three batches through this exact
     * function and hashes the final on-disk table. */
   def indexMicroBatch(spark: SparkSession, docs: DataFrame, path: String,
-                      embedder: Embedder = new HashEmbedder(64),
+                      backend: EmbedderBackend = EmbedderBackend.fromEnv(),
                       nBuckets: Int = 16): Unit = {
     if (docs.isEmpty) return // streaming triggers can deliver empty batches
     // SPARK_GRAFT_PROGRESS=1 → per-phase wall times to stderr (the
@@ -248,7 +256,7 @@ object IndexPipeline {
         f"[microbatch] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
-    val vectors = buildIndex(docs, embedder)
+    val vectors = buildIndex(docs, backend)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
