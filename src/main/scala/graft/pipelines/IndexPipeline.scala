@@ -453,6 +453,94 @@ object IndexPipeline {
         .orderBy("doc_id", "change_type")
     }),
 
+    // X10 — the lakehouse COMPOSITE the round-9 verdict asked for: the
+    // three snapshot/temporal surfaces that s14/s15/t14/t15 gate
+    // individually, chained the way a real pipeline runs them.
+    //   1. A versioned store accumulates THREE committed snapshots
+    //      (initial load; doc-7 update + docs 150-154 insert; doc-7
+    //      re-update + doc-21 update + docs 155-159 insert).
+    //   2. The CDC feed between each consecutive snapshot pair (the
+    //      s15 diff shape) emits insert/update POSTIMAGES.
+    //   3. SCD2 maintenance folds initial state + CDC postimages into
+    //      validity intervals — ONE window over (doc_id, snapshot),
+    //      the t14 build applied to a change feed instead of raw
+    //      events.
+    //   4. A point-in-time lookup (the t15 union-then-window shape,
+    //      snapshot number as event time — no non-equi join) answers
+    //      "what was doc X at snapshot S" for a probe grid covering
+    //      updates, untouched docs, and late inserts.
+    //   5. The SAME question is answered by DIRECT time travel
+    //      (readSnapshot) and the output carries both digests plus
+    //      is_match — so the gate pins that CDC→SCD2→PIT agrees with
+    //      the store's own time travel, row for row, and the oracle
+    //      replays both sides from the chunk walk.
+    // At 100 TB: snapshot reads are manifest-pruned scans, the CDC
+    // diff is bucket-parallel, SCD2+PIT are one sort-shuffle each on
+    // doc_id — no step holds unbounded driver state.
+    "x10_cdc_scd2_pit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = snapDir(d) + "_x10"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(base))
+      VersionedStore.upsertVersioned(s, dir, buildIndex(
+        base.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", "."))
+          .unionByName(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155))))
+      VersionedStore.upsertVersioned(s, dir, buildIndex(
+        docs.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "o", "0"))
+          .unionByName(docs.filter(col("doc_id") === 21)
+            .withColumn("text", translate(col("text"), "a", ".")))
+          .unionByName(docs.filter(col("doc_id") >= 155 && col("doc_id") < 160))))
+      def digest(n: Int): DataFrame = VersionedStore.readSnapshot(s, dir, n)
+        .groupBy(col("doc_id"))
+        .agg(md5(concat_ws("", array_sort(collect_list(
+          when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("m"))
+      val snaps = (1 to 3).map(n => digest(n).persist())
+      def cdcPost(a: DataFrame, b: DataFrame, toSnap: Long): DataFrame =
+        a.select(col("doc_id"), col("m").as("m1"))
+          .join(b.select(col("doc_id"), col("m").as("m2")), Seq("doc_id"), "full_outer")
+          .filter(col("m1").isNull || col("m1") =!= col("m2")) // insert | update postimage
+          .select(col("doc_id"), col("m2").as("m"), lit(toSnap).as("snap"))
+      val dim = snaps(0).select(col("doc_id"), col("m"), lit(1L).as("snap"))
+        .unionByName(cdcPost(snaps(0), snaps(1), 2L))
+        .unionByName(cdcPost(snaps(1), snaps(2), 3L))
+        .withColumn("version", row_number().over(
+          Window.partitionBy("doc_id").orderBy("snap")).cast("long"))
+      val probeIds = Seq(7L, 21L, 60L, 100L, 149L, 150L, 155L)
+      import s.implicits._
+      val probes = probeIds.flatMap(id => (1L to 3L).map(sn => (id, sn)))
+        .toDF("doc_id", "snapshot_id")
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("t").asc, col("ord").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pit = dim
+        .select(col("doc_id"), col("snap").as("t"), lit(0).as("ord"),
+          col("version"), col("m"))
+        .unionByName(probes.select(col("doc_id"), col("snapshot_id").as("t"),
+          lit(1).as("ord"), lit(null).cast("long").as("version"),
+          lit(null).cast("string").as("m")))
+        .withColumn("v", last(col("version"), ignoreNulls = true).over(w))
+        .withColumn("pm", last(col("m"), ignoreNulls = true).over(w))
+        .filter(col("ord") === 1)
+        .select(col("doc_id"), col("t").as("snapshot_id"),
+          col("v").as("version"), col("pm").as("pit_md5"))
+      val direct = snaps.zipWithIndex.map { case (df, i) =>
+        df.select(col("doc_id"), lit((i + 1).toLong).as("snapshot_id"),
+          col("m").as("direct_md5"))
+      }.reduce(_ unionByName _)
+      pit.join(direct, Seq("doc_id", "snapshot_id"), "left_outer")
+        .withColumn("is_match",
+          when(col("pit_md5").isNull && col("direct_md5").isNull, 1L)
+            .when(col("pit_md5") === col("direct_md5"), 1L)
+            .otherwise(0L))
+        .select(col("snapshot_id"), col("doc_id"), col("version"),
+          col("pit_md5"), col("direct_md5"), col("is_match"))
+        .orderBy("snapshot_id", "doc_id")
+    }),
+
     // Batched-vs-scalar embedding throughput pair: both embed the full
     // documents text column with the SAME HashEmbedder math — emb_batched
     // through BatchEmbed (mapPartitions, per-partition handle, batch 32),
@@ -539,6 +627,12 @@ object IndexPipeline {
   private def snapV2CdcSrc: String =
     "SELECT doc_id, CASE WHEN doc_id = 7 THEN translate(text, 'a', '.') " +
       "ELSE text END AS t FROM documents WHERE doc_id < 155"
+  // x10 snapshot 3: doc 7 re-updated from ORIGINAL text (last writer
+  // wins at doc granularity), doc 21 updated, docs 155-159 inserted
+  private def snapV3Src: String =
+    "SELECT doc_id, CASE WHEN doc_id = 7 THEN translate(text, 'o', '0') " +
+      "WHEN doc_id = 21 THEN translate(text, 'a', '.') " +
+      "ELSE text END AS t FROM documents WHERE doc_id < 160"
 
   /** The chunker state-machine replay (walk + chunk extraction + a
     * per-doc sorted chunk-md5 digest) as prefixed CTEs over any
@@ -774,6 +868,63 @@ object IndexPipeline {
          |  SELECT doc_id, 'update_postimage', n2, m2 FROM cj
          |  WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m1 <> m2)
          |ORDER BY doc_id, change_type""".stripMargin,
+    // X10 — the full CDC→SCD2→PIT replay: three chunk-walk snapshot
+    // states, consecutive-diff postimages, one window building the
+    // validity intervals, the interval-join PIT form (equivalent to
+    // the engine's union-then-window carry), and the direct per-
+    // snapshot digests for the is_match cross-check.
+    "x10_cdc_scd2_pit" ->
+      s"""WITH RECURSIVE ${chunkDigestCtes("q1", snapV1Src)},
+         |${chunkDigestCtes("q2", snapV2CdcSrc)},
+         |${chunkDigestCtes("q3", snapV3Src)},
+         |zs1 AS (
+         |  SELECT d.doc_id, coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+         |  LEFT JOIN q1digest g USING (doc_id)),
+         |zs2 AS (
+         |  SELECT d.doc_id, coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 155) d
+         |  LEFT JOIN q2digest g USING (doc_id)),
+         |zs3 AS (
+         |  SELECT d.doc_id, coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 160) d
+         |  LEFT JOIN q3digest g USING (doc_id)),
+         |zc2 AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, b.m, 2 AS snap
+         |  FROM zs1 a FULL OUTER JOIN zs2 b ON a.doc_id = b.doc_id
+         |  WHERE a.m IS NULL OR a.m <> b.m),
+         |zc3 AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, b.m, 3 AS snap
+         |  FROM zs2 a FULL OUTER JOIN zs3 b ON a.doc_id = b.doc_id
+         |  WHERE a.m IS NULL OR a.m <> b.m),
+         |zdim AS (
+         |  SELECT doc_id, m, snap,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY snap) AS BIGINT) AS version,
+         |    lead(snap) OVER (PARTITION BY doc_id ORDER BY snap) AS to_snap
+         |  FROM (SELECT doc_id, m, 1 AS snap FROM zs1
+         |        UNION ALL SELECT doc_id, m, snap FROM zc2
+         |        UNION ALL SELECT doc_id, m, snap FROM zc3)),
+         |zprobes AS (
+         |  SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+         |         CAST(s.snapshot_id AS BIGINT) AS snapshot_id
+         |  FROM (VALUES (7),(21),(60),(100),(149),(150),(155)) p(doc_id),
+         |       (VALUES (1),(2),(3)) s(snapshot_id)),
+         |zpit AS (
+         |  SELECT p.doc_id, p.snapshot_id, v.version, v.m AS pit_md5
+         |  FROM zprobes p LEFT JOIN zdim v ON v.doc_id = p.doc_id
+         |    AND v.snap <= p.snapshot_id
+         |    AND (v.to_snap IS NULL OR p.snapshot_id < v.to_snap)),
+         |zdirect AS (
+         |  SELECT doc_id, 1 AS snapshot_id, m FROM zs1
+         |  UNION ALL SELECT doc_id, 2, m FROM zs2
+         |  UNION ALL SELECT doc_id, 3, m FROM zs3)
+         |SELECT p.snapshot_id, p.doc_id, p.version, p.pit_md5,
+         |  d.m AS direct_md5,
+         |  CAST(CASE WHEN p.pit_md5 IS NULL AND d.m IS NULL THEN 1
+         |            WHEN p.pit_md5 = d.m THEN 1 ELSE 0 END AS BIGINT) AS is_match
+         |FROM zpit p LEFT JOIN zdirect d
+         |  ON d.doc_id = p.doc_id AND d.snapshot_id = p.snapshot_id
+         |ORDER BY p.snapshot_id, p.doc_id""".stripMargin,
     "st_index_incremental" ->
       s"""WITH RECURSIVE src AS (
          |  SELECT doc_id, t, length(t)::BIGINT AS len FROM (
