@@ -106,6 +106,14 @@ object Bench {
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Per-mode attribution for the eval grid (round-9 verdict task 6):
+    // extra `eval_retrieval_metrics__*` entries in the DETAIL artifact
+    // only — not headline queries, not counted in total/nqueries.
+    val evalStages =
+      if (only.isEmpty)
+        try graft.evaluation.RetrievalEval.evaluateModeTimings(spark, sfDir)
+        finally spark.catalog.clearCache()
+      else Seq.empty
     val failedJson =
       if (failed.isEmpty) ""
       else failed.distinct.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
@@ -115,7 +123,7 @@ object Bench {
     // all-queries map (~90 entries, ~3 KB) started before the tail window.
     // Print the headline queries (~28 entries, <1 KB line) plus the
     // all-queries total.
-    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"nqueries":${results.size},"queries":${jsonMap(results)}$failedJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"nqueries":${results.size},"queries":${jsonMap(results ++ evalStages)}$failedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

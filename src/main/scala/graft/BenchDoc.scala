@@ -254,6 +254,57 @@ object BenchDoc {
       stats("snd_pairs") = r.count().toString
     }
 
+    // ---- opt-in 5M-doc legs (SPARK_GRAFT_DOC5M=1) -------------------
+    // The round-9 verdict's 10× linearity proof for the two slowest
+    // 500k shapes. Both are O(n) by construction — sorted-neighborhood
+    // compares w-1 neighbors per row per pass; the prefix join's
+    // candidate bound is df≤2 per shingle on this corpus — so the 5M
+    // legs must land ≤ ~12× their 500k numbers or there's a memory
+    // cliff to find. Same corpus recipes, 1000 replicas instead of
+    // 100; replica-pair suffixing keeps the setjoin's zipf tail (df≤2)
+    // and grows TRUE pairs 10× (500 near-dup pairs per base doc).
+    if (sys.env.contains("SPARK_GRAFT_DOC5M")) {
+      spark.catalog.clearCache()
+      val NRep5 = 1000
+      val reps5 = spark.range(NRep5).select(col("id").cast("int").as("r"))
+      val corpus5 = timed("gen_corpus_5m") {
+        val c = raw.crossJoin(broadcast(reps5))
+          .select((col("r").cast("long") * 100000L + col("doc_id")).as("doc_id"),
+            when(col("r") % 10 === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" rep"), col("r"))).as("text"))
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0,
+              concat(lit("subscribe to our newsletter for updates. "), col("text"),
+                lit(". all rights reserved worldwide")))
+            .when(col("doc_id") % 7 === 0,
+              concat(lit("cookie policy accepted by continuing. "), col("text")))
+            .otherwise(col("text")))
+          .repartition(64).persist()
+        stats("n_docs_5m") = c.count().toString
+        c
+      }
+      timed("sorted_neighborhood_5m") {
+        val r = Dedup.sortedNeighborhood(corpus5)
+        stats("snd_pairs_5m") = r.count().toString
+      }
+      spark.catalog.clearCache()
+      val setjoin5 = raw.crossJoin(broadcast(reps5))
+        .withColumn("suff", concat(lit("x"), col("doc_id"), lit("g"),
+          (col("r") / 2).cast("int")))
+        .select((col("r").cast("long") * 100000L + col("doc_id")).as("doc_id"),
+          concat(
+            array_join(transform(filter(split(col("text"), " "), t => t =!= ""),
+              t => concat(t, col("suff"))), " "),
+            lit(" rep"), col("r")).as("text"))
+        .repartition(64).persist()
+      setjoin5.count()
+      timed("setjoin_prefix_5m") {
+        val r = Dedup.prefixSetJoin(Dedup.shingleRel(setjoin5))
+        stats("setjoin_pairs_5m") = r.count().toString
+      }
+      spark.catalog.clearCache()
+    }
+
     val json =
       "{\"timings_sec\":" +
         timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}") +

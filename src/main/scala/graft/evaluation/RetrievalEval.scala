@@ -210,6 +210,43 @@ object RetrievalEval {
     }.reduce(_ unionByName _).orderBy("mode")
   }
 
+  /** Per-stage wall times for the `eval_retrieval_metrics` grid
+    * (round-9 verdict task 6): materialize the shared scored scan
+    * once, then time each mode's consumer aggregation over it — the
+    * attribution that keeps the harness's growth readable as modes ×
+    * grid expand (the full-query time is scan + Σ modes + union). Run
+    * by Bench after the timed passes; entries land in
+    * BENCH_DETAIL.json as `eval_retrieval_metrics__<stage>`. */
+  def evaluateModeTimings(s: SparkSession, d: String,
+                          nQueries: Int = 40): Seq[(String, Double)] = {
+    val embedder = new SyntheticEmbedder(64)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val vectors = withVecId(IndexPipeline.buildIndex(docs, embedder))
+      .withColumn("label", col("doc_id"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val embUdf = udf((t: String) => embedder.embed(t))
+    val queries = docs.filter(length(col("text")) >= 120)
+      .orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("q_id"),
+        embUdf(substring(col("text"), 40, 120)).as("q_emb"))
+    val allScored = scored(vectors, queries)
+      .select("q_id", "label", "vec_id", "vtype", "sim").cache()
+    def t[T](body: => T): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val scanSec = t(allScored.count())
+    val ss = allScored.filter(col("vtype") === "summary")
+    val sc = allScored.filter(col("vtype") === "chunk")
+    val modes = Seq("rrf_fusion", "hybrid", "summary_only", "chunks_only", "legacy")
+    val perMode = modes.map { m =>
+      s"eval_retrieval_metrics__$m" -> t(
+        runModeScored(m, ss, sc, 10)
+          .filter(col("label") === col("q_id")).count())
+    }
+    allScored.unpersist()
+    ("eval_retrieval_metrics__scan" -> scanSec) +: perMode
+  }
+
   /** QAdataset-shaped retrieval-quality grid (SURVEY §5.3;
     * `generate_test_dataset.py:423-604`): the reference generates ONE
     * thematic (主題級) question from each document's SUMMARY and
