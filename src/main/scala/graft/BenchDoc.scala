@@ -32,6 +32,16 @@ object BenchDoc {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Partition count must follow shuffle BYTES, not a constant: the
+      // first 5M-doc run (round 10) pushed the prefix join's ~250M-row
+      // shingle shuffles through 32 fixed partitions (~8M rows/task)
+      // and fell off a spill cliff (40× the 500k time for 10× the
+      // data). Giving AQE a high starting partition count lets it
+      // coalesce small shuffles back down (500k legs keep their plans)
+      // while wide shuffles get real parallelism — the same posture a
+      // 1000-executor cluster needs, where ANY fixed number is wrong
+      // at one end of the size spectrum.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       // heap comes from build.sbt's -Xmx (SPARK_DRIVER_MEM, default
       // 8g) — spark.driver.memory is ignored once the JVM is up
       .config("spark.ui.enabled", "false")
