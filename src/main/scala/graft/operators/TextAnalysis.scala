@@ -1166,6 +1166,108 @@ object TextAnalysis {
         .orderBy("source", "bin_id")
     }),
 
+    // X11 — corpus-to-training-batches COMPOSITE, the back half of the
+    // pretraining data pipeline the way `curate_corpus` gates the front
+    // half: quality gate → train-split assignment (the pp_split_assign
+    // md5 rule) → per-shard best-fit-decreasing sequence packing at a
+    // 1024-token budget → the epoch-0 shuffle permutation. Each stage
+    // feeds the next, and every stage is pinned by an exact digest:
+    // membership + content for the doc stages, full bin composition +
+    // fills for the pack stage, and the COMPLETE (shard, pos) → doc
+    // permutation for the shuffle stage — so the gate fails if any
+    // stage reorders, drops, or repacks differently. Scale shape: the
+    // quality gate and split are map-only filters, the pack is one
+    // shuffle on the shard key + an executor-local walk per shard (a
+    // shard is one loader stream), the shuffle rank is a per-shard
+    // window — nothing corpus-global except the gate-plumbing digests.
+    "x11_corpus_to_batches" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1024L
+      val docs = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) > 0)
+        .select("doc_id", "text")
+      val q = withQualityScore(docs).filter(col("quality_score") >= 0.6)
+        .drop("quality_score").persist()
+      val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
+      def hv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val tr = q.filter((hv(1) * 16 + hv(2)).cast("long") < 204)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        .persist()
+      val bfdU = udf((sizes: Seq[Long]) => {
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sizes.map { n =>
+          var best = -1
+          var i = 0
+          while (i < loads.length) {
+            if (loads(i) + n <= budget && (best == -1 || loads(i) > loads(best)))
+              best = i
+            i += 1
+          }
+          if (best == -1) { loads += n; (loads.length - 1).toLong }
+          else { loads(best) += n; best.toLong }
+        }
+      })
+      val w = Window.partitionBy("shard")
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      val packed = tr
+        .withColumn("pos", row_number().over(w).cast("int"))
+        .groupBy("shard")
+        .agg(sort_array(collect_list(struct(col("pos"), col("doc_id"),
+          col("n_tokens")))).as("run"))
+        .withColumn("binsv", bfdU(expr("transform(run, x -> x.n_tokens)")))
+        .select(col("shard"), explode(arrays_zip(col("run"), col("binsv"))).as("z"))
+        .select(col("shard"), col("z.run.doc_id").as("doc_id"),
+          col("z.run.n_tokens").as("n_tokens"), col("z.binsv").as("bin_id"))
+      val bins = packed.groupBy("shard", "bin_id")
+        .agg(sum(col("n_tokens")).as("fill"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ";").as("members"))
+      val ew = Window.partitionBy("shard")
+        .orderBy(md5(concat(lit("ep0:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      val ep = tr.withColumn("pos", row_number().over(ew).cast("long"))
+      def docStage(id: Long, name: String, df: DataFrame) =
+        df.select(col("doc_id").cast("string").as("i"), md5(col("text")).as("th"))
+          .agg(count(lit(1)).as("n_docs"),
+            md5(array_join(array_sort(collect_list(col("i"))), ",")).as("ids_md5"),
+            md5(array_join(array_sort(collect_list(col("th"))), ",")).as("aux_md5"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("ids_md5"), col("aux_md5"))
+      val packStage = bins
+        .select(
+          concat(col("shard").cast("string"), lit(":"),
+            col("bin_id").cast("string"), lit(":"), col("members")).as("m"),
+          concat(col("shard").cast("string"), lit(":"),
+            col("bin_id").cast("string"), lit(":"),
+            col("fill").cast("string")).as("f"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(array_sort(collect_list(col("m"))), ",")).as("ids_md5"),
+          md5(array_join(array_sort(collect_list(col("f"))), ",")).as("aux_md5"))
+        .select(lit(2L).as("stage_id"), lit("2_packed").as("stage"),
+          col("n_docs"), col("ids_md5"), col("aux_md5"))
+      val epochStage = ep
+        .select(col("shard"), col("pos"), col("doc_id").cast("string").as("ds"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("shard"), col("pos"), col("ds")))),
+            x => x.getField("ds")), ",")).as("ids_md5"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("pos") <= 3,
+              struct(col("shard"), col("pos"), col("ds"))))),
+            x => x.getField("ds")), ",")).as("aux_md5"))
+        .select(lit(3L).as("stage_id"), lit("3_epoch0").as("stage"),
+          col("n_docs"), col("ids_md5"), col("aux_md5"))
+      docStage(0L, "0_quality", q)
+        .unionByName(docStage(1L, "1_split_train", tr))
+        .unionByName(packStage)
+        .unionByName(epochStage)
+        .orderBy("stage_id")
+    }),
+
     // T5 — text-source priority coalesce (the real function) under an
     // exact oracle: the four candidate fields are synthesized with
     // nulls AND empty strings injected by doc_id residue (empty must
@@ -2273,6 +2375,92 @@ object TextAnalysis {
          |  md5(array_to_string(list_transform(list_sort(list(doc_id)),
          |    x -> CAST(x AS VARCHAR)), ',')) AS members_md5
          |FROM bfasg GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
+    // The back-half composite replayed end-to-end: the pp_token_budget
+    // quality score, the pp_split_assign bucket rule, the pp_pack_bfd
+    // recursive walk (per doc_id%8 shard, budget 1024), and the
+    // pp_epoch_shuffle rank — chained, with every stage digested.
+    "x11_corpus_to_batches" ->
+      s"""WITH RECURSIVE q0 AS (
+         |  SELECT doc_id, text, len($toksSql)::BIGINT AS n_tokens,
+         |    CAST(list_sum(list_transform($toksSql, t -> length(t)::BIGINT)) AS DOUBLE)
+         |      / CAST(len($toksSql) AS DOUBLE) AS avg_tok_len,
+         |    CAST(len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS DOUBLE)
+         |      / CAST(len($toksSql) AS DOUBLE) AS stop_ratio
+         |  FROM documents WHERE len($toksSql) > 0),
+         |q AS (
+         |  SELECT doc_id, text, n_tokens FROM q0
+         |  WHERE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+         |      + least(1.0, stop_ratio * 5.0) * 0.3
+         |      + CASE WHEN avg_tok_len >= 3.0 AND avg_tok_len <= 8.0
+         |             THEN 0.2 ELSE 0.0 END >= 0.6),
+         |tr AS (
+         |  SELECT doc_id, text, n_tokens, doc_id % 8 AS shard FROM q
+         |  WHERE ${hexValSql("substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 16
+         |      + ${hexValSql("substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)")} < 204),
+         |bfrun AS (
+         |  SELECT shard, list(struct_pack(doc_id := doc_id, n := n_tokens)
+         |           ORDER BY n_tokens DESC, doc_id ASC) AS run
+         |  FROM tr GROUP BY shard),
+         |bfwalk AS (
+         |  SELECT shard, 0 AS i, run, CAST([] AS BIGINT[]) AS bins,
+         |         CAST([] AS BIGINT[]) AS assigns
+         |  FROM bfrun
+         |  UNION ALL
+         |  SELECT shard, i + 1, run,
+         |    CASE WHEN best IS NULL THEN list_append(bins, n)
+         |         ELSE list_transform(generate_series(1, len(bins)),
+         |                j -> CASE WHEN j = best THEN bins[j] + n ELSE bins[j] END) END,
+         |    list_append(assigns,
+         |      CAST(CASE WHEN best IS NULL THEN len(bins) ELSE best - 1 END AS BIGINT))
+         |  FROM (
+         |    SELECT shard, i, run, bins, assigns, run[i + 1].n AS n,
+         |      list_position(
+         |        list_transform(bins, b -> CASE WHEN b + run[i + 1].n <= 1024 THEN b END),
+         |        list_aggregate(list_transform(bins,
+         |          b -> CASE WHEN b + run[i + 1].n <= 1024 THEN b END), 'max')) AS best
+         |    FROM bfwalk WHERE i < len(run))),
+         |bffin AS (SELECT shard, run, assigns FROM bfwalk WHERE i = len(run)),
+         |bfasg AS (
+         |  SELECT shard, run[j].doc_id AS doc_id, run[j].n AS n_tokens,
+         |         assigns[j] AS bin_id
+         |  FROM bffin, LATERAL (SELECT unnest(generate_series(1, len(run))) AS j)),
+         |bins AS (
+         |  SELECT shard, bin_id, CAST(sum(n_tokens) AS BIGINT) AS fill,
+         |    array_to_string(list_transform(list_sort(list(doc_id)),
+         |      x -> CAST(x AS VARCHAR)), ';') AS members
+         |  FROM bfasg GROUP BY 1, 2),
+         |ep AS (
+         |  SELECT shard, doc_id,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+         |  FROM tr),
+         |stages AS (
+         |  SELECT 0 AS stage_id, '0_quality' AS stage,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    md5(coalesce(array_to_string(list_sort(list(doc_id::VARCHAR)), ','), '')) AS ids_md5,
+         |    md5(coalesce(array_to_string(list_sort(list(md5(text))), ','), '')) AS aux_md5
+         |  FROM q
+         |  UNION ALL
+         |  SELECT 1, '1_split_train', CAST(count(*) AS BIGINT),
+         |    md5(coalesce(array_to_string(list_sort(list(doc_id::VARCHAR)), ','), '')),
+         |    md5(coalesce(array_to_string(list_sort(list(md5(text))), ','), ''))
+         |  FROM tr
+         |  UNION ALL
+         |  SELECT 2, '2_packed', CAST(count(*) AS BIGINT),
+         |    md5(coalesce(array_to_string(list_sort(list(
+         |      CAST(shard AS VARCHAR) || ':' || CAST(bin_id AS VARCHAR) || ':' || members)), ','), '')),
+         |    md5(coalesce(array_to_string(list_sort(list(
+         |      CAST(shard AS VARCHAR) || ':' || CAST(bin_id AS VARCHAR) || ':' || CAST(fill AS VARCHAR))), ','), ''))
+         |  FROM bins
+         |  UNION ALL
+         |  SELECT 3, '3_epoch0', CAST(count(*) AS BIGINT),
+         |    md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ','
+         |      ORDER BY shard, pos), '')),
+         |    md5(coalesce(string_agg(CASE WHEN pos <= 3 THEN CAST(doc_id AS VARCHAR) END, ','
+         |      ORDER BY shard, pos), ''))
+         |  FROM ep)
+         |SELECT stage_id, stage, n_docs, ids_md5, aux_md5
+         |FROM stages ORDER BY stage_id""".stripMargin,
     "pp_span_corruption" ->
       s"""WITH spb AS (
          |  SELECT doc_id, toks, len(toks) AS n FROM (

@@ -840,4 +840,47 @@ class CurationOpsSpec extends AnyFunSuite {
       .sortBy(k => (-scoreOf(k), k._1, k._2)).take(100)
     assert(rows.map(r => (r._1, r._2)).toSeq == expTop)
   }
+
+  test("x11_corpus_to_batches: stage chain consistent with its standalone stages") {
+    val rows = SparkEntry.queries("x11_corpus_to_batches")(spark, d)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getString(3), r.getString(4))).toMap
+    spark.catalog.clearCache()
+    assert(rows.keySet ==
+      Set("0_quality", "1_split_train", "2_packed", "3_epoch0"))
+    val (nQ, _, _) = rows("0_quality")
+    val (nTr, trIds, _) = rows("1_split_train")
+    // the split keeps a strict subset (204/256 expected buckets)
+    assert(nTr < nQ && nTr > 0)
+    // the shuffle stage permutes exactly the split survivors
+    assert(rows("3_epoch0")._1 == nTr)
+    // pack stage: replay the split + per-shard BFD walk on the driver
+    // and require the identical bin count (the full composition digest
+    // is pinned by the DuckDB oracle; this pins the walk against an
+    // independent in-process replay)
+    val docs = Tables.documents(spark, d)
+      .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+    val tr = TextAnalysis.withQualityScore(docs)
+      .filter(col("quality_score") >= 0.6)
+      .filter(expr("""(CASE WHEN ascii(substring(md5(concat('split:', cast(doc_id as string))), 1, 1)) >= 97
+          THEN ascii(substring(md5(concat('split:', cast(doc_id as string))), 1, 1)) - 87
+          ELSE ascii(substring(md5(concat('split:', cast(doc_id as string))), 1, 1)) - 48 END) * 16 +
+        (CASE WHEN ascii(substring(md5(concat('split:', cast(doc_id as string))), 2, 1)) >= 97
+          THEN ascii(substring(md5(concat('split:', cast(doc_id as string))), 2, 1)) - 87
+          ELSE ascii(substring(md5(concat('split:', cast(doc_id as string))), 2, 1)) - 48 END) < 204"""))
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tr.length.toLong == nTr)
+    val nBins = tr.groupBy(t => t._1 % 8).values.map { g =>
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      g.toSeq.sortBy(t => (-t._2, t._1)).foreach { case (_, n) =>
+        val fits = loads.zipWithIndex.filter(_._1 + n <= 1024L)
+        if (fits.isEmpty) loads += n
+        else loads(fits.maxBy(_._1)._2) += n
+      }
+      loads.length
+    }.sum
+    assert(rows("2_packed")._1.toLong == nBins.toLong)
+  }
 }
