@@ -590,6 +590,86 @@ object TextAnalysis {
         .orderBy("r")
     }),
 
+    // Quantile estimation from a MERGEABLE sketch — the missing member
+    // of the sketch family (HLL = distinct, CMS = frequency,
+    // Misra–Gries = heavy hitters, this = ranks/quantiles): the dyadic
+    // Count-Min range-sum construction (Cormode & Muthukrishnan 2005
+    // §4.2's range queries, inverted into quantiles). Values (doc
+    // token counts, clamped to the 2¹² universe) are decomposed into
+    // one dyadic node per level; ONE typed CmsAggregator pass folds
+    // all 12 levels × 4 hash rows into a fixed 12,288-long cell array
+    // (map-side partials — the shuffle carries the grid, never the
+    // value distribution; the exact answer beside it needs the full
+    // per-value groupBy). rank[0, x) is the sum of ≤12 dyadic node
+    // estimates, and quantile(q) is the deterministic high-to-low bit
+    // walk: descend 12 levels, at each either consume the block's
+    // estimated mass or recurse into it — all integer arithmetic, so
+    // the whole thing (cells, node estimates, walk, order-statistic
+    // truth) replays hash-exactly in the oracle. CMS over-estimation
+    // makes the walk ONE-SIDED: est_q ≤ exact_q always (collisions
+    // only add mass, so estimated ranks reach the target no later) —
+    // pinned per row by q_err ≥ 0. Mergeability is demonstrated the
+    // shard way: per-source sketches (the distributed build) summed
+    // elementwise must equal the one-pass grid bit-for-bit
+    // (merged_eq), which is what lets 1000 executors each sketch
+    // their shard and a reducer add grids at 100 TB.
+    "a23_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      val levels = 12; val dRows = 4; val wCols = 256
+      val vcol = least(size(tokens(col("text"))), lit(4095)).cast("long")
+      val base = Tables.documents(s, d)
+        .select(col("source"), vcol.as("v")).persist()
+      val n = base.count()
+      def bucketCol(l: Int, r: Int): Column = {
+        val h = md5(concat(lit(s"dq:$l:$r:"),
+          expr(s"shiftright(v, $l)").cast("string")))
+        def hvv(i: Int): Column = {
+          val a = ascii(substring(h, i, 1))
+          when(a >= 97, a - 87).otherwise(a - 48)
+        }
+        (hvv(1) * 16 + hvv(2)).cast("int")
+      }
+      val idxCols = array((for { l <- 0 until levels; r <- 0 until dRows }
+        yield bucketCol(l, r)): _*)
+      val direct = base.select(idxCols.as("cols")).as[Seq[Int]]
+        .groupByKey(_ => 0)
+        .agg(graft.functions.Sketches.countMin(levels * dRows, wCols).name("cells"))
+        .head()._2 // bounded model state: 12,288 longs
+      val perSrc = base.select(col("source"), idxCols.as("cols"))
+        .as[(String, Seq[Int])].groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.Sketches.countMin(levels * dRows, wCols).name("cells"))
+        .collect() // bounded: |sources| grids
+      val merged = perSrc.map(_._2)
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+      val mergedEq = if (merged == direct) 1L else 0L
+      val mdT = java.security.MessageDigest.getInstance("MD5")
+      def bucketOf(l: Int, r: Int, node: Long): Int = {
+        val dig = mdT.digest(s"dq:$l:$r:$node".getBytes("UTF-8"))
+        dig(0) & 0xff
+      }
+      def estOf(l: Int, node: Long): Long =
+        (0 until dRows).map(r =>
+          direct((l * dRows + r) * wCols + bucketOf(l, r, node))).min
+      // exact order statistics from the bounded (≤4096-row) value
+      // histogram — never a corpus-wide sort
+      val hist = base.groupBy("v").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val cum = hist.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) => (v, acc + c) }.tail
+      val rows = Seq(2500L, 5000L, 7500L, 9000L, 9900L).map { qbp =>
+        val tgt = (n * qbp + 9999L) / 10000L
+        var cur = 0L; var acc = 0L; var l = levels - 1
+        while (l >= 0) {
+          val e = estOf(l, cur >> l)
+          if (acc + e < tgt) { acc += e; cur += (1L << l) }
+          l -= 1
+        }
+        val exact = cum.find(_._2 >= tgt).map(_._1).getOrElse(4095L)
+        (qbp, tgt, cur, exact, exact - cur, mergedEq)
+      }
+      rows.toDF("q_bp", "target_rank", "est_q", "exact_q", "q_err", "merged_eq")
+        .orderBy("q_bp")
+    }),
+
     // HyperLogLog register sketch (Flajolet et al. 2007) through the
     // (shared bucket/rho derivation: `hllBucketRho` below the map)
     // typed HllAggregator: one pass over token occurrences folds 256
@@ -2922,6 +3002,84 @@ object TextAnalysis {
          |SELECT r, est_r, min(est_r) OVER () AS est_min, true_cnt,
          |  min(est_r) OVER () - true_cnt AS overcount
          |FROM jest CROSS JOIN jtrue ORDER BY r""".stripMargin
+    },
+    // the dyadic-CMS quantile walk replayed: the 12-level × 4-row cell
+    // grid, every node's min-estimate, the high-to-low descent per
+    // target, the histogram order statistic, and the shard-merge check
+    "a23_quantile_sketch" -> {
+      def dqBucket(lExpr: String, rExpr: String): String = {
+        val h = s"md5('dq:' || CAST($lExpr AS VARCHAR) || ':' || CAST($rExpr AS VARCHAR) " +
+          s"|| ':' || CAST(v >> ($lExpr) AS VARCHAR))"
+        s"(${hexValSql(s"substr($h, 1, 1)")} * 16 + ${hexValSql(s"substr($h, 2, 1)")})"
+      }
+      s"""WITH RECURSIVE dqocc AS (
+         |  SELECT source, least(len($toksSql), 4095)::BIGINT AS v FROM documents),
+         |dqn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dqocc),
+         |dqlr AS (
+         |  SELECT l, r
+         |  FROM (SELECT unnest(generate_series(0, 11)) AS l)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+         |dqcell AS (
+         |  SELECT l, r, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT o.v, p.l, p.r, ${dqBucket("p.l", "p.r")} AS bucket
+         |        FROM dqocc o CROSS JOIN dqlr p)
+         |  GROUP BY 1, 2, 3),
+         |dqsrccell AS (
+         |  SELECT source, l, r, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT o.source, o.v, p.l, p.r, ${dqBucket("p.l", "p.r")} AS bucket
+         |        FROM dqocc o CROSS JOIN dqlr p)
+         |  GROUP BY 1, 2, 3, 4),
+         |dqmerged AS (
+         |  SELECT l, r, bucket, CAST(sum(c) AS BIGINT) AS c
+         |  FROM dqsrccell GROUP BY 1, 2, 3),
+         |dqmeq AS (
+         |  SELECT CAST(CASE WHEN NOT EXISTS (
+         |    SELECT 1 FROM dqmerged m FULL JOIN dqcell d
+         |      ON m.l = d.l AND m.r = d.r AND m.bucket = d.bucket
+         |    WHERE coalesce(m.c, -1) <> coalesce(d.c, -2))
+         |  THEN 1 ELSE 0 END AS BIGINT) AS merged_eq),
+         |dqnodes AS (
+         |  SELECT l, r, node,
+         |    (${hexValSql("substr(md5('dq:' || CAST(l AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':' || CAST(node AS VARCHAR)), 1, 1)")} * 16
+         |     + ${hexValSql("substr(md5('dq:' || CAST(l AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':' || CAST(node AS VARCHAR)), 2, 1)")}) AS bucket
+         |  FROM (SELECT l, unnest(generate_series(0, (1 << (12 - l)) - 1)) AS node
+         |        FROM (SELECT unnest(generate_series(0, 11)) AS l))
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+         |dqest AS (
+         |  SELECT nd.l, nd.node, min(coalesce(cc.c, 0)) AS est
+         |  FROM dqnodes nd LEFT JOIN dqcell cc
+         |    ON cc.l = nd.l AND cc.r = nd.r AND cc.bucket = nd.bucket
+         |  GROUP BY 1, 2),
+         |dqt AS (
+         |  SELECT CAST(q_bp AS BIGINT) AS q_bp,
+         |    (n * q_bp + 9999) // 10000 AS tgt
+         |  FROM (VALUES (2500), (5000), (7500), (9000), (9900)) t(q_bp), dqn),
+         |dqwalk AS (
+         |  SELECT q_bp, tgt, 11 AS l, CAST(0 AS BIGINT) AS cur,
+         |         CAST(0 AS BIGINT) AS acc
+         |  FROM dqt
+         |  UNION ALL
+         |  SELECT q_bp, tgt, l - 1,
+         |    CASE WHEN acc + e < tgt THEN cur + (CAST(1 AS BIGINT) << l)
+         |         ELSE cur END,
+         |    CASE WHEN acc + e < tgt THEN acc + e ELSE acc END
+         |  FROM (SELECT w.q_bp, w.tgt, w.l, w.cur, w.acc,
+         |          coalesce(e2.est, 0) AS e
+         |        FROM dqwalk w LEFT JOIN dqest e2
+         |          ON e2.l = w.l AND e2.node = (w.cur >> w.l)
+         |        WHERE w.l >= 0) s),
+         |dqfin AS (SELECT q_bp, tgt, cur AS est_q FROM dqwalk WHERE l = -1),
+         |dqvc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM dqocc GROUP BY v),
+         |dqcum AS (
+         |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM dqvc),
+         |dqex AS (
+         |  SELECT t.q_bp, CAST(min(u.v) AS BIGINT) AS exact_q
+         |  FROM dqt t JOIN dqcum u ON u.cum >= t.tgt GROUP BY 1)
+         |SELECT f.q_bp, f.tgt AS target_rank, f.est_q, e.exact_q,
+         |  e.exact_q - f.est_q AS q_err, m.merged_eq
+         |FROM dqfin f JOIN dqex e ON f.q_bp = e.q_bp CROSS JOIN dqmeq m
+         |ORDER BY f.q_bp""".stripMargin
     },
     "a20_hll_sketch" -> {
       val hh = "md5('hll:' || tok)"

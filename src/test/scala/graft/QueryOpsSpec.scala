@@ -334,4 +334,40 @@ class QueryOpsSpec extends AnyFunSuite {
       assert(math.abs(est - truth).toDouble / truth < 0.20, s"$t est $est vs $truth")
     }
   }
+
+  test("a23_quantile_sketch: one-sided bound, shard-merge exact, walk == truth without collisions") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("a23_quantile_sketch")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    spark.catalog.clearCache()
+    assert(rows.map(_._1).toSeq == Seq(2500L, 5000L, 7500L, 9000L, 9900L))
+    rows.foreach { case (q, tgt, est, exact, err, meq) =>
+      assert(tgt > 0)
+      // CMS collisions only ADD mass -> estimated ranks reach the
+      // target no later -> the walk can only stop early
+      assert(err >= 0 && est + err == exact, s"q=$q est=$est exact=$exact")
+      assert(meq == 1L, "per-source grids summed != one-pass grid")
+    }
+    // the dyadic walk itself is exact when fed TRUE node counts: replay
+    // it on the driver against the real value histogram and require the
+    // order-statistic answer at every target — isolating walk
+    // correctness from CMS collision noise
+    import org.apache.spark.sql.functions._
+    val vs = Tables.documents(spark, d)
+      .select(least(size(graft.operators.TextAnalysis.tokens(col("text"))),
+        lit(4095)).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    def trueNode(l: Int, node: Long): Long =
+      vs.count(v => (v >> l) == node).toLong
+    rows.foreach { case (_, tgt, _, exact, _, _) =>
+      var cur = 0L; var acc = 0L; var l = 11
+      while (l >= 0) {
+        val e = trueNode(l, cur >> l)
+        if (acc + e < tgt) { acc += e; cur += (1L << l) }
+        l -= 1
+      }
+      assert(cur == exact, s"exact walk $cur != order statistic $exact")
+    }
+  }
 }
