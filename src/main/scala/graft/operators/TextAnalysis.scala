@@ -400,6 +400,115 @@ object TextAnalysis {
     (bucket, rho)
   }
 
+  /** Dyadic Count-Min machinery shared by a23/a25 (the grouped
+    * variant): the engine-side cell-index derivation plus the
+    * driver-side node estimator and quantile bit walk. One encoding,
+    * two queries — the oracle SQL replays stay textually independent
+    * by design, like `hllBucketRho` above. The bucket of dyadic node
+    * (l, r, node) is the first md5 byte of "salt l:r:node" (0..255);
+    * the indexed column is named `v`. */
+  private def dyadicIdxCols(salt: String, levels: Int, dRows: Int): Column = {
+    def bucketCol(l: Int, r: Int): Column = {
+      val h = md5(concat(lit(s"$salt$l:$r:"),
+        expr(s"shiftright(v, $l)").cast("string")))
+      def hvv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      (hvv(1) * 16 + hvv(2)).cast("int")
+    }
+    array((for { l <- 0 until levels; r <- 0 until dRows }
+      yield bucketCol(l, r)): _*)
+  }
+
+  /** Node estimator over a collected cell grid: min across the dRows
+    * hash rows of node (l, node)'s cells. */
+  private def dyadicEst(salt: String, cells: Seq[Long], dRows: Int,
+                        wCols: Int): (Int, Long) => Long = {
+    val mdT = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(l: Int, r: Int, node: Long): Int = {
+      val dig = mdT.digest(s"$salt$l:$r:$node".getBytes("UTF-8"))
+      dig(0) & 0xff
+    }
+    (l, node) => (0 until dRows).map(r =>
+      cells((l * dRows + r) * wCols + bucketOf(l, r, node))).min
+  }
+
+  /** The deterministic high-to-low quantile bit walk: descend the
+    * dyadic levels, at each either consume the block's estimated mass
+    * or recurse into it. All-integer; with CMS estimates the result is
+    * one-sided (est_q ≤ exact_q), with TRUE node counts it is the
+    * exact order statistic (QueryOpsSpec pins both). */
+  private def dyadicWalk(est: (Int, Long) => Long, levels: Int,
+                         tgt: Long): Long = {
+    var cur = 0L; var acc = 0L; var l = levels - 1
+    while (l >= 0) {
+      val e = est(l, cur >> l)
+      if (acc + e < tgt) { acc += e; cur += (1L << l) }
+      l -= 1
+    }
+    cur
+  }
+
+  /** ANALYZE-style column profiler — the statistics-collection pass a
+    * cost-based optimizer (and a dataset data card) runs over every
+    * column: per column n_rows, n_null, exact n_distinct, min/max,
+    * mode (top value + count, ties broken to the smaller value) and a
+    * one-pass HLL-256 distinct ESTIMATE. Columns arrive pre-encoded as
+    * ORDER-CORRECT strings (numerics zero-padded, dates ISO) so one
+    * unpivoted (col_name, v) relation serves every statistic with
+    * binary-collation min/max that agrees cross-engine.
+    *
+    * Two shapes on purpose: the exact path is one groupBy(col, value)
+    * — the shuffle is bounded by distinct values (what ANALYZE pays);
+    * the estimate path is the a20/a21 register fold — 256 ints per
+    * (partition, column), never the value universe — which is the ONLY
+    * affordable path at 100 TB and is emitted beside the exact count
+    * so the gate pins the estimator against truth at every SF. */
+  def profileColumns(df: DataFrame, specs: Seq[(String, Column)]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(specs.map { case (n, c) => c.cast("string").as(n) }: _*)
+    val unpiv = base.select(explode(array(specs.map { case (n, _) =>
+      struct(lit(n).as("col_name"), col(n).as("v")) }: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .persist()
+    val counts = unpiv.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("v"))).as("n_null"))
+    val vc = unpiv.filter(col("v").isNotNull)
+      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+    val exact = vc.groupBy("col_name").agg(
+      count(lit(1)).as("n_distinct"),
+      min("v").as("min_v"), max("v").as("max_v"))
+    val top = vc.withColumn("rn", row_number().over(
+        Window.partitionBy("col_name").orderBy(col("cnt").desc, col("v").asc)))
+      .filter(col("rn") === 1)
+      .select(col("col_name"), col("v").as("top_value"),
+        col("cnt").as("top_count"))
+    val (bucket, rho) = hllBucketRho("prof:", col("v"))
+    val regs = unpiv.filter(col("v").isNotNull)
+      .select(col("col_name"), array(bucket, rho).as("br"))
+      .as[(String, Seq[Int])].groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.Sketches.hll(256).name("regs"))
+      .toDF("col_name", "regs")
+      .withColumn("nsum",
+        expr("aggregate(regs, 0L, (a, x) -> a + shiftleft(1L, 40 - x))"))
+      .withColumn("est_distinct", expr(s"${1471L << 45}L div nsum"))
+      .select("col_name", "est_distinct")
+    counts
+      .join(exact, Seq("col_name"), "left")
+      .join(top, Seq("col_name"), "left")
+      .join(regs, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_v"), col("max_v"), col("top_value"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        coalesce(col("est_distinct"), lit(0L)).as("est_distinct"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Heavy hitters over the token stream — the 100 TB "derive the
     // stopword list" pass. Exact top-frequency terms (count ≥ 1/200 of
@@ -620,17 +729,7 @@ object TextAnalysis {
       val base = Tables.documents(s, d)
         .select(col("source"), vcol.as("v")).persist()
       val n = base.count()
-      def bucketCol(l: Int, r: Int): Column = {
-        val h = md5(concat(lit(s"dq:$l:$r:"),
-          expr(s"shiftright(v, $l)").cast("string")))
-        def hvv(i: Int): Column = {
-          val a = ascii(substring(h, i, 1))
-          when(a >= 97, a - 87).otherwise(a - 48)
-        }
-        (hvv(1) * 16 + hvv(2)).cast("int")
-      }
-      val idxCols = array((for { l <- 0 until levels; r <- 0 until dRows }
-        yield bucketCol(l, r)): _*)
+      val idxCols = dyadicIdxCols("dq:", levels, dRows)
       val direct = base.select(idxCols.as("cols")).as[Seq[Int]]
         .groupByKey(_ => 0)
         .agg(graft.functions.Sketches.countMin(levels * dRows, wCols).name("cells"))
@@ -642,14 +741,7 @@ object TextAnalysis {
       val merged = perSrc.map(_._2)
         .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
       val mergedEq = if (merged == direct) 1L else 0L
-      val mdT = java.security.MessageDigest.getInstance("MD5")
-      def bucketOf(l: Int, r: Int, node: Long): Int = {
-        val dig = mdT.digest(s"dq:$l:$r:$node".getBytes("UTF-8"))
-        dig(0) & 0xff
-      }
-      def estOf(l: Int, node: Long): Long =
-        (0 until dRows).map(r =>
-          direct((l * dRows + r) * wCols + bucketOf(l, r, node))).min
+      val estOf = dyadicEst("dq:", direct, dRows, wCols)
       // exact order statistics from the bounded (≤4096-row) value
       // histogram — never a corpus-wide sort
       val hist = base.groupBy("v").agg(count(lit(1)).as("c"))
@@ -657,17 +749,76 @@ object TextAnalysis {
       val cum = hist.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) => (v, acc + c) }.tail
       val rows = Seq(2500L, 5000L, 7500L, 9000L, 9900L).map { qbp =>
         val tgt = (n * qbp + 9999L) / 10000L
-        var cur = 0L; var acc = 0L; var l = levels - 1
-        while (l >= 0) {
-          val e = estOf(l, cur >> l)
-          if (acc + e < tgt) { acc += e; cur += (1L << l) }
-          l -= 1
-        }
+        val cur = dyadicWalk(estOf, levels, tgt)
         val exact = cum.find(_._2 >= tgt).map(_._1).getOrElse(4095L)
         (qbp, tgt, cur, exact, exact - cur, mergedEq)
       }
       rows.toDF("q_bp", "target_rank", "est_q", "exact_q", "q_err", "merged_eq")
         .orderBy("q_bp")
+    }),
+
+    // The dyadic-CMS quantile sketch in its natural GROUPED setting:
+    // per-SOURCE token-count quantiles (p50/p90/p99) — the per-domain
+    // length profile a data card reports and a packing stage sizes
+    // batches with. One typed-aggregator pass builds a 12,288-cell
+    // grid PER GROUP (map-side partials; shuffle payload = one grid
+    // per (partition, group), never the value distribution), then each
+    // group's quantiles come from the same deterministic bit walk as
+    // a23. Driver state is |sources| grids — at web scale, thousands
+    // of domains × 96 KiB, still bounded; the exact histogram truth
+    // beside it is gate plumbing (its per-(source, v) shuffle is the
+    // cost the sketch path exists to avoid).
+    "a25_grouped_quantile" -> ((s, d) => {
+      import s.implicits._
+      val levels = 12; val dRows = 4; val wCols = 256
+      val vcol = least(size(tokens(col("text"))), lit(4095)).cast("long")
+      val base = Tables.documents(s, d)
+        .select(col("source"), vcol.as("v")).persist()
+      val ns = base.groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idxCols = dyadicIdxCols("dqg:", levels, dRows)
+      val grids = base.select(col("source"), idxCols.as("cols"))
+        .as[(String, Seq[Int])].groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.Sketches.countMin(levels * dRows, wCols).name("cells"))
+        .collect().toMap // bounded: |sources| × 12,288 longs
+      val hist = base.groupBy("source", "v").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).sortBy(_._1))
+        .toMap
+      val rows = for {
+        src <- grids.keys.toSeq.sorted
+        qbp <- Seq(5000L, 9000L, 9900L)
+      } yield {
+        val tgt = (ns(src) * qbp + 9999L) / 10000L
+        val estOf = dyadicEst("dqg:", grids(src), dRows, wCols)
+        val eq = dyadicWalk(estOf, levels, tgt)
+        val cum = hist(src).scanLeft((0L, 0L)) {
+          case ((_, acc), (v, c)) => (v, acc + c) }.tail
+        val exact = cum.find(_._2 >= tgt).map(_._1).getOrElse(4095L)
+        (src, qbp, tgt, eq, exact, exact - eq)
+      }
+      rows.toDF("source", "q_bp", "target_rank", "est_q", "exact_q", "q_err")
+        .orderBy("source", "q_bp")
+    }),
+
+    // A24 — the ANALYZE TABLE pass (see `profileColumns`): exact
+    // per-column statistics + the one-pass HLL distinct estimate over
+    // five lineitem columns of three kinds (surrogate key, scaled
+    // decimal, two low-card flags, a date), each pre-encoded as an
+    // order-correct string so min/max/mode agree byte-for-byte
+    // cross-engine. est_distinct is the a20 all-integer register
+    // estimate — exact-replayed at every SF, accuracy asserted by
+    // QueryOpsSpec only where the column's cardinality sits above the
+    // 640-distinct linear-counting floor (the raw-estimate caveat a20
+    // documents applies per column here).
+    "a24_profile_columns" -> ((s, d) => {
+      profileColumns(Tables.lineitem(s, d), Seq(
+        "l_orderkey" -> lpad(col("l_orderkey").cast("string"), 20, "0"),
+        "l_quantity_c" ->
+          lpad((col("l_quantity") * 100).cast("long").cast("string"), 20, "0"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"),
+        "l_shipdate" -> date_format(col("l_shipdate"), "yyyy-MM-dd")))
     }),
 
     // HyperLogLog register sketch (Flajolet et al. 2007) through the
@@ -3080,6 +3231,140 @@ object TextAnalysis {
          |  e.exact_q - f.est_q AS q_err, m.merged_eq
          |FROM dqfin f JOIN dqex e ON f.q_bp = e.q_bp CROSS JOIN dqmeq m
          |ORDER BY f.q_bp""".stripMargin
+    },
+    // the grouped dyadic-CMS walk: per-source cell grids, node
+    // estimates, the recursive descent per (source, target) and the
+    // per-source histogram order statistic all replayed
+    "a25_grouped_quantile" -> {
+      def gqBucket(lExpr: String, rExpr: String): String = {
+        val h = s"md5('dqg:' || CAST($lExpr AS VARCHAR) || ':' || CAST($rExpr AS VARCHAR) " +
+          s"|| ':' || CAST(v >> ($lExpr) AS VARCHAR))"
+        s"(${hexValSql(s"substr($h, 1, 1)")} * 16 + ${hexValSql(s"substr($h, 2, 1)")})"
+      }
+      val nodeH = "md5('dqg:' || CAST(l AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':' || CAST(node AS VARCHAR))"
+      s"""WITH RECURSIVE gqocc AS (
+         |  SELECT source, least(len($toksSql), 4095)::BIGINT AS v FROM documents),
+         |gqn AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |        FROM gqocc GROUP BY 1),
+         |gqlr AS (
+         |  SELECT l, r
+         |  FROM (SELECT unnest(generate_series(0, 11)) AS l)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+         |gqcell AS (
+         |  SELECT source, l, r, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT o.source, o.v, p.l, p.r, ${gqBucket("p.l", "p.r")} AS bucket
+         |        FROM gqocc o CROSS JOIN gqlr p)
+         |  GROUP BY 1, 2, 3, 4),
+         |gqsrc AS (SELECT DISTINCT source FROM gqocc),
+         |gqnodes AS (
+         |  SELECT l, r, node,
+         |    (${hexValSql(s"substr($nodeH, 1, 1)")} * 16
+         |     + ${hexValSql(s"substr($nodeH, 2, 1)")}) AS bucket
+         |  FROM (SELECT l, unnest(generate_series(0, (1 << (12 - l)) - 1)) AS node
+         |        FROM (SELECT unnest(generate_series(0, 11)) AS l))
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+         |gqest AS (
+         |  SELECT s.source, nd.l, nd.node, min(coalesce(cc.c, 0)) AS est
+         |  FROM gqsrc s CROSS JOIN gqnodes nd LEFT JOIN gqcell cc
+         |    ON cc.source = s.source AND cc.l = nd.l AND cc.r = nd.r
+         |    AND cc.bucket = nd.bucket
+         |  GROUP BY 1, 2, 3),
+         |gqt AS (
+         |  SELECT n.source, CAST(q_bp AS BIGINT) AS q_bp,
+         |    (n.n * q_bp + 9999) // 10000 AS tgt
+         |  FROM (VALUES (5000), (9000), (9900)) t(q_bp), gqn n),
+         |gqwalk AS (
+         |  SELECT source, q_bp, tgt, 11 AS l, CAST(0 AS BIGINT) AS cur,
+         |         CAST(0 AS BIGINT) AS acc
+         |  FROM gqt
+         |  UNION ALL
+         |  SELECT source, q_bp, tgt, l - 1,
+         |    CASE WHEN acc + e < tgt THEN cur + (CAST(1 AS BIGINT) << l)
+         |         ELSE cur END,
+         |    CASE WHEN acc + e < tgt THEN acc + e ELSE acc END
+         |  FROM (SELECT w.source, w.q_bp, w.tgt, w.l, w.cur, w.acc,
+         |          coalesce(e2.est, 0) AS e
+         |        FROM gqwalk w LEFT JOIN gqest e2
+         |          ON e2.source = w.source AND e2.l = w.l
+         |          AND e2.node = (w.cur >> w.l)
+         |        WHERE w.l >= 0) s),
+         |gqfin AS (SELECT source, q_bp, tgt, cur AS est_q
+         |          FROM gqwalk WHERE l = -1),
+         |gqvc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+         |         FROM gqocc GROUP BY 1, 2),
+         |gqcum AS (
+         |  SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM gqvc),
+         |gqex AS (
+         |  SELECT t.source, t.q_bp, CAST(min(u.v) AS BIGINT) AS exact_q
+         |  FROM gqt t JOIN gqcum u
+         |    ON u.source = t.source AND u.cum >= t.tgt
+         |  GROUP BY 1, 2)
+         |SELECT f.source, f.q_bp, f.tgt AS target_rank, f.est_q, e.exact_q,
+         |  e.exact_q - f.est_q AS q_err
+         |FROM gqfin f JOIN gqex e
+         |  ON f.source = e.source AND f.q_bp = e.q_bp
+         |ORDER BY f.source, f.q_bp""".stripMargin
+    },
+    // the column profiler replayed: the order-correct string encoding,
+    // the unpivot, exact distinct/min/max/mode with the same
+    // (count DESC, value ASC) tiebreak, and the full 256-register HLL
+    // fold per column with the a20 all-integer estimate
+    "a24_profile_columns" -> {
+      val hh = "md5('prof:' || v)"
+      val bucketSql =
+        s"(${hexValSql(s"substr($hh, 1, 1)")} * 16 + ${hexValSql(s"substr($hh, 2, 1)")})"
+      val vSql = (4 to 10).foldLeft(
+        s"CAST(${hexValSql(s"substr($hh, 3, 1)")} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${hexValSql(s"substr($hh, $i, 1)")})")
+      s"""WITH pbase AS (
+         |  SELECT lpad(CAST(l_orderkey AS VARCHAR), 20, '0') AS l_orderkey,
+         |         lpad(CAST(CAST(l_quantity * 100 AS BIGINT) AS VARCHAR), 20, '0')
+         |           AS l_quantity_c,
+         |         l_returnflag, l_linestatus,
+         |         strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
+         |  FROM lineitem),
+         |punp AS (
+         |  SELECT 'l_orderkey' AS col_name, l_orderkey AS v FROM pbase
+         |  UNION ALL SELECT 'l_quantity_c', l_quantity_c FROM pbase
+         |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM pbase
+         |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM pbase
+         |  UNION ALL SELECT 'l_shipdate', l_shipdate FROM pbase),
+         |pcnt AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |                CAST(count(*) - count(v) AS BIGINT) AS n_null
+         |         FROM punp GROUP BY 1),
+         |pvc AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM punp WHERE v IS NOT NULL GROUP BY 1, 2),
+         |pex AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+         |               min(v) AS min_v, max(v) AS max_v FROM pvc GROUP BY 1),
+         |ptop AS (SELECT col_name, v AS top_value, cnt AS top_count FROM (
+         |  SELECT col_name, v, cnt,
+         |    row_number() OVER (PARTITION BY col_name
+         |                       ORDER BY cnt DESC, v ASC) AS rn
+         |  FROM pvc) WHERE rn = 1),
+         |pbr AS (SELECT col_name, bucket,
+         |          CASE WHEN v32 = 0 THEN 33
+         |               ELSE 33 - length(bin(v32)) END AS rho
+         |        FROM (SELECT col_name, $bucketSql AS bucket, $vSql AS v32
+         |              FROM punp WHERE v IS NOT NULL)),
+         |pgrid AS (SELECT t.col_name, g.b
+         |          FROM (SELECT DISTINCT col_name FROM punp) t
+         |          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) g),
+         |pregs AS (SELECT g.col_name, g.b, COALESCE(max(h.rho), 0) AS reg
+         |          FROM pgrid g LEFT JOIN pbr h
+         |            ON h.col_name = g.col_name AND h.bucket = g.b
+         |          GROUP BY 1, 2),
+         |pest AS (SELECT col_name,
+         |           (CAST(1471 AS BIGINT) << 45)
+         |             // CAST(sum(CAST(1 AS BIGINT) << (40 - reg)) AS BIGINT)
+         |             AS est_distinct
+         |         FROM pregs GROUP BY 1)
+         |SELECT c.col_name, c.n_rows, c.n_null, e.n_distinct, e.min_v,
+         |  e.max_v, t.top_value, t.top_count, s.est_distinct
+         |FROM pcnt c JOIN pex e USING (col_name) JOIN ptop t USING (col_name)
+         |  JOIN pest s USING (col_name)
+         |ORDER BY c.col_name""".stripMargin
     },
     "a20_hll_sketch" -> {
       val hh = "md5('hll:' || tok)"

@@ -370,4 +370,86 @@ class QueryOpsSpec extends AnyFunSuite {
       assert(cur == exact, s"exact walk $cur != order statistic $exact")
     }
   }
+
+  test("a25_grouped_quantile: per-source one-sided bound, exact truth per group") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("a25_grouped_quantile")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    spark.catalog.clearCache()
+    val vs = Tables.documents(spark, d)
+      .select(col("source"), least(size(
+        graft.operators.TextAnalysis.tokens(col("text"))), lit(4095))
+        .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.map(_._1).distinct.sorted.toSeq == vs.keys.toSeq.sorted)
+    rows.foreach { case (src, qbp, tgt, est, exact, err) =>
+      // group target rank from the group's own n, and exact_q is that
+      // group's true order statistic
+      val n = vs(src).length.toLong
+      assert(tgt == (n * qbp + 9999L) / 10000L)
+      assert(exact == vs(src)((tgt - 1).toInt), s"$src q=$qbp")
+      // CMS collisions only add mass: the walk stops no later
+      assert(err >= 0 && est + err == exact, s"$src q=$qbp est=$est")
+    }
+  }
+
+  test("a24_profile_columns: exact stats vs direct recount, HLL accuracy above the floor") {
+    val d = "/root/testdata/sf0.001"
+    val prof = SparkEntry.queries("a24_profile_columns")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    spark.catalog.clearCache()
+    val li = Tables.lineitem(spark, d)
+    val nRows = li.count()
+    val trueDistinct = Map(
+      "l_orderkey" -> li.select("l_orderkey").distinct().count(),
+      "l_quantity_c" -> li.select("l_quantity").distinct().count(),
+      "l_returnflag" -> li.select("l_returnflag").distinct().count(),
+      "l_linestatus" -> li.select("l_linestatus").distinct().count(),
+      "l_shipdate" -> li.select(to_date(col("l_shipdate"))).distinct().count())
+    assert(prof.keySet == trueDistinct.keySet)
+    trueDistinct.foreach { case (c, t) =>
+      val r = prof(c)
+      assert(r.getLong(1) == nRows && r.getLong(2) == 0L, c)
+      assert(r.getLong(3) == t, s"$c n_distinct")
+      // raw HLL estimate only promised above the 640 linear-counting floor
+      if (t > 640)
+        assert(math.abs(r.getLong(8) - t).toDouble / t < 0.25,
+          s"$c est ${r.getLong(8)} vs $t")
+    }
+    // order-correct encoding: min/max decode to the true numeric extremes
+    val ok = prof("l_orderkey")
+    val (loMin, loMax) = li.agg(min("l_orderkey"), max("l_orderkey"))
+      .as[(Long, Long)].head()
+    assert(ok.getString(4).toLong == loMin && ok.getString(5).toLong == loMax)
+  }
+
+  test("profileColumns: nulls, all-null columns and the mode tiebreak") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (Some("b"), Option.empty[String], 1),
+      (Some("a"), Option.empty[String], 2),
+      (Some("b"), Option.empty[String], 3),
+      (Some("a"), Option.empty[String], 4),
+      (None, Option.empty[String], 5)
+    ).toDF("x", "y", "z")
+    val out = TextAnalysis.profileColumns(df, Seq(
+      "x" -> col("x"), "y" -> col("y"),
+      "z" -> lpad(col("z").cast("string"), 3, "0")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    spark.catalog.clearCache()
+    val x = out("x")
+    assert(x.getLong(1) == 5 && x.getLong(2) == 1 && x.getLong(3) == 2)
+    // a and b both occur twice: tie breaks to the SMALLER value
+    assert(x.getString(6) == "a" && x.getLong(7) == 2)
+    assert(x.getString(4) == "a" && x.getString(5) == "b")
+    val y = out("y") // all-null column still profiles
+    assert(y.getLong(1) == 5 && y.getLong(2) == 5 && y.getLong(3) == 0)
+    assert(y.isNullAt(4) && y.isNullAt(6) && y.getLong(7) == 0 &&
+      y.getLong(8) == 0)
+    val z = out("z")
+    assert(z.getLong(3) == 5 && z.getString(4) == "001" &&
+      z.getString(5) == "005")
+  }
 }
