@@ -401,6 +401,46 @@ object IndexPipeline {
         .orderBy("snapshot_id", "bucket", "doc_id")
     }),
 
+    // S16 — bucket-count compaction through the REAL disk path: the
+    // store is loaded at FOUR buckets (snapshot 1), takes one doc-7
+    // upsert (snapshot 2), then `VersionedStore.compact` rewrites the
+    // table at SIXTEEN buckets (snapshot 3) — the Iceberg
+    // bucket-transform-evolution move a growing table needs, committed
+    // by the same one-rename manifest flip as an upsert. The gate pins
+    // BOTH invariants at once: content (snapshot 3's corpus digest
+    // must equal snapshot 2's — compaction moves rows, never changes
+    // them) and layout (n_buckets comes from the MANIFEST on the
+    // engine side and from replaying the doc_id%4 / doc_id%16 bucket
+    // rule over the live doc set on the oracle side, so a compact
+    // that wrote the wrong bucket space hash-fails). Snapshot 1 and 2
+    // still time-travel against the old 4-bucket layout.
+    "s16_compact_rebucket" -> ((s, d) => {
+      val dir = snapDir(d) + "_cmp"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(docs), nBuckets = 4)
+      val batch = buildIndex(docs.filter(col("doc_id") === 7)
+        .withColumn("text", translate(col("text"), "a", ".")))
+      VersionedStore.upsertVersioned(s, dir, batch, nBuckets = 4)
+      VersionedStore.compact(s, dir, 16)
+      Seq(1, 2, 3).map { n =>
+        val nb = VersionedStore.readManifest(s, dir, n)
+          .map(e => (e._1, e._2)).distinct.size
+        VersionedStore.readSnapshot(s, dir, n)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nv"),
+            md5(concat_ws("", array_sort(collect_list(
+              when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("m"))
+          .groupBy(lit(n.toLong).as("snapshot_id"),
+            lit(nb.toLong).as("n_buckets"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nv")).as("n_vectors"),
+            md5(concat_ws("", array_sort(collect_list(
+              concat(col("doc_id").cast("string"), lit(":"), col("m"))))))
+              .as("corpus_md5"))
+      }.reduce(_ unionByName _).orderBy("snapshot_id")
+    }),
+
     // Change-data-feed between two committed snapshots (the Delta CDF /
     // Iceberg incremental-read shape, on the same manifest store
     // s14 time-travels): snapshot 1 = initial load of docs < 150;
@@ -837,6 +877,48 @@ object IndexPipeline {
          |    coalesce(g.chunks_md5, md5(''))
          |  FROM snbase d LEFT JOIN v2digest g USING (doc_id))
          |ORDER BY snapshot_id, bucket, doc_id""".stripMargin,
+    // Compaction replayed: snapshots 1/2/3 content via the chunk-walk
+    // CTEs (3 must digest identically to 2 — compaction never changes
+    // rows), n_buckets via the doc_id%4 / doc_id%16 bucket rule over
+    // the live doc set (the engine reads it from the manifest, so a
+    // wrong bucket space hash-fails here).
+    "s16_compact_rebucket" ->
+      s"""WITH RECURSIVE ${chunkDigestCtes("k1", snapV1Src)},
+         |${chunkDigestCtes("k2", snapV2Src)},
+         |kb1 AS (
+         |  SELECT d.doc_id, CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS nv,
+         |         coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+         |  LEFT JOIN k1digest g USING (doc_id)),
+         |kb2 AS (
+         |  SELECT d.doc_id, CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS nv,
+         |         coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+         |  LEFT JOIN k2digest g USING (doc_id)),
+         |knb AS (
+         |  SELECT
+         |    CAST((SELECT count(DISTINCT source || ':' || CAST(doc_id % 4 AS VARCHAR))
+         |          FROM documents WHERE doc_id < 150) AS BIGINT) AS nb4,
+         |    CAST((SELECT count(DISTINCT source || ':' || CAST(doc_id % 16 AS VARCHAR))
+         |          FROM documents WHERE doc_id < 150) AS BIGINT) AS nb16),
+         |kagg1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nv) AS BIGINT) AS n_vectors,
+         |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || m, ''
+         |        ORDER BY CAST(doc_id AS VARCHAR) || ':' || m)) AS corpus_md5
+         |  FROM kb1),
+         |kagg2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nv) AS BIGINT) AS n_vectors,
+         |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || m, ''
+         |        ORDER BY CAST(doc_id AS VARCHAR) || ':' || m)) AS corpus_md5
+         |  FROM kb2)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS snapshot_id, knb.nb4 AS n_buckets,
+         |    kagg1.* FROM kagg1, knb
+         |  UNION ALL SELECT CAST(2 AS BIGINT), knb.nb4, kagg2.* FROM kagg2, knb
+         |  UNION ALL SELECT CAST(3 AS BIGINT), knb.nb16, kagg2.* FROM kagg2, knb)
+         |ORDER BY snapshot_id""".stripMargin,
     // The two snapshot states rebuilt via the shared chunk-walk CTEs,
     // then the change feed is their doc-level full-outer diff —
     // change rows only, update emitted as preimage+postimage.

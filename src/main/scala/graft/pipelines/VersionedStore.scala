@@ -190,6 +190,50 @@ object VersionedStore {
     auditAndCommit(spark, path, st)
   }
 
+  /** OPTIMIZE-style layout maintenance: rewrite the CURRENT snapshot's
+    * content under a NEW bucket count, committed as the next snapshot
+    * through the same stage → audit → one-rename path as an upsert.
+    * Content is untouched — only the (owner, bucket) layout changes —
+    * so readers of the new snapshot see byte-identical rows, and every
+    * PRIOR snapshot still time-travels against the old layout until
+    * vacuumed (the manifest is the layout: each snapshot's entries
+    * carry their own bucket space, so mixed-layout history is fine).
+    *
+    * This is the lakehouse rebucketing problem (Iceberg's
+    * REPLACE PARTITION FIELD / bucket-transform evolution): a bucket
+    * count chosen at table creation is wrong after 100× growth — too
+    * few buckets means giant files and no upsert parallelism. Because
+    * the store prunes scans and isolates upserts BY bucket, scaling
+    * the bucket count must be atomic across the whole table, which is
+    * exactly what the manifest rename gives. The rewrite itself is one
+    * full-table shuffle on the new (owner, bucket) — the unavoidable
+    * cost, paid once, off the write path. Crash-safe like upsert:
+    * pre-commit crashes leave orphan v-dirs no reader sees; a retry
+    * clears them and converges. */
+  def compact(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    val cur = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"compact: no snapshot at $path"))
+    val next = cur + 1
+    val nv = readSnapshot(spark, path, cur).drop("bucket")
+      .withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), newBuckets))
+    val touched = nv.select("owner", "bucket").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fs = fsOf(spark, path)
+    touched.foreach { case (o, b) =>
+      val orphan = new Path(bucketDir(path, o, b, next))
+      if (fs.exists(orphan)) fs.delete(orphan, true)
+    }
+    val staged = nv.withColumn("v", lit(next))
+      .repartition(touched.size, col("owner"), col("bucket"))
+      .localCheckpoint()
+    val expected = staged.count()
+    staged.write.mode("append").partitionBy("owner", "bucket", "v")
+      .parquet(dataDir(path))
+    // full rewrite: the new manifest carries ONLY the new bucket space
+    auditAndCommit(spark, path, StagedVersion(next, expected, touched,
+      touched.map { case (o, b) => (o, b, next) }))
+  }
+
   /** Read a snapshot (default: latest). Plans a scan over exactly the
     * manifest's version dirs — no discovery, orphan dirs invisible. */
   def readSnapshot(spark: SparkSession, path: String, snapshot: Int = -1): DataFrame = {

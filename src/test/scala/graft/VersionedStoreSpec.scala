@@ -135,6 +135,46 @@ class VersionedStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("compact: content identical under the new bucket space; old layout time-travels; vacuum reclaims it") {
+    val dir = freshDir("cmp")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs), nBuckets = 4)
+    VersionedStore.upsertVersioned(spark, dir, IndexPipeline.buildIndex(modified), nBuckets = 4)
+    val before = digest(VersionedStore.readSnapshot(spark, dir, 2))
+    VersionedStore.compact(spark, dir, 16)
+    assert(VersionedStore.snapshots(spark, dir) == Seq(1, 2, 3))
+    // content is row-identical; only the layout moved
+    assert(digest(VersionedStore.readSnapshot(spark, dir, 3)) == before)
+    // the manifest carries the NEW bucket space...
+    val man3 = VersionedStore.readManifest(spark, dir, 3)
+    assert(man3.forall(_._3 == 3) && man3.map(_._2).forall(b => b >= 0 && b < 16))
+    val nDocs = docs.count()
+    val expected16 = docs.select(col("source"), pmod(col("doc_id"), lit(16L)))
+      .distinct().count()
+    assert(man3.map(e => (e._1, e._2)).distinct.size == expected16)
+    // ...while snapshot 2 still reads the OLD 4-bucket layout
+    val man2 = VersionedStore.readManifest(spark, dir, 2)
+    assert(man2.map(_._2).forall(b => b >= 0 && b < 4))
+    assert(digest(VersionedStore.readSnapshot(spark, dir, 2)) == before)
+    // physical layout matches the manifest: every v=3 dir is a 16-space bucket
+    assert(VersionedStore.readSnapshot(spark, dir, 3)
+      .select(col("bucket")).distinct().collect()
+      .map(_.getLong(0)).forall(b => b >= 0 && b < 16))
+    // per-doc placement follows doc_id % 16
+    val placed = VersionedStore.readSnapshot(spark, dir, 3)
+      .select("doc_id", "bucket").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(placed.forall { case (id, b) => b == id % 16 })
+    // vacuum(retain=1) reclaims the whole old bucket space
+    val deleted = VersionedStore.vacuum(spark, dir, retain = 1)
+    val old4 = docs.select(col("source"), pmod(col("doc_id"), lit(4L)))
+      .distinct().count()
+    // old layout: every (owner, 4-bucket) at v=1, plus doc 7's bucket at v=2
+    assert(deleted == old4 + 1, s"deleted $deleted, old4 $old4")
+    assert(digest(VersionedStore.readSnapshot(spark, dir, 3)) == before)
+    assert(nDocs == before.size.toLong)
+    spark.catalog.clearCache()
+  }
+
   test("s15_snapshot_cdc: change feed is changes-only — one update pair, five inserts, no deletes") {
     val rows = SparkEntry.queries("s15_snapshot_cdc")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))
