@@ -465,32 +465,64 @@ object IndexPipeline {
           .withColumn("text", translate(col("text"), "a", "."))
           .unionByName(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155)))
       VersionedStore.upsertVersioned(s, dir, batch)
-      def digest(n: Int): DataFrame = VersionedStore.readSnapshot(s, dir, n)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_vectors"),
-          md5(concat_ws("", array_sort(collect_list(
-            when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("chunks_md5"))
-      val s1 = digest(1).select(col("doc_id"),
-        col("n_vectors").as("n1"), col("chunks_md5").as("m1"))
-      val s2 = digest(2).select(col("doc_id"),
-        col("n_vectors").as("n2"), col("chunks_md5").as("m2"))
-      val j = s1.join(s2, Seq("doc_id"), "full_outer").persist()
-      val ins = j.filter(col("m1").isNull).select(col("doc_id"),
-        lit("insert").as("change_type"),
-        col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
-      val del = j.filter(col("m2").isNull).select(col("doc_id"),
-        lit("delete").as("change_type"),
-        col("n1").as("n_vectors"), col("m1").as("chunks_md5"))
-      val upd = j.filter(col("m1").isNotNull && col("m2").isNotNull &&
-        col("m1") =!= col("m2"))
-      val pre = upd.select(col("doc_id"),
-        lit("update_preimage").as("change_type"),
-        col("n1").as("n_vectors"), col("m1").as("chunks_md5"))
-      val post = upd.select(col("doc_id"),
-        lit("update_postimage").as("change_type"),
-        col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
-      ins.unionByName(del).unionByName(pre).unionByName(post)
-        .orderBy("doc_id", "change_type")
+      snapshotCdcFeed(s, dir, 1, 2).orderBy("doc_id", "change_type")
+    }),
+
+    // X12 — incremental MATERIALIZED-VIEW maintenance off the CDC
+    // feed: the per-owner stats view (n_docs, n_vectors) is maintained
+    // by applying doc-level deltas from s15's change feed to the
+    // snapshot-1 state (+1/+nv per insert, −1/−nv per delete,
+    // n2−n1 per update via the pre/post pair) and must equal a direct
+    // recompute of snapshot 2 per owner (is_match). This is the
+    // lakehouse pattern that makes dashboards affordable at 100 TB:
+    // the delta path touches ONLY changed docs (the feed), never the
+    // full table — additive algebra is what makes a view maintainable,
+    // which is why the view is counts/sums and not digests. The
+    // owner-attribution join is the one non-feed-bounded input and is
+    // left to AQE (documents is corpus-scaled — no broadcast hint).
+    "x12_incremental_agg" -> ((s, d) => {
+      val dir = snapDir(d) + "_iag"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(base))
+      val batch = buildIndex(
+        base.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", "."))
+          .unionByName(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155)))
+      VersionedStore.upsertVersioned(s, dir, batch)
+      def stats(n: Int): DataFrame = VersionedStore.readSnapshot(s, dir, n)
+        .groupBy("owner")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_vectors"))
+      val owners = docs.select(col("doc_id"), col("source").as("owner"))
+      val deltas = snapshotCdcFeed(s, dir, 1, 2).join(owners, "doc_id")
+        .groupBy("owner")
+        .agg(
+          sum(when(col("change_type") === "insert", 1L)
+            .when(col("change_type") === "delete", -1L)
+            .otherwise(0L)).as("d_docs"),
+          sum(when(col("change_type") === "insert", col("n_vectors"))
+            .when(col("change_type") === "delete", -col("n_vectors"))
+            .when(col("change_type") === "update_postimage", col("n_vectors"))
+            .when(col("change_type") === "update_preimage", -col("n_vectors"))
+            .otherwise(0L)).as("d_vectors"))
+      val incr = stats(1).join(deltas, Seq("owner"), "full_outer")
+        .select(col("owner"),
+          (coalesce(col("n_docs"), lit(0L)) +
+            coalesce(col("d_docs"), lit(0L))).as("n_docs_inc"),
+          (coalesce(col("n_vectors"), lit(0L)) +
+            coalesce(col("d_vectors"), lit(0L))).as("n_vectors_inc"))
+      val direct = stats(2).select(col("owner"),
+        col("n_docs").as("n_docs_direct"),
+        col("n_vectors").as("n_vectors_direct"))
+      incr.join(direct, Seq("owner"), "full_outer")
+        .select(col("owner"), col("n_docs_direct"), col("n_vectors_direct"),
+          col("n_docs_inc"), col("n_vectors_inc"),
+          (col("n_docs_direct") <=> col("n_docs_inc") &&
+            col("n_vectors_direct") <=> col("n_vectors_inc"))
+            .cast("long").as("is_match"))
+        .orderBy("owner")
     }),
 
     // X10 — the lakehouse COMPOSITE the round-9 verdict asked for: the
@@ -657,6 +689,41 @@ object IndexPipeline {
 
   // chunkText state machine as SQL expression fragments (see the
   // t1_chunk_sentence comment; w = walk state row, s = src doc row).
+  /** The s15 change feed as a reusable operator: doc-level diff of two
+    * committed snapshots, change rows only — insert / delete /
+    * update_preimage+update_postimage (the Delta CDF / Iceberg
+    * incremental-read shape). Consumers: the s15 gate itself, the x10
+    * composite's dimension maintenance, and x12's incremental view
+    * maintenance. */
+  private[graft] def snapshotCdcFeed(s: SparkSession, dir: String,
+                                     from: Int, to: Int): DataFrame = {
+    def digest(n: Int): DataFrame = VersionedStore.readSnapshot(s, dir, n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        md5(concat_ws("", array_sort(collect_list(
+          when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("chunks_md5"))
+    val s1 = digest(from).select(col("doc_id"),
+      col("n_vectors").as("n1"), col("chunks_md5").as("m1"))
+    val s2 = digest(to).select(col("doc_id"),
+      col("n_vectors").as("n2"), col("chunks_md5").as("m2"))
+    val j = s1.join(s2, Seq("doc_id"), "full_outer").persist()
+    val ins = j.filter(col("m1").isNull).select(col("doc_id"),
+      lit("insert").as("change_type"),
+      col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
+    val del = j.filter(col("m2").isNull).select(col("doc_id"),
+      lit("delete").as("change_type"),
+      col("n1").as("n_vectors"), col("m1").as("chunks_md5"))
+    val upd = j.filter(col("m1").isNotNull && col("m2").isNotNull &&
+      col("m1") =!= col("m2"))
+    val pre = upd.select(col("doc_id"),
+      lit("update_preimage").as("change_type"),
+      col("n1").as("n_vectors"), col("m1").as("chunks_md5"))
+    val post = upd.select(col("doc_id"),
+      lit("update_postimage").as("change_type"),
+      col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
+    ins.unionByName(del).unionByName(pre).unionByName(post)
+  }
+
   // Shared with DocumentSources' x6_email_import oracle, which replays
   // the same walk over the imported email bodies.
   private def snapV1Src: String =
@@ -950,6 +1017,56 @@ object IndexPipeline {
          |  SELECT doc_id, 'update_postimage', n2, m2 FROM cj
          |  WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m1 <> m2)
          |ORDER BY doc_id, change_type""".stripMargin,
+    // X12 replayed: both maintenance paths — the snapshot-1 view plus
+    // feed deltas, and the direct snapshot-2 recompute — with the
+    // cross-check flag, all from the shared chunk-walk CTEs.
+    "x12_incremental_agg" ->
+      s"""WITH RECURSIVE ${chunkDigestCtes("i1", snapV1Src)},
+         |${chunkDigestCtes("i2", snapV2CdcSrc)},
+         |ib1 AS (
+         |  SELECT d.doc_id, d.source AS owner,
+         |    CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS nv,
+         |    coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM (SELECT doc_id, source FROM documents WHERE doc_id < 150) d
+         |  LEFT JOIN i1digest g USING (doc_id)),
+         |ib2 AS (
+         |  SELECT d.doc_id, d.source AS owner,
+         |    CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS nv,
+         |    coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM (SELECT doc_id, source FROM documents WHERE doc_id < 155) d
+         |  LEFT JOIN i2digest g USING (doc_id)),
+         |iv1 AS (SELECT owner, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(nv) AS BIGINT) AS n_vectors
+         |        FROM ib1 GROUP BY 1),
+         |ifeed AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |    COALESCE(a.owner, b.owner) AS owner,
+         |    a.nv AS n1, a.m AS m1, b.nv AS n2, b.m AS m2
+         |  FROM ib1 a FULL OUTER JOIN ib2 b ON a.doc_id = b.doc_id
+         |  WHERE a.m IS NULL OR b.m IS NULL OR a.m <> b.m),
+         |idelta AS (
+         |  SELECT owner,
+         |    CAST(sum(CASE WHEN m1 IS NULL THEN 1
+         |                  WHEN m2 IS NULL THEN -1 ELSE 0 END) AS BIGINT) AS d_docs,
+         |    CAST(sum(CASE WHEN m1 IS NULL THEN n2
+         |                  WHEN m2 IS NULL THEN -n1
+         |                  ELSE n2 - n1 END) AS BIGINT) AS d_vectors
+         |  FROM ifeed GROUP BY 1),
+         |iinc AS (
+         |  SELECT COALESCE(v.owner, dl.owner) AS owner,
+         |    coalesce(v.n_docs, 0) + coalesce(dl.d_docs, 0) AS n_docs_inc,
+         |    coalesce(v.n_vectors, 0) + coalesce(dl.d_vectors, 0) AS n_vectors_inc
+         |  FROM iv1 v FULL OUTER JOIN idelta dl ON v.owner = dl.owner),
+         |idir AS (SELECT owner, CAST(count(*) AS BIGINT) AS n_docs_direct,
+         |                CAST(sum(nv) AS BIGINT) AS n_vectors_direct
+         |         FROM ib2 GROUP BY 1)
+         |SELECT COALESCE(i.owner, d.owner) AS owner,
+         |  d.n_docs_direct, d.n_vectors_direct, i.n_docs_inc, i.n_vectors_inc,
+         |  CAST(CASE WHEN d.n_docs_direct IS NOT DISTINCT FROM i.n_docs_inc
+         |             AND d.n_vectors_direct IS NOT DISTINCT FROM i.n_vectors_inc
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_match
+         |FROM iinc i FULL OUTER JOIN idir d ON i.owner = d.owner
+         |ORDER BY owner""".stripMargin,
     // X10 — the full CDC→SCD2→PIT replay: three chunk-walk snapshot
     // states, consecutive-diff postimages, one window building the
     // validity intervals, the interval-join PIT form (equivalent to

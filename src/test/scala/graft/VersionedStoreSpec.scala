@@ -187,4 +187,19 @@ class VersionedStoreSpec extends AnyFunSuite {
       Seq("update_postimage", "update_preimage"))
     assert(!rows.exists(_._2 == "delete"), "upsert-only feed must carry no deletes")
   }
+
+  test("x12_incremental_agg: delta-maintained view equals direct recompute for every owner") {
+    val rows = SparkEntry.queries("x12_incremental_agg")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    // the cross-check flag the query itself computes must hold everywhere
+    assert(rows.forall(_.getLong(5) == 1L),
+      rows.filter(_.getLong(5) != 1L).mkString(","))
+    // and independently: inc == direct column-wise (not just the flag)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4)))
+    // the snapshot-2 state has more docs than snapshot 1 (5 inserts) —
+    // the deltas must actually have been applied, not trivially zero
+    val totalDocs = rows.map(_.getLong(1)).sum
+    assert(totalDocs == 155L, s"expected 155 docs across owners, got $totalDocs")
+  }
 }
