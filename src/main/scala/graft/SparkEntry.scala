@@ -33,7 +33,7 @@ object SparkEntry {
       model.CoreModel.queries ++ operators.Layout.queries ++
       operators.ResponseCache.queries ++ operators.ProductQuantization.queries ++
       operators.Bpe.queries ++ operators.Graph.queries ++
-      operators.Perplexity.queries
+      operators.Perplexity.queries ++ operators.DataQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +48,5 @@ object SparkEntry {
       evaluation.RetrievalEval.oracles ++ operators.Layout.oracles ++
       operators.ResponseCache.oracles ++ operators.ProductQuantization.oracles ++
       operators.Bpe.oracles ++ operators.Graph.oracles ++
-      operators.Perplexity.oracles
+      operators.Perplexity.oracles ++ operators.DataQuality.oracles
 }

@@ -1117,6 +1117,45 @@ object Dedup {
         .orderBy("comp")
     }),
 
+    // X13 — the ENTITY-RESOLUTION composite (record linkage end to
+    // end, the way x10/x11 compose their domains): LSH blocking →
+    // shingle-Jaccard VERIFY (≥0.5) → connected components over the
+    // verified edges only (blocking false positives must not glue
+    // entities — that is the difference from dd_components, whose
+    // clusters are candidate-level) → one golden record per entity:
+    // survivorship (max n_chars, doc_id tiebreak) plus attribute
+    // FUSION across members (distinct sources, merged language list,
+    // total chars). Scale shape: candidate pairs are band-bounded, the
+    // verify is per-pair map work, CC is the existing O(log n)-capable
+    // operator, and the fusion is one grouped agg over |members| rows.
+    "x13_entity_resolution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bands = lshBands(minhashSignatures(s, d)).persist()
+      val cand = lshCandidatePairs(bands)
+      val shSets = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(col("text")).as("shs")).persist()
+      val verified = cand
+        .join(shSets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
+        .join(shSets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .filter(col("inter").cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double") >= 0.5)
+        .select("doc_a", "doc_b")
+      val comp = connectedComponents(verified, "doc_a", "doc_b")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      comp.join(docs, comp("node") === docs("doc_id"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("comp").orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rnk") === 1, col("doc_id"))).as("rep_doc_id"),
+          countDistinct(col("source")).as("n_sources"),
+          array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("comp")
+    }),
+
     // Embedding int8 quantization (training-pipeline storage/ANN
     // compression): per-element floor(x·127) — floor is IEEE-identical
     // across engines, and the integer summaries (sum/min/max) are
@@ -1608,6 +1647,54 @@ object Dedup {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5
          |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin,
+    // X13 replayed: the dd_components CTE chain but with the Jaccard
+    // verify BETWEEN candidate generation and the transitive closure,
+    // then survivorship + attribute fusion per component.
+    "x13_entity_resolution" ->
+      s"""WITH RECURSIVE ds AS (
+         |  SELECT doc_id, unnest($shSql) AS sh FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('s0|' || sh)) AS h0, min(md5('s1|' || sh)) AS h1,
+         |    min(md5('s2|' || sh)) AS h2, min(md5('s3|' || sh)) AS h3,
+         |    min(md5('s4|' || sh)) AS h4, min(md5('s5|' || sh)) AS h5,
+         |    min(md5('s6|' || sh)) AS h6, min(md5('s7|' || sh)) AS h7
+         |  FROM ds GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bh FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, $shSql AS shs FROM documents),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+         |    / CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM ver
+         |  UNION ALL SELECT doc_b, doc_a FROM ver),
+         |walk AS (
+         |  SELECT DISTINCT a AS node, a AS reach FROM edges
+         |  UNION
+         |  SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+         |comps AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node),
+         |ranked AS (
+         |  SELECT c.comp, c.node, d.source, d.lang, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.comp
+         |      ORDER BY d.n_chars DESC, c.node ASC) AS rnk
+         |  FROM comps c JOIN documents d ON d.doc_id = c.node)
+         |SELECT comp, count(*) AS n_members,
+         |  max(CASE WHEN rnk = 1 THEN node END) AS rep_doc_id,
+         |  count(DISTINCT source) AS n_sources,
+         |  array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin,
     "dd_paragraph" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE n_chars > 0

@@ -367,6 +367,45 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // A26 — robust anomaly flags on the daily event series (beyond-
+    // reference analytics op): median/MAD z-scores (Iglewicz–Hoaglin),
+    // the outlier rule monitoring dashboards use because mean/stddev
+    // are themselves corrupted by the outliers they hunt. Shape for
+    // scale: ONE shuffle (the daily partial-agg over events); the
+    // median and MAD then live on the |days|-row relation, which is
+    // bounded — collected into one sorted array inside a single agg
+    // row, never a global window over event rows. The two medians are
+    // midpoint-of-middle-elements over exact integers; z is one double
+    // divide; mad=0 (a constant series) yields NULL z by contract.
+    "a26_anomaly_robust" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val mid1 = expr("cast((cnt + 1) div 2 as int)")
+      val mid2 = expr("cast(cnt div 2 + 1 as int)")
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("rows"),
+          sort_array(collect_list(col("n"))).as("ns"),
+          count(lit(1)).as("cnt"))
+        .withColumn("med",
+          (element_at(col("ns"), mid1) + element_at(col("ns"), mid2)) / 2.0)
+        .withColumn("adevs",
+          sort_array(transform(col("ns"), x => abs(x - col("med")))))
+        .withColumn("mad",
+          (element_at(col("adevs"), mid1) + element_at(col("adevs"), mid2)) / 2.0)
+        .select(explode(col("rows")).as("r"), col("med"), col("mad"))
+        .select(col("r.day").as("day"), col("r.n").as("n"),
+          col("med"), col("mad"),
+          when(col("mad") === 0.0, lit(null).cast("double"))
+            .otherwise((col("r.n") - col("med")) / (lit(1.4826) * col("mad")))
+            .as("z"),
+          when(col("mad") === 0.0, lit(0L))
+            .otherwise((abs(col("r.n") - col("med")) >
+              lit(3.0) * lit(1.4826) * col("mad")).cast("long"))
+            .as("is_anomaly"))
+        .orderBy("day")
+    }),
+
     // A15 — explicit GROUPING SETS (the general form behind A7's
     // rollup and A12's cube): per-lang totals, per-source totals, and
     // the grand total in ONE pass — Spark expands the sets map-side,
@@ -550,6 +589,29 @@ object Relational {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // A26 replayed: the same two order-statistic medians (midpoint of
+    // the middle one/two elements) over the daily counts and the
+    // absolute deviations, then the identical double z expression.
+    "a26_anomaly_robust" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT n, row_number() OVER (ORDER BY n, day) AS rn,
+        |              count(*) OVER () AS cnt FROM daily),
+        |med AS (SELECT (min(n) + max(n)) / 2.0 AS med FROM st
+        |        WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1),
+        |ad AS (SELECT abs(d.n - m.med) AS adev FROM daily d, med m),
+        |adr AS (SELECT adev, row_number() OVER (ORDER BY adev) AS rn,
+        |               count(*) OVER () AS cnt FROM ad),
+        |madc AS (SELECT (min(adev) + max(adev)) / 2.0 AS mad FROM adr
+        |         WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1)
+        |SELECT d.day, d.n, m.med, x.mad,
+        |  CASE WHEN x.mad = 0 THEN NULL
+        |       ELSE (d.n - m.med) / (1.4826 * x.mad) END AS z,
+        |  CAST(CASE WHEN x.mad = 0 THEN 0
+        |            WHEN abs(d.n - m.med) > 3.0 * 1.4826 * x.mad THEN 1
+        |            ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM daily d, med m, madc x ORDER BY d.day""".stripMargin,
     "a16_cohort_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
         |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)

@@ -1572,6 +1572,62 @@ object TextAnalysis {
         .orderBy("term")
     }),
 
+    // TA — Poisson-bootstrap confidence interval for a corpus metric
+    // (mean doc length), the ONE-PASS bootstrap used at web scale
+    // (Chamandy et al., Google 2012): instead of resampling n docs per
+    // replicate (needs global coordination), each doc independently
+    // enters replicate b with weight w ~ Poisson(1) — derived here from
+    // a 52-bit md5 uniform through the inverse CDF, so both engines
+    // draw the IDENTICAL weight. Shape for scale: explode ×B=64 is
+    // map-only, the per-replicate sums partial-aggregate map-side into
+    // B rows, and the CI is order statistics over the bounded 64-double
+    // array. Replicate sums are exact integers; each mean is one double
+    // divide.
+    "ta_bootstrap_ci" -> ((s, d) => {
+      val B = 64
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val h = md5(concat(lit("bs:"), col("b").cast("string"),
+        lit(":"), col("doc_id").cast("string")))
+      def hvv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val hBig = (2 to 13).map(hvv)
+        .foldLeft(hvv(1).cast("long"))((acc, x) => acc * 16 + x)
+      val u = (hBig + 1).cast("double") / lit(4503599627370496.0)
+      // Poisson(1) inverse CDF; cumulative-probability literals are
+      // spelled identically in the oracle so the branch is bit-exact
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .when(u < 0.9999167588507119, 6L)
+        .when(u < 0.9999897508033253, 7L)
+        .otherwise(8L)
+      // the point estimate rides the SAME exploded pass (each doc
+      // appears exactly B times, so per-replicate n/Σchars are the
+      // corpus totals) — no second scan, no 1-row cross join
+      val reps = docs
+        .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg((sum(col("w") * col("n_chars")).cast("double") /
+          sum(col("w")).cast("double")).as("mean_b"),
+          count(lit(1)).as("nd"), sum(col("n_chars")).as("tot"))
+      // ranks: lo = ceil(0.025·B) = 2, hi = B+1−lo = 63, med = mid pair
+      reps.agg(sort_array(collect_list(col("mean_b"))).as("ms"),
+          count(lit(1)).as("nb"), max(col("nd")).as("n_docs"),
+          max(col("tot")).as("tot"))
+        .select(col("n_docs"),
+          (col("tot").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
+          col("nb").as("n_replicates"),
+          element_at(col("ms"), 2).as("ci_lo"),
+          ((element_at(col("ms"), 32) + element_at(col("ms"), 33)) / 2.0).as("ci_med"),
+          element_at(col("ms"), 63).as("ci_hi"))
+    }),
+
     // Fingerprinting: exact-content hash + order-invariant bag-of-words
     // hash (the cheap first tier of a dedup cascade).
     "ta_fingerprint" -> ((s, d) =>
@@ -3559,6 +3615,46 @@ object TextAnalysis {
          |  md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fp_exact,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp_bag
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Poisson-bootstrap CI replayed: the identical 52-bit md5 uniform,
+    // the same inverse-CDF literals, exact integer replicate sums, and
+    // the same order-statistic picks over the 64 sorted replicate means.
+    "ta_bootstrap_ci" -> {
+      val hh = "md5('bs:' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))"
+      val hBig = (2 to 13).foldLeft(
+        s"CAST(${hexValSql(s"substr($hh, 1, 1)")} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${hexValSql(s"substr($hh, $i, 1)")})")
+      s"""WITH bdocs AS (
+         |  SELECT doc_id, n_chars, b
+         |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)),
+         |uw AS (
+         |  SELECT b, n_chars,
+         |    CASE WHEN u < 0.36787944117144233 THEN 0
+         |         WHEN u < 0.7357588823428847 THEN 1
+         |         WHEN u < 0.9196986029286058 THEN 2
+         |         WHEN u < 0.9810118431238462 THEN 3
+         |         WHEN u < 0.9963401531726563 THEN 4
+         |         WHEN u < 0.9994058151824183 THEN 5
+         |         WHEN u < 0.9999167588507119 THEN 6
+         |         WHEN u < 0.9999897508033253 THEN 7
+         |         ELSE 8 END AS w
+         |  FROM (SELECT b, n_chars,
+         |          CAST($hBig + 1 AS DOUBLE) / 4503599627370496.0 AS u
+         |        FROM bdocs)),
+         |reps AS (
+         |  SELECT b,
+         |    CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b,
+         |    count(*) AS nd, sum(n_chars) AS tot
+         |  FROM uw GROUP BY b),
+         |arr AS (
+         |  SELECT list_sort(list(mean_b)) AS ms, count(*) AS nb,
+         |    max(nd) AS n_docs, max(tot) AS tot
+         |  FROM reps)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+         |  CAST(nb AS BIGINT) AS n_replicates,
+         |  ms[2] AS ci_lo, (ms[32] + ms[33]) / 2.0 AS ci_med, ms[63] AS ci_hi
+         |FROM arr""".stripMargin
+    },
     // chr() builds the three variants unambiguously: 233 = precomposed
     // U+00E9, 769 = combining acute, 195/169 = the mojibake pair.
     "ta_unicode_nfc" ->
