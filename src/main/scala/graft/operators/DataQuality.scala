@@ -128,6 +128,57 @@ object DataQuality {
           col("o_orderdate").between("1995-01-01", "2001-12-31"), 1.0),
         Referential("fk_custkey_resolves", "o_custkey",
           customer, "c_custkey", 1.0)))
+    }),
+
+    // DQ — distribution-drift detector (the PSI-shaped check a feature
+    // pipeline runs between a reference window and a fresh window):
+    // per event_type, quartile edges from the REFERENCE slice (exact
+    // order statistics over partitioned windows — the a10 shape, never
+    // a global window), both slices histogrammed against those edges,
+    // drift = L1 distance between the two bucket distributions. The
+    // metric is computed integer-EXACT via cross-multiplication
+    // (|c_a·n_b − c_b·n_a| summed, ONE double divide by n_a·n_b at the
+    // end) — the reason it is L1 and not PSI proper is that ln() is
+    // libm-dependent and would break cross-engine bit-equality, while
+    // L1 ranks drifted features identically. Edges/counts relations
+    // are domain-bounded (one row per event type) — broadcast like
+    // a10's group counts.
+    "dq_histogram_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"),
+          dayofmonth(col("ts")).as("dom"))
+      val sliceA = ev.filter(col("dom") <= 15)
+      val sliceB = ev.filter(col("dom") > 15)
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      val na = sliceA.groupBy("event_type").agg(count(lit(1)).as("n_a"))
+      val nb = sliceB.groupBy("event_type").agg(count(lit(1)).as("n_b"))
+      val edges = sliceA.withColumn("rn", row_number().over(w))
+        .join(broadcast(na), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === expr("(1 * n_a) div 4"), col("value"))).as("e1"),
+          max(when(col("rn") === expr("(2 * n_a) div 4"), col("value"))).as("e2"),
+          max(when(col("rn") === expr("(3 * n_a) div 4"), col("value"))).as("e3"))
+      def bucketed(df: DataFrame, cName: String): DataFrame = df
+        .join(broadcast(edges), Seq("event_type"))
+        .withColumn("bkt",
+          when(col("value") <= col("e1"), 0L)
+            .when(col("value") <= col("e2"), 1L)
+            .when(col("value") <= col("e3"), 2L).otherwise(3L))
+        .groupBy("event_type", "bkt").agg(count(lit(1)).as(cName))
+      bucketed(sliceA, "c_a")
+        .join(bucketed(sliceB, "c_b"), Seq("event_type", "bkt"), "full_outer")
+        .na.fill(0L, Seq("c_a", "c_b"))
+        .join(broadcast(na), Seq("event_type"))
+        .join(broadcast(nb), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))).as("xnum"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          (col("xnum").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("drift_l1"))
+        .orderBy("event_type")
     })
   )
 
@@ -171,6 +222,48 @@ object DataQuality {
         |    CAST(hit AS DOUBLE) / CAST(n_rows AS DOUBLE), 1.0 FROM fk)
         |SELECT "check", kind, n_rows, metric, threshold,
         |  CAST(CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS BIGINT) AS passed
-        |FROM rep ORDER BY "check"""".stripMargin
+        |FROM rep ORDER BY "check"""".stripMargin,
+    // drift replayed: same reference-slice quartile edges (partitioned
+    // order statistics), same bucket rule, same cross-multiplied L1.
+    "dq_histogram_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, event_id, day(ts) AS dom FROM events),
+        |sa AS (SELECT * FROM ev WHERE dom <= 15),
+        |sb AS (SELECT * FROM ev WHERE dom > 15),
+        |na AS (SELECT event_type, count(*) AS n_a FROM sa GROUP BY 1),
+        |nb AS (SELECT event_type, count(*) AS n_b FROM sb GROUP BY 1),
+        |ar AS (
+        |  SELECT sa.event_type, value,
+        |    row_number() OVER (PARTITION BY sa.event_type
+        |      ORDER BY value, event_id) AS rn, n_a
+        |  FROM sa JOIN na USING (event_type)),
+        |edges AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (1 * n_a) // 4 THEN value END) AS e1,
+        |    max(CASE WHEN rn = (2 * n_a) // 4 THEN value END) AS e2,
+        |    max(CASE WHEN rn = (3 * n_a) // 4 THEN value END) AS e3
+        |  FROM ar GROUP BY 1),
+        |ha AS (
+        |  SELECT s.event_type,
+        |    CASE WHEN value <= e1 THEN 0 WHEN value <= e2 THEN 1
+        |         WHEN value <= e3 THEN 2 ELSE 3 END AS bkt,
+        |    count(*) AS c_a
+        |  FROM sa s JOIN edges USING (event_type) GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT s.event_type,
+        |    CASE WHEN value <= e1 THEN 0 WHEN value <= e2 THEN 1
+        |         WHEN value <= e3 THEN 2 ELSE 3 END AS bkt,
+        |    count(*) AS c_b
+        |  FROM sb s JOIN edges USING (event_type) GROUP BY 1, 2),
+        |hh AS (
+        |  SELECT COALESCE(ha.event_type, hb.event_type) AS event_type,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb
+        |    ON ha.event_type = hb.event_type AND ha.bkt = hb.bkt)
+        |SELECT h.event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+        |  CAST(CAST(sum(abs(c_a * n_b - c_b * n_a)) AS BIGINT) AS DOUBLE)
+        |    / CAST(max(n_a) * max(n_b) AS DOUBLE) AS drift_l1
+        |FROM hh h JOIN na USING (event_type) JOIN nb USING (event_type)
+        |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin
   )
 }

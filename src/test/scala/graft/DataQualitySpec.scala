@@ -70,6 +70,33 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dq_histogram_drift: edges, buckets and L1 equal an exact driver-side replay") {
+    val rows = SparkEntry.queries("dq_histogram_drift")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "value", "event_id", "dayofmonth(ts) as dom")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    val byType = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val all = byType(t)
+      val a = all.filter(_._4 <= 15).sortBy(x => (x._2, x._3))
+      val b = all.filter(_._4 > 15)
+      assert(r.getLong(1) == a.length.toLong && r.getLong(2) == b.length.toLong)
+      val nA = a.length
+      val edges = (1 to 3).map(k => a((k * nA) / 4 - 1)._2) // rn is 1-based
+      def bkt(v: Double): Int = edges.indexWhere(v <= _) match {
+        case -1 => 3; case i => i
+      }
+      val cA = (0 to 3).map(i => a.count(x => bkt(x._2) == i).toLong)
+      val cB = (0 to 3).map(i => b.count(x => bkt(x._2) == i).toLong)
+      val num = (0 to 3).map(i => math.abs(cA(i) * b.length - cB(i) * a.length)).sum
+      assert(r.getDouble(3) == num.toDouble / (a.length.toLong * b.length).toDouble,
+        s"drift mismatch for $t")
+    }
+  }
+
   test("ta_bootstrap_ci: replicate means equal an exact driver-side md5 replay") {
     val row = SparkEntry.queries("ta_bootstrap_ci")(spark, sf).collect().head
     spark.catalog.clearCache()

@@ -57,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_setjoin_prefix" -> "1-row candidate-count aggregate riding along",
     "dd_span_rewrite" -> "removal spans from the top-100-capped span report",
     "dd_sorted_neighborhood" -> "per-bucket offsets: 2-char-prefix domain ≤ charset²",
+    "dq_histogram_drift" -> "per-event_type slice counts + quartile edges: domain-bounded key",
     "eval_answer_exact" -> "fixed golden query set (bounded grid)",
     "eval_answer_quality" -> "fixed golden query set (bounded grid)",
     "eval_modes_grid" -> "fixed 120-question QA set",
