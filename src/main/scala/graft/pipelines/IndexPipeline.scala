@@ -525,6 +525,50 @@ object IndexPipeline {
         .orderBy("owner")
     }),
 
+    // X14 — right-to-be-forgotten propagation (the GDPR deletion a
+    // training-data lakehouse must support): wipe one whole owner PLUS
+    // two individual docs of other owners via the store's doc-granular
+    // `deleteVersioned` (bucket-scoped rewrite, emptied buckets drop
+    // from the manifest), then PROVE the blast radius through the CDC
+    // feed: per owner, v1/v2 doc counts, delete events, and — the
+    // gate's teeth — n_other_changes, which counts any feed row that
+    // is NOT a delete. A delete that corrupts a surviving doc's chunk
+    // rows surfaces as an update pair here and hash-fails against the
+    // oracle's zero. Victim selection is deterministic (min owner, two
+    // smallest foreign doc_ids), so the whole episode replays in SQL.
+    "x14_forget_user" -> ((s, d) => {
+      val dir = snapDir(d) + "_fgt"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(base))
+      val victimOwner = base.agg(min(col("source"))).collect()(0).getString(0)
+      val extraIds = base.filter(col("source") =!= victimOwner)
+        .orderBy("doc_id").limit(2).select("doc_id")
+      val victimIds = base.filter(col("source") === victimOwner)
+        .select("doc_id").unionByName(extraIds)
+      VersionedStore.deleteVersioned(s, dir, victimIds)
+      val owners = docs.select(col("doc_id"), col("source").as("owner"))
+      def perOwner(n: Int, cName: String): DataFrame =
+        VersionedStore.readSnapshot(s, dir, n)
+          .groupBy("owner").agg(countDistinct(col("doc_id")).as(cName))
+      val feed = snapshotCdcFeed(s, dir, 1, 2).join(owners, "doc_id")
+        .groupBy("owner")
+        .agg(sum(when(col("change_type") === "delete", 1L).otherwise(0L))
+            .as("n_feed_deletes"),
+          sum(when(col("change_type") =!= "delete", 1L).otherwise(0L))
+            .as("n_other_changes"))
+      perOwner(1, "n_docs_v1")
+        .join(perOwner(2, "n_docs_v2"), Seq("owner"), "full_outer")
+        .join(feed, Seq("owner"), "full_outer")
+        .select(col("owner"),
+          coalesce(col("n_docs_v1"), lit(0L)).as("n_docs_v1"),
+          coalesce(col("n_docs_v2"), lit(0L)).as("n_docs_v2"),
+          coalesce(col("n_feed_deletes"), lit(0L)).as("n_feed_deletes"),
+          coalesce(col("n_other_changes"), lit(0L)).as("n_other_changes"))
+        .orderBy("owner")
+    }),
+
     // X10 — the lakehouse COMPOSITE the round-9 verdict asked for: the
     // three snapshot/temporal surfaces that s14/s15/t14/t15 gate
     // individually, chained the way a real pipeline runs them.
@@ -1067,6 +1111,37 @@ object IndexPipeline {
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_match
          |FROM iinc i FULL OUTER JOIN idir d ON i.owner = d.owner
          |ORDER BY owner""".stripMargin,
+    // X14 replayed: same deterministic victim selection, per-owner v1/
+    // v2 counts and delete events from the documents metadata; a
+    // CORRECT deletion produces zero non-delete feed rows, so the
+    // oracle's n_other_changes is the computed constant the engine's
+    // digest-diff feed must reproduce.
+    "x14_forget_user" ->
+      """WITH vic AS (
+        |  SELECT min(source) AS vo FROM documents WHERE doc_id < 150),
+        |extra AS (
+        |  SELECT doc_id FROM documents, vic
+        |  WHERE doc_id < 150 AND source <> vo ORDER BY doc_id LIMIT 2),
+        |victims AS (
+        |  SELECT doc_id, source FROM documents, vic
+        |  WHERE doc_id < 150 AND (source = vo
+        |    OR doc_id IN (SELECT doc_id FROM extra))),
+        |v1 AS (SELECT source AS owner, count(*) AS n_docs_v1
+        |       FROM documents WHERE doc_id < 150 GROUP BY 1),
+        |v2 AS (SELECT source AS owner, count(*) AS n_docs_v2
+        |       FROM documents WHERE doc_id < 150
+        |         AND doc_id NOT IN (SELECT doc_id FROM victims) GROUP BY 1),
+        |fd AS (SELECT source AS owner, count(*) AS n_feed_deletes
+        |       FROM victims GROUP BY 1)
+        |SELECT v1.owner,
+        |  coalesce(n_docs_v1, 0) AS n_docs_v1,
+        |  coalesce(n_docs_v2, 0) AS n_docs_v2,
+        |  coalesce(n_feed_deletes, 0) AS n_feed_deletes,
+        |  CAST(0 AS BIGINT) AS n_other_changes
+        |FROM v1
+        |LEFT JOIN v2 ON v1.owner = v2.owner
+        |LEFT JOIN fd ON v1.owner = fd.owner
+        |ORDER BY v1.owner""".stripMargin,
     // X10 — the full CDC→SCD2→PIT replay: three chunk-walk snapshot
     // states, consecutive-diff postimages, one window building the
     // validity intervals, the interval-join PIT form (equivalent to

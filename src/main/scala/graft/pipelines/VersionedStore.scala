@@ -234,6 +234,61 @@ object VersionedStore {
       touched.map { case (o, b) => (o, b, next) }))
   }
 
+  /** Doc-granular DELETE as a new snapshot — the right-to-be-forgotten
+    * primitive: rewrite only the buckets that hold the victim docs,
+    * anti-joined against the id set, through the same stage → audit →
+    * one-rename path as an upsert. Buckets left EMPTY by the delete
+    * drop out of the manifest entirely (no zero-row dirs); untouched
+    * buckets keep their live version dirs byte-identical, so the CDC
+    * feed between the two snapshots shows ONLY deletes. Crash-safe
+    * like upsert: pre-commit crashes leave orphan v-dirs no reader
+    * sees; a retry clears them and converges. Returns the number of
+    * vector rows removed. */
+  def deleteVersioned(spark: SparkSession, path: String, docIds: DataFrame,
+                      nBuckets: Int = 16): Long = {
+    val cur = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"deleteVersioned: no snapshot at $path"))
+    val next = cur + 1
+    val ids = docIds.select(col("doc_id")).distinct()
+    val snap = readSnapshot(spark, path, cur)
+    val victims = snap.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val touched = victims.select("owner", "bucket").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (touched.isEmpty) return 0L
+    val deleted = victims.count()
+    val man = readManifest(spark, path, cur)
+    val touchedSet = touched.toSet
+    val fs = fsOf(spark, path)
+    touched.foreach { case (o, b) =>
+      val orphan = new Path(bucketDir(path, o, b, next))
+      if (fs.exists(orphan)) fs.delete(orphan, true)
+    }
+    val survivorPaths = man.collect {
+      case (o, b, v) if touchedSet((o, b)) => bucketDir(path, o, b, v)
+    }
+    val staged = spark.read.option("basePath", dataDir(path))
+      .parquet(survivorPaths: _*)
+      .withColumn("bucket", col("bucket").cast("long")).drop("v")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .withColumn("v", lit(next))
+      .repartition(touched.size, col("owner"), col("bucket"))
+      .localCheckpoint()
+    val expected = staged.count()
+    // buckets fully emptied by the delete write no dir and leave the
+    // manifest; the audit runs over the kept (still-non-empty) set
+    val kept = staged.select("owner", "bucket").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val entries = man.filterNot(e => touchedSet((e._1, e._2))) ++
+      kept.map { case (o, b) => (o, b, next) }
+    if (kept.isEmpty) commitManifest(spark, path, next, entries)
+    else {
+      staged.write.mode("append").partitionBy("owner", "bucket", "v")
+        .parquet(dataDir(path))
+      auditAndCommit(spark, path, StagedVersion(next, expected, kept, entries))
+    }
+    deleted
+  }
+
   /** Read a snapshot (default: latest). Plans a scan over exactly the
     * manifest's version dirs — no discovery, orphan dirs invisible. */
   def readSnapshot(spark: SparkSession, path: String, snapshot: Int = -1): DataFrame = {

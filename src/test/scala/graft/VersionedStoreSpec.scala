@@ -188,6 +188,38 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(!rows.exists(_._2 == "delete"), "upsert-only feed must carry no deletes")
   }
 
+  test("deleteVersioned: victims vanish, survivors byte-identical, emptied buckets leave the manifest") {
+    import spark.implicits._
+    val dir = freshDir("del")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    val before = digest(VersionedStore.readSnapshot(spark, dir))
+    // wipe doc 7 plus EVERY doc in bucket 3 (doc_id % 16 == 3) so one
+    // bucket-set empties entirely
+    val victimIds = docs.select(col("doc_id"))
+      .filter(col("doc_id") === 7 || col("doc_id") % 16 === 3)
+    val victimSet = victimIds.collect().map(_.getLong(0)).toSet
+    val removed = VersionedStore.deleteVersioned(spark, dir, victimIds)
+    assert(removed > 0L)
+    assert(VersionedStore.snapshots(spark, dir) == Seq(1, 2))
+    // snapshot 1 still time-travels complete
+    assert(digest(VersionedStore.readSnapshot(spark, dir, 1)) == before)
+    // snapshot 2: victims gone, everyone else byte-identical
+    val after = digest(VersionedStore.readSnapshot(spark, dir, 2))
+    assert(after.keySet == before.keySet -- victimSet)
+    assert(after.forall { case (k, v) => before(k) == v })
+    // bucket 3 emptied → absent from manifest 2; untouched buckets
+    // keep their v=1 dirs (no rewrite)
+    val m2 = VersionedStore.readManifest(spark, dir, 2)
+    assert(!m2.exists(_._2 == 3L), s"emptied bucket still in manifest: $m2")
+    val touched = Set(3L, 7L % 16)
+    assert(m2.filterNot(e => touched(e._2)).forall(_._3 == 1))
+    // deleting ids that do not exist is a no-op: no new snapshot
+    assert(VersionedStore.deleteVersioned(spark, dir,
+      Seq(99999L).toDF("doc_id")) == 0L)
+    assert(VersionedStore.snapshots(spark, dir) == Seq(1, 2))
+    spark.catalog.clearCache()
+  }
+
   test("x12_incremental_agg: delta-maintained view equals direct recompute for every owner") {
     val rows = SparkEntry.queries("x12_incremental_agg")(spark, sf).collect()
     spark.catalog.clearCache()
