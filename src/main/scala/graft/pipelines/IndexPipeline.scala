@@ -525,6 +525,54 @@ object IndexPipeline {
         .orderBy("owner")
     }),
 
+    // S17 — MERGE-ON-READ soft delete (delete vectors), the
+    // write-cheap counterpart of x14's copy-on-write rewrite and the
+    // second of the two canonical lakehouse delete strategies: two
+    // cumulative softDelete episodes (an owner wipe + 2 foreign docs,
+    // then a 4-id batch overlapping the first two) produce snapshots
+    // 2 and 3 with ZERO data movement — the gate pins, per owner, the
+    // visible doc counts at all three snapshots, the manifest's
+    // bucket/dv-reference counts, and n_rewritten = count of entries
+    // whose DATA version moved (the merge-on-read invariant: must be
+    // zero — a rewrite would flunk the hash against the oracle's
+    // computed zero). Cumulative dv union and overlap-idempotence are
+    // exercised by construction.
+    "s17_soft_delete" -> ((s, d) => {
+      import s.implicits._
+      val dir = snapDir(d) + "_sdv"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(base))
+      val victimOwner = base.agg(min(col("source"))).collect()(0).getString(0)
+      val foreign = base.filter(col("source") =!= victimOwner)
+        .orderBy("doc_id").select("doc_id")
+      VersionedStore.softDelete(s, dir,
+        base.filter(col("source") === victimOwner).select("doc_id")
+          .unionByName(foreign.limit(2)))
+      VersionedStore.softDelete(s, dir, foreign.limit(4))
+      def vis(n: Int, cn: String): DataFrame =
+        VersionedStore.readSnapshot(s, dir, n)
+          .groupBy("owner").agg(countDistinct(col("doc_id")).as(cn))
+      val manAgg = VersionedStore.readManifestFull(s, dir, 3)
+        .groupBy(_.owner).map { case (o, es) =>
+          (o, es.size.toLong, es.count(_.dv.isDefined).toLong,
+            es.count(_.v != 1).toLong)
+        }.toSeq.toDF("owner", "n_buckets", "n_dv_buckets", "n_rewritten")
+      vis(1, "n_docs_v1")
+        .join(vis(2, "n_docs_v2"), Seq("owner"), "full_outer")
+        .join(vis(3, "n_docs_v3"), Seq("owner"), "full_outer")
+        .join(manAgg, Seq("owner"), "full_outer")
+        .select(col("owner"),
+          coalesce(col("n_docs_v1"), lit(0L)).as("n_docs_v1"),
+          coalesce(col("n_docs_v2"), lit(0L)).as("n_docs_v2"),
+          coalesce(col("n_docs_v3"), lit(0L)).as("n_docs_v3"),
+          coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+          coalesce(col("n_dv_buckets"), lit(0L)).as("n_dv_buckets"),
+          coalesce(col("n_rewritten"), lit(0L)).as("n_rewritten"))
+        .orderBy("owner")
+    }),
+
     // X14 — right-to-be-forgotten propagation (the GDPR deletion a
     // training-data lakehouse must support): wipe one whole owner PLUS
     // two individual docs of other owners via the store's doc-granular
@@ -1111,6 +1159,45 @@ object IndexPipeline {
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_match
          |FROM iinc i FULL OUTER JOIN idir d ON i.owner = d.owner
          |ORDER BY owner""".stripMargin,
+    // S17 replayed from metadata: the same deterministic victim
+    // episodes, visible counts per snapshot, bucket spans (doc_id%16),
+    // dv-marked buckets = buckets of the cumulative victim union, and
+    // the merge-on-read zero-rewrite constant.
+    "s17_soft_delete" ->
+      """WITH vic AS (
+        |  SELECT min(source) AS vo FROM documents WHERE doc_id < 150),
+        |fr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+        |  FROM documents, vic WHERE doc_id < 150 AND source <> vo),
+        |v1set AS (
+        |  SELECT doc_id FROM documents, vic WHERE doc_id < 150 AND source = vo
+        |  UNION ALL SELECT doc_id FROM fr WHERE rk <= 2),
+        |allvic AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id FROM v1set
+        |    UNION ALL SELECT doc_id FROM fr WHERE rk <= 4)),
+        |base AS (
+        |  SELECT doc_id, source AS owner, doc_id % 16 AS b
+        |  FROM documents WHERE doc_id < 150),
+        |own AS (SELECT owner, count(*) AS n_docs_v1,
+        |               count(DISTINCT b) AS n_buckets FROM base GROUP BY 1),
+        |o2 AS (SELECT owner, count(*) AS n_docs_v2 FROM base
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM v1set) GROUP BY 1),
+        |o3 AS (SELECT owner, count(*) AS n_docs_v3 FROM base
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM allvic) GROUP BY 1),
+        |dvb AS (SELECT owner, count(DISTINCT b) AS n_dv_buckets FROM base
+        |        WHERE doc_id IN (SELECT doc_id FROM allvic) GROUP BY 1)
+        |SELECT own.owner, n_docs_v1,
+        |  coalesce(n_docs_v2, 0) AS n_docs_v2,
+        |  coalesce(n_docs_v3, 0) AS n_docs_v3,
+        |  n_buckets,
+        |  coalesce(n_dv_buckets, 0) AS n_dv_buckets,
+        |  CAST(0 AS BIGINT) AS n_rewritten
+        |FROM own
+        |LEFT JOIN o2 ON own.owner = o2.owner
+        |LEFT JOIN o3 ON own.owner = o3.owner
+        |LEFT JOIN dvb ON own.owner = dvb.owner
+        |ORDER BY own.owner""".stripMargin,
     // X14 replayed: same deterministic victim selection, per-owner v1/
     // v2 counts and delete events from the documents metadata; a
     // CORRECT deletion produces zero non-delete feed rows, so the

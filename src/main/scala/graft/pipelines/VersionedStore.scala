@@ -44,7 +44,18 @@ object VersionedStore {
 
   private def manifestDir(path: String) = s"${path.stripSuffix("/")}/manifest"
   private def dataDir(path: String) = s"${path.stripSuffix("/")}/data"
+  private def deletesDir(path: String) = s"${path.stripSuffix("/")}/deletes"
+  private def dvDir(path: String, n: Int) = s"${deletesDir(path)}/dv=$n"
   private def manifestFile(path: String, n: Int) = s"${manifestDir(path)}/snap-$n.txt"
+
+  /** One manifest line: live data version of an (owner, bucket), plus
+    * an optional DELETE-VECTOR reference (merge-on-read soft deletes —
+    * the Iceberg-v2 positional-delete idea at doc granularity): `dv=k`
+    * means the ids under `deletes/dv=k/owner=o/bucket=b` are subtracted
+    * at read time. A bucket REWRITE (upsert/compact) folds the dv into
+    * the new data version and clears the reference. */
+  private[graft] final case class ManifestEntry(owner: String, bucket: Long,
+                                                v: Int, dv: Option[Int])
 
   /** Committed snapshot ids, ascending (only fully-committed manifests
     * appear — the tmp file is never listed as a snapshot). */
@@ -61,36 +72,54 @@ object VersionedStore {
   def currentSnapshot(spark: SparkSession, path: String): Option[Int] =
     snapshots(spark, path).lastOption
 
-  /** (owner, bucket, data version) entries of snapshot `n`. */
-  private[graft] def readManifest(spark: SparkSession, path: String,
-                                  n: Int): Seq[(String, Long, Int)] = {
+  /** Full entries of snapshot `n`, including delete-vector refs.
+    * Lines are `owner\tbucket\tv` or `owner\tbucket\tv\tdv:k`. */
+  private[graft] def readManifestFull(spark: SparkSession, path: String,
+                                      n: Int): Seq[ManifestEntry] = {
     val fs = fsOf(spark, path)
     val in = fs.open(new Path(manifestFile(path, n)))
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).map { line =>
-          val Array(o, b, v) = line.split('\t')
-          (o, b.toLong, v.toInt)
+          line.split('\t') match {
+            case Array(o, b, v) => ManifestEntry(o, b.toLong, v.toInt, None)
+            case Array(o, b, v, dv) if dv.startsWith("dv:") =>
+              ManifestEntry(o, b.toLong, v.toInt, Some(dv.stripPrefix("dv:").toInt))
+            case bad => throw new IllegalStateException(
+              s"manifest $n: unparseable line '${bad.mkString("\t")}'")
+          }
         }.toList
     } finally in.close()
   }
 
+  /** (owner, bucket, data version) entries of snapshot `n` — the
+    * dv-blind projection every layout consumer uses. */
+  private[graft] def readManifest(spark: SparkSession, path: String,
+                                  n: Int): Seq[(String, Long, Int)] =
+    readManifestFull(spark, path, n).map(e => (e.owner, e.bucket, e.v))
+
   /** Write manifest `n` then commit with one atomic rename — the
     * cross-bucket commit point. */
-  private[graft] def commitManifest(spark: SparkSession, path: String, n: Int,
-                                    entries: Seq[(String, Long, Int)]): Unit = {
+  private[graft] def commitManifestFull(spark: SparkSession, path: String, n: Int,
+                                        entries: Seq[ManifestEntry]): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(manifestFile(path, n) + ".tmp")
     val fin = new Path(manifestFile(path, n))
     if (!fs.exists(tmp.getParent)) fs.mkdirs(tmp.getParent)
     val out = fs.create(tmp, true)
-    try out.write(entries.sortBy(e => (e._1, e._2))
-      .map { case (o, b, v) => s"$o\t$b\t$v" }.mkString("", "\n", "\n")
-      .getBytes("UTF-8"))
+    try out.write(entries.sortBy(e => (e.owner, e.bucket))
+      .map(e => s"${e.owner}\t${e.bucket}\t${e.v}" +
+        e.dv.map(k => s"\tdv:$k").getOrElse(""))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"versioned commit: cannot rename $tmp → $fin")
   }
+
+  private[graft] def commitManifest(spark: SparkSession, path: String, n: Int,
+                                    entries: Seq[(String, Long, Int)]): Unit =
+    commitManifestFull(spark, path, n,
+      entries.map { case (o, b, v) => ManifestEntry(o, b, v, None) })
 
   private def bucketDir(path: String, o: String, b: Long, v: Int) =
     s"${dataDir(path)}/owner=$o/bucket=$b/v=$v"
@@ -113,7 +142,7 @@ object VersionedStore {
 
   private[graft] case class StagedVersion(next: Int, expectedRows: Long,
                                           touched: Seq[(String, Long)],
-                                          entries: Seq[(String, Long, Int)])
+                                          entries: Seq[ManifestEntry])
 
   /** Stage the next snapshot's data: merged content of every touched
     * bucket written to NEW v=next dirs (append-only — live version
@@ -124,21 +153,19 @@ object VersionedStore {
     val cur = currentSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"upsertVersioned: no snapshot at $path"))
     val next = cur + 1
-    val man = readManifest(spark, path, cur)
+    val man = readManifestFull(spark, path, cur)
     val nv = batch.withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), nBuckets))
     val touched = nv.select("owner", "bucket").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     require(touched.nonEmpty, "upsertVersioned: empty batch")
     val touchedSet = touched.toSet
-    val survivorPaths = man.collect {
-      case (o, b, v) if touchedSet((o, b)) => bucketDir(path, o, b, v)
-    }
+    // survivors via the dv-applying scan: a rewrite FOLDS a bucket's
+    // delete vector into the new data version (and clears the ref)
+    val touchedEntries = man.filter(e => touchedSet((e.owner, e.bucket)))
     val content =
-      if (survivorPaths.isEmpty) nv
+      if (touchedEntries.isEmpty) nv
       else {
-        val survivors = spark.read.option("basePath", dataDir(path))
-          .parquet(survivorPaths: _*)
-          .withColumn("bucket", col("bucket").cast("long")).drop("v")
+        val survivors = scanEntries(spark, path, touchedEntries)
           .join(broadcast(nv.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
         survivors.unionByName(nv.drop("v"), allowMissingColumns = false)
       }
@@ -148,8 +175,8 @@ object VersionedStore {
     val expected = staged.count()
     staged.write.mode("append").partitionBy("owner", "bucket", "v")
       .parquet(dataDir(path))
-    val entries = man.filterNot(e => touchedSet((e._1, e._2))) ++
-      touched.map { case (o, b) => (o, b, next) }
+    val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
+      touched.map { case (o, b) => ManifestEntry(o, b, next, None) }
     StagedVersion(next, expected, touched, entries)
   }
 
@@ -166,7 +193,7 @@ object VersionedStore {
       s"versioned audit: staged $gotRows rows, expected ${st.expectedRows}")
     require(perPart.map(_._1).toSet == st.touched.toSet,
       s"versioned audit: staged buckets ${perPart.map(_._1).toSet} != ${st.touched.toSet}")
-    commitManifest(spark, path, st.next, st.entries)
+    commitManifestFull(spark, path, st.next, st.entries)
   }
 
   /** Doc-granular upsert as a new snapshot: stage → audit → commit.
@@ -231,7 +258,7 @@ object VersionedStore {
       .parquet(dataDir(path))
     // full rewrite: the new manifest carries ONLY the new bucket space
     auditAndCommit(spark, path, StagedVersion(next, expected, touched,
-      touched.map { case (o, b) => (o, b, next) }))
+      touched.map { case (o, b) => ManifestEntry(o, b, next, None) }))
   }
 
   /** Doc-granular DELETE as a new snapshot — the right-to-be-forgotten
@@ -256,19 +283,17 @@ object VersionedStore {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     if (touched.isEmpty) return 0L
     val deleted = victims.count()
-    val man = readManifest(spark, path, cur)
+    val man = readManifestFull(spark, path, cur)
     val touchedSet = touched.toSet
     val fs = fsOf(spark, path)
     touched.foreach { case (o, b) =>
       val orphan = new Path(bucketDir(path, o, b, next))
       if (fs.exists(orphan)) fs.delete(orphan, true)
     }
-    val survivorPaths = man.collect {
-      case (o, b, v) if touchedSet((o, b)) => bucketDir(path, o, b, v)
-    }
-    val staged = spark.read.option("basePath", dataDir(path))
-      .parquet(survivorPaths: _*)
-      .withColumn("bucket", col("bucket").cast("long")).drop("v")
+    // dv-applying scan: the rewrite folds any existing delete vector
+    // of a touched bucket into the new data version
+    val staged = scanEntries(spark, path,
+        man.filter(e => touchedSet((e.owner, e.bucket))))
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
       .withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
@@ -278,9 +303,9 @@ object VersionedStore {
     // manifest; the audit runs over the kept (still-non-empty) set
     val kept = staged.select("owner", "bucket").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val entries = man.filterNot(e => touchedSet((e._1, e._2))) ++
-      kept.map { case (o, b) => (o, b, next) }
-    if (kept.isEmpty) commitManifest(spark, path, next, entries)
+    val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
+      kept.map { case (o, b) => ManifestEntry(o, b, next, None) }
+    if (kept.isEmpty) commitManifestFull(spark, path, next, entries)
     else {
       staged.write.mode("append").partitionBy("owner", "bucket", "v")
         .parquet(dataDir(path))
@@ -289,17 +314,84 @@ object VersionedStore {
     deleted
   }
 
+  /** MERGE-ON-READ soft delete — the Iceberg-v2 delete-vector
+    * strategy, the write-cheap counterpart of `deleteVersioned`'s
+    * copy-on-write rewrite: instead of rewriting the touched buckets,
+    * write one small id file per affected (owner, bucket) under
+    * `deletes/dv=<next>/` and commit a manifest whose affected entries
+    * keep their data version but gain a `dv:<next>` reference. Readers
+    * subtract the dv at scan time (cost ∝ deleted ids); a later
+    * upsert/rewrite of the bucket folds the dv in and clears the ref.
+    * Repeated soft deletes are CUMULATIVE: the new dv file carries the
+    * union of the bucket's old dv ids and the new victims, so each
+    * entry references exactly one dv generation. At 100 TB this is
+    * what makes frequent small deletes affordable — O(deleted ids)
+    * written, zero data movement, amortized into the next natural
+    * rewrite. Returns the number of visible vector rows removed. */
+  def softDelete(spark: SparkSession, path: String, docIds: DataFrame): Long = {
+    val cur = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"softDelete: no snapshot at $path"))
+    val next = cur + 1
+    val ids = docIds.select(col("doc_id")).distinct()
+    val visible = readSnapshot(spark, path, cur)
+    val victims = visible.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val affected = victims.select("owner", "bucket").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (affected.isEmpty) return 0L
+    val removed = victims.count()
+    val affectedSet = affected.toSet
+    val man = readManifestFull(spark, path, cur)
+    // cumulative: union the affected buckets' existing dv ids in
+    val oldRefs = man.collect {
+      case ManifestEntry(o, b, _, Some(k)) if affectedSet((o, b)) =>
+        s"${dvDir(path, k)}/owner=$o/bucket=$b"
+    }
+    val newVictimIds = victims.select("owner", "bucket", "doc_id").distinct()
+    val allIds =
+      if (oldRefs.isEmpty) newVictimIds
+      else newVictimIds.unionByName(
+        spark.read.option("basePath", deletesDir(path)).parquet(oldRefs: _*)
+          .select(col("owner"), col("bucket").cast("long").as("bucket"),
+            col("doc_id"))).distinct()
+    // overwrite makes a crashed-then-retried soft delete converge (the
+    // dv=<next> dir is unreferenced until the manifest rename lands)
+    allIds.repartition(affected.size, col("owner"), col("bucket"))
+      .write.mode("overwrite").partitionBy("owner", "bucket")
+      .parquet(dvDir(path, next))
+    val entries = man.map(e =>
+      if (affectedSet((e.owner, e.bucket))) e.copy(dv = Some(next)) else e)
+    commitManifestFull(spark, path, next, entries)
+    removed
+  }
+
   /** Read a snapshot (default: latest). Plans a scan over exactly the
     * manifest's version dirs — no discovery, orphan dirs invisible. */
   def readSnapshot(spark: SparkSession, path: String, snapshot: Int = -1): DataFrame = {
     val snap = if (snapshot > 0) snapshot
     else currentSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"readSnapshot: no snapshot at $path"))
-    val paths = readManifest(spark, path, snap).map { case (o, b, v) =>
-      bucketDir(path, o, b, v)
-    }
-    spark.read.option("basePath", dataDir(path)).parquet(paths: _*)
+    scanEntries(spark, path, readManifestFull(spark, path, snap))
+  }
+
+  /** Scan exactly `entries`' data dirs and subtract their delete
+    * vectors (one anti-join against the referenced dv files — the
+    * merge-on-read cost, proportional to the DELETED ids, not the
+    * table). */
+  private def scanEntries(spark: SparkSession, path: String,
+                          entries: Seq[ManifestEntry]): DataFrame = {
+    val dataPaths = entries.map(e => bucketDir(path, e.owner, e.bucket, e.v))
+    val base = spark.read.option("basePath", dataDir(path)).parquet(dataPaths: _*)
       .withColumn("bucket", col("bucket").cast("long")).drop("v")
+    val dvRefs = entries.collect {
+      case ManifestEntry(o, b, _, Some(k)) => s"${dvDir(path, k)}/owner=$o/bucket=$b"
+    }
+    if (dvRefs.isEmpty) base
+    else {
+      val dels = spark.read.option("basePath", deletesDir(path))
+        .parquet(dvRefs: _*)
+        .select(col("owner"), col("bucket").cast("long").as("bucket"), col("doc_id"))
+      base.join(dels, Seq("owner", "bucket", "doc_id"), "left_anti")
+    }
   }
 
   /** Drop data dirs referenced by NO retained manifest (keep the last
@@ -323,6 +415,19 @@ object VersionedStore {
       // drop superseded manifests
       snaps.dropRight(retain).foreach(n =>
         fs.delete(new Path(manifestFile(path, n)), false))
+    }
+    // reclaim delete-vector dirs no retained manifest references
+    val liveDv = keep.flatMap(readManifestFull(spark, path, _)).collect {
+      case ManifestEntry(o, b, _, Some(k)) => s"dv=$k/owner=$o/bucket=$b"
+    }.toSet
+    val dRoot = new Path(deletesDir(path))
+    if (fs.exists(dRoot)) {
+      for (kDir <- fs.listStatus(dRoot) if kDir.isDirectory;
+           oDir <- fs.listStatus(kDir.getPath) if oDir.isDirectory;
+           bDir <- fs.listStatus(oDir.getPath) if bDir.isDirectory) {
+        val key = s"${kDir.getPath.getName}/${oDir.getPath.getName}/${bDir.getPath.getName}"
+        if (!liveDv.contains(key)) { fs.delete(bDir.getPath, true); deleted += 1 }
+      }
     }
     deleted
   }

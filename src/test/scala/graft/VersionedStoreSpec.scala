@@ -220,6 +220,56 @@ class VersionedStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("softDelete: merge-on-read — zero data movement, cumulative dvs, upsert folds the dv in") {
+    import spark.implicits._
+    val dir = freshDir("sdv")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    val before = digest(VersionedStore.readSnapshot(spark, dir))
+    val m1 = VersionedStore.readManifest(spark, dir, 1).toSet
+
+    // episode 1: docs 7 and 23 (same bucket: 7%16=7, 23%16=7)
+    val removed1 = VersionedStore.softDelete(spark, dir, Seq(7L, 23L).toDF("doc_id"))
+    assert(removed1 > 0L)
+    // data versions UNTOUCHED — that is the merge-on-read contract
+    assert(VersionedStore.readManifest(spark, dir, 2).toSet == m1)
+    val v2 = digest(VersionedStore.readSnapshot(spark, dir, 2))
+    assert(v2 == before -- Set(7L, 23L))
+    // snapshot 1 still sees everything
+    assert(digest(VersionedStore.readSnapshot(spark, dir, 1)) == before)
+
+    // episode 2 overlaps episode 1 (7 invisible already) + adds 39
+    val removed2 = VersionedStore.softDelete(spark, dir, Seq(7L, 39L).toDF("doc_id"))
+    assert(removed2 > 0L)
+    assert(digest(VersionedStore.readSnapshot(spark, dir, 3)) ==
+      before -- Set(7L, 23L, 39L))
+    assert(VersionedStore.readManifest(spark, dir, 3).toSet == m1)
+
+    // an upsert of doc 8 (bucket 8, no dv) leaves other dvs standing;
+    // the soft-deleted docs stay gone in snapshot 4
+    val mod8 = docs.filter(col("doc_id") === 8)
+      .withColumn("text", translate(col("text"), "e", "_"))
+    VersionedStore.upsertVersioned(spark, dir, IndexPipeline.buildIndex(mod8))
+    val v4 = digest(VersionedStore.readSnapshot(spark, dir, 4))
+    assert(v4.keySet == before.keySet -- Set(7L, 23L, 39L))
+    assert(v4(8L) != before(8L))
+
+    // an upsert touching the dv'd bucket (doc 55: 55%16=7) FOLDS the
+    // dv into the rewrite — deleted ids stay gone, dv ref cleared
+    val mod55 = docs.filter(col("doc_id") === 55)
+      .withColumn("text", translate(col("text"), "e", "_"))
+    VersionedStore.upsertVersioned(spark, dir, IndexPipeline.buildIndex(mod55))
+    val v5 = digest(VersionedStore.readSnapshot(spark, dir, 5))
+    assert(v5.keySet == before.keySet -- Set(7L, 23L, 39L))
+    assert(v5(55L) != before(55L))
+    assert((v5 - 55L - 8L) == (before -- Set(7L, 8L, 23L, 39L, 55L)))
+
+    // vacuum(retain=1) reclaims the now-unreferenced dv generations
+    val reclaimed = VersionedStore.vacuum(spark, dir, retain = 1)
+    assert(reclaimed > 0)
+    assert(digest(VersionedStore.readSnapshot(spark, dir)) == v5)
+    spark.catalog.clearCache()
+  }
+
   test("x12_incremental_agg: delta-maintained view equals direct recompute for every owner") {
     val rows = SparkEntry.queries("x12_incremental_agg")(spark, sf).collect()
     spark.catalog.clearCache()
