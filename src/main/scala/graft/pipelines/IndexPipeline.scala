@@ -525,6 +525,41 @@ object IndexPipeline {
         .orderBy("owner")
     }),
 
+    // S18 — SCHEMA EVOLUTION (column add) through the versioned
+    // store, the remaining lakehouse pillar beside time travel / CDC /
+    // compaction / COW+MOR deletes: an upsert batch carries a NEW
+    // `quality` column; only the touched buckets are rewritten under
+    // the widened schema, untouched buckets keep their old-schema
+    // files, and the snapshot-2 reader merges the two (old rows read
+    // NULL — no table-wide backfill rewrite, which at 100 TB is the
+    // entire point of metadata-level evolution). Gate pins, per owner,
+    // the vector counts and exactly which rows carry the new column
+    // (the upserted docs), plus the proof that snapshot 1 read back
+    // WITHOUT the column (v1_has_quality = 0 from the actual schema).
+    "s18_schema_evolution" -> ((s, d) => {
+      val dir = snapDir(d) + "_sev"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(base))
+      val batch = buildIndex(
+        base.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", "."))
+          .unionByName(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155)))
+        .withColumn("quality", pmod(col("doc_id"), lit(7L)))
+      VersionedStore.upsertVersioned(s, dir, batch)
+      val v1Has =
+        if (VersionedStore.readSnapshot(s, dir, 1).columns.contains("quality")) 1L
+        else 0L
+      VersionedStore.readSnapshot(s, dir, 2)
+        .groupBy("owner")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("quality").isNotNull, 1L).otherwise(0L)).as("n_q_set"),
+          sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_q_null"))
+        .withColumn("v1_has_quality", lit(v1Has))
+        .orderBy("owner")
+    }),
+
     // S17 — MERGE-ON-READ soft delete (delete vectors), the
     // write-cheap counterpart of x14's copy-on-write rewrite and the
     // second of the two canonical lakehouse delete strategies: two
@@ -1159,6 +1194,24 @@ object IndexPipeline {
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_match
          |FROM iinc i FULL OUTER JOIN idir d ON i.owner = d.owner
          |ORDER BY owner""".stripMargin,
+    // S18 replayed: the v2 state's per-doc vector counts from the
+    // shared chunk walk; rows carrying the new column are exactly the
+    // upserted docs (7 + 150-154), everything else reads NULL; and a
+    // correct evolution leaves snapshot 1 column-free (computed 0).
+    "s18_schema_evolution" ->
+      s"""WITH RECURSIVE ${chunkDigestCtes("e2", snapV2CdcSrc)},
+         |eb AS (
+         |  SELECT d.doc_id, d.source AS owner,
+         |    CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS nv
+         |  FROM (SELECT doc_id, source FROM documents WHERE doc_id < 155) d
+         |  LEFT JOIN e2digest g USING (doc_id))
+         |SELECT owner, CAST(sum(nv) AS BIGINT) AS n_vectors,
+         |  CAST(sum(CASE WHEN doc_id = 7 OR doc_id >= 150 THEN nv ELSE 0 END)
+         |    AS BIGINT) AS n_q_set,
+         |  CAST(sum(CASE WHEN doc_id = 7 OR doc_id >= 150 THEN 0 ELSE nv END)
+         |    AS BIGINT) AS n_q_null,
+         |  CAST(0 AS BIGINT) AS v1_has_quality
+         |FROM eb GROUP BY owner ORDER BY owner""".stripMargin,
     // S17 replayed from metadata: the same deterministic victim
     // episodes, visible counts per snapshot, bucket spans (doc_id%16),
     // dv-marked buckets = buckets of the cumulative victim union, and

@@ -167,7 +167,10 @@ object VersionedStore {
       else {
         val survivors = scanEntries(spark, path, touchedEntries)
           .join(broadcast(nv.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
-        survivors.unionByName(nv.drop("v"), allowMissingColumns = false)
+        // allowMissingColumns = schema evolution: a batch may ADD
+        // columns (survivors read NULL for them); a batch missing an
+        // existing column evolves it to NULL for the new rows
+        survivors.unionByName(nv.drop("v"), allowMissingColumns = true)
       }
     val staged = content.withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
@@ -380,7 +383,11 @@ object VersionedStore {
   private def scanEntries(spark: SparkSession, path: String,
                           entries: Seq[ManifestEntry]): DataFrame = {
     val dataPaths = entries.map(e => bucketDir(path, e.owner, e.bucket, e.v))
-    val base = spark.read.option("basePath", dataDir(path)).parquet(dataPaths: _*)
+    // mergeSchema: a snapshot may span version dirs written before and
+    // after a column was ADDED (schema evolution) — the union schema
+    // is the snapshot's schema, old rows read NULL for new columns
+    val base = spark.read.option("basePath", dataDir(path))
+      .option("mergeSchema", "true").parquet(dataPaths: _*)
       .withColumn("bucket", col("bucket").cast("long")).drop("v")
     val dvRefs = entries.collect {
       case ManifestEntry(o, b, _, Some(k)) => s"${dvDir(path, k)}/owner=$o/bucket=$b"

@@ -270,6 +270,32 @@ class VersionedStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("schema evolution: column add rewrites only touched buckets; old rows read NULL; compact carries it") {
+    val dir = freshDir("sev")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    assert(!VersionedStore.readSnapshot(spark, dir, 1).columns.contains("quality"))
+    val batch = IndexPipeline.buildIndex(
+        docs.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", ".")))
+      .withColumn("quality", lit(3L))
+    VersionedStore.upsertVersioned(spark, dir, batch)
+    val s2 = VersionedStore.readSnapshot(spark, dir, 2)
+    assert(s2.columns.contains("quality"))
+    // only doc 7's rows carry the value; every untouched row is NULL
+    assert(s2.filter(col("quality").isNotNull).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // snapshot 1 still reads WITHOUT the column (its dirs predate it)
+    assert(!VersionedStore.readSnapshot(spark, dir, 1).columns.contains("quality"))
+    // a full rewrite (compact) lands every row under the merged schema
+    VersionedStore.compact(spark, dir, newBuckets = 8)
+    val s3 = VersionedStore.readSnapshot(spark, dir, 3)
+    assert(s3.columns.contains("quality"))
+    assert(s3.filter(col("quality").isNotNull).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(s3.count() == s2.count())
+    spark.catalog.clearCache()
+  }
+
   test("x12_incremental_agg: delta-maintained view equals direct recompute for every owner") {
     val rows = SparkEntry.queries("x12_incremental_agg")(spark, sf).collect()
     spark.catalog.clearCache()
