@@ -112,6 +112,15 @@ object VersionedStore {
         e.dv.map(k => s"\tdv:$k").getOrElse(""))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    // optimistic concurrency: a competing writer that already committed
+    // this snapshot id wins — the loser must re-read the new current
+    // snapshot and restage (its orphan v-dirs are invisible garbage).
+    // The exists+rename pair is not atomic on every filesystem; a
+    // production port swaps this for an atomic create-no-overwrite
+    // (HDFS createFile(overwrite=false), S3 if-none-match).
+    if (fs.exists(fin))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned commit: snapshot $n already committed by another writer")
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"versioned commit: cannot rename $tmp → $fin")
   }

@@ -270,6 +270,31 @@ class VersionedStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("optimistic concurrency: a losing writer's commit fails loudly and a restage converges") {
+    val dir = freshDir("occ")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    // writer A stages snapshot 2 but has not committed yet
+    val stA = VersionedStore.stageVersion(spark, dir, IndexPipeline.buildIndex(modified))
+    // writer B lands snapshot 2 first
+    VersionedStore.upsertVersioned(spark, dir,
+      IndexPipeline.buildIndex(docs.filter(col("doc_id") === 9)
+        .withColumn("text", translate(col("text"), "o", "0"))))
+    assert(VersionedStore.currentSnapshot(spark, dir).contains(2))
+    val committed = digest(VersionedStore.readSnapshot(spark, dir, 2))
+    // A's late commit of the same snapshot id must fail, not clobber
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedStore.auditAndCommit(spark, dir, stA)
+    }
+    assert(digest(VersionedStore.readSnapshot(spark, dir, 2)) == committed)
+    // A retries the standard way: re-read current, restage, commit → 3
+    VersionedStore.upsertVersioned(spark, dir, IndexPipeline.buildIndex(modified))
+    assert(VersionedStore.snapshots(spark, dir) == Seq(1, 2, 3))
+    val v3 = digest(VersionedStore.readSnapshot(spark, dir, 3))
+    assert(v3(7L) != committed(7L))  // A's change landed
+    assert(v3(9L) == committed(9L))  // B's change preserved
+    spark.catalog.clearCache()
+  }
+
   test("schema evolution: column add rewrites only touched buckets; old rows read NULL; compact carries it") {
     val dir = freshDir("sev")
     VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
