@@ -536,6 +536,45 @@ object IndexPipeline {
     // the vector counts and exactly which rows carry the new column
     // (the upserted docs), plus the proof that snapshot 1 read back
     // WITHOUT the column (v1_has_quality = 0 from the actual schema).
+    // S19 — ZONE-MAP DATA SKIPPING on the versioned store, the Delta
+    // OPTIMIZE-ZORDER + file-skipping move: documents (with a
+    // non-key numeric column, n_chars) are hash-loaded, then
+    // `compactClustered` rewrites the table RANGE-bucketed on n_chars
+    // (8 fixed-width bins over the frozen [min, max] — pure IEEE
+    // arithmetic the oracle replays exactly) recording each bucket's
+    // (min, max) zone map in the manifest; a subsequent UPSERT of ten
+    // new docs proves layout-aware assignment (frozen bins, edge
+    // clamp) and zone-map widening through the audit read. The gate
+    // runs `rangeScan(150, 260)` and pins BOTH the content (digest of
+    // the rows the residual predicate keeps — must equal a plain
+    // range filter over the final corpus) and the PRUNING
+    // (buckets_scanned = manifest entries whose zone map overlaps the
+    // predicate, replayed by the oracle from the binning arithmetic;
+    // buckets_total = all manifest entries). A store that scanned
+    // everything, binned wrong, or widened stats wrong hash-fails.
+    // At 100 TB this is the difference between a selective range
+    // query touching a handful of bucket dirs and a full-table scan.
+    "s19_zonemap_skip" -> ((s, d) => {
+      val dir = snapDir(d) + "_zs"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("doc_id"), col("source").as("owner"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+      VersionedStore.initialLoad(s, dir, rel(docs.filter(col("doc_id") < 150)),
+        nBuckets = 4)
+      VersionedStore.compactClustered(s, dir, "n_chars", 8)
+      VersionedStore.upsertVersioned(s, dir,
+        rel(docs.filter(col("doc_id") >= 150 && col("doc_id") < 160)))
+      val (rows, nScanned, nTotal) = VersionedStore.rangeScan(s, dir, 150.0, 260.0)
+      rows.groupBy(lit(nScanned.toLong).as("buckets_scanned"),
+          lit(nTotal.toLong).as("buckets_total"))
+        .agg(count(lit(1)).as("n_rows"),
+          md5(concat_ws("", array_sort(collect_list(concat_ws(":",
+            col("doc_id"), col("owner"), col("n_chars"), col("text_md5"))))))
+            .as("digest"))
+    }),
+
     "s18_schema_evolution" -> ((s, d) => {
       val dir = snapDir(d) + "_sev"
       deleteRecursively(java.nio.file.Paths.get(dir))
@@ -1212,6 +1251,42 @@ object IndexPipeline {
          |    AS BIGINT) AS n_q_null,
          |  CAST(0 AS BIGINT) AS v1_has_quality
          |FROM eb GROUP BY owner ORDER BY owner""".stripMargin,
+    // S19 replayed from arithmetic: bins are fixed-width over the
+    // frozen [min, max] of docs < 150 (the compact-time corpus), new
+    // docs 150–159 assigned by the SAME frozen bins with edge clamp;
+    // per-(owner, bucket) zone maps are min/max over FINAL content
+    // (untouched buckets' compact-time stats equal their unchanged
+    // content; touched buckets are recomputed in the upsert audit —
+    // both reduce to final-content min/max). buckets_scanned = zone
+    // maps overlapping [150, 260]; digest = plain range filter.
+    "s19_zonemap_skip" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS owner, n_chars, md5(text) AS text_md5
+        |  FROM documents WHERE doc_id < 160),
+        |b AS (
+        |  SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx
+        |  FROM documents WHERE doc_id < 150),
+        |bucketed AS (
+        |  SELECT base.*,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(CAST(FLOOR((n_chars::DOUBLE - b.mn) / ((b.mx - b.mn) / 8.0)) AS BIGINT),
+        |            CAST(7 AS BIGINT))) AS bucket
+        |  FROM base, b),
+        |stats AS (
+        |  SELECT owner, bucket,
+        |    min(n_chars)::DOUBLE AS smn, max(n_chars)::DOUBLE AS smx
+        |  FROM bucketed GROUP BY owner, bucket),
+        |pruned AS (SELECT * FROM stats WHERE NOT (smx < 150.0 OR smn > 260.0)),
+        |hits AS (
+        |  SELECT CAST(doc_id AS VARCHAR) || ':' || owner || ':' ||
+        |         CAST(n_chars AS VARCHAR) || ':' || text_md5 AS line
+        |  FROM base
+        |  WHERE n_chars::DOUBLE >= 150.0 AND n_chars::DOUBLE <= 260.0)
+        |SELECT (SELECT count(*) FROM pruned) AS buckets_scanned,
+        |       (SELECT count(*) FROM stats) AS buckets_total,
+        |       count(*) AS n_rows,
+        |       md5(string_agg(line, '' ORDER BY line)) AS digest
+        |FROM hits""".stripMargin,
     // S17 replayed from metadata: the same deterministic victim
     // episodes, visible counts per snapshot, bucket spans (doc_id%16),
     // dv-marked buckets = buckets of the cumulative victim union, and

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
 
@@ -53,9 +53,40 @@ object VersionedStore {
     * the Iceberg-v2 positional-delete idea at doc granularity): `dv=k`
     * means the ids under `deletes/dv=k/owner=o/bucket=b` are subtracted
     * at read time. A bucket REWRITE (upsert/compact) folds the dv into
-    * the new data version and clears the reference. */
+    * the new data version and clears the reference.
+    *
+    * `stats` is the bucket's ZONE MAP — (min, max) of the table's
+    * cluster column (see [[RangeLayout]]) over the bucket's CURRENT
+    * content. Maintained on every rewrite (recomputed from the staged
+    * data inside the same audit read that counts rows); deletes only
+    * shrink content, so stale stats stay a valid over-approximation
+    * and soft deletes never have to touch them. */
   private[graft] final case class ManifestEntry(owner: String, bucket: Long,
-                                                v: Int, dv: Option[Int])
+                                                v: Int, dv: Option[Int],
+                                                stats: Option[(Double, Double)] = None)
+
+  /** How rows map to buckets — recorded as a `#layout` header line in
+    * every manifest so writers after a layout change keep assigning
+    * consistently (the Iceberg partition-spec-evolution idea: the
+    * manifest IS the layout).
+    *
+    *  - [[HashLayout]]: bucket = doc_id mod nBuckets (the upsert-
+    *    friendly default — a doc's bucket is derivable from its key).
+    *  - [[RangeLayout]]: bucket = fixed-width bin of `col` over
+    *    [mn, mx] frozen at `compactClustered` time, out-of-range
+    *    values clamped into the edge bins. Range layout + per-bucket
+    *    zone maps is what makes `readSnapshotRange` skip buckets —
+    *    the Delta OPTIMIZE-ZORDER + data-skipping move, reduced to
+    *    one clustering dimension. Fixed-width (not quantile) bins are
+    *    chosen deliberately: assignment is pure arithmetic on frozen
+    *    constants, so it is reproducible by any engine (the DuckDB
+    *    oracle replays it exactly) and needs no boundary table; a
+    *    production port can swap in quantile boundaries computed once
+    *    at compact time without changing any other contract. */
+  private[graft] sealed trait Layout { def nBuckets: Int }
+  private[graft] final case class HashLayout(nBuckets: Int) extends Layout
+  private[graft] final case class RangeLayout(col: String, mn: Double, mx: Double,
+                                              nBuckets: Int) extends Layout
 
   /** Committed snapshot ids, ascending (only fully-committed manifests
     * appear — the tmp file is never listed as a snapshot). */
@@ -72,23 +103,53 @@ object VersionedStore {
   def currentSnapshot(spark: SparkSession, path: String): Option[Int] =
     snapshots(spark, path).lastOption
 
-  /** Full entries of snapshot `n`, including delete-vector refs.
-    * Lines are `owner\tbucket\tv` or `owner\tbucket\tv\tdv:k`. */
+  /** Full entries of snapshot `n`, including delete-vector refs and
+    * zone-map stats. Lines are `owner\tbucket\tv` followed by optional
+    * prefixed fields in any order: `dv:k`, `stats:min,max`. A first
+    * line starting with `#layout` is the layout header (see
+    * [[readLayout]]); `#`-lines are skipped here. */
   private[graft] def readManifestFull(spark: SparkSession, path: String,
                                       n: Int): Seq[ManifestEntry] = {
     val fs = fsOf(spark, path)
     val in = fs.open(new Path(manifestFile(path, n)))
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map { line =>
-          line.split('\t') match {
-            case Array(o, b, v) => ManifestEntry(o, b.toLong, v.toInt, None)
-            case Array(o, b, v, dv) if dv.startsWith("dv:") =>
-              ManifestEntry(o, b.toLong, v.toInt, Some(dv.stripPrefix("dv:").toInt))
-            case bad => throw new IllegalStateException(
-              s"manifest $n: unparseable line '${bad.mkString("\t")}'")
-          }
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+          val f = line.split('\t')
+          if (f.length < 3) throw new IllegalStateException(
+            s"manifest $n: unparseable line '$line'")
+          val opts = f.drop(3)
+          val dv = opts.collectFirst { case s if s.startsWith("dv:") =>
+            s.stripPrefix("dv:").toInt }
+          val stats = opts.collectFirst { case s if s.startsWith("stats:") =>
+            val Array(lo, hi) = s.stripPrefix("stats:").split(',')
+            (lo.toDouble, hi.toDouble) }
+          val unknown = opts.filterNot(s => s.startsWith("dv:") || s.startsWith("stats:"))
+          if (unknown.nonEmpty) throw new IllegalStateException(
+            s"manifest $n: unknown field '${unknown.head}'")
+          ManifestEntry(f(0), f(1).toLong, f(2).toInt, dv, stats)
         }.toList
+    } finally in.close()
+  }
+
+  /** Layout header of snapshot `n`, if the manifest carries one.
+    * Manifests written before layout tracking have no header — callers
+    * fall back to hash bucketing with their own nBuckets. */
+  private[graft] def readLayout(spark: SparkSession, path: String,
+                                n: Int): Option[Layout] = {
+    val fs = fsOf(spark, path)
+    val in = fs.open(new Path(manifestFile(path, n)))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .find(_.startsWith("#layout")).map { line =>
+          line.split('\t') match {
+            case Array("#layout", "hash", nb) => HashLayout(nb.toInt)
+            case Array("#layout", "range", c, mn, mx, nb) =>
+              RangeLayout(c, mn.toDouble, mx.toDouble, nb.toInt)
+            case bad => throw new IllegalStateException(
+              s"manifest $n: unparseable layout '${bad.mkString("\t")}'")
+          }
+        }
     } finally in.close()
   }
 
@@ -101,16 +162,22 @@ object VersionedStore {
   /** Write manifest `n` then commit with one atomic rename — the
     * cross-bucket commit point. */
   private[graft] def commitManifestFull(spark: SparkSession, path: String, n: Int,
-                                        entries: Seq[ManifestEntry]): Unit = {
+                                        entries: Seq[ManifestEntry],
+                                        layout: Option[Layout] = None): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(manifestFile(path, n) + ".tmp")
     val fin = new Path(manifestFile(path, n))
     if (!fs.exists(tmp.getParent)) fs.mkdirs(tmp.getParent)
+    val header = layout.map {
+      case HashLayout(nb) => s"#layout\thash\t$nb\n"
+      case RangeLayout(c, mn, mx, nb) => s"#layout\trange\t$c\t$mn\t$mx\t$nb\n"
+    }.getOrElse("")
     val out = fs.create(tmp, true)
-    try out.write(entries.sortBy(e => (e.owner, e.bucket))
+    try out.write((header + entries.sortBy(e => (e.owner, e.bucket))
       .map(e => s"${e.owner}\t${e.bucket}\t${e.v}" +
-        e.dv.map(k => s"\tdv:$k").getOrElse(""))
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+        e.dv.map(k => s"\tdv:$k").getOrElse("") +
+        e.stats.map { case (lo, hi) => s"\tstats:$lo,$hi" }.getOrElse(""))
+      .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     // optimistic concurrency: a competing writer that already committed
     // this snapshot id wins — the loser must re-read the new current
@@ -125,13 +192,32 @@ object VersionedStore {
       throw new java.io.IOException(s"versioned commit: cannot rename $tmp → $fin")
   }
 
-  private[graft] def commitManifest(spark: SparkSession, path: String, n: Int,
-                                    entries: Seq[(String, Long, Int)]): Unit =
-    commitManifestFull(spark, path, n,
-      entries.map { case (o, b, v) => ManifestEntry(o, b, v, None) })
 
   private def bucketDir(path: String, o: String, b: Long, v: Int) =
     s"${dataDir(path)}/owner=$o/bucket=$b/v=$v"
+
+  /** Bucket-assignment expression for a layout. Range assignment is
+    * pure arithmetic on the frozen [mn, mx] (division by nBuckets in
+    * IEEE doubles — engine-independent), out-of-range values clamped
+    * into the edge bins (their bucket's zone map widens accordingly at
+    * the next audit). */
+  private[graft] def bucketExpr(layout: Layout): org.apache.spark.sql.Column =
+    layout match {
+      case HashLayout(nb) => IndexPipeline.docBucket(col("doc_id"), nb)
+      case RangeLayout(c, mn, mx, nb) =>
+        if (mx <= mn) lit(0L)
+        else {
+          val w = (mx - mn) / nb
+          val raw = floor((col(c).cast("double") - lit(mn)) / lit(w)).cast("long")
+          greatest(lit(0L), least(raw, lit(nb - 1L)))
+        }
+    }
+
+  /** The layout writers must assign under: the CURRENT manifest's
+    * header, or legacy hash(nBuckets) for headerless manifests. */
+  private def layoutOf(spark: SparkSession, path: String, cur: Int,
+                       nBuckets: Int): Layout =
+    readLayout(spark, path, cur).getOrElse(HashLayout(nBuckets))
 
   /** First load: every bucket's data at v=1, then the snapshot-1
     * commit. */
@@ -145,13 +231,14 @@ object VersionedStore {
       .write.mode("overwrite").partitionBy("owner", "bucket", "v")
       .parquet(dataDir(path))
     val entries = nv.select("owner", "bucket").distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1), 1)).toSeq
-    commitManifest(spark, path, 1, entries)
+      .map(r => ManifestEntry(r.getString(0), r.getLong(1), 1, None)).toSeq
+    commitManifestFull(spark, path, 1, entries, Some(HashLayout(nBuckets)))
   }
 
   private[graft] case class StagedVersion(next: Int, expectedRows: Long,
                                           touched: Seq[(String, Long)],
-                                          entries: Seq[ManifestEntry])
+                                          entries: Seq[ManifestEntry],
+                                          layout: Option[Layout] = None)
 
   /** Stage the next snapshot's data: merged content of every touched
     * bucket written to NEW v=next dirs (append-only — live version
@@ -163,7 +250,16 @@ object VersionedStore {
       throw new IllegalStateException(s"upsertVersioned: no snapshot at $path"))
     val next = cur + 1
     val man = readManifestFull(spark, path, cur)
-    val nv = batch.withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), nBuckets))
+    val layout = layoutOf(spark, path, cur, nBuckets)
+    layout match {
+      case RangeLayout(c, _, _, _) =>
+        // a null cluster value has no bin and would silently escape
+        // every zone map — fail fast instead
+        require(batch.filter(col(c).isNull).isEmpty,
+          s"upsertVersioned: range layout on '$c' requires non-null values")
+      case _ =>
+    }
+    val nv = batch.withColumn("bucket", bucketExpr(layout))
     val touched = nv.select("owner", "bucket").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     require(touched.nonEmpty, "upsertVersioned: empty batch")
@@ -189,23 +285,41 @@ object VersionedStore {
       .parquet(dataDir(path))
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
       touched.map { case (o, b) => ManifestEntry(o, b, next, None) }
-    StagedVersion(next, expected, touched, entries)
+    StagedVersion(next, expected, touched, entries, Some(layout))
   }
 
   /** Audit the staged version dirs (row count + bucket set), then
-    * commit — one rename flips every touched bucket at once. */
+    * commit — one rename flips every touched bucket at once. Under a
+    * range layout the SAME audit read also recomputes the touched
+    * buckets' zone maps (min/max of the cluster column over the
+    * staged content — no extra pass; untouched buckets keep theirs). */
   private[graft] def auditAndCommit(spark: SparkSession, path: String,
                                     st: StagedVersion): Unit = {
     val paths = st.touched.map { case (o, b) => bucketDir(path, o, b, st.next) }
-    val perPart = spark.read.option("basePath", dataDir(path)).parquet(paths: _*)
-      .groupBy(col("owner"), col("bucket").cast("long").as("bucket")).count()
-      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val statsCol = st.layout.collect { case RangeLayout(c, _, _, _) => c }
+    val aggs = count(lit(1)).as("cnt") +: statsCol.toSeq.flatMap(c => Seq(
+      min(col(c).cast("double")).as("smn"), max(col(c).cast("double")).as("smx")))
+    val perPartRows = spark.read.option("basePath", dataDir(path)).parquet(paths: _*)
+      .groupBy(col("owner"), col("bucket").cast("long").as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val perPart = perPartRows.map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
     val gotRows = perPart.map(_._2).sum
     require(gotRows == st.expectedRows,
       s"versioned audit: staged $gotRows rows, expected ${st.expectedRows}")
     require(perPart.map(_._1).toSet == st.touched.toSet,
       s"versioned audit: staged buckets ${perPart.map(_._1).toSet} != ${st.touched.toSet}")
-    commitManifestFull(spark, path, st.next, st.entries)
+    val entries =
+      if (statsCol.isEmpty) st.entries
+      else {
+        val statsMap = perPartRows.map(r =>
+          ((r.getString(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+        st.entries.map(e => statsMap.get((e.owner, e.bucket)) match {
+          case Some(s) if e.v == st.next => e.copy(stats = Some(s))
+          case _ => e
+        })
+      }
+    commitManifestFull(spark, path, st.next, entries, st.layout)
   }
 
   /** Doc-granular upsert as a new snapshot: stage → audit → commit.
@@ -220,7 +334,8 @@ object VersionedStore {
     val cur = currentSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"upsertVersioned: no snapshot at $path"))
     val fs = fsOf(spark, path)
-    val nvb = batch.withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), nBuckets))
+    val nvb = batch.withColumn("bucket",
+      bucketExpr(layoutOf(spark, path, cur, nBuckets)))
     nvb.select("owner", "bucket").distinct().collect().foreach { r =>
       val orphan = new Path(bucketDir(path, r.getString(0), r.getLong(1), cur + 1))
       if (fs.exists(orphan)) fs.delete(orphan, true)
@@ -270,7 +385,52 @@ object VersionedStore {
       .parquet(dataDir(path))
     // full rewrite: the new manifest carries ONLY the new bucket space
     auditAndCommit(spark, path, StagedVersion(next, expected, touched,
-      touched.map { case (o, b) => ManifestEntry(o, b, next, None) }))
+      touched.map { case (o, b) => ManifestEntry(o, b, next, None) },
+      Some(HashLayout(newBuckets))))
+  }
+
+  /** CLUSTERING compaction — the OPTIMIZE-ZORDER move: rewrite the
+    * current snapshot RANGE-bucketed on `statsCol` (fixed-width bins
+    * over the column's [min, max], frozen into the manifest's layout
+    * header) and record each bucket's zone map (min/max of the
+    * column) in its manifest entry. After this, `readSnapshotRange`
+    * plans scans over ONLY the buckets whose zone map overlaps the
+    * predicate — at 100 TB a selective range query touches a handful
+    * of bucket dirs instead of the table. Later upserts keep the
+    * layout: new rows are binned by the frozen boundaries (clamped at
+    * the edges) and the touched buckets' zone maps are recomputed in
+    * the upsert's own audit read, so skipping stays sound under
+    * churn. Same stage → audit → one-rename crash safety as every
+    * other rewrite; prior snapshots time-travel against their own
+    * layout until vacuumed. */
+  def compactClustered(spark: SparkSession, path: String, statsCol: String,
+                       newBuckets: Int): Unit = {
+    val cur = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"compactClustered: no snapshot at $path"))
+    val next = cur + 1
+    val base = readSnapshot(spark, path, cur).drop("bucket")
+    require(base.filter(col(statsCol).isNull).isEmpty,
+      s"compactClustered: cluster column '$statsCol' must be non-null")
+    val Row(mnA: Double, mxA: Double) = base.agg(
+      min(col(statsCol).cast("double")), max(col(statsCol).cast("double"))).head()
+    val layout = RangeLayout(statsCol, mnA, mxA, newBuckets)
+    val nv = base.withColumn("bucket", bucketExpr(layout))
+    val touched = nv.select("owner", "bucket").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fs = fsOf(spark, path)
+    touched.foreach { case (o, b) =>
+      val orphan = new Path(bucketDir(path, o, b, next))
+      if (fs.exists(orphan)) fs.delete(orphan, true)
+    }
+    val staged = nv.withColumn("v", lit(next))
+      .repartition(touched.size, col("owner"), col("bucket"))
+      .localCheckpoint()
+    val expected = staged.count()
+    staged.write.mode("append").partitionBy("owner", "bucket", "v")
+      .parquet(dataDir(path))
+    auditAndCommit(spark, path, StagedVersion(next, expected, touched,
+      touched.map { case (o, b) => ManifestEntry(o, b, next, None) },
+      Some(layout)))
   }
 
   /** Doc-granular DELETE as a new snapshot — the right-to-be-forgotten
@@ -317,11 +477,12 @@ object VersionedStore {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
       kept.map { case (o, b) => ManifestEntry(o, b, next, None) }
-    if (kept.isEmpty) commitManifestFull(spark, path, next, entries)
+    val layout = readLayout(spark, path, cur)
+    if (kept.isEmpty) commitManifestFull(spark, path, next, entries, layout)
     else {
       staged.write.mode("append").partitionBy("owner", "bucket", "v")
         .parquet(dataDir(path))
-      auditAndCommit(spark, path, StagedVersion(next, expected, kept, entries))
+      auditAndCommit(spark, path, StagedVersion(next, expected, kept, entries, layout))
     }
     deleted
   }
@@ -355,7 +516,7 @@ object VersionedStore {
     val man = readManifestFull(spark, path, cur)
     // cumulative: union the affected buckets' existing dv ids in
     val oldRefs = man.collect {
-      case ManifestEntry(o, b, _, Some(k)) if affectedSet((o, b)) =>
+      case ManifestEntry(o, b, _, Some(k), _) if affectedSet((o, b)) =>
         s"${dvDir(path, k)}/owner=$o/bucket=$b"
     }
     val newVictimIds = victims.select("owner", "bucket", "doc_id").distinct()
@@ -370,9 +531,11 @@ object VersionedStore {
     allIds.repartition(affected.size, col("owner"), col("bucket"))
       .write.mode("overwrite").partitionBy("owner", "bucket")
       .parquet(dvDir(path, next))
+    // zone maps untouched: a delete only shrinks a bucket's content,
+    // so its recorded (min, max) stays a sound over-approximation
     val entries = man.map(e =>
       if (affectedSet((e.owner, e.bucket))) e.copy(dv = Some(next)) else e)
-    commitManifestFull(spark, path, next, entries)
+    commitManifestFull(spark, path, next, entries, readLayout(spark, path, cur))
     removed
   }
 
@@ -384,6 +547,43 @@ object VersionedStore {
       throw new IllegalStateException(s"readSnapshot: no snapshot at $path"))
     scanEntries(spark, path, readManifestFull(spark, path, snap))
   }
+
+  /** ZONE-MAP-PRUNED range read over the cluster column: scan only
+    * the manifest entries whose recorded (min, max) overlaps
+    * [lo, hi] — entries with no stats are scanned conservatively —
+    * then apply the residual predicate. Returns the filtered rows
+    * plus (buckets scanned, buckets total), the pruning evidence the
+    * `s19_zonemap_skip` gate pins. Requires a range layout (the
+    * cluster column's name lives in the layout header). */
+  def rangeScan(spark: SparkSession, path: String, lo: Double, hi: Double,
+                snapshot: Int = -1): (DataFrame, Int, Int) = {
+    val snap = if (snapshot > 0) snapshot
+    else currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"rangeScan: no snapshot at $path"))
+    val statsCol = readLayout(spark, path, snap) match {
+      case Some(RangeLayout(c, _, _, _)) => c
+      case other => throw new IllegalStateException(
+        s"rangeScan: snapshot $snap has no range layout (found $other) — " +
+          "run compactClustered first")
+    }
+    val entries = readManifestFull(spark, path, snap)
+    val scanned = entries.filter(_.stats match {
+      case Some((mn, mx)) => !(mx < lo || mn > hi)
+      case None => true
+    })
+    val rows =
+      if (scanned.isEmpty) {
+        // degenerate but legal: nothing overlaps — an empty relation
+        // with the snapshot's schema
+        scanEntries(spark, path, entries).filter(lit(false))
+      } else scanEntries(spark, path, scanned)
+    (rows.filter(col(statsCol).cast("double").between(lo, hi)),
+      scanned.size, entries.size)
+  }
+
+  def readSnapshotRange(spark: SparkSession, path: String, lo: Double,
+                        hi: Double, snapshot: Int = -1): DataFrame =
+    rangeScan(spark, path, lo, hi, snapshot)._1
 
   /** Scan exactly `entries`' data dirs and subtract their delete
     * vectors (one anti-join against the referenced dv files — the
@@ -399,7 +599,7 @@ object VersionedStore {
       .option("mergeSchema", "true").parquet(dataPaths: _*)
       .withColumn("bucket", col("bucket").cast("long")).drop("v")
     val dvRefs = entries.collect {
-      case ManifestEntry(o, b, _, Some(k)) => s"${dvDir(path, k)}/owner=$o/bucket=$b"
+      case ManifestEntry(o, b, _, Some(k), _) => s"${dvDir(path, k)}/owner=$o/bucket=$b"
     }
     if (dvRefs.isEmpty) base
     else {
@@ -434,7 +634,7 @@ object VersionedStore {
     }
     // reclaim delete-vector dirs no retained manifest references
     val liveDv = keep.flatMap(readManifestFull(spark, path, _)).collect {
-      case ManifestEntry(o, b, _, Some(k)) => s"dv=$k/owner=$o/bucket=$b"
+      case ManifestEntry(o, b, _, Some(k), _) => s"dv=$k/owner=$o/bucket=$b"
     }.toSet
     val dRoot = new Path(deletesDir(path))
     if (fs.exists(dRoot)) {

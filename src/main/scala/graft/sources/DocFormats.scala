@@ -546,4 +546,143 @@ object DocFormats {
     } finally r.close()
     paras.mkString("\n").trim
   }
+
+  // ------------------------------------------------------------------
+  // WARC (ISO 28500) — the web-archive container Common Crawl ships,
+  // i.e. the dominant on-disk format of a 100 TB web training corpus.
+  // Dependency-free reader/writer for the subset a curation pipeline
+  // needs: multi-record files, per-record gzip members (the Common
+  // Crawl convention — each record is its own gzip member so a range
+  // request can decompress one record), warcinfo/request/response
+  // types, and HTTP-header stripping for response payloads. The
+  // writer is byte-deterministic (record ids derived from the target
+  // URI, fixed date) so round-trip gates hash identically.
+  // ------------------------------------------------------------------
+
+  final case class WarcRecord(warcType: String, targetUri: String,
+                              contentType: String, payload: Array[Byte])
+
+  private val CRLF = "\r\n"
+  private val WarcDate = "2026-01-01T00:00:00Z"
+
+  private def warcRecordBytes(warcType: String, targetUri: String,
+                              contentType: String, payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(256)
+    sb ++= "WARC/1.0" ++= CRLF
+    sb ++= s"WARC-Type: $warcType" ++= CRLF
+    sb ++= s"WARC-Record-ID: <urn:graft:${md5Hex(s"$warcType|$targetUri")}>" ++= CRLF
+    sb ++= s"WARC-Date: $WarcDate" ++= CRLF
+    if (targetUri.nonEmpty) sb ++= s"WARC-Target-URI: $targetUri" ++= CRLF
+    sb ++= s"Content-Type: $contentType" ++= CRLF
+    sb ++= s"Content-Length: ${payload.length}" ++= CRLF
+    sb ++= CRLF
+    val head = sb.toString.getBytes(ISO_8859_1)
+    val out = new ByteArrayOutputStream(head.length + payload.length + 4)
+    out.write(head); out.write(payload)
+    out.write(CRLF.getBytes(ISO_8859_1)); out.write(CRLF.getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  /** Write a WARC file: one `warcinfo` record, then a `request` +
+    * `response` pair per page (uri, html bytes) — the Common Crawl
+    * record mix. `gzipPerRecord` emits each record as its own gzip
+    * member (concatenated members = one legal .warc.gz). */
+  def writeWarc(pages: Seq[(String, Array[Byte])],
+                gzipPerRecord: Boolean = false): Array[Byte] = {
+    val info = warcRecordBytes("warcinfo", "",
+      "application/warc-fields",
+      s"software: graft-warc/1.0${CRLF}format: WARC File Format 1.0$CRLF"
+        .getBytes(ISO_8859_1))
+    val recs = info +: pages.flatMap { case (uri, html) =>
+      val req = warcRecordBytes("request", uri,
+        "application/http; msgtype=request",
+        s"GET $uri HTTP/1.1${CRLF}Host: example.com$CRLF$CRLF".getBytes(ISO_8859_1))
+      val httpResp = {
+        val head = ("HTTP/1.1 200 OK" + CRLF +
+          "Content-Type: text/html; charset=utf-8" + CRLF +
+          s"Content-Length: ${html.length}" + CRLF + CRLF).getBytes(ISO_8859_1)
+        val b = new ByteArrayOutputStream(head.length + html.length)
+        b.write(head); b.write(html); b.toByteArray
+      }
+      Seq(req, warcRecordBytes("response", uri,
+        "application/http; msgtype=response", httpResp))
+    }
+    val out = new ByteArrayOutputStream(4096)
+    recs.foreach(r => out.write(if (gzipPerRecord) gzipBytes(r) else r))
+    out.toByteArray
+  }
+
+  /** Parse a WARC file (plain or .gz with concatenated members) into
+    * its records. Strict on the framing the spec guarantees
+    * (Content-Length octet counts), lenient on unknown headers. */
+  def readWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val data =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+        // GZIPInputStream consumes concatenated members natively
+        val gz = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(bytes))
+        val bos = new ByteArrayOutputStream(bytes.length * 4)
+        val buf = new Array[Byte](8192)
+        var n = gz.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = gz.read(buf) }
+        gz.close(); bos.toByteArray
+      } else bytes
+    val recs = ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    def lineAt(p: Int): (String, Int) = {
+      var e = p
+      while (e + 1 < data.length && !(data(e) == '\r' && data(e + 1) == '\n')) e += 1
+      (new String(data, p, e - p, ISO_8859_1), e + 2)
+    }
+    while (pos < data.length) {
+      // skip inter-record blank lines
+      val (first, afterFirst) = lineAt(pos)
+      if (first.isEmpty) pos = afterFirst
+      else {
+        require(first.startsWith("WARC/"), s"not a WARC record at offset $pos: '$first'")
+        var p = afterFirst
+        var wtype = ""; var uri = ""; var ctype = ""; var clen = -1L
+        var line = ""
+        while ({ val (l, np) = lineAt(p); line = l; p = np; l.nonEmpty }) {
+          val i = line.indexOf(':')
+          if (i > 0) {
+            val (k, v) = (line.substring(0, i).trim.toLowerCase, line.substring(i + 1).trim)
+            k match {
+              case "warc-type" => wtype = v
+              case "warc-target-uri" => uri = v
+              case "content-type" => ctype = v
+              case "content-length" => clen = v.toLong
+              case _ =>
+            }
+          }
+        }
+        require(clen >= 0, s"WARC record at $pos missing Content-Length")
+        val payload = java.util.Arrays.copyOfRange(data, p, p + clen.toInt)
+        recs += WarcRecord(wtype, uri, ctype, payload)
+        pos = p + clen.toInt
+      }
+    }
+    recs.toSeq
+  }
+
+  /** Strip the HTTP header block from an `application/http` payload —
+    * the body starts after the first CRLFCRLF. */
+  def warcHttpBody(payload: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i + 3 < payload.length &&
+      !(payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n')) i += 1
+    if (i + 3 >= payload.length) payload
+    else java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+  }
 }

@@ -355,6 +355,55 @@ object DocumentSources {
         .orderBy("doc_id")
     }),
 
+    // S20 — WARC ingestion, the Common Crawl container a 100 TB web
+    // training corpus actually arrives in: documents are grouped 16 to
+    // a WARC (warcinfo + request/response pairs — the real record
+    // mix), every other WARC written as per-record gzip members (the
+    // CC convention), then parsed back: record framing by
+    // Content-Length, multi-member gunzip, non-response records
+    // dropped, HTTP headers stripped, and the HTML payload run through
+    // the same main-content extractor s15 gates. Hash-exact per doc:
+    // extracted text must round-trip, and the record-mix counts
+    // (n_info = 1, n_req = pages) pin the type filtering. At scale
+    // this is one narrow map over binary files — no shuffle until the
+    // group-by here, which exists only to BUILD the fixture WARCs.
+    "s20_warc_ingest" -> ((s, d) => {
+      val mkWarc = udf((ids: Seq[Long], texts: Seq[String], gz: Boolean) =>
+        DocFormats.writeWarc(ids.zip(texts).map { case (id, text) =>
+          (s"https://example.com/doc/$id", DocFormats.writeHtml(
+            text.substring(0, 40),
+            Seq(text.substring(40, 100), text.substring(100),
+              "Fee & fi < fo > \"fum\" 'qux'"),
+            Seq("Home", "Archive", "About"),
+            Seq("privacy policy", "terms of service")))
+        }, gzipPerRecord = gz))
+      val parse = udf((b: Array[Byte]) => {
+        val recs = DocFormats.readWarc(b)
+        val nInfo = recs.count(_.warcType == "warcinfo").toLong
+        val nReq = recs.count(_.warcType == "request").toLong
+        recs.filter(_.warcType == "response").map(r =>
+          (r.targetUri, new String(DocFormats.warcHttpBody(r.payload), "UTF-8"),
+            nInfo, nReq))
+      })
+      val exHtml = udf((html: String) => DocFormats.extractHtml(html.getBytes("UTF-8")))
+      Tables.documents(s, d).filter(col("n_chars") > 100)
+        .withColumn("warc_id", floor(col("doc_id") / 16).cast("long"))
+        .groupBy("warc_id")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("pages"))
+        .withColumn("ids", expr("transform(pages, p -> p.doc_id)"))
+        .withColumn("texts", expr("transform(pages, p -> p.text)"))
+        .withColumn("n_pages", size(col("pages")).cast("long"))
+        .withColumn("gz", pmod(col("warc_id"), lit(2)) === 0)
+        .withColumn("rec", explode(parse(mkWarc(col("ids"), col("texts"), col("gz")))))
+        .withColumn("doc_id", regexp_extract(col("rec._1"), "/doc/(\\d+)$", 1).cast("long"))
+        .withColumn("extracted", exHtml(col("rec._2")))
+        .select(col("doc_id"),
+          length(col("extracted")).cast("long").as("n_extracted"),
+          md5(col("extracted")).as("text_md5"),
+          col("n_pages"), col("rec._3").as("n_info"), col("rec._4").as("n_req"))
+        .orderBy("doc_id")
+    }),
+
     // S8 upsert: every 7th doc is re-analyzed (text prefixed, source
     // re-tagged); the merged relation must show replaced rows under the
     // new source and untouched rows under their originals.
@@ -449,6 +498,25 @@ object DocumentSources {
         |SELECT doc_id, CAST(length(ext) AS BIGINT) AS n_extracted,
         |  md5(ext) AS text_md5
         |FROM asm ORDER BY doc_id""".stripMargin,
+    // S20 replayed: the s15 page assembly per doc, grouped 16 to a
+    // WARC for the record-mix counts (n_info constant 1, n_req =
+    // group size); gzip-vs-plain alternation is invisible to content.
+    "s20_warc_ingest" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id // 16 AS warc_id,
+        |    trim(substr(text, 1, 40)) AS t,
+        |    trim(substr(text, 41, 60)) AS p1, trim(substr(text, 101)) AS p2
+        |  FROM documents WHERE n_chars > 100),
+        |grp AS (SELECT warc_id, count(*) AS n_pages FROM base GROUP BY warc_id),
+        |asm AS (
+        |  SELECT doc_id, warc_id,
+        |    t || chr(10) || chr(10) || p1 || chr(10) || chr(10) || p2 ||
+        |      chr(10) || chr(10) || 'Fee & fi < fo > "fum" ''qux''' AS ext
+        |  FROM base)
+        |SELECT a.doc_id, CAST(length(ext) AS BIGINT) AS n_extracted,
+        |  md5(ext) AS text_md5, g.n_pages,
+        |  CAST(1 AS BIGINT) AS n_info, g.n_pages AS n_req
+        |FROM asm a JOIN grp g USING (warc_id) ORDER BY a.doc_id""".stripMargin,
     "x6_email_import" -> {
       val t1End = graft.pipelines.IndexPipeline.t1End
       s"""WITH RECURSIVE inc AS (

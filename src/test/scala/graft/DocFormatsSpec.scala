@@ -138,4 +138,56 @@ class DocFormatsSpec extends AnyFunSuite {
     assert(html("<p>stray < char</p>") == "stray < char")
     intercept[Exception](html("no markup at all"))
   }
+
+  private def warcPages = Seq(
+    "https://example.com/doc/1" -> DocFormats.writeHtml("T1", Seq("para one"), Nil, Nil),
+    "https://example.com/doc/2" -> DocFormats.writeHtml("T2", Seq("para two", "encore"), Nil, Nil))
+
+  test("warc: plain round-trip — record mix, framing, http body strip") {
+    val bytes = DocFormats.writeWarc(warcPages)
+    val recs = DocFormats.readWarc(bytes)
+    assert(recs.map(_.warcType) == Seq("warcinfo", "request", "response",
+      "request", "response"))
+    val resp = recs.filter(_.warcType == "response")
+    assert(resp.map(_.targetUri) == warcPages.map(_._1))
+    // HTTP headers stripped → exactly the original html bytes
+    resp.zip(warcPages).foreach { case (r, (_, html)) =>
+      assert(DocFormats.warcHttpBody(r.payload).sameElements(html))
+    }
+    // payload bytes of a response include the HTTP status line
+    assert(new String(resp.head.payload, ISO_8859_1).startsWith("HTTP/1.1 200 OK"))
+  }
+
+  test("warc: gzip members round-trip identically to plain; writer is deterministic") {
+    val plain = DocFormats.writeWarc(warcPages)
+    val gz = DocFormats.writeWarc(warcPages, gzipPerRecord = true)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    assert(gz.length != plain.length)
+    assert(DocFormats.readWarc(gz).map(r => (r.warcType, r.targetUri)) ==
+      DocFormats.readWarc(plain).map(r => (r.warcType, r.targetUri)))
+    assert(DocFormats.readWarc(gz).zip(DocFormats.readWarc(plain))
+      .forall { case (a, b) => a.payload.sameElements(b.payload) })
+    // byte determinism (fixed date, uri-derived ids, fixed gzip params)
+    assert(DocFormats.writeWarc(warcPages).sameElements(plain))
+    assert(DocFormats.writeWarc(warcPages, gzipPerRecord = true).sameElements(gz))
+  }
+
+  test("warc: payload bytes are framed by Content-Length — CRLFCRLF inside a body is not a boundary") {
+    // a body containing the record separator sequence must survive
+    val tricky = ("<p>before</p>\r\n\r\n<p>after</p>").getBytes(ISO_8859_1)
+    val bytes = DocFormats.writeWarc(Seq("https://x/doc/9" -> tricky))
+    val resp = DocFormats.readWarc(bytes).filter(_.warcType == "response")
+    assert(resp.size == 1)
+    assert(DocFormats.warcHttpBody(resp.head.payload).sameElements(tricky))
+  }
+
+  test("warc: unknown headers tolerated; garbage input raises") {
+    val bytes = DocFormats.writeWarc(warcPages)
+    // splice an unknown header into the first record
+    val s = new String(bytes, ISO_8859_1)
+      .replaceFirst("WARC-Date", "X-Custom: v\r\nWARC-Date")
+    val recs = DocFormats.readWarc(s.getBytes(ISO_8859_1))
+    assert(recs.size == 5)
+    intercept[Exception](DocFormats.readWarc("HTTP/1.1 200 OK\r\n\r\n".getBytes(ISO_8859_1)))
+  }
 }

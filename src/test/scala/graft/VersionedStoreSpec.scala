@@ -335,4 +335,101 @@ class VersionedStoreSpec extends AnyFunSuite {
     val totalDocs = rows.map(_.getLong(1)).sum
     assert(totalDocs == 155L, s"expected 155 docs across owners, got $totalDocs")
   }
+
+  private def zrel(dd: org.apache.spark.sql.DataFrame) =
+    dd.select(col("doc_id"), col("source").as("owner"), col("n_chars"),
+      md5(col("text")).as("text_md5"))
+
+  test("compactClustered: zone maps prune buckets; range scan content equals a plain filter") {
+    val dir = freshDir("zm")
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 150)
+    VersionedStore.initialLoad(spark, dir, zrel(all), nBuckets = 4)
+    // hash layout has no cluster column — rangeScan must refuse
+    intercept[IllegalStateException](VersionedStore.rangeScan(spark, dir, 0, 1))
+    VersionedStore.compactClustered(spark, dir, "n_chars", 8)
+    assert(VersionedStore.readLayout(spark, dir, 2)
+      .exists(_.isInstanceOf[VersionedStore.RangeLayout]))
+    // every entry carries a zone map
+    val man = VersionedStore.readManifestFull(spark, dir, 2)
+    assert(man.nonEmpty && man.forall(_.stats.isDefined))
+    val (rows, scanned, total) = VersionedStore.rangeScan(spark, dir, 150, 260)
+    assert(scanned < total, s"no pruning: $scanned/$total")
+    assert(scanned > 0)
+    // content == plain filter over the full snapshot
+    val expect = VersionedStore.readSnapshot(spark, dir)
+      .filter(col("n_chars").between(150, 260))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // zone maps are TIGHT: each bucket's recorded (min, max) equals its
+    // content's actual min/max
+    val actual = VersionedStore.readSnapshot(spark, dir)
+      .groupBy("owner", "bucket")
+      .agg(min(col("n_chars").cast("double")), max(col("n_chars").cast("double")))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    man.foreach(e => assert(e.stats.contains(actual((e.owner, e.bucket)))))
+    spark.catalog.clearCache()
+  }
+
+  test("range layout survives upserts: frozen bins, edge clamp, zone-map widening") {
+    val dir = freshDir("zmup")
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    VersionedStore.initialLoad(spark, dir, zrel(all), nBuckets = 4)
+    VersionedStore.compactClustered(spark, dir, "n_chars", 8)
+    val lay = VersionedStore.readLayout(spark, dir, 2)
+      .get.asInstanceOf[VersionedStore.RangeLayout]
+    // upsert one doc with n_chars far ABOVE the frozen max — it must be
+    // clamped into the top bin and widen that bucket's zone map
+    val big = zrel(Tables.documents(spark, sf)
+        .filter(col("doc_id") === 150).limit(1))
+      .withColumn("n_chars", lit(lay.mx.toLong + 5000L))
+    VersionedStore.upsertVersioned(spark, dir, big)
+    // layout header carried forward unchanged (frozen boundaries)
+    assert(VersionedStore.readLayout(spark, dir, 3) == Some(lay))
+    val owner = big.select("owner").head().getString(0)
+    val man3 = VersionedStore.readManifestFull(spark, dir, 3)
+    val top = man3.find(e => e.owner == owner && e.bucket == lay.nBuckets - 1L)
+    assert(top.exists(_.stats.exists(_._2 == lay.mx + 5000.0)),
+      s"top bin not widened: ${top.flatMap(_.stats)}")
+    // a range scan past the original max finds the new doc and scans
+    // only the widened bucket(s)
+    val (rows, scanned, total) = VersionedStore.rangeScan(
+      spark, dir, lay.mx + 1000, lay.mx + 10000)
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(150L))
+    assert(scanned < total)
+    // null cluster values are rejected up front
+    intercept[IllegalArgumentException](VersionedStore.upsertVersioned(spark, dir,
+      big.withColumn("n_chars", lit(null).cast("long"))))
+    spark.catalog.clearCache()
+  }
+
+  test("plain compact resets to hash layout; softDelete carries layout and stats forward") {
+    val dir = freshDir("zmsd")
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    VersionedStore.initialLoad(spark, dir, zrel(all), nBuckets = 4)
+    VersionedStore.compactClustered(spark, dir, "n_chars", 8)
+    // soft delete two docs: zero data movement, stats stay (sound
+    // over-approximation), layout header intact
+    VersionedStore.softDelete(spark, dir,
+      all.filter(col("doc_id").isin(3, 4)).select("doc_id"))
+    assert(VersionedStore.readLayout(spark, dir, 3)
+      .exists(_.isInstanceOf[VersionedStore.RangeLayout]))
+    val man3 = VersionedStore.readManifestFull(spark, dir, 3)
+    assert(man3.forall(_.stats.isDefined))
+    val (rows, _, _) = VersionedStore.rangeScan(spark, dir, 0, 1e9)
+    assert(!rows.select("doc_id").collect().map(_.getLong(0)).toSet
+      .exists(Set(3L, 4L)))
+    // plain compact back to hash: header says hash, later upserts use it
+    VersionedStore.compact(spark, dir, 4)
+    assert(VersionedStore.readLayout(spark, dir, 4) ==
+      Some(VersionedStore.HashLayout(4)))
+    intercept[IllegalStateException](VersionedStore.rangeScan(spark, dir, 0, 1))
+    // hash upsert lands doc 150 in bucket 150 % 4 = 2
+    VersionedStore.upsertVersioned(spark, dir,
+      zrel(Tables.documents(spark, sf).filter(col("doc_id") === 150)))
+    val e150 = VersionedStore.readSnapshot(spark, dir)
+      .filter(col("doc_id") === 150).select("bucket").head().getLong(0)
+    assert(e150 == 2L)
+    spark.catalog.clearCache()
+  }
 }
