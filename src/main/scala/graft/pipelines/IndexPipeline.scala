@@ -525,17 +525,65 @@ object IndexPipeline {
         .orderBy("owner")
     }),
 
-    // S18 — SCHEMA EVOLUTION (column add) through the versioned
-    // store, the remaining lakehouse pillar beside time travel / CDC /
-    // compaction / COW+MOR deletes: an upsert batch carries a NEW
-    // `quality` column; only the touched buckets are rewritten under
-    // the widened schema, untouched buckets keep their old-schema
-    // files, and the snapshot-2 reader merges the two (old rows read
-    // NULL — no table-wide backfill rewrite, which at 100 TB is the
-    // entire point of metadata-level evolution). Gate pins, per owner,
-    // the vector counts and exactly which rows carry the new column
-    // (the upserted docs), plus the proof that snapshot 1 read back
-    // WITHOUT the column (v1_has_quality = 0 from the actual schema).
+    // X15 — CDC APPLY: maintain a downstream MIRROR table from the
+    // change feed alone — the lakehouse replication pattern (Delta CDF
+    // → downstream MERGE) that turns the s15 feed from a diff report
+    // into an actual consumer. The store takes an update+insert upsert
+    // (snapshot 2) then a copy-on-write delete (snapshot 3); the
+    // mirror bootstraps from snapshot 1 and then applies each
+    // consecutive feed relationally: preimages/deletes anti-joined
+    // out, postimages/inserts pulled from the source snapshot by a
+    // semi-join on the feed's doc ids — cost ∝ CHANGED docs, not table
+    // size (both feed sides are broadcastable id sets; the pulled rows
+    // come from a manifest-planned scan). The gate digests the mirror
+    // per owner AND cross-checks it against a direct snapshot-3 read
+    // (mirror_matches_direct must be the oracle's computed 1) — a
+    // mirror that dropped a change, double-applied one, or resurrected
+    // a deleted doc hash-fails.
+    "x15_cdc_mirror" -> ((s, d) => {
+      val dir = snapDir(d) + "_mir"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(base))
+      VersionedStore.upsertVersioned(s, dir, buildIndex(
+        base.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", "."))
+          .unionByName(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155))))
+      VersionedStore.deleteVersioned(s, dir,
+        docs.filter(col("doc_id").isin(3, 4, 5)).select("doc_id"))
+      var mirror = VersionedStore.readSnapshot(s, dir, 1)
+      Seq((1, 2), (2, 3)).foreach { case (a, b) =>
+        val feed = snapshotCdcFeed(s, dir, a, b)
+        val removals = feed.filter(col("change_type")
+          .isin("delete", "update_preimage")).select("doc_id").distinct()
+        val additions = feed.filter(col("change_type")
+          .isin("insert", "update_postimage")).select("doc_id").distinct()
+        mirror = mirror.join(broadcast(removals), Seq("doc_id"), "left_anti")
+          .unionByName(VersionedStore.readSnapshot(s, dir, b)
+            .join(broadcast(additions), Seq("doc_id"), "left_semi"))
+      }
+      def byOwner(df: DataFrame, docsN: String, vecN: String, md: String): DataFrame =
+        df.groupBy("doc_id", "owner")
+          .agg(count(lit(1)).as("nv"),
+            md5(concat_ws("", array_sort(collect_list(
+              when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("m"))
+          .groupBy("owner")
+          .agg(countDistinct(col("doc_id")).as(docsN), sum(col("nv")).as(vecN),
+            md5(concat_ws("", array_sort(collect_list(
+              concat(col("doc_id").cast("string"), lit(":"), col("m"))))))
+              .as(md))
+      val mg = byOwner(mirror, "n_docs", "n_vectors", "corpus_md5")
+      val dg = byOwner(VersionedStore.readSnapshot(s, dir, 3),
+        "dn", "dv", "dm")
+      mg.join(dg, Seq("owner"), "full_outer")
+        .select(col("owner"), col("n_docs"), col("n_vectors"), col("corpus_md5"),
+          (col("n_docs") <=> col("dn") && col("n_vectors") <=> col("dv") &&
+            col("corpus_md5") <=> col("dm")).cast("long")
+            .as("mirror_matches_direct"))
+        .orderBy("owner")
+    }),
+
     // S19 — ZONE-MAP DATA SKIPPING on the versioned store, the Delta
     // OPTIMIZE-ZORDER + file-skipping move: documents (with a
     // non-key numeric column, n_chars) are hash-loaded, then
@@ -575,6 +623,17 @@ object IndexPipeline {
             .as("digest"))
     }),
 
+    // S18 — SCHEMA EVOLUTION (column add) through the versioned
+    // store, the remaining lakehouse pillar beside time travel / CDC /
+    // compaction / COW+MOR deletes: an upsert batch carries a NEW
+    // `quality` column; only the touched buckets are rewritten under
+    // the widened schema, untouched buckets keep their old-schema
+    // files, and the snapshot-2 reader merges the two (old rows read
+    // NULL — no table-wide backfill rewrite, which at 100 TB is the
+    // entire point of metadata-level evolution). Gate pins, per owner,
+    // the vector counts and exactly which rows carry the new column
+    // (the upserted docs), plus the proof that snapshot 1 read back
+    // WITHOUT the column (v1_has_quality = 0 from the actual schema).
     "s18_schema_evolution" -> ((s, d) => {
       val dir = snapDir(d) + "_sev"
       deleteRecursively(java.nio.file.Paths.get(dir))
@@ -1251,6 +1310,29 @@ object IndexPipeline {
          |    AS BIGINT) AS n_q_null,
          |  CAST(0 AS BIGINT) AS v1_has_quality
          |FROM eb GROUP BY owner ORDER BY owner""".stripMargin,
+    // X15 replayed: the mirror's final state must equal snapshot 3 =
+    // docs < 155 with doc 7 modified, minus the deleted 3/4/5 — one
+    // chunk-walk over that source, grouped per owner; the cross-check
+    // flag is the computed constant 1.
+    "x15_cdc_mirror" -> {
+      val mirrorSrc =
+        "SELECT doc_id, CASE WHEN doc_id = 7 THEN translate(text, 'a', '.') " +
+          "ELSE text END AS t FROM documents " +
+          "WHERE doc_id < 155 AND doc_id NOT IN (3, 4, 5)"
+      s"""WITH RECURSIVE ${chunkDigestCtes("m", mirrorSrc)},
+         |mb AS (
+         |  SELECT d.doc_id, d.source AS owner,
+         |    CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS nv,
+         |    coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM (SELECT doc_id, source FROM documents
+         |        WHERE doc_id < 155 AND doc_id NOT IN (3, 4, 5)) d
+         |  LEFT JOIN mdigest g USING (doc_id))
+         |SELECT owner, count(*) AS n_docs, CAST(sum(nv) AS BIGINT) AS n_vectors,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || m, ''
+         |      ORDER BY CAST(doc_id AS VARCHAR) || ':' || m)) AS corpus_md5,
+         |  CAST(1 AS BIGINT) AS mirror_matches_direct
+         |FROM mb GROUP BY owner ORDER BY owner""".stripMargin
+    },
     // S19 replayed from arithmetic: bins are fixed-width over the
     // frozen [min, max] of docs < 150 (the compact-time corpus), new
     // docs 150–159 assigned by the SAME frozen bins with edge clamp;

@@ -336,6 +336,16 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(totalDocs == 155L, s"expected 155 docs across owners, got $totalDocs")
   }
 
+  test("x15_cdc_mirror: feed-maintained mirror equals a direct snapshot read per owner") {
+    val rows = SparkEntry.queries("x15_cdc_mirror")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(4) == 1L),
+      rows.filter(_.getLong(4) != 1L).mkString(","))
+    // deletes really applied: total docs = 155 - 3 victims
+    assert(rows.map(_.getLong(1)).sum == 152L)
+  }
+
   private def zrel(dd: org.apache.spark.sql.DataFrame) =
     dd.select(col("doc_id"), col("source").as("owner"), col("n_chars"),
       md5(col("text")).as("text_md5"))
