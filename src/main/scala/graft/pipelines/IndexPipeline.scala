@@ -623,6 +623,42 @@ object IndexPipeline {
             .as("digest"))
     }),
 
+    // S21 — BLOOM-FILTER POINT-LOOKUP SKIPPING, the equality twin of
+    // s19's zone maps (Iceberg's bloom metadata at bucket
+    // granularity): documents are hash-loaded, `buildBloomIndex`
+    // commits a METADATA-ONLY snapshot attaching a per-bucket filter
+    // over text_md5 (a non-key column — a doc_id lookup would prune
+    // by the hash layout alone; content lookup cannot), then an
+    // UPSERT of ten docs proves the filters are maintained through
+    // the audit read. The gate probes doc 42's content hash via
+    // `lookupEq` and pins the matching rows AND the pruning counts —
+    // the oracle replays the bloom bit arithmetic (first 6 md5 hex
+    // digits mod mBits) bucket by bucket, so even false positives
+    // must match bit-exactly. At 100 TB this turns a non-key point
+    // lookup from a full-table scan into a handful of bucket dirs.
+    "s21_bloom_skip" -> ((s, d) => {
+      val dir = snapDir(d) + "_bl"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("doc_id"), col("source").as("owner"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+      VersionedStore.initialLoad(s, dir, rel(docs.filter(col("doc_id") < 150)),
+        nBuckets = 8)
+      VersionedStore.buildBloomIndex(s, dir, "text_md5")
+      VersionedStore.upsertVersioned(s, dir,
+        rel(docs.filter(col("doc_id") >= 150 && col("doc_id") < 160)), nBuckets = 8)
+      val probe = docs.filter(col("doc_id") === 42)
+        .select(md5(col("text"))).head().getString(0)
+      val (rows, nScanned, nTotal) = VersionedStore.lookupEq(s, dir, probe)
+      rows.groupBy(lit(nScanned.toLong).as("buckets_scanned"),
+          lit(nTotal.toLong).as("buckets_total"))
+        .agg(count(lit(1)).as("n_rows"),
+          md5(concat_ws("", array_sort(collect_list(concat_ws(":",
+            col("doc_id"), col("owner"), col("n_chars"), col("text_md5"))))))
+            .as("digest"))
+    }),
+
     // S18 — SCHEMA EVOLUTION (column add) through the versioned
     // store, the remaining lakehouse pillar beside time travel / CDC /
     // compaction / COW+MOR deletes: an upsert batch carries a NEW
@@ -1332,6 +1368,41 @@ object IndexPipeline {
          |      ORDER BY CAST(doc_id AS VARCHAR) || ':' || m)) AS corpus_md5,
          |  CAST(1 AS BIGINT) AS mirror_matches_direct
          |FROM mb GROUP BY owner ORDER BY owner""".stripMargin
+    },
+    // S21 replayed: per-(owner, doc_id%8) DISTINCT bloom bits over the
+    // FINAL content (untouched buckets' build-time filters equal their
+    // unchanged content's; touched buckets are recomputed in the
+    // upsert audit), probe bits from the same md5 arithmetic;
+    // buckets_scanned = buckets containing every probe bit (false
+    // positives included — the arithmetic is identical on both
+    // sides); digest = plain equality filter.
+    "s21_bloom_skip" -> {
+      def bitOf(vExpr: String) = hexIdSql(s"md5(($vExpr) || ':' || i)") + " % 1024"
+      s"""WITH base AS (
+         |  SELECT doc_id, source AS owner, n_chars, md5(text) AS text_md5,
+         |         doc_id % 8 AS bucket
+         |  FROM documents WHERE doc_id < 160),
+         |probe AS (SELECT md5(text) AS v FROM documents WHERE doc_id = 42),
+         |pb AS (
+         |  SELECT DISTINCT ${bitOf("(SELECT v FROM probe)")} AS b
+         |  FROM range(0, 3) t(i)),
+         |bits AS (
+         |  SELECT DISTINCT owner, bucket, ${bitOf("text_md5")} AS b
+         |  FROM base CROSS JOIN range(0, 3) t(i)),
+         |hit AS (
+         |  SELECT owner, bucket FROM bits JOIN pb USING (b)
+         |  GROUP BY owner, bucket
+         |  HAVING count(DISTINCT b) = (SELECT count(*) FROM pb)),
+         |hits AS (
+         |  SELECT CAST(doc_id AS VARCHAR) || ':' || owner || ':' ||
+         |         CAST(n_chars AS VARCHAR) || ':' || text_md5 AS line
+         |  FROM base WHERE text_md5 = (SELECT v FROM probe))
+         |SELECT (SELECT count(*) FROM hit) AS buckets_scanned,
+         |       (SELECT count(*) FROM (SELECT DISTINCT owner, bucket FROM base))
+         |         AS buckets_total,
+         |       count(*) AS n_rows,
+         |       md5(string_agg(line, '' ORDER BY line)) AS digest
+         |FROM hits""".stripMargin
     },
     // S19 replayed from arithmetic: bins are fixed-width over the
     // frozen [min, max] of docs < 150 (the compact-time corpus), new

@@ -63,7 +63,20 @@ object VersionedStore {
     * and soft deletes never have to touch them. */
   private[graft] final case class ManifestEntry(owner: String, bucket: Long,
                                                 v: Int, dv: Option[Int],
-                                                stats: Option[(Double, Double)] = None)
+                                                stats: Option[(Double, Double)] = None,
+                                                bloom: Option[String] = None)
+
+  /** Per-bucket BLOOM FILTER config — the Iceberg bloom-metadata idea
+    * at bucket granularity, the equality-lookup counterpart of the
+    * zone map: `#bloom\tcol\tmBits\tk` in the manifest header, and
+    * each entry carries `bloom:<hex>` — an mBits-bit filter over the
+    * column's values in the bucket's CURRENT content. Bit i of value
+    * v = int(first 6 hex digits of md5(v + ":" + i)) mod mBits — pure
+    * md5 arithmetic, reproducible by any engine (the DuckDB oracle
+    * replays it bit-exactly, false positives included). Maintained on
+    * every rewrite from the staged content; deletes only shrink
+    * content, so stale filters stay a sound over-approximation. */
+  private[graft] final case class BloomConfig(col: String, mBits: Int, k: Int)
 
   /** How rows map to buckets — recorded as a `#layout` header line in
     * every manifest so writers after a layout change keep assigning
@@ -124,10 +137,13 @@ object VersionedStore {
           val stats = opts.collectFirst { case s if s.startsWith("stats:") =>
             val Array(lo, hi) = s.stripPrefix("stats:").split(',')
             (lo.toDouble, hi.toDouble) }
-          val unknown = opts.filterNot(s => s.startsWith("dv:") || s.startsWith("stats:"))
+          val bloom = opts.collectFirst { case s if s.startsWith("bloom:") =>
+            s.stripPrefix("bloom:") }
+          val unknown = opts.filterNot(s => s.startsWith("dv:") ||
+            s.startsWith("stats:") || s.startsWith("bloom:"))
           if (unknown.nonEmpty) throw new IllegalStateException(
             s"manifest $n: unknown field '${unknown.head}'")
-          ManifestEntry(f(0), f(1).toLong, f(2).toInt, dv, stats)
+          ManifestEntry(f(0), f(1).toLong, f(2).toInt, dv, stats, bloom)
         }.toList
     } finally in.close()
   }
@@ -161,9 +177,27 @@ object VersionedStore {
 
   /** Write manifest `n` then commit with one atomic rename — the
     * cross-bucket commit point. */
+  /** Bloom config header of snapshot `n`, if present. */
+  private[graft] def readBloomConfig(spark: SparkSession, path: String,
+                                     n: Int): Option[BloomConfig] = {
+    val fs = fsOf(spark, path)
+    val in = fs.open(new Path(manifestFile(path, n)))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .find(_.startsWith("#bloom")).map { line =>
+          line.split('\t') match {
+            case Array("#bloom", c, m, k) => BloomConfig(c, m.toInt, k.toInt)
+            case bad => throw new IllegalStateException(
+              s"manifest $n: unparseable bloom header '${bad.mkString("\t")}'")
+          }
+        }
+    } finally in.close()
+  }
+
   private[graft] def commitManifestFull(spark: SparkSession, path: String, n: Int,
                                         entries: Seq[ManifestEntry],
-                                        layout: Option[Layout] = None): Unit = {
+                                        layout: Option[Layout] = None,
+                                        bloom: Option[BloomConfig] = None): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(manifestFile(path, n) + ".tmp")
     val fin = new Path(manifestFile(path, n))
@@ -171,12 +205,14 @@ object VersionedStore {
     val header = layout.map {
       case HashLayout(nb) => s"#layout\thash\t$nb\n"
       case RangeLayout(c, mn, mx, nb) => s"#layout\trange\t$c\t$mn\t$mx\t$nb\n"
-    }.getOrElse("")
+    }.getOrElse("") +
+      bloom.map(b => s"#bloom\t${b.col}\t${b.mBits}\t${b.k}\n").getOrElse("")
     val out = fs.create(tmp, true)
     try out.write((header + entries.sortBy(e => (e.owner, e.bucket))
       .map(e => s"${e.owner}\t${e.bucket}\t${e.v}" +
         e.dv.map(k => s"\tdv:$k").getOrElse("") +
-        e.stats.map { case (lo, hi) => s"\tstats:$lo,$hi" }.getOrElse(""))
+        e.stats.map { case (lo, hi) => s"\tstats:$lo,$hi" }.getOrElse("") +
+        e.bloom.map(h => s"\tbloom:$h").getOrElse(""))
       .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     // optimistic concurrency: a competing writer that already committed
@@ -219,6 +255,40 @@ object VersionedStore {
                        nBuckets: Int): Layout =
     readLayout(spark, path, cur).getOrElse(HashLayout(nBuckets))
 
+  /** Bit i of value v: int(first 6 hex digits of md5(v + ":" + i))
+    * mod mBits — the engine-independent arithmetic the oracle
+    * replays. */
+  private def bloomBitExpr(cfg: BloomConfig, i: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(col(cfg.col).cast("string"), lit(":" + i))),
+      1, 6), 16, 10).cast("long"), lit(cfg.mBits.toLong))
+
+  /** Per-(owner, bucket) bloom filters over `df`'s content, hex-
+    * encoded. Driver state is bounded: buckets × mBits/8 bytes. */
+  private def bloomHexOf(df: DataFrame, cfg: BloomConfig): Map[(String, Long), String] = {
+    val bits = df.select(col("owner"), col("bucket").cast("long").as("bucket"),
+        explode(array((0 until cfg.k).map(bloomBitExpr(cfg, _)): _*)).as("bit"))
+      .distinct().collect()
+    bits.groupBy(r => (r.getString(0), r.getLong(1))).map { case (key, rs) =>
+      val bytes = new Array[Byte](cfg.mBits / 8)
+      rs.foreach { r =>
+        val b = r.getLong(2).toInt
+        bytes(b >> 3) = (bytes(b >> 3) | (1 << (b & 7))).toByte
+      }
+      key -> bytes.map("%02x".format(_)).mkString
+    }
+  }
+
+  private[graft] def probeBits(value: String, cfg: BloomConfig): Seq[Int] =
+    (0 until cfg.k).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest((value + ":" + i).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 6), 16) % cfg.mBits).toInt
+    }
+
+  private def bloomHas(hex: String, bit: Int): Boolean =
+    ((Integer.parseInt(hex.substring((bit >> 3) * 2, (bit >> 3) * 2 + 2), 16)
+      >> (bit & 7)) & 1) == 1
+
   /** First load: every bucket's data at v=1, then the snapshot-1
     * commit. */
   def initialLoad(spark: SparkSession, path: String, vectors: DataFrame,
@@ -238,7 +308,8 @@ object VersionedStore {
   private[graft] case class StagedVersion(next: Int, expectedRows: Long,
                                           touched: Seq[(String, Long)],
                                           entries: Seq[ManifestEntry],
-                                          layout: Option[Layout] = None)
+                                          layout: Option[Layout] = None,
+                                          bloom: Option[BloomConfig] = None)
 
   /** Stage the next snapshot's data: merged content of every touched
     * bucket written to NEW v=next dirs (append-only — live version
@@ -285,7 +356,8 @@ object VersionedStore {
       .parquet(dataDir(path))
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
       touched.map { case (o, b) => ManifestEntry(o, b, next, None) }
-    StagedVersion(next, expected, touched, entries, Some(layout))
+    StagedVersion(next, expected, touched, entries, Some(layout),
+      readBloomConfig(spark, path, cur))
   }
 
   /** Audit the staged version dirs (row count + bucket set), then
@@ -319,7 +391,17 @@ object VersionedStore {
           case _ => e
         })
       }
-    commitManifestFull(spark, path, st.next, entries, st.layout)
+    // bloom maintenance: touched buckets get filters recomputed over
+    // their full staged content (untouched keep theirs)
+    val entries2 = st.bloom match {
+      case Some(cfg) =>
+        val bl = bloomHexOf(
+          spark.read.option("basePath", dataDir(path)).parquet(paths: _*), cfg)
+        entries.map(e =>
+          if (e.v == st.next) e.copy(bloom = bl.get((e.owner, e.bucket))) else e)
+      case None => entries
+    }
+    commitManifestFull(spark, path, st.next, entries2, st.layout, st.bloom)
   }
 
   /** Doc-granular upsert as a new snapshot: stage → audit → commit.
@@ -386,7 +468,7 @@ object VersionedStore {
     // full rewrite: the new manifest carries ONLY the new bucket space
     auditAndCommit(spark, path, StagedVersion(next, expected, touched,
       touched.map { case (o, b) => ManifestEntry(o, b, next, None) },
-      Some(HashLayout(newBuckets))))
+      Some(HashLayout(newBuckets)), readBloomConfig(spark, path, cur)))
   }
 
   /** CLUSTERING compaction — the OPTIMIZE-ZORDER move: rewrite the
@@ -430,7 +512,7 @@ object VersionedStore {
       .parquet(dataDir(path))
     auditAndCommit(spark, path, StagedVersion(next, expected, touched,
       touched.map { case (o, b) => ManifestEntry(o, b, next, None) },
-      Some(layout)))
+      Some(layout), readBloomConfig(spark, path, cur)))
   }
 
   /** Doc-granular DELETE as a new snapshot — the right-to-be-forgotten
@@ -478,11 +560,13 @@ object VersionedStore {
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
       kept.map { case (o, b) => ManifestEntry(o, b, next, None) }
     val layout = readLayout(spark, path, cur)
-    if (kept.isEmpty) commitManifestFull(spark, path, next, entries, layout)
+    val bloomCfg = readBloomConfig(spark, path, cur)
+    if (kept.isEmpty) commitManifestFull(spark, path, next, entries, layout, bloomCfg)
     else {
       staged.write.mode("append").partitionBy("owner", "bucket", "v")
         .parquet(dataDir(path))
-      auditAndCommit(spark, path, StagedVersion(next, expected, kept, entries, layout))
+      auditAndCommit(spark, path,
+        StagedVersion(next, expected, kept, entries, layout, bloomCfg))
     }
     deleted
   }
@@ -516,7 +600,7 @@ object VersionedStore {
     val man = readManifestFull(spark, path, cur)
     // cumulative: union the affected buckets' existing dv ids in
     val oldRefs = man.collect {
-      case ManifestEntry(o, b, _, Some(k), _) if affectedSet((o, b)) =>
+      case ManifestEntry(o, b, _, Some(k), _, _) if affectedSet((o, b)) =>
         s"${dvDir(path, k)}/owner=$o/bucket=$b"
     }
     val newVictimIds = victims.select("owner", "bucket", "doc_id").distinct()
@@ -535,7 +619,8 @@ object VersionedStore {
     // so its recorded (min, max) stays a sound over-approximation
     val entries = man.map(e =>
       if (affectedSet((e.owner, e.bucket))) e.copy(dv = Some(next)) else e)
-    commitManifestFull(spark, path, next, entries, readLayout(spark, path, cur))
+    commitManifestFull(spark, path, next, entries, readLayout(spark, path, cur),
+      readBloomConfig(spark, path, cur))
     removed
   }
 
@@ -585,6 +670,52 @@ object VersionedStore {
                         hi: Double, snapshot: Int = -1): DataFrame =
     rangeScan(spark, path, lo, hi, snapshot)._1
 
+  /** Build (or rebuild) per-bucket bloom filters over `colName` as a
+    * METADATA-ONLY snapshot: data versions unchanged, every entry
+    * gains its filter, the header records the config. One scan of the
+    * current content, O(buckets × mBits/8) driver state, one rename.
+    * From then on every rewrite maintains the filters (touched
+    * buckets recomputed inside the audit), so the index never goes
+    * stale. */
+  def buildBloomIndex(spark: SparkSession, path: String, colName: String,
+                      mBits: Int = 1024, k: Int = 3): Unit = {
+    require(mBits % 8 == 0 && mBits > 0, s"mBits must be a positive multiple of 8")
+    val cur = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"buildBloomIndex: no snapshot at $path"))
+    val cfg = BloomConfig(colName, mBits, k)
+    val entries = readManifestFull(spark, path, cur)
+    val bl = bloomHexOf(scanEntries(spark, path, entries), cfg)
+    commitManifestFull(spark, path, cur + 1,
+      entries.map(e => e.copy(bloom = bl.get((e.owner, e.bucket)))),
+      readLayout(spark, path, cur), Some(cfg))
+  }
+
+  /** BLOOM-PRUNED equality lookup on the indexed column: scan only
+    * the buckets whose filter claims the value (false positives are
+    * scanned and filtered away; entries without a filter are scanned
+    * conservatively), then apply the residual predicate. Returns the
+    * matching rows plus (buckets scanned, buckets total) — the
+    * pruning evidence the `s21_bloom_skip` gate pins. At 100 TB this
+    * turns a non-key point lookup from a full-table scan into a
+    * handful of bucket dirs. */
+  def lookupEq(spark: SparkSession, path: String, value: String,
+               snapshot: Int = -1): (DataFrame, Int, Int) = {
+    val snap = if (snapshot > 0) snapshot
+    else currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"lookupEq: no snapshot at $path"))
+    val cfg = readBloomConfig(spark, path, snap).getOrElse(
+      throw new IllegalStateException(
+        s"lookupEq: snapshot $snap has no bloom index — run buildBloomIndex first"))
+    val entries = readManifestFull(spark, path, snap)
+    val bits = probeBits(value, cfg)
+    val scanned = entries.filter(e =>
+      e.bloom.forall(h => bits.forall(b => bloomHas(h, b))))
+    val rows =
+      if (scanned.isEmpty) scanEntries(spark, path, entries).filter(lit(false))
+      else scanEntries(spark, path, scanned)
+    (rows.filter(col(cfg.col).cast("string") === value), scanned.size, entries.size)
+  }
+
   /** Scan exactly `entries`' data dirs and subtract their delete
     * vectors (one anti-join against the referenced dv files — the
     * merge-on-read cost, proportional to the DELETED ids, not the
@@ -599,7 +730,7 @@ object VersionedStore {
       .option("mergeSchema", "true").parquet(dataPaths: _*)
       .withColumn("bucket", col("bucket").cast("long")).drop("v")
     val dvRefs = entries.collect {
-      case ManifestEntry(o, b, _, Some(k), _) => s"${dvDir(path, k)}/owner=$o/bucket=$b"
+      case ManifestEntry(o, b, _, Some(k), _, _) => s"${dvDir(path, k)}/owner=$o/bucket=$b"
     }
     if (dvRefs.isEmpty) base
     else {
@@ -634,7 +765,7 @@ object VersionedStore {
     }
     // reclaim delete-vector dirs no retained manifest references
     val liveDv = keep.flatMap(readManifestFull(spark, path, _)).collect {
-      case ManifestEntry(o, b, _, Some(k), _) => s"dv=$k/owner=$o/bucket=$b"
+      case ManifestEntry(o, b, _, Some(k), _, _) => s"dv=$k/owner=$o/bucket=$b"
     }.toSet
     val dRoot = new Path(deletesDir(path))
     if (fs.exists(dRoot)) {

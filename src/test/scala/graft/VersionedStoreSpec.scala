@@ -413,6 +413,47 @@ class VersionedStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bloom index: metadata-only build, pruned lookup, filters maintained through upsert and compact") {
+    val dir = freshDir("bloom")
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    VersionedStore.initialLoad(spark, dir, zrel(all), nBuckets = 8)
+    // no index yet → lookup refuses
+    intercept[IllegalStateException](VersionedStore.lookupEq(spark, dir, "x"))
+    VersionedStore.buildBloomIndex(spark, dir, "text_md5")
+    // metadata-only: every data version unchanged, every entry filtered
+    val m1 = VersionedStore.readManifest(spark, dir, 1).toSet
+    val m2full = VersionedStore.readManifestFull(spark, dir, 2)
+    assert(m2full.map(e => (e.owner, e.bucket, e.v)).toSet == m1)
+    assert(m2full.forall(_.bloom.isDefined))
+    // pruned lookup finds exactly the probe's rows
+    val probe = all.filter(col("doc_id") === 42).select(md5(col("text")))
+      .head().getString(0)
+    val (rows, scanned, total) = VersionedStore.lookupEq(spark, dir, probe)
+    assert(scanned < total && scanned >= 1)
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      VersionedStore.readSnapshot(spark, dir)
+        .filter(col("text_md5") === probe)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // upsert a doc with a brand-new value: its bucket's filter must be
+    // recomputed so the lookup finds it
+    val nv = zrel(Tables.documents(spark, sf).filter(col("doc_id") === 150))
+      .withColumn("text_md5", lit("feedfacefeedfacefeedfacefeedface"))
+    VersionedStore.upsertVersioned(spark, dir, nv, nBuckets = 8)
+    val (r2, s2, t2) = VersionedStore.lookupEq(spark, dir,
+      "feedfacefeedfacefeedfacefeedface")
+    assert(r2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(150L))
+    assert(s2 < t2)
+    // compact to a new bucket count: filters recomputed for the new space
+    VersionedStore.compact(spark, dir, 4)
+    val m4 = VersionedStore.readManifestFull(spark, dir, 4)
+    assert(m4.forall(_.bloom.isDefined))
+    val (r3, s3, t3) = VersionedStore.lookupEq(spark, dir,
+      "feedfacefeedfacefeedfacefeedface")
+    assert(r3.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(150L))
+    assert(s3 <= t3)
+    spark.catalog.clearCache()
+  }
+
   test("plain compact resets to hash layout; softDelete carries layout and stats forward") {
     val dir = freshDir("zmsd")
     val all = Tables.documents(spark, sf).filter(col("doc_id") < 100)
