@@ -468,6 +468,31 @@ object IndexPipeline {
       snapshotCdcFeed(s, dir, 1, 2).orderBy("doc_id", "change_type")
     }),
 
+    // S22 — the MANIFEST-DIFF CDC fast path on the same episode as
+    // s15: the feed must be IDENTICAL to the join-based one (same
+    // oracle rows) while reading only the buckets whose manifest
+    // entry moved — the gate pins the feed content AND the pruning
+    // counts (buckets_scanned = buckets of the changed docs, replayed
+    // from the doc_id%16 rule; buckets_total = the union of both
+    // manifests). A fast path that missed a changed bucket loses feed
+    // rows; one that scanned everything flunks the counts.
+    "s22_cdc_manifest_diff" -> ((s, d) => {
+      val dir = snapDir(d) + "_cdf"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(base))
+      val batch = buildIndex(
+        base.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", "."))
+          .unionByName(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155)))
+      VersionedStore.upsertVersioned(s, dir, batch)
+      val (feed, scanned, total) = snapshotCdcFeedFast(s, dir, 1, 2)
+      feed.withColumn("buckets_scanned", lit(scanned.toLong))
+        .withColumn("buckets_total", lit(total.toLong))
+        .orderBy("doc_id", "change_type")
+    }),
+
     // X12 — incremental MATERIALIZED-VIEW maintenance off the CDC
     // feed: the per-owner stats view (n_docs, n_vectors) is maintained
     // by applying doc-level deltas from s15's change feed to the
@@ -956,6 +981,58 @@ object IndexPipeline {
     * incremental-read shape). Consumers: the s15 gate itself, the x10
     * composite's dimension maintenance, and x12's incremental view
     * maintenance. */
+  /** MANIFEST-DIFF CDC — the fast path the s15 Scaladoc promised: a
+    * bucket whose manifest entry (data version + dv reference) is
+    * identical in both snapshots points at the SAME files, so no doc
+    * in it can have changed — diff the two manifests first (driver-
+    * side, bucket-count-bounded) and run the digest-diff join over
+    * ONLY the changed buckets' scans. Cost ∝ TOUCHED buckets, not
+    * table size — at 100 TB a one-doc upsert makes the feed read two
+    * bucket dirs instead of two full snapshots. Handles every
+    * manifest transition: upserts (v moved), soft deletes (dv moved),
+    * emptied buckets (entry vanished), rebucketing (all keys differ →
+    * degrades to the full diff, still correct). Returns the feed plus
+    * (buckets scanned, buckets in the union of both manifests). */
+  private[graft] def snapshotCdcFeedFast(s: SparkSession, dir: String,
+                                         from: Int, to: Int): (DataFrame, Int, Int) = {
+    val manFrom = VersionedStore.readManifestFull(s, dir, from)
+    val manTo = VersionedStore.readManifestFull(s, dir, to)
+    val fromMap = manFrom.map(e => ((e.owner, e.bucket), (e.v, e.dv))).toMap
+    val toMap = manTo.map(e => ((e.owner, e.bucket), (e.v, e.dv))).toMap
+    val allKeys = fromMap.keySet ++ toMap.keySet
+    val changed = allKeys.filter(k => fromMap.get(k) != toMap.get(k))
+    def side(man: Seq[VersionedStore.ManifestEntry], n1: String, m1: String) = {
+      val es = man.filter(e => changed((e.owner, e.bucket)))
+      val base =
+        if (es.isEmpty)
+          VersionedStore.readSnapshot(s, dir, from).filter(lit(false))
+        else VersionedStore.scanEntries(s, dir, es)
+      base.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as(n1),
+          md5(concat_ws("", array_sort(collect_list(
+            when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as(m1))
+    }
+    val s1 = side(manFrom, "n1", "m1")
+    val s2 = side(manTo, "n2", "m2")
+    val j = s1.join(s2, Seq("doc_id"), "full_outer").persist()
+    val ins = j.filter(col("m1").isNull).select(col("doc_id"),
+      lit("insert").as("change_type"),
+      col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
+    val del = j.filter(col("m2").isNull).select(col("doc_id"),
+      lit("delete").as("change_type"),
+      col("n1").as("n_vectors"), col("m1").as("chunks_md5"))
+    val upd = j.filter(col("m1").isNotNull && col("m2").isNotNull &&
+      col("m1") =!= col("m2"))
+    val pre = upd.select(col("doc_id"),
+      lit("update_preimage").as("change_type"),
+      col("n1").as("n_vectors"), col("m1").as("chunks_md5"))
+    val post = upd.select(col("doc_id"),
+      lit("update_postimage").as("change_type"),
+      col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
+    (ins.unionByName(del).unionByName(pre).unionByName(post),
+      changed.size, allKeys.size)
+  }
+
   private[graft] def snapshotCdcFeed(s: SparkSession, dir: String,
                                      from: Int, to: Int): DataFrame = {
     def digest(n: Int): DataFrame = VersionedStore.readSnapshot(s, dir, n)
@@ -1277,6 +1354,46 @@ object IndexPipeline {
          |  UNION ALL
          |  SELECT doc_id, 'update_postimage', n2, m2 FROM cj
          |  WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m1 <> m2)
+         |ORDER BY doc_id, change_type""".stripMargin,
+    // S22 replayed: the s15 feed rows plus the pruning counts —
+    // scanned = distinct (source, doc_id%16) buckets of the changed
+    // docs (7 + the 150-154 inserts), total = the union of both
+    // manifests' buckets = distinct buckets over docs < 155.
+    "s22_cdc_manifest_diff" ->
+      s"""WITH RECURSIVE ${chunkDigestCtes("f1", snapV1Src)},
+         |${chunkDigestCtes("f2", snapV2CdcSrc)},
+         |fs1 AS (
+         |  SELECT d.doc_id, CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS n1,
+         |         coalesce(g.chunks_md5, md5('')) AS m1
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+         |  LEFT JOIN f1digest g USING (doc_id)),
+         |fs2 AS (
+         |  SELECT d.doc_id, CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS n2,
+         |         coalesce(g.chunks_md5, md5('')) AS m2
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 155) d
+         |  LEFT JOIN f2digest g USING (doc_id)),
+         |fj AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.n1, a.m1, b.n2, b.m2
+         |  FROM fs1 a FULL OUTER JOIN fs2 b ON a.doc_id = b.doc_id),
+         |fcnt AS (
+         |  SELECT
+         |    CAST((SELECT count(DISTINCT source || ':' || CAST(doc_id % 16 AS VARCHAR))
+         |          FROM documents
+         |          WHERE doc_id = 7 OR (doc_id >= 150 AND doc_id < 155)) AS BIGINT) AS bs,
+         |    CAST((SELECT count(DISTINCT source || ':' || CAST(doc_id % 16 AS VARCHAR))
+         |          FROM documents WHERE doc_id < 155) AS BIGINT) AS bt)
+         |SELECT u.*, fcnt.bs AS buckets_scanned, fcnt.bt AS buckets_total
+         |FROM (
+         |  SELECT doc_id, 'insert' AS change_type, n2 AS n_vectors, m2 AS chunks_md5
+         |  FROM fj WHERE m1 IS NULL
+         |  UNION ALL
+         |  SELECT doc_id, 'delete', n1, m1 FROM fj WHERE m2 IS NULL
+         |  UNION ALL
+         |  SELECT doc_id, 'update_preimage', n1, m1 FROM fj
+         |  WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m1 <> m2
+         |  UNION ALL
+         |  SELECT doc_id, 'update_postimage', n2, m2 FROM fj
+         |  WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m1 <> m2) u, fcnt
          |ORDER BY doc_id, change_type""".stripMargin,
     // X12 replayed: both maintenance paths — the snapshot-1 view plus
     // feed deltas, and the direct snapshot-2 recompute — with the

@@ -720,7 +720,7 @@ object VersionedStore {
     * vectors (one anti-join against the referenced dv files — the
     * merge-on-read cost, proportional to the DELETED ids, not the
     * table). */
-  private def scanEntries(spark: SparkSession, path: String,
+  private[graft] def scanEntries(spark: SparkSession, path: String,
                           entries: Seq[ManifestEntry]): DataFrame = {
     val dataPaths = entries.map(e => bucketDir(path, e.owner, e.bucket, e.v))
     // mergeSchema: a snapshot may span version dirs written before and

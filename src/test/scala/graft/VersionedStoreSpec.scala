@@ -413,6 +413,37 @@ class VersionedStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("manifest-diff CDC equals the join-based feed across upsert, soft-delete and COW-delete transitions") {
+    val dir = freshDir("cdf")
+    val docsAll = Tables.documents(spark, sf)
+    val base = docsAll.filter(col("doc_id") < 60)
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(base))
+    // snap 2: update doc 7 + insert 60-62
+    VersionedStore.upsertVersioned(spark, dir, IndexPipeline.buildIndex(
+      base.filter(col("doc_id") === 7)
+        .withColumn("text", translate(col("text"), "a", "."))
+        .unionByName(docsAll.filter(col("doc_id") >= 60 && col("doc_id") < 63))))
+    // snap 3: soft delete (dv transition, zero data movement)
+    VersionedStore.softDelete(spark, dir,
+      base.filter(col("doc_id").isin(11, 12)).select("doc_id"))
+    // snap 4: copy-on-write delete (bucket rewrite / possible entry drop)
+    VersionedStore.deleteVersioned(spark, dir,
+      base.filter(col("doc_id").isin(13, 14)).select("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "change_type", "n_vectors", "chunks_md5")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+    Seq((1, 2), (2, 3), (3, 4), (1, 4)).foreach { case (a, b) =>
+      val slow = rows(IndexPipeline.snapshotCdcFeed(spark, dir, a, b))
+      val (fast, scanned, total) = IndexPipeline.snapshotCdcFeedFast(spark, dir, a, b)
+      assert(rows(fast) == slow, s"feed mismatch for ($a,$b)")
+      assert(scanned <= total)
+      // each episode touches a strict subset of buckets
+      if (b - a == 1) assert(scanned < total, s"no pruning for ($a,$b)")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bloom index: metadata-only build, pruned lookup, filters maintained through upsert and compact") {
     val dir = freshDir("bloom")
     val all = Tables.documents(spark, sf).filter(col("doc_id") < 100)
