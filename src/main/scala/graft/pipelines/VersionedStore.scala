@@ -64,7 +64,8 @@ object VersionedStore {
   private[graft] final case class ManifestEntry(owner: String, bucket: Long,
                                                 v: Int, dv: Option[Int],
                                                 stats: Option[(Double, Double)] = None,
-                                                bloom: Option[String] = None)
+                                                bloom: Option[String] = None,
+                                                stats2: Option[(Double, Double)] = None)
 
   /** Per-bucket BLOOM FILTER config — the Iceberg bloom-metadata idea
     * at bucket granularity, the equality-lookup counterpart of the
@@ -100,6 +101,21 @@ object VersionedStore {
   private[graft] final case class HashLayout(nBuckets: Int) extends Layout
   private[graft] final case class RangeLayout(col: String, mn: Double, mx: Double,
                                               nBuckets: Int) extends Layout
+
+  /** Z-ORDER layout — two-dimensional clustering on the interleaved-
+    * bit curve (Delta's OPTIMIZE ZORDER proper): each dim is
+    * fixed-width-binned onto [0, 2^bits) over its frozen [mn, mx]
+    * (edge clamp like RangeLayout), the bins are bit-interleaved into
+    * a curve value z ∈ [0, 4^bits), and bucket = z div (4^bits /
+    * nBuckets) — one contiguous curve band per bucket. Entries carry
+    * TWO zone maps (`stats` = colX, `stats2` = colY), so a 2-D box
+    * predicate prunes every bucket whose rectangle misses the box —
+    * the property single-column clustering cannot give. nBuckets must
+    * divide 4^bits. */
+  private[graft] final case class ZLayout(colX: String, colY: String,
+                                          mnX: Double, mxX: Double,
+                                          mnY: Double, mxY: Double,
+                                          bits: Int, nBuckets: Int) extends Layout
 
   /** Committed snapshot ids, ascending (only fully-committed manifests
     * appear — the tmp file is never listed as a snapshot). */
@@ -139,11 +155,15 @@ object VersionedStore {
             (lo.toDouble, hi.toDouble) }
           val bloom = opts.collectFirst { case s if s.startsWith("bloom:") =>
             s.stripPrefix("bloom:") }
+          val stats2 = opts.collectFirst { case s if s.startsWith("stats2:") =>
+            val Array(lo, hi) = s.stripPrefix("stats2:").split(',')
+            (lo.toDouble, hi.toDouble) }
           val unknown = opts.filterNot(s => s.startsWith("dv:") ||
-            s.startsWith("stats:") || s.startsWith("bloom:"))
+            s.startsWith("stats:") || s.startsWith("stats2:") ||
+            s.startsWith("bloom:"))
           if (unknown.nonEmpty) throw new IllegalStateException(
             s"manifest $n: unknown field '${unknown.head}'")
-          ManifestEntry(f(0), f(1).toLong, f(2).toInt, dv, stats, bloom)
+          ManifestEntry(f(0), f(1).toLong, f(2).toInt, dv, stats, bloom, stats2)
         }.toList
     } finally in.close()
   }
@@ -162,6 +182,9 @@ object VersionedStore {
             case Array("#layout", "hash", nb) => HashLayout(nb.toInt)
             case Array("#layout", "range", c, mn, mx, nb) =>
               RangeLayout(c, mn.toDouble, mx.toDouble, nb.toInt)
+            case Array("#layout", "zorder", cx, cy, mnx, mxx, mny, mxy, bits, nb) =>
+              ZLayout(cx, cy, mnx.toDouble, mxx.toDouble, mny.toDouble,
+                mxy.toDouble, bits.toInt, nb.toInt)
             case bad => throw new IllegalStateException(
               s"manifest $n: unparseable layout '${bad.mkString("\t")}'")
           }
@@ -205,6 +228,8 @@ object VersionedStore {
     val header = layout.map {
       case HashLayout(nb) => s"#layout\thash\t$nb\n"
       case RangeLayout(c, mn, mx, nb) => s"#layout\trange\t$c\t$mn\t$mx\t$nb\n"
+      case ZLayout(cx, cy, mnx, mxx, mny, mxy, bits, nb) =>
+        s"#layout\tzorder\t$cx\t$cy\t$mnx\t$mxx\t$mny\t$mxy\t$bits\t$nb\n"
     }.getOrElse("") +
       bloom.map(b => s"#bloom\t${b.col}\t${b.mBits}\t${b.k}\n").getOrElse("")
     val out = fs.create(tmp, true)
@@ -212,6 +237,7 @@ object VersionedStore {
       .map(e => s"${e.owner}\t${e.bucket}\t${e.v}" +
         e.dv.map(k => s"\tdv:$k").getOrElse("") +
         e.stats.map { case (lo, hi) => s"\tstats:$lo,$hi" }.getOrElse("") +
+        e.stats2.map { case (lo, hi) => s"\tstats2:$lo,$hi" }.getOrElse("") +
         e.bloom.map(h => s"\tbloom:$h").getOrElse(""))
       .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
@@ -237,17 +263,33 @@ object VersionedStore {
     * IEEE doubles — engine-independent), out-of-range values clamped
     * into the edge bins (their bucket's zone map widens accordingly at
     * the next audit). */
+  /** Fixed-width bin of `c` over frozen [mn, mx] into [0, n), edge-
+    * clamped — shared by the range and z-order assignments. */
+  private def binExpr(c: String, mn: Double, mx: Double,
+                      n: Long): org.apache.spark.sql.Column =
+    if (mx <= mn) lit(0L)
+    else {
+      val w = (mx - mn) / n
+      val raw = floor((col(c).cast("double") - lit(mn)) / lit(w)).cast("long")
+      greatest(lit(0L), least(raw, lit(n - 1L)))
+    }
+
   private[graft] def bucketExpr(layout: Layout): org.apache.spark.sql.Column =
     layout match {
       case HashLayout(nb) => IndexPipeline.docBucket(col("doc_id"), nb)
-      case RangeLayout(c, mn, mx, nb) =>
-        if (mx <= mn) lit(0L)
-        else {
-          val w = (mx - mn) / nb
-          val raw = floor((col(c).cast("double") - lit(mn)) / lit(w)).cast("long")
-          greatest(lit(0L), least(raw, lit(nb - 1L)))
-        }
+      case RangeLayout(c, mn, mx, nb) => binExpr(c, mn, mx, nb.toLong)
+      case ZLayout(cx, cy, mnx, mxx, mny, mxy, bits, nb) =>
+        val z = graft.operators.Layout.zCol(
+          binExpr(cx, mnx, mxx, 1L << bits), binExpr(cy, mny, mxy, 1L << bits), bits)
+        z.divide(lit((1L << (2 * bits)) / nb)).cast("long")
     }
+
+  /** The cluster columns a layout maintains zone maps for. */
+  private def clusterCols(layout: Option[Layout]): Seq[String] = layout match {
+    case Some(RangeLayout(c, _, _, _)) => Seq(c)
+    case Some(ZLayout(cx, cy, _, _, _, _, _, _)) => Seq(cx, cy)
+    case _ => Nil
+  }
 
   /** The layout writers must assign under: the CURRENT manifest's
     * header, or legacy hash(nBuckets) for headerless manifests. */
@@ -322,13 +364,11 @@ object VersionedStore {
     val next = cur + 1
     val man = readManifestFull(spark, path, cur)
     val layout = layoutOf(spark, path, cur, nBuckets)
-    layout match {
-      case RangeLayout(c, _, _, _) =>
-        // a null cluster value has no bin and would silently escape
-        // every zone map — fail fast instead
-        require(batch.filter(col(c).isNull).isEmpty,
-          s"upsertVersioned: range layout on '$c' requires non-null values")
-      case _ =>
+    clusterCols(Some(layout)).foreach { c =>
+      // a null cluster value has no bin and would silently escape
+      // every zone map — fail fast instead
+      require(batch.filter(col(c).isNull).isEmpty,
+        s"upsertVersioned: clustered layout on '$c' requires non-null values")
     }
     val nv = batch.withColumn("bucket", bucketExpr(layout))
     val touched = nv.select("owner", "bucket").distinct()
@@ -368,9 +408,10 @@ object VersionedStore {
   private[graft] def auditAndCommit(spark: SparkSession, path: String,
                                     st: StagedVersion): Unit = {
     val paths = st.touched.map { case (o, b) => bucketDir(path, o, b, st.next) }
-    val statsCol = st.layout.collect { case RangeLayout(c, _, _, _) => c }
-    val aggs = count(lit(1)).as("cnt") +: statsCol.toSeq.flatMap(c => Seq(
-      min(col(c).cast("double")).as("smn"), max(col(c).cast("double")).as("smx")))
+    val statsCols = clusterCols(st.layout)
+    val aggs = count(lit(1)).as("cnt") +: statsCols.zipWithIndex.flatMap { case (c, j) =>
+      Seq(min(col(c).cast("double")).as(s"smn$j"),
+        max(col(c).cast("double")).as(s"smx$j")) }
     val perPartRows = spark.read.option("basePath", dataDir(path)).parquet(paths: _*)
       .groupBy(col("owner"), col("bucket").cast("long").as("bucket"))
       .agg(aggs.head, aggs.tail: _*)
@@ -382,12 +423,16 @@ object VersionedStore {
     require(perPart.map(_._1).toSet == st.touched.toSet,
       s"versioned audit: staged buckets ${perPart.map(_._1).toSet} != ${st.touched.toSet}")
     val entries =
-      if (statsCol.isEmpty) st.entries
+      if (statsCols.isEmpty) st.entries
       else {
         val statsMap = perPartRows.map(r =>
-          ((r.getString(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+          ((r.getString(0), r.getLong(1)),
+            statsCols.indices.map(j =>
+              (r.getDouble(3 + 2 * j), r.getDouble(4 + 2 * j))))).toMap
         st.entries.map(e => statsMap.get((e.owner, e.bucket)) match {
-          case Some(s) if e.v == st.next => e.copy(stats = Some(s))
+          case Some(ss) if e.v == st.next =>
+            e.copy(stats = Some(ss.head),
+              stats2 = if (ss.size > 1) Some(ss(1)) else None)
           case _ => e
         })
       }
@@ -600,8 +645,8 @@ object VersionedStore {
     val man = readManifestFull(spark, path, cur)
     // cumulative: union the affected buckets' existing dv ids in
     val oldRefs = man.collect {
-      case ManifestEntry(o, b, _, Some(k), _, _) if affectedSet((o, b)) =>
-        s"${dvDir(path, k)}/owner=$o/bucket=$b"
+      case e if e.dv.isDefined && affectedSet((e.owner, e.bucket)) =>
+        s"${dvDir(path, e.dv.get)}/owner=${e.owner}/bucket=${e.bucket}"
     }
     val newVictimIds = victims.select("owner", "bucket", "doc_id").distinct()
     val allIds =
@@ -670,6 +715,75 @@ object VersionedStore {
                         hi: Double, snapshot: Int = -1): DataFrame =
     rangeScan(spark, path, lo, hi, snapshot)._1
 
+  /** Z-ORDER clustering compaction (Delta's OPTIMIZE ZORDER proper):
+    * rewrite the current snapshot bucketed by contiguous bands of the
+    * 2-D interleaved-bit curve over (colX, colY) — frozen fixed-width
+    * bins per dim — and record TWO zone maps per bucket. After this,
+    * `boxScan` prunes every bucket whose (x, y) rectangle misses a
+    * box predicate: the 2-D selectivity single-column clustering
+    * cannot give. Upserts keep the layout (frozen bins, edge clamp)
+    * and both zone maps are recomputed in the audit read. nBuckets
+    * must divide 4^bits. */
+  def compactZOrdered(spark: SparkSession, path: String, colX: String,
+                      colY: String, nBuckets: Int, bits: Int = 5): Unit = {
+    require((1L << (2 * bits)) % nBuckets == 0,
+      s"nBuckets=$nBuckets must divide 4^bits=${1L << (2 * bits)}")
+    val cur = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"compactZOrdered: no snapshot at $path"))
+    val next = cur + 1
+    val base = readSnapshot(spark, path, cur).drop("bucket")
+    Seq(colX, colY).foreach(c => require(base.filter(col(c).isNull).isEmpty,
+      s"compactZOrdered: cluster column '$c' must be non-null"))
+    val Row(mnx: Double, mxx: Double, mny: Double, mxy: Double) = base.agg(
+      min(col(colX).cast("double")), max(col(colX).cast("double")),
+      min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    val layout = ZLayout(colX, colY, mnx, mxx, mny, mxy, bits, nBuckets)
+    val nv = base.withColumn("bucket", bucketExpr(layout))
+    val touched = nv.select("owner", "bucket").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fs = fsOf(spark, path)
+    touched.foreach { case (o, b) =>
+      val orphan = new Path(bucketDir(path, o, b, next))
+      if (fs.exists(orphan)) fs.delete(orphan, true)
+    }
+    val staged = nv.withColumn("v", lit(next))
+      .repartition(touched.size, col("owner"), col("bucket"))
+      .localCheckpoint()
+    val expected = staged.count()
+    staged.write.mode("append").partitionBy("owner", "bucket", "v")
+      .parquet(dataDir(path))
+    auditAndCommit(spark, path, StagedVersion(next, expected, touched,
+      touched.map { case (o, b) => ManifestEntry(o, b, next, None) },
+      Some(layout), readBloomConfig(spark, path, cur)))
+  }
+
+  /** 2-D ZONE-MAP-PRUNED box read over a z-ordered table: scan only
+    * the buckets whose (x, y) rectangle overlaps the box, then apply
+    * the residual predicate. Returns the rows plus (buckets scanned,
+    * buckets total). */
+  def boxScan(spark: SparkSession, path: String, loX: Double, hiX: Double,
+              loY: Double, hiY: Double, snapshot: Int = -1): (DataFrame, Int, Int) = {
+    val snap = if (snapshot > 0) snapshot
+    else currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"boxScan: no snapshot at $path"))
+    val (cx, cy) = readLayout(spark, path, snap) match {
+      case Some(ZLayout(x, y, _, _, _, _, _, _)) => (x, y)
+      case other => throw new IllegalStateException(
+        s"boxScan: snapshot $snap has no z-order layout (found $other) — " +
+          "run compactZOrdered first")
+    }
+    val entries = readManifestFull(spark, path, snap)
+    def overlaps(st: Option[(Double, Double)], lo: Double, hi: Double) =
+      st match { case Some((mn, mx)) => !(mx < lo || mn > hi); case None => true }
+    val scanned = entries.filter(e =>
+      overlaps(e.stats, loX, hiX) && overlaps(e.stats2, loY, hiY))
+    val rows =
+      if (scanned.isEmpty) scanEntries(spark, path, entries).filter(lit(false))
+      else scanEntries(spark, path, scanned)
+    (rows.filter(col(cx).cast("double").between(loX, hiX) &&
+      col(cy).cast("double").between(loY, hiY)), scanned.size, entries.size)
+  }
+
   /** Build (or rebuild) per-bucket bloom filters over `colName` as a
     * METADATA-ONLY snapshot: data versions unchanged, every entry
     * gains its filter, the header records the config. One scan of the
@@ -730,7 +844,8 @@ object VersionedStore {
       .option("mergeSchema", "true").parquet(dataPaths: _*)
       .withColumn("bucket", col("bucket").cast("long")).drop("v")
     val dvRefs = entries.collect {
-      case ManifestEntry(o, b, _, Some(k), _, _) => s"${dvDir(path, k)}/owner=$o/bucket=$b"
+      case e if e.dv.isDefined =>
+        s"${dvDir(path, e.dv.get)}/owner=${e.owner}/bucket=${e.bucket}"
     }
     if (dvRefs.isEmpty) base
     else {
@@ -765,7 +880,8 @@ object VersionedStore {
     }
     // reclaim delete-vector dirs no retained manifest references
     val liveDv = keep.flatMap(readManifestFull(spark, path, _)).collect {
-      case ManifestEntry(o, b, _, Some(k), _, _) => s"dv=$k/owner=$o/bucket=$b"
+      case e if e.dv.isDefined =>
+        s"dv=${e.dv.get}/owner=${e.owner}/bucket=${e.bucket}"
     }.toSet
     val dRoot = new Path(deletesDir(path))
     if (fs.exists(dRoot)) {
