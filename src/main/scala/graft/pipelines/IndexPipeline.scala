@@ -1029,8 +1029,14 @@ object IndexPipeline {
     val post = upd.select(col("doc_id"),
       lit("update_postimage").as("change_type"),
       col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
-    (ins.unionByName(del).unionByName(pre).unionByName(post),
-      changed.size, allKeys.size)
+    // materialize the (small: changed docs only) feed once, then drop
+    // the join's cache — persist() entries live in the CacheManager
+    // until explicitly unpersisted, so returning without this leaks
+    // cached partitions on every feed invocation
+    val feed = ins.unionByName(del).unionByName(pre).unionByName(post)
+      .localCheckpoint()
+    j.unpersist()
+    (feed, changed.size, allKeys.size)
   }
 
   private[graft] def snapshotCdcFeed(s: SparkSession, dir: String,
@@ -1059,7 +1065,10 @@ object IndexPipeline {
     val post = upd.select(col("doc_id"),
       lit("update_postimage").as("change_type"),
       col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
-    ins.unionByName(del).unionByName(pre).unionByName(post)
+    val feed = ins.unionByName(del).unionByName(pre).unionByName(post)
+      .localCheckpoint()
+    j.unpersist()
+    feed
   }
 
   // Shared with DocumentSources' x6_email_import oracle, which replays

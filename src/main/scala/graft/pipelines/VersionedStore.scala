@@ -307,7 +307,11 @@ object VersionedStore {
   /** Per-(owner, bucket) bloom filters over `df`'s content, hex-
     * encoded. Driver state is bounded: buckets × mBits/8 bytes. */
   private def bloomHexOf(df: DataFrame, cfg: BloomConfig): Map[(String, Long), String] = {
-    val bits = df.select(col("owner"), col("bucket").cast("long").as("bucket"),
+    // null values in the indexed column yield null bits (md5(null) is
+    // null) — skip them: a lookupEq probe is always a concrete value,
+    // so a null can never match and omitting it keeps the filter sound
+    val bits = df.filter(col(cfg.col).isNotNull)
+      .select(col("owner"), col("bucket").cast("long").as("bucket"),
         explode(array((0 until cfg.k).map(bloomBitExpr(cfg, _)): _*)).as("bit"))
       .distinct().collect()
     bits.groupBy(r => (r.getString(0), r.getLong(1))).map { case (key, rs) =>
@@ -371,10 +375,41 @@ object VersionedStore {
         s"upsertVersioned: clustered layout on '$c' requires non-null values")
     }
     val nv = batch.withColumn("bucket", bucketExpr(layout))
-    val touched = nv.select("owner", "bucket").distinct()
+    val newTouched = nv.select("owner", "bucket").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    require(touched.nonEmpty, "upsertVersioned: empty batch")
+    require(newTouched.nonEmpty, "upsertVersioned: empty batch")
+    // Under a clustered layout (bucket = f(cluster value), not
+    // f(doc_id)) an updated doc whose cluster value moved bins leaves
+    // its prior copy in a bucket the batch's NEW values never touch —
+    // anti-joining only new-value buckets would silently duplicate it.
+    // Locate prior copies with a doc_id-only probe of the remaining
+    // buckets (parquet reads just the doc_id column; owner/bucket are
+    // partition dirs) and rewrite those buckets too. HashLayout needs
+    // none of this: bucket = f(doc_id) puts the old copy in a bucket
+    // the new row also maps to.
+    val relocated: Seq[(String, Long)] = layout match {
+      case HashLayout(_) => Nil
+      case _ =>
+        val newSet = newTouched.toSet
+        val rest = man.filterNot(e => newSet((e.owner, e.bucket)))
+        if (rest.isEmpty) Nil
+        else scanEntries(spark, path, rest)
+          .select("owner", "bucket", "doc_id")
+          .join(broadcast(nv.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+          .select("owner", "bucket").distinct()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val touched = newTouched ++ relocated
     val touchedSet = touched.toSet
+    // a retry after a crashed commit attempt must not double-append
+    // into the same v dirs: clear any orphan v=next dirs first (here,
+    // after the FULL touched set is known — including relocated-copy
+    // buckets a caller could not predict from the batch alone)
+    val fs = fsOf(spark, path)
+    touched.foreach { case (o, b) =>
+      val orphan = new Path(bucketDir(path, o, b, next))
+      if (fs.exists(orphan)) fs.delete(orphan, true)
+    }
     // survivors via the dv-applying scan: a rewrite FOLDS a bucket's
     // delete vector into the new data version (and clears the ref)
     val touchedEntries = man.filter(e => touchedSet((e.owner, e.bucket)))
@@ -391,12 +426,19 @@ object VersionedStore {
     val staged = content.withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
       .localCheckpoint()
-    val expected = staged.count()
+    val perBucket = staged.groupBy(col("owner"), col("bucket").cast("long").as("bucket"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = perBucket.values.sum
     staged.write.mode("append").partitionBy("owner", "bucket", "v")
       .parquet(dataDir(path))
+    // relocation can EMPTY a bucket (its only rows moved to other
+    // bins): no v=next dir is written for it, so its manifest entry
+    // must vanish rather than point at a missing path
+    val live = touched.filter(perBucket.contains)
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
-      touched.map { case (o, b) => ManifestEntry(o, b, next, None) }
-    StagedVersion(next, expected, touched, entries, Some(layout),
+      live.map { case (o, b) => ManifestEntry(o, b, next, None) }
+    StagedVersion(next, expected, live, entries, Some(layout),
       readBloomConfig(spark, path, cur))
   }
 
@@ -456,17 +498,8 @@ object VersionedStore {
     * superseded when the retry commits). */
   def upsertVersioned(spark: SparkSession, path: String, batch: DataFrame,
                       nBuckets: Int = 16): Unit = {
-    // a retry after a crashed commit attempt must not double-append
-    // into the same v dirs: clear any orphan v=next dirs first
-    val cur = currentSnapshot(spark, path).getOrElse(
-      throw new IllegalStateException(s"upsertVersioned: no snapshot at $path"))
-    val fs = fsOf(spark, path)
-    val nvb = batch.withColumn("bucket",
-      bucketExpr(layoutOf(spark, path, cur, nBuckets)))
-    nvb.select("owner", "bucket").distinct().collect().foreach { r =>
-      val orphan = new Path(bucketDir(path, r.getString(0), r.getLong(1), cur + 1))
-      if (fs.exists(orphan)) fs.delete(orphan, true)
-    }
+    // orphan v=next cleanup happens inside stageVersion, where the
+    // full touched set (incl. relocated-copy buckets) is known
     val st = stageVersion(spark, path, batch, nBuckets)
     auditAndCommit(spark, path, st)
   }

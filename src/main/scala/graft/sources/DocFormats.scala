@@ -667,6 +667,13 @@ object DocFormats {
           }
         }
         require(clen >= 0, s"WARC record at $pos missing Content-Length")
+        // copyOfRange zero-pads past data.length — reject truncation
+        // explicitly instead of returning a corrupt zero-filled payload
+        require(clen <= Int.MaxValue - p,
+          s"WARC record at $pos: Content-Length $clen too large for in-memory parse")
+        require(p + clen <= data.length,
+          s"WARC record at $pos truncated: Content-Length $clen but only " +
+            s"${data.length - p} bytes remain")
         val payload = java.util.Arrays.copyOfRange(data, p, p + clen.toInt)
         recs += WarcRecord(wtype, uri, ctype, payload)
         pos = p + clen.toInt

@@ -514,4 +514,74 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(e150 == 2L)
     spark.catalog.clearCache()
   }
+
+  test("clustered upsert relocates: a doc whose cluster value moves bins leaves no stale copy") {
+    val dir = freshDir("reloc")
+    val all = zrel(Tables.documents(spark, sf).filter(col("doc_id") < 100))
+    VersionedStore.initialLoad(spark, dir, all, nBuckets = 4)
+    VersionedStore.compactClustered(spark, dir, "n_chars", 8)
+    val lay = VersionedStore.readLayout(spark, dir, 2)
+      .get.asInstanceOf[VersionedStore.RangeLayout]
+    // pick a doc currently in a LOW bin; rewrite it with n_chars at the
+    // frozen max so its new bucket is the TOP bin — a different bucket
+    val snap2 = VersionedStore.readSnapshot(spark, dir, 2)
+    val victim = snap2.orderBy(col("n_chars")).select("doc_id", "bucket").head()
+    val (vid, oldBucket) = (victim.getLong(0), victim.getLong(1))
+    val moved = all.filter(col("doc_id") === vid)
+      .withColumn("n_chars", lit(lay.mx.toLong))
+      .withColumn("text_md5", lit("moved"))
+    VersionedStore.upsertVersioned(spark, dir, moved)
+    val now = VersionedStore.readSnapshot(spark, dir, 3)
+      .filter(col("doc_id") === vid).collect()
+    // exactly ONE copy survives, in the new bucket, with the new content
+    assert(now.length == 1, s"duplicate copies after bin move: ${now.toSeq}")
+    val r = now.head
+    assert(r.getAs[Long]("bucket") != oldBucket)
+    assert(r.getAs[String]("text_md5") == "moved")
+    // total row count: unchanged (one doc replaced, none added)
+    assert(VersionedStore.readSnapshot(spark, dir, 3).count() == all.count())
+    // the OLD bucket was rewritten in the same atomic commit — or, if
+    // the victim was its only row, its entry vanished entirely
+    val man3 = VersionedStore.readManifestFull(spark, dir, 3)
+    assert(man3.find(e => e.bucket == oldBucket &&
+      e.owner == r.getAs[String]("owner")).forall(_.v == 3))
+    // zone maps stay tight after relocation
+    val actual = VersionedStore.readSnapshot(spark, dir, 3)
+      .groupBy("owner", "bucket")
+      .agg(min(col("n_chars").cast("double")), max(col("n_chars").cast("double")))
+      .collect().map(x => ((x.getString(0), x.getLong(1)),
+        (x.getDouble(2), x.getDouble(3)))).toMap
+    man3.foreach(e => assert(e.stats.contains(actual((e.owner, e.bucket))),
+      s"stale zone map on bucket ${(e.owner, e.bucket)}"))
+    // same churn under a Z layout: move BOTH coordinates
+    VersionedStore.compactZOrdered(spark, dir, "n_chars", "doc_id", 16, bits = 4)
+    val movedZ = moved.withColumn("n_chars", lit(0L))
+    VersionedStore.upsertVersioned(spark, dir, movedZ)
+    val nowZ = VersionedStore.readSnapshot(spark, dir)
+      .filter(col("doc_id") === vid).collect()
+    assert(nowZ.length == 1, s"duplicate copies after z-layout move: ${nowZ.toSeq}")
+    assert(nowZ.head.getAs[Long]("n_chars") == 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("bloom index tolerates nulls in the indexed column") {
+    val dir = freshDir("blnull")
+    val all = zrel(Tables.documents(spark, sf).filter(col("doc_id") < 60))
+      .withColumn("text_md5",
+        when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("text_md5")))
+    VersionedStore.initialLoad(spark, dir, all, nBuckets = 4)
+    // building over a nullable column must not throw
+    VersionedStore.buildBloomIndex(spark, dir, "text_md5", mBits = 512, k = 3)
+    // an upsert whose staged content has nulls in the column must not
+    // crash bloom maintenance in auditAndCommit
+    val probeVal = all.filter(col("text_md5").isNotNull)
+      .select("text_md5").head().getString(0)
+    VersionedStore.upsertVersioned(spark, dir,
+      all.filter(col("doc_id") < 10))
+    // the filter still finds every non-null value and prunes something
+    val (rows, scanned, total) = VersionedStore.lookupEq(spark, dir, probeVal)
+    assert(rows.count() >= 1)
+    assert(scanned <= total)
+    spark.catalog.clearCache()
+  }
 }
