@@ -684,6 +684,53 @@ object IndexPipeline {
             .as("digest"))
     }),
 
+    // X16 — CLUSTERED-LAYOUT CHURN, the update-heavy stress of the
+    // OPTIMIZE-ZORDER story (and the regression gate for the silent-
+    // duplicate bug this round's advisor found): after
+    // `compactClustered` freezes range bins on n_chars, one upsert
+    // batch REWRITES every 5th doc with its n_chars MIRRORED across
+    // the frozen range (mn+mx−n_chars — most docs change bins, so the
+    // prior copy lives in a bucket the new value never touches) and
+    // inserts ten fresh docs. A store that only anti-joins new-value
+    // buckets keeps both copies; the gate pins n_rows == n_docs (no
+    // duplicates), the full-corpus digest (old copies gone, new
+    // content exact), and the POST-CHURN zone-map pruning counts
+    // (touched buckets recomputed in the audit read, emptied buckets
+    // dropped from the manifest, untouched buckets' compact-time
+    // stats still tight). At 100 TB this is the difference between a
+    // clustered table that survives updates and one that silently
+    // accumulates duplicates under churn.
+    "x16_clustered_churn" -> ((s, d) => {
+      val dir = snapDir(d) + "_cc"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("doc_id"), col("source").as("owner"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+      val base = docs.filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, rel(base), nBuckets = 4)
+      VersionedStore.compactClustered(s, dir, "n_chars", 8)
+      val ext = base.agg(min("n_chars"), max("n_chars")).head()
+      val (mni, mxi) = (ext.getLong(0), ext.getLong(1))
+      val moved = base.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id"), col("source").as("owner"),
+          (lit(mni + mxi) - col("n_chars")).as("n_chars"),
+          md5(concat(col("text"), lit("v2"))).as("text_md5"))
+      val fresh = rel(docs.filter(col("doc_id") >= 150 && col("doc_id") < 160))
+      VersionedStore.upsertVersioned(s, dir, moved.unionByName(fresh))
+      val (rows, nScanned, nTotal) = VersionedStore.rangeScan(s, dir, 150.0, 260.0)
+      val nRange = rows.count()
+      VersionedStore.readSnapshot(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          md5(concat_ws("", array_sort(collect_list(concat_ws(":",
+            col("doc_id"), col("owner"), col("n_chars"), col("text_md5"))))))
+            .as("digest"))
+        .select(lit(nScanned.toLong).as("buckets_scanned"),
+          lit(nTotal.toLong).as("buckets_total"), col("n_rows"), col("n_docs"),
+          lit(nRange).as("n_range_rows"), col("digest"))
+    }),
+
     // S18 — SCHEMA EVOLUTION (column add) through the versioned
     // store, the remaining lakehouse pillar beside time travel / CDC /
     // compaction / COW+MOR deletes: an upsert batch carries a NEW
@@ -1566,6 +1613,53 @@ object IndexPipeline {
         |       count(*) AS n_rows,
         |       md5(string_agg(line, '' ORDER BY line)) AS digest
         |FROM hits""".stripMargin,
+    // X16 replayed from arithmetic: the final corpus is every doc<150
+    // with multiples of 5 rewritten (n_chars mirrored across the
+    // compact-time [min, max], text_md5 re-keyed) plus docs 150–159;
+    // bins are the s19 frozen-width clamp over that SAME compact-time
+    // range; zone maps = final-content min/max per (owner, bucket)
+    // (touched buckets recomputed in the audit, untouched unchanged,
+    // emptied buckets absent from both sides). A stale duplicate
+    // breaks n_rows == n_docs AND the digest.
+    "x16_clustered_churn" ->
+      """WITH b AS (
+        |  SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx,
+        |         min(n_chars) + max(n_chars) AS mir
+        |  FROM documents WHERE doc_id < 150),
+        |final AS (
+        |  SELECT doc_id, source AS owner,
+        |    CASE WHEN doc_id % 5 = 0 THEN (SELECT mir FROM b) - n_chars
+        |         ELSE n_chars END AS n_chars,
+        |    CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2')
+        |         ELSE md5(text) END AS text_md5
+        |  FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars, md5(text)
+        |  FROM documents WHERE doc_id >= 150 AND doc_id < 160),
+        |bucketed AS (
+        |  SELECT final.*,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(CAST(FLOOR((n_chars::DOUBLE - b.mn) / ((b.mx - b.mn) / 8.0)) AS BIGINT),
+        |            CAST(7 AS BIGINT))) AS bucket
+        |  FROM final, b),
+        |stats AS (
+        |  SELECT owner, bucket,
+        |    min(n_chars)::DOUBLE AS smn, max(n_chars)::DOUBLE AS smx
+        |  FROM bucketed GROUP BY owner, bucket),
+        |pruned AS (SELECT * FROM stats WHERE NOT (smx < 150.0 OR smn > 260.0)),
+        |lines AS (
+        |  SELECT CAST(doc_id AS VARCHAR) || ':' || owner || ':' ||
+        |         CAST(n_chars AS VARCHAR) || ':' || text_md5 AS line
+        |  FROM final)
+        |SELECT (SELECT count(*) FROM pruned) AS buckets_scanned,
+        |       (SELECT count(*) FROM stats) AS buckets_total,
+        |       (SELECT count(*) FROM final) AS n_rows,
+        |       (SELECT count(DISTINCT doc_id) FROM final) AS n_docs,
+        |       (SELECT count(*) FROM final
+        |        WHERE n_chars::DOUBLE >= 150.0 AND n_chars::DOUBLE <= 260.0)
+        |         AS n_range_rows,
+        |       md5(string_agg(line, '' ORDER BY line)) AS digest
+        |FROM lines""".stripMargin,
     // S17 replayed from metadata: the same deterministic victim
     // episodes, visible counts per snapshot, bucket spans (doc_id%16),
     // dv-marked buckets = buckets of the cumulative victim union, and

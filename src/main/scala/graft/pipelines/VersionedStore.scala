@@ -391,7 +391,23 @@ object VersionedStore {
       case HashLayout(_) => Nil
       case _ =>
         val newSet = newTouched.toSet
-        val rest = man.filterNot(e => newSet((e.owner, e.bucket)))
+        val rest0 = man.filterNot(e => newSet((e.owner, e.bucket)))
+        // a doc_id bloom index prunes the probe driver-side: only
+        // buckets whose filter claims at least one batch id need the
+        // scan — at 100 TB this turns a table-wide doc_id-column read
+        // into a handful of bucket dirs (false positives just scan)
+        val rest = readBloomConfig(spark, path, cur) match {
+          case Some(cfg) if cfg.col == "doc_id" && rest0.nonEmpty =>
+            val ids = nv.select(col("doc_id").cast("string")).distinct()
+              .limit(65537).collect().map(_.getString(0))
+            if (ids.length > 65536) rest0 // batch too large to probe cheaply
+            else {
+              val idBits = ids.map(probeBits(_, cfg))
+              rest0.filter(e => e.bloom.forall(h =>
+                idBits.exists(_.forall(bloomHas(h, _)))))
+            }
+          case _ => rest0
+        }
         if (rest.isEmpty) Nil
         else scanEntries(spark, path, rest)
           .select("owner", "bucket", "doc_id")
@@ -560,7 +576,13 @@ object VersionedStore {
     * layout: new rows are binned by the frozen boundaries (clamped at
     * the edges) and the touched buckets' zone maps are recomputed in
     * the upsert's own audit read, so skipping stays sound under
-    * churn. Same stage → audit → one-rename crash safety as every
+    * churn. Because a clustered bucket is f(cluster value), not
+    * f(doc_id), an update that moves a doc across bins must also
+    * rewrite the bucket holding the PRIOR copy — stageVersion locates
+    * those with a doc_id-only probe of the unaffected buckets (bloom-
+    * pruned when a doc_id index exists) and folds them into the same
+    * atomic commit; buckets emptied by the move leave the manifest.
+    * Same stage → audit → one-rename crash safety as every
     * other rewrite; prior snapshots time-travel against their own
     * layout until vacuumed. */
   def compactClustered(spark: SparkSession, path: String, statsCol: String,

@@ -561,6 +561,17 @@ class VersionedStoreSpec extends AnyFunSuite {
       .filter(col("doc_id") === vid).collect()
     assert(nowZ.length == 1, s"duplicate copies after z-layout move: ${nowZ.toSeq}")
     assert(nowZ.head.getAs[Long]("n_chars") == 0L)
+    // with a doc_id bloom index the relocation probe is bloom-pruned —
+    // churn must stay duplicate-free through that path too
+    VersionedStore.buildBloomIndex(spark, dir, "doc_id", mBits = 512, k = 3)
+    val movedAgain = movedZ.withColumn("n_chars", lit(lay.mx.toLong))
+      .withColumn("text_md5", lit("moved-again"))
+    VersionedStore.upsertVersioned(spark, dir, movedAgain)
+    val nowB = VersionedStore.readSnapshot(spark, dir)
+      .filter(col("doc_id") === vid).collect()
+    assert(nowB.length == 1, s"duplicate after bloom-pruned move: ${nowB.toSeq}")
+    assert(nowB.head.getAs[String]("text_md5") == "moved-again")
+    assert(VersionedStore.readSnapshot(spark, dir).count() == all.count())
     spark.catalog.clearCache()
   }
 
