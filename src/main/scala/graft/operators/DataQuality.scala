@@ -179,6 +179,59 @@ object DataQuality {
           (col("xnum").cast("double") /
             (col("n_a") * col("n_b")).cast("double")).as("drift_l1"))
         .orderBy("event_type")
+    }),
+
+    // EMBEDDING-DISTRIBUTION drift between corpus slices — the vector
+    // twin of dq_histogram_drift and the check a training pipeline
+    // runs between crawl snapshots before mixing them (a centroid
+    // that moved means the new drop's content distribution shifted:
+    // different domains, languages, or an upstream embedder change).
+    // Slices are ingestion-order quarters (vec_id * 4 div (max+1) —
+    // integer arithmetic both engines replay); per slice ONE grouped
+    // agg computes the centroid with the vq_mean_pool ordered-reduce
+    // (elementwise sums fold in vec_id order — bit-exact cross-
+    // engine), then consecutive slices compare by centroid cosine and
+    // L2 gap (index-ordered left folds; sqrt/div correctly rounded).
+    // Scale shape: 4 groups, no pairwise vector work anywhere; the
+    // vec_id-ordered fold exists for the oracle's bit-equality — the
+    // production variant is a plain elementwise sum agg (commutative,
+    // map-side partial, one 64-double vector per partition per slice)
+    // at the cost of fp-association determinism.
+    "dq_embedding_drift" -> ((s, d) => {
+      val zero = array((0 until 64).map(_ => lit(0.0)): _*)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val mx = e.agg(max("vec_id")).head().getLong(0)
+      val cent = e
+        .withColumn("slice", expr(s"(vec_id * 4) div ${mx + 1}"))
+        .groupBy("slice")
+        .agg(count(lit(1)).as("n_vecs"),
+          aggregate(
+            array_sort(collect_list(struct(col("vec_id"), col("emb")))),
+            zero,
+            (acc, x) => zip_with(acc, x.getField("emb"), (a, b) => a + b))
+            .as("sumv"))
+        .withColumn("cent",
+          transform(col("sumv"), v => v / col("n_vecs").cast("double")))
+      val a = cent.select(col("slice").as("slice_from"),
+        col("n_vecs").as("n_from"), col("cent").as("ca"))
+      val b = cent.select(col("slice").as("slice_to"),
+        col("n_vecs").as("n_to"), col("cent").as("cb"))
+      a.join(b, col("slice_to") === col("slice_from") + 1)
+        .withColumn("dot", aggregate(
+          zip_with(col("ca"), col("cb"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v))
+        .withColumn("na", sqrt(aggregate(col("ca"), lit(0.0),
+          (acc, v) => acc + v * v)))
+        .withColumn("nb", sqrt(aggregate(col("cb"), lit(0.0),
+          (acc, v) => acc + v * v)))
+        .withColumn("l2_gap", sqrt(aggregate(
+          zip_with(col("ca"), col("cb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)))
+        .select(col("slice_from"), col("slice_to"), col("n_from"), col("n_to"),
+          (col("dot") / (col("na") * col("nb"))).as("cos_centroid"),
+          col("l2_gap"))
+        .orderBy("slice_from")
     })
   )
 
@@ -264,6 +317,41 @@ object DataQuality {
         |  CAST(CAST(sum(abs(c_a * n_b - c_b * n_a)) AS BIGINT) AS DOUBLE)
         |    / CAST(max(n_a) * max(n_b) AS DOUBLE) AS drift_l1
         |FROM hh h JOIN na USING (event_type) JOIN nb USING (event_type)
-        |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin
+        |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin,
+    // embedding drift replayed: same slice arithmetic, same vec_id-
+    // ordered per-dimension fold (list(... ORDER BY vec_id) then a
+    // left reduce — identical fp sequence), same cosine/L2 formulas.
+    "dq_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |m AS (SELECT max(vec_id) AS mx FROM e),
+        |sl AS (
+        |  SELECT vec_id * 4 // (mx + 1) AS slice, vec_id, emb FROM e, m),
+        |g AS (
+        |  SELECT slice, count(*)::BIGINT AS n_vecs,
+        |    list(emb ORDER BY vec_id) AS rows_
+        |  FROM sl GROUP BY 1),
+        |c AS (
+        |  SELECT slice, n_vecs,
+        |    list_transform(range(1, 65),
+        |      j -> list_reduce(list_transform(rows_, v -> v[j]), (x, y) -> x + y)
+        |           / CAST(n_vecs AS DOUBLE)) AS cent
+        |  FROM g),
+        |p AS (
+        |  SELECT a.slice AS slice_from, b.slice AS slice_to,
+        |    a.n_vecs AS n_from, b.n_vecs AS n_to,
+        |    list_reduce(list_transform(range(1, 65),
+        |      j -> a.cent[j] * b.cent[j]), (x, y) -> x + y) AS dot,
+        |    sqrt(list_reduce(list_transform(a.cent, v -> v * v),
+        |      (x, y) -> x + y)) AS na,
+        |    sqrt(list_reduce(list_transform(b.cent, v -> v * v),
+        |      (x, y) -> x + y)) AS nb,
+        |    sqrt(list_reduce(list_transform(range(1, 65),
+        |      j -> (a.cent[j] - b.cent[j]) * (a.cent[j] - b.cent[j])),
+        |      (x, y) -> x + y)) AS l2_gap
+        |  FROM c a JOIN c b ON b.slice = a.slice + 1)
+        |SELECT slice_from, slice_to, n_from, n_to,
+        |  dot / (na * nb) AS cos_centroid, l2_gap
+        |FROM p ORDER BY slice_from""".stripMargin
   )
 }
