@@ -609,6 +609,68 @@ object IndexPipeline {
         .orderBy("owner")
     }),
 
+    // X17 — CDC-DRIVEN ANN INDEX MAINTENANCE, the composite a 100 TB
+    // vector platform actually runs: the IVF cell assignment is a
+    // DERIVED index over the versioned store, and rebuilding it from
+    // scratch after every upsert re-scans the corpus — so it must be
+    // maintained from the CHANGE FEED alone (drop the feed's
+    // removals, assign only the feed's additions against the frozen
+    // centroids; work is O(churn), not O(corpus)). The episode:
+    // snapshot 1 loads all vectors except the %9 cohort, centroids
+    // train on snapshot-1 content (deterministic 256-lowest-id
+    // sample), one upsert REVERSES the %7 cohort's embeddings (their
+    // cells move) and inserts the %9 cohort. The gate maintains the
+    // assignment incrementally off snapshotCdcFeedFast(1→2) and pins,
+    // per cell, the count and full id digest of the maintained index
+    // PLUS inc_matches_full — an independently computed from-scratch
+    // assignment over snapshot 2 must agree cell-for-cell (the oracle
+    // computes 1; any drift in the feed, the removal set, or the
+    // assignment hash-fails).
+    "x17_cdc_ivf_maintain" -> ((s, d) => {
+      import graft.operators.Search
+      val dir = snapDir(d) + "_ivm"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("vec_id").as("doc_id"), lit("all").as("owner"),
+          lit("chunk").as("vtype"),
+          concat_ws(",", col("emb").cast("array<string>")).as("chunk_text"),
+          col("emb"))
+      val all = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val v1 = all.filter(pmod(col("vec_id"), lit(9L)) =!= 0)
+      VersionedStore.initialLoad(s, dir, rel(v1))
+      val snap1 = VersionedStore.readSnapshot(s, dir, 1)
+      val cents = Search.ivfTrainSampled(snap1, "owner", "doc_id", "emb", 16,
+        sampleCap = 256)
+      val a1 = Search.ivfAssign(snap1, "owner", "doc_id", "emb", cents)
+        .select(col("id"), col("cell"))
+      val changed = v1.filter(pmod(col("vec_id"), lit(7L)) === 0)
+        .select(col("vec_id"), reverse(col("emb")).as("emb"))
+      val fresh = all.filter(pmod(col("vec_id"), lit(9L)) === 0)
+      VersionedStore.upsertVersioned(s, dir, rel(changed.unionByName(fresh)))
+      val (feed, _, _) = snapshotCdcFeedFast(s, dir, 1, 2)
+      val removals = feed.filter(col("change_type")
+        .isin("delete", "update_preimage")).select(col("doc_id").as("id")).distinct()
+      val additions = feed.filter(col("change_type")
+        .isin("insert", "update_postimage")).select("doc_id").distinct()
+      val snap2 = VersionedStore.readSnapshot(s, dir, 2)
+      val aInc = a1.join(broadcast(removals), Seq("id"), "left_anti")
+        .unionByName(Search.ivfAssign(
+          snap2.join(broadcast(additions), Seq("doc_id"), "left_semi"),
+          "owner", "doc_id", "emb", cents).select(col("id"), col("cell")))
+      val aFull = Search.ivfAssign(snap2, "owner", "doc_id", "emb", cents)
+        .select(col("id"), col("cell"))
+      def perCell(df: DataFrame, n: String, m: String): DataFrame =
+        df.groupBy("cell").agg(count(lit(1)).as(n),
+          md5(concat_ws(",", array_sort(collect_list(col("id"))))).as(m))
+      perCell(aInc, "n_vectors", "ids_md5")
+        .join(perCell(aFull, "nf", "mf"), Seq("cell"), "full_outer")
+        .select(col("cell").cast("long").as("cell"), col("n_vectors"), col("ids_md5"),
+          (col("n_vectors") <=> col("nf") && col("ids_md5") <=> col("mf"))
+            .cast("long").as("inc_matches_full"))
+        .orderBy("cell")
+    }),
+
     // S19 — ZONE-MAP DATA SKIPPING on the versioned store, the Delta
     // OPTIMIZE-ZORDER + file-skipping move: documents (with a
     // non-key numeric column, n_chars) are hash-loaded, then
@@ -1541,6 +1603,55 @@ object IndexPipeline {
          |      ORDER BY CAST(doc_id AS VARCHAR) || ':' || m)) AS corpus_md5,
          |  CAST(1 AS BIGINT) AS mirror_matches_direct
          |FROM mb GROUP BY owner ORDER BY owner""".stripMargin
+    },
+    // X17 replayed from arithmetic: snapshot-1 = the non-%9 cohort,
+    // centroids from the 256-lowest-id sample (same Lloyd kernel as
+    // ann_ivf_sampled), snapshot-2 content = %7 cohort reversed + %9
+    // cohort inserted, from-scratch argmin assignment per cell; a
+    // CORRECT feed-maintained index equals it, so inc_matches_full is
+    // the computed constant 1.
+    "x17_cdc_ivf_maintain" -> {
+      s"""WITH RECURSIVE eall AS (
+         |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |v1 AS (SELECT * FROM eall WHERE id % 9 <> 0),
+         |esample AS (
+         |  SELECT id, tenant, emb FROM (
+         |    SELECT id, tenant, emb,
+         |      row_number() OVER (PARTITION BY tenant ORDER BY id) AS rn FROM v1)
+         |  WHERE rn <= 256),
+         |${graft.operators.Clustering.kmeansCte(16, "esample", "s_")},
+         |cents AS (
+         |  SELECT k.best AS cell, count(*) AS cnt,
+         |    list(p.emb ORDER BY p.id) AS m
+         |  FROM s_kassign k JOIN esample p ON p.id = k.id
+         |  GROUP BY k.best),
+         |cenv AS (
+         |  SELECT cell,
+         |    list_transform(range(1, 65),
+         |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+         |           / CAST(cnt AS DOUBLE)) AS centroid
+         |  FROM cents),
+         |v2 AS (
+         |  SELECT id, CASE WHEN id % 7 = 0
+         |    THEN list_transform(range(1, 65), j -> emb[65 - j])
+         |    ELSE emb END AS emb
+         |  FROM v1
+         |  UNION ALL
+         |  SELECT id, emb FROM eall WHERE id % 9 = 0),
+         |assign2 AS (
+         |  SELECT id, cell FROM (
+         |    SELECT p.id, c.cell,
+         |      row_number() OVER (PARTITION BY p.id ORDER BY
+         |        list_reduce(list_transform(range(1, 65),
+         |          j -> (p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])),
+         |          (x, y) -> x + y) ASC, c.cell ASC) AS rnk
+         |    FROM v2 p CROSS JOIN cenv c)
+         |  WHERE rnk = 1)
+         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vectors,
+         |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)) AS ids_md5,
+         |  CAST(1 AS BIGINT) AS inc_matches_full
+         |FROM assign2 GROUP BY cell ORDER BY cell""".stripMargin
     },
     // S21 replayed: per-(owner, doc_id%8) DISTINCT bloom bits over the
     // FINAL content (untouched buckets' build-time filters equal their
