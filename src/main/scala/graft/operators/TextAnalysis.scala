@@ -2001,6 +2001,48 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // SHARD PLANNING for training-data output — the last step before
+    // a corpus ships: assign docs (in stable doc_id order) to
+    // token-budgeted output shards (total div 8 tokens each) and emit
+    // the per-shard manifest (counts, id span, membership digest)
+    // that a downstream loader validates against. The global running
+    // token total is computed as a TWO-LEVEL prefix sum — per-group
+    // (doc_id div 1024) subtotals, a prefix over the 1024×-smaller
+    // group relation, then a within-group cumulative partitioned by
+    // group — so no window ever sees the whole corpus in one task
+    // (the single-task global-sort trap of a bare
+    // Window.orderBy(doc_id) at 100 TB). Shard id = integer div of
+    // the exclusive prefix by the budget: pure integer arithmetic the
+    // oracle replays with one naive global window.
+    "pp_shard_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.BoundedWindow
+      val base = Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .select(col("doc_id"), col("n_tokens"))
+        .withColumn("grp", expr("doc_id div 1024"))
+        .persist()
+      val wPrev = BoundedWindow.orderBy(col("grp"), col("grp").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = BoundedWindow.all(col("grp"))
+      val gpre = base.groupBy("grp").agg(sum(col("n_tokens")).as("gtok"))
+        .withColumn("gpre", coalesce(sum(col("gtok")).over(wPrev), lit(0L)))
+        .withColumn("total", sum(col("gtok")).over(wAll))
+        .withColumn("target", greatest(expr("total div 8"), lit(1L)))
+        .select("grp", "gpre", "target")
+      val wIn = Window.partitionBy("grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.withColumn("cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .join(broadcast(gpre), Seq("grp"))
+        .withColumn("shard", expr("(gpre + cum_in) div target"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          md5(concat_ws(",", array_sort(collect_list(col("doc_id")))))
+            .as("ids_md5"))
+        .orderBy("shard")
+    }),
+
     // TRAINED quality classifier (training-pipeline op): pretraining
     // corpus builds (GPT-3 appendix A, LLaMA, CCNet) train a
     // classifier separating a small curated seed corpus from the
@@ -2509,6 +2551,26 @@ object TextAnalysis {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
          |  max(copies) AS max_copies
          |FROM exploded GROUP BY source ORDER BY source""".stripMargin,
+    // The oracle is the NAIVE shard assignment — one global exclusive
+    // running-total window in doc_id order — which the Spark side's
+    // two-level (group subtotal + within-group) prefix decomposition
+    // must reproduce exactly.
+    "pp_shard_plan" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents),
+         |t AS (SELECT greatest(sum(n_tokens) // 8, 1) AS target FROM toks),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM toks),
+         |a AS (SELECT doc_id, n_tokens,
+         |        CAST(pre // target AS BIGINT) AS shard FROM c, t)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     // The oracle is the NAIVE form of the budget selection — one
     // global running-total window in (quality DESC, doc_id) order —
     // which the Spark side's two-phase bucket decomposition must
