@@ -244,6 +244,29 @@ object DocumentSources {
         .groupBy("extractor").agg(count(lit(1)).as("n"))
         .orderBy("extractor")),
 
+    // S23 — JSONL.GZ round-trip, the training-data interchange format
+    // (the shape of every public corpus drop: one JSON object per
+    // line, gzip shards): the corpus is written DISTRIBUTED through
+    // Spark's json sink with gzip codec (one shard per partition — at
+    // 100 TB this is the real export path, no driver funnel), read
+    // back with an EXPLICIT schema (never inference — a schema scan
+    // of 100 TB of gzip is a full decompress pass), and the gate pins
+    // per-source counts and a content digest equal to the direct
+    // parquet expectation — any loss in JSON escaping, the codec, or
+    // schema projection hash-fails.
+    "s23_jsonl_roundtrip" -> ((s, d) => {
+      val dir = fixtureDir("jsonl", d).toString
+      Tables.documents(s, d).select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").option("compression", "gzip").json(dir)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING")
+        .json(dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws("", array_sort(collect_list(concat_ws(":",
+            col("doc_id"), md5(col("text")), col("lang")))))).as("digest"))
+        .orderBy("source")
+    }),
+
     // S2 — REAL PDF extraction proven by round-trip: each document's
     // text is paginated (100-char page 1, remainder page 2), written
     // as a Flate-compressed two-page PDF, parsed back by the real
@@ -466,6 +489,15 @@ object DocumentSources {
         |FROM (SELECT (['pdf','docx','txt','html','jpg','xyz'])[(doc_id % 6 + 1)::INT] AS ext
         |      FROM documents)
         |GROUP BY 1 ORDER BY extractor""".stripMargin,
+    // JSONL round-trip expectation: lossless, so the digest is the
+    // direct parquet computation.
+    "s23_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  md5(string_agg(line, '' ORDER BY line)) AS digest
+        |FROM (SELECT source, CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |        || ':' || lang AS line
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // Round-trip expectation computed directly on the text: the PDF
     // path reassembles page1 + "\n\n" + page2 then strips; the DOCX
     // path joins paragraphs with "\n". Corpus text is ASCII words, so
