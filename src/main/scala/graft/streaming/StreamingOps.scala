@@ -330,10 +330,78 @@ object StreamingOps {
         .groupBy("p_id")
         .agg(count(lit(1)).as("n_views"), min(col("p_ts") - col("v_ts")).as("min_gap_us"))
         .orderBy("p_id")
+    }),
+
+    // WATERMARK-DELAY PROFILING — the measurement that sizes a
+    // production watermark: replaying arrival order (event_id) in
+    // 1000-row micro-batches, batch k's watermark base is the max
+    // event time seen in batches < k (Spark's rule: the watermark
+    // used by a batch comes from previous batches), and a row is LATE
+    // under delay D if its event time < base − D. The profile over
+    // {60 s, 600 s, 3600 s} answers "what fraction of real traffic
+    // would a D-second watermark drop" BEFORE the stream job ships —
+    // run too tight and state stays small but data silently vanishes;
+    // the late-gap maximum says how much delay would have kept
+    // everything. Batch maxima relation is |events|/1000 rows; the
+    // running max is a window over that small relation, the per-row
+    // verdict a broadcast join — no corpus-wide window.
+    "st_late_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.BoundedWindow
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("batch", expr("event_id div 1000"))
+      val wPrev = BoundedWindow.orderBy(col("batch"), col("batch").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = ev.groupBy("batch").agg(max(col("ts_us")).as("bmax"))
+        .withColumn("wm_base", max(col("bmax")).over(wPrev))
+        .select("batch", "wm_base")
+      ev.join(broadcast(wm), Seq("batch"))
+        .withColumn("delay_s",
+          explode(array(lit(60L), lit(600L), lit(3600L))))
+        .withColumn("late",
+          (col("wm_base").isNotNull &&
+            col("ts_us") < col("wm_base") - col("delay_s") * 1000000L)
+            .cast("long"))
+        .groupBy("delay_s")
+        .agg(count(lit(1)).as("n_total"), sum(col("late")).as("n_late"),
+          coalesce(sum(when(col("late") === 1, col("event_id"))), lit(0L))
+            .as("sum_late_ids"),
+          coalesce(max(when(col("late") === 1,
+            col("wm_base") - col("delay_s") * 1000000L - col("ts_us"))), lit(0L))
+            .as("max_late_gap_us"))
+        .orderBy("delay_s")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Late profile replayed: same 1000-row arrival batches, same
+    // previous-batches running max, same late rule per delay.
+    "st_late_profile" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_id // 1000 AS batch
+        |  FROM events),
+        |bm AS (SELECT batch, max(ts_us) AS bmax FROM ev GROUP BY batch),
+        |wm AS (
+        |  SELECT batch, max(bmax) OVER (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base
+        |  FROM bm),
+        |x AS (SELECT e.event_id, e.ts_us, w.wm_base
+        |      FROM ev e JOIN wm w USING (batch)),
+        |l AS (
+        |  SELECT d.delay_s, event_id, ts_us, wm_base,
+        |    CASE WHEN wm_base IS NOT NULL
+        |           AND ts_us < wm_base - d.delay_s * 1000000
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM x, (SELECT unnest([60, 600, 3600]::BIGINT[]) AS delay_s) d)
+        |SELECT CAST(delay_s AS BIGINT) AS delay_s, count(*) AS n_total,
+        |  CAST(sum(late) AS BIGINT) AS n_late,
+        |  CAST(coalesce(sum(CASE WHEN late = 1 THEN event_id END), 0) AS BIGINT)
+        |    AS sum_late_ids,
+        |  CAST(coalesce(max(CASE WHEN late = 1
+        |    THEN wm_base - delay_s * 1000000 - ts_us END), 0) AS BIGINT)
+        |    AS max_late_gap_us
+        |FROM l GROUP BY delay_s ORDER BY delay_s""".stripMargin,
     // Survivors == originals (see the query comment's margin argument):
     // every original admitted, every +10000 copy suppressed.
     "st_semdedup_replay" ->
