@@ -746,6 +746,35 @@ object IndexPipeline {
             .as("digest"))
     }),
 
+    // S24 — TABLE REPORT, the observability surface every lakehouse
+    // exposes (DESCRIBE EXTENDED / table_changes metadata): after a
+    // four-snapshot episode — load, bloom-index build (metadata-only),
+    // soft delete of the %10 cohort (merge-on-read dv), upsert of five
+    // fresh docs (which FOLDS the dv of any touched bucket into its
+    // rewrite) — one row per owner reports bucket count, visible and
+    // dv-masked rows, dv/bloom bucket counts, and the max data
+    // version. The oracle replays every number from metadata
+    // arithmetic (hash buckets = doc_id%16, victim/upsert cohorts),
+    // so a report that double-counts folded dvs, misses a bloom, or
+    // reads the wrong snapshot hash-fails.
+    "s24_table_report" -> ((s, d) => {
+      val dir = snapDir(d) + "_rep"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("doc_id"), col("source").as("owner"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+      VersionedStore.initialLoad(s, dir, rel(docs.filter(col("doc_id") < 150)),
+        nBuckets = 16)
+      VersionedStore.buildBloomIndex(s, dir, "text_md5")
+      VersionedStore.softDelete(s, dir,
+        docs.filter(col("doc_id") < 150 && pmod(col("doc_id"), lit(10L)) === 0)
+          .select("doc_id"))
+      VersionedStore.upsertVersioned(s, dir,
+        rel(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155)))
+      VersionedStore.tableReport(s, dir)
+    }),
+
     // X16 — CLUSTERED-LAYOUT CHURN, the update-heavy stress of the
     // OPTIMIZE-ZORDER story (and the regression gate for the silent-
     // duplicate bug this round's advisor found): after
@@ -1724,6 +1753,53 @@ object IndexPipeline {
         |       count(*) AS n_rows,
         |       md5(string_agg(line, '' ORDER BY line)) AS digest
         |FROM hits""".stripMargin,
+    // S24 replayed from metadata arithmetic: buckets = doc_id%16 of
+    // base ∪ upserts; a bucket's data version is 4 iff an upsert doc
+    // lands in it, else 1 (the bloom build is metadata-only); a
+    // bucket keeps its dv iff it holds a victim AND no upsert touched
+    // it (touched buckets fold the dv into their rewrite); masked =
+    // victims in dv-kept buckets; every bucket carries a bloom.
+    "s24_table_report" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS owner, doc_id % 16 AS b
+        |  FROM documents WHERE doc_id < 150),
+        |up AS (
+        |  SELECT doc_id, source AS owner, doc_id % 16 AS b
+        |  FROM documents WHERE doc_id >= 150 AND doc_id < 155),
+        |vic AS (SELECT * FROM base WHERE doc_id % 10 = 0),
+        |tb AS (SELECT DISTINCT owner, b FROM up),
+        |allb AS (
+        |  SELECT DISTINCT owner, b FROM (
+        |    SELECT owner, b FROM base UNION ALL SELECT owner, b FROM up)),
+        |manb AS (
+        |  SELECT a.owner, a.b,
+        |    CASE WHEN t.b IS NOT NULL THEN 4 ELSE 1 END AS v,
+        |    CASE WHEN t.b IS NULL AND vb.b IS NOT NULL THEN 1 ELSE 0 END AS has_dv
+        |  FROM allb a
+        |  LEFT JOIN tb t ON t.owner = a.owner AND t.b = a.b
+        |  LEFT JOIN (SELECT DISTINCT owner, b FROM vic) vb
+        |    ON vb.owner = a.owner AND vb.b = a.b),
+        |perman AS (
+        |  SELECT owner, count(*) AS n_buckets,
+        |    CAST(sum(has_dv) AS BIGINT) AS n_dv_buckets,
+        |    count(*) AS n_bloom_buckets,
+        |    CAST(max(v) AS BIGINT) AS max_data_version
+        |  FROM manb GROUP BY owner),
+        |vis AS (
+        |  SELECT owner, count(*) AS n_visible FROM (
+        |    SELECT owner FROM base WHERE doc_id % 10 <> 0
+        |    UNION ALL SELECT owner FROM up) GROUP BY owner),
+        |msk AS (
+        |  SELECT v.owner, count(*) AS n_masked
+        |  FROM vic v LEFT JOIN tb t ON t.owner = v.owner AND t.b = v.b
+        |  WHERE t.b IS NULL GROUP BY v.owner)
+        |SELECT p.owner, n_buckets, coalesce(n_visible, 0) AS n_visible,
+        |  coalesce(n_masked, 0) AS n_masked, n_dv_buckets, n_bloom_buckets,
+        |  max_data_version, CAST(4 AS BIGINT) AS snapshot, 'hash' AS layout
+        |FROM perman p
+        |LEFT JOIN vis ON vis.owner = p.owner
+        |LEFT JOIN msk ON msk.owner = p.owner
+        |ORDER BY p.owner""".stripMargin,
     // X16 replayed from arithmetic: the final corpus is every doc<150
     // with multiples of 5 rewritten (n_chars mirrored across the
     // compact-time [min, max], text_md5 re-keyed) plus docs 150–159;

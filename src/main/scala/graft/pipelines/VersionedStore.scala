@@ -949,4 +949,47 @@ object VersionedStore {
     }
     deleted
   }
+
+  /** Observability report — the DESCRIBE EXTENDED of the store: one
+    * row per owner over the CURRENT snapshot, from the manifest (no
+    * data read) plus one per-owner visible count and one dv-only scan
+    * for masked rows. At 100 TB the visible count would come from
+    * parquet footer row counts per bucket minus the dv cardinality;
+    * the contract — one bounded row per owner — is the same. */
+  def tableReport(spark: SparkSession, path: String): DataFrame = {
+    val cur = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"tableReport: no snapshot at $path"))
+    val man = readManifestFull(spark, path, cur)
+    val layoutKind = readLayout(spark, path, cur) match {
+      case Some(_: RangeLayout) => "range"
+      case Some(_: ZLayout) => "z"
+      case _ => "hash"
+    }
+    import spark.implicits._
+    val entries = man.map(e => (e.owner, e.bucket, e.v, e.dv.isDefined,
+        e.bloom.isDefined))
+      .toDF("owner", "bucket", "v", "has_dv", "has_bloom")
+    val perOwnerMan = entries.groupBy("owner")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("has_dv").cast("long")).as("n_dv_buckets"),
+        sum(col("has_bloom").cast("long")).as("n_bloom_buckets"),
+        max(col("v")).cast("long").as("max_data_version"))
+    val visible = readSnapshot(spark, path, cur)
+      .groupBy("owner").agg(count(lit(1)).as("n_visible"))
+    val dvRefs = man.collect { case e if e.dv.isDefined =>
+      s"${dvDir(path, e.dv.get)}/owner=${e.owner}/bucket=${e.bucket}" }
+    val masked =
+      if (dvRefs.isEmpty)
+        entries.select(col("owner")).distinct().withColumn("n_masked", lit(0L))
+      else spark.read.option("basePath", deletesDir(path)).parquet(dvRefs: _*)
+        .groupBy("owner").agg(count(lit(1)).as("n_masked"))
+    perOwnerMan.join(visible, Seq("owner"), "left")
+      .join(masked, Seq("owner"), "left")
+      .na.fill(0L, Seq("n_visible", "n_masked"))
+      .withColumn("snapshot", lit(cur.toLong))
+      .withColumn("layout", lit(layoutKind))
+      .select("owner", "n_buckets", "n_visible", "n_masked", "n_dv_buckets",
+        "n_bloom_buckets", "max_data_version", "snapshot", "layout")
+      .orderBy("owner")
+  }
 }
