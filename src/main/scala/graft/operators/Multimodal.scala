@@ -382,10 +382,72 @@ object Multimodal {
           posexplode(sequence(lit(0L), col("n_frames") - 1)).as(Seq("frame_idx", "k")))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           (col("k") * col("duration_ms") / col("n_frames")).cast("long").as("offset_ms"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // PERCEPTUAL-HASH NEAR-DUP over the media payload — image dedup's
+    // production shape (pHash/dHash → LSH band join → Hamming verify)
+    // with the pixel decode stubbed per the multimodal charter: the
+    // fingerprint is a dHash over 64 evenly-sampled payload bytes
+    // (bit j = sample j > sample j+1; 63 bits — pure integer
+    // arithmetic both engines replay), re-encoded copies are planted
+    // for the %20 cohort by rewriting ONE leading byte (same length,
+    // so only bit 0 can flip — Hamming ≤ 1 to the original), the
+    // candidate join is an EQUI-join on the hash's top 31 bits (the
+    // banding move: no pairwise Hamming over the corpus — candidates
+    // are hash-bucket collisions only), and the verify pass keeps
+    // Hamming ≤ 2. At 100 TB this is exactly the image near-dedup
+    // pipeline: fingerprints are one map pass, the join is shuffle-
+    // bounded by band cardinality, the quadratic work never happens.
+    "mm_phash_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("n_chars") >= 130)
+        .select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("~"), expr("substring(text, 2)")).as("text"))
+      def fingerprint(df: DataFrame): DataFrame = df
+        .withColumn("ss", expr(
+          "transform(sequence(0, 63), j -> ascii(substring(text, " +
+            "CAST(1 + (j * (length(text) - 1)) div 63 AS INT), 1)))"))
+        .withColumn("h", expr(
+          "aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+            "IF(element_at(ss, j + 1) > element_at(ss, j + 2), " +
+            "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"))
+        .withColumn("band", expr("h div 4294967296"))
+        .select("doc_id", "h", "band")
+      val fp = fingerprint(docs).unionByName(fingerprint(copies))
+      val a = fp.select(col("doc_id").as("id_a"), col("h").as("h_a"), col("band"))
+      val b = fp.select(col("doc_id").as("id_b"), col("h").as("h_b"), col("band"))
+      a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+        .filter(col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // Same dHash sampling, band split and Hamming verify, replayed
+    // with DuckDB's << / xor / bit_count integer ops.
+    "mm_phash_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE n_chars >= 130
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '~' || substr(text, 2)
+        |  FROM documents WHERE n_chars >= 130 AND doc_id % 20 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 63), j ->
+        |      CASE WHEN
+        |        ord(substr(text, (1 + (j * (length(text) - 1)) // 63)::INT, 1)) >
+        |        ord(substr(text, (1 + ((j + 1) * (length(text) - 1)) // 63)::INT, 1))
+        |      THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS BIGINT) AS h
+        |  FROM base),
+        |bd AS (SELECT doc_id, h, h // 4294967296 AS band FROM fp)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // Real-decode round trip: dims recomputed from the fixture
     // formula; PNG rows are grayscale (1 channel), the others RGB.
     "mm_decode_real" ->
