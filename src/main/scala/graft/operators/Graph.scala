@@ -187,10 +187,49 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** k-CORE decomposition (membership in the k=5 core) — the fourth
+    * classic graph-curation signal beside rank/community/triangles:
+    * the k-core is the maximal subgraph where every node keeps ≥ k
+    * neighbors INSIDE the subgraph, the standard "densely embedded
+    * vs peripheral" split (link-farm cores, isolated spam tails) a
+    * webgraph curation pass uses. Computed by synchronous peeling:
+    * each round drops every node whose degree among SURVIVORS is
+    * < k; a fixed 12 rounds bounds the plan (GraphSpec pins that the
+    * fixture converges well inside that — round 13 changes nothing),
+    * and each round is one semi-join-restricted degree count (two
+    * equi-joins + one grouped agg), the same per-round shape as
+    * labelProp with the same localCheckpoint lineage guard. At
+    * 100 TB: no windows, no driver state beyond one scalar; the
+    * textbook refinement (delta peeling — only re-check neighbors of
+    * freshly dropped nodes) applies unchanged. */
+  private[graft] def kcore(spark: SparkSession, dir: String, k: Int = 5,
+                           iters: Int = 12): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count() // bounded driver state: one scalar
+    val e = edges(docs, n)
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var nodes = docs.select(col("doc_id").as("id"))
+    for (it <- 1 to iters) {
+      val deg = sym
+        .join(nodes, col("src") === col("id")).select("src", "dst")
+        .join(nodes.select(col("id").as("id2")), col("dst") === col("id2"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      nodes = deg.filter(col("deg") >= k).select(col("src").as("id"))
+      if (it % 3 == 0 || it == iters) nodes = nodes.localCheckpoint(true)
+    }
+    sym.join(nodes, col("src") === col("id")).select("src", "dst")
+      .join(nodes.select(col("id").as("id2")), col("dst") === col("id2"))
+      .groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("doc_id"), col("core_deg"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> ((s, d) => pagerank(s, d)),
     "gr_labelprop" -> ((s, d) => labelProp(s, d)),
-    "gr_triangles" -> ((s, d) => triangles(s, d))
+    "gr_triangles" -> ((s, d) => triangles(s, d)),
+    "gr_kcore" -> ((s, d) => kcore(s, d))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -327,6 +366,47 @@ object Graph {
          |  FROM (SELECT unnest([a, b, c]) AS x FROM tri) GROUP BY x),
          |ttot AS (SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM tri)
          |SELECT doc_id, n_triangles, total_triangles
-         |FROM tcnt CROSS JOIN ttot ORDER BY doc_id""".stripMargin
+         |FROM tcnt CROSS JOIN ttot ORDER BY doc_id""".stripMargin,
+    // The 12-round synchronous peel replayed list-packed (the
+    // pagerank technique: one row holds the alive bitmap ordered by
+    // doc_id, adjacency pre-packed as a list of lists; each recursive
+    // step recomputes alive[i] = alive AND ≥5 alive neighbors).
+    "gr_kcore" ->
+      s"""WITH RECURSIVE prn AS (SELECT count(*) AS nn FROM documents),
+         |pre AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src, CAST($prHashSql AS BIGINT) % nn AS dst
+         |    FROM documents, (SELECT unnest([0, 1, 2]) AS s) s, prn
+         |    UNION ALL
+         |    SELECT doc_id AS src, (doc_id + 1) % nn AS dst FROM documents, prn)
+         |  WHERE src <> dst),
+         |sym AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM pre
+         |    UNION ALL SELECT dst AS src, src AS dst FROM pre)),
+         |adjl AS (SELECT src, list(dst ORDER BY dst) AS adj FROM sym GROUP BY src),
+         |packed AS (
+         |  SELECT list(COALESCE(a.adj, CAST([] AS BIGINT[])) ORDER BY d.doc_id)
+         |    AS adj
+         |  FROM documents d LEFT JOIN adjl a ON a.src = d.doc_id),
+         |peel AS (
+         |  SELECT 0 AS iter,
+         |    (SELECT list_transform(list(doc_id ORDER BY doc_id), x -> TRUE)
+         |     FROM documents) AS alive
+         |  UNION ALL
+         |  SELECT iter + 1,
+         |    list_transform(range(1, len(alive) + 1),
+         |      i -> alive[i] AND
+         |           len(list_filter(p.adj[i], x -> alive[(x + 1)::INT])) >= 5)
+         |  FROM peel, packed p WHERE iter < 12),
+         |fin AS (SELECT alive FROM peel WHERE iter = 12),
+         |core AS (
+         |  SELECT CAST(i - 1 AS BIGINT) AS doc_id,
+         |    CAST(len(list_filter(p.adj[i::INT], x -> f.alive[(x + 1)::INT]))
+         |      AS BIGINT) AS core_deg
+         |  FROM fin f, packed p, (SELECT unnest(range(1, len(alive) + 1)) AS i
+         |                         FROM fin) r
+         |  WHERE f.alive[i::INT])
+         |SELECT doc_id, core_deg FROM core ORDER BY doc_id""".stripMargin
   )
 }

@@ -100,4 +100,20 @@ class GraphSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(cnt == total, s"local recount $cnt vs $total")
   }
+
+  test("kcore: 12 rounds reach the fixpoint (round 13 changes nothing); every member keeps >= 5 core neighbors") {
+    val r12 = graft.operators.Graph.kcore(spark, sf, k = 5, iters = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.catalog.clearCache()
+    val r13 = graft.operators.Graph.kcore(spark, sf, k = 5, iters = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.catalog.clearCache()
+    assert(r12 == r13, "peeling not converged at 12 rounds")
+    assert(r12.nonEmpty, "fixture graph must have a non-empty 5-core")
+    assert(r12.values.forall(_ >= 5), "a 5-core member with < 5 core neighbors")
+    // a genuine split: something peripheral was peeled away
+    val n = Tables.documents(spark, sf).count()
+    spark.catalog.clearCache()
+    assert(r12.size < n, "peel removed nothing - fixture degenerate")
+  }
 }
