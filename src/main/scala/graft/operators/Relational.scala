@@ -475,6 +475,40 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // A27 — APPROXIMATE QUERY PROCESSING by deterministic hash
+    // sampling (the BlinkDB/uniform-sample move): membership = first
+    // md5 hex digit of the row key is '0' (an exact 1/16 rate, pushed
+    // into the scan like p10), estimates = sample aggregates × 16,
+    // reported NEXT TO the exact answers with the realized relative
+    // error — the operator a 100 TB dashboard runs when a 6 % error
+    // bar is worth a 16× scan reduction. All arithmetic is integer ×
+    // integer or decimal × integer until one final double cast, so
+    // both engines agree bit-for-bit; the error column is itself part
+    // of the gate (a sampler whose rate or scale-up drifts hash-fails).
+    "a27_sample_estimate" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, d)
+      val keyHex = substring(md5(concat_ws(":",
+        col("l_orderkey"), col("l_linenumber"))), 1, 1)
+      val exact = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("qty_exact"))
+      val samp = li.filter(keyHex === "0")
+        .groupBy("l_returnflag")
+        .agg((count(lit(1)) * 16).as("n_est"),
+          (sum(col("l_quantity").cast(DecimalType(18, 2))) * 16).cast("double")
+            .as("qty_est"))
+      exact.join(samp, Seq("l_returnflag"), "left")
+        .na.fill(0L, Seq("n_est")).na.fill(0.0, Seq("qty_est"))
+        .withColumn("rel_err_n",
+          abs(col("n_est") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double"))
+        .select("l_returnflag", "n_exact", "n_est", "qty_exact", "qty_est",
+          "rel_err_n")
+        .orderBy("l_returnflag")
+    }),
+
     // P10 — deterministic hash-based stratified sample: membership by
     // md5(key) prefix, so the sample is reproducible across engines,
     // runs, and cluster sizes (unlike rand()-based sampleBy), and the
@@ -763,6 +797,27 @@ object Relational {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Same 1/16 hash membership, same ×16 scale-up, same single final
+    // double cast per aggregate.
+    "a27_sample_estimate" ->
+      """WITH exact AS (
+        |  SELECT l_returnflag, count(*) AS n_exact,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_exact
+        |  FROM lineitem GROUP BY l_returnflag),
+        |samp AS (
+        |  SELECT l_returnflag, count(*) * 16 AS n_est,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 16 AS DOUBLE) AS qty_est
+        |  FROM lineitem
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |          CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+        |  GROUP BY l_returnflag)
+        |SELECT e.l_returnflag, e.n_exact,
+        |  CAST(coalesce(s.n_est, 0) AS BIGINT) AS n_est, e.qty_exact,
+        |  coalesce(s.qty_est, 0.0) AS qty_est,
+        |  CAST(abs(coalesce(s.n_est, 0) - e.n_exact) AS DOUBLE)
+        |    / CAST(e.n_exact AS DOUBLE) AS rel_err_n
+        |FROM exact e LEFT JOIN samp s ON s.l_returnflag = e.l_returnflag
+        |ORDER BY e.l_returnflag""".stripMargin,
     "w6_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
