@@ -746,6 +746,44 @@ object IndexPipeline {
             .as("digest"))
     }),
 
+    // S25 — NAMED SNAPSHOT TAGS (Iceberg refs): "train-v1" pins the
+    // corpus a model actually trained on while "prod" retags forward
+    // as upserts land — the audit/rollback surface raw snapshot
+    // numbers don't give (a number is meaningless after a retention
+    // sweep; a tag survives as long as its snapshot). The episode
+    // tags snapshot 1 twice, upserts, retags "prod" to 2 (atomic
+    // rename overwrite), and the gate pins BOTH tags' resolved ids
+    // and full corpus digests — a retag that moved the wrong pointer
+    // or a tag read that resolved through the current snapshot
+    // hash-fails.
+    "s25_snapshot_tag" -> ((s, d) => {
+      val dir = snapDir(d) + "_tag"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+      VersionedStore.initialLoad(s, dir, buildIndex(docs))
+      VersionedStore.tagSnapshot(s, dir, "train-v1", 1)
+      VersionedStore.tagSnapshot(s, dir, "prod", 1)
+      VersionedStore.upsertVersioned(s, dir,
+        buildIndex(docs.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", "."))))
+      VersionedStore.tagSnapshot(s, dir, "prod", 2)
+      Seq("prod", "train-v1").map { tg =>
+        val snap = VersionedStore.resolveTag(s, dir, tg)
+        VersionedStore.readSnapshotByTag(s, dir, tg)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nv"),
+            md5(concat_ws("", array_sort(collect_list(
+              when(col("vtype") === "chunk", md5(col("chunk_text"))))))).as("m"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("nv")).as("n_vectors"),
+            md5(concat_ws("", array_sort(collect_list(concat(
+              col("doc_id").cast("string"), lit(":"), col("m"))))))
+              .as("corpus_md5"))
+          .select(lit(tg).as("tag"), lit(snap.toLong).as("snapshot_id"),
+            col("n_docs"), col("n_vectors"), col("corpus_md5"))
+      }.reduce(_ unionByName _).orderBy("tag")
+    }),
+
     // S24 — TABLE REPORT, the observability surface every lakehouse
     // exposes (DESCRIBE EXTENDED / table_changes metadata): after a
     // four-snapshot episode — load, bloom-index build (metadata-only),
@@ -1753,6 +1791,33 @@ object IndexPipeline {
         |       count(*) AS n_rows,
         |       md5(string_agg(line, '' ORDER BY line)) AS digest
         |FROM hits""".stripMargin,
+    // S25 replayed: train-v1 = the v1 chunk digests, prod = v2 after
+    // the retag; same per-doc digest rollup as x15.
+    "s25_snapshot_tag" ->
+      s"""WITH RECURSIVE ${chunkDigestCtes("tg1", snapV1Src)},
+         |${chunkDigestCtes("tg2", snapV2Src)},
+         |ub AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+         |b1 AS (
+         |  SELECT d.doc_id, CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS nv,
+         |    coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM ub d LEFT JOIN tg1digest g USING (doc_id)),
+         |b2 AS (
+         |  SELECT d.doc_id, CAST(coalesce(g.n_chunks, 0) + 1 AS BIGINT) AS nv,
+         |    coalesce(g.chunks_md5, md5('')) AS m
+         |  FROM ub d LEFT JOIN tg2digest g USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT 'prod' AS tag, CAST(2 AS BIGINT) AS snapshot_id,
+         |    count(*) AS n_docs, CAST(sum(nv) AS BIGINT) AS n_vectors,
+         |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || m, ''
+         |        ORDER BY CAST(doc_id AS VARCHAR) || ':' || m)) AS corpus_md5
+         |  FROM b2
+         |  UNION ALL
+         |  SELECT 'train-v1', CAST(1 AS BIGINT), count(*),
+         |    CAST(sum(nv) AS BIGINT),
+         |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || m, ''
+         |        ORDER BY CAST(doc_id AS VARCHAR) || ':' || m))
+         |  FROM b1)
+         |ORDER BY tag""".stripMargin,
     // S24 replayed from metadata arithmetic: buckets = doc_id%16 of
     // base ∪ upserts; a bucket's data version is 4 iff an upsert doc
     // lands in it, else 1 (the bloom build is metadata-only); a

@@ -132,6 +132,44 @@ object VersionedStore {
   def currentSnapshot(spark: SparkSession, path: String): Option[Int] =
     snapshots(spark, path).lastOption
 
+  /** NAMED REFS (Iceberg tags): a tag is one file
+    * `manifest/tag-<name>.txt` holding a committed snapshot id,
+    * published through the same write-tmp-then-rename move as a
+    * manifest (rename overwrite = atomic retag; readers of the old
+    * target are unaffected — the snapshot itself is immutable). Tags
+    * give callers stable names for audit/rollback points ("the corpus
+    * the model trained on") without pinning to raw snapshot numbers;
+    * vacuum-retained snapshots stay readable by tag forever. */
+  def tagSnapshot(spark: SparkSession, path: String, tag: String,
+                  snapshot: Int): Unit = {
+    require(tag.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$tag'")
+    require(snapshots(spark, path).contains(snapshot),
+      s"tagSnapshot: snapshot $snapshot not committed at $path")
+    val fs = fsOf(spark, path)
+    val tmp = new Path(s"${manifestDir(path)}/tag-$tag.txt.tmp")
+    val dst = new Path(s"${manifestDir(path)}/tag-$tag.txt")
+    val out = fs.create(tmp, true)
+    out.write(snapshot.toString.getBytes("UTF-8")); out.close()
+    if (fs.exists(dst)) fs.delete(dst, false) // retag: replace atomically-enough
+    require(fs.rename(tmp, dst), s"tagSnapshot: rename failed for $tag")
+  }
+
+  /** Resolve a tag to its snapshot id. */
+  def resolveTag(spark: SparkSession, path: String, tag: String): Int = {
+    val fs = fsOf(spark, path)
+    val f = new Path(s"${manifestDir(path)}/tag-$tag.txt")
+    require(fs.exists(f), s"resolveTag: no tag '$tag' at $path")
+    val in = fs.open(f)
+    val bytes = new Array[Byte](32)
+    val n = in.read(bytes); in.close()
+    new String(bytes, 0, n, "UTF-8").trim.toInt
+  }
+
+  /** Read the snapshot a tag names. */
+  def readSnapshotByTag(spark: SparkSession, path: String,
+                        tag: String): DataFrame =
+    readSnapshot(spark, path, resolveTag(spark, path, tag))
+
   /** Full entries of snapshot `n`, including delete-vector refs and
     * zone-map stats. Lines are `owner\tbucket\tv` followed by optional
     * prefixed fields in any order: `dv:k`, `stats:min,max`. A first
