@@ -1219,6 +1219,42 @@ object TextAnalysis {
         .orderBy("typo")
     }),
 
+    // J9 — FUZZY JOIN between two relations (not the probe-vs-vocab
+    // shape of ts_spell_correct): the vocabularies of two corpus
+    // halves are joined on edit distance exactly 1 through the same
+    // symmetric-delete blocking — each side explodes to its deletion
+    // variants, candidates come out of ONE equi-join on the variant
+    // key, and only that sliver pays the levenshtein verify. This is
+    // the record-linkage join shape (name-vs-name, sku-vs-sku) where
+    // BOTH sides are corpus-scaled: neither side broadcasts, the
+    // variant key shuffles both, and the candidate count is bounded
+    // by shared-variant collisions instead of |A|×|B|.
+    "j9_fuzzy_join" -> ((s, d) => {
+      def delVariants(c: Column): Column = concat(
+        array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - lit(1)),
+            c.substr(i + lit(1), length(c) - i))))
+      val docs = Tables.documents(s, d)
+      def vocab(side: Column, an: String, fn: String): DataFrame = docs
+        .filter(side)
+        .select(explode(tokens(col("text"))).as(an))
+        .groupBy(an).agg(count(lit(1)).as(fn))
+        .filter(length(col(an)) >= 5)
+      val va = vocab(pmod(col("doc_id"), lit(2L)) === 0, "term_a", "freq_a")
+      val vb = vocab(pmod(col("doc_id"), lit(2L)) === 1, "term_b", "freq_b")
+      val ea = va.select(col("term_a"), col("freq_a"),
+        explode(delVariants(col("term_a"))).as("variant"))
+      val eb = vb.select(col("term_b"), col("freq_b"),
+        explode(delVariants(col("term_b"))).as("variant"))
+      ea.join(eb, "variant")
+        .select("term_a", "term_b", "freq_a", "freq_b").distinct()
+        .filter(col("term_a") =!= col("term_b") &&
+          levenshtein(col("term_a"), col("term_b")) === 1)
+        .withColumn("dist", lit(1L))
+        .orderBy("term_a", "term_b")
+    }),
+
     // Pseudo-relevance feedback (RM3-family, Lavrenko & Croft 2001):
     // a first BM25 pass retrieves the top-5 feedback docs, the 3
     // most-frequent non-seed terms (≥ 4 chars — the cheap stopword
@@ -3040,6 +3076,31 @@ object TextAnalysis {
          |SELECT doc_id, w, q, tau,
          |  greatest(CAST(w AS DOUBLE), tau) AS est_weight
          |FROM ppsel CROSS JOIN pptau ORDER BY doc_id""".stripMargin
+    },
+    // Two-sided deletion-variant blocking + levenshtein = 1 verify,
+    // replayed with DuckDB's own levenshtein.
+    "j9_fuzzy_join" -> {
+      def delVarSql(c: String): String =
+        s"""list_prepend($c, list_transform(generate_series(1, len($c)),
+           |  i -> substr($c, 1, i - 1) || substr($c, i + 1, len($c) - i)))""".stripMargin
+      s"""WITH fja AS (
+         |  SELECT term AS term_a, CAST(count(*) AS BIGINT) AS freq_a FROM (
+         |    SELECT unnest($toksSql) AS term FROM documents WHERE doc_id % 2 = 0)
+         |  WHERE len(term) >= 5 GROUP BY term),
+         |fjb AS (
+         |  SELECT term AS term_b, CAST(count(*) AS BIGINT) AS freq_b FROM (
+         |    SELECT unnest($toksSql) AS term FROM documents WHERE doc_id % 2 = 1)
+         |  WHERE len(term) >= 5 GROUP BY term),
+         |fjav AS (SELECT term_a, freq_a, unnest(${delVarSql("term_a")}) AS variant
+         |         FROM fja),
+         |fjbv AS (SELECT term_b, freq_b, unnest(${delVarSql("term_b")}) AS variant
+         |         FROM fjb),
+         |fjc AS (
+         |  SELECT DISTINCT term_a, term_b, freq_a, freq_b
+         |  FROM fjav JOIN fjbv USING (variant)
+         |  WHERE term_a <> term_b AND levenshtein(term_a, term_b) = 1)
+         |SELECT term_a, term_b, freq_a, freq_b, CAST(1 AS BIGINT) AS dist
+         |FROM fjc ORDER BY term_a, term_b""".stripMargin
     },
     // Deletion-variant candidate generation + levenshtein verify +
     // (dist, freq desc, term) best-per-typo, replayed with DuckDB's
