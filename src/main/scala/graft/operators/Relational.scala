@@ -570,6 +570,27 @@ object Relational {
         .orderBy("event_type", "event_id")
     }),
 
+    // W9 — GAPS-AND-ISLANDS streak consolidation (the classic
+    // engagement-analytics shape SQL folklore names "islands": merge
+    // each user's consecutive ACTIVE DAYS into runs using the
+    // day − row_number() anchor — consecutive days share an anchor,
+    // any gap starts a new one). Per user: streak count, longest
+    // streak, total active days. One distinct + one partitioned
+    // window + two grouped aggs, all partitioned by user — nothing
+    // global, integer/date-exact in both engines.
+    "w9_streaks" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .withColumn("anchor", expr("date_sub(day, rn)"))
+        .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"),
+          sum(col("len")).as("active_days"))
+        .orderBy("user_id")
+    }),
+
     // D1 — union + distinct of two keyed result sets (RRF all_documents union).
     "d1_union_distinct" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -781,6 +802,22 @@ object Relational {
         |WHERE user_id < 3
         |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
         |ORDER BY event_type, event_id""".stripMargin,
+    // Same anchor arithmetic: day − rn·INTERVAL 1 DAY groups runs.
+    "w9_streaks" ->
+      """WITH ds AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM ds),
+        |runs AS (
+        |  SELECT user_id, day - rn * INTERVAL 1 DAY AS anchor,
+        |    count(*) AS len
+        |  FROM r GROUP BY user_id, day - rn * INTERVAL 1 DAY)
+        |SELECT user_id, count(*) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a14_approx_quantile" ->
       """SELECT event_type, min(value) AS lo, max(value) AS hi,
         |  TRUE AS within_bounds
