@@ -264,6 +264,21 @@ object BenchDoc {
       stats("snd_pairs") = r.count().toString
     }
 
+    // perceptual-hash near-dup: one narrow fingerprint map + a band
+    // equi-join + Hamming verify — the image-dedup shape at 500k docs
+    // (exact-copy replicas collide in full-hash bands; the band key
+    // bounds the join fan-out to per-bucket cliques)
+    timedMin2("phash_neardup_500k") {
+      val fp = operators.Multimodal.dHashFingerprint(
+        corpus.filter(length(col("text")) >= 130)).persist()
+      val a = fp.select(col("doc_id").as("id_a"), col("h").as("h_a"), col("band"))
+      val b = fp.select(col("doc_id").as("id_b"), col("h").as("h_b"), col("band"))
+      val pairs = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+        .filter(expr("bit_count(h_a ^ h_b)").cast("long") <= 2)
+      stats("phash_pairs") = pairs.count().toString
+      fp.unpersist()
+    }
+
     // ---- opt-in 5M-doc legs (SPARK_GRAFT_DOC5M=1) -------------------
     // The round-9 verdict's 10× linearity proof for the two slowest
     // 500k shapes. Both are O(n) by construction — sorted-neighborhood

@@ -306,6 +306,22 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** 63-bit dHash fingerprint over 64 evenly-sampled payload bytes of
+    * a (doc_id, text) relation, plus the top-31-bit LSH band key —
+    * shared by the `mm_phash_neardup` gate and the BenchDoc 500k leg
+    * (shared code: the bench cannot drift from the oracle-pinned
+    * arithmetic). One narrow map, no shuffle. */
+  def dHashFingerprint(df: DataFrame): DataFrame = df
+    .withColumn("ss", expr(
+      "transform(sequence(0, 63), j -> ascii(substring(text, " +
+        "CAST(1 + (j * (length(text) - 1)) div 63 AS INT), 1)))"))
+    .withColumn("h", expr(
+      "aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+        "IF(element_at(ss, j + 1) > element_at(ss, j + 2), " +
+        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"))
+    .withColumn("band", expr("h div 4294967296"))
+    .select("doc_id", "h", "band")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decode-metadata pass (stub arithmetic mirrored in the oracle —
     // verifies binary column plumbing + mapPartitions batch shape).
@@ -404,17 +420,7 @@ object Multimodal {
       val copies = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
         .select((col("doc_id") + 100000L).as("doc_id"),
           concat(lit("~"), expr("substring(text, 2)")).as("text"))
-      def fingerprint(df: DataFrame): DataFrame = df
-        .withColumn("ss", expr(
-          "transform(sequence(0, 63), j -> ascii(substring(text, " +
-            "CAST(1 + (j * (length(text) - 1)) div 63 AS INT), 1)))"))
-        .withColumn("h", expr(
-          "aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, j) -> acc + " +
-            "IF(element_at(ss, j + 1) > element_at(ss, j + 2), " +
-            "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"))
-        .withColumn("band", expr("h div 4294967296"))
-        .select("doc_id", "h", "band")
-      val fp = fingerprint(docs).unionByName(fingerprint(copies))
+      val fp = dHashFingerprint(docs).unionByName(dHashFingerprint(copies))
       val a = fp.select(col("doc_id").as("id_a"), col("h").as("h_a"), col("band"))
       val b = fp.select(col("doc_id").as("id_b"), col("h").as("h_b"), col("band"))
       a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
