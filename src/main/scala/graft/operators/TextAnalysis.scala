@@ -2068,8 +2068,10 @@ object TextAnalysis {
         .select("grp", "gpre", "target")
       val wIn = Window.partitionBy("grp").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
+      // no broadcast hint: gpre scales with the corpus (1/1024 of it) —
+      // AQE broadcasts at small SF, shuffles when it must
       base.withColumn("cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-        .join(broadcast(gpre), Seq("grp"))
+        .join(gpre, Seq("grp"))
         .withColumn("shard", expr("(gpre + cum_in) div target"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),

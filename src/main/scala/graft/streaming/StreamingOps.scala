@@ -356,7 +356,8 @@ object StreamingOps {
       val wm = ev.groupBy("batch").agg(max(col("ts_us")).as("bmax"))
         .withColumn("wm_base", max(col("bmax")).over(wPrev))
         .select("batch", "wm_base")
-      ev.join(broadcast(wm), Seq("batch"))
+      // no broadcast hint: wm scales with the corpus (1/1000 of it)
+      ev.join(wm, Seq("batch"))
         .withColumn("delay_s",
           explode(array(lit(60L), lit(600L), lit(3600L))))
         .withColumn("late",
