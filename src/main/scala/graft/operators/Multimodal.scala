@@ -420,7 +420,14 @@ object Multimodal {
       val copies = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
         .select((col("doc_id") + 100000L).as("doc_id"),
           concat(lit("~"), expr("substring(text, 2)")).as("text"))
+      // persist is a CORRECTNESS-OF-COST barrier here, not a cache
+      // nicety: unpersisted, CollapseProject inlines the 64-substring
+      // sample array into every element_at reference of the 63-step
+      // hash fold AND into the join's Hamming filter — the fingerprint
+      // re-evaluates ~100× per row and the query runs 240 s instead of
+      // ~4 s at sf0.1 (measured). Caller clearCache contract applies.
       val fp = dHashFingerprint(docs).unionByName(dHashFingerprint(copies))
+        .persist()
       val a = fp.select(col("doc_id").as("id_a"), col("h").as("h_a"), col("band"))
       val b = fp.select(col("doc_id").as("id_b"), col("h").as("h_b"), col("band"))
       a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
