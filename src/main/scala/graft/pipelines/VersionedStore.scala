@@ -393,7 +393,8 @@ object VersionedStore {
                                           touched: Seq[(String, Long)],
                                           entries: Seq[ManifestEntry],
                                           layout: Option[Layout] = None,
-                                          bloom: Option[BloomConfig] = None)
+                                          bloom: Option[BloomConfig] = None,
+                                          probedBuckets: Int = -1)
 
   /** Stage the next snapshot's data: merged content of every touched
     * bucket written to NEW v=next dirs (append-only — live version
@@ -425,6 +426,7 @@ object VersionedStore {
     // partition dirs) and rewrite those buckets too. HashLayout needs
     // none of this: bucket = f(doc_id) puts the old copy in a bucket
     // the new row also maps to.
+    var probedBuckets = -1 // pruning evidence for the spec (clustered only)
     val relocated: Seq[(String, Long)] = layout match {
       case HashLayout(_) => Nil
       case _ =>
@@ -446,6 +448,7 @@ object VersionedStore {
             }
           case _ => rest0
         }
+        probedBuckets = rest.size
         if (rest.isEmpty) Nil
         else scanEntries(spark, path, rest)
           .select("owner", "bucket", "doc_id")
@@ -493,7 +496,7 @@ object VersionedStore {
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
       live.map { case (o, b) => ManifestEntry(o, b, next, None) }
     StagedVersion(next, expected, live, entries, Some(layout),
-      readBloomConfig(spark, path, cur))
+      readBloomConfig(spark, path, cur), probedBuckets)
   }
 
   /** Audit the staged version dirs (row count + bucket set), then

@@ -572,6 +572,17 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(nowB.length == 1, s"duplicate after bloom-pruned move: ${nowB.toSeq}")
     assert(nowB.head.getAs[String]("text_md5") == "moved-again")
     assert(VersionedStore.readSnapshot(spark, dir).count() == all.count())
+    // the doc_id bloom really PRUNES the probe: stage one more move
+    // directly and compare probed buckets against the un-new-touched
+    // manifest size (k=3 bits over 512 give a low fp rate, so most
+    // buckets are skipped)
+    val movedB2 = movedAgain.withColumn("n_chars", lit(0L))
+    val st = VersionedStore.stageVersion(spark, dir, movedB2)
+    val manNow = VersionedStore.readManifestFull(spark, dir,
+      VersionedStore.currentSnapshot(spark, dir).get)
+    assert(st.probedBuckets >= 0, "clustered stage must record probe size")
+    assert(st.probedBuckets < manNow.size - 1,
+      s"bloom pruned nothing: probed ${st.probedBuckets} of ${manNow.size}")
     spark.catalog.clearCache()
   }
 
