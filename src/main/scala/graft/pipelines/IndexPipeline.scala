@@ -784,6 +784,65 @@ object IndexPipeline {
       }.reduce(_ unionByName _).orderBy("tag")
     }),
 
+    // X18 — TAGGED CORPUS EXPORT, the end of the pipeline: ship the
+    // EXACT corpus a tag names (not whatever the table head drifted
+    // to) as token-budgeted gzip JSONL shards plus a verifiable
+    // manifest. The episode tags snapshot 1 "ship", then UPSERTS a
+    // changed doc 7 — the export must still carry the ORIGINAL doc 7
+    // (reading through the tag, not the head), sharded by the
+    // pp_shard_plan arithmetic (total div 4 tokens per shard, stable
+    // doc_id order), written DISTRIBUTED as jsonl.gz partitioned by
+    // shard, and read back with an explicit schema. The gate pins the
+    // per-shard manifest (counts, token sums, content digest with
+    // text md5 — so a head read, a shard misassignment, or JSON loss
+    // all hash-fail).
+    "x18_tagged_export" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.BoundedWindow
+      val dir = snapDir(d) + "_exp"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("doc_id"), col("source").as("owner"), col("text"))
+      VersionedStore.initialLoad(s, dir, rel(docs.filter(col("doc_id") < 150)))
+      VersionedStore.tagSnapshot(s, dir, "ship", 1)
+      VersionedStore.upsertVersioned(s, dir,
+        rel(docs.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", "."))))
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val base = VersionedStore.readSnapshotByTag(s, dir, "ship")
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("grp", expr("doc_id div 64"))
+        .persist()
+      val wPrev = BoundedWindow.orderBy(col("grp"), col("grp").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = BoundedWindow.all(col("grp"))
+      val gpre = base.groupBy("grp").agg(sum(col("n_tokens")).as("gtok"))
+        .withColumn("gpre", coalesce(sum(col("gtok")).over(wPrev), lit(0L)))
+        .withColumn("total", sum(col("gtok")).over(wAll))
+        .withColumn("target", greatest(expr("total div 4"), lit(1L)))
+        .select("grp", "gpre", "target")
+      val wIn = Window.partitionBy("grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val planned = base
+        .withColumn("cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .join(gpre, Seq("grp"))
+        .withColumn("shard", expr("(gpre + cum_in) div target"))
+        .select("shard", "doc_id", "text", "n_tokens")
+      val out = dir + "/export"
+      planned.write.mode("overwrite").partitionBy("shard")
+        .option("compression", "gzip").json(out)
+      s.read.schema("doc_id LONG, text STRING, n_tokens LONG, shard LONG")
+        .option("basePath", out).json(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          md5(concat_ws("", array_sort(collect_list(concat(
+            col("doc_id").cast("string"), lit(":"), md5(col("text")))))))
+            .as("content_md5"))
+        .orderBy("shard")
+    }),
+
     // S24 — TABLE REPORT, the observability surface every lakehouse
     // exposes (DESCRIBE EXTENDED / table_changes metadata): after a
     // four-snapshot episode — load, bloom-index build (metadata-only),
@@ -1791,6 +1850,30 @@ object IndexPipeline {
         |       count(*) AS n_rows,
         |       md5(string_agg(line, '' ORDER BY line)) AS digest
         |FROM hits""".stripMargin,
+    // X18 replayed: the tag pins snapshot 1 — ORIGINAL texts for all
+    // docs < 150 (the later doc-7 upsert is invisible through the
+    // tag); the naive single-window shard assignment over the same
+    // whitespace token counts; per-shard digests on doc_id:md5(text).
+    "x18_tagged_export" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents WHERE doc_id < 150),
+        |t AS (SELECT greatest(sum(n_tokens) // 4, 1) AS target FROM toks),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM toks),
+        |a AS (SELECT doc_id, text, n_tokens,
+        |        CAST(pre // target AS BIGINT) AS shard FROM c, t)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text), ''
+        |      ORDER BY CAST(doc_id AS VARCHAR) || ':' || md5(text)))
+        |    AS content_md5
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     // S25 replayed: train-v1 = the v1 chunk digests, prod = v2 after
     // the retag; same per-doc digest rollup as x15.
     "s25_snapshot_tag" ->
