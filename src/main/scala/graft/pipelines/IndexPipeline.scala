@@ -784,6 +784,41 @@ object IndexPipeline {
       }.reduce(_ unionByName _).orderBy("tag")
     }),
 
+    // S26 — VACUUM / RETENTION REPORT: the reclaim step every
+    // snapshot store needs gets its own oracle gate (previously
+    // spec-only): after an upsert supersedes the touched buckets'
+    // v=1 dirs, vacuum(retain=1) must delete EXACTLY those dirs
+    // (touched buckets that existed in snapshot 1 — new buckets have
+    // no prior version to reclaim), drop the superseded manifest, and
+    // leave the head snapshot byte-complete. The oracle computes the
+    // deleted-dir count from the doc_id%16 bucket arithmetic and the
+    // surviving corpus digest — a vacuum that deletes a live dir
+    // breaks the digest, one that misses garbage breaks the count.
+    "s26_vacuum_report" -> ((s, d) => {
+      val dir = snapDir(d) + "_vac"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("doc_id"), col("source").as("owner"),
+          md5(col("text")).as("text_md5"))
+      VersionedStore.initialLoad(s, dir, rel(docs.filter(col("doc_id") < 150)),
+        nBuckets = 16)
+      VersionedStore.upsertVersioned(s, dir,
+        rel(docs.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", ".")))
+          .unionByName(rel(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155))))
+      val nDeleted = VersionedStore.vacuum(s, dir, retain = 1)
+      val snapsLeft = VersionedStore.snapshots(s, dir).size
+      VersionedStore.readSnapshot(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws("", array_sort(collect_list(concat(
+            col("doc_id").cast("string"), lit(":"), col("text_md5"))))))
+            .as("corpus_md5"))
+        .select(lit(nDeleted.toLong).as("n_deleted_dirs"),
+          lit(snapsLeft.toLong).as("n_snapshots_left"),
+          col("n_docs"), col("corpus_md5"))
+    }),
+
     // X18 — TAGGED CORPUS EXPORT, the end of the pipeline: ship the
     // EXACT corpus a tag names (not whatever the table head drifted
     // to) as token-budgeted gzip JSONL shards plus a verifiable
@@ -1850,6 +1885,33 @@ object IndexPipeline {
         |       count(*) AS n_rows,
         |       md5(string_agg(line, '' ORDER BY line)) AS digest
         |FROM hits""".stripMargin,
+    // S26 replayed from metadata arithmetic: deleted dirs = touched
+    // buckets (doc 7 + docs 150–154 by doc_id%16 per owner) that
+    // already existed in snapshot 1; the surviving corpus = docs<155
+    // with doc 7's text rewritten.
+    "s26_vacuum_report" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS owner, doc_id % 16 AS b
+        |  FROM documents WHERE doc_id < 150),
+        |up AS (
+        |  SELECT doc_id, source AS owner, doc_id % 16 AS b
+        |  FROM documents WHERE doc_id = 7 OR (doc_id >= 150 AND doc_id < 155)),
+        |tb AS (SELECT DISTINCT owner, b FROM up),
+        |del AS (
+        |  SELECT t.owner, t.b FROM tb t
+        |  WHERE EXISTS (SELECT 1 FROM base x
+        |                WHERE x.owner = t.owner AND x.b = t.b)),
+        |fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id = 7 THEN md5(translate(text, 'a', '.'))
+        |         ELSE md5(text) END AS m
+        |  FROM documents WHERE doc_id < 155),
+        |lines AS (SELECT CAST(doc_id AS VARCHAR) || ':' || m AS line FROM fin)
+        |SELECT (SELECT count(*) FROM del) AS n_deleted_dirs,
+        |  CAST(1 AS BIGINT) AS n_snapshots_left,
+        |  count(*) AS n_docs,
+        |  md5(string_agg(line, '' ORDER BY line)) AS corpus_md5
+        |FROM lines""".stripMargin,
     // X18 replayed: the tag pins snapshot 1 — ORIGINAL texts for all
     // docs < 150 (the later doc-7 upsert is invisible through the
     // tag); the naive single-window shard assignment over the same
