@@ -11,9 +11,27 @@ checked block:
     | query_name | 1.234 | ...     markdown table rows
     `query_name` 1.234             inline backticked name + seconds
 
+Weather awareness (round-10/11 lessons): when the on-disk artifact was
+regenerated in a DIFFERENT box-weather window than PERF.md's quotes
+(the driver reruns Bench at round close), every per-query number moves
+together with the calibration probe. In that case quotes are compared
+probe-NORMALIZED — uniform weather cancels, real per-query drift still
+fails. Guardrails (round-11 advisor):
+  * the quote-window calibration is read ONLY from the structured forms
+    inside drift-checked blocks (table row `| calibration | 0.123 |` or
+    backticked `` `calibration` 0.123 ``) — no prose scraping;
+  * the accepted scale band is capped to [0.5, 2.0] — a wilder shift is
+    not "weather" and fails outright;
+  * normalized mode prints every per-query normalized ratio and ALSO
+    gates the GEOMEAN of those ratios at ±15%: a real engine regression
+    that is uniform across queries moves the geomean away from 1 even
+    when each query sits inside its individual tolerance, because the
+    calibration probe measures the box, not the engine.
+
 Usage: python3 scripts/check_perf_drift.py   (from the repo root)
 """
 import json
+import math
 import re
 import sys
 
@@ -42,31 +60,28 @@ def main() -> None:
     if not blocks:
         print("check_perf_drift: no drift-check markers in PERF.md")
         sys.exit(1)
-    # Weather awareness (round-10 lesson): when the artifact on disk was
-    # regenerated in a DIFFERENT box-weather window than the one PERF.md's
-    # quotes were taken in (the driver reruns Bench at round close), every
-    # per-query number shifts together with the calibration probe. Compare
-    # quotes against the probe-NORMALIZED values in that case — uniform
-    # weather cancels, real per-query drift still fails — and say which
-    # mode ran. The quote window's calibration is the `calibration` value
-    # quoted inside the drift-checked blocks themselves.
+    # Quote-window calibration: structured in-block forms ONLY.
     quoted_cal = None
     for block in blocks:
-        m = re.search(r"calibration\s+([0-9]+\.[0-9]+)", block)
-        m = m or re.search(r"calibration\s*\|\s*([0-9]+\.[0-9]+)", block)
+        m = (re.search(r"\|\s*calibration\s*\|\s*([0-9]+\.[0-9]+)\s*\|", block)
+             or re.search(r"`calibration`\s+([0-9]+\.[0-9]+)", block))
         if m:
             quoted_cal = float(m.group(1))
             break
-    if quoted_cal is None:
-        m = re.search(r"calibration ([0-9]+\.[0-9]+)\s*s", md)
-        quoted_cal = float(m.group(1)) if m else None
     actual_cal = artifact.get("calibration")
     scale = 1.0
     mode = "raw"
     if quoted_cal and actual_cal and abs(actual_cal - quoted_cal) / quoted_cal > 0.05:
         scale = actual_cal / quoted_cal
-        mode = f"normalized (artifact calibration {actual_cal} vs quoted {quoted_cal})"
+        if not (0.5 <= scale <= 2.0):
+            print(f"check_perf_drift: calibration shift {scale:.3f}x "
+                  f"(artifact {actual_cal} vs quoted {quoted_cal}) is outside "
+                  "the accepted weather band [0.5, 2.0] — regenerate PERF.md "
+                  "quotes with the artifact instead of normalizing")
+            sys.exit(1)
+        mode = f"normalized (artifact calibration {actual_cal} vs quoted {quoted_cal}, scale {scale:.3f})"
     bad, checked = [], 0
+    ratios = []  # (name, normalized actual/expected) for detail queries
     for block in blocks:
         pats = re.findall(r"\|\s*(\w+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|", block)
         pats += re.findall(r"`(\w+)`\s+([0-9]+\.[0-9]+)", block)
@@ -81,13 +96,27 @@ def main() -> None:
                 continue  # compared via the scale itself
             # only BENCH_DETAIL queries move with its calibration; the
             # BENCHVEC/BENCHDOC stage artifacts are separate files with
-            # their own windows and compare raw
+            # their own windows and compare raw — unless they carry their
+            # own calibration field (then they were probe-stamped too and
+            # could be normalized the same way; today they compare raw)
             in_detail = name in artifact["queries"]
             eff = quoted * scale if in_detail else quoted
             tol = 0.30 if (in_detail and mode != "raw") else 0.05
+            if in_detail and mode != "raw":
+                ratios.append((name, actual / eff))
             if abs(eff - actual) / actual > tol:
                 bad.append(f"{name}: PERF.md quotes {quoted} (effective {eff:.3f}), "
                            f"artifact has {actual}")
+    if mode != "raw" and ratios:
+        for name, r in sorted(ratios, key=lambda t: -abs(math.log(t[1]))):
+            print(f"  ratio {name}: {r:.3f}")
+        gm = math.exp(sum(math.log(r) for _, r in ratios) / len(ratios))
+        print(f"check_perf_drift: normalized geomean over {len(ratios)} "
+              f"detail queries = {gm:.3f}")
+        if not (0.85 <= gm <= 1.15):
+            bad.append(f"normalized geomean {gm:.3f} outside [0.85, 1.15] — "
+                       "uniform drift the probe does not explain (engine "
+                       "regression, not weather)")
     print(f"check_perf_drift: {checked} quoted numbers checked, "
           f"{len(bad)} drifted [{mode}]")
     for b in bad:

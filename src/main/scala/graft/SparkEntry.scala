@@ -33,7 +33,8 @@ object SparkEntry {
       model.CoreModel.queries ++ operators.Layout.queries ++
       operators.ResponseCache.queries ++ operators.ProductQuantization.queries ++
       operators.Bpe.queries ++ operators.Graph.queries ++
-      operators.Perplexity.queries ++ operators.DataQuality.queries
+      operators.Perplexity.queries ++ operators.DataQuality.queries ++
+      operators.Hnsw.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       evaluation.RetrievalEval.oracles ++ operators.Layout.oracles ++
       operators.ResponseCache.oracles ++ operators.ProductQuantization.oracles ++
       operators.Bpe.oracles ++ operators.Graph.oracles ++
-      operators.Perplexity.oracles ++ operators.DataQuality.oracles
+      operators.Perplexity.oracles ++ operators.DataQuality.oracles ++
+      operators.Hnsw.oracles
 }

@@ -218,10 +218,16 @@ object Graph {
       nodes = deg.filter(col("deg") >= k).select(col("src").as("id"))
       if (it % 3 == 0 || it == iters) nodes = nodes.localCheckpoint(true)
     }
-    sym.join(nodes, col("src") === col("id")).select("src", "dst")
+    // Emit from the SURVIVOR set, left-joined to the recount: before
+    // the fixpoint a last-round survivor can recount to zero against
+    // the final survivors — it must appear with core_deg 0 (matching
+    // the SQL oracle), not silently vanish via an inner join.
+    val deg = sym.join(nodes, col("src") === col("id")).select("src", "dst")
       .join(nodes.select(col("id").as("id2")), col("dst") === col("id2"))
       .groupBy("src").agg(count(lit(1)).as("core_deg"))
-      .select(col("src").as("doc_id"), col("core_deg"))
+    nodes.join(deg, col("id") === col("src"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.RandomHyperplane
+import graft.functions.VectorFunctions.dot
+
+/** HNSW-LITE: a deterministic hierarchical navigable-small-world ANN
+  * tier — the graph-index family of the reference's actual physical
+  * store (Chroma HNSW, `backend/app/services/vector/vector_db_service
+  * .py:73-76`, `hnsw:space=cosine`), re-expressed for a data-parallel
+  * engine. Classic HNSW (Malkov & Yashunin 2016) is built by
+  * SEQUENTIAL insertion with randomized levels — unreplayable across
+  * engines and hostile to distributed construction. This variant keeps
+  * the two load-bearing ideas (a level hierarchy for long hops + a
+  * navigable neighborhood graph for local hops) and makes both
+  * deterministic and bulk-buildable:
+  *
+  *  - LEVELS: node levels come from a seed-free hash of the id —
+  *    `level(v) = trailing-zeros(((v + 7) · 2860486313) >> 16)` capped
+  *    at `maxLevel` — the same geometric (p = 1/2) ladder HNSW draws
+  *    from `-ln(U)·mL`, but replayable bit-for-bit in SQL. The
+  *    multiplier is distinct from the RP-LSH planes' 2654435761 and
+  *    SyntheticVec's 2246822519, so levels are uncorrelated with both.
+  *  - EDGES: each level's graph is a blocked kNN graph — candidates
+  *    are LSH-blocked on the top `8 − 2·lvl` bits of the shared 8-bit
+  *    RP code (bucket count shrinks with the node population, so every
+  *    level keeps a similar occupancy), each node keeps its top-M by
+  *    (dot desc, id asc), and edges are symmetrized (directed top-M ∪
+  *    reverse, deduped — HNSW's reverse-link step without its heuristic
+  *    prune). Build is two shuffles per level: one equi-join on the
+  *    block key + one per-src window — the `ann_lsh_knn_join` shape,
+  *    never all-pairs.
+  *  - SEARCH: greedy beam descent. Entry = the (level desc, id asc)
+  *    first node; one expand-and-truncate round per upper level with a
+  *    narrow beam (`efUpper`), then `rounds0` rounds on level 0 with
+  *    the wide beam (`ef`); every truncation orders by (sim desc,
+  *    id asc). Fixed rounds instead of converge-detection keep the
+  *    whole walk a finite deterministic plan — the same choice kcore
+  *    makes — so the DuckDB oracle replays it exactly (list-packed
+  *    recursive CTE, the pagerank technique).
+  *
+  * Scale posture (100 TB): construction is per-level equi-join +
+  * window — shuffle-bounded by block occupancy, with the same hot-key
+  * defense as the LSH family (block key is a hash). The adjacency
+  * relation is (lvl, src, dst) partitionable by src; batch search
+  * (`searchBatch`) advances ALL queries one round per join against it
+  * — per-round shuffle ≤ queries × beam × degree rows, and co-
+  * partitioning adjacency + vectors by id makes the expand a local
+  * join. The single-query walk collects only beam ids (≤ ef ≪ corpus)
+  * per round — bounded driver state, faithful to the sequential
+  * algorithm the way V9's greedy is. */
+object Hnsw {
+
+  val MaxLevel = 3
+  val M = 8          // kept neighbors per node per level (pre-symmetrize)
+  val Ef = 24        // level-0 beam
+  val EfUpper = 4    // upper-level beam
+  val Rounds0 = 3    // level-0 expand rounds
+
+  /** Deterministic geometric level of an id column (0..maxLevel). */
+  def levelCol(id: Column, maxLevel: Int = MaxLevel): Column = {
+    val g = shiftright((id + lit(7L)) * lit(2860486313L), 16)
+    when(g % 2 === 1, lit(0)).when(g % 4 === 2, lit(1))
+      .when(g % 8 === 4, lit(2)).otherwise(lit(maxLevel))
+  }
+
+  /** DuckDB expression mirroring [[levelCol]] bit for bit. */
+  def levelSql(idExpr: String, maxLevel: Int = MaxLevel): String =
+    s"(CASE WHEN ((($idExpr + 7) * 2860486313) >> 16) % 2 = 1 THEN 0 " +
+      s"WHEN ((($idExpr + 7) * 2860486313) >> 16) % 4 = 2 THEN 1 " +
+      s"WHEN ((($idExpr + 7) * 2860486313) >> 16) % 8 = 4 THEN 2 " +
+      s"ELSE $maxLevel END)"
+
+  /** Bulk-build the level graphs: returns (lvl, src, dst) adjacency.
+    * `vectors` needs (vec_id, embedding). */
+  def build(vectors: DataFrame, m: Int = M, maxLevel: Int = MaxLevel): DataFrame = {
+    val lv = vectors.select(col("vec_id"), col("embedding"),
+      levelCol(col("vec_id"), maxLevel).as("nlvl"),
+      RandomHyperplane.codeCol(col("embedding")).as("code"))
+    (0 to maxLevel).map { l =>
+      val blkMod = 1L << math.max(8 - 2 * l, 1)
+      val n = lv.filter(col("nlvl") >= l)
+        .select(col("vec_id"), col("embedding"), (col("code") % blkMod).as("blk"))
+      val directed = n.select(col("blk"), col("vec_id").as("src"),
+          col("embedding").as("ea"))
+        .join(n.select(col("blk"), col("vec_id").as("dst"),
+          col("embedding").as("eb")), Seq("blk"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("sim", dot(col("ea"), col("eb")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+        .filter(col("rk") <= m).select("src", "dst")
+      directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().select(lit(l).as("lvl"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The search schedule: (level, beam width) per round — upper levels
+    * once each, narrow; level 0 `rounds0` times, wide. */
+  private def schedule(maxLevel: Int, ef: Int, efUpper: Int,
+                       rounds0: Int): Seq[(Int, Int)] =
+    (maxLevel to 1 by -1).map(l => (l, efUpper)) ++ Seq.fill(rounds0)((0, ef))
+
+  /** Single-query top-k via the deterministic beam walk. Driver state
+    * per round = the beam's ids (≤ ef) — the bounded-collect pattern
+    * (IVF centroids, V9 greedy), faithful to sequential HNSW search. */
+  def search(vectors: DataFrame, adj: DataFrame, q: Seq[Double], k: Int = 10,
+             ef: Int = Ef, efUpper: Int = EfUpper, rounds0: Int = Rounds0,
+             maxLevel: Int = MaxLevel): DataFrame = {
+    val sims = vectors.select(col("vec_id"),
+      dot(col("embedding"), typedLit(q)).as("sim"))
+    val entry = vectors
+      .select(col("vec_id"), levelCol(col("vec_id"), maxLevel).as("nlvl"))
+      .orderBy(col("nlvl").desc, col("vec_id").asc).limit(1)
+      .head().getLong(0)
+    var beam = Seq(entry)
+    for ((l, e) <- schedule(maxLevel, ef, efUpper, rounds0)) {
+      val nbrs = adj.filter(col("lvl") === l && col("src").isin(beam: _*))
+        .select("dst").distinct().collect().map(_.getLong(0))
+      val cand = (beam ++ nbrs).distinct
+      beam = sims.filter(col("vec_id").isin(cand: _*))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(e)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    sims.filter(col("vec_id").isin(beam: _*))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "vec_id", "sim").orderBy("rank")
+  }
+
+  /** Batch top-k: advance EVERY query one round per join — the scale
+    * path (Q × beam × degree rows shuffled per round, adjacency
+    * partitionable by src). `queries` needs (q_id, q_emb). */
+  def searchBatch(vectors: DataFrame, adj: DataFrame, queries: DataFrame,
+                  k: Int = 10, ef: Int = Ef, efUpper: Int = EfUpper,
+                  rounds0: Int = Rounds0, maxLevel: Int = MaxLevel): DataFrame = {
+    val entry = vectors
+      .select(col("vec_id"), levelCol(col("vec_id"), maxLevel).as("nlvl"))
+      .orderBy(col("nlvl").desc, col("vec_id").asc).limit(1)
+      .head().getLong(0)
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+    def scored(cand: DataFrame): DataFrame =
+      cand.join(emb, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("sim", dot(col("embedding"), col("q_emb")))
+        .select("q_id", "vec_id", "sim")
+    var beam = scored(queries.select(col("q_id"), lit(entry).as("vec_id")))
+    for ((l, e) <- schedule(maxLevel, ef, efUpper, rounds0)) {
+      val expand = beam.select(col("q_id"), col("vec_id").as("src"))
+        .join(adj.filter(col("lvl") === l), Seq("src"))
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+        .join(beam.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      beam = beam.unionByName(scored(expand))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
+        .filter(col("rk") <= e).drop("rk")
+        .localCheckpoint() // truncate the per-round join lineage
+    }
+    beam.withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "sim").orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- gates
+
+  private def embDouble(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  private def qvec(s: SparkSession, d: String, id: Long): Seq[Double] =
+    embDouble(s, d).filter(col("vec_id") === id)
+      .head().getSeq[Double](1)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The full tier end-to-end on the fixture: bulk build + the
+    // deterministic beam walk for query vec 0, top-10. Hash-exact:
+    // levels, blocks, edges, schedule and every truncation replay in
+    // the oracle's recursive CTE.
+    "ann_hnsw_topk" -> ((s, d) => {
+      val v = embDouble(s, d).persist()
+      val adj = build(v).persist()
+      val out = search(v, adj, qvec(s, d, 0))
+      out
+    }),
+    // Graph observability: per-level node/edge/degree stats — the
+    // index-health readout (a level with degree ~0 is a broken ladder)
+    // and a cheap full-replay cross-check of the builder.
+    "ann_hnsw_stats" -> ((s, d) => {
+      val v = embDouble(s, d)
+      build(v).groupBy("lvl")
+        .agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("n_edges"),
+          max(col("src")).as("max_src"))
+        .orderBy("lvl")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared SQL: levels + blocked symmetric kNN edges, mirroring
+    * [[build]] (codeSql = the RP-LSH replay, same planes). */
+  private def graphSql: String = {
+    import graft.functions.RandomHyperplane.codeSql
+    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |lvlt AS (SELECT vec_id, e, ${levelSql("vec_id")} AS nlvl,
+       |  ${codeSql("e")} AS code FROM emb),
+       |lvls AS (SELECT unnest([0, 1, 2, 3]) AS lvl),
+       |nodes AS (
+       |  SELECT l.lvl, c.vec_id, c.e,
+       |    c.code % (1 << greatest(8 - 2 * l.lvl, 1)) AS blk
+       |  FROM lvls l JOIN lvlt c ON c.nlvl >= l.lvl),
+       |dedges AS (
+       |  SELECT lvl, src, dst FROM (
+       |    SELECT a.lvl, a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.lvl, a.vec_id
+       |        ORDER BY list_inner_product(a.e, b.e) DESC, b.vec_id ASC) AS rk
+       |    FROM nodes a JOIN nodes b
+       |      ON a.lvl = b.lvl AND a.blk = b.blk AND a.vec_id <> b.vec_id)
+       |  WHERE rk <= ${M}),
+       |edges AS (SELECT DISTINCT lvl, src, dst FROM (
+       |  SELECT lvl, src, dst FROM dedges
+       |  UNION ALL SELECT lvl, dst AS src, src AS dst FROM dedges))""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    // The whole walk replayed list-packed (the pagerank technique):
+    // adjacency packed per level as a list-of-lists indexed by vec_id,
+    // sims as one list; each recursive step expands the beam through
+    // the level the schedule names and truncates by struct-sort on
+    // (-sim, id). Steps 1..3 = levels 3, 2, 1 at beam 4; steps 4..6 =
+    // level 0 at beam 24.
+    "ann_hnsw_topk" ->
+      s"""WITH RECURSIVE $graphSql,
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |adjl AS (SELECT lvl, src, list(dst ORDER BY dst) AS nbrs
+         |         FROM edges GROUP BY lvl, src),
+         |apack AS (
+         |  SELECT l.lvl,
+         |    list(COALESCE(a.nbrs, CAST([] AS BIGINT[])) ORDER BY d.vec_id)
+         |      AS adj
+         |  FROM lvls l CROSS JOIN emb d
+         |  LEFT JOIN adjl a ON a.lvl = l.lvl AND a.src = d.vec_id
+         |  GROUP BY l.lvl),
+         |simsl AS (
+         |  SELECT list(list_inner_product(e, (SELECT qe FROM q))
+         |              ORDER BY vec_id) AS sim
+         |  FROM emb),
+         |entry AS (SELECT vec_id FROM lvlt ORDER BY nlvl DESC, vec_id ASC LIMIT 1),
+         |walk AS (
+         |  SELECT 0 AS step,
+         |    [CAST((SELECT vec_id FROM entry) AS BIGINT)] AS beam
+         |  UNION ALL
+         |  SELECT w.step + 1,
+         |    list_transform(
+         |      list_sort(list_transform(
+         |        list_distinct(w.beam ||
+         |          flatten(list_transform(w.beam, u -> ap.adj[u + 1]))),
+         |        u -> {'s': -s.sim[u + 1], 'i': u}))
+         |      [1 : CASE WHEN w.step + 1 > ${MaxLevel} THEN ${Ef} ELSE ${EfUpper} END],
+         |      x -> x.i) AS beam
+         |  FROM walk w
+         |  JOIN apack ap ON ap.lvl =
+         |    CASE WHEN w.step + 1 <= ${MaxLevel} THEN ${MaxLevel} - w.step ELSE 0 END
+         |  CROSS JOIN simsl s
+         |  WHERE w.step < ${MaxLevel + Rounds0}),
+         |fin AS (SELECT unnest(beam) AS vec_id FROM walk
+         |        WHERE step = ${MaxLevel + Rounds0})
+         |SELECT row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank,
+         |  vec_id, sim
+         |FROM (SELECT f.vec_id,
+         |        list_inner_product(e.e, (SELECT qe FROM q)) AS sim
+         |      FROM fin f JOIN emb e ON e.vec_id = f.vec_id)
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "ann_hnsw_stats" ->
+      s"""WITH $graphSql
+         |SELECT lvl, count(DISTINCT src) AS n_nodes, count(*) AS n_edges,
+         |  max(src) AS max_src
+         |FROM edges GROUP BY lvl ORDER BY lvl""".stripMargin
+  )
+}

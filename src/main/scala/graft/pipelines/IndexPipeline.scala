@@ -819,6 +819,58 @@ object IndexPipeline {
           col("n_docs"), col("corpus_md5"))
     }),
 
+    // S27 — TAG-PINNED VACUUM (round-11 advisor's data-loss finding):
+    // retention must treat every tag-resolved snapshot as live —
+    // Iceberg-refs semantics — or a vacuum silently destroys the
+    // corpus an audit tag promised ("the data the model trained on").
+    // Episode: tag snapshot 1, two upserts on top, vacuum(retain=1).
+    // The tag pins snapshot 1 (its full digest must read back
+    // byte-identical through the tag), the untagged middle snapshot 2
+    // is expired, and exactly ONE superseded dir (doc 7's bucket at
+    // v2) is reclaimable. Then dropTag + re-vacuum: the pin released,
+    // the second pass reclaims snapshot 1's superseded base dirs —
+    // the oracle recomputes that count from doc_id%16 arithmetic.
+    "s27_tag_pinned_vacuum" -> ((s, d) => {
+      val dir = snapDir(d) + "_tvac"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      val docs = Tables.documents(s, d)
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("doc_id"), col("source").as("owner"),
+          md5(col("text")).as("text_md5"))
+      def dig(df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws("", array_sort(collect_list(concat(
+            col("doc_id").cast("string"), lit(":"), col("text_md5"))))))
+            .as("corpus_md5"))
+      VersionedStore.initialLoad(s, dir, rel(docs.filter(col("doc_id") < 150)),
+        nBuckets = 16)
+      VersionedStore.tagSnapshot(s, dir, "train-v1", 1)
+      VersionedStore.upsertVersioned(s, dir,
+        rel(docs.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "a", ".")))
+          .unionByName(rel(docs.filter(col("doc_id") >= 150 && col("doc_id") < 155))))
+      VersionedStore.upsertVersioned(s, dir,
+        rel(docs.filter(col("doc_id") === 7)
+          .withColumn("text", translate(col("text"), "e", "-"))))
+      val nDel1 = VersionedStore.vacuum(s, dir, retain = 1)
+      val snapsAfter1 = VersionedStore.snapshots(s, dir)
+      // materialize the tagged read NOW: the second vacuum (pin
+      // released) deletes the very files this plan references —
+      // deferring evaluation past it would read a vacuumed snapshot
+      val tagRow = dig(VersionedStore.readSnapshotByTag(s, dir, "train-v1")).head()
+      VersionedStore.dropTag(s, dir, "train-v1")
+      val nDel2 = VersionedStore.vacuum(s, dir, retain = 1)
+      val snapsAfter2 = VersionedStore.snapshots(s, dir)
+      dig(VersionedStore.readSnapshot(s, dir))
+        .select(lit(nDel1.toLong).as("n_deleted_pinned"),
+          lit(snapsAfter1.size.toLong).as("n_snapshots_pinned"),
+          lit(tagRow.getLong(0)).as("tag_docs"),
+          lit(tagRow.getString(1)).as("tag_md5"),
+          lit(nDel2.toLong).as("n_deleted_released"),
+          lit(snapsAfter2.size.toLong).as("n_snapshots_released"),
+          col("n_docs").as("head_docs"), col("corpus_md5").as("head_md5"))
+    }),
+
     // X18 — TAGGED CORPUS EXPORT, the end of the pipeline: ship the
     // EXACT corpus a tag names (not whatever the table head drifted
     // to) as token-budgeted gzip JSONL shards plus a verifiable
@@ -1912,6 +1964,49 @@ object IndexPipeline {
         |  count(*) AS n_docs,
         |  md5(string_agg(line, '' ORDER BY line)) AS corpus_md5
         |FROM lines""".stripMargin,
+    // S27 replayed from the same metadata arithmetic: while the tag
+    // pins snapshot 1 only doc 7's twice-rewritten bucket dir (v2,
+    // superseded by v3) is garbage → exactly 1; the tagged corpus is
+    // the ORIGINAL docs < 150; after dropTag the second vacuum
+    // reclaims snapshot 1's superseded base dirs — s26's del-count
+    // formula; the head is docs < 155 with doc 7's text under the
+    // SECOND rewrite (upserts replace whole docs, so 'e'->'-' applies
+    // to the original text).
+    "s27_tag_pinned_vacuum" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS owner, doc_id % 16 AS b
+        |  FROM documents WHERE doc_id < 150),
+        |up AS (
+        |  SELECT doc_id, source AS owner, doc_id % 16 AS b
+        |  FROM documents WHERE doc_id = 7 OR (doc_id >= 150 AND doc_id < 155)),
+        |tb AS (SELECT DISTINCT owner, b FROM up),
+        |del AS (
+        |  SELECT t.owner, t.b FROM tb t
+        |  WHERE EXISTS (SELECT 1 FROM base x
+        |                WHERE x.owner = t.owner AND x.b = t.b)),
+        |tagc AS (
+        |  SELECT CAST(doc_id AS VARCHAR) || ':' || md5(text) AS line
+        |  FROM documents WHERE doc_id < 150),
+        |tagd AS (
+        |  SELECT count(*) AS tag_docs,
+        |         md5(string_agg(line, '' ORDER BY line)) AS tag_md5
+        |  FROM tagc),
+        |headc AS (
+        |  SELECT CAST(doc_id AS VARCHAR) || ':' ||
+        |    CASE WHEN doc_id = 7 THEN md5(translate(text, 'e', '-'))
+        |         ELSE md5(text) END AS line
+        |  FROM documents WHERE doc_id < 155),
+        |headd AS (
+        |  SELECT count(*) AS head_docs,
+        |         md5(string_agg(line, '' ORDER BY line)) AS head_md5
+        |  FROM headc)
+        |SELECT CAST(1 AS BIGINT) AS n_deleted_pinned,
+        |  CAST(2 AS BIGINT) AS n_snapshots_pinned,
+        |  tag_docs, tag_md5,
+        |  (SELECT count(*) FROM del) AS n_deleted_released,
+        |  CAST(1 AS BIGINT) AS n_snapshots_released,
+        |  head_docs, head_md5
+        |FROM tagd, headd""".stripMargin,
     // X18 replayed: the tag pins snapshot 1 — ORIGINAL texts for all
     // docs < 150 (the later doc-7 upsert is invisible through the
     // tag); the naive single-window shard assignment over the same

@@ -154,15 +154,46 @@ object VersionedStore {
     require(fs.rename(tmp, dst), s"tagSnapshot: rename failed for $tag")
   }
 
-  /** Resolve a tag to its snapshot id. */
+  /** Resolve a tag to its snapshot id. Reads with a fill loop (a
+    * single InputStream.read may legally return short) and fails with
+    * a descriptive message on an empty or non-numeric tag file rather
+    * than an opaque index error. */
   def resolveTag(spark: SparkSession, path: String, tag: String): Int = {
     val fs = fsOf(spark, path)
     val f = new Path(s"${manifestDir(path)}/tag-$tag.txt")
     require(fs.exists(f), s"resolveTag: no tag '$tag' at $path")
     val in = fs.open(f)
     val bytes = new Array[Byte](32)
-    val n = in.read(bytes); in.close()
-    new String(bytes, 0, n, "UTF-8").trim.toInt
+    var n = 0
+    try {
+      var r = in.read(bytes, n, bytes.length - n)
+      while (r > 0) { n += r; r = in.read(bytes, n, bytes.length - n) }
+    } finally in.close()
+    require(n > 0, s"resolveTag: tag file for '$tag' at $path is empty")
+    val s = new String(bytes, 0, n, "UTF-8").trim
+    require(s.nonEmpty && s.forall(_.isDigit),
+      s"resolveTag: tag '$tag' at $path holds non-numeric content '$s'")
+    s.toInt
+  }
+
+  /** All tags at `path` with their resolved snapshot ids. */
+  def listTags(spark: SparkSession, path: String): Map[String, Int] = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(manifestDir(path))
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("tag-") && s.endsWith(".txt") =>
+        val name = s.stripPrefix("tag-").stripSuffix(".txt")
+        name -> resolveTag(spark, path, name)
+      }.toMap
+  }
+
+  /** Drop a tag (releases its vacuum pin). */
+  def dropTag(spark: SparkSession, path: String, tag: String): Unit = {
+    val fs = fsOf(spark, path)
+    val f = new Path(s"${manifestDir(path)}/tag-$tag.txt")
+    require(fs.exists(f), s"dropTag: no tag '$tag' at $path")
+    fs.delete(f, false)
   }
 
   /** Read the snapshot a tag names. */
@@ -260,7 +291,11 @@ object VersionedStore {
                                         layout: Option[Layout] = None,
                                         bloom: Option[BloomConfig] = None): Unit = {
     val fs = fsOf(spark, path)
-    val tmp = new Path(manifestFile(path, n) + ".tmp")
+    // tmp must be UNIQUE PER WRITER: two racers staging the same
+    // snapshot id would otherwise interleave writes into one shared
+    // tmp file and publish a mix (found by the racing-writers spec)
+    val tmp = new Path(manifestFile(path, n) +
+      s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val fin = new Path(manifestFile(path, n))
     if (!fs.exists(tmp.getParent)) fs.mkdirs(tmp.getParent)
     val header = layout.map {
@@ -279,17 +314,36 @@ object VersionedStore {
         e.bloom.map(h => s"\tbloom:$h").getOrElse(""))
       .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
-    // optimistic concurrency: a competing writer that already committed
-    // this snapshot id wins — the loser must re-read the new current
-    // snapshot and restage (its orphan v-dirs are invisible garbage).
-    // The exists+rename pair is not atomic on every filesystem; a
-    // production port swaps this for an atomic create-no-overwrite
-    // (HDFS createFile(overwrite=false), S3 if-none-match).
-    if (fs.exists(fin))
-      throw new java.util.ConcurrentModificationException(
-        s"versioned commit: snapshot $n already committed by another writer")
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"versioned commit: cannot rename $tmp → $fin")
+    // optimistic concurrency: EXACTLY ONE writer may publish snapshot
+    // n; every loser must get ConcurrentModificationException and
+    // restage (its orphan v-dirs are invisible garbage). The publish
+    // primitive must be atomic create-no-overwrite — an exists+rename
+    // pair has a TOCTOU window, and POSIX renameTo OVERWRITES an
+    // existing destination, silently discarding the racing winner's
+    // manifest (the racing-writers spec caught exactly this). Local
+    // fs: hard-link(2) the tmp into place — link fails with EEXIST
+    // atomically in the kernel. HDFS: rename is atomic and fails when
+    // the destination exists. S3: PUT with If-None-Match.
+    if (fs.getScheme == "file") {
+      val tmpP = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val finP = java.nio.file.Paths.get(fin.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(finP, tmpP)
+        java.nio.file.Files.deleteIfExists(tmpP)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmpP)
+          throw new java.util.ConcurrentModificationException(
+            s"versioned commit: snapshot $n already committed by another writer")
+      }
+    } else {
+      if (fs.exists(fin))
+        throw new java.util.ConcurrentModificationException(
+          s"versioned commit: snapshot $n already committed by another writer")
+      if (!fs.rename(tmp, fin))
+        throw new java.util.ConcurrentModificationException(
+          s"versioned commit: snapshot $n lost the atomic rename to another writer")
+    }
   }
 
 
@@ -423,12 +477,26 @@ object VersionedStore {
     // anti-joining only new-value buckets would silently duplicate it.
     // Locate prior copies with a doc_id-only probe of the remaining
     // buckets (parquet reads just the doc_id column; owner/bucket are
-    // partition dirs) and rewrite those buckets too. HashLayout needs
-    // none of this: bucket = f(doc_id) puts the old copy in a bucket
-    // the new row also maps to.
-    var probedBuckets = -1 // pruning evidence for the spec (clustered only)
+    // partition dirs) and rewrite those buckets too. HashLayout pins
+    // the bucket NUMBER (f(doc_id)) but the partition key is
+    // (owner, bucket): an upsert that changes a doc's OWNER would
+    // strand the old copy under the old owner — so hash probes the
+    // same bucket numbers under OTHER owners (bounded by
+    // owners x batch-buckets, never a table scan).
+    var probedBuckets = -1 // pruning evidence for the spec
     val relocated: Seq[(String, Long)] = layout match {
-      case HashLayout(_) => Nil
+      case HashLayout(_) =>
+        val newSet = newTouched.toSet
+        val batchBuckets = newTouched.map(_._2).toSet
+        val crossOwner = man.filter(e =>
+          batchBuckets(e.bucket) && !newSet((e.owner, e.bucket)))
+        probedBuckets = crossOwner.size
+        if (crossOwner.isEmpty) Nil
+        else scanEntries(spark, path, crossOwner)
+          .select("owner", "bucket", "doc_id")
+          .join(broadcast(nv.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+          .select("owner", "bucket").distinct()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       case _ =>
         val newSet = newTouched.toSet
         val rest0 = man.filterNot(e => newSet((e.owner, e.bucket)))
@@ -771,6 +839,15 @@ object VersionedStore {
     val snap = if (snapshot > 0) snapshot
     else currentSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"readSnapshot: no snapshot at $path"))
+    // a vacuumed (or never-committed) snapshot must fail CLEANLY here —
+    // a descriptive error naming what is still readable — never reach
+    // the scan and surface a partial read or a raw FileNotFound
+    if (snapshot > 0 && !fsOf(spark, path).exists(
+        new Path(manifestFile(path, snap))))
+      throw new IllegalStateException(
+        s"readSnapshot: snapshot $snap at $path is not readable " +
+          s"(vacuumed or never committed); retained snapshots: " +
+          s"${snapshots(spark, path).mkString(", ")}")
     scanEntries(spark, path, readManifestFull(spark, path, snap))
   }
 
@@ -953,11 +1030,20 @@ object VersionedStore {
   }
 
   /** Drop data dirs referenced by NO retained manifest (keep the last
-    * `retain` snapshots). Returns deleted dir count. */
+    * `retain` snapshots). Returns deleted dir count.
+    *
+    * TAGS PIN SNAPSHOTS (Iceberg refs semantics): every snapshot a
+    * `tag-*.txt` resolves to is unioned into the keep set before live
+    * keys are computed, so a tagged audit/rollback point stays
+    * readable by tag across any number of vacuums — retention only
+    * expires UNREFERENCED history. Dropping the tag (dropTag) releases
+    * the pin; the next vacuum reclaims it. */
   def vacuum(spark: SparkSession, path: String, retain: Int = 2): Int = {
     val fs = fsOf(spark, path)
     val snaps = snapshots(spark, path)
-    val keep = snaps.takeRight(retain)
+    val tagged = listTags(spark, path).values.toSet
+    val keep = (snaps.takeRight(retain) ++ snaps.filter(tagged)).distinct.sorted
+    val keepSet = keep.toSet
     // live keys as the last three path segments: owner=o/bucket=b/v=N
     val live = keep.flatMap(readManifest(spark, path, _))
       .map { case (o, b, v) => s"owner=$o/bucket=$b/v=$v" }.toSet
@@ -970,8 +1056,8 @@ object VersionedStore {
         val key = s"${oDir.getPath.getName}/${bDir.getPath.getName}/${vDir.getPath.getName}"
         if (!live.contains(key)) { fs.delete(vDir.getPath, true); deleted += 1 }
       }
-      // drop superseded manifests
-      snaps.dropRight(retain).foreach(n =>
+      // drop superseded manifests (never a tagged one)
+      snaps.filterNot(keepSet).foreach(n =>
         fs.delete(new Path(manifestFile(path, n)), false))
     }
     // reclaim delete-vector dirs no retained manifest references

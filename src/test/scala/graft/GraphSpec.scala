@@ -116,4 +116,33 @@ class GraphSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(r12.size < n, "peel removed nothing - fixture degenerate")
   }
+
+  test("kcore pre-convergence: output keeps EVERY survivor (incl. recount < k and 0), matching a driver-side peel") {
+    // k and iters are parameters; before the fixpoint a last-round
+    // survivor can recount BELOW k (even to 0) against the final
+    // survivor set — it must appear with that degree, not be dropped
+    // by an inner join (the SQL oracle emits it).
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    val sym = {
+      val e = graft.operators.Graph.edges(docs, 500)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      (e ++ e.map(_.swap)).toSet
+    }
+    spark.catalog.clearCache()
+    val adj = sym.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    for ((k, iters) <- Seq((6, 1), (6, 2), (7, 1))) {
+      var alive = (0L until 500L).toSet
+      for (_ <- 1 to iters)
+        alive = alive.filter(u => adj(u).count(alive) >= k)
+      val expected = alive.map(u => u -> adj(u).count(alive).toLong).toMap
+      val got = graft.operators.Graph.kcore(spark, sf, k = k, iters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      spark.catalog.clearCache()
+      assert(got == expected,
+        s"k=$k iters=$iters: spark ${got.size} rows vs sim ${expected.size} " +
+          s"(missing: ${(expected.keySet -- got.keySet).take(5)})")
+    }
+  }
 }

@@ -606,4 +606,160 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(scanned <= total)
     spark.catalog.clearCache()
   }
+
+  test("tags pin snapshots across vacuum; dropTag releases the pin; vacuumed reads fail cleanly") {
+    val dir = freshDir("tagvac")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    val snap1 = digest(VersionedStore.readSnapshot(spark, dir, 1))
+    VersionedStore.tagSnapshot(spark, dir, "train-v1", 1)
+    VersionedStore.upsertVersioned(spark, dir, IndexPipeline.buildIndex(modified))
+    VersionedStore.upsertVersioned(spark, dir,
+      IndexPipeline.buildIndex(docs.filter(col("doc_id") === 9)
+        .withColumn("text", translate(col("text"), "o", "0"))))
+    assert(VersionedStore.snapshots(spark, dir) == Seq(1, 2, 3))
+    // retain=1 would normally keep only snapshot 3 — the tag pins 1
+    VersionedStore.vacuum(spark, dir, retain = 1)
+    assert(VersionedStore.snapshots(spark, dir) == Seq(1, 3),
+      "tagged snapshot 1 must survive retention")
+    // the tagged corpus is byte-identical after vacuum, repeatedly
+    assert(digest(VersionedStore.readSnapshotByTag(spark, dir, "train-v1")) == snap1)
+    VersionedStore.vacuum(spark, dir, retain = 1)
+    assert(digest(VersionedStore.readSnapshotByTag(spark, dir, "train-v1")) == snap1)
+    // the UNTAGGED middle snapshot was expired, and reading it fails
+    // with a descriptive error (not FileNotFound / partial data)
+    val ex = intercept[IllegalStateException] {
+      VersionedStore.readSnapshot(spark, dir, 2)
+    }
+    assert(ex.getMessage.contains("vacuumed") &&
+      ex.getMessage.contains("retained snapshots"), ex.getMessage)
+    // dropping the tag releases the pin: the next vacuum reclaims it
+    VersionedStore.dropTag(spark, dir, "train-v1")
+    VersionedStore.vacuum(spark, dir, retain = 1)
+    assert(VersionedStore.snapshots(spark, dir) == Seq(3))
+    assert(VersionedStore.listTags(spark, dir).isEmpty)
+    // the head is still byte-complete after all three vacuums
+    assert(VersionedStore.readSnapshot(spark, dir).count() ==
+      IndexPipeline.buildIndex(docs).count())
+    spark.catalog.clearCache()
+  }
+
+  test("resolveTag: short reads handled, empty and corrupt tag files fail descriptively") {
+    val dir = freshDir("tagio")
+    VersionedStore.initialLoad(spark, dir, IndexPipeline.buildIndex(docs))
+    VersionedStore.tagSnapshot(spark, dir, "ok", 1)
+    assert(VersionedStore.resolveTag(spark, dir, "ok") == 1)
+    // hand-plant an empty tag file: must fail with a clear message
+    val manifest = new java.io.File(s"$dir/manifest")
+    java.nio.file.Files.write(
+      new java.io.File(manifest, "tag-empty.txt").toPath, Array.empty[Byte])
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedStore.resolveTag(spark, dir, "empty")
+    }
+    assert(e1.getMessage.contains("empty"), e1.getMessage)
+    // and a corrupt (non-numeric) one names the content
+    java.nio.file.Files.write(
+      new java.io.File(manifest, "tag-bad.txt").toPath,
+      "not-a-snapshot".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedStore.resolveTag(spark, dir, "bad")
+    }
+    assert(e2.getMessage.contains("non-numeric"), e2.getMessage)
+    spark.catalog.clearCache()
+  }
+
+  test("hash layout: an owner-changing upsert leaves no stale cross-owner copy") {
+    val dir = freshDir("ownmove")
+    def rel(dd: org.apache.spark.sql.DataFrame) =
+      dd.select(col("doc_id"), col("source").as("owner"),
+        md5(col("text")).as("text_md5"))
+    val all = rel(Tables.documents(spark, sf).filter(col("doc_id") < 100))
+    VersionedStore.initialLoad(spark, dir, all, nBuckets = 8)
+    // re-home doc 7 under a brand-new owner (a user migration / an
+    // ACL re-assignment): bucket number is pinned by f(doc_id), but
+    // the partition key is (owner, bucket) — the old copy lives in a
+    // dir the new row does not touch
+    val victim = all.filter(col("doc_id") === 7)
+    val oldOwner = victim.select("owner").head().getString(0)
+    val moved = victim.withColumn("owner", lit("migrated-tenant"))
+      .withColumn("text_md5", lit("rehomed"))
+    VersionedStore.upsertVersioned(spark, dir, moved, nBuckets = 8)
+    val now = VersionedStore.readSnapshot(spark, dir)
+      .filter(col("doc_id") === 7).collect()
+    assert(now.length == 1, s"stale cross-owner duplicate: ${now.toSeq}")
+    assert(now.head.getAs[String]("owner") == "migrated-tenant")
+    assert(now.head.getAs[String]("text_md5") == "rehomed")
+    assert(VersionedStore.readSnapshot(spark, dir).count() == all.count())
+    // the probe is BOUNDED: only same-bucket-number entries under
+    // other owners were scanned, never the whole manifest
+    val st = VersionedStore.stageVersion(spark, dir,
+      moved.withColumn("text_md5", lit("again")), nBuckets = 8)
+    val man = VersionedStore.readManifestFull(spark, dir,
+      VersionedStore.currentSnapshot(spark, dir).get)
+    val sameBucket = man.count(_.bucket == 7L % 8)
+    assert(st.probedBuckets >= 0 && st.probedBuckets < sameBucket,
+      s"hash probe must be bounded by same-bucket entries: " +
+        s"probed ${st.probedBuckets} of ${man.size} (same-bucket $sameBucket)")
+    assert(oldOwner != "migrated-tenant")
+    spark.catalog.clearCache()
+  }
+
+  test("concurrent writers: N racing upsert threads all land via retry; no lost update; snapshots stay contiguous") {
+    val dir = freshDir("race")
+    def rel(dd: org.apache.spark.sql.DataFrame) =
+      dd.select(col("doc_id"), col("source").as("owner"),
+        md5(col("text")).as("text_md5"))
+    val all = rel(Tables.documents(spark, sf).filter(col("doc_id") < 64))
+    VersionedStore.initialLoad(spark, dir, all, nBuckets = 16)
+    // four writers, each re-writing ONE doc in a DISTINCT bucket
+    // (single-writer is the documented constraint for STAGING into
+    // overlapping buckets; disjoint-bucket writers racing the COMMIT
+    // rename is the contract this pins: losers fail loudly and
+    // converge by restaging)
+    val victims = Seq(1L, 2L, 3L, 4L)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val attemptsTotal = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = victims.map { vid =>
+      new Thread(() => {
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 30) {
+          attempts += 1
+          attemptsTotal.incrementAndGet()
+          try {
+            VersionedStore.upsertVersioned(spark, dir,
+              all.filter(col("doc_id") === vid)
+                .withColumn("text_md5", lit(s"winner-$vid")), nBuckets = 16)
+            done = true
+          } catch {
+            // CME = lost the commit rename; anything else non-fatal =
+            // a staging collision (shared _temporary dir). Both are
+            // LOUD failures — the contract is they never corrupt, and
+            // the retry loop converges (asserted below).
+            case scala.util.control.NonFatal(_) =>
+              Thread.sleep(13 * vid)
+          }
+        }
+        if (!done) errors.add(new IllegalStateException(
+          s"writer $vid did not converge in $attempts attempts"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"writers failed: ${errors.toArray.toSeq}")
+    // every writer's update landed (no lost update)
+    val finalRows = VersionedStore.readSnapshot(spark, dir)
+      .filter(col("doc_id").isin(victims: _*))
+      .select("doc_id", "text_md5").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    victims.foreach(v => assert(finalRows.get(v).contains(s"winner-$v"),
+      s"lost update for writer $v: ${finalRows.get(v)}"))
+    // manifest monotonicity: snapshots are exactly 1..(1+4), no gaps,
+    // no over-commits — each successful upsert is one snapshot
+    val snaps = VersionedStore.snapshots(spark, dir)
+    assert(snaps == (1 to 5), s"non-contiguous snapshot history: $snaps")
+    // corpus integrity: nothing duplicated, nothing dropped
+    assert(VersionedStore.readSnapshot(spark, dir).count() == all.count())
+    assert(VersionedStore.readSnapshot(spark, dir)
+      .groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    spark.catalog.clearCache()
+  }
 }
