@@ -25,14 +25,20 @@ import graft.functions.VectorFunctions.dot
   *    multiplier is distinct from the RP-LSH planes' 2654435761 and
   *    SyntheticVec's 2246822519, so levels are uncorrelated with both.
   *  - EDGES: each level's graph is a blocked kNN graph — candidates
-  *    are LSH-blocked on the top `8 − 2·lvl` bits of the shared 8-bit
-  *    RP code (bucket count shrinks with the node population, so every
-  *    level keeps a similar occupancy), each node keeps its top-M by
-  *    (dot desc, id asc), and edges are symmetrized (directed top-M ∪
-  *    reverse, deduped — HNSW's reverse-link step without its heuristic
-  *    prune). Build is two shuffles per level: one equi-join on the
-  *    block key + one per-src window — the `ann_lsh_knn_join` shape,
-  *    never all-pairs.
+  *    are LSH-blocked on the low `max(B0 − lvl, 1)` bits of the shared
+  *    8-bit RP code. Node population halves per level and so does the
+  *    bucket count, so occupancy is CONSTANT (≈ n / 2^B0) at every
+  *    level — at 100 TB, B0 = log2(n / target-occupancy) keeps the
+  *    per-bucket join bounded. Each node's candidates come from its
+  *    own block plus every Hamming-1 probe block (the multiprobe trick
+  *    from `ann_rp_lsh`) — without cross-block probes the graph
+  *    fractures at bucket boundaries and the walk cannot navigate
+  *    (measured: recall@10 0.2 vs 1.0 on the fixture). Each node keeps
+  *    its top-M by (dot desc, id asc); edges are symmetrized (directed
+  *    top-M ∪ reverse, deduped — HNSW's reverse-link step without its
+  *    heuristic prune). Build is two shuffles per level: one equi-join
+  *    on the block key + one per-src window — the `ann_lsh_knn_join`
+  *    shape, never all-pairs.
   *  - SEARCH: greedy beam descent. Entry = the (level desc, id asc)
   *    first node; one expand-and-truncate round per upper level with a
   *    narrow beam (`efUpper`), then `rounds0` rounds on level 0 with
@@ -56,15 +62,28 @@ object Hnsw {
 
   val MaxLevel = 3
   val M = 8          // kept neighbors per node per level (pre-symmetrize)
+  val B0 = 4         // level-0 block bits (buckets = 2^B0; scale with n)
   val Ef = 24        // level-0 beam
   val EfUpper = 4    // upper-level beam
   val Rounds0 = 3    // level-0 expand rounds
 
-  /** Deterministic geometric level of an id column (0..maxLevel). */
+  /** Block bits at a level: halve buckets as the population halves —
+    * occupancy stays ≈ n / 2^b0 at every level. Blocks NEST (one bit
+    * of code resolution dropped per level), so each level's edges span
+    * two child blocks of the level below: the ladder itself is the
+    * cross-block routing structure, all the way to bits = 0 where the
+    * thin top levels are single-block all-pairs over a handful of
+    * nodes. */
+  def blockBits(l: Int, b0: Int = B0): Int = math.max(b0 - l, 0)
+
+  /** Deterministic geometric level of an id column (0..maxLevel):
+    * trailing-zero count of the mixed hash, capped. P(level ≥ l) =
+    * 2^−l — HNSW's geometric ladder without its RNG. maxLevel scales
+    * as ~log2(n / occupancy) so the top level is a handful of nodes. */
   def levelCol(id: Column, maxLevel: Int = MaxLevel): Column = {
     val g = shiftright((id + lit(7L)) * lit(2860486313L), 16)
-    when(g % 2 === 1, lit(0)).when(g % 4 === 2, lit(1))
-      .when(g % 8 === 4, lit(2)).otherwise(lit(maxLevel))
+    (0 until maxLevel).foldRight(lit(maxLevel): Column)((l, acc) =>
+      when(g % lit(1L << (l + 1)) === lit(1L << l), lit(l)).otherwise(acc))
   }
 
   /** DuckDB expression mirroring [[levelCol]] bit for bit. */
@@ -75,21 +94,42 @@ object Hnsw {
       s"ELSE $maxLevel END)"
 
   /** Bulk-build the level graphs: returns (lvl, src, dst) adjacency.
-    * `vectors` needs (vec_id, embedding). */
-  def build(vectors: DataFrame, m: Int = M, maxLevel: Int = MaxLevel): DataFrame = {
+    * `vectors` needs (vec_id, embedding). `codeFn` supplies the block
+    * code (the engine default is the shared 8-bit RP code; BenchVec
+    * passes splitmix planes — see its occupancy note); `probeRadius` 1
+    * adds every Hamming-1 probe block to the candidate set (the
+    * fixture's recall lever at tiny occupancy); at scale the nested-
+    * block ladder already routes across blocks and radius 0 keeps the
+    * candidate join at occupancy × n pairs. Only (src, dst, sim)
+    * reaches the window exchange — the embeddings stay on the
+    * equi-join side, never in the big shuffle. */
+  def build(vectors: DataFrame, m: Int = M, maxLevel: Int = MaxLevel,
+            b0: Int = B0, probeRadius: Int = 1,
+            codeFn: Column => Column = RandomHyperplane.codeCol(_)): DataFrame = {
     val lv = vectors.select(col("vec_id"), col("embedding"),
       levelCol(col("vec_id"), maxLevel).as("nlvl"),
-      RandomHyperplane.codeCol(col("embedding")).as("code"))
+      codeFn(col("embedding")).as("code"))
     (0 to maxLevel).map { l =>
-      val blkMod = 1L << math.max(8 - 2 * l, 1)
+      val bits = blockBits(l, b0)
       val n = lv.filter(col("nlvl") >= l)
-        .select(col("vec_id"), col("embedding"), (col("code") % blkMod).as("blk"))
-      val directed = n.select(col("blk"), col("vec_id").as("src"),
-          col("embedding").as("ea"))
+        .select(col("vec_id"), col("embedding"),
+          (col("code") % lit(1L << math.max(bits, 0))).as("blk"))
+      // a-side replicated into its own block (+ every Hamming-1 probe
+      // block at radius 1); a candidate pair appears exactly once (b
+      // sits in one block, and the probe set's blocks are distinct)
+      val probeCols =
+        if (probeRadius <= 0 || bits == 0) Seq(col("blk"))
+        else (0 to bits).map(p =>
+          if (p == bits) col("blk")
+          else col("blk").bitwiseXOR(lit(1L << p)))
+      val probed = n.withColumn("pblk", explode(array(probeCols: _*)))
+      val directed = probed.select(col("pblk").as("blk"),
+          col("vec_id").as("src"), col("embedding").as("ea"))
         .join(n.select(col("blk"), col("vec_id").as("dst"),
           col("embedding").as("eb")), Seq("blk"))
         .filter(col("src") =!= col("dst"))
         .withColumn("sim", dot(col("ea"), col("eb")))
+        .select("src", "dst", "sim")
         .withColumn("rk", row_number().over(
           Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
         .filter(col("rk") <= m).select("src", "dst")
@@ -212,15 +252,21 @@ object Hnsw {
        |lvls AS (SELECT unnest([0, 1, 2, 3]) AS lvl),
        |nodes AS (
        |  SELECT l.lvl, c.vec_id, c.e,
-       |    c.code % (1 << greatest(8 - 2 * l.lvl, 1)) AS blk
+       |    c.code % (1 << greatest($B0 - l.lvl, 0)) AS blk
        |  FROM lvls l JOIN lvlt c ON c.nlvl >= l.lvl),
+       |aprobe AS (
+       |  SELECT a.lvl, a.vec_id, a.e,
+       |    CASE WHEN pp.p = greatest($B0 - a.lvl, 0) THEN a.blk
+       |         ELSE xor(a.blk, 1 << pp.p) END AS pblk
+       |  FROM nodes a JOIN (SELECT unnest(range(0, ${B0 + 1})) AS p) pp
+       |    ON pp.p <= greatest($B0 - a.lvl, 0)),
        |dedges AS (
        |  SELECT lvl, src, dst FROM (
        |    SELECT a.lvl, a.vec_id AS src, b.vec_id AS dst,
        |      row_number() OVER (PARTITION BY a.lvl, a.vec_id
        |        ORDER BY list_inner_product(a.e, b.e) DESC, b.vec_id ASC) AS rk
-       |    FROM nodes a JOIN nodes b
-       |      ON a.lvl = b.lvl AND a.blk = b.blk AND a.vec_id <> b.vec_id)
+       |    FROM aprobe a JOIN nodes b
+       |      ON a.lvl = b.lvl AND a.pblk = b.blk AND a.vec_id <> b.vec_id)
        |  WHERE rk <= ${M}),
        |edges AS (SELECT DISTINCT lvl, src, dst FROM (
        |  SELECT lvl, src, dst FROM dedges
