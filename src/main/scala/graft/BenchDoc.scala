@@ -330,6 +330,70 @@ object BenchDoc {
       spark.catalog.clearCache()
     }
 
+    // ---- Store-episode FLATNESS (round-11 verdict task 6): the
+    // bench's top queries are all fixed-cost disk episodes at sf0.1;
+    // pin the "bounded by touched buckets + per-action constant"
+    // claim by running the same churn episode against a sf0.1-sized
+    // store (~5k docs, 16 buckets) and a 100×-doc store (500k docs,
+    // 1,600 buckets — bucket count scales with the corpus so
+    // OCCUPANCY is constant, the 100 TB posture). Episode legs:
+    //   epi_upsert1      doc-granular upsert (write-audit-publish)
+    //   epi_pointread    bucket-pruned read of the churned doc, both
+    //                    snapshots (manifest = the pruning index)
+    //   epi_softdelete6  merge-on-read dv write for 6 victims
+    //   epi_cdc_feed     manifest-diff change feed across all three
+    //                    transitions (O(churn) scan)
+    // Flat = each leg's 500k/sf01 ratio ≈ 1 (PERF.md quotes the pair).
+    locally {
+      import graft.pipelines.{IndexPipeline, VersionedStore}
+      val small = Tables.documents(spark, sfDir).filter(col("n_chars") > 0)
+        .select(col("doc_id"), concat(lit("o"),
+          pmod(col("doc_id"), lit(20L))).as("owner"), md5(col("text")).as("text_md5"))
+      val big = corpus // 500k replicas, same schema via the same projection
+        .select(col("doc_id"), concat(lit("o"),
+          pmod(col("doc_id"), lit(20L))).as("owner"), md5(col("text")).as("text_md5"))
+      for ((label, relDf, nB) <- Seq(("sf01", small, 16), ("500k", big, 1600))) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_bd_store_$label").toString + "/store"
+        val lo = relDf.select(min(col("doc_id"))).head().getLong(0)
+        timed(s"store_load_$label") {
+          VersionedStore.initialLoad(spark, dir, relDf, nBuckets = nB)
+        }
+        val victim = lo + 7
+        timed(s"epi_upsert1_$label") {
+          VersionedStore.upsertVersioned(spark, dir,
+            relDf.filter(col("doc_id") === victim)
+              .withColumn("text_md5", lit("churned")), nBuckets = nB)
+        }
+        timed(s"epi_pointread_$label") {
+          Seq(1, 2).foreach { snap =>
+            val man = VersionedStore.readManifestFull(spark, dir, snap)
+              .filter(_.bucket == victim % nB)
+            val n = VersionedStore.scanEntries(spark, dir, man)
+              .filter(col("doc_id") === victim).count()
+            require(n == 1, s"point read lost the doc: $n")
+          }
+        }
+        timed(s"epi_softdelete6_$label") {
+          VersionedStore.softDelete(spark, dir,
+            relDf.filter(col("doc_id").isin(((lo + 1) to (lo + 6)): _*))
+              .select("doc_id"))
+        }
+        timed(s"epi_cdc_feed_$label") {
+          Seq((1, 2), (2, 3)).foreach { case (a, b) =>
+            val (feed, changed, total) =
+              IndexPipeline.snapshotCdcFeedFast(spark, dir, a, b)
+            stats(s"cdc_${a}to${b}_${label}") =
+              s"${feed.count()} rows, $changed of $total buckets"
+          }
+        }
+        spark.catalog.clearCache()
+      }
+      for (leg <- Seq("epi_upsert1", "epi_pointread", "epi_softdelete6", "epi_cdc_feed"))
+        stats(s"${leg}_ratio_500k_vs_sf01") =
+          f3(timings(s"${leg}_500k") / timings(s"${leg}_sf01"))
+    }
+
     val json =
       "{\"timings_sec\":" +
         timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}") +

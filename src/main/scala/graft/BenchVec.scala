@@ -108,6 +108,39 @@ object BenchVec extends Serializable {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val bytesPerLeg = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+    // Box-weather probe — the SAME fixed probe graft.Bench runs, so
+    // BENCHVEC numbers can be normalized against BENCH_DETAIL's window
+    // (round-11 verdict task 2). Reported as a top-level field.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .select((col("id") % 97651L).as("k"),
+          xxhash64(xxhash64(col("id")), col("id")).as("h"))
+        .groupBy("k").agg(sum(col("h")).as("s"), count(lit(1)).as("c"))
+        .orderBy(col("s")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warmup
+    val calSamples = scala.collection.mutable.ArrayBuffer(calibrate())
+
+    // Scan-bytes metering (round-11 verdict task 1): /proc/self/io
+    // rchar — bytes the JVM pulled through read() syscalls, page-cache
+    // hits included, which is exactly "bytes touched from the store",
+    // the number the compressed tiers exist to shrink. Task-level
+    // InputMetrics and Hadoop FS statistics were tried first and count
+    // ONLY parquet footers under Spark 4.1's vectorized reader
+    // (measured: 179 KB reported for a 1.5 GB embedding scan; rchar
+    // reports 1.56 GB, and drops to 2.5 MB for a vec_id-only
+    // projection — so it also witnesses column pruning). Local mode
+    // puts driver+executors in one process, so the process-wide
+    // counter is the whole engine; small shuffle traffic is included
+    // but the metered legs are scan-dominated.
+    def processReadBytes(): Long =
+      scala.io.Source.fromFile("/proc/self/io").getLines()
+        .collectFirst { case l if l.startsWith("rchar:") =>
+          l.stripPrefix("rchar:").trim.toLong }.get
     // pre-seed from the previous artifact so build stages skipped by
     // the layout cache keep their last measured cost instead of
     // silently vanishing from the JSON on a partial re-run
@@ -140,6 +173,19 @@ object BenchVec extends Serializable {
       val t1 = System.nanoTime()
       val r = body
       timings(name) = math.min(s1, (System.nanoTime() - t1) / 1e9)
+      r
+    }
+    // timedMin2 + scan-bytes of the SECOND pass (steady state): the
+    // rchar delta around pass 2 only.
+    def timedMin2B[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      body
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val b0 = processReadBytes()
+      val t1 = System.nanoTime()
+      val r = body
+      timings(name) = math.min(s1, (System.nanoTime() - t1) / 1e9)
+      bytesPerLeg(name) = processReadBytes() - b0
       r
     }
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -215,7 +261,7 @@ object BenchVec extends Serializable {
     }
 
     // ---- brute force: the exact baseline ----
-    val brute: Seq[Set[Long]] = timedMin2("brute_force_knn_8q") {
+    val brute: Seq[Set[Long]] = timedMin2B("brute_force_knn_8q") {
       (0 until NQueries).map { i =>
         Search.knn(corpus, qv(i), 10, -1.0, idCol = "vec_id")
           .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -228,7 +274,7 @@ object BenchVec extends Serializable {
     // above is the headline number for query-throughput serving. ----
     val qbatch: Seq[(Long, Seq[Double])] =
       (0 until NQueries).map(i => (i.toLong, qv(i)))
-    val batchHits: Map[Long, Set[Long]] = timedMin2("batch_knn_8q_one_scan") {
+    val batchHits: Map[Long, Set[Long]] = timedMin2B("batch_knn_8q_one_scan") {
       Search.knnBatch(corpus, qbatch, 10, -1.0)
         .select("q_id", "vec_id").collect()
         .groupBy(_.getLong(0))
@@ -258,7 +304,7 @@ object BenchVec extends Serializable {
         .write.mode("overwrite").partitionBy("tenant", "cell").parquet(ivfPath)
     }
     val ivfIndexed = spark.read.parquet(ivfPath)
-    val ivfHits: Seq[Set[Long]] = timedMin2("ivf_topk_8q_nprobe4") {
+    val ivfHits: Seq[Set[Long]] = timedMin2B("ivf_topk_8q_nprobe4") {
       (0 until NQueries).map { i =>
         val cells = Search.ivfProbeCells(centroids, "u1", qv(i), NProbe)
         Search.knn(ivfIndexed.filter(col("cell").isin(cells: _*)), qv(i), 10, -1.0,
@@ -410,7 +456,7 @@ object BenchVec extends Serializable {
         .write.mode("overwrite").parquet(pqPath)
     }
     val pqEnc = spark.read.parquet(pqPath)
-    val pqHits: Seq[Set[Long]] = timedMin2("pq_adc_topk_8q_rescore200") {
+    val pqHits: Seq[Set[Long]] = timedMin2B("pq_adc_topk_8q_rescore200") {
       (0 until NQueries).map { i =>
         // ADC over the 96 B/row codes table (codegen AdcScore), then
         // the 200 survivors fetched from the id-sorted raw store with
@@ -467,7 +513,7 @@ object BenchVec extends Serializable {
       while (i < 64) { if (q(w * 64 + i) > 0.0) acc |= (1L << i); i += 1 }
       acc
     }
-    val binHits: Seq[Set[Long]] = timedMin2("binary_hamming_8q_rescore200") {
+    val binHits: Seq[Set[Long]] = timedMin2B("binary_hamming_8q_rescore200") {
       (0 until NQueries).map { i =>
         val qw = packQ(qv(i))
         // 12 unrolled bit_count(word ^ query-word) terms — plain
@@ -501,7 +547,7 @@ object BenchVec extends Serializable {
         .write.mode("overwrite").partitionBy("cell").parquet(ivfpqPath)
     }
     val ivfpq = spark.read.parquet(ivfpqPath)
-    val ivfpqHits: Seq[Set[Long]] = timedMin2("ivfpq_topk_8q_nprobe8_rescore200") {
+    val ivfpqHits: Seq[Set[Long]] = timedMin2B("ivfpq_topk_8q_nprobe8_rescore200") {
       (0 until NQueries).map { i =>
         val cells = Search.ivfProbeCells(centroids, "u1", qv(i), 8)
         val cand = ivfpq.filter(col("cell").isin(cells: _*))
@@ -597,7 +643,7 @@ object BenchVec extends Serializable {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / n).toSeq
     }
-    val cluBrute: Seq[Set[Long]] = timedMin2("clu_brute_force_8q") {
+    val cluBrute: Seq[Set[Long]] = timedMin2B("clu_brute_force_8q") {
       (0 until NQueries).map { i =>
         Search.knn(clu, cluQv(i), 10, -1.0, idCol = "vec_id")
           .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -649,7 +695,7 @@ object BenchVec extends Serializable {
     }
     val cluByid = spark.read.parquet(cluByidPath)
     val cluPqEnc = spark.read.parquet(cluPqPath)
-    val cluPqHits: Seq[Set[Long]] = timedMin2("clu_pq_adc_topk_8q_rescore200") {
+    val cluPqHits: Seq[Set[Long]] = timedMin2B("clu_pq_adc_topk_8q_rescore200") {
       (0 until NQueries).map { i =>
         val cand = cluPqEnc
           .withColumn("adc", VectorFunctions.adcScore(col("codes"),
@@ -664,10 +710,62 @@ object BenchVec extends Serializable {
     stats("clu_pq_target_found") =
       f3((0 until NQueries).count(i => cluPqHits(i).contains(8000L * i)).toDouble / NQueries)
 
+    // ---- HNSW-lite on the clustered corpus: the graph tier at scale.
+    // maxLevel 13 ≈ log2(500k/60): the top level is ~60 nodes in one
+    // all-pairs block; block bits drop one per level so occupancy
+    // stays ~60 everywhere and the nested blocks route across space.
+    // Build blocks on 13 splitmix planes (same occupancy reasoning as
+    // the LSH section), sibling probes on — each level's edges span
+    // exactly its parent block (the flip of the newest top bit),
+    // which is the cross-block link the descent needs.
+    // Search cost per query ≈ beam × degree × rounds dots (~1–2k) vs
+    // nProbe/nCells × n (~31k at probe 4) for IVF — the asymptotic
+    // story; wall-clock at bench scale is scheduler-bound, which the
+    // visited-candidates stat makes explicit. ----
+    val HMaxLevel = 13
+    val hPlanes = mkPlanes(HMaxLevel, 7200000L)
+    val hnswPath = s"$vecDir/vec768_500k_clu_hnsw"
+    buildIfStale(hnswPath, "clu_hnsw_build") {
+      graft.operators.Hnsw.build(clu, m = 8, maxLevel = HMaxLevel,
+          b0 = HMaxLevel, siblingProbe = true,
+          codeFn = c => codeUdf(hPlanes)(c))
+        .write.mode("overwrite").partitionBy("lvl").parquet(hnswPath)
+    }
+    val hAdj = spark.read.parquet(hnswPath)
+    val hEdges = hAdj.count()
+    stats("clu_hnsw_edges") = hEdges.toString
+    val hnswHits: Seq[Set[Long]] = timedMin2B("clu_hnsw_topk_8q") {
+      (0 until NQueries).map { i =>
+        graft.operators.Hnsw.search(clu, hAdj, cluQv(i), k = 10,
+            maxLevel = HMaxLevel)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    stats("clu_hnsw_recall_at_10") =
+      f3(hnswHits.zip(cluBrute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+    stats("clu_hnsw_target_found") =
+      f3((0 until NQueries).count(i => hnswHits(i).contains(8000L * i)).toDouble / NQueries)
+    import spark.implicits._
+    val hQueries = (0 until NQueries).map(i => (i.toLong, cluQv(i)))
+      .toDF("q_id", "q_emb")
+    val hnswBatchHits: Map[Long, Set[Long]] = timedMin2B("clu_hnsw_batch_8q") {
+      graft.operators.Hnsw.searchBatch(clu, hAdj, hQueries, k = 10,
+          maxLevel = HMaxLevel)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    stats("clu_hnsw_batch_matches_loop") =
+      s"${(0 until NQueries).count(i => hnswBatchHits(i.toLong) == hnswHits(i))} of $NQueries"
+
+    calSamples += calibrate()
     val json =
       ("{\"corpus\":{\"n_vectors\":" + nVecs + ",\"dim\":" + Dim + ",\"docs\":" + NDocs + "}," +
+        "\"calibration\":" + f3(calSamples.min) + "," +
         "\"timings_sec\":" +
         timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}") + "," +
+        "\"bytes_read\":" +
+        bytesPerLeg.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}") + "," +
         "\"stats\":" +
         stats.map { case (k, v) =>
           "\"" + k + "\":" + (if (v.startsWith("{")) v else "\"" + v + "\"")

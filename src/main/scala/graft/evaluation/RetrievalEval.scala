@@ -71,11 +71,34 @@ object RetrievalEval {
         val pruned = scoredChunks.join(cand, Seq("q_id", "label"), "left_semi")
         topkPerQuery(bestPerDoc(pruned), k)
       case "rrf_fusion" =>
-        val sb = topkPerQuery(bestPerDoc(scoredSummaries), 10)
-          .withColumnRenamed("rank", "s_rank")
-        val cb = topkPerQuery(bestPerDoc(scoredChunks), 10)
-          .withColumnRenamed("rank", "c_rank")
-        sb.join(cb, Seq("q_id", "label"), "full_outer")
+        // Single-pass form of: per-branch bestPerDoc → per-query
+        // top-10 rank → full-outer RRF → final rank. The composed
+        // pipeline was ~6 exchanges over tiny relations — a pure
+        // scheduler floor (the round-11 eval_retrieval_metrics
+        // regression's fat leg). One groupBy collapses both branches'
+        // bestPerDoc (max of (sim, −vec_id) = sim desc, vec_id asc —
+        // the same tiebreak), and the three windows share ONE q_id
+        // hash partitioning, eliminating the join entirely: 2
+        // exchanges total. Output is row-identical to the composed
+        // form (the oracle pins it).
+        val g = scoredSummaries.select(col("q_id"), col("label"),
+            struct(col("sim"), (-col("vec_id")).as("nv")).as("b"),
+            lit("s").as("t"))
+          .unionByName(scoredChunks.select(col("q_id"), col("label"),
+            struct(col("sim"), (-col("vec_id")).as("nv")).as("b"),
+            lit("c").as("t")))
+          .groupBy("q_id", "label")
+          .agg(max(when(col("t") === "s", col("b"))).as("sbest"),
+            max(when(col("t") === "c", col("b"))).as("cbest"))
+        g.withColumn("rn_s", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("sbest").desc_nulls_last, col("label").asc)))
+          .withColumn("rn_c", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cbest").desc_nulls_last, col("label").asc)))
+          .withColumn("s_rank",
+            when(col("sbest").isNotNull && col("rn_s") <= 10, col("rn_s")))
+          .withColumn("c_rank",
+            when(col("cbest").isNotNull && col("rn_c") <= 10, col("rn_c")))
+          .filter(col("s_rank").isNotNull || col("c_rank").isNotNull)
           .withColumn("rrf",
             coalesce(lit(0.4) / (lit(60) + col("s_rank")), lit(0.0)) +
               coalesce(lit(0.6) / (lit(60) + col("c_rank")), lit(0.0)))

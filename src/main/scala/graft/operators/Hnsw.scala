@@ -63,8 +63,8 @@ object Hnsw {
   val MaxLevel = 3
   val M = 8          // kept neighbors per node per level (pre-symmetrize)
   val B0 = 4         // level-0 block bits (buckets = 2^B0; scale with n)
-  val Ef = 24        // level-0 beam
-  val EfUpper = 4    // upper-level beam
+  val Ef = 32        // level-0 beam
+  val EfUpper = 8    // upper-level beam
   val Rounds0 = 3    // level-0 expand rounds
 
   /** Block bits at a level: halve buckets as the population halves —
@@ -96,15 +96,22 @@ object Hnsw {
   /** Bulk-build the level graphs: returns (lvl, src, dst) adjacency.
     * `vectors` needs (vec_id, embedding). `codeFn` supplies the block
     * code (the engine default is the shared 8-bit RP code; BenchVec
-    * passes splitmix planes — see its occupancy note); `probeRadius` 1
-    * adds every Hamming-1 probe block to the candidate set (the
-    * fixture's recall lever at tiny occupancy); at scale the nested-
-    * block ladder already routes across blocks and radius 0 keeps the
-    * candidate join at occupancy × n pairs. Only (src, dst, sim)
-    * reaches the window exchange — the embeddings stay on the
-    * equi-join side, never in the big shuffle. */
+    * passes splitmix planes — see its occupancy note).
+    *
+    * `siblingProbe` (default on) adds each node's SIBLING block — the
+    * flip of the highest kept bit — to its candidate set. This is the
+    * load-bearing cross-block lever, and the top bit is the RIGHT one:
+    * descending the ladder ADDS one (higher) code bit per level, so
+    * the only disagreement the walk must correct at level l is that
+    * level's newest top bit — lower bits were already corrected at the
+    * higher level where THEY were newest. Sibling edges make each
+    * level's graph span its parent block exactly. Replication factor
+    * is 2 regardless of b0 (an every-bit Hamming-1 probe set was tried
+    * first and shuffles bits+1 embedding-carrying copies — 42 GB at
+    * the 500k bench — for cross-links the ladder makes redundant).
+    * Only (src, dst, sim) reaches the window exchange. */
   def build(vectors: DataFrame, m: Int = M, maxLevel: Int = MaxLevel,
-            b0: Int = B0, probeRadius: Int = 1,
+            b0: Int = B0, siblingProbe: Boolean = true,
             codeFn: Column => Column = RandomHyperplane.codeCol(_)): DataFrame = {
     val lv = vectors.select(col("vec_id"), col("embedding"),
       levelCol(col("vec_id"), maxLevel).as("nlvl"),
@@ -114,14 +121,12 @@ object Hnsw {
       val n = lv.filter(col("nlvl") >= l)
         .select(col("vec_id"), col("embedding"),
           (col("code") % lit(1L << math.max(bits, 0))).as("blk"))
-      // a-side replicated into its own block (+ every Hamming-1 probe
-      // block at radius 1); a candidate pair appears exactly once (b
-      // sits in one block, and the probe set's blocks are distinct)
+      // a-side replicated into its own block + the sibling block; a
+      // candidate pair appears exactly once (b sits in one block, and
+      // the two probe blocks are distinct)
       val probeCols =
-        if (probeRadius <= 0 || bits == 0) Seq(col("blk"))
-        else (0 to bits).map(p =>
-          if (p == bits) col("blk")
-          else col("blk").bitwiseXOR(lit(1L << p)))
+        if (!siblingProbe || bits == 0) Seq(col("blk"))
+        else Seq(col("blk"), col("blk").bitwiseXOR(lit(1L << (bits - 1))))
       val probed = n.withColumn("pblk", explode(array(probeCols: _*)))
       val directed = probed.select(col("pblk").as("blk"),
           col("vec_id").as("src"), col("embedding").as("ea"))
@@ -138,26 +143,58 @@ object Hnsw {
     }.reduce(_ unionByName _)
   }
 
-  /** The search schedule: (level, beam width) per round — upper levels
-    * once each, narrow; level 0 `rounds0` times, wide. */
-  private def schedule(maxLevel: Int, ef: Int, efUpper: Int,
-                       rounds0: Int): Seq[(Int, Int)] =
-    (maxLevel to 1 by -1).map(l => (l, efUpper)) ++ Seq.fill(rounds0)((0, ef))
+  /** The search schedule: (level, beam width) per round —
+    * `upperRounds` expand-rounds per upper level with the narrow beam
+    * (classic HNSW iterates each layer to a local minimum; a fixed
+    * round count keeps the walk a finite deterministic plan, and at
+    * deep ladders one round per level under-navigates), then `rounds0`
+    * wide rounds on level 0. */
+  def schedule(maxLevel: Int, ef: Int, efUpper: Int,
+               rounds0: Int, upperRounds: Int): Seq[(Int, Int)] =
+    (maxLevel to 1 by -1).flatMap(l =>
+      Seq.fill(upperRounds)((l, efUpper))) ++ Seq.fill(rounds0)((0, ef))
+
+  /** WIDE-UPPER schedule — the clustered-corpus navigation shape: on
+    * corpora whose latent clusters are mutually near-orthogonal (the
+    * BENCHVEC twin corpus; common in multi-domain embedding spaces)
+    * greedy descent is BLIND until a beam member lands in the target
+    * cluster — there is no similarity gradient between orthogonal
+    * clusters to climb. The ladder fixes this structurally: stay wide
+    * (keep ~everything) through the thin top levels until the level
+    * where every cluster still has a representative (≈ log2(n /
+    * clusterSize) + log2(clusterSize) − log2(width)… practically: the
+    * level whose node count ≈ the wide width), then narrow. Measured
+    * on the 500k clustered twin: default narrow schedule recall@10
+    * 0.05; wide-upper ≥ 0.8 at ~3–6 % of the corpus visited. */
+  def wideSchedule(maxLevel: Int, wide: Int, narrowFrom: Int, narrow: Int,
+                   ef: Int, rounds0: Int): Seq[(Int, Int)] =
+    (maxLevel to 1 by -1).map(l =>
+      (l, if (l >= narrowFrom) wide else narrow)) ++
+      Seq.fill(rounds0)((0, ef))
+
+  /** The deterministic global entry: the (level desc, id asc) first
+    * node — compute ONCE per index and pass to the search calls (a
+    * full-scan argmax per query is the driver-round-trip
+    * anti-pattern). */
+  def entryOf(vectors: DataFrame, maxLevel: Int = MaxLevel): Long =
+    vectors.select(col("vec_id"), levelCol(col("vec_id"), maxLevel).as("nlvl"))
+      .orderBy(col("nlvl").desc, col("vec_id").asc).limit(1)
+      .head().getLong(0)
 
   /** Single-query top-k via the deterministic beam walk. Driver state
     * per round = the beam's ids (≤ ef) — the bounded-collect pattern
     * (IVF centroids, V9 greedy), faithful to sequential HNSW search. */
   def search(vectors: DataFrame, adj: DataFrame, q: Seq[Double], k: Int = 10,
              ef: Int = Ef, efUpper: Int = EfUpper, rounds0: Int = Rounds0,
-             maxLevel: Int = MaxLevel): DataFrame = {
+             maxLevel: Int = MaxLevel, upperRounds: Int = 1,
+             entry0: Long = -1L, sched: Seq[(Int, Int)] = Nil): DataFrame = {
     val sims = vectors.select(col("vec_id"),
       dot(col("embedding"), typedLit(q)).as("sim"))
-    val entry = vectors
-      .select(col("vec_id"), levelCol(col("vec_id"), maxLevel).as("nlvl"))
-      .orderBy(col("nlvl").desc, col("vec_id").asc).limit(1)
-      .head().getLong(0)
+    val entry = if (entry0 >= 0) entry0 else entryOf(vectors, maxLevel)
     var beam = Seq(entry)
-    for ((l, e) <- schedule(maxLevel, ef, efUpper, rounds0)) {
+    val plan = if (sched.nonEmpty) sched
+      else schedule(maxLevel, ef, efUpper, rounds0, upperRounds)
+    for ((l, e) <- plan) {
       val nbrs = adj.filter(col("lvl") === l && col("src").isin(beam: _*))
         .select("dst").distinct().collect().map(_.getLong(0))
       val cand = (beam ++ nbrs).distinct
@@ -177,23 +214,35 @@ object Hnsw {
     * partitionable by src). `queries` needs (q_id, q_emb). */
   def searchBatch(vectors: DataFrame, adj: DataFrame, queries: DataFrame,
                   k: Int = 10, ef: Int = Ef, efUpper: Int = EfUpper,
-                  rounds0: Int = Rounds0, maxLevel: Int = MaxLevel): DataFrame = {
-    val entry = vectors
-      .select(col("vec_id"), levelCol(col("vec_id"), maxLevel).as("nlvl"))
-      .orderBy(col("nlvl").desc, col("vec_id").asc).limit(1)
-      .head().getLong(0)
+                  rounds0: Int = Rounds0, maxLevel: Int = MaxLevel,
+                  upperRounds: Int = 1, entry0: Long = -1L,
+                  sched: Seq[(Int, Int)] = Nil): DataFrame = {
+    val entry = if (entry0 >= 0) entry0 else entryOf(vectors, maxLevel)
     val emb = vectors.select(col("vec_id"), col("embedding"))
+    // Every per-round join BROADCASTS the frontier side (≤ Q × width
+    // rows) so each round is a pair of scans — the adjacency level
+    // partition and the vector table — with NO shuffle of either. The
+    // first form shuffled the embedding relation every round; at the
+    // 500k bench the accumulated per-round shuffle files filled the
+    // disk (16 rounds × ~6 GB) before ContextCleaner could reap them.
+    // At cluster scale the same broadcasts hold (frontiers are tiny),
+    // and co-partitioning adj+vectors by id upgrades both scans to
+    // pruned local reads.
     def scored(cand: DataFrame): DataFrame =
-      cand.join(emb, Seq("vec_id"))
+      emb.join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(queries), Seq("q_id"))
         .withColumn("sim", dot(col("embedding"), col("q_emb")))
         .select("q_id", "vec_id", "sim")
     var beam = scored(queries.select(col("q_id"), lit(entry).as("vec_id")))
-    for ((l, e) <- schedule(maxLevel, ef, efUpper, rounds0)) {
-      val expand = beam.select(col("q_id"), col("vec_id").as("src"))
-        .join(adj.filter(col("lvl") === l), Seq("src"))
+    val plan = if (sched.nonEmpty) sched
+      else schedule(maxLevel, ef, efUpper, rounds0, upperRounds)
+    for ((l, e) <- plan) {
+      val expand = adj.filter(col("lvl") === l)
+        .join(broadcast(beam.select(col("q_id"), col("vec_id").as("src"))),
+          Seq("src"))
         .select(col("q_id"), col("dst").as("vec_id")).distinct()
-        .join(beam.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+        .join(broadcast(beam.select("q_id", "vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
       beam = beam.unionByName(scored(expand))
         .withColumn("rk", row_number().over(Window.partitionBy("q_id")
           .orderBy(col("sim").desc, col("vec_id").asc)))
@@ -256,10 +305,10 @@ object Hnsw {
        |  FROM lvls l JOIN lvlt c ON c.nlvl >= l.lvl),
        |aprobe AS (
        |  SELECT a.lvl, a.vec_id, a.e,
-       |    CASE WHEN pp.p = greatest($B0 - a.lvl, 0) THEN a.blk
-       |         ELSE xor(a.blk, 1 << pp.p) END AS pblk
-       |  FROM nodes a JOIN (SELECT unnest(range(0, ${B0 + 1})) AS p) pp
-       |    ON pp.p <= greatest($B0 - a.lvl, 0)),
+       |    CASE WHEN pp.p = 0 THEN a.blk
+       |         ELSE xor(a.blk, 1 << (greatest($B0 - a.lvl, 0) - 1)) END AS pblk
+       |  FROM nodes a JOIN (SELECT unnest([0, 1]) AS p) pp
+       |    ON pp.p = 0 OR greatest($B0 - a.lvl, 0) >= 1),
        |dedges AS (
        |  SELECT lvl, src, dst FROM (
        |    SELECT a.lvl, a.vec_id AS src, b.vec_id AS dst,
@@ -278,9 +327,13 @@ object Hnsw {
     // adjacency packed per level as a list-of-lists indexed by vec_id,
     // sims as one list; each recursive step expands the beam through
     // the level the schedule names and truncates by struct-sort on
-    // (-sim, id). Steps 1..3 = levels 3, 2, 1 at beam 4; steps 4..6 =
-    // level 0 at beam 24.
-    "ann_hnsw_topk" ->
+    // (-sim, id). The step → (level, width) plan is emitted as two
+    // list literals FROM THE SAME Scala schedule the engine executes,
+    // so any schedule shape replays without touching the CTE.
+    "ann_hnsw_topk" -> {
+      val plan = schedule(MaxLevel, Ef, EfUpper, Rounds0, 1)
+      val lvlsLit = plan.map(_._1).mkString("[", ", ", "]")
+      val widthsLit = plan.map(_._2).mkString("[", ", ", "]")
       s"""WITH RECURSIVE $graphSql,
          |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
          |adjl AS (SELECT lvl, src, list(dst ORDER BY dst) AS nbrs
@@ -307,21 +360,21 @@ object Hnsw {
          |        list_distinct(w.beam ||
          |          flatten(list_transform(w.beam, u -> ap.adj[u + 1]))),
          |        u -> {'s': -s.sim[u + 1], 'i': u}))
-         |      [1 : CASE WHEN w.step + 1 > ${MaxLevel} THEN ${Ef} ELSE ${EfUpper} END],
+         |      [1 : ($widthsLit)[w.step + 1]],
          |      x -> x.i) AS beam
          |  FROM walk w
-         |  JOIN apack ap ON ap.lvl =
-         |    CASE WHEN w.step + 1 <= ${MaxLevel} THEN ${MaxLevel} - w.step ELSE 0 END
+         |  JOIN apack ap ON ap.lvl = ($lvlsLit)[w.step + 1]
          |  CROSS JOIN simsl s
-         |  WHERE w.step < ${MaxLevel + Rounds0}),
+         |  WHERE w.step < ${plan.size}),
          |fin AS (SELECT unnest(beam) AS vec_id FROM walk
-         |        WHERE step = ${MaxLevel + Rounds0})
+         |        WHERE step = ${plan.size})
          |SELECT row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank,
          |  vec_id, sim
          |FROM (SELECT f.vec_id,
          |        list_inner_product(e.e, (SELECT qe FROM q)) AS sim
          |      FROM fin f JOIN emb e ON e.vec_id = f.vec_id)
-         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
     "ann_hnsw_stats" ->
       s"""WITH $graphSql
          |SELECT lvl, count(DISTINCT src) AS n_nodes, count(*) AS n_edges,
