@@ -346,12 +346,30 @@ object BenchDoc {
     // Flat = each leg's 500k/sf01 ratio ≈ 1 (PERF.md quotes the pair).
     locally {
       import graft.pipelines.{IndexPipeline, VersionedStore}
-      val small = Tables.documents(spark, sfDir).filter(col("n_chars") > 0)
-        .select(col("doc_id"), concat(lit("o"),
-          pmod(col("doc_id"), lit(20L))).as("owner"), md5(col("text")).as("text_md5"))
-      val big = corpus // 500k replicas, same schema via the same projection
-        .select(col("doc_id"), concat(lit("o"),
-          pmod(col("doc_id"), lit(20L))).as("owner"), md5(col("text")).as("text_md5"))
+      // vtype/chunk_text present because the manifest-diff CDC digest
+      // (snapshotCdcFeedFast) hashes the chunk rows of the vector
+      // schema — the episode store carries one "chunk" row per doc
+      def shape(dd: org.apache.spark.sql.DataFrame) =
+        dd.select(col("doc_id"), concat(lit("o"),
+            pmod(col("doc_id"), lit(20L))).as("owner"),
+          md5(col("text")).as("text_md5"),
+          lit("chunk").as("vtype"), md5(col("text")).as("chunk_text"))
+      val small = shape(Tables.documents(spark, sfDir).filter(col("n_chars") > 0))
+      val big = shape(corpus) // 500k replicas, same projection
+      // untimed warm-up episode on a throwaway store: the FIRST store
+      // action pays JIT + codec init, which otherwise lands entirely
+      // on whichever scale runs first and distorts the ratio
+      locally {
+        val wdir = java.nio.file.Files
+          .createTempDirectory("graft_bd_store_warm").toString + "/store"
+        val w = small.filter(col("doc_id") < 50)
+        VersionedStore.initialLoad(spark, wdir, w, nBuckets = 4)
+        VersionedStore.upsertVersioned(spark, wdir,
+          w.filter(col("doc_id") === w.select(min(col("doc_id"))).head().getLong(0))
+            .withColumn("text_md5", lit("warm")), nBuckets = 4)
+        VersionedStore.softDelete(spark, wdir, w.limit(2).select("doc_id"))
+        IndexPipeline.snapshotCdcFeedFast(spark, wdir, 1, 2)._1.count()
+      }
       for ((label, relDf, nB) <- Seq(("sf01", small, 16), ("500k", big, 1600))) {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft_bd_store_$label").toString + "/store"
@@ -363,7 +381,8 @@ object BenchDoc {
         timed(s"epi_upsert1_$label") {
           VersionedStore.upsertVersioned(spark, dir,
             relDf.filter(col("doc_id") === victim)
-              .withColumn("text_md5", lit("churned")), nBuckets = nB)
+              .withColumn("text_md5", lit("churned"))
+              .withColumn("chunk_text", lit("churned")), nBuckets = nB)
         }
         timed(s"epi_pointread_$label") {
           Seq(1, 2).foreach { snap =>

@@ -141,16 +141,22 @@ object BenchVec extends Serializable {
       scala.io.Source.fromFile("/proc/self/io").getLines()
         .collectFirst { case l if l.startsWith("rchar:") =>
           l.stripPrefix("rchar:").trim.toLong }.get
-    // pre-seed from the previous artifact so build stages skipped by
+    // pre-seed from the previous artifact so BUILD stages skipped by
     // the layout cache keep their last measured cost instead of
-    // silently vanishing from the JSON on a partial re-run
+    // silently vanishing from the JSON on a partial re-run. Only
+    // build/write stage names preseed — query legs always re-measure,
+    // so a renamed or retired query leg cannot leak a stale number
+    // into the fresh artifact (round-12 lesson: a renamed HNSW leg's
+    // old timing survived a full rerun via the blanket preseed).
     locally {
       val prev = Paths.get("BENCHVEC.json")
+      val buildStage = ".*(write|corpus|train_sampled|build).*".r
       if (Files.exists(prev)) {
         val txt = Files.readString(prev)
         "\"timings_sec\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).foreach { sec =>
           "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(sec.group(1))
-            .foreach(m => timings(m.group(1)) = m.group(2).toDouble)
+            .foreach(m => if (buildStage.matches(m.group(1)))
+              timings(m.group(1)) = m.group(2).toDouble)
         }
       }
     }
@@ -535,6 +541,35 @@ object BenchVec extends Serializable {
       f3((0 until NQueries).count(i => binHits(i).contains(8000L * i)).toDouble / NQueries)
     stats("binary_code_bytes") = "96 of 3072 float32 (32x, no codebook)"
 
+    // ---- SCAN-ONLY byte legs (round-11 verdict task 1): the
+    // compressed tiers' 100 TB lever is bytes TOUCHED per scan, so
+    // measure exactly that — one query, candidate-generation scan
+    // only, no rescore muddying the count. (The full *_rescore200
+    // legs above showed the rescore's isin point-fetch reads ~the
+    // whole raw table at parquet page granularity — a real finding
+    // the bytes metering surfaced; at 100 TB the raw store's
+    // point-read granularity, not the ADC scan, bounds rescore I/O.)
+    val q0v = qv(0)
+    timedMin2B("float_scan_only_1q") {
+      Search.knn(corpus, q0v, 10, -1.0, idCol = "vec_id")
+        .select("vec_id").collect()
+    }
+    timedMin2B("pq_adc_scan_only_1q") {
+      pqEnc.withColumn("adc", VectorFunctions.adcScore(col("codes"),
+          PQ.adcLut(pqBooks("all"), q0v)))
+        .orderBy(col("adc").desc, col("id").asc).limit(200)
+        .select("id").collect()
+    }
+    timedMin2B("binary_scan_only_1q") {
+      val qw = packQ(q0v)
+      val hamming = (0 until 12).map { w =>
+        expr(s"CAST(bit_count(w$w ^ CAST('${qw(w)}' AS BIGINT)) AS BIGINT)")
+      }.reduce(_ + _)
+      binCodes.withColumn("hamming", hamming)
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(200)
+        .select("vec_id").collect()
+    }
+
     // ---- IVF-PQ: the full FAISS-shaped serving layout — codes joined
     // to their IVF cell, written partitioned by cell. A query reads
     // ONLY the probed partitions' CODES: per-query scan ≈
@@ -710,53 +745,78 @@ object BenchVec extends Serializable {
     stats("clu_pq_target_found") =
       f3((0 until NQueries).count(i => cluPqHits(i).contains(8000L * i)).toDouble / NQueries)
 
-    // ---- HNSW-lite on the clustered corpus: the graph tier at scale.
-    // maxLevel 13 ≈ log2(500k/60): the top level is ~60 nodes in one
-    // all-pairs block; block bits drop one per level so occupancy
-    // stays ~60 everywhere and the nested blocks route across space.
-    // Build blocks on 13 splitmix planes (same occupancy reasoning as
-    // the LSH section), sibling probes on — each level's edges span
-    // exactly its parent block (the flip of the newest top bit),
-    // which is the cross-block link the descent needs.
-    // Search cost per query ≈ beam × degree × rounds dots (~1–2k) vs
-    // nProbe/nCells × n (~31k at probe 4) for IVF — the asymptotic
-    // story; wall-clock at bench scale is scheduler-bound, which the
-    // visited-candidates stat makes explicit. ----
+    // ---- HNSW-lite on the clustered corpus: the graph tier at
+    // scale, measured HONESTLY. Build: maxLevel 13 ≈ log2(500k/60),
+    // 13 splitmix planes, sibling probes (each level's edges span its
+    // parent block), floorBoost 3 (level-0 blocks coarsened 8× so the
+    // graph stays connected INSIDE latent clusters — without it
+    // recall@10 caps at ~0.65 even when the walk finds the cluster).
+    // Two search postures:
+    //  * clu_hnsw_batch_8q — the pure ladder descent (single entry,
+    //    wide upper beams). FINDING: on THIS corpus (1,024 mutually
+    //    near-orthogonal centers) greedy descent is blind between
+    //    clusters — there is no similarity gradient to climb — and
+    //    recall saturates ~0.65 no matter the beam. This is geometry,
+    //    not tuning: graph ANN needs a continuous manifold.
+    //  * clu_hnsw_seeded_8q — the production posture for clustered
+    //    corpora (SPANN/DiskANN-partitioned shape): the initial beam
+    //    is an exhaustive scan of the level ≥ 4 union (a
+    //    deterministic 1/16 hash sample ≈ 31k rows — one level-banded
+    //    partition read at scale), then the graph crawls the target
+    //    region. Recall ~0.81 at ~2.4× the brute-force speed.
+    // The cross-family conclusion stands in the stats: IVF's
+    // centroid routing (recall 1.0 at nProbe 4) DOMINATES the graph
+    // family on orthogonal-cluster geometry, because a centroid
+    // aggregates its cluster — the engine keeps both tiers because
+    // real corpora sit between the two geometries. ----
     val HMaxLevel = 13
     val hPlanes = mkPlanes(HMaxLevel, 7200000L)
-    val hnswPath = s"$vecDir/vec768_500k_clu_hnsw"
+    val hnswPath = s"$vecDir/vec768_500k_clu_hnsw_fb3"
     buildIfStale(hnswPath, "clu_hnsw_build") {
       graft.operators.Hnsw.build(clu, m = 8, maxLevel = HMaxLevel,
-          b0 = HMaxLevel, siblingProbe = true,
+          b0 = HMaxLevel, siblingProbe = true, floorBoost = 3,
           codeFn = c => codeUdf(hPlanes)(c))
         .write.mode("overwrite").partitionBy("lvl").parquet(hnswPath)
     }
-    val hAdj = spark.read.parquet(hnswPath)
+    val hAdj = spark.read.parquet(hnswPath).persist()
     val hEdges = hAdj.count()
     stats("clu_hnsw_edges") = hEdges.toString
-    val hnswHits: Seq[Set[Long]] = timedMin2B("clu_hnsw_topk_8q") {
-      (0 until NQueries).map { i =>
-        graft.operators.Hnsw.search(clu, hAdj, cluQv(i), k = 10,
-            maxLevel = HMaxLevel)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-      }
-    }
-    stats("clu_hnsw_recall_at_10") =
-      f3(hnswHits.zip(cluBrute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
-    stats("clu_hnsw_target_found") =
-      f3((0 until NQueries).count(i => hnswHits(i).contains(8000L * i)).toDouble / NQueries)
+    val hEntry = graft.operators.Hnsw.entryOf(clu, HMaxLevel)
     import spark.implicits._
     val hQueries = (0 until NQueries).map(i => (i.toLong, cluQv(i)))
       .toDF("q_id", "q_emb")
     val hnswBatchHits: Map[Long, Set[Long]] = timedMin2B("clu_hnsw_batch_8q") {
       graft.operators.Hnsw.searchBatch(clu, hAdj, hQueries, k = 10,
-          maxLevel = HMaxLevel)
+          maxLevel = HMaxLevel, entry0 = hEntry,
+          sched = graft.operators.Hnsw.wideSchedule(HMaxLevel, 2048, 6, 192, 96, 4))
         .select("q_id", "vec_id").collect()
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     }
-    stats("clu_hnsw_batch_matches_loop") =
-      s"${(0 until NQueries).count(i => hnswBatchHits(i.toLong) == hnswHits(i))} of $NQueries"
+    stats("clu_hnsw_recall_at_10") =
+      f3((0 until NQueries).map(i =>
+        (hnswBatchHits(i.toLong) & cluBrute(i)).size / 10.0).sum / NQueries)
+    stats("clu_hnsw_target_found") =
+      f3((0 until NQueries).count(i =>
+        hnswBatchHits(i.toLong).contains(8000L * i)).toDouble / NQueries)
+    val hSeedPool = clu.filter(
+      graft.operators.Hnsw.levelCol(col("vec_id"), HMaxLevel) >= 4)
+    val hSeedSched = (3 to 1 by -1).map(l => (l, 256)) ++
+      Seq.fill(4)((0, 128)) ++ Seq((2, 256), (1, 256)) ++ Seq.fill(4)((0, 128))
+    val hnswSeedHits: Map[Long, Set[Long]] = timedMin2B("clu_hnsw_seeded_8q") {
+      graft.operators.Hnsw.searchBatchSeeded(clu, hAdj, hQueries, hSeedPool,
+          seedWidth = 256, k = 10, sched = hSeedSched)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    stats("clu_hnsw_seeded_recall_at_10") =
+      f3((0 until NQueries).map(i =>
+        (hnswSeedHits(i.toLong) & cluBrute(i)).size / 10.0).sum / NQueries)
+    stats("clu_hnsw_seeded_target_found") =
+      f3((0 until NQueries).count(i =>
+        hnswSeedHits(i.toLong).contains(8000L * i)).toDouble / NQueries)
+    hAdj.unpersist()
 
     calSamples += calibrate()
     val json =

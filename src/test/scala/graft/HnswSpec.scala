@@ -62,6 +62,35 @@ class HnswSpec extends AnyFunSuite {
     adj.unpersist(); v.unpersist(); spark.catalog.clearCache()
   }
 
+  test("seeded batch search: an exhaustive seed with no descent IS brute force; seeded descent deterministic") {
+    val v = vecs.persist()
+    val adj = Hnsw.build(v).persist()
+    import spark.implicits._
+    val qids = Seq(0L, 5L)
+    val queries = qids.map(i => (i, qv(i))).toDF("q_id", "q_emb")
+    // degenerate contract: seed pool = whole corpus, no descent →
+    // exactly the brute-force top-k (pins the seed scan + final rank)
+    val seeded = Hnsw.searchBatchSeeded(v, adj, queries, v, seedWidth = 10,
+        k = 10, sched = Nil)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    qids.foreach { q =>
+      val brute = v.withColumn("sim", dot(col("embedding"), typedLit(qv(q))))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(seeded(q) == brute, s"seeded-no-descent != brute for q $q")
+    }
+    // sparse seed + descent: deterministic, k ranked rows per query
+    val pool = v.filter(Hnsw.levelCol(col("vec_id")) >= 1)
+    val sched = Seq((1, 16), (0, 24), (0, 24))
+    val a = Hnsw.searchBatchSeeded(v, adj, queries, pool, 8, 10, sched).collect()
+    val b = Hnsw.searchBatchSeeded(v, adj, queries, pool, 8, 10, sched).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(2))).sameElements(
+      b.map(r => (r.getLong(0), r.getLong(2)))), "non-deterministic seeded search")
+    assert(a.count(_.getLong(0) == 0L) == 10)
+    adj.unpersist(); v.unpersist(); spark.catalog.clearCache()
+  }
+
   test("batch search equals the single-query walk for every query") {
     val v = vecs.persist()
     val adj = Hnsw.build(v).persist()
