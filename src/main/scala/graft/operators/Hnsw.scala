@@ -67,6 +67,10 @@ object Hnsw {
   val EfUpper = 8    // upper-level beam
   val Rounds0 = 3    // level-0 expand rounds
 
+  /** The seeded gate's fixed descent plan: one level-1 hop wide, then
+    * two level-0 rounds (shared by the Spark gate and its oracle). */
+  val SeededPlan: Seq[(Int, Int)] = Seq((1, 16), (0, Ef), (0, Ef))
+
   /** Block bits at a level: halve buckets as the population halves —
     * occupancy stays ≈ n / 2^b0 at every level. Blocks NEST (one bit
     * of code resolution dropped per level), so each level's edges span
@@ -334,6 +338,20 @@ object Hnsw {
       val out = search(v, adj, qvec(s, d, 0))
       out
     }),
+    // The flat-seeded batch posture end-to-end (query vec 1): seed =
+    // top-8 of the level ≥ 2 union, then descend the SeededPlan. This
+    // is the production shape for clustered corpora (PERF.md), so it
+    // carries its own hash gate, not just a spec.
+    "ann_hnsw_seeded" -> ((s, d) => {
+      import s.implicits._
+      val v = embDouble(s, d).persist()
+      val adj = build(v).persist()
+      val queries = Seq((0L, qvec(s, d, 1))).toDF("q_id", "q_emb")
+      val pool = v.filter(levelCol(col("vec_id")) >= 2)
+      searchBatchSeeded(v, adj, queries, pool, seedWidth = 8, k = 10,
+          sched = SeededPlan)
+        .select("rank", "vec_id", "sim")
+    }),
     // Graph observability: per-level node/edge/degree stats — the
     // index-health readout (a level with degree ~0 is a broken ladder)
     // and a cheap full-replay cross-check of the builder.
@@ -380,59 +398,72 @@ object Hnsw {
        |  UNION ALL SELECT lvl, dst AS src, src AS dst FROM dedges))""".stripMargin
   }
 
+  /** The walk replayed list-packed (the pagerank technique): adjacency
+    * packed per level as a list-of-lists indexed by vec_id, sims as
+    * one list; each recursive step expands the beam through the level
+    * the plan names and truncates by struct-sort on (-sim, id). The
+    * step → (level, width) plan is emitted as two list literals FROM
+    * THE SAME Scala schedule the engine executes, and `beamInitSql`
+    * supplies the step-0 beam — a single entry node or a flat-seed
+    * top-w list — so any walk shape replays without touching the CTE. */
+  private def walkOracleSql(qVecId: Long, plan: Seq[(Int, Int)],
+                            beamInitSql: String): String = {
+    val lvlsLit = plan.map(_._1).mkString("[", ", ", "]")
+    val widthsLit = plan.map(_._2).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE $graphSql,
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = $qVecId),
+       |adjl AS (SELECT lvl, src, list(dst ORDER BY dst) AS nbrs
+       |         FROM edges GROUP BY lvl, src),
+       |apack AS (
+       |  SELECT l.lvl,
+       |    list(COALESCE(a.nbrs, CAST([] AS BIGINT[])) ORDER BY d.vec_id)
+       |      AS adj
+       |  FROM lvls l CROSS JOIN emb d
+       |  LEFT JOIN adjl a ON a.lvl = l.lvl AND a.src = d.vec_id
+       |  GROUP BY l.lvl),
+       |simsl AS (
+       |  SELECT list(list_inner_product(e, (SELECT qe FROM q))
+       |              ORDER BY vec_id) AS sim
+       |  FROM emb),
+       |entry AS (SELECT vec_id FROM lvlt ORDER BY nlvl DESC, vec_id ASC LIMIT 1),
+       |walk AS (
+       |  SELECT 0 AS step, ($beamInitSql) AS beam
+       |  UNION ALL
+       |  SELECT w.step + 1,
+       |    list_transform(
+       |      list_sort(list_transform(
+       |        list_distinct(w.beam ||
+       |          flatten(list_transform(w.beam, u -> ap.adj[u + 1]))),
+       |        u -> {'s': -s.sim[u + 1], 'i': u}))
+       |      [1 : ($widthsLit)[w.step + 1]],
+       |      x -> x.i) AS beam
+       |  FROM walk w
+       |  JOIN apack ap ON ap.lvl = ($lvlsLit)[w.step + 1]
+       |  CROSS JOIN simsl s
+       |  WHERE w.step < ${plan.size}),
+       |fin AS (SELECT unnest(beam) AS vec_id FROM walk
+       |        WHERE step = ${plan.size})
+       |SELECT row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank,
+       |  vec_id, sim
+       |FROM (SELECT f.vec_id,
+       |        list_inner_product(e.e, (SELECT qe FROM q)) AS sim
+       |      FROM fin f JOIN emb e ON e.vec_id = f.vec_id)
+       |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    // The whole walk replayed list-packed (the pagerank technique):
-    // adjacency packed per level as a list-of-lists indexed by vec_id,
-    // sims as one list; each recursive step expands the beam through
-    // the level the schedule names and truncates by struct-sort on
-    // (-sim, id). The step → (level, width) plan is emitted as two
-    // list literals FROM THE SAME Scala schedule the engine executes,
-    // so any schedule shape replays without touching the CTE.
-    "ann_hnsw_topk" -> {
-      val plan = schedule(MaxLevel, Ef, EfUpper, Rounds0, 1)
-      val lvlsLit = plan.map(_._1).mkString("[", ", ", "]")
-      val widthsLit = plan.map(_._2).mkString("[", ", ", "]")
-      s"""WITH RECURSIVE $graphSql,
-         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
-         |adjl AS (SELECT lvl, src, list(dst ORDER BY dst) AS nbrs
-         |         FROM edges GROUP BY lvl, src),
-         |apack AS (
-         |  SELECT l.lvl,
-         |    list(COALESCE(a.nbrs, CAST([] AS BIGINT[])) ORDER BY d.vec_id)
-         |      AS adj
-         |  FROM lvls l CROSS JOIN emb d
-         |  LEFT JOIN adjl a ON a.lvl = l.lvl AND a.src = d.vec_id
-         |  GROUP BY l.lvl),
-         |simsl AS (
-         |  SELECT list(list_inner_product(e, (SELECT qe FROM q))
-         |              ORDER BY vec_id) AS sim
-         |  FROM emb),
-         |entry AS (SELECT vec_id FROM lvlt ORDER BY nlvl DESC, vec_id ASC LIMIT 1),
-         |walk AS (
-         |  SELECT 0 AS step,
-         |    [CAST((SELECT vec_id FROM entry) AS BIGINT)] AS beam
-         |  UNION ALL
-         |  SELECT w.step + 1,
-         |    list_transform(
-         |      list_sort(list_transform(
-         |        list_distinct(w.beam ||
-         |          flatten(list_transform(w.beam, u -> ap.adj[u + 1]))),
-         |        u -> {'s': -s.sim[u + 1], 'i': u}))
-         |      [1 : ($widthsLit)[w.step + 1]],
-         |      x -> x.i) AS beam
-         |  FROM walk w
-         |  JOIN apack ap ON ap.lvl = ($lvlsLit)[w.step + 1]
-         |  CROSS JOIN simsl s
-         |  WHERE w.step < ${plan.size}),
-         |fin AS (SELECT unnest(beam) AS vec_id FROM walk
-         |        WHERE step = ${plan.size})
-         |SELECT row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank,
-         |  vec_id, sim
-         |FROM (SELECT f.vec_id,
-         |        list_inner_product(e.e, (SELECT qe FROM q)) AS sim
-         |      FROM fin f JOIN emb e ON e.vec_id = f.vec_id)
-         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
-    },
+    "ann_hnsw_topk" -> walkOracleSql(0L,
+      schedule(MaxLevel, Ef, EfUpper, Rounds0, 1),
+      "[CAST((SELECT vec_id FROM entry) AS BIGINT)]"),
+    // The flat-seeded posture under the oracle too: step-0 beam = the
+    // top-8 by sim of the level ≥ 2 union (the deterministic 1/4 hash
+    // sample), then the same recursive walk over the plan.
+    "ann_hnsw_seeded" -> walkOracleSql(1L, SeededPlan,
+      """(SELECT list(vec_id) FROM (
+         |    SELECT c.vec_id FROM lvlt c, q
+         |    WHERE c.nlvl >= 2
+         |    ORDER BY list_inner_product(c.e, q.qe) DESC, c.vec_id ASC
+         |    LIMIT 8) seedt)""".stripMargin),
     "ann_hnsw_stats" ->
       s"""WITH $graphSql
          |SELECT lvl, count(DISTINCT src) AS n_nodes, count(*) AS n_edges,
