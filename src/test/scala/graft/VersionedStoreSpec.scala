@@ -703,6 +703,37 @@ class VersionedStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("reader during vacuum: a plan built before vacuum fails LOUDLY when its files are reclaimed - never partial rows") {
+    val dir = freshDir("readvac")
+    def rel(dd: org.apache.spark.sql.DataFrame) =
+      dd.select(col("doc_id"), col("source").as("owner"),
+        md5(col("text")).as("text_md5"))
+    val all = rel(Tables.documents(spark, sf).filter(col("doc_id") < 80))
+    VersionedStore.initialLoad(spark, dir, all)
+    VersionedStore.upsertVersioned(spark, dir,
+      all.filter(col("doc_id") === 7).withColumn("text_md5", lit("v2")))
+    // a long-running reader plans against snapshot 1 BEFORE vacuum...
+    val staleReader = VersionedStore.readSnapshot(spark, dir, 1)
+    assert(staleReader.limit(1).count() == 1) // plan is live pre-vacuum
+    // ...then retention reclaims snapshot 1's superseded dir
+    VersionedStore.vacuum(spark, dir, retain = 1)
+    // evaluating the stale plan now must be a LOUD failure (the
+    // reclaimed file is gone), never a silently partial result set
+    val ex = intercept[Exception] { staleReader.count() }
+    val msg = ex.toString + Option(ex.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("FILE_NOT_EXIST") || msg.contains("FileNotFound") ||
+      msg.contains("does not exist"), s"unexpected failure shape: $msg")
+    // and a FRESH read of the vacuumed snapshot fails with the
+    // descriptive retention error before any scan is planned
+    val ex2 = intercept[IllegalStateException] {
+      VersionedStore.readSnapshot(spark, dir, 1)
+    }
+    assert(ex2.getMessage.contains("vacuumed"), ex2.getMessage)
+    // the head snapshot is untouched throughout
+    assert(VersionedStore.readSnapshot(spark, dir).count() == all.count())
+    spark.catalog.clearCache()
+  }
+
   test("concurrent writers: N racing upsert threads all land via retry; no lost update; snapshots stay contiguous") {
     val dir = freshDir("race")
     def rel(dd: org.apache.spark.sql.DataFrame) =
