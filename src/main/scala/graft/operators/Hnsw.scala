@@ -117,43 +117,136 @@ object Hnsw {
   def build(vectors: DataFrame, m: Int = M, maxLevel: Int = MaxLevel,
             b0: Int = B0, siblingProbe: Boolean = true,
             floorBoost: Int = 0,
-            codeFn: Column => Column = RandomHyperplane.codeCol(_)): DataFrame = {
+            codeFn: Column => Column = RandomHyperplane.codeCol(_)): DataFrame =
+    symmetrize(buildDirected(vectors, m, maxLevel, b0, siblingProbe,
+      floorBoost, codeFn))
+
+  /** Effective block bits at level l (floorBoost COARSENS level 0's
+    * blocks by `floorBoost` bits — occupancy × 2^boost: on clustered
+    * corpora, cluster-mates rarely share a full-resolution code, so
+    * the level-0 graph fragments INSIDE clusters and top-k recall
+    * caps out even when the walk finds the right cluster — measured
+    * 0.65 → 0.81 recall@10 at the 50k pilot with boost 3; cost is
+    * linear in 2^boost). */
+  private def effBits(l: Int, b0: Int, floorBoost: Int): Int =
+    math.max(blockBits(l, b0) - (if (l == 0) floorBoost else 0), 0)
+
+  /** The DIRECTED per-node top-M edge relation (lvl, src, dst). Each
+    * node's edges depend ONLY on its block ∪ sibling block's content —
+    * the block-locality that makes incremental maintenance exact
+    * ([[maintainDirected]]). */
+  def buildDirected(vectors: DataFrame, m: Int = M, maxLevel: Int = MaxLevel,
+                    b0: Int = B0, siblingProbe: Boolean = true,
+                    floorBoost: Int = 0,
+                    codeFn: Column => Column = RandomHyperplane.codeCol(_)): DataFrame = {
     val lv = vectors.select(col("vec_id"), col("embedding"),
       levelCol(col("vec_id"), maxLevel).as("nlvl"),
       codeFn(col("embedding")).as("code"))
     (0 to maxLevel).map { l =>
-      // floorBoost COARSENS level 0's blocks by `floorBoost` bits
-      // (occupancy × 2^boost): on clustered corpora, cluster-mates
-      // rarely share a full-resolution code (per-plane agreement
-      // ~0.76 at within-cluster cosine 0.73), so the level-0 graph
-      // fragments INSIDE clusters and top-k recall caps out even when
-      // the walk finds the right cluster — measured 0.65 → 0.81
-      // recall@10 at the 50k pilot with boost 3. Cost is linear in
-      // 2^boost (pairs = occupancy × n), the recall/build trade knob.
-      val bits = math.max(blockBits(l, b0) - (if (l == 0) floorBoost else 0), 0)
+      val bits = effBits(l, b0, floorBoost)
       val n = lv.filter(col("nlvl") >= l)
         .select(col("vec_id"), col("embedding"),
           (col("code") % lit(1L << math.max(bits, 0))).as("blk"))
-      // a-side replicated into its own block + the sibling block; a
-      // candidate pair appears exactly once (b sits in one block, and
-      // the two probe blocks are distinct)
-      val probeCols =
-        if (!siblingProbe || bits == 0) Seq(col("blk"))
-        else Seq(col("blk"), col("blk").bitwiseXOR(lit(1L << (bits - 1))))
-      val probed = n.withColumn("pblk", explode(array(probeCols: _*)))
-      val directed = probed.select(col("pblk").as("blk"),
-          col("vec_id").as("src"), col("embedding").as("ea"))
-        .join(n.select(col("blk"), col("vec_id").as("dst"),
-          col("embedding").as("eb")), Seq("blk"))
-        .filter(col("src") =!= col("dst"))
-        .withColumn("sim", dot(col("ea"), col("eb")))
-        .select("src", "dst", "sim")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
-        .filter(col("rk") <= m).select("src", "dst")
-      directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().select(lit(l).as("lvl"), col("src"), col("dst"))
+      directedForLevel(n, l, bits, m, siblingProbe)
     }.reduce(_ unionByName _)
+  }
+
+  /** Directed top-M edges for ONE level's node relation (vec_id,
+    * embedding, blk). The a-side is replicated into its own block +
+    * the sibling block; a candidate pair appears exactly once. */
+  private def directedForLevel(n: DataFrame, l: Int, bits: Int, m: Int,
+                               siblingProbe: Boolean): DataFrame = {
+    val probeCols =
+      if (!siblingProbe || bits == 0) Seq(col("blk"))
+      else Seq(col("blk"), col("blk").bitwiseXOR(lit(1L << (bits - 1))))
+    val probed = n.withColumn("pblk", explode(array(probeCols: _*)))
+    probed.select(col("pblk").as("blk"),
+        col("vec_id").as("src"), col("embedding").as("ea"))
+      .join(n.select(col("blk"), col("vec_id").as("dst"),
+        col("embedding").as("eb")), Seq("blk"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", dot(col("ea"), col("eb")))
+      .select("src", "dst", "sim")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+      .filter(col("rk") <= m)
+      .select(lit(l).as("lvl"), col("src"), col("dst"))
+  }
+
+  /** Directed → search adjacency: union the reverse links, dedup. */
+  def symmetrize(directed: DataFrame): DataFrame =
+    directed.select("lvl", "src", "dst")
+      .union(directed.select(col("lvl"), col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+
+  /** INCREMENTAL maintenance of the directed edge relation — the
+    * graph-tier counterpart of the CDC-maintained IVF (x17): work is
+    * O(churned blocks × occupancy), never a corpus rebuild. Because a
+    * node's directed edges depend ONLY on its block ∪ sibling block,
+    * a batch of added/removed ids invalidates EXACTLY the blocks the
+    * churned ids occupy plus their siblings (the churned block is in
+    * those nodes' candidate sets); recomputing those blocks' nodes
+    * against the post-churn corpus and keeping every other node's
+    * edges verbatim is EQUAL — bit-for-bit, not approximately — to a
+    * from-scratch rebuild, which is exactly what the
+    * `ann_hnsw_incremental` oracle pins (the oracle replays the
+    * full-corpus graph; the engine only ever computes the delta).
+    * `vectors` is the POST-churn corpus; `churned` holds the (vec_id,
+    * embedding) rows added and/or removed — removed rows are absent
+    * from `vectors`, so their block membership (what must be
+    * invalidated) is derived from their OWN codes here. */
+  def maintainDirected(vectors: DataFrame, directedOld: DataFrame,
+                       churned: DataFrame, m: Int = M,
+                       maxLevel: Int = MaxLevel, b0: Int = B0,
+                       siblingProbe: Boolean = true, floorBoost: Int = 0,
+                       codeFn: Column => Column = RandomHyperplane.codeCol(_)): DataFrame = {
+    val lv = vectors.select(col("vec_id"), col("embedding"),
+      levelCol(col("vec_id"), maxLevel).as("nlvl"),
+      codeFn(col("embedding")).as("code")).persist()
+    val churnLv = churned.select(col("vec_id"),
+      levelCol(col("vec_id"), maxLevel).as("nlvl"),
+      codeFn(col("embedding")).as("code"))
+    val out = (0 to maxLevel).map { l =>
+      val bits = effBits(l, b0, floorBoost)
+      val n = lv.filter(col("nlvl") >= l)
+        .select(col("vec_id"), col("embedding"),
+          (col("code") % lit(1L << math.max(bits, 0))).as("blk"))
+      val churnBlks = churnLv.filter(col("nlvl") >= l)
+        .select((col("code") % lit(1L << math.max(bits, 0))).as("blk"))
+        .distinct().collect().map(_.getLong(0))
+      val affected: Set[Long] =
+        if (bits == 0) churnBlks.map(_ => 0L).toSet
+        else churnBlks.flatMap(b => Seq(b, b ^ (1L << (bits - 1)))).toSet
+      if (affected.isEmpty)
+        directedOld.filter(col("lvl") === l)
+      else {
+        val keep = directedOld.filter(col("lvl") === l)
+          .join(broadcast(n.filter(col("blk").isin(affected.toSeq: _*))
+            .select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+          // removed nodes keep stale rows otherwise: edges whose src
+          // or dst vanished from the corpus are dropped
+          .join(n.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+          .join(n.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+          .select("lvl", "src", "dst")
+        val recomputed = directedForLevel(
+          n.filter(col("blk").isin(affected.toSeq: _*))
+            // candidates of an affected-block node live in its block ∪
+            // sibling — both must be present in the level relation the
+            // recompute sees, so widen by one sibling ring
+            .unionByName(n.filter(col("blk").isin(affected.flatMap(b =>
+              if (bits == 0) Seq(b)
+              else Seq(b, b ^ (1L << (bits - 1)))).toSeq.distinct: _*)))
+            .distinct(), l, bits, m, siblingProbe)
+          // the ring nodes were only candidates — emit edges ONLY for
+          // affected-block srcs
+          .join(broadcast(n.filter(col("blk").isin(affected.toSeq: _*))
+            .select(col("vec_id").as("src"))), Seq("src"), "left_semi")
+          .select("lvl", "src", "dst")
+        keep.unionByName(recomputed)
+      }
+    }.reduce(_ unionByName _)
+    out.localCheckpoint()
   }
 
   /** The search schedule: (level, beam width) per round —
@@ -352,6 +445,28 @@ object Hnsw {
           sched = SeededPlan)
         .select("rank", "vec_id", "sim")
     }),
+    // CDC-DRIVEN GRAPH-INDEX MAINTENANCE (the x17 move for the graph
+    // tier): build the directed graph WITHOUT the %9 cohort, then
+    // insert the cohort via maintainDirected — O(churned blocks ×
+    // occupancy) work — and emit the per-level full-graph digest. The
+    // oracle replays the FULL-corpus graph from scratch: the gate
+    // passes only if incremental maintenance is bit-for-bit equal to
+    // a rebuild, which the block-locality argument guarantees and
+    // this hash now enforces.
+    "ann_hnsw_incremental" -> ((s, d) => {
+      val v = embDouble(s, d).persist()
+      val base = v.filter(col("vec_id") % 9 =!= 0)
+      val added = v.filter(col("vec_id") % 9 === 0)
+      val d0 = buildDirected(base).localCheckpoint()
+      val d1 = maintainDirected(v, d0, added)
+      symmetrize(d1).groupBy("lvl")
+        .agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("n_edges"),
+          md5(concat_ws("", array_sort(collect_list(
+            concat(col("src").cast("string"), lit(":"),
+              col("dst").cast("string")))))).as("edges_md5"))
+        .orderBy("lvl")
+    }),
     // Graph observability: per-level node/edge/degree stats — the
     // index-health readout (a level with degree ~0 is a broken ladder)
     // and a cheap full-replay cross-check of the builder.
@@ -468,6 +583,15 @@ object Hnsw {
       s"""WITH $graphSql
          |SELECT lvl, count(DISTINCT src) AS n_nodes, count(*) AS n_edges,
          |  max(src) AS max_src
+         |FROM edges GROUP BY lvl ORDER BY lvl""".stripMargin,
+    // Incremental == rebuild: the oracle is simply the FULL-corpus
+    // graph replay — the engine side only ever computed the delta.
+    "ann_hnsw_incremental" ->
+      s"""WITH $graphSql
+         |SELECT lvl, count(DISTINCT src) AS n_nodes, count(*) AS n_edges,
+         |  md5(string_agg(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR),
+         |      '' ORDER BY CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)))
+         |    AS edges_md5
          |FROM edges GROUP BY lvl ORDER BY lvl""".stripMargin
   )
 }
