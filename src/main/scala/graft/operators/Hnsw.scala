@@ -71,6 +71,21 @@ object Hnsw {
     * two level-0 rounds (shared by the Spark gate and its oracle). */
   val SeededPlan: Seq[(Int, Int)] = Seq((1, 16), (0, Ef), (0, Ef))
 
+  /** BUILD-TIME candidate prefilter (the round-13 build-cost lever —
+    * 121 s → target ≤30 s at 500k×768): inside each block join, rank
+    * candidates per src by 128-bit sign-sketch Hamming distance
+    * (xor+popcount on two longs ≈ 300× cheaper than a 768-d dot),
+    * keep `k`, and compute exact dots ONLY for the survivors. The
+    * kept-edge window still orders by exact (sim desc, dst asc), so
+    * the graph differs from the exact build only where the sketch
+    * misranks the occupancy tail — acceptable for the 500k bench
+    * tier; the sf ORACLE GATES never pass a prefilter and stay
+    * bit-exact. `sk0`/`sk1` map an embedding column to the two sketch
+    * words (callers supply the planes — BenchVec uses splitmix planes
+    * matching its corpus). */
+  final case class BuildPrefilter(k: Int, sk0: Column => Column,
+                                  sk1: Column => Column)
+
   /** Block bits at a level: halve buckets as the population halves —
     * occupancy stays ≈ n / 2^b0 at every level. Blocks NEST (one bit
     * of code resolution dropped per level), so each level's edges span
@@ -83,19 +98,32 @@ object Hnsw {
   /** Deterministic geometric level of an id column (0..maxLevel):
     * trailing-zero count of the mixed hash, capped. P(level ≥ l) =
     * 2^−l — HNSW's geometric ladder without its RNG. maxLevel scales
-    * as ~log2(n / occupancy) so the top level is a handful of nodes. */
+    * as ~log2(n / occupancy) so the top level is a handful of nodes.
+    * The id is masked to its low 31 bits before the multiply: the
+    * worst-case product (2^31 + 7) · 2860486313 ≈ 6.1e18 stays inside
+    * Int64, so the mixer never overflows (ANSI-on Spark 4 and DuckDB
+    * both THROW on BIGINT overflow — the unmasked form died at ids
+    * above ~3.2e9, i.e. exactly the multi-billion-vector regime this
+    * tier is for). Ids sharing low bits share a level — harmless,
+    * levels are a sampling ladder, not an identity. */
   def levelCol(id: Column, maxLevel: Int = MaxLevel): Column = {
-    val g = shiftright((id + lit(7L)) * lit(2860486313L), 16)
+    val g = shiftright(
+      (id.bitwiseAND(lit(0x7FFFFFFFL)) + lit(7L)) * lit(2860486313L), 16)
     (0 until maxLevel).foldRight(lit(maxLevel): Column)((l, acc) =>
       when(g % lit(1L << (l + 1)) === lit(1L << l), lit(l)).otherwise(acc))
   }
 
-  /** DuckDB expression mirroring [[levelCol]] bit for bit. */
-  def levelSql(idExpr: String, maxLevel: Int = MaxLevel): String =
-    s"(CASE WHEN ((($idExpr + 7) * 2860486313) >> 16) % 2 = 1 THEN 0 " +
-      s"WHEN ((($idExpr + 7) * 2860486313) >> 16) % 4 = 2 THEN 1 " +
-      s"WHEN ((($idExpr + 7) * 2860486313) >> 16) % 8 = 4 THEN 2 " +
-      s"ELSE $maxLevel END)"
+  /** DuckDB expression mirroring [[levelCol]] bit for bit — the WHEN
+    * ladder is generated from the same (0 until maxLevel) range the
+    * Column fold walks, so any maxLevel replays (the hand-written
+    * 3-branch CASE silently collapsed levels ≥ 3 for other ladders). */
+  def levelSql(idExpr: String, maxLevel: Int = MaxLevel): String = {
+    val g = s"(((($idExpr & 2147483647) + 7) * 2860486313) >> 16)"
+    val whens = (0 until maxLevel)
+      .map(l => s"WHEN $g % ${1L << (l + 1)} = ${1L << l} THEN $l")
+      .mkString(" ")
+    s"(CASE $whens ELSE $maxLevel END)"
+  }
 
   /** Bulk-build the level graphs: returns (lvl, src, dst) adjacency.
     * `vectors` needs (vec_id, embedding). `codeFn` supplies the block
@@ -117,9 +145,10 @@ object Hnsw {
   def build(vectors: DataFrame, m: Int = M, maxLevel: Int = MaxLevel,
             b0: Int = B0, siblingProbe: Boolean = true,
             floorBoost: Int = 0,
-            codeFn: Column => Column = RandomHyperplane.codeCol(_)): DataFrame =
+            codeFn: Column => Column = RandomHyperplane.codeCol(_),
+            prefilter: Option[BuildPrefilter] = None): DataFrame =
     symmetrize(buildDirected(vectors, m, maxLevel, b0, siblingProbe,
-      floorBoost, codeFn))
+      floorBoost, codeFn, prefilter))
 
   /** Effective block bits at level l (floorBoost COARSENS level 0's
     * blocks by `floorBoost` bits — occupancy × 2^boost: on clustered
@@ -138,16 +167,23 @@ object Hnsw {
   def buildDirected(vectors: DataFrame, m: Int = M, maxLevel: Int = MaxLevel,
                     b0: Int = B0, siblingProbe: Boolean = true,
                     floorBoost: Int = 0,
-                    codeFn: Column => Column = RandomHyperplane.codeCol(_)): DataFrame = {
-    val lv = vectors.select(col("vec_id"), col("embedding"),
+                    codeFn: Column => Column = RandomHyperplane.codeCol(_),
+                    prefilter: Option[BuildPrefilter] = None): DataFrame = {
+    val lv0 = vectors.select(col("vec_id"), col("embedding"),
       levelCol(col("vec_id"), maxLevel).as("nlvl"),
       codeFn(col("embedding")).as("code"))
+    val lv = prefilter match {
+      case Some(p) => lv0.withColumn("sk0", p.sk0(col("embedding")))
+        .withColumn("sk1", p.sk1(col("embedding")))
+      case None => lv0
+    }
     (0 to maxLevel).map { l =>
       val bits = effBits(l, b0, floorBoost)
+      val skCols = if (prefilter.isDefined) Seq(col("sk0"), col("sk1")) else Nil
       val n = lv.filter(col("nlvl") >= l)
-        .select(col("vec_id"), col("embedding"),
-          (col("code") % lit(1L << math.max(bits, 0))).as("blk"))
-      directedForLevel(n, l, bits, m, siblingProbe)
+        .select(Seq(col("vec_id"), col("embedding"),
+          (col("code") % lit(1L << math.max(bits, 0))).as("blk")) ++ skCols: _*)
+      directedForLevel(n, l, bits, m, siblingProbe, prefilter)
     }.reduce(_ unionByName _)
   }
 
@@ -155,18 +191,46 @@ object Hnsw {
     * embedding, blk). The a-side is replicated into its own block +
     * the sibling block; a candidate pair appears exactly once. */
   private def directedForLevel(n: DataFrame, l: Int, bits: Int, m: Int,
-                               siblingProbe: Boolean): DataFrame = {
+                               siblingProbe: Boolean,
+                               prefilter: Option[BuildPrefilter] = None): DataFrame = {
     val probeCols =
       if (!siblingProbe || bits == 0) Seq(col("blk"))
       else Seq(col("blk"), col("blk").bitwiseXOR(lit(1L << (bits - 1))))
     val probed = n.withColumn("pblk", explode(array(probeCols: _*)))
-    probed.select(col("pblk").as("blk"),
-        col("vec_id").as("src"), col("embedding").as("ea"))
-      .join(n.select(col("blk"), col("vec_id").as("dst"),
-        col("embedding").as("eb")), Seq("blk"))
-      .filter(col("src") =!= col("dst"))
-      .withColumn("sim", dot(col("ea"), col("eb")))
-      .select("src", "dst", "sim")
+    val scored = prefilter match {
+      case None =>
+        probed.select(col("pblk").as("blk"),
+            col("vec_id").as("src"), col("embedding").as("ea"))
+          .join(n.select(col("blk"), col("vec_id").as("dst"),
+            col("embedding").as("eb")), Seq("blk"))
+          .filter(col("src") =!= col("dst"))
+          .withColumn("sim", dot(col("ea"), col("eb")))
+          .select("src", "dst", "sim")
+      case Some(p) =>
+        // Hamming-prefiltered: the block join streams only (ids +
+        // 2 sketch longs), the per-src window keeps the k sketch-
+        // nearest, and exact dots run on n×k survivor rows (joined
+        // back to embeddings) instead of n×occupancy candidates.
+        val survivors = probed.select(col("pblk").as("blk"),
+            col("vec_id").as("src"), col("sk0").as("a0"), col("sk1").as("a1"))
+          .join(n.select(col("blk"), col("vec_id").as("dst"),
+            col("sk0").as("b0"), col("sk1").as("b1")), Seq("blk"))
+          .filter(col("src") =!= col("dst"))
+          .withColumn("hd", expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)"))
+          .select("src", "dst", "hd")
+          .withColumn("hrk", row_number().over(
+            Window.partitionBy("src").orderBy(col("hd").asc, col("dst").asc)))
+          .filter(col("hrk") <= p.k)
+          .select("src", "dst")
+        survivors
+          .join(n.select(col("vec_id").as("src"), col("embedding").as("ea")),
+            Seq("src"))
+          .join(n.select(col("vec_id").as("dst"), col("embedding").as("eb")),
+            Seq("dst"))
+          .withColumn("sim", dot(col("ea"), col("eb")))
+          .select("src", "dst", "sim")
+    }
+    scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
       .filter(col("rk") <= m)
@@ -246,7 +310,9 @@ object Hnsw {
         keep.unionByName(recomputed)
       }
     }.reduce(_ unionByName _)
-    out.localCheckpoint()
+    val res = out.localCheckpoint() // materializes — lv is consumed here
+    lv.unpersist()                  // CDC path runs per batch: don't let
+    res                             // cached corpus copies accumulate
   }
 
   /** The search schedule: (level, beam width) per round —
@@ -310,7 +376,8 @@ object Hnsw {
     }
     sims.filter(col("vec_id").isin(beam: _*))
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+        graft.functions.BoundedWindow.orderBy(col("vec_id"),
+          col("sim").desc, col("vec_id").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select("rank", "vec_id", "sim").orderBy("rank")
   }
