@@ -61,11 +61,32 @@ object VersionedStore {
     * data inside the same audit read that counts rows); deletes only
     * shrink content, so stale stats stay a valid over-approximation
     * and soft deletes never have to touch them. */
+  /** `wid`/`dvw` are WRITER IDS (round-12 verdict task 6 — optimistic
+    * concurrency for overlapping-bucket writers): every staging write
+    * lands under a writer-unique `w=<wid>` subdir of its `v=<n>` (or
+    * `dv=<n>`) dir, and the manifest entry records which writer's
+    * subdir is live. Two writers racing the same bucket therefore
+    * NEVER share a directory — each stages its own files, exactly one
+    * wins the atomic manifest publish, and the loser gets
+    * ConcurrentModificationException with its orphan w-dir invisible
+    * to every reader (vacuum reclaims it). This is the Iceberg/Delta
+    * principle (writers never mutate shared paths; the commit is the
+    * only conflict point) at bucket-dir granularity. The fields are
+    * optional for manifest back-compat: wid-less entries read the
+    * bare v/dv dir. */
   private[graft] final case class ManifestEntry(owner: String, bucket: Long,
                                                 v: Int, dv: Option[Int],
                                                 stats: Option[(Double, Double)] = None,
                                                 bloom: Option[String] = None,
-                                                stats2: Option[(Double, Double)] = None)
+                                                stats2: Option[(Double, Double)] = None,
+                                                wid: Option[String] = None,
+                                                dvw: Option[String] = None)
+
+  /** Fresh writer id — unique per staging attempt, so a crashed
+    * attempt's retry writes a NEW subdir and never collides with its
+    * own debris (or with a live concurrent writer's). */
+  private[graft] def newWid(): String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Per-bucket BLOOM FILTER config — the Iceberg bloom-metadata idea
     * at bucket granularity, the equality-lookup counterpart of the
@@ -227,12 +248,18 @@ object VersionedStore {
           val stats2 = opts.collectFirst { case s if s.startsWith("stats2:") =>
             val Array(lo, hi) = s.stripPrefix("stats2:").split(',')
             (lo.toDouble, hi.toDouble) }
+          val wid = opts.collectFirst { case s if s.startsWith("wid:") =>
+            s.stripPrefix("wid:") }
+          val dvw = opts.collectFirst { case s if s.startsWith("dvw:") =>
+            s.stripPrefix("dvw:") }
           val unknown = opts.filterNot(s => s.startsWith("dv:") ||
             s.startsWith("stats:") || s.startsWith("stats2:") ||
-            s.startsWith("bloom:"))
+            s.startsWith("bloom:") || s.startsWith("wid:") ||
+            s.startsWith("dvw:"))
           if (unknown.nonEmpty) throw new IllegalStateException(
             s"manifest $n: unknown field '${unknown.head}'")
-          ManifestEntry(f(0), f(1).toLong, f(2).toInt, dv, stats, bloom, stats2)
+          ManifestEntry(f(0), f(1).toLong, f(2).toInt, dv, stats, bloom,
+            stats2, wid, dvw)
         }.toList
     } finally in.close()
   }
@@ -311,7 +338,9 @@ object VersionedStore {
         e.dv.map(k => s"\tdv:$k").getOrElse("") +
         e.stats.map { case (lo, hi) => s"\tstats:$lo,$hi" }.getOrElse("") +
         e.stats2.map { case (lo, hi) => s"\tstats2:$lo,$hi" }.getOrElse("") +
-        e.bloom.map(h => s"\tbloom:$h").getOrElse(""))
+        e.bloom.map(h => s"\tbloom:$h").getOrElse("") +
+        e.wid.map(w => s"\twid:$w").getOrElse("") +
+        e.dvw.map(w => s"\tdvw:$w").getOrElse(""))
       .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     // optimistic concurrency: EXACTLY ONE writer may publish snapshot
@@ -327,12 +356,26 @@ object VersionedStore {
     if (fs.getScheme == "file") {
       val tmpP = java.nio.file.Paths.get(tmp.toUri.getPath)
       val finP = java.nio.file.Paths.get(fin.toUri.getPath)
+      // ChecksumFileSystem wrote a `.{name}.crc` sidecar next to tmp;
+      // NIO link/delete bypasses it, so carry the sidecar to the
+      // published name (manifest reads stay checksum-verified) and
+      // drop the tmp THROUGH the Hadoop API so its sidecar goes with
+      // it — the bare-NIO form orphaned one .crc per commit.
+      def crcOf(p: Path) = java.nio.file.Paths.get(
+        new Path(p.getParent, "." + p.getName + ".crc").toUri.getPath)
       try {
         java.nio.file.Files.createLink(finP, tmpP)
-        java.nio.file.Files.deleteIfExists(tmpP)
+        // only the single winner for snapshot n reaches this line, so
+        // the sidecar link has no concurrent writer; a stale fin crc
+        // can only be debris from a manually-deleted manifest
+        if (java.nio.file.Files.exists(crcOf(tmp))) {
+          java.nio.file.Files.deleteIfExists(crcOf(fin))
+          java.nio.file.Files.createLink(crcOf(fin), crcOf(tmp))
+        }
+        fs.delete(tmp, false)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmpP)
+          fs.delete(tmp, false)
           throw new java.util.ConcurrentModificationException(
             s"versioned commit: snapshot $n already committed by another writer")
       }
@@ -349,6 +392,53 @@ object VersionedStore {
 
   private def bucketDir(path: String, o: String, b: Long, v: Int) =
     s"${dataDir(path)}/owner=$o/bucket=$b/v=$v"
+
+  /** The data dir an entry's rows actually live in: the writer-unique
+    * `w=` subdir when the entry carries a wid, the bare v dir for
+    * legacy entries. */
+  private def entryDir(path: String, e: ManifestEntry) =
+    bucketDir(path, e.owner, e.bucket, e.v) +
+      e.wid.map(w => s"/w=$w").getOrElse("")
+
+  /** The delete-vector dir an entry references (requires e.dv). */
+  private def dvRefDir(path: String, e: ManifestEntry) =
+    dvDir(path, e.dv.get) + e.dvw.map(w => s"/w=$w").getOrElse("") +
+      s"/owner=${e.owner}/bucket=${e.bucket}"
+
+  /** Write `staged` (already carrying its `v` column) under this
+    * writer's unique `w=<wid>` subdirs — concurrent writers touching
+    * the same bucket write DISJOINT directories, so staged data never
+    * mixes; the atomic manifest publish is the only conflict point.
+    *
+    * The Spark job writes into a writer-PRIVATE staging root first and
+    * is then moved into place with per-bucket-dir renames (metadata-
+    * only on local fs/HDFS; an object-store port would swap in a
+    * direct-write committer). Writing straight into `dataDir` is not
+    * concurrency-safe even with disjoint partition dirs, because every
+    * job on one output root shares its `_temporary/0` committer dir —
+    * measured: the first racer's job-commit deleted the second's
+    * in-flight task files (FileNotFoundException under _temporary). */
+  private def writeStaged(staged: DataFrame, path: String, wid: String): Unit = {
+    val spark = staged.sparkSession
+    val stagingRoot = s"${dataDir(path)}/.staging-$wid"
+    staged.withColumn("w", lit(wid))
+      .write.mode("overwrite").partitionBy("owner", "bucket", "v", "w")
+      .parquet(stagingRoot)
+    val fs = fsOf(spark, path)
+    val root = new Path(stagingRoot)
+    for (oDir <- fs.listStatus(root) if oDir.isDirectory;
+         bDir <- fs.listStatus(oDir.getPath) if bDir.isDirectory;
+         vDir <- fs.listStatus(bDir.getPath) if vDir.isDirectory;
+         wDir <- fs.listStatus(vDir.getPath) if wDir.isDirectory) {
+      val dst = new Path(s"${dataDir(path)}/${oDir.getPath.getName}/" +
+        s"${bDir.getPath.getName}/${vDir.getPath.getName}/${wDir.getPath.getName}")
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(wDir.getPath, dst))
+        throw new IllegalStateException(
+          s"writeStaged: move ${wDir.getPath} -> $dst failed")
+    }
+    fs.delete(root, true)
+  }
 
   /** Bucket-assignment expression for a layout. Range assignment is
     * pure arithmetic on the frozen [mn, mx] (division by nBuckets in
@@ -448,7 +538,8 @@ object VersionedStore {
                                           entries: Seq[ManifestEntry],
                                           layout: Option[Layout] = None,
                                           bloom: Option[BloomConfig] = None,
-                                          probedBuckets: Int = -1)
+                                          probedBuckets: Int = -1,
+                                          wid: Option[String] = None)
 
   /** Stage the next snapshot's data: merged content of every touched
     * bucket written to NEW v=next dirs (append-only — live version
@@ -526,15 +617,18 @@ object VersionedStore {
     }
     val touched = newTouched ++ relocated
     val touchedSet = touched.toSet
-    // a retry after a crashed commit attempt must not double-append
-    // into the same v dirs: clear any orphan v=next dirs first (here,
-    // after the FULL touched set is known — including relocated-copy
-    // buckets a caller could not predict from the batch alone)
-    val fs = fsOf(spark, path)
-    touched.foreach { case (o, b) =>
-      val orphan = new Path(bucketDir(path, o, b, next))
-      if (fs.exists(orphan)) fs.delete(orphan, true)
-    }
+    // Writer isolation (round-12 task 6): stage under a fresh unique
+    // w=<wid> subdir instead of the bare v=next dir. A crashed
+    // attempt's retry writes a NEW wid (no orphan cleanup needed — the
+    // old attempt's w-dir is referenced by no manifest, invisible to
+    // readers, reclaimed by vacuum), and a CONCURRENT writer racing
+    // the same bucket stages a disjoint dir: its data can never mix
+    // into this writer's audit or committed snapshot. Exactly one of
+    // the racers wins commitManifestFull's atomic publish; the loser
+    // gets ConcurrentModificationException, never silent last-wins.
+    // (The previous design deleted "orphan" v=next dirs here, which
+    // would have destroyed a live concurrent writer's staged data.)
+    val wid = newWid()
     // survivors via the dv-applying scan: a rewrite FOLDS a bucket's
     // delete vector into the new data version (and clears the ref)
     val touchedEntries = man.filter(e => touchedSet((e.owner, e.bucket)))
@@ -555,16 +649,16 @@ object VersionedStore {
       .count().collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
     val expected = perBucket.values.sum
-    staged.write.mode("append").partitionBy("owner", "bucket", "v")
-      .parquet(dataDir(path))
+    writeStaged(staged, path, wid)
     // relocation can EMPTY a bucket (its only rows moved to other
     // bins): no v=next dir is written for it, so its manifest entry
     // must vanish rather than point at a missing path
     val live = touched.filter(perBucket.contains)
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
-      live.map { case (o, b) => ManifestEntry(o, b, next, None) }
+      live.map { case (o, b) =>
+        ManifestEntry(o, b, next, None, wid = Some(wid)) }
     StagedVersion(next, expected, live, entries, Some(layout),
-      readBloomConfig(spark, path, cur), probedBuckets)
+      readBloomConfig(spark, path, cur), probedBuckets, Some(wid))
   }
 
   /** Audit the staged version dirs (row count + bucket set), then
@@ -574,7 +668,9 @@ object VersionedStore {
     * staged content — no extra pass; untouched buckets keep theirs). */
   private[graft] def auditAndCommit(spark: SparkSession, path: String,
                                     st: StagedVersion): Unit = {
-    val paths = st.touched.map { case (o, b) => bucketDir(path, o, b, st.next) }
+    val paths = st.touched.map { case (o, b) =>
+      bucketDir(path, o, b, st.next) +
+        st.wid.map(w => s"/w=$w").getOrElse("") }
     val statsCols = clusterCols(st.layout)
     val aggs = count(lit(1)).as("cnt") +: statsCols.zipWithIndex.flatMap { case (c, j) =>
       Seq(min(col(c).cast("double")).as(s"smn$j"),
@@ -657,21 +753,18 @@ object VersionedStore {
       .withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), newBuckets))
     val touched = nv.select("owner", "bucket").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val fs = fsOf(spark, path)
-    touched.foreach { case (o, b) =>
-      val orphan = new Path(bucketDir(path, o, b, next))
-      if (fs.exists(orphan)) fs.delete(orphan, true)
-    }
+    val wid = newWid() // writer-isolated staging; see stageVersion
     val staged = nv.withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
       .localCheckpoint()
     val expected = staged.count()
-    staged.write.mode("append").partitionBy("owner", "bucket", "v")
-      .parquet(dataDir(path))
+    writeStaged(staged, path, wid)
     // full rewrite: the new manifest carries ONLY the new bucket space
     auditAndCommit(spark, path, StagedVersion(next, expected, touched,
-      touched.map { case (o, b) => ManifestEntry(o, b, next, None) },
-      Some(HashLayout(newBuckets)), readBloomConfig(spark, path, cur)))
+      touched.map { case (o, b) =>
+        ManifestEntry(o, b, next, None, wid = Some(wid)) },
+      Some(HashLayout(newBuckets)), readBloomConfig(spark, path, cur),
+      wid = Some(wid)))
   }
 
   /** CLUSTERING compaction — the OPTIMIZE-ZORDER move: rewrite the
@@ -708,20 +801,16 @@ object VersionedStore {
     val nv = base.withColumn("bucket", bucketExpr(layout))
     val touched = nv.select("owner", "bucket").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val fs = fsOf(spark, path)
-    touched.foreach { case (o, b) =>
-      val orphan = new Path(bucketDir(path, o, b, next))
-      if (fs.exists(orphan)) fs.delete(orphan, true)
-    }
+    val wid = newWid() // writer-isolated staging; see stageVersion
     val staged = nv.withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
       .localCheckpoint()
     val expected = staged.count()
-    staged.write.mode("append").partitionBy("owner", "bucket", "v")
-      .parquet(dataDir(path))
+    writeStaged(staged, path, wid)
     auditAndCommit(spark, path, StagedVersion(next, expected, touched,
-      touched.map { case (o, b) => ManifestEntry(o, b, next, None) },
-      Some(layout), readBloomConfig(spark, path, cur)))
+      touched.map { case (o, b) =>
+        ManifestEntry(o, b, next, None, wid = Some(wid)) },
+      Some(layout), readBloomConfig(spark, path, cur), wid = Some(wid)))
   }
 
   /** Doc-granular DELETE as a new snapshot — the right-to-be-forgotten
@@ -748,11 +837,7 @@ object VersionedStore {
     val deleted = victims.count()
     val man = readManifestFull(spark, path, cur)
     val touchedSet = touched.toSet
-    val fs = fsOf(spark, path)
-    touched.foreach { case (o, b) =>
-      val orphan = new Path(bucketDir(path, o, b, next))
-      if (fs.exists(orphan)) fs.delete(orphan, true)
-    }
+    val wid = newWid() // writer-isolated staging; see stageVersion
     // dv-applying scan: the rewrite folds any existing delete vector
     // of a touched bucket into the new data version
     val staged = scanEntries(spark, path,
@@ -767,15 +852,16 @@ object VersionedStore {
     val kept = staged.select("owner", "bucket").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
-      kept.map { case (o, b) => ManifestEntry(o, b, next, None) }
+      kept.map { case (o, b) =>
+        ManifestEntry(o, b, next, None, wid = Some(wid)) }
     val layout = readLayout(spark, path, cur)
     val bloomCfg = readBloomConfig(spark, path, cur)
     if (kept.isEmpty) commitManifestFull(spark, path, next, entries, layout, bloomCfg)
     else {
-      staged.write.mode("append").partitionBy("owner", "bucket", "v")
-        .parquet(dataDir(path))
+      writeStaged(staged, path, wid)
       auditAndCommit(spark, path,
-        StagedVersion(next, expected, kept, entries, layout, bloomCfg))
+        StagedVersion(next, expected, kept, entries, layout, bloomCfg,
+          wid = Some(wid)))
     }
     deleted
   }
@@ -835,26 +921,36 @@ object VersionedStore {
     val removed = victims.count()
     val affectedSet = affected.toSet
     // cumulative: union the affected buckets' existing dv ids in
-    val oldRefs = man.collect {
-      case e if e.dv.isDefined && affectedSet((e.owner, e.bucket)) =>
-        s"${dvDir(path, e.dv.get)}/owner=${e.owner}/bucket=${e.bucket}"
-    }
+    val oldEntries = man.filter(e =>
+      e.dv.isDefined && affectedSet((e.owner, e.bucket)))
     val newVictimIds = victims.select("owner", "bucket", "doc_id").distinct()
     val allIds =
-      if (oldRefs.isEmpty) newVictimIds
+      if (oldEntries.isEmpty) newVictimIds
       else newVictimIds.unionByName(
-        spark.read.option("basePath", deletesDir(path)).parquet(oldRefs: _*)
-          .select(col("owner"), col("bucket").cast("long").as("bucket"),
-            col("doc_id"))).distinct()
-    // overwrite makes a crashed-then-retried soft delete converge (the
-    // dv=<next> dir is unreferenced until the manifest rename lands)
+        readDvEntries(spark, path, oldEntries)).distinct()
+    // writer-isolated dv staging (same discipline as writeStaged): a
+    // fresh w=<dvw> subdir per attempt, written via a writer-private
+    // staging root + one rename, so a concurrent soft delete racing
+    // this snapshot can never replace this writer's id files — the
+    // loser's dir is simply never referenced. Crash-retry converges
+    // the same way: the retry writes a new subdir and the orphan is
+    // vacuumable.
+    val dvw = newWid()
+    val dvStaging = s"${deletesDir(path)}/.staging-$dvw"
     allIds.repartition(affected.size, col("owner"), col("bucket"))
       .write.mode("overwrite").partitionBy("owner", "bucket")
-      .parquet(dvDir(path, next))
+      .parquet(dvStaging)
+    val fs = fsOf(spark, path)
+    val dvTarget = new Path(s"${dvDir(path, next)}/w=$dvw")
+    fs.mkdirs(dvTarget.getParent)
+    if (!fs.rename(new Path(dvStaging), dvTarget))
+      throw new IllegalStateException(
+        s"softDelete: move $dvStaging -> $dvTarget failed")
     // zone maps untouched: a delete only shrinks a bucket's content,
     // so its recorded (min, max) stays a sound over-approximation
     val entries = man.map(e =>
-      if (affectedSet((e.owner, e.bucket))) e.copy(dv = Some(next)) else e)
+      if (affectedSet((e.owner, e.bucket)))
+        e.copy(dv = Some(next), dvw = Some(dvw)) else e)
     commitManifestFull(spark, path, next, entries, readLayout(spark, path, cur),
       readBloomConfig(spark, path, cur))
     removed
@@ -941,20 +1037,16 @@ object VersionedStore {
     val nv = base.withColumn("bucket", bucketExpr(layout))
     val touched = nv.select("owner", "bucket").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val fs = fsOf(spark, path)
-    touched.foreach { case (o, b) =>
-      val orphan = new Path(bucketDir(path, o, b, next))
-      if (fs.exists(orphan)) fs.delete(orphan, true)
-    }
+    val wid = newWid() // writer-isolated staging; see stageVersion
     val staged = nv.withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
       .localCheckpoint()
     val expected = staged.count()
-    staged.write.mode("append").partitionBy("owner", "bucket", "v")
-      .parquet(dataDir(path))
+    writeStaged(staged, path, wid)
     auditAndCommit(spark, path, StagedVersion(next, expected, touched,
-      touched.map { case (o, b) => ManifestEntry(o, b, next, None) },
-      Some(layout), readBloomConfig(spark, path, cur)))
+      touched.map { case (o, b) =>
+        ManifestEntry(o, b, next, None, wid = Some(wid)) },
+      Some(layout), readBloomConfig(spark, path, cur), wid = Some(wid)))
   }
 
   /** 2-D ZONE-MAP-PRUNED box read over a z-ordered table: scan only
@@ -1034,26 +1126,50 @@ object VersionedStore {
     * vectors (one anti-join against the referenced dv files — the
     * merge-on-read cost, proportional to the DELETED ids, not the
     * table). */
+  /** The (owner, bucket, doc_id) delete-vector rows the given entries
+    * reference. Wid-era and legacy dv dirs sit at DIFFERENT partition
+    * depths (dv=k/w=x/owner/bucket vs dv=k/owner/bucket) and Spark's
+    * partition discovery rejects mixed depths in one read — split by
+    * shape and union. */
+  private def readDvEntries(spark: SparkSession, path: String,
+                            entries: Seq[ManifestEntry]): DataFrame = {
+    def read(es: Seq[ManifestEntry]): Option[DataFrame] =
+      if (es.isEmpty) None
+      else Some(spark.read.option("basePath", deletesDir(path))
+        .parquet(es.map(dvRefDir(path, _)): _*)
+        .select(col("owner"), col("bucket").cast("long").as("bucket"),
+          col("doc_id")))
+    val (w, legacy) = entries.filter(_.dv.isDefined).partition(_.dvw.isDefined)
+    (read(w), read(legacy)) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).getOrElse(
+        throw new IllegalArgumentException("readDvEntries: no dv entries"))
+    }
+  }
+
   private[graft] def scanEntries(spark: SparkSession, path: String,
                           entries: Seq[ManifestEntry]): DataFrame = {
-    val dataPaths = entries.map(e => bucketDir(path, e.owner, e.bucket, e.v))
     // mergeSchema: a snapshot may span version dirs written before and
     // after a column was ADDED (schema evolution) — the union schema
-    // is the snapshot's schema, old rows read NULL for new columns
-    val base = spark.read.option("basePath", dataDir(path))
-      .option("mergeSchema", "true").parquet(dataPaths: _*)
-      .withColumn("bucket", col("bucket").cast("long")).drop("v")
-    val dvRefs = entries.collect {
-      case e if e.dv.isDefined =>
-        s"${dvDir(path, e.dv.get)}/owner=${e.owner}/bucket=${e.bucket}"
+    // is the snapshot's schema, old rows read NULL for new columns.
+    // Wid-era dirs (…/v=N/w=x) and legacy dirs (…/v=N) sit at
+    // different partition depths, which one parquet() call rejects
+    // ("conflicting directory structures") — split by shape, union.
+    def read(es: Seq[ManifestEntry]): Option[DataFrame] =
+      if (es.isEmpty) None
+      else Some(spark.read.option("basePath", dataDir(path))
+        .option("mergeSchema", "true")
+        .parquet(es.map(entryDir(path, _)): _*)
+        .withColumn("bucket", col("bucket").cast("long")).drop("v", "w"))
+    val (wids, legacy) = entries.partition(_.wid.isDefined)
+    val base = (read(wids), read(legacy)) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (a, b) => a.orElse(b).getOrElse(
+        throw new IllegalArgumentException("scanEntries: empty entry set"))
     }
-    if (dvRefs.isEmpty) base
-    else {
-      val dels = spark.read.option("basePath", deletesDir(path))
-        .parquet(dvRefs: _*)
-        .select(col("owner"), col("bucket").cast("long").as("bucket"), col("doc_id"))
-      base.join(dels, Seq("owner", "bucket", "doc_id"), "left_anti")
-    }
+    if (!entries.exists(_.dv.isDefined)) base
+    else base.join(readDvEntries(spark, path, entries),
+      Seq("owner", "bucket", "doc_id"), "left_anti")
   }
 
   /** Drop data dirs referenced by NO retained manifest (keep the last
@@ -1071,34 +1187,84 @@ object VersionedStore {
     val tagged = listTags(spark, path).values.toSet
     val keep = (snaps.takeRight(retain) ++ snaps.filter(tagged)).distinct.sorted
     val keepSet = keep.toSet
-    // live keys as the last three path segments: owner=o/bucket=b/v=N
-    val live = keep.flatMap(readManifest(spark, path, _))
-      .map { case (o, b, v) => s"owner=$o/bucket=$b/v=$v" }.toSet
+    val keptEntries = keep.flatMap(readManifestFull(spark, path, _))
+    // live keys at the granularity an entry actually references:
+    // owner=o/bucket=b/v=N for legacy entries, .../w=x for wid-era
+    // ones — so an orphan w-dir beside a live sibling (a LOSING
+    // concurrent writer's staging, or crashed-attempt debris) is
+    // reclaimed without touching the winner's data
+    val live = keptEntries.map(e =>
+      s"owner=${e.owner}/bucket=${e.bucket}/v=${e.v}" +
+        e.wid.map(w => s"/w=$w").getOrElse("")).toSet
     var deleted = 0
+    // crashed writers leave .staging-<wid> roots (never referenced,
+    // invisible to readers); vacuum reclaims them — same caveat as
+    // version dirs: vacuum must not run concurrently with writers
+    def sweepStaging(dir: Path): Unit =
+      if (fs.exists(dir))
+        for (d <- fs.listStatus(dir)
+             if d.isDirectory && d.getPath.getName.startsWith(".staging-")) {
+          fs.delete(d.getPath, true); deleted += 1
+        }
+    sweepStaging(new Path(dataDir(path)))
+    sweepStaging(new Path(deletesDir(path)))
     val root = new Path(dataDir(path))
     if (fs.exists(root)) {
-      for (oDir <- fs.listStatus(root) if oDir.isDirectory;
+      for (oDir <- fs.listStatus(root)
+           if oDir.isDirectory && !oDir.getPath.getName.startsWith(".");
            bDir <- fs.listStatus(oDir.getPath) if bDir.isDirectory;
            vDir <- fs.listStatus(bDir.getPath) if vDir.isDirectory) {
         val key = s"${oDir.getPath.getName}/${bDir.getPath.getName}/${vDir.getPath.getName}"
-        if (!live.contains(key)) { fs.delete(vDir.getPath, true); deleted += 1 }
+        if (!live.contains(key)) {
+          val wDirs = fs.listStatus(vDir.getPath).filter(d =>
+            d.isDirectory && d.getPath.getName.startsWith("w="))
+          if (wDirs.isEmpty) { fs.delete(vDir.getPath, true); deleted += 1 }
+          else {
+            var keptW = 0
+            for (wDir <- wDirs) {
+              if (!live.contains(s"$key/${wDir.getPath.getName}")) {
+                fs.delete(wDir.getPath, true); deleted += 1
+              } else keptW += 1
+            }
+            if (keptW == 0 && fs.listStatus(vDir.getPath).isEmpty)
+              fs.delete(vDir.getPath, true)
+          }
+        }
       }
       // drop superseded manifests (never a tagged one)
       snaps.filterNot(keepSet).foreach(n =>
         fs.delete(new Path(manifestFile(path, n)), false))
     }
-    // reclaim delete-vector dirs no retained manifest references
-    val liveDv = keep.flatMap(readManifestFull(spark, path, _)).collect {
+    // reclaim delete-vector dirs no retained manifest references —
+    // same two-shape walk (dv=k/w=x/owner/bucket vs dv=k/owner/bucket)
+    val liveDv = keptEntries.collect {
       case e if e.dv.isDefined =>
-        s"dv=${e.dv.get}/owner=${e.owner}/bucket=${e.bucket}"
+        s"dv=${e.dv.get}" + e.dvw.map(w => s"/w=$w").getOrElse("") +
+          s"/owner=${e.owner}/bucket=${e.bucket}"
     }.toSet
     val dRoot = new Path(deletesDir(path))
     if (fs.exists(dRoot)) {
-      for (kDir <- fs.listStatus(dRoot) if kDir.isDirectory;
-           oDir <- fs.listStatus(kDir.getPath) if oDir.isDirectory;
-           bDir <- fs.listStatus(oDir.getPath) if bDir.isDirectory) {
-        val key = s"${kDir.getPath.getName}/${oDir.getPath.getName}/${bDir.getPath.getName}"
-        if (!liveDv.contains(key)) { fs.delete(bDir.getPath, true); deleted += 1 }
+      def sweepDvLeaf(prefix: String, dir: Path): Unit =
+        for (oDir <- fs.listStatus(dir) if oDir.isDirectory;
+             bDir <- fs.listStatus(oDir.getPath) if bDir.isDirectory) {
+          val key = s"$prefix/${oDir.getPath.getName}/${bDir.getPath.getName}"
+          if (!liveDv.contains(key)) { fs.delete(bDir.getPath, true); deleted += 1 }
+        }
+      for (kDir <- fs.listStatus(dRoot)
+           if kDir.isDirectory && !kDir.getPath.getName.startsWith(".")) {
+        val kName = kDir.getPath.getName
+        for (child <- fs.listStatus(kDir.getPath) if child.isDirectory) {
+          if (child.getPath.getName.startsWith("w="))
+            sweepDvLeaf(s"$kName/${child.getPath.getName}", child.getPath)
+          else {
+            val key = s"$kName/${child.getPath.getName}"
+            // legacy shape: child is owner=o, its children bucket=b
+            for (bDir <- fs.listStatus(child.getPath) if bDir.isDirectory) {
+              val bKey = s"$key/${bDir.getPath.getName}"
+              if (!liveDv.contains(bKey)) { fs.delete(bDir.getPath, true); deleted += 1 }
+            }
+          }
+        }
       }
     }
     deleted
@@ -1130,12 +1296,10 @@ object VersionedStore {
         max(col("v")).cast("long").as("max_data_version"))
     val visible = readSnapshot(spark, path, cur)
       .groupBy("owner").agg(count(lit(1)).as("n_visible"))
-    val dvRefs = man.collect { case e if e.dv.isDefined =>
-      s"${dvDir(path, e.dv.get)}/owner=${e.owner}/bucket=${e.bucket}" }
     val masked =
-      if (dvRefs.isEmpty)
+      if (!man.exists(_.dv.isDefined))
         entries.select(col("owner")).distinct().withColumn("n_masked", lit(0L))
-      else spark.read.option("basePath", deletesDir(path)).parquet(dvRefs: _*)
+      else readDvEntries(spark, path, man)
         .groupBy("owner").agg(count(lit(1)).as("n_masked"))
     perOwnerMan.join(visible, Seq("owner"), "left")
       .join(masked, Seq("owner"), "left")
