@@ -48,6 +48,17 @@ object BenchDoc {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Box-weather probes (BenchProbe — same probes as graft.Bench):
+    // the CPU probe normalizes the compute legs, the disk probe the
+    // epi_* store-episode legs (round-12 verdict task 8: episode
+    // queries measured ~0.89× across windows while the CPU probe said
+    // 1.53× — one probe cannot normalize both families).
+    BenchProbe.calibrate(spark) // warmup
+    val calSamples =
+      scala.collection.mutable.ArrayBuffer(BenchProbe.calibrate(spark))
+    val calDiskSamples =
+      scala.collection.mutable.ArrayBuffer(BenchProbe.calibrateDisk())
+
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timed[T](name: String)(body: => T): T = {
@@ -413,8 +424,12 @@ object BenchDoc {
           f3(timings(s"${leg}_500k") / timings(s"${leg}_sf01"))
     }
 
+    calSamples += BenchProbe.calibrate(spark)
+    calDiskSamples += BenchProbe.calibrateDisk()
     val json =
-      "{\"timings_sec\":" +
+      "{\"calibration\":" + f3(calSamples.min) +
+        ",\"calibration_disk\":" + f3(calDiskSamples.min) +
+        ",\"timings_sec\":" +
         timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}") +
         ",\"stats\":" +
         stats.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}") +

@@ -110,20 +110,15 @@ object BenchVec extends Serializable {
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val bytesPerLeg = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
-    // Box-weather probe — the SAME fixed probe graft.Bench runs, so
-    // BENCHVEC numbers can be normalized against BENCH_DETAIL's window
-    // (round-11 verdict task 2). Reported as a top-level field.
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(20000000L)
-        .select((col("id") % 97651L).as("k"),
-          xxhash64(xxhash64(col("id")), col("id")).as("h"))
-        .groupBy("k").agg(sum(col("h")).as("s"), count(lit(1)).as("c"))
-        .orderBy(col("s")).count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // Box-weather probes — the SAME fixed probes graft.Bench runs
+    // (BenchProbe), so BENCHVEC numbers can be normalized against
+    // BENCH_DETAIL's window (round-11 verdict task 2; disk probe
+    // round-12 task 8). Reported as top-level fields.
+    def calibrate(): Double = BenchProbe.calibrate(spark)
     calibrate() // warmup
     val calSamples = scala.collection.mutable.ArrayBuffer(calibrate())
+    val calDiskSamples =
+      scala.collection.mutable.ArrayBuffer(BenchProbe.calibrateDisk())
 
     // Scan-bytes metering (round-11 verdict task 1): /proc/self/io
     // rchar — bytes the JVM pulled through read() syscalls, page-cache
@@ -819,9 +814,11 @@ object BenchVec extends Serializable {
     hAdj.unpersist()
 
     calSamples += calibrate()
+    calDiskSamples += BenchProbe.calibrateDisk()
     val json =
       ("{\"corpus\":{\"n_vectors\":" + nVecs + ",\"dim\":" + Dim + ",\"docs\":" + NDocs + "}," +
         "\"calibration\":" + f3(calSamples.min) + "," +
+        "\"calibration_disk\":" + f3(calDiskSamples.min) + "," +
         "\"timings_sec\":" +
         timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}") + "," +
         "\"bytes_read\":" +
