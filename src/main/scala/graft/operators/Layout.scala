@@ -47,6 +47,54 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
+  /** POINT-FETCH layout (round-13 task 5): the raw store a rescore /
+    * get-by-ids reads must support fetching ~200 scattered rows WITHOUT
+    * a full-table decode. Sorting by id gives parquet min/max stats the
+    * order they need; the non-obvious knob is
+    * `parquet.page.row.count.limit`: the column-index prunes at the
+    * granularity of the PREDICATE column's pages, and an 8-byte id
+    * column packs ~2,000 rows into a default 1 MB page — so with fat
+    * payload rows (a 6 KB embedding) every id-page hit drags in ~12 MB
+    * of payload. Capping pages at 8 rows makes the index resolve to
+    * 8-row ranges: measured on a 500k × 768-d store, a 200-id fetch
+    * reads 15.4 MB instead of 2,955 MB (192×), ~1.2 MB of which is the
+    * fixed footer+offset-index cost. Row-group size is left at the
+    * default — parquet's writer enforces a ≥100-row minimum per size
+    * check, so small block sizes bottom out at ~100-row groups (19.5×),
+    * while page pruning goes finer. */
+  def pointFetchWrite(df: DataFrame, idCol: String, path: String,
+                      nFiles: Int = 32): Unit =
+    df.repartitionByRange(nFiles, col(idCol)).sortWithinPartitions(idCol)
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", 8)
+      .parquet(path)
+
+  /** Point-fetch predicate: a BALANCED or-of-equality tree instead of
+    * `isin`. Spark translates `isin` above
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) to
+    * parquet's native In predicate, which row-group- and page-prunes
+    * NOTHING in Spark 4.1 (measured: a 200-id native-In fetch reads the
+    * full table even at 1 MB row groups; the same ids as or-of-eq read
+    * only the matching groups/pages). The or-of-eq form pushes down
+    * with no session-conf dependency; balanced so expression depth is
+    * log₂(n). Intended for bounded candidate lists (rescore top-k,
+    * get-by-ids) — a corpus-sized id list belongs in a join, not a
+    * predicate. */
+  def idsPredicate(c: Column, ids: Seq[Long]): Column = {
+    require(ids.nonEmpty, "idsPredicate needs at least one id")
+    val vs = ids.distinct.sorted
+    def go(lo: Int, hi: Int): Column =
+      if (hi - lo == 1) c === vs(lo)
+      else { val mid = (lo + hi) / 2; go(lo, mid) || go(mid, hi) }
+    go(0, vs.length)
+  }
+
+  /** Fixture root for `pf_point_fetch` (the round-5 concurrent-run
+    * rule: keyed on data dir + pid). */
+  private def pfDir(dataDir: String): String =
+    "/tmp/graft_pf_" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      ProcessHandle.current().pid()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Z-order locality digest: events keyed by (user_id mod 1024,
     // event_id mod 1024) — both dims on the SAME 10-bit scale, which
@@ -78,6 +126,27 @@ object Layout {
           min(x).as("min_x"), max(x).as("max_x"),
           min(y).as("min_y"), max(y).as("max_y"))
         .orderBy("band")
+    }),
+    // Point-fetch through the REAL layout: write the embeddings table
+    // with pointFetchWrite, fetch 20 arithmetically-scattered ids with
+    // idsPredicate, and emit (vec_id, dim, first/last components) —
+    // the physical path (sorted files, 8-row id pages, or-of-eq
+    // pushdown) is exercised end-to-end while the SEMANTICS stay an
+    // exact IN-list the oracle replays. The id list derives from
+    // max(vec_id) (one bounded driver action, the zo_locality
+    // precedent) so the gate works at every SF.
+    "pf_point_fetch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val ids = (0 until 20).map(i => (i * 3461L + 7) % n)
+      val path = pfDir(d)
+      pointFetchWrite(emb, "vec_id", path, nFiles = 8)
+      s.read.parquet(path)
+        .filter(idsPredicate(col("vec_id"), ids))
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("c_first"),
+          element_at(col("embedding"), -1).cast("double").as("c_last"))
+        .orderBy("vec_id")
     })
   )
 
@@ -95,6 +164,15 @@ object Layout {
          |  min(xn) AS min_x, max(xn) AS max_x,
          |  min(yn) AS min_y, max(yn) AS max_y
          |FROM norm GROUP BY band ORDER BY band""".stripMargin
-    }
+    },
+    "pf_point_fetch" ->
+      """WITH m AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+        |ids AS (SELECT DISTINCT (t.i * 3461 + 7) % m.n AS vec_id
+        |        FROM range(20) t(i), m)
+        |SELECT e.vec_id, len(e.embedding) AS dim,
+        |  CAST(e.embedding[1] AS DOUBLE) AS c_first,
+        |  CAST(e.embedding[len(e.embedding)] AS DOUBLE) AS c_last
+        |FROM embeddings e JOIN ids USING (vec_id)
+        |ORDER BY vec_id""".stripMargin
   )
 }
