@@ -86,6 +86,14 @@ object BenchVec extends Serializable {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // typed TopK aggregations (knnBatch, the sketch-ranked graph
+      // build) fall back to SORT-based aggregation after 128 distinct
+      // keys per partition by default — which re-sorts every candidate
+      // pair, exactly the cost the partial-aggregating TopK exists to
+      // avoid. Per-partition key counts here are ≤ ~20k src ids with
+      // ≤ 24-entry buffers (~20 MB), so the hash map is safe.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "2000000")
       // heap comes from build.sbt's -Xmx (SPARK_DRIVER_MEM, default
       // 8g) — spark.driver.memory is ignored once the JVM is up
       .config("spark.ui.enabled", "false")
@@ -99,7 +107,7 @@ object BenchVec extends Serializable {
     // silently measure an old layout under the new label. Each layout
     // dir carries a version marker; bump LayoutVersion whenever any
     // writer below changes its output format.
-    val LayoutVersion = "2"
+    val LayoutVersion = "3"
     def isFresh(path: String): Boolean =
       Files.exists(Paths.get(path, "_LAYOUT_VERSION")) &&
         Files.readString(Paths.get(path, "_LAYOUT_VERSION")).trim == LayoutVersion
@@ -219,23 +227,27 @@ object BenchVec extends Serializable {
     val nVecs = corpus.count()
     stats("n_vectors") = nVecs.toString
 
-    // Raw store keyed for point fetches: range-partitioned and SORTED
-    // by vec_id, so a rescore's isin(candidate ids) predicate pushes
-    // into the scan and parquet page statistics skip everything else.
-    // Without this layout a 200-row rescore costs a full-table
-    // embedding decode (measured: the broadcast-join rescore against
-    // the unsorted corpus made ADC+rescore SLOWER than brute force —
-    // 11.1 s vs 6.8 s — because the join probes every row; the 100 TB
-    // raw store is id-keyed for exactly this reason).
+    // Raw store keyed for point fetches: Layout.pointFetchWrite —
+    // range-partitioned, SORTED by vec_id, and id pages capped at 8
+    // rows so the parquet column index resolves candidate ids to 8-row
+    // ranges (round-13 task 5). Two measured findings drove this:
+    // (1) an unsorted broadcast-join rescore probes every row (made
+    // ADC+rescore SLOWER than brute force, 11.1 s vs 6.8 s);
+    // (2) a sorted layout fetched via `isin` STILL read the whole
+    // table — Spark pushes 200 ids as parquet's native In predicate,
+    // which prunes nothing, and default 1 MB id pages span ~2,000 rows
+    // so even or-of-eq pruning dragged ~12 MB of payload per id-page
+    // hit. pointFetchWrite + idsPredicate read 15.4 MB per 200-id
+    // fetch on this table (measured; was 2,955 MB — the rescore
+    // *_rescore200 byte legs below carry the ratio under drift check).
     val byidPath = s"$vecDir/vec768_500k_byid"
     buildIfStale(byidPath, "byid_sorted_write") {
-      corpus.repartitionByRange(32, col("vec_id")).sortWithinPartitions("vec_id")
-        .write.mode("overwrite").parquet(byidPath)
+      graft.operators.Layout.pointFetchWrite(corpus, "vec_id", byidPath)
     }
     val byid = spark.read.parquet(byidPath)
     def rescoreTop10(candIds: Array[Long], q: Seq[Double],
                      src: DataFrame = byid, idCol: String = "vec_id"): Set[Long] =
-      src.filter(col(idCol).isin(candIds: _*))
+      src.filter(graft.operators.Layout.idsPredicate(col(idCol), candIds.toSeq))
         .withColumn("sim", VectorFunctions.dot(col("embedding"), typedLit(q)))
         .orderBy(col("sim").desc, col(idCol).asc).limit(10)
         .select(idCol).collect().map(_.getLong(0)).toSet
@@ -488,12 +500,13 @@ object BenchVec extends Serializable {
       // lambdas are interpreted per element (384M lambda calls for
       // 500k×768 measured 533 s); the tight JVM loop is one pass
       val packUdf = udf((emb: Seq[Double]) => {
+        val a = emb.toArray // O(1) indexing; Seq apply is list-like O(j)
         val out = new Array[Long](12)
         var w = 0
         while (w < 12) {
           var acc = 0L
           var i = 0
-          while (i < 64) { if (emb(w * 64 + i) > 0.0) acc |= (1L << i); i += 1 }
+          while (i < 64) { if (a(w * 64 + i) > 0.0) acc |= (1L << i); i += 1 }
           out(w) = acc; w += 1
         }
         out.toSeq
@@ -539,11 +552,12 @@ object BenchVec extends Serializable {
     // ---- SCAN-ONLY byte legs (round-11 verdict task 1): the
     // compressed tiers' 100 TB lever is bytes TOUCHED per scan, so
     // measure exactly that — one query, candidate-generation scan
-    // only, no rescore muddying the count. (The full *_rescore200
-    // legs above showed the rescore's isin point-fetch reads ~the
-    // whole raw table at parquet page granularity — a real finding
-    // the bytes metering surfaced; at 100 TB the raw store's
-    // point-read granularity, not the ADC scan, bounds rescore I/O.)
+    // only, no rescore muddying the count. (Round 12's metering of the
+    // full *_rescore200 legs caught the rescore point-fetch reading
+    // ~the whole raw table per query — root-caused to native-In
+    // pushdown + 2,000-row id pages and fixed by
+    // Layout.pointFetchWrite/idsPredicate in round 13; the rescore
+    // legs' bytes_read now carry the fixed numbers.)
     val q0v = qv(0)
     timedMin2B("float_scan_only_1q") {
       Search.knn(corpus, q0v, 10, -1.0, idCol = "vec_id")
@@ -720,8 +734,7 @@ object BenchVec extends Serializable {
     }
     val cluByidPath = s"$vecDir/vec768_500k_clu_byid"
     buildIfStale(cluByidPath, "clu_byid_sorted_write") {
-      clu.repartitionByRange(32, col("vec_id")).sortWithinPartitions("vec_id")
-        .write.mode("overwrite").parquet(cluByidPath)
+      graft.operators.Layout.pointFetchWrite(clu, "vec_id", cluByidPath)
     }
     val cluByid = spark.read.parquet(cluByidPath)
     val cluPqEnc = spark.read.parquet(cluPqPath)
@@ -766,11 +779,37 @@ object BenchVec extends Serializable {
     // real corpora sit between the two geometries. ----
     val HMaxLevel = 13
     val hPlanes = mkPlanes(HMaxLevel, 7200000L)
-    val hnswPath = s"$vecDir/vec768_500k_clu_hnsw_fb3"
+    // 128-bit sign-sketch build ranking (round-13 verdict task 3: the
+    // exact build's level-0 block join computed ~490M 768-d dots and
+    // window-shuffled every pair — 121 s; the sketch build streams
+    // (id + 2 longs) pairs and Hamming-ranks top-M per src via the
+    // partial-aggregating TopK — embeddings never enter the build).
+    // Splitmix planes, distinct seed base from the block planes so
+    // sketch bits are uncorrelated with block bits.
+    val skPlanes = mkPlanes(128, 7300000L)
+    val skWordsUdf = udf((e: Seq[Double]) => {
+      val a = e.toArray // Seq element access in UDFs is list-like O(j) —
+      val out = new Array[Long](2) // measured: 50k rows of direct e(j)
+      var w = 0                    // ran minutes; toArray first
+      while (w < 2) {
+        var acc = 0L
+        var p = 0
+        while (p < 64) {
+          val pl = skPlanes(w * 64 + p); var s = 0.0; var j = 0
+          while (j < Dim) { s += a(j) * pl(j); j += 1 }
+          if (s >= 0.0) acc |= (1L << p)
+          p += 1
+        }
+        out(w) = acc; w += 1
+      }
+      out.toSeq
+    })
+    val hnswPf = graft.operators.Hnsw.BuildPrefilter(c => skWordsUdf(c))
+    val hnswPath = s"$vecDir/vec768_500k_clu_hnsw_fb3_sk128"
     buildIfStale(hnswPath, "clu_hnsw_build") {
       graft.operators.Hnsw.build(clu, m = 8, maxLevel = HMaxLevel,
           b0 = HMaxLevel, siblingProbe = true, floorBoost = 3,
-          codeFn = c => codeUdf(hPlanes)(c))
+          codeFn = c => codeUdf(hPlanes)(c), prefilter = Some(hnswPf))
         .write.mode("overwrite").partitionBy("lvl").parquet(hnswPath)
     }
     val hAdj = spark.read.parquet(hnswPath).persist()
@@ -812,6 +851,155 @@ object BenchVec extends Serializable {
       f3((0 until NQueries).count(i =>
         hnswSeedHits(i.toLong).contains(8000L * i)).toDouble / NQueries)
     hAdj.unpersist()
+
+    // ---- CONTINUOUS-MANIFOLD corpus (round-13 verdict task 3): the
+    // geometry the graph tier CLAIMS as its regime — smooth latent
+    // structure where similarity gradients exist everywhere (greedy
+    // descent can navigate) but latent clusters do not (centroids
+    // aggregate nothing). Construction: each id gets a latent point
+    // z(id) ∈ [0,1]^8 (splitmix uniforms) embedded by 768 random
+    // Fourier features v_j = cos(ω_j·z + φ_j) with ω ~ N(0, 1/ℓ²),
+    // ℓ = 0.38 — after unit-normalization, E[cos-sim] =
+    // exp(−‖Δz‖²/2ℓ²): the 10th-NN of 500k points in [0,1]^8 sits at
+    // ‖Δz‖ ≈ 0.22 → sim ≈ 0.85, decaying smoothly to ~0.03 at the
+    // typical far-pair distance — a global gradient with NO cluster
+    // structure (the exact opposite of the 1,024-center twin above).
+    // The same three families are measured here: brute force (truth),
+    // IVF (centroid routing on a centroid-less corpus), and the graph
+    // tier in pure-descent, wide-upper and flat-seeded postures. ----
+    val ManLat = 8
+    val ManEll = 0.38
+    def u01(seed: Long): Double = (mix(seed) >>> 11).toDouble / (1L << 53).toDouble
+    val manOmega: Array[Array[Double]] = Array.tabulate(Dim) { j =>
+      Array.tabulate(ManLat) { k =>
+        val u1 = u01(8000000L + (j.toLong * ManLat + k) * 2L)
+        val u2 = u01(8000001L + (j.toLong * ManLat + k) * 2L)
+        math.sqrt(-2.0 * math.log(u1 + 1e-300)) *
+          math.cos(2.0 * math.Pi * u2) / ManEll
+      }
+    }
+    val manPhi: Array[Double] =
+      Array.tabulate(Dim)(j => 2.0 * math.Pi * u01(8200000L + j))
+    def manVecOf(id: Long): Array[Double] = {
+      val v = new Array[Double](Dim)
+      var ss = 0.0
+      var j = 0
+      while (j < Dim) {
+        var s = manPhi(j)
+        var k = 0
+        while (k < ManLat) { s += manOmega(j)(k) * u01(8400000L + id * ManLat + k); k += 1 }
+        val x = math.cos(s); v(j) = x; ss += x * x; j += 1
+      }
+      val n = math.sqrt(ss)
+      var t = 0
+      while (t < Dim) { v(t) /= n; t += 1 }
+      v
+    }
+    val manUdf = udf((id: Long) => manVecOf(id))
+    val manPath = s"$vecDir/vec768_500k_man"
+    buildIfStale(manPath, "man_gen_corpus") {
+      spark.range(NDocs)
+        .select(col("id").as("doc_id"),
+          explode(sequence(lit(0L), lit(2L) + pmod(col("id"), lit(5L)))).as("cidx"))
+        .select((col("doc_id") * 8 + col("cidx")).as("vec_id"),
+          manUdf(col("doc_id") * 8 + col("cidx")).cast("array<float>").as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(manPath)
+    }
+    val man = spark.read.parquet(manPath)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    def manQv(i: Int): Seq[Double] = {
+      val t = manVecOf(8000L * i)
+      val noise = hashUnitVec(3200000L + i, Dim)
+      val v = Array.tabulate(Dim)(j => t(j) + 0.5 * noise(j))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val manBrute: Seq[Set[Long]] = timedMin2B("man_brute_force_8q") {
+      (0 until NQueries).map { i =>
+        Search.knn(man, manQv(i), 10, -1.0, idCol = "vec_id")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    val manT = man.withColumn("tenant", lit("u1"))
+    val manCents = timed("man_ivf_train_sampled") {
+      Search.ivfTrainSampled(manT, "tenant", "vec_id", "embedding", NCells)
+    }
+    val manIvfPath = s"$vecDir/vec768_500k_man_ivf"
+    buildIfStale(manIvfPath, "man_ivf_assign_write") {
+      Search.ivfAssign(manT, "tenant", "vec_id", "embedding", manCents)
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite").partitionBy("tenant", "cell").parquet(manIvfPath)
+    }
+    val manIvf = spark.read.parquet(manIvfPath)
+    for (np <- Seq(1, 4, 8, 16)) {
+      val hits: Seq[Set[Long]] = timedMin2(s"man_ivf_topk_8q_nprobe$np") {
+        (0 until NQueries).map { i =>
+          val cells = Search.ivfProbeCells(manCents, "u1", manQv(i), np)
+          Search.knn(manIvf.filter(col("cell").isin(cells: _*)), manQv(i), 10, -1.0,
+              idCol = "id", embCol = "embedding")
+            .select("id").collect().map(_.getLong(0)).toSet
+        }
+      }
+      stats(s"man_ivf_recall_nprobe$np") =
+        f3(hits.zip(manBrute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+      stats(s"man_ivf_target_found_nprobe$np") =
+        f3((0 until NQueries).count(i => hits(i).contains(8000L * i)).toDouble / NQueries)
+    }
+    val manCellSizes = manIvf.groupBy("cell").count()
+      .select("count").collect().map(_.getLong(0)).sorted
+    stats("man_ivf_cell_occupancy") =
+      s"""{"cells":${manCellSizes.length},"min":${manCellSizes.head},"p50":${manCellSizes(manCellSizes.length / 2)},"max":${manCellSizes.last}}"""
+
+    val manHnswPath = s"$vecDir/vec768_500k_man_hnsw_fb3_sk128"
+    buildIfStale(manHnswPath, "man_hnsw_build") {
+      graft.operators.Hnsw.build(man, m = 8, maxLevel = HMaxLevel,
+          b0 = HMaxLevel, siblingProbe = true, floorBoost = 3,
+          codeFn = c => codeUdf(hPlanes)(c), prefilter = Some(hnswPf))
+        .write.mode("overwrite").partitionBy("lvl").parquet(manHnswPath)
+    }
+    val mAdj = spark.read.parquet(manHnswPath).persist()
+    stats("man_hnsw_edges") = mAdj.count().toString
+    val mEntry = graft.operators.Hnsw.entryOf(man, HMaxLevel)
+    val mQueries = (0 until NQueries).map(i => (i.toLong, manQv(i)))
+      .toDF("q_id", "q_emb")
+    def manRecall(prefix: String, hits: Map[Long, Set[Long]]): Unit = {
+      stats(s"${prefix}_recall_at_10") =
+        f3((0 until NQueries).map(i =>
+          (hits(i.toLong) & manBrute(i)).size / 10.0).sum / NQueries)
+      stats(s"${prefix}_target_found") =
+        f3((0 until NQueries).count(i =>
+          hits(i.toLong).contains(8000L * i)).toDouble / NQueries)
+    }
+    // PURE narrow greedy descent — the walk shape that was BLIND on
+    // the orthogonal-cluster twin (recall 0.05): on a corpus with a
+    // real gradient it is the cheapest posture, so measure it first.
+    manRecall("man_hnsw_descent", timedMin2B("man_hnsw_descent_8q") {
+      graft.operators.Hnsw.searchBatch(man, mAdj, mQueries, k = 10,
+          maxLevel = HMaxLevel, entry0 = mEntry,
+          sched = graft.operators.Hnsw.schedule(HMaxLevel, 96, 16, 4, 1))
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    })
+    manRecall("man_hnsw_wide", timedMin2B("man_hnsw_wide_8q") {
+      graft.operators.Hnsw.searchBatch(man, mAdj, mQueries, k = 10,
+          maxLevel = HMaxLevel, entry0 = mEntry,
+          sched = graft.operators.Hnsw.wideSchedule(HMaxLevel, 2048, 6, 192, 96, 4))
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    })
+    val mSeedPool = man.filter(
+      graft.operators.Hnsw.levelCol(col("vec_id"), HMaxLevel) >= 4)
+    manRecall("man_hnsw_seeded", timedMin2B("man_hnsw_seeded_8q") {
+      graft.operators.Hnsw.searchBatchSeeded(man, mAdj, mQueries, mSeedPool,
+          seedWidth = 256, k = 10, sched = hSeedSched)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    })
+    mAdj.unpersist()
 
     calSamples += calibrate()
     calDiskSamples += BenchProbe.calibrateDisk()

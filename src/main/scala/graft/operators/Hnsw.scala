@@ -36,9 +36,10 @@ import graft.functions.VectorFunctions.dot
   *    (measured: recall@10 0.2 vs 1.0 on the fixture). Each node keeps
   *    its top-M by (dot desc, id asc); edges are symmetrized (directed
   *    top-M ∪ reverse, deduped — HNSW's reverse-link step without its
-  *    heuristic prune). Build is two shuffles per level: one equi-join
-  *    on the block key + one per-src window — the `ann_lsh_knn_join`
-  *    shape, never all-pairs.
+  *    heuristic prune). Build is one equi-join on the block key + one
+  *    BOUNDED per-src top-M aggregation per level (TopKAggregator —
+  *    map-side partial, so the shuffle carries ~n·M rows, never the
+  *    candidate pairs) — the `ann_lsh_knn_join` shape, never all-pairs.
   *  - SEARCH: greedy beam descent. Entry = the (level desc, id asc)
   *    first node; one expand-and-truncate round per upper level with a
   *    narrow beam (`efUpper`), then `rounds0` rounds on level 0 with
@@ -49,8 +50,9 @@ import graft.functions.VectorFunctions.dot
   *    recursive CTE, the pagerank technique).
   *
   * Scale posture (100 TB): construction is per-level equi-join +
-  * window — shuffle-bounded by block occupancy, with the same hot-key
-  * defense as the LSH family (block key is a hash). The adjacency
+  * bounded top-M agg — candidate pairs stream through codegen and only
+  * ~n·M aggregated rows shuffle, with the same hot-key defense as the
+  * LSH family (block key is a hash). The adjacency
   * relation is (lvl, src, dst) partitionable by src; batch search
   * (`searchBatch`) advances ALL queries one round per join against it
   * — per-round shuffle ≤ queries × beam × degree rows, and co-
@@ -71,20 +73,24 @@ object Hnsw {
     * two level-0 rounds (shared by the Spark gate and its oracle). */
   val SeededPlan: Seq[(Int, Int)] = Seq((1, 16), (0, Ef), (0, Ef))
 
-  /** BUILD-TIME candidate prefilter (the round-13 build-cost lever —
-    * 121 s → target ≤30 s at 500k×768): inside each block join, rank
-    * candidates per src by 128-bit sign-sketch Hamming distance
-    * (xor+popcount on two longs ≈ 300× cheaper than a 768-d dot),
-    * keep `k`, and compute exact dots ONLY for the survivors. The
-    * kept-edge window still orders by exact (sim desc, dst asc), so
-    * the graph differs from the exact build only where the sketch
-    * misranks the occupancy tail — acceptable for the 500k bench
-    * tier; the sf ORACLE GATES never pass a prefilter and stay
-    * bit-exact. `sk0`/`sk1` map an embedding column to the two sketch
-    * words (callers supply the planes — BenchVec uses splitmix planes
-    * matching its corpus). */
-  final case class BuildPrefilter(k: Int, sk0: Column => Column,
-                                  sk1: Column => Column)
+  /** SKETCH-RANKED build (the round-13 build-cost lever — the exact
+    * build's level-0 block join computed ~490M 768-d dots and
+    * shuffled every pair; 121 s at 500k×768): each node's top-M edges
+    * are ranked by 128-bit sign-sketch Hamming distance (xor+popcount
+    * on two longs ≈ 300× cheaper than a 768-d dot, computed ONCE per
+    * node), so the block joins stream only (id + two longs) rows and
+    * the embeddings never enter the build. The sketch estimates angle
+    * with ~8° std — far below the ~47° mate/stranger separation on
+    * clustered corpora — so edges still connect near neighbors and
+    * the SEARCH (which scores exact sims) is unaffected structurally;
+    * edge sets differ from the exact build only in within-
+    * neighborhood ordering. Bench-tier only: the sf ORACLE GATES
+    * never pass a prefilter and stay bit-exact. `words` maps an
+    * embedding column to BOTH sketch words as array<long> in one pass
+    * (callers supply the planes — BenchVec uses splitmix planes
+    * matching its corpus; one UDF, because each separate UDF pays the
+    * Seq→Array conversion and invocation overhead again). */
+  final case class BuildPrefilter(words: Column => Column)
 
   /** Block bits at a level: halve buckets as the population halves —
     * occupancy stays ≈ n / 2^b0 at every level. Blocks NEST (one bit
@@ -141,7 +147,7 @@ object Hnsw {
     * is 2 regardless of b0 (an every-bit Hamming-1 probe set was tried
     * first and shuffles bits+1 embedding-carrying copies — 42 GB at
     * the 500k bench — for cross-links the ladder makes redundant).
-    * Only (src, dst, sim) reaches the window exchange. */
+    * Only bounded per-src aggregates reach the exchange. */
   def build(vectors: DataFrame, m: Int = M, maxLevel: Int = MaxLevel,
             b0: Int = B0, siblingProbe: Boolean = true,
             floorBoost: Int = 0,
@@ -168,72 +174,143 @@ object Hnsw {
                     b0: Int = B0, siblingProbe: Boolean = true,
                     floorBoost: Int = 0,
                     codeFn: Column => Column = RandomHyperplane.codeCol(_),
-                    prefilter: Option[BuildPrefilter] = None): DataFrame = {
-    val lv0 = vectors.select(col("vec_id"), col("embedding"),
-      levelCol(col("vec_id"), maxLevel).as("nlvl"),
-      codeFn(col("embedding")).as("code"))
-    val lv = prefilter match {
-      case Some(p) => lv0.withColumn("sk0", p.sk0(col("embedding")))
-        .withColumn("sk1", p.sk1(col("embedding")))
-      case None => lv0
+                    prefilter: Option[BuildPrefilter] = None): DataFrame =
+    prefilter match {
+      case None =>
+        val lv = vectors.select(col("vec_id"), col("embedding"),
+          levelCol(col("vec_id"), maxLevel).as("nlvl"),
+          codeFn(col("embedding")).as("code"))
+        (0 to maxLevel).map { l =>
+          val bits = effBits(l, b0, floorBoost)
+          val n = lv.filter(col("nlvl") >= l)
+            .select(col("vec_id"), col("embedding"),
+              (col("code") % lit(1L << math.max(bits, 0))).as("blk"))
+          directedForLevel(n, l, bits, m, siblingProbe)
+        }.reduce(_ unionByName _)
+      case Some(p) =>
+        // SLIM sketch relation (id + level + code + two sketch longs ≈
+        // 40 B/row — the 768-d embeddings never enter the build), and
+        // ALL levels in ONE join: each node explodes into its level
+        // ladder (Σ n/2⁻ˡ ≈ 2n rows), the block join keys on
+        // (lvl, blk), and one bounded top-M aggregation keyed on the
+        // packed (src, lvl) finishes the graph. The per-level form ran
+        // 14 join+agg stages whose scheduler floors serialized (~2.5 s
+        // per thin upper level); this is one pipeline.
+        val sk = vectors.select(col("vec_id"),
+            levelCol(col("vec_id"), maxLevel).as("nlvl"),
+            codeFn(col("embedding")).as("code"),
+            p.words(col("embedding")).as("skw"))
+          .select(col("vec_id"), col("nlvl"), col("code"),
+            element_at(col("skw"), 1).as("sk0"),
+            element_at(col("skw"), 2).as("sk1"))
+        val boostExpr =
+          s"greatest($b0 - lvl - if(lvl = 0, $floorBoost, 0), 0)"
+        val nAll = sk
+          .select(col("vec_id"), col("sk0"), col("sk1"), col("code"),
+            explode(sequence(lit(0), col("nlvl"))).as("lvl"))
+          .withColumn("bits", expr(boostExpr))
+          .withColumn("blk", expr("code % shiftleft(1L, bits)"))
+          .persist()
+        val probed = nAll.withColumn("pblk",
+          explode(if (siblingProbe)
+            when(col("bits") >= 1,
+              array(col("blk"),
+                expr("blk ^ shiftleft(1L, bits - 1)"))).otherwise(array(col("blk")))
+          else array(col("blk"))))
+        // Pack the whole candidate row into TWO longs: group key
+        // g = src·16 + lvl (lvl ≤ 15 by ladder design) and value
+        // pv = hamming << 48 | dst (hamming ≤ 128, dst < 2^48) — the
+        // natural long order on pv IS (hamming asc, dst asc). The
+        // per-group top-M runs in two bounded stages: a per-partition
+        // primitive top-M (mapPartitions over a LongMap of m-slot
+        // sorted arrays — a group's candidates live in ≤ 2 partitions
+        // by block locality, so memory is srcs-per-partition × m
+        // longs, and the ~550M-pair stream never reaches a shuffle or
+        // an unbounded buffer), then a final merge over the ≤ 2m rows
+        // per group. A typed TopKAggregator here paid an
+        // object-boundary per candidate row (~4× the join's own
+        // cost); an unbounded collect_list partial OOMed — the
+        // bounded primitive pass is the shape that survives 100 TB.
+        val hammed = probed.select(col("lvl"), col("pblk").as("blk"),
+            col("vec_id").as("src"), col("sk0").as("a0"), col("sk1").as("a1"))
+          .join(nAll.select(col("lvl"), col("blk"), col("vec_id").as("dst"),
+            col("sk0").as("b0"), col("sk1").as("b1")), Seq("lvl", "blk"))
+          .filter(col("src") =!= col("dst"))
+          .select((col("src") * 16 + col("lvl")).as("g"),
+            expr("shiftleft(cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1)" +
+              " as bigint), 48) | dst").as("pv"))
+        val partial = {
+          import hammed.sparkSession.implicits._
+          val mm = m
+          hammed.as[(Long, Long)].mapPartitions { it =>
+            val best = new scala.collection.mutable.LongMap[Array[Long]]()
+            while (it.hasNext) {
+              val (g, pv) = it.next()
+              val arr = best.getOrNull(g)
+              if (arr == null) {
+                val a = Array.fill(mm)(Long.MaxValue); a(0) = pv
+                best.update(g, a)
+              } else if (pv < arr(mm - 1)) {
+                // insert-sort into the ascending m-slot array
+                var i = mm - 1
+                while (i > 0 && arr(i - 1) > pv) { arr(i) = arr(i - 1); i -= 1 }
+                arr(i) = pv
+              }
+            }
+            best.iterator.flatMap { case (g, arr) =>
+              arr.iterator.takeWhile(_ != Long.MaxValue).map(pv => (g, pv))
+            }
+          }.toDF("g", "pv")
+        }
+        val res = partial.groupBy("g")
+          .agg(slice(array_sort(collect_list(col("pv"))), 1, m).as("top"))
+          .select(col("g"), explode(col("top")).as("pv"))
+          .select((col("g") % 16).cast("int").as("lvl"),
+            expr("g div 16").as("src"),
+            expr("pv & 281474976710655").as("dst")) // low 48 bits
+          .localCheckpoint() // nAll is consumed here
+        nAll.unpersist()
+        res
     }
-    (0 to maxLevel).map { l =>
-      val bits = effBits(l, b0, floorBoost)
-      val skCols = if (prefilter.isDefined) Seq(col("sk0"), col("sk1")) else Nil
-      val n = lv.filter(col("nlvl") >= l)
-        .select(Seq(col("vec_id"), col("embedding"),
-          (col("code") % lit(1L << math.max(bits, 0))).as("blk")) ++ skCols: _*)
-      directedForLevel(n, l, bits, m, siblingProbe, prefilter)
-    }.reduce(_ unionByName _)
+
+  /** Bounded per-src top-k of (src, dst, score) via the typed
+    * [[graft.functions.TopKAggregator]] — identical selection to a
+    * `row_number().over(partitionBy(src).orderBy(score desc, dst
+    * asc)) <= k` window (total order, deterministic), but partial-
+    * aggregatable: each map task keeps ≤ k rows per src, so the
+    * shuffle carries ~n·k rows instead of every candidate pair. At
+    * the 500k bench the window form shuffled all ~490M level-0 pairs
+    * (~20 GB) into a sort — the dominant build cost; the agg form
+    * shuffles ~8M bounded rows. */
+  private[graft] def topKPerSrc(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.select(col("src"), col("score"), col("dst"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.ScoredRow(t._2, t._3))
+      .agg(graft.functions.TopK.topK(k).name("top"))
+      .toDF("src", "top")
+      .select(col("src"), explode(col("top")).as("r"))
+      .select(col("src"), col("r.id").as("dst"))
   }
 
   /** Directed top-M edges for ONE level's node relation (vec_id,
     * embedding, blk). The a-side is replicated into its own block +
     * the sibling block; a candidate pair appears exactly once. */
-  private def directedForLevel(n: DataFrame, l: Int, bits: Int, m: Int,
-                               siblingProbe: Boolean,
-                               prefilter: Option[BuildPrefilter] = None): DataFrame = {
+  private[graft] def directedForLevel(n: DataFrame, l: Int, bits: Int, m: Int,
+                               siblingProbe: Boolean): DataFrame = {
     val probeCols =
       if (!siblingProbe || bits == 0) Seq(col("blk"))
       else Seq(col("blk"), col("blk").bitwiseXOR(lit(1L << (bits - 1))))
     val probed = n.withColumn("pblk", explode(array(probeCols: _*)))
-    val scored = prefilter match {
-      case None =>
-        probed.select(col("pblk").as("blk"),
-            col("vec_id").as("src"), col("embedding").as("ea"))
-          .join(n.select(col("blk"), col("vec_id").as("dst"),
-            col("embedding").as("eb")), Seq("blk"))
-          .filter(col("src") =!= col("dst"))
-          .withColumn("sim", dot(col("ea"), col("eb")))
-          .select("src", "dst", "sim")
-      case Some(p) =>
-        // Hamming-prefiltered: the block join streams only (ids +
-        // 2 sketch longs), the per-src window keeps the k sketch-
-        // nearest, and exact dots run on n×k survivor rows (joined
-        // back to embeddings) instead of n×occupancy candidates.
-        val survivors = probed.select(col("pblk").as("blk"),
-            col("vec_id").as("src"), col("sk0").as("a0"), col("sk1").as("a1"))
-          .join(n.select(col("blk"), col("vec_id").as("dst"),
-            col("sk0").as("b0"), col("sk1").as("b1")), Seq("blk"))
-          .filter(col("src") =!= col("dst"))
-          .withColumn("hd", expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)"))
-          .select("src", "dst", "hd")
-          .withColumn("hrk", row_number().over(
-            Window.partitionBy("src").orderBy(col("hd").asc, col("dst").asc)))
-          .filter(col("hrk") <= p.k)
-          .select("src", "dst")
-        survivors
-          .join(n.select(col("vec_id").as("src"), col("embedding").as("ea")),
-            Seq("src"))
-          .join(n.select(col("vec_id").as("dst"), col("embedding").as("eb")),
-            Seq("dst"))
-          .withColumn("sim", dot(col("ea"), col("eb")))
-          .select("src", "dst", "sim")
-    }
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
-      .filter(col("rk") <= m)
+    val scored = probed.select(col("pblk").as("blk"),
+        col("vec_id").as("src"), col("embedding").as("ea"))
+      .join(n.select(col("blk"), col("vec_id").as("dst"),
+        col("embedding").as("eb")), Seq("blk"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("score", dot(col("ea"), col("eb")))
+      .select("src", "dst", "score")
+    topKPerSrc(scored, m)
       .select(lit(l).as("lvl"), col("src"), col("dst"))
   }
 
