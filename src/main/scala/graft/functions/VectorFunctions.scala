@@ -247,14 +247,18 @@ object VectorFunctions {
   * multiprobe buckets' partitions. Used by `ann_rp_lsh` (Search) and
   * `dd_semdedup` (Dedup).
   */
-class RpLsh(val NumPlanes: Int, val Dim: Int) extends Serializable {
+class RpLsh(val NumPlanes: Int, val Dim: Int, val PlaneBase: Int = 0)
+    extends Serializable {
 
   /** Plane p, component j: +1 when bit 16 of (flatIdx · 2654435761)
-    * is clear, else −1 — deterministic, seed-free, engine-neutral. */
+    * is clear, else −1 — deterministic, seed-free, engine-neutral.
+    * `PlaneBase` offsets the flat index so a second instance (e.g. the
+    * dd_semdedup_sketch 128-bit Hamming sketch) draws planes DISJOINT
+    * from — hence uncorrelated with — the blocking instance's. */
   val planes: IndexedSeq[IndexedSeq[Double]] =
     (0 until NumPlanes).map { p =>
       (0 until Dim).map { j =>
-        val i = (p.toLong * Dim + j) * 2654435761L
+        val i = ((p.toLong + PlaneBase) * Dim + j) * 2654435761L
         if (((i >> 16) & 1L) == 0L) 1.0 else -1.0
       }
     }
@@ -300,7 +304,7 @@ class RpLsh(val NumPlanes: Int, val Dim: Int) extends Serializable {
     * literals (at Dim=768 the literal form is ~40 KB of SQL). */
   def planeSqlGen(p: Int): String =
     s"list_transform(range(0, $Dim), j -> CASE WHEN " +
-      s"((((${p.toLong} * $Dim + j) * 2654435761) >> 16) & 1) = 0 " +
+      s"((((${p.toLong + PlaneBase} * $Dim + j) * 2654435761) >> 16) & 1) = 0 " +
       "THEN 1.0 ELSE -1.0 END)"
 
   /** `codeSql` using the generator plane form (high-dim oracles). */

@@ -1246,6 +1246,71 @@ object Dedup {
         .groupBy(col("id_b").as("dropped_id"), col("code"))
         .agg(min(col("id_a")).as("keeper_id"), count(lit(1)).as("n_near"))
         .orderBy("dropped_id")
+    }),
+
+    // SemDeDup with the 128-bit SKETCH-PREFILTERED pair join — same
+    // semantics and same oracle as dd_semdedup, different physical
+    // shape for the bandwidth wall that dominates at corpus scale:
+    // the exact form streams BOTH embeddings through every same-
+    // bucket candidate pair (at 500k×768 that is ~9M pairs × ~12 KB ≈
+    // 100+ GB of memory traffic — BENCHVEC's `semdedup_16planes`
+    // swings 11–31 s with box weather because of it). Here the pair
+    // join carries (id + two sketch longs ≈ 24 B/row); only pairs
+    // within Hamming 38/128 fetch embeddings back BY ID for the EXACT
+    // cos ≥ 0.95 verify, so a false sketch survivor costs one dot
+    // product, never a wrong answer — the prefilter can only LOSE a
+    // true pair, and at 128 bits a cos = 0.95 pair disagrees on
+    // ~13 ± 3.4 bits (38 is +7.3σ: miss ~1e-13/pair). The gate runs
+    // this against dd_semdedup's EXACT oracle, making losslessness on
+    // the corpus a checked property, not an assumption. Sketch planes
+    // are PlaneBase-offset so they are disjoint from (uncorrelated
+    // with) the 8 blocking planes. BENCHVEC leg:
+    // `semdedup_16planes_sketch128`. */
+    "dd_semdedup_sketch" -> ((s, d) => {
+      import graft.functions.{RandomHyperplane, RpLsh}
+      val sk0 = new RpLsh(64, 64, PlaneBase = 8)
+      val sk1 = new RpLsh(64, 64, PlaneBase = 72)
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val copies = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(copies)
+      val coded = corpus
+        .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
+        .withColumn("w0", sk0.codeCol(col("embedding")))
+        .withColumn("w1", sk1.codeCol(col("embedding")))
+        .select("vec_id", "code", "w0", "w1")
+        .persist() // slim (id + code + 2 longs); 4 plan occurrences —
+                   // without the barrier the 136-plane coding tree
+                   // re-evaluates per occurrence (the mm_phash lesson)
+      val a = coded.select(col("code"), col("vec_id").as("id_a"),
+        col("w0").as("a0"), col("w1").as("a1"))
+      val b = coded.select(col("code"), col("vec_id").as("id_b"),
+        col("w0").as("b0"), col("w1").as("b1"))
+      val surv = a.join(b, Seq("code"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)") <= 38)
+        .select("code", "id_a", "id_b")
+      // Embedding fetch-back: ONE id-pruned corpus scan for the
+      // survivors' ids, then the verify joins run over the tiny
+      // fetched relation — joining the pairs straight to the corpus
+      // twice would sort-merge-shuffle the full embedding relation
+      // per side (measured at 500k×768: 42 s / 11 GB read vs 9 s).
+      // No broadcast hint: the survivor count scales with true
+      // near-dups, not the corpus, but it is DATA-dependent — AQE
+      // broadcasts it at runtime when it is small (the hint-audit
+      // posture; the BenchVec leg, where the bound is by construction,
+      // hints explicitly).
+      val ids = surv
+        .select(explode(array(col("id_a"), col("id_b"))).as("vec_id")).distinct()
+      val embs = corpus.join(ids, Seq("vec_id"))
+      surv
+        .join(embs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+        .join(embs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+        .withColumn("sim", dot(col("emb_a"), col("emb_b")))
+        .filter(col("sim") >= 0.95)
+        .groupBy(col("id_b").as("dropped_id"), col("code"))
+        .agg(min(col("id_a")).as("keeper_id"), count(lit(1)).as("n_near"))
+        .orderBy("dropped_id")
     })
   )
 
@@ -1873,6 +1938,25 @@ object Dedup {
         |WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
         |ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 100""".stripMargin,
     "dd_semdedup" -> {
+      import graft.functions.RandomHyperplane.codeSql
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |coded AS (SELECT vec_id, emb, ${codeSql("emb")} AS code FROM corpus)
+         |SELECT b.vec_id AS dropped_id, b.code, min(a.vec_id) AS keeper_id,
+         |  count(*) AS n_near
+         |FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
+         |WHERE list_inner_product(a.emb, b.emb) >= 0.95
+         |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin
+    },
+
+    // The sketch-prefiltered variant answers against the EXACT oracle
+    // (the same SQL as dd_semdedup, no sketch in sight): the gate IS
+    // the losslessness proof — any true pair the Hamming prefilter
+    // dropped would hash-mismatch here.
+    "dd_semdedup_sketch" -> {
       import graft.functions.RandomHyperplane.codeSql
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings

@@ -233,6 +233,122 @@ object ProductQuantization {
       .select("id", "adc_score", "sim")
   }
 
+  /** Batched PQ serving: ONE codes scan answers the whole query batch
+    * (the compressed-tier counterpart of `Search.knnBatch` /
+    * `ivfSearchBatch` — per-query scans re-read the codes table Q
+    * times; at corpus scale the scan IS the cost, so amortizing it
+    * across the batch is the serving lever). Each code row evaluates Q
+    * codegen `AdcScore` expressions (each LUT rides as a codegen
+    * reference object, m×ksub doubles — tiny), stacked into one array
+    * and exploded to (q_id, adc, id); per-query candidate top-rescoreK
+    * comes from the partial-aggregating `TopK`, so the shuffle carries
+    * ≤ rescoreK rows per (query, partition), never the corpus. The
+    * exact rescore is ONE bounded point-fetch for the UNION of all
+    * candidates: ids collect to the driver (≤ Q·rescoreK — the same
+    * bounded contract as the single-query broadcast) and push down as
+    * `Layout.idsPredicate`'s or-of-eq, so an id-keyed raw layout
+    * (`Layout.pointFetchWrite`) reads candidate PAGES, not the table.
+    * Like `knnBatch`, intended for bounded batches (≲64 queries): the
+    * per-row expression count grows with Q. */
+  def pqSearchBatch(encoded: DataFrame, vectors: DataFrame,
+                    codebooks: Map[String, Codebooks], tenant: String,
+                    queries: Seq[(Long, Seq[Double])], k: Int, rescoreK: Int,
+                    threshold: Double = 0.0, tenantCol: String = "tenant",
+                    idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val sess = encoded.sparkSession
+    import sess.implicits._
+    val adcArr = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("q_id"),
+        graft.functions.VectorFunctions.adcScore(col("codes"),
+          adcLut(codebooks(tenant), qv)).as("adc"))
+    }: _*)
+    val cand = encoded.filter(col("tenant") === tenant)
+      .select(col("id"), explode(adcArr).as("qa"))
+      .select(col("qa.q_id").as("q_id"), col("qa.adc").as("adc"), col("id"))
+    rescoreBatch(candTopK(cand, rescoreK), vectors, queries, k, threshold,
+      tenant, tenantCol, idCol, embCol)
+  }
+
+  /** Per-query candidate top-`rescoreK` over (q_id, adc, id) rows via
+    * the partial-aggregating TopK (map side keeps ≤ rescoreK rows per
+    * query; the shuffle carries candidates, never the corpus). */
+  private def candTopK(cand: DataFrame, rescoreK: Int): DataFrame = {
+    val sess = cand.sparkSession
+    import sess.implicits._
+    cand.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.ScoredRow(t._2, t._3))
+      .agg(graft.functions.TopK.topK(rescoreK).name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), explode(col("top")).as("r"))
+      .select(col("q_id"), col("r.id").as("id"), col("r.score").as("adc_score"))
+  }
+
+  /** Shared batch rescore: collect the candidate set (bounded by
+    * Q·rescoreK rows by construction), push the id union down as
+    * `Layout.idsPredicate`'s or-of-eq (one point-fetch for the whole
+    * batch), exact-dot each (q, id) against the literal query map,
+    * exact top-k per query. */
+  private def rescoreBatch(cand: DataFrame, vectors: DataFrame,
+                           queries: Seq[(Long, Seq[Double])], k: Int,
+                           threshold: Double, tenant: String,
+                           tenantCol: String, idCol: String,
+                           embCol: String): DataFrame = {
+    val sess = cand.sparkSession
+    import sess.implicits._
+    val candSeq: Seq[(Long, Long, Double)] =
+      cand.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = candSeq.map(_._2).distinct
+    val qmap: Map[Long, Seq[Double]] = queries.toMap
+    vectors.filter(col(tenantCol) === tenant)
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .filter(Layout.idsPredicate(col("id"), ids))
+      .join(broadcast(candSeq.toDF("q_id", "id", "adc_score")), Seq("id"))
+      .withColumn("sim", dot(col("emb"), element_at(typedLit(qmap), col("q_id"))))
+      .filter(col("sim") >= threshold)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id").asc)))
+      .filter(col("rnk") <= k)
+      .select("q_id", "id", "adc_score", "sim")
+      .orderBy(col("q_id").asc, col("sim").desc, col("id").asc)
+  }
+
+  /** Batched IVF-PQ serving — both prunings compound ACROSS the batch:
+    * ONE scan of the UNION of all queries' probed cells (partition
+    * pruning bounds it to ≤ nProbe·Q/nCells of the codes table), each
+    * scanned row ADC-scores only against the queries whose probe set
+    * contains its cell (`isin` gate per query before the codegen
+    * AdcScore — rows outside a query's probes contribute null and are
+    * filtered), per-query partial TopK, then the shared one-point-fetch
+    * exact rescore. The batched counterpart of `ann_ivfpq_topk`'s
+    * single-query path, mirroring `Search.ivfSearchBatch`. */
+  def ivfpqSearchBatch(encodedCells: DataFrame, vectors: DataFrame,
+                       codebooks: Map[String, Codebooks],
+                       centroids: Map[String, Array[Array[Double]]],
+                       tenant: String, queries: Seq[(Long, Seq[Double])],
+                       k: Int, rescoreK: Int, nProbe: Int,
+                       threshold: Double = 0.0, tenantCol: String = "tenant",
+                       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val probes: Seq[(Long, Seq[Double], Seq[Int])] = queries.map {
+      case (qid, qv) => (qid, qv, Search.ivfProbeCells(centroids, tenant, qv, nProbe))
+    }
+    val union = probes.flatMap(_._3).distinct.sorted
+    val adcArr = array(probes.map { case (qid, qv, cells) =>
+      struct(lit(qid).as("q_id"),
+        when(col("cell").isin(cells: _*),
+          graft.functions.VectorFunctions.adcScore(col("codes"),
+            adcLut(codebooks(tenant), qv))).as("adc"))
+    }: _*)
+    val cand = encodedCells
+      .filter(col("tenant") === tenant && col("cell").isin(union: _*))
+      .select(col("id"), col("cell"), explode(adcArr).as("qa"))
+      .filter(col("qa.adc").isNotNull)
+      .select(col("qa.q_id").as("q_id"), col("qa.adc").as("adc"), col("id"))
+    rescoreBatch(candTopK(cand, rescoreK), vectors, queries, k, threshold,
+      tenant, tenantCol, idCol, embCol)
+  }
+
   // ---------------------------------------------------------------- //
 
   private val M = 4
@@ -259,6 +375,22 @@ object ProductQuantization {
       val enc = pqEncode(e, "tenant", "vec_id", "embedding", books)
       val q = Search.qvecs(s, d, Seq(0L)).head
       pqSearch(enc, e, books, "all", q, 10, RescoreK,
+        idCol = "vec_id", embCol = "embedding")
+    }),
+
+    // Batched PQ serving under the exact gate: three queries through
+    // ONE codes scan (Q stacked codegen ADC expressions + per-query
+    // partial TopK) and ONE or-of-eq point-fetch rescore of the
+    // candidate union. The oracle replays the single-query pipeline
+    // once per query vector and unions — proving the batch path is
+    // row-identical to Q independent searches.
+    "ann_pq_batch" -> ((s, d) => {
+      val e = base(s, d)
+      val books = pqTrainSampled(e, "tenant", "vec_id", "embedding", M, Ksub, SampleCap)
+      val enc = pqEncode(e, "tenant", "vec_id", "embedding", books)
+      val qids = Seq(0L, 1L, 2L)
+      val qs = qids.zip(Search.qvecs(s, d, qids))
+      pqSearchBatch(enc, e, books, "all", qs, 10, RescoreK,
         idCol = "vec_id", embCol = "embedding")
     }),
 
@@ -293,6 +425,25 @@ object ProductQuantization {
         .orderBy(col("sim").desc, col("id").asc)
         .limit(10)
         .select("id", "adc_score", "sim")
+    }),
+
+    // Batched IVF-PQ under the exact gate: three queries, ONE scan of
+    // the union of their probe-4 cell sets, per-row ADC only against
+    // the queries probing that row's cell, shared point-fetch rescore.
+    // The oracle replays the single-query IVF-PQ pipeline (five Lloyd
+    // replays) once per batch member and unions.
+    "ann_ivfpq_batch" -> ((s, d) => {
+      val e = base(s, d)
+      val cents = Search.ivfTrainSampled(e, "tenant", "vec_id", "embedding", 16,
+        sampleCap = SampleCap)
+      val assigned = Search.ivfAssign(e, "tenant", "vec_id", "embedding", cents)
+      val books = pqTrainSampled(e, "tenant", "vec_id", "embedding", M, Ksub, SampleCap)
+      val enc = pqEncode(e, "tenant", "vec_id", "embedding", books)
+        .join(assigned.select(col("tenant"), col("id"), col("cell")), Seq("tenant", "id"))
+      val qids = Seq(0L, 1L, 2L)
+      val qs = qids.zip(Search.qvecs(s, d, qids))
+      ivfpqSearchBatch(enc, e, books, cents, "all", qs, 10, RescoreK, 4,
+        idCol = "vec_id", embCol = "embedding")
     }),
 
     // Binary quantization — the cheapest scan tier of the quantization
@@ -411,12 +562,12 @@ object ProductQuantization {
        |  WHERE rnk = 1)""".stripMargin
   }
 
-  private def pqPrelude(dim: Int): String = {
+  private def pqPrelude(dim: Int, qId: Long = 0L): String = {
     val dsub = dim / M
     s"""eall AS (
        |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
        |  FROM embeddings),
-       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qId),
        |esample AS (
        |  SELECT id, tenant, emb FROM (
        |    SELECT id, tenant, emb,
@@ -484,13 +635,56 @@ object ProductQuantization {
          |WHERE list_inner_product(p.emb, q.qv) >= 0.0
          |ORDER BY sim DESC, c.id ASC LIMIT 10""".stripMargin,
 
+    // the single-query replay, once per batch member, unioned: the
+    // batch plan must equal Q independent searches row for row.
+    "ann_pq_batch" -> {
+      def arm(qid: Long): String =
+        s"""SELECT CAST($qid AS BIGINT) AS q_id, t.id, t.adc_score, t.sim FROM (
+           |WITH RECURSIVE ${pqPrelude(64, qid)},
+           |cand AS (
+           |  SELECT id, adc_score FROM adc
+           |  ORDER BY adc_score DESC, id ASC LIMIT $RescoreK)
+           |SELECT c.id AS id, c.adc_score,
+           |       list_inner_product(p.emb, q.qv) AS sim
+           |FROM cand c JOIN eall p ON p.id = c.id CROSS JOIN q
+           |WHERE list_inner_product(p.emb, q.qv) >= 0.0
+           |ORDER BY sim DESC, c.id ASC LIMIT 10) t""".stripMargin
+      Seq(0L, 1L, 2L).map(arm)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, sim DESC, id ASC")
+    },
+
     // both builds replayed: the PQ prelude (4 subspace Lloyd replays +
     // encode + ADC) plus the sampled-IVF cell replay of ann_ivf_sampled
     // (Lloyd on the same esample, member-mean centroids, full argmin
     // re-assignment, probe-4) — candidates are ADC-ranked WITHIN the
     // probed cells, then exact-rescored.
-    "ann_ivfpq_topk" ->
+    "ann_ivfpq_topk" -> ivfpqSingleSql(0L),
+
+    // the single-query IVF-PQ replay, once per batch member, unioned
+    "ann_ivfpq_batch" -> {
+      def arm(qid: Long): String =
+        s"""SELECT CAST($qid AS BIGINT) AS q_id, t.id, t.adc_score, t.sim
+           |FROM (${ivfpqSingleSql(qid)}) t""".stripMargin
+      Seq(0L, 1L, 2L).map(arm)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, sim DESC, id ASC")
+    },
+
+    "pq_code_balance" ->
       s"""WITH RECURSIVE ${pqPrelude(64)},
+         |percell AS (
+         |${(0 until M).map(s => s"  SELECT $s AS s, cell, count(*) AS cnt FROM p${s}a GROUP BY cell")
+            .mkString("\n  UNION ALL\n")})
+         |SELECT s, row_number() OVER (PARTITION BY s ORDER BY cnt DESC, cell ASC) AS rnk, cnt
+         |FROM percell
+         |ORDER BY s, rnk""".stripMargin
+  )
+
+  /** The full single-query IVF-PQ oracle replay (five Lloyd replays:
+    * 16-cell sampled IVF + 4 subspace codebooks), parameterized by the
+    * query vector's id — shared by `ann_ivfpq_topk` (qId 0) and the
+    * `ann_ivfpq_batch` arms. */
+  private def ivfpqSingleSql(qId: Long): String =
+      s"""WITH RECURSIVE ${pqPrelude(64, qId)},
          |${Clustering.kmeansCte(16, "esample", "s_")},
          |cents AS (
          |  SELECT k.best AS cell, count(*) AS cnt,
@@ -527,15 +721,5 @@ object ProductQuantization {
          |       list_inner_product(p.emb, q.qv) AS sim
          |FROM cand c JOIN eall p ON p.id = c.id CROSS JOIN q
          |WHERE list_inner_product(p.emb, q.qv) >= 0.0
-         |ORDER BY sim DESC, c.id ASC LIMIT 10""".stripMargin,
-
-    "pq_code_balance" ->
-      s"""WITH RECURSIVE ${pqPrelude(64)},
-         |percell AS (
-         |${(0 until M).map(s => s"  SELECT $s AS s, cell, count(*) AS cnt FROM p${s}a GROUP BY cell")
-            .mkString("\n  UNION ALL\n")})
-         |SELECT s, row_number() OVER (PARTITION BY s ORDER BY cnt DESC, cell ASC) AS rnk, cnt
-         |FROM percell
-         |ORDER BY s, rnk""".stripMargin
-  )
+         |ORDER BY sim DESC, c.id ASC LIMIT 10""".stripMargin
 }

@@ -189,6 +189,17 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_semdedup_sketch is row-identical to the exact dd_semdedup") {
+    // The Hamming prefilter may only shed pairs the exact verify would
+    // reject anyway; compare full rows, not just the drop set.
+    val exact = SparkEntry.queries("dd_semdedup")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val sketch = SparkEntry.queries("dd_semdedup_sketch")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(sketch == exact,
+      s"sketch-prefiltered semdedup diverged: ${sketch.size} vs ${exact.size} rows")
+  }
+
   test("pp_token_budget two-phase selection equals the naive global window") {
     val base = TextAnalysis.withQualityScore(
       Tables.documents(spark, d)

@@ -164,4 +164,40 @@ class PqSpec extends AnyFunSuite {
     val recall = rows.map(_.getLong(0)).toSet.intersect(brute).size
     assert(recall >= 4, s"mrl recall@10 through a 50-candidate cut: $recall")
   }
+
+  test("pq batch: one-scan batch equals Q independent pqSearch runs") {
+    import graft.operators.ProductQuantization._
+    val e = base.select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<double>").as("embedding"))
+      .withColumn("tenant", org.apache.spark.sql.functions.lit("all"))
+    val books = pqTrainSampled(e, "tenant", "vec_id", "embedding", 4, 8, 256)
+    val enc = pqEncode(e, "tenant", "vec_id", "embedding", books)
+    val qids = Seq(0L, 1L, 2L)
+    val qvs = Tables.embeddings(spark, d).filter($"vec_id".isin(qids: _*))
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val batch = pqSearchBatch(enc, e, books, "all",
+        qids.map(i => (i, qvs(i))), 10, 50,
+        idCol = "vec_id", embCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    qids.foreach { qid =>
+      val single = pqSearch(enc, e, books, "all", qvs(qid), 10, 50,
+          idCol = "vec_id", embCol = "embedding")
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(batch.filter(_._1 == qid).toSeq == single.toSeq,
+        s"batch result diverged from single-query pqSearch for q=$qid")
+    }
+  }
+
+  test("ivfpq batch: the q0 slice equals the single-query ann_ivfpq_topk gate") {
+    val single = SparkEntry.queries("ann_ivfpq_topk")(spark, d).collect()
+      .map(r => (0L, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    spark.catalog.clearCache()
+    val batch = SparkEntry.queries("ann_ivfpq_batch")(spark, d).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(batch.toSeq == single.toSeq,
+      "ivfpq batch q0 slice diverged from the single-query path")
+  }
 }
