@@ -432,25 +432,14 @@ object BenchVec extends Serializable {
     // 128-bit sign sketch (two longs per vector): shared by the
     // semdedup prefilter leg below and the HNSW sketch-ranked build.
     // Splitmix planes, distinct seed base from every blocking-plane
-    // set so sketch bits are uncorrelated with block bits.
+    // set so sketch bits are uncorrelated with block bits. One codegen
+    // pass (VectorFunctions.signSketch); measured ≈ parity with the
+    // tuned toArray UDF at 500k×768 (the UDF's boxing ≈ the
+    // expression's one primitive copy) — the expression's value is
+    // the engine path (no UDF boundary, SQL-visible, one shared impl).
     val skPlanes = mkPlanes(128, 7300000L)
-    val skWordsUdf = udf((e: Seq[Double]) => {
-      val a = e.toArray // Seq element access in UDFs is list-like O(j) —
-      val out = new Array[Long](2) // measured: 50k rows of direct e(j)
-      var w = 0                    // ran minutes; toArray first
-      while (w < 2) {
-        var acc = 0L
-        var p = 0
-        while (p < 64) {
-          val pl = skPlanes(w * 64 + p); var s = 0.0; var j = 0
-          while (j < Dim) { s += a(j) * pl(j); j += 1 }
-          if (s >= 0.0) acc |= (1L << p)
-          p += 1
-        }
-        out(w) = acc; w += 1
-      }
-      out.toSeq
-    })
+    def skWordsUdf(c: org.apache.spark.sql.Column) =
+      VectorFunctions.signSketch(c.cast("array<double>"), skPlanes)
 
     // mid-run weather sample (round-13: BENCHVEC narrates window
     // bursts — give the artifact the evidence, like Bench's
@@ -497,16 +486,21 @@ object BenchVec extends Serializable {
       val copies = corpus.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       val all = corpus.select(col("vec_id"), col("embedding")).unionByName(copies)
+      // `w` stays an ARRAY column through the persist: taking
+      // element_at(w,1)/(w,2) in the SAME projection makes
+      // CollapseProject inline the 128-plane sketch expression into
+      // BOTH references — the whole coding pass runs twice per row
+      // (measured 7.9 vs 5.2 s; the mm_phash re-inlining lesson).
+      // After the cache boundary element_at reads the stored array.
       val coded = all
         .withColumn("code", codeUdf(planes16)(col("embedding")))
         .withColumn("w", skWordsUdf(col("embedding")))
-        .select(col("vec_id"), col("code"),
-          element_at(col("w"), 1).as("w0"), element_at(col("w"), 2).as("w1"))
+        .select(col("vec_id"), col("code"), col("w"))
         .persist()
       val a = coded.select(col("code"), col("vec_id").as("id_a"),
-        col("w0").as("a0"), col("w1").as("a1"))
+        element_at(col("w"), 1).as("a0"), element_at(col("w"), 2).as("a1"))
       val b = coded.select(col("code"), col("vec_id").as("id_b"),
-        col("w0").as("b0"), col("w1").as("b1"))
+        element_at(col("w"), 1).as("b0"), element_at(col("w"), 2).as("b1"))
       val surv = a.join(b, Seq("code"))
         .filter(col("id_a") < col("id_b"))
         .filter(expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)") <= 38)
@@ -672,14 +666,11 @@ object BenchVec extends Serializable {
           }.reduce(_ + _)
           struct(lit(i.toLong).as("q_id"), (-ham).cast("double").as("score"))
         }: _*)
-        val cand = binCodes.select(col("vec_id"), explode(hamArr).as("qh"))
-          .select(col("qh.q_id").as("q_id"), col("qh.score").as("score"), col("vec_id"))
-          .as[(Long, Double, Long)]
-          .groupByKey(_._1)
-          .mapValues(t => graft.functions.ScoredRow(t._2, t._3))
-          .agg(graft.functions.TopK.topK(200).name("top"))
-          .toDF("q_id", "top")
-          .select(col("q_id"), explode(col("top")).as("r"))
+        val cand = graft.functions.TopK.primitiveTopK(
+            binCodes.select(col("vec_id"), explode(hamArr).as("qh"))
+              .select(col("qh.q_id").as("q_id"), col("qh.score").as("score"), col("vec_id"))
+              .as[(Long, Double, Long)], 200)
+          .select(col("g").as("q_id"), explode(col("top")).as("r"))
           .select(col("q_id"), col("r.id").as("vec_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
         val ids = cand.map(_._2).distinct.toSeq

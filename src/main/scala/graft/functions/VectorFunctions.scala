@@ -215,6 +215,11 @@ object VectorFunctions {
   def adcScore(codes: Column, lut: Array[Array[Double]]): Column =
     GraftBridge.column(AdcScore(GraftBridge.expression(codes), lut))
 
+  /** array<long> sign-sketch words of an embedding column (bit p of
+    * word ⌊p/64⌋ = sign of dot(emb, planes(p))) — one codegen pass. */
+  def signSketch(emb: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(SignSketchWords(GraftBridge.expression(emb), planes))
+
   /** Full cosine (un-normalized inputs): dot / (|a|·|b|), 0 on zero norm —
     * reference zero-norm guard `embedding_service.py:195-200`. */
   def cosine(a: Column, b: Column): Column = {
@@ -247,6 +252,109 @@ object VectorFunctions {
   * multiprobe buckets' partitions. Used by `ann_rp_lsh` (Search) and
   * `dd_semdedup` (Dedup).
   */
+/** Multi-plane sign sketch of an embedding in ONE codegen pass: bit p
+  * of word ⌊p/64⌋ is the sign of dot(emb, planes(p)) — the 128-bit
+  * Hamming sketch used by the HNSW sketch-ranked build and the
+  * dd_semdedup_sketch prefilter. The plane matrix rides as a codegen
+  * reference object. The alternative — stacking one `DotProduct`
+  * expression per plane — builds ~136 expression trees per row, which
+  * falls out of whole-stage codegen's method budget (measured:
+  * dd_semdedup_sketch's coding pass at sf0.1 was ~4× the exact leg's
+  * whole cost before this expression existed). Per-plane accumulation
+  * is strict left-to-right, identical to `DotProduct` and the
+  * driver-side RpLsh fold, so sketch words are bit-stable across
+  * eval, codegen, and driver replays. */
+case class SignSketchWords(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_sketch requires array<float|double>, got $t")
+    }
+
+  private def nWords = (planes.length + 63) / 64
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val fl = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    // copy to a primitive array ONCE: planes.length passes of
+    // per-element ArrayData getters defeat JIT vectorization (the
+    // expression measured SLOWER than the old Scala UDF before this)
+    val vec: Array[Double] =
+      if (fl) { val f = e.toFloatArray(); val d = new Array[Double](f.length)
+        var i = 0; while (i < f.length) { d(i) = f(i); i += 1 }; d }
+      else e.toDoubleArray()
+    val out = new Array[Long](nWords)
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(vec.length, pl.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += vec(j) * pl(j); j += 1 }
+      if (acc >= 0.0) out(p / 64) |= (1L << (p % 64))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pRef = ctx.addReferenceObj("sketchPlanes", planes, "double[][]")
+      val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val vec = ctx.freshName("vec")
+      val fa = ctx.freshName("fa")
+      val ii = ctx.freshName("ii")
+      val w = ctx.freshName("w")
+      val p = ctx.freshName("p")
+      val pl = ctx.freshName("pl")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val toVec = if (isFloat)
+        s"""float[] $fa = $a.toFloatArray();
+           |double[] $vec = new double[$fa.length];
+           |for (int $ii = 0; $ii < $fa.length; $ii++) $vec[$ii] = (double) $fa[$ii];""".stripMargin
+      else
+        s"double[] $vec = $a.toDoubleArray();"
+      s"""
+         |$toVec
+         |long[] $w = new long[$nWords];
+         |for (int $p = 0; $p < $pRef.length; $p++) {
+         |  double[] $pl = $pRef[$p];
+         |  int $n = java.lang.Math.min($vec.length, $pl.length);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += $vec[$j] * $pl[$j];
+         |  }
+         |  if ($acc >= 0.0) $w[$p / 64] |= (1L << ($p % 64));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($w);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // same array-field identity trap as AdcScore: compare planes by value
+  // so canonicalization / subexpression reuse can see equal sketches
+  override def equals(other: Any): Boolean = other match {
+    case s: SignSketchWords =>
+      child == s.child &&
+        java.util.Arrays.deepEquals(
+          planes.asInstanceOf[Array[AnyRef]], s.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+}
+
 class RpLsh(val NumPlanes: Int, val Dim: Int, val PlaneBase: Int = 0)
     extends Serializable {
 

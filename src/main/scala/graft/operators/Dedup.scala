@@ -1267,25 +1267,33 @@ object Dedup {
     // with) the 8 blocking planes. BENCHVEC leg:
     // `semdedup_16planes_sketch128`. */
     "dd_semdedup_sketch" -> ((s, d) => {
-      import graft.functions.{RandomHyperplane, RpLsh}
-      val sk0 = new RpLsh(64, 64, PlaneBase = 8)
-      val sk1 = new RpLsh(64, 64, PlaneBase = 72)
+      import graft.functions.{RandomHyperplane, RpLsh, VectorFunctions}
+      // 128 sketch planes, PlaneBase-offset past the 8 blocking planes
+      // so they are disjoint; computed in ONE codegen pass
+      // (VectorFunctions.signSketch — 128 stacked codeCol dots fell
+      // out of whole-stage codegen: 2.7 s vs sub-second at sf0.1)
+      val skPlanes = (new RpLsh(128, 64, PlaneBase = 8)).planes
+        .map(_.toArray).toArray
       val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val copies = base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
       val corpus = base.unionByName(copies)
+      // `w` stays an ARRAY column through the persist: element_at in
+      // the same projection would make CollapseProject inline the
+      // 128-plane sketch into both word references — the coding pass
+      // would run twice per row (measured at 500k; the mm_phash
+      // re-inlining lesson). The persist is also the barrier against
+      // the 4 downstream plan occurrences re-coding the corpus.
       val coded = corpus
         .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
-        .withColumn("w0", sk0.codeCol(col("embedding")))
-        .withColumn("w1", sk1.codeCol(col("embedding")))
-        .select("vec_id", "code", "w0", "w1")
-        .persist() // slim (id + code + 2 longs); 4 plan occurrences —
-                   // without the barrier the 136-plane coding tree
-                   // re-evaluates per occurrence (the mm_phash lesson)
+        .withColumn("w",
+          VectorFunctions.signSketch(col("embedding").cast("array<double>"), skPlanes))
+        .select(col("vec_id"), col("code"), col("w"))
+        .persist()
       val a = coded.select(col("code"), col("vec_id").as("id_a"),
-        col("w0").as("a0"), col("w1").as("a1"))
+        element_at(col("w"), 1).as("a0"), element_at(col("w"), 2).as("a1"))
       val b = coded.select(col("code"), col("vec_id").as("id_b"),
-        col("w0").as("b0"), col("w1").as("b1"))
+        element_at(col("w"), 1).as("b0"), element_at(col("w"), 2).as("b1"))
       val surv = a.join(b, Seq("code"))
         .filter(col("id_a") < col("id_b"))
         .filter(expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)") <= 38)

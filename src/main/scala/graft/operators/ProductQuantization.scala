@@ -270,17 +270,17 @@ object ProductQuantization {
   }
 
   /** Per-query candidate top-`rescoreK` over (q_id, adc, id) rows via
-    * the partial-aggregating TopK (map side keeps ≤ rescoreK rows per
-    * query; the shuffle carries candidates, never the corpus). */
+    * the primitive grouped top-k (TopK.primitiveTopK: per-partition
+    * bounded arrays fold the multi-million-row candidate stream at
+    * scan speed — the typed aggregator alone cost ~2 s at 4M rows —
+    * then the tiny ≤ rescoreK-per-(query, partition) remainder merges
+    * through the exact-ordered aggregator; the shuffle carries
+    * candidates, never the corpus). */
   private def candTopK(cand: DataFrame, rescoreK: Int): DataFrame = {
     val sess = cand.sparkSession
     import sess.implicits._
-    cand.as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => graft.functions.ScoredRow(t._2, t._3))
-      .agg(graft.functions.TopK.topK(rescoreK).name("top"))
-      .toDF("q_id", "top")
-      .select(col("q_id"), explode(col("top")).as("r"))
+    graft.functions.TopK.primitiveTopK(cand.as[(Long, Double, Long)], rescoreK)
+      .select(col("g").as("q_id"), explode(col("top")).as("r"))
       .select(col("q_id"), col("r.id").as("id"), col("r.score").as("adc_score"))
   }
 

@@ -34,6 +34,35 @@ class TopKSpec extends AnyFunSuite {
     assert(viaAgg.nonEmpty)
   }
 
+  test("primitiveTopK equals the typed aggregator, ties and partial groups included") {
+    val d = "/root/testdata/sf0.001"
+    val base = Tables.orders(spark, d)
+      .select($"o_custkey" % 7, $"o_totalprice", $"o_orderkey") // few groups, many rows each
+      .as[(Long, Double, Long)]
+    val viaAgg = base
+      .groupByKey(_._1)
+      .mapValues(t => ScoredRow(t._2, t._3))
+      .agg(TopK.topK(5).name("top"))
+      .toDF("g", "top")
+      .select($"g", explode($"top").as("r"))
+      .select($"g", $"r.id", $"r.score")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaPrim = TopK.primitiveTopK(base, 5)
+      .select($"g", explode($"top").as("r"))
+      .select($"g", $"r.id", $"r.score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPrim == viaAgg)
+    assert(viaPrim.nonEmpty)
+    // synthetic ties + a group smaller than k: exact expected set
+    val tiny = Seq((1L, 2.0, 9L), (1L, 2.0, 3L), (1L, 2.0, 5L), (1L, 1.0, 1L),
+      (2L, 0.0, 7L)).toDS()
+    val got = TopK.primitiveTopK(tiny, 2)
+      .select($"g", explode($"top").as("r"))
+      .select($"g", $"r.score", $"r.id")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == Set((1L, 2.0, 3L), (1L, 2.0, 5L), (2L, 0.0, 7L)))
+  }
+
   test("TopKAggregator is merge-order independent and bounded") {
     val agg = new TopKAggregator(2)
     val rows = Seq(ScoredRow(1.0, 5L), ScoredRow(3.0, 1L), ScoredRow(3.0, 0L),

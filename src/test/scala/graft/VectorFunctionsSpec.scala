@@ -31,6 +31,34 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("signSketch: words match a driver fold and the per-plane codeCol form, codegen on") {
+    import graft.functions.RpLsh
+    val rp = new RpLsh(128, 16, PlaneBase = 8)
+    val planes = rp.planes.map(_.toArray).toArray
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16 + j + 1.0)))
+    }
+    val got = vecs.toDF("id", "emb")
+      .select(col("id"), signSketch(col("emb"), planes).as("w"))
+      .as[(Long, Seq[Long])].collect().toMap
+    vecs.foreach { case (id, e) =>
+      val exp = new Array[Long](2)
+      planes.zipWithIndex.foreach { case (pl, p) =>
+        var acc = 0.0; var j = 0
+        while (j < 16) { acc += e(j) * pl(j); j += 1 }
+        if (acc >= 0.0) exp(p / 64) |= (1L << (p % 64))
+      }
+      assert(got(id) == exp.toSeq, s"sketch mismatch for id $id")
+    }
+    // word0 must equal the 64-plane codeCol of the same plane window
+    // (the layout dd_semdedup_sketch relied on before the expression)
+    val sk0 = new RpLsh(64, 16, PlaneBase = 8)
+    val viaCode = vecs.toDF("id", "emb")
+      .select(col("id"), sk0.codeCol(col("emb")).as("c"))
+      .as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, _) => assert(got(id).head == viaCode(id)) }
+  }
+
   test("cosine: normalized, orthogonal, zero-vector guard") {
     val df = Seq(
       (Array(3.0, 4.0), Array(3.0, 4.0)),   // parallel → 1
