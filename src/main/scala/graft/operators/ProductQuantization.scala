@@ -531,9 +531,21 @@ object ProductQuantization {
   /** Per-subspace slice source + Lloyd replay + member-mean codebook +
     * full-corpus argmin encode, with the subspace's ADC lut score
     * attached to the winning codeword. `off` = s × dsub. */
-  private def subspaceCte(s: Int, dsub: Int): String = {
+  /** One subspace's oracle replay: sample slice → Lloyd → member-mean
+    * codebook → argmin assignment of `assignRel`'s rows. `withScore`
+    * adds the ADC partial (requires a `q` CTE in scope); the
+    * CDC-maintenance gate (x19) assigns without a query. */
+  private[graft] def subspaceCte(s: Int, dsub: Int, assignRel: String = "eall",
+                                 withScore: Boolean = true): String = {
     val off = s * dsub
     val rng = s"range(1, ${dsub + 1})"
+    val scSel = if (withScore) ", sc" else ""
+    val scExpr = if (withScore)
+      s"""      list_inner_product(c.centroid,
+         |        list_transform($rng, j -> q.qv[j + $off])) AS sc,
+         |""".stripMargin
+    else ""
+    val qJoin = if (withScore) " CROSS JOIN q" else ""
     s"""p${s}src AS (
        |  SELECT id, tenant, list_transform($rng, j -> emb[j + $off]) AS emb
        |  FROM esample),
@@ -549,16 +561,14 @@ object ProductQuantization {
        |           / CAST(cnt AS DOUBLE)) AS centroid
        |  FROM p${s}cb),
        |p${s}a AS (
-       |  SELECT id, cell, sc FROM (
+       |  SELECT id, cell$scSel FROM (
        |    SELECT p.id, c.cell,
-       |      list_inner_product(c.centroid,
-       |        list_transform($rng, j -> q.qv[j + $off])) AS sc,
-       |      row_number() OVER (PARTITION BY p.id ORDER BY
+       |$scExpr      row_number() OVER (PARTITION BY p.id ORDER BY
        |        list_reduce(list_transform($rng,
        |          j -> (p.emb[j + $off] - c.centroid[j]) * (p.emb[j + $off] - c.centroid[j])),
        |          (x, y) -> x + y) ASC,
        |        c.cell ASC) AS rnk
-       |    FROM eall p CROSS JOIN p${s}cen c CROSS JOIN q)
+       |    FROM $assignRel p CROSS JOIN p${s}cen c$qJoin)
        |  WHERE rnk = 1)""".stripMargin
   }
 

@@ -671,6 +671,72 @@ object IndexPipeline {
         .orderBy("cell")
     }),
 
+    // X19 — CDC-DRIVEN PQ-CODES MAINTENANCE: the compressed-scan
+    // layout is a derived index too, and re-encoding the corpus after
+    // every upsert is the same O(corpus) trap as rebuilding the IVF
+    // assignment — so the codes table is maintained from the change
+    // feed alone against FROZEN codebooks (drop the feed's removals,
+    // encode only its additions; work is O(churn)). Same episode as
+    // x17: snapshot 1 loads all but the %9 cohort and trains the
+    // books, one upsert reverses the %7 cohort's embeddings (their
+    // codewords move) and inserts %9. Codeword IDs are an engine-
+    // internal dense renumbering (the ann_pq_topk labeling note), so
+    // the gate pins LABEL-INVARIANT equivalence classes: per
+    // (subspace, codeword), the member-id digest, classes ranked by
+    // min id — plus inc_matches_full, the engine's own from-scratch
+    // snapshot-2 encode agreeing class-for-class. Completes the
+    // CDC-maintained set: IVF (x17), HNSW (ann_hnsw_incremental), PQ.
+    "x19_cdc_pq_maintain" -> ((s, d) => {
+      import graft.operators.{ProductQuantization => PQc}
+      val dir = snapDir(d) + "_pqm"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("vec_id").as("doc_id"), lit("all").as("owner"),
+          lit("chunk").as("vtype"),
+          concat_ws(",", col("emb").cast("array<string>")).as("chunk_text"),
+          col("emb"))
+      val all = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val v1 = all.filter(pmod(col("vec_id"), lit(9L)) =!= 0)
+      VersionedStore.initialLoad(s, dir, rel(v1))
+      val snap1 = VersionedStore.readSnapshot(s, dir, 1)
+      val books = PQc.pqTrainSampled(snap1, "owner", "doc_id", "emb", 4, 8, 256)
+      val c1 = PQc.pqEncode(snap1, "owner", "doc_id", "emb", books)
+        .select(col("id"), col("codes"))
+      val changed = v1.filter(pmod(col("vec_id"), lit(7L)) === 0)
+        .select(col("vec_id"), reverse(col("emb")).as("emb"))
+      val fresh = all.filter(pmod(col("vec_id"), lit(9L)) === 0)
+      VersionedStore.upsertVersioned(s, dir, rel(changed.unionByName(fresh)))
+      val (feed, _, _) = snapshotCdcFeedFast(s, dir, 1, 2)
+      val removals = feed.filter(col("change_type")
+        .isin("delete", "update_preimage")).select(col("doc_id").as("id")).distinct()
+      val additions = feed.filter(col("change_type")
+        .isin("insert", "update_postimage")).select("doc_id").distinct()
+      val snap2 = VersionedStore.readSnapshot(s, dir, 2)
+      val cInc = c1.join(broadcast(removals), Seq("id"), "left_anti")
+        .unionByName(PQc.pqEncode(
+          snap2.join(broadcast(additions), Seq("doc_id"), "left_semi"),
+          "owner", "doc_id", "emb", books).select(col("id"), col("codes")))
+      val cFull = PQc.pqEncode(snap2, "owner", "doc_id", "emb", books)
+        .select(col("id"), col("codes"))
+      def classes(df: DataFrame, n: String, m: String): DataFrame =
+        df.select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
+          .groupBy(col("s"), col("code"))
+          .agg(min(col("id")).as("mn"), count(lit(1)).as(n),
+            md5(concat_ws(",", array_sort(collect_list(col("id"))))).as(m))
+          .withColumn("class_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("s")).orderBy(col("mn").asc)))
+          .select(col("s").cast("long").as("s"),
+            col("class_rank").cast("long").as("class_rank"), col(n), col(m))
+      classes(cInc, "n_members", "ids_md5")
+        .join(classes(cFull, "nf", "mf"), Seq("s", "class_rank"), "full_outer")
+        .select(col("s"), col("class_rank"), col("n_members"), col("ids_md5"),
+          (col("n_members") <=> col("nf") && col("ids_md5") <=> col("mf"))
+            .cast("long").as("inc_matches_full"))
+        .orderBy("s", "class_rank")
+    }),
+
     // S19 — ZONE-MAP DATA SKIPPING on the versioned store, the Delta
     // OPTIMIZE-ZORDER + file-skipping move: documents (with a
     // non-key numeric column, n_chars) are hash-loaded, then
@@ -1865,6 +1931,48 @@ object IndexPipeline {
          |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)) AS ids_md5,
          |  CAST(1 AS BIGINT) AS inc_matches_full
          |FROM assign2 GROUP BY cell ORDER BY cell""".stripMargin
+    },
+
+    // x17's episode replayed for the PQ codes: the four subspace
+    // trainers run on snapshot-1's sample, assignment runs over the
+    // reconstructed snapshot-2 content, classes are ranked by min id
+    // (label-invariant — DuckDB's raw Lloyd cell ids and the engine's
+    // dense renumbering disagree on labels, never on membership).
+    "x19_cdc_pq_maintain" -> {
+      val subs = (0 until 4).map(s =>
+        graft.operators.ProductQuantization.subspaceCte(
+          s, 16, assignRel = "v2", withScore = false)).mkString(",\n")
+      s"""WITH RECURSIVE eall AS (
+         |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |v1 AS (SELECT * FROM eall WHERE id % 9 <> 0),
+         |esample AS (
+         |  SELECT id, tenant, emb FROM (
+         |    SELECT id, tenant, emb,
+         |      row_number() OVER (PARTITION BY tenant ORDER BY id) AS rn FROM v1)
+         |  WHERE rn <= 256),
+         |v2 AS (
+         |  SELECT id, tenant, CASE WHEN id % 7 = 0
+         |    THEN list_transform(range(1, 65), j -> emb[65 - j])
+         |    ELSE emb END AS emb
+         |  FROM v1
+         |  UNION ALL
+         |  SELECT id, tenant, emb FROM eall WHERE id % 9 = 0),
+         |$subs,
+         |cls AS (
+         |  SELECT s, cell, min(id) AS mn, count(*) AS n,
+         |    md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)) AS ids_md5
+         |  FROM (
+         |    SELECT 0 AS s, id, cell FROM p0a
+         |    UNION ALL SELECT 1, id, cell FROM p1a
+         |    UNION ALL SELECT 2, id, cell FROM p2a
+         |    UNION ALL SELECT 3, id, cell FROM p3a)
+         |  GROUP BY s, cell)
+         |SELECT CAST(s AS BIGINT) AS s,
+         |  CAST(row_number() OVER (PARTITION BY s ORDER BY mn) AS BIGINT)
+         |    AS class_rank,
+         |  n AS n_members, ids_md5, CAST(1 AS BIGINT) AS inc_matches_full
+         |FROM cls ORDER BY s, class_rank""".stripMargin
     },
     // S21 replayed: per-(owner, doc_id%8) DISTINCT bloom bits over the
     // FINAL content (untouched buckets' build-time filters equal their
