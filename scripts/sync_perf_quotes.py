@@ -11,14 +11,19 @@ import json, re, sys
 apply = "--apply" in sys.argv
 art = json.load(open("BENCHVEC.json"))
 vals = dict(art["timings_sec"])
-vals["calibration"] = art["calibration"]
-vals["calibration_disk"] = art.get("calibration_disk")
+# calibration keys only when present: '%.3f' % None dies (ADVICE r13)
+for cal_key in ("calibration", "calibration_disk"):
+    if art.get(cal_key) is not None:
+        vals[cal_key] = art[cal_key]
 
 txt = open("PERF.md").read()
 blocks = list(re.finditer(r"<!-- drift-check:begin([^>]*)-->(.*?)<!-- drift-check:end -->",
                           txt, re.S))
 # the BENCHVEC block is the one whose rows mention brute_force_knn_8q
-target = next(b for b in blocks if "brute_force_knn_8q" in b.group(2))
+target = next((b for b in blocks if "brute_force_knn_8q" in b.group(2)), None)
+if target is None:
+    sys.exit("no drift-check block in PERF.md mentions brute_force_knn_8q "
+             "— nothing to sync (was the BENCHVEC table renamed?)")
 body = target.group(2)
 out_lines = []
 changed = []

@@ -35,7 +35,8 @@ object Bench {
     "ann_batch_topk", "curate_corpus_v2", "dd_shared_spans", "ts_bpe_train")
 
   /** One query's one-pass measurement. */
-  private case class Sample(wall: Double, cpu: Double, readB: Long, writeB: Long)
+  private case class Sample(wall: Double, cpu: Double, readB: Long,
+                            writeB: Long, nJobs: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,13 +102,15 @@ object Bench {
       if (i > 0 && i % 30 == 0) probe() // mid-run weather samples
       BenchProbe.drainListenerBus(spark)
       val cpu0 = cpuL.cpuNanos.get()
+      val jobs0 = cpuL.jobs.get()
       val (r0, w0) = BenchProbe.procIo()
       val t0 = System.nanoTime()
       run(n, recordFailure = true)
       val wall = (System.nanoTime() - t0) / 1e9
       BenchProbe.drainListenerBus(spark)
       val (r1, w1) = BenchProbe.procIo()
-      n -> Sample(wall, (cpuL.cpuNanos.get() - cpu0) / 1e9, r1 - r0, w1 - w0)
+      n -> Sample(wall, (cpuL.cpuNanos.get() - cpu0) / 1e9, r1 - r0, w1 - w0,
+        cpuL.jobs.get() - jobs0)
     }
     probe()
     val p1 = timedPass()
@@ -140,7 +143,8 @@ object Bench {
     val metricsJson = results.map { case (n, s) =>
       "\"" + n + "\":{\"cpu_sec\":" + f3(s.cpu) +
         ",\"read_mb\":" + f3(s.readB / 1048576.0) +
-        ",\"write_mb\":" + f3(s.writeB / 1048576.0) + "}"
+        ",\"write_mb\":" + f3(s.writeB / 1048576.0) +
+        ",\"n_jobs\":" + s.nJobs + "}"
     }.mkString("{", ",", "}")
     def jsonArr(vs: Seq[Double]): String = vs.map(f3).mkString("[", ",", "]")
     // Full per-query detail goes to a file; the stdout line must stay SHORT.
@@ -157,7 +161,10 @@ object Bench {
     // calibration differs >1.2× from this run's, keep BOTH windows on
     // disk: the existing file stays, this run lands in
     // BENCH_DETAIL.rerun.json, and the stdout line names which file
-    // carries this run's detail.
+    // carries this run's detail. The rerun slot itself is GITIGNORED
+    // (round-13 verdict task 2: the closing run used to clobber the
+    // committed rerun sibling, dirtying the tree) — a rerun window
+    // worth keeping is frozen by hand as BENCH_DETAIL.rerun_rN.json.
     val detailFile = {
       val main = java.nio.file.Paths.get("BENCH_DETAIL.json")
       val existingCal =

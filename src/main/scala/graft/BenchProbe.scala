@@ -4,7 +4,7 @@ import java.nio.channels.FileChannel
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -105,15 +105,22 @@ object BenchProbe {
     (r, w)
   }
 
-  /** Accumulates executorCpuTime (ns) across every finished task.
-    * Snapshot-and-diff around each query (after [[drainListenerBus]])
-    * attributes engine CPU per query. */
+  /** Accumulates executorCpuTime (ns) across every finished task, plus
+    * the Spark JOB count (round-13 verdict task 7: cpu≪wall separates
+    * waiting from working, but a 40-job leg bound by the per-job
+    * scheduler floor is only identifiable from its job count — with
+    * `n_jobs` in the artifact, floor-bound vs work-bound is a column,
+    * not code-reading). Snapshot-and-diff around each query (after
+    * [[drainListenerBus]]) attributes both per query. */
   final class CpuListener extends SparkListener {
     val cpuNanos = new AtomicLong(0L)
+    val jobs = new AtomicLong(0L)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
     }
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
   }
 
   /** Flush the async listener bus so CpuListener has seen every task

@@ -71,8 +71,18 @@ object TopK {
       val scores = new scala.collection.mutable.LongMap[Array[Double]]()
       val ids = new scala.collection.mutable.LongMap[Array[Long]]()
       val sizes = new scala.collection.mutable.LongMap[Int]()
-      def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-        s1 > s2 || (s1 == s2 && i1 < i2)
+      // The same TOTAL order as TopKAggregator's
+      // Ordering.by(r => (-r.score, r.id)): compare the NEGATED scores
+      // via java.lang.Double.compare, so NaN (= -NaN, greatest under
+      // compare) stays the WORST element in both layers — the naive
+      // `s1 > s2` form let a NaN arriving first occupy slot 0 and block
+      // every later insertion for its group (nothing compares greater
+      // than NaN), and -0.0 == 0.0 ties broke differently from the
+      // merge layer (ADVICE r13).
+      def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+        val c = java.lang.Double.compare(-s1, -s2)
+        c < 0 || (c == 0 && i1 < i2)
+      }
       while (it.hasNext) {
         val (g, sc, id) = it.next()
         val sa = scores.getOrNull(g)
