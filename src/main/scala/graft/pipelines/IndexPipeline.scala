@@ -737,6 +737,83 @@ object IndexPipeline {
         .orderBy("s", "class_rank")
     }),
 
+    // X20 — CDC-DRIVEN POINT-FETCH-LAYOUT MAINTENANCE (round-13
+    // verdict task 1): the byid rescore layout (Layout.pointFetchWrite
+    // — id-sorted 8-row pages, the 192× point-fetch win) is the last
+    // serving asset without O(churn) maintenance; this gate gives it
+    // the x17/x19 treatment via ByidStore (delta segments + tombstones
+    // + reader-side max-seg merge). Episode: snapshot 1 loads all but
+    // the %9 cohort and bootstraps the byid base; one upsert REVERSES
+    // the %7 cohort (update churn) and inserts %9 (insert churn) —
+    // applied to the byid store from snapshotCdcFeedFast(1→2) alone;
+    // one delete drops the %13 cohort — applied from feed(2→3) as
+    // tombstones. The gate point-fetches 20 arithmetically-scattered
+    // ids through the maintained store and pins, per id, the served
+    // embedding (dim + first/last components), the SERVING SEGMENT
+    // (src_seg: churned rows MUST come from the delta, seg 1 — a stale
+    // base serving old bytes hash-fails even where values collide) and
+    // fetch_matches_direct — full-array equality against a direct
+    // snapshot-3 read of the same ids (the oracle computes 1; a
+    // resurrected deleted id or a lost update breaks the row set).
+    "x20_cdc_byid_maintain" -> ((s, d) => {
+      import graft.operators.ByidStore
+      val dir = snapDir(d) + "_bym"
+      val bdir = snapDir(d) + "_byid"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      deleteRecursively(java.nio.file.Paths.get(bdir))
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("vec_id").as("doc_id"), lit("all").as("owner"),
+          lit("chunk").as("vtype"),
+          concat_ws(",", col("emb").cast("array<string>")).as("chunk_text"),
+          col("emb"))
+      val all = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val v1 = all.filter(pmod(col("vec_id"), lit(9L)) =!= 0)
+      VersionedStore.initialLoad(s, dir, rel(v1))
+      val snap1 = VersionedStore.readSnapshot(s, dir, 1)
+      ByidStore.init(snap1.select(col("doc_id").as("id"), col("emb")),
+        "id", bdir, nFiles = 8)
+      val changed = v1.filter(pmod(col("vec_id"), lit(7L)) === 0)
+        .select(col("vec_id"), reverse(col("emb")).as("emb"))
+      val fresh = all.filter(pmod(col("vec_id"), lit(9L)) === 0)
+      VersionedStore.upsertVersioned(s, dir, rel(changed.unionByName(fresh)))
+      val (feed1, _, _) = snapshotCdcFeedFast(s, dir, 1, 2)
+      val rem1 = feed1.filter(col("change_type")
+        .isin("delete", "update_preimage")).select(col("doc_id").as("id")).distinct()
+      val add1 = VersionedStore.readSnapshot(s, dir, 2)
+        .join(broadcast(feed1.filter(col("change_type")
+          .isin("insert", "update_postimage")).select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("id"), col("emb"))
+      ByidStore.applyCdc(s, bdir, rem1, add1, "id")
+      VersionedStore.deleteVersioned(s, dir,
+        all.filter(pmod(col("vec_id"), lit(13L)) === 0)
+          .select(col("vec_id").as("doc_id")))
+      val (feed2, _, _) = snapshotCdcFeedFast(s, dir, 2, 3)
+      val rem2 = feed2.filter(col("change_type")
+        .isin("delete", "update_preimage")).select(col("doc_id").as("id")).distinct()
+      val snap3 = VersionedStore.readSnapshot(s, dir, 3)
+      val add2 = snap3
+        .join(broadcast(feed2.filter(col("change_type")
+          .isin("insert", "update_postimage")).select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("id"), col("emb"))
+      ByidStore.applyCdc(s, bdir, rem2, add2, "id")
+      val n = Tables.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0) + 1
+      val ids = (0 until 20).map(i => (i * 3461L + 7) % n)
+      val fetched = ByidStore.fetch(s, bdir, ids, "id")
+      val direct = snap3.filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id").as("id"), col("emb").as("demb"))
+      fetched.join(direct, Seq("id"), "full_outer")
+        .select(col("id"),
+          col("seg").cast("long").as("src_seg"),
+          size(col("emb")).cast("long").as("dim"),
+          element_at(col("emb"), 1).cast("double").as("c_first"),
+          element_at(col("emb"), -1).cast("double").as("c_last"),
+          (col("emb") <=> col("demb")).cast("long").as("fetch_matches_direct"))
+        .orderBy("id")
+    }),
+
     // S19 — ZONE-MAP DATA SKIPPING on the versioned store, the Delta
     // OPTIMIZE-ZORDER + file-skipping move: documents (with a
     // non-key numeric column, n_chars) are hash-loaded, then
@@ -1974,6 +2051,34 @@ object IndexPipeline {
          |  n AS n_members, ids_md5, CAST(1 AS BIGINT) AS inc_matches_full
          |FROM cls ORDER BY s, class_rank""".stripMargin
     },
+    // X20 replayed from arithmetic: the final corpus = (non-%9 cohort
+    // with %7 reversed) ∪ (%9 inserted), minus %13 deleted; the
+    // scattered fetch ids are the pf_point_fetch formula; src_seg = 1
+    // exactly for rows the batch-1 delta wrote (updated %7∩non-%9 +
+    // inserted %9), 0 for untouched base rows; a CORRECT maintained
+    // store point-fetch equals the direct snapshot read, so
+    // fetch_matches_direct is the computed constant 1.
+    "x20_cdc_byid_maintain" ->
+      """WITH m AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+        |ids AS (SELECT DISTINCT (t.i * 3461 + 7) % m.n AS id
+        |        FROM range(20) t(i), m),
+        |final AS (
+        |  SELECT vec_id AS id,
+        |    CASE WHEN vec_id % 7 = 0 AND vec_id % 9 <> 0
+        |      THEN list_transform(range(1, 65), j -> emb[65 - j])
+        |      ELSE emb END AS emb,
+        |    CASE WHEN vec_id % 7 = 0 OR vec_id % 9 = 0
+        |      THEN 1 ELSE 0 END AS src_seg
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |  WHERE vec_id % 13 <> 0)
+        |SELECT f.id, CAST(f.src_seg AS BIGINT) AS src_seg,
+        |  CAST(len(f.emb) AS BIGINT) AS dim,
+        |  CAST(f.emb[1] AS DOUBLE) AS c_first,
+        |  CAST(f.emb[len(f.emb)] AS DOUBLE) AS c_last,
+        |  CAST(1 AS BIGINT) AS fetch_matches_direct
+        |FROM final f JOIN ids ON ids.id = f.id
+        |ORDER BY f.id""".stripMargin,
+
     // S21 replayed: per-(owner, doc_id%8) DISTINCT bloom bits over the
     // FINAL content (untouched buckets' build-time filters equal their
     // unchanged content's; touched buckets are recomputed in the
