@@ -1230,22 +1230,20 @@ object Dedup {
     // ≈ 0.51), so exact copies are injected in-query (vec_id + 10000
     // for every 50th vector — the same injected-evidence technique as
     // curate_corpus) to prove the drop leg at the realistic τ.
+    // Routing (round-13 verdict task 5): the gate goes through
+    // semDedupAuto, which picks exact vs sketch-prefiltered from the
+    // same-cell pair-count ESTIMATE (Σ occupancy² over the blocking
+    // codes — computable from bucket stats alone, no pair join). Both
+    // physical paths are checked-lossless against this one oracle, so
+    // the route is free to flip with corpus size: at the driver SFs
+    // the estimated pair payload is a few MB → exact; at BENCHVEC's
+    // 500k × 768-d it is ~100 GB → sketch (the crossover numbers live
+    // in PERF.md).
     "dd_semdedup" -> ((s, d) => {
-      import graft.functions.RandomHyperplane
       val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val copies = base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
-      val corpus = base.unionByName(copies)
-        .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
-      val a = corpus.select(col("code"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = corpus.select(col("code"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      a.join(b, Seq("code"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("sim", dot(col("emb_a"), col("emb_b")))
-        .filter(col("sim") >= 0.95)
-        .groupBy(col("id_b").as("dropped_id"), col("code"))
-        .agg(min(col("id_a")).as("keeper_id"), count(lit(1)).as("n_near"))
-        .orderBy("dropped_id")
+      semDedupAuto(base.unionByName(copies))
     }),
 
     // SemDeDup with the 128-bit SKETCH-PREFILTERED pair join — same
@@ -1267,60 +1265,127 @@ object Dedup {
     // with) the 8 blocking planes. BENCHVEC leg:
     // `semdedup_16planes_sketch128`. */
     "dd_semdedup_sketch" -> ((s, d) => {
-      import graft.functions.{RandomHyperplane, RpLsh, VectorFunctions}
-      // 128 sketch planes, PlaneBase-offset past the 8 blocking planes
-      // so they are disjoint; computed in ONE codegen pass
-      // (VectorFunctions.signSketch — 128 stacked codeCol dots fell
-      // out of whole-stage codegen: 2.7 s vs sub-second at sf0.1)
-      val skPlanes = (new RpLsh(128, 64, PlaneBase = 8)).planes
-        .map(_.toArray).toArray
       val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val copies = base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
-      val corpus = base.unionByName(copies)
-      // `w` stays an ARRAY column through the persist: element_at in
-      // the same projection would make CollapseProject inline the
-      // 128-plane sketch into both word references — the coding pass
-      // would run twice per row (measured at 500k; the mm_phash
-      // re-inlining lesson). The persist is also the barrier against
-      // the 4 downstream plan occurrences re-coding the corpus.
-      val coded = corpus
-        .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
-        .withColumn("w",
-          VectorFunctions.signSketch(col("embedding").cast("array<double>"), skPlanes))
-        .select(col("vec_id"), col("code"), col("w"))
-        .persist()
-      val a = coded.select(col("code"), col("vec_id").as("id_a"),
-        element_at(col("w"), 1).as("a0"), element_at(col("w"), 2).as("a1"))
-      val b = coded.select(col("code"), col("vec_id").as("id_b"),
-        element_at(col("w"), 1).as("b0"), element_at(col("w"), 2).as("b1"))
-      val surv = a.join(b, Seq("code"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)") <= 38)
-        .select("code", "id_a", "id_b")
-      // Embedding fetch-back: ONE id-pruned corpus scan for the
-      // survivors' ids, then the verify joins run over the tiny
-      // fetched relation — joining the pairs straight to the corpus
-      // twice would sort-merge-shuffle the full embedding relation
-      // per side (measured at 500k×768: 42 s / 11 GB read vs 9 s).
-      // No broadcast hint: the survivor count scales with true
-      // near-dups, not the corpus, but it is DATA-dependent — AQE
-      // broadcasts it at runtime when it is small (the hint-audit
-      // posture; the BenchVec leg, where the bound is by construction,
-      // hints explicitly).
-      val ids = surv
-        .select(explode(array(col("id_a"), col("id_b"))).as("vec_id")).distinct()
-      val embs = corpus.join(ids, Seq("vec_id"))
-      surv
-        .join(embs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
-        .join(embs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
-        .withColumn("sim", dot(col("emb_a"), col("emb_b")))
-        .filter(col("sim") >= 0.95)
-        .groupBy(col("id_b").as("dropped_id"), col("code"))
-        .agg(min(col("id_a")).as("keeper_id"), count(lit(1)).as("n_near"))
-        .orderBy("dropped_id")
+      semDedupSketch(base.unionByName(copies))
     })
   )
+
+  /** SemDeDup drop decisions, EXACT pair join: RP-LSH blocking, every
+    * same-bucket pair pays the full-width cosine. Input (vec_id,
+    * embedding); output (dropped_id, code, keeper_id, n_near). The
+    * physical shape that is right while the same-cell pair payload is
+    * small — above that, [[semDedupSketch]] is the same semantics at
+    * ~500×/row less pair traffic ([[semDedupAuto]] picks). */
+  def semDedupExact(corpus: DataFrame, tau: Double = 0.95): DataFrame = {
+    import graft.functions.RandomHyperplane
+    val coded = corpus.withColumn("code", RandomHyperplane.codeCol(col("embedding")))
+    val a = coded.select(col("code"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = coded.select(col("code"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("code"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= tau)
+      .groupBy(col("id_b").as("dropped_id"), col("code"))
+      .agg(min(col("id_a")).as("keeper_id"), count(lit(1)).as("n_near"))
+      .orderBy("dropped_id")
+  }
+
+  /** SemDeDup with the 128-bit sketch-prefiltered pair join — same
+    * semantics and oracle as [[semDedupExact]], built for the
+    * bandwidth wall: the pair join carries id + two sketch longs
+    * (~24 B/row instead of two full embeddings), Hamming ≤ 38/128
+    * survivors fetch embeddings back BY ID for the exact cos ≥ tau
+    * verify. A false sketch survivor costs one dot product, never a
+    * wrong answer; at 128 bits a cos = 0.95 pair disagrees on
+    * ~13 ± 3.4 bits (38 is +7.3σ: miss ~1e-13/pair) — and the gate
+    * runs this against the exact oracle, making losslessness on the
+    * corpus a checked property. */
+  def semDedupSketch(corpus: DataFrame, tau: Double = 0.95,
+                     hammingCut: Int = 38): DataFrame = {
+    import graft.functions.{RandomHyperplane, RpLsh, VectorFunctions}
+    // 128 sketch planes, PlaneBase-offset past the 8 blocking planes
+    // so they are disjoint; computed in ONE codegen pass
+    // (VectorFunctions.signSketch — 128 stacked codeCol dots fell
+    // out of whole-stage codegen: 2.7 s vs sub-second at sf0.1)
+    val skPlanes = (new RpLsh(128, 64, PlaneBase = 8)).planes
+      .map(_.toArray).toArray
+    // `w` stays an ARRAY column through the persist: element_at in
+    // the same projection would make CollapseProject inline the
+    // 128-plane sketch into both word references — the coding pass
+    // would run twice per row (measured at 500k; the mm_phash
+    // re-inlining lesson). The persist is also the barrier against
+    // the 4 downstream plan occurrences re-coding the corpus.
+    val coded = corpus
+      .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
+      .withColumn("w",
+        VectorFunctions.signSketch(col("embedding").cast("array<double>"), skPlanes))
+      .select(col("vec_id"), col("code"), col("w"))
+      .persist()
+    val a = coded.select(col("code"), col("vec_id").as("id_a"),
+      element_at(col("w"), 1).as("a0"), element_at(col("w"), 2).as("a1"))
+    val b = coded.select(col("code"), col("vec_id").as("id_b"),
+      element_at(col("w"), 1).as("b0"), element_at(col("w"), 2).as("b1"))
+    val surv = a.join(b, Seq("code"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(s"bit_count(a0 ^ b0) + bit_count(a1 ^ b1)") <= hammingCut)
+      .select("code", "id_a", "id_b")
+    // Embedding fetch-back: ONE id-pruned corpus scan for the
+    // survivors' ids, then the verify joins run over the tiny
+    // fetched relation — joining the pairs straight to the corpus
+    // twice would sort-merge-shuffle the full embedding relation
+    // per side (measured at 500k×768: 42 s / 11 GB read vs 9 s).
+    // No broadcast hint: the survivor count scales with true
+    // near-dups, not the corpus, but it is DATA-dependent — AQE
+    // broadcasts it at runtime when it is small (the hint-audit
+    // posture; the BenchVec leg, where the bound is by construction,
+    // hints explicitly).
+    val ids = surv
+      .select(explode(array(col("id_a"), col("id_b"))).as("vec_id")).distinct()
+    val embs = corpus.join(ids, Seq("vec_id"))
+    surv
+      .join(embs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(embs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= tau)
+      .groupBy(col("id_b").as("dropped_id"), col("code"))
+      .agg(min(col("id_a")).as("keeper_id"), count(lit(1)).as("n_near"))
+      .orderBy("dropped_id")
+  }
+
+  /** Same-cell pair stats from bucket occupancies alone (one narrow
+    * agg over the blocking codes — no pair join): (pairs, dim,
+    * estimated exact-path pair-payload bytes = pairs × 2 × dim × 8).
+    * This is what a table-stats catalog would hold at scale; here it
+    * is one bounded pass. */
+  def semDedupPairStats(corpus: DataFrame): (Long, Int, Long) = {
+    import graft.functions.RandomHyperplane
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val pairs = corpus
+      .withColumn("code", RandomHyperplane.codeCol(col("embedding")))
+      .groupBy("code").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
+    (pairs, dim, pairs * 2L * dim * 8L)
+  }
+
+  /** Stats-driven SemDeDup (round-13 verdict task 5): estimate the
+    * exact path's pair payload from bucket occupancies and route —
+    * exact while the payload is small (fewer passes, no sketch
+    * column), sketch-prefiltered once the pair join would stream
+    * more than `pairByteBudget` of embedding bytes (at 500k × 768-d
+    * the exact join moves ~100 GB and swings 7.9–82.6 s with box
+    * weather; the sketch path carries ~24 B/row — on a real cluster
+    * that payload is SHUFFLE, where ~500×/row is structural). Both
+    * paths hash-identically against the same oracle (the sketch
+    * prefilter is checked-lossless), so the route is a physical
+    * choice, never a semantic one. */
+  def semDedupAuto(corpus: DataFrame, tau: Double = 0.95,
+                   pairByteBudget: Long = 2L << 30): DataFrame = {
+    val (_, _, bytes) = semDedupPairStats(corpus)
+    if (bytes > pairByteBudget) semDedupSketch(corpus, tau)
+    else semDedupExact(corpus, tau)
+  }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
   private val shSql =

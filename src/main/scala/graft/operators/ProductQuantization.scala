@@ -249,7 +249,12 @@ object ProductQuantization {
     * `Layout.idsPredicate`'s or-of-eq, so an id-keyed raw layout
     * (`Layout.pointFetchWrite`) reads candidate PAGES, not the table.
     * Like `knnBatch`, intended for bounded batches (≲64 queries): the
-    * per-row expression count grows with Q. */
+    * per-row expression count grows with Q.
+    *
+    * Column contract (ADVICE r13): `tenantCol`/`idCol`/`embCol` rename
+    * the UNCOMPRESSED `vectors` relation only; the `encoded` relation
+    * must carry the canonical `tenant`/`id`/`codes` columns exactly as
+    * `pqEncode` produces them. */
   def pqSearchBatch(encoded: DataFrame, vectors: DataFrame,
                     codebooks: Map[String, Codebooks], tenant: String,
                     queries: Seq[(Long, Seq[Double])], k: Int, rescoreK: Int,
@@ -276,7 +281,7 @@ object ProductQuantization {
     * then the tiny ≤ rescoreK-per-(query, partition) remainder merges
     * through the exact-ordered aggregator; the shuffle carries
     * candidates, never the corpus). */
-  private def candTopK(cand: DataFrame, rescoreK: Int): DataFrame = {
+  private[operators] def candTopK(cand: DataFrame, rescoreK: Int): DataFrame = {
     val sess = cand.sparkSession
     import sess.implicits._
     graft.functions.TopK.primitiveTopK(cand.as[(Long, Double, Long)], rescoreK)
@@ -289,7 +294,7 @@ object ProductQuantization {
     * `Layout.idsPredicate`'s or-of-eq (one point-fetch for the whole
     * batch), exact-dot each (q, id) against the literal query map,
     * exact top-k per query. */
-  private def rescoreBatch(cand: DataFrame, vectors: DataFrame,
+  private[operators] def rescoreBatch(cand: DataFrame, vectors: DataFrame,
                            queries: Seq[(Long, Seq[Double])], k: Int,
                            threshold: Double, tenant: String,
                            tenantCol: String, idCol: String,
@@ -298,6 +303,13 @@ object ProductQuantization {
     import sess.implicits._
     val candSeq: Seq[(Long, Long, Double)] =
       cand.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Empty candidate set (empty codes table, unknown tenant, zero
+    // probed cells): return the empty frame the single-query path
+    // produces instead of handing idsPredicate an empty id list
+    // (ADVICE r13).
+    if (candSeq.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("q_id", "id", "adc_score", "sim")
     val ids = candSeq.map(_._2).distinct
     val qmap: Map[Long, Seq[Double]] = queries.toMap
     vectors.filter(col(tenantCol) === tenant)
@@ -322,7 +334,12 @@ object ProductQuantization {
     * AdcScore — rows outside a query's probes contribute null and are
     * filtered), per-query partial TopK, then the shared one-point-fetch
     * exact rescore. The batched counterpart of `ann_ivfpq_topk`'s
-    * single-query path, mirroring `Search.ivfSearchBatch`. */
+    * single-query path, mirroring `Search.ivfSearchBatch`.
+    *
+    * Column contract (ADVICE r13): `tenantCol`/`idCol`/`embCol` rename
+    * the UNCOMPRESSED `vectors` relation only; `encodedCells` must
+    * carry the canonical `tenant`/`id`/`codes`/`cell` columns (as
+    * `pqEncode` joined to the cell assignment produces). */
   def ivfpqSearchBatch(encodedCells: DataFrame, vectors: DataFrame,
                        codebooks: Map[String, Codebooks],
                        centroids: Map[String, Array[Array[Double]]],
@@ -347,6 +364,214 @@ object ProductQuantization {
       .select(col("qa.q_id").as("q_id"), col("qa.adc").as("adc"), col("id"))
     rescoreBatch(candTopK(cand, rescoreK), vectors, queries, k, threshold,
       tenant, tenantCol, idCol, embCol)
+  }
+
+  // ---- residual coding (IVFADC proper) ---------------------------- //
+
+  private def argminCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val cen = cents(c); var s = 0.0; var j = 0
+      while (j < cen.length) { val df = v(j) - cen(j); s += df * df; j += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def dotL(a: Array[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < a.length) { s += a(j) * b(j); j += 1 }
+    s
+  }
+
+  /** Residual PQ training (Jégou et al. 2011's IVFADC, the FAISS
+    * default): codebooks are trained on `v − centroid(cell(v))`
+    * instead of the raw vectors. Within one IVF cell the vectors
+    * share the centroid's coarse position, so the residuals carry
+    * only the fine structure — the same ksub codewords spend their
+    * resolution on a much smaller domain, closing the ADC ranking
+    * error that raw coding pays (round-13 verdict task 4: recall@10
+    * 0.275 vs plain IVF's 0.288 ceiling at nprobe 8 on the uniform
+    * corpus). Same deterministic discipline as [[pqTrainSampled]]:
+    * sampleCap lowest ids, cell assignment via the shared argmin,
+    * per-subspace Lloyd over the residual slices, member means in id
+    * order — the DuckDB oracle replays every stage. */
+  def pqTrainResidualSampled(vectors: DataFrame, tenantCol: String, idCol: String,
+                             embCol: String,
+                             centroids: Map[String, Array[Array[Double]]],
+                             m: Int, ksub: Int,
+                             sampleCap: Int = 2048): Map[String, Codebooks] = {
+    val keys = Search.sampleKeys(vectors, tenantCol, idCol, sampleCap)
+    val sample = vectors
+      .select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .join(broadcast(keys), Seq("tenant", "id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    sample.groupBy(_._1).map { case (t, rows) =>
+      val cents = centroids(t)
+      val pts = rows.map { r =>
+        val v = r._3
+        val cen = cents(argminCell(v, cents))
+        val res = new Array[Double](v.length)
+        var j = 0
+        while (j < v.length) { res(j) = v(j) - cen(j); j += 1 }
+        (r._2, res)
+      }.sortBy(_._1)
+      val dim = pts.head._2.length
+      require(dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
+      val books: Codebooks = Array.tabulate(m) { s =>
+        val sub = pts.map { case (id, v) =>
+          (id, java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+        }
+        val assigned = Clustering.localKMeans(sub, ksub)
+        val byId = sub.toMap
+        assigned.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, ms) =>
+          val sum = new Array[Double](dsub)
+          ms.sortBy(_._1).foreach { mm =>
+            val v = byId(mm._1); var j = 0
+            while (j < dsub) { sum(j) += v(j); j += 1 }
+          }
+          sum.map(_ / ms.length)
+        }.toArray
+      }
+      t -> books
+    }
+  }
+
+  /** Residual encode: ONE narrow map doing cell assignment (shared
+    * argmin), residual subtraction and per-subspace codeword argmin —
+    * output (tenant, id, cell, codes), the IVF-PQ serving layout in a
+    * single pass (no separate assign + join). Zero shuffle. */
+  def pqEncodeResidual(vectors: DataFrame, tenantCol: String, idCol: String,
+                       embCol: String,
+                       centroids: Map[String, Array[Array[Double]]],
+                       codebooks: Map[String, Codebooks]): DataFrame = {
+    val sc = vectors.sparkSession.sparkContext
+    val bcC = sc.broadcast(centroids)
+    val bcB = sc.broadcast(codebooks)
+    val encUdf = udf { (t: String, e: Seq[Double]) =>
+      val cents = bcC.value(t)
+      val books = bcB.value(t)
+      val v = e.toArray
+      val cell = argminCell(v, cents)
+      val cen = cents(cell)
+      val res = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { res(j) = v(j) - cen(j); j += 1 }
+      val m = books.length
+      val dsub = v.length / m
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val cb = books(s)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          val cw = cb(c); var dd = 0.0; var jj = 0
+          while (jj < dsub) { val df = res(s * dsub + jj) - cw(jj); dd += df * df; jj += 1 }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        codes(s) = best; s += 1
+      }
+      (cell, codes)
+    }
+    vectors
+      .select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("embedding"))
+      .withColumn("_a", encUdf(col("tenant"), col("embedding")))
+      .select(col("tenant"), col("id"), col("_a._1").as("cell"),
+        col("_a._2").as("codes"))
+  }
+
+  /** [[pqEncodeResidual]] with the packed serving layout (one unsigned
+    * byte per subspace, ksub ≤ 256) — the m-byte binary codes column
+    * the 100 TB IVFADC tier stores, mirroring [[pqEncodePacked]]'s
+    * parquet-decode rationale. Same argmin loops, same code values. */
+  def pqEncodeResidualPacked(vectors: DataFrame, tenantCol: String, idCol: String,
+                             embCol: String,
+                             centroids: Map[String, Array[Array[Double]]],
+                             codebooks: Map[String, Codebooks]): DataFrame = {
+    require(codebooks.values.forall(_.forall(_.length <= 256)),
+      "packed codes need ksub <= 256")
+    val sc = vectors.sparkSession.sparkContext
+    val bcC = sc.broadcast(centroids)
+    val bcB = sc.broadcast(codebooks)
+    val encUdf = udf { (t: String, e: Seq[Double]) =>
+      val cents = bcC.value(t)
+      val books = bcB.value(t)
+      val v = e.toArray
+      val cell = argminCell(v, cents)
+      val cen = cents(cell)
+      val res = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { res(j) = v(j) - cen(j); j += 1 }
+      val m = books.length
+      val dsub = v.length / m
+      val codes = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cb = books(s)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          val cw = cb(c); var dd = 0.0; var jj = 0
+          while (jj < dsub) { val df = res(s * dsub + jj) - cw(jj); dd += df * df; jj += 1 }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        codes(s) = (best & 0xFF).toByte; s += 1
+      }
+      (cell, codes)
+    }
+    vectors
+      .select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("embedding"))
+      .withColumn("_a", encUdf(col("tenant"), col("embedding")))
+      .select(col("tenant"), col("id"), col("_a._1").as("cell"),
+        col("_a._2").as("codes"))
+  }
+
+  /** IVFADC search: probe the nProbe nearest cells, ADC-score their
+    * codes AGAINST THE RESIDUAL DECOMPOSITION — dot(q, v) ≈
+    * dot(q, centroid(cell)) + Σ_s lut(s)(code_s), where the lut dots
+    * q's subvectors with the RESIDUAL codewords and the per-cell
+    * constant rides in as a tiny literal map — then exact-rescore the
+    * top `rescoreK`. Identical scan bytes to the raw-coded IVF-PQ
+    * path (m codes per row); the residual decomposition buys pure
+    * ranking fidelity at zero query-time cost. */
+  def ivfadcSearch(encodedCells: DataFrame, vectors: DataFrame,
+                   codebooks: Map[String, Codebooks],
+                   centroids: Map[String, Array[Array[Double]]],
+                   tenant: String, queryVec: Seq[Double], k: Int,
+                   rescoreK: Int, nProbe: Int, threshold: Double = 0.0,
+                   tenantCol: String = "tenant", idCol: String = "id",
+                   embCol: String = "embedding"): DataFrame = {
+    val cells = Search.ivfProbeCells(centroids, tenant, queryVec, nProbe)
+    val centDot: Map[Int, Double] =
+      cells.map(c => c -> dotL(centroids(tenant)(c), queryVec)).toMap
+    val cand = encodedCells
+      .filter(col("tenant") === tenant && col("cell").isin(cells: _*))
+      .withColumn("adc_score",
+        graft.functions.VectorFunctions.adcScore(col("codes"),
+          adcLut(codebooks(tenant), queryVec)) +
+          element_at(typedLit(centDot), col("cell")))
+      .orderBy(col("adc_score").desc, col("id").asc)
+      .limit(rescoreK)
+      .select("id", "adc_score")
+    vectors.filter(col(tenantCol) === tenant)
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .join(broadcast(cand), Seq("id"))
+      .withColumn("sim", dot(col("emb"), typedLit(queryVec)))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+      .select("id", "adc_score", "sim")
   }
 
   // ---------------------------------------------------------------- //
@@ -446,6 +671,28 @@ object ProductQuantization {
         idCol = "vec_id", embCol = "embedding")
     }),
 
+    // IVFADC proper (round-13 verdict task 4): the same probe-pruned
+    // compressed scan as ann_ivfpq_topk, but the codes quantize the
+    // RESIDUAL v − centroid(cell) instead of the raw vector, and the
+    // ADC score decomposes as dot(q, centroid) + Σ lut — textbook
+    // Jégou 2011, the FAISS IVFADC default. Identical bytes, better
+    // ranking: the codewords spend their resolution on the fine
+    // structure only (BENCHVEC measures the recall delta vs raw
+    // coding at 500k × 768-d). Oracle replays all five Lloyd kernels
+    // PLUS the residual subtraction on both the sample and the
+    // corpus — every stage is IEEE-exact in both engines.
+    "ann_ivfadc_topk" -> ((s, d) => {
+      val e = base(s, d)
+      val cents = Search.ivfTrainSampled(e, "tenant", "vec_id", "embedding", 16,
+        sampleCap = SampleCap)
+      val books = pqTrainResidualSampled(e, "tenant", "vec_id", "embedding",
+        cents, M, Ksub, SampleCap)
+      val encR = pqEncodeResidual(e, "tenant", "vec_id", "embedding", cents, books)
+      val q = Search.qvecs(s, d, Seq(0L)).head
+      ivfadcSearch(encR, e, books, cents, "all", q, 10, RescoreK, 4,
+        idCol = "vec_id", embCol = "embedding")
+    }),
+
     // Binary quantization — the cheapest scan tier of the quantization
     // ladder (float → int8 → PQ → 1 bit/dim): each dim collapses to
     // its sign bit, 64 dims pack into two 32-bit words, and the coarse
@@ -534,9 +781,12 @@ object ProductQuantization {
   /** One subspace's oracle replay: sample slice → Lloyd → member-mean
     * codebook → argmin assignment of `assignRel`'s rows. `withScore`
     * adds the ADC partial (requires a `q` CTE in scope); the
-    * CDC-maintenance gate (x19) assigns without a query. */
+    * CDC-maintenance gate (x19) assigns without a query. `sampleRel`
+    * is the training-sample relation — the residual gate
+    * (ann_ivfadc_topk) points both rels at residual twins. */
   private[graft] def subspaceCte(s: Int, dsub: Int, assignRel: String = "eall",
-                                 withScore: Boolean = true): String = {
+                                 withScore: Boolean = true,
+                                 sampleRel: String = "esample"): String = {
     val off = s * dsub
     val rng = s"range(1, ${dsub + 1})"
     val scSel = if (withScore) ", sc" else ""
@@ -548,7 +798,7 @@ object ProductQuantization {
     val qJoin = if (withScore) " CROSS JOIN q" else ""
     s"""p${s}src AS (
        |  SELECT id, tenant, list_transform($rng, j -> emb[j + $off]) AS emb
-       |  FROM esample),
+       |  FROM $sampleRel),
        |${Clustering.kmeansCte(Ksub, s"p${s}src", s"p${s}_", dsub)},
        |p${s}cb AS (
        |  SELECT k.best AS cell, count(*) AS cnt, list(p.emb ORDER BY p.id) AS m
@@ -670,6 +920,14 @@ object ProductQuantization {
     // probed cells, then exact-rescored.
     "ann_ivfpq_topk" -> ivfpqSingleSql(0L),
 
+    // the residual-coded twin: the same five Lloyd replays, but the
+    // four subspace trainers and the corpus assignment run over the
+    // RESIDUAL relations (emb − centroid of the argmin cell), and the
+    // ADC fold gains the per-cell dot(q, centroid) constant — the
+    // exact decomposition ivfadcSearch computes, fold order matched
+    // term for term.
+    "ann_ivfadc_topk" -> ivfadcSingleSql(0L),
+
     // the single-query IVF-PQ replay, once per batch member, unioned
     "ann_ivfpq_batch" -> {
       def arm(qid: Long): String =
@@ -689,11 +947,89 @@ object ProductQuantization {
          |ORDER BY s, rnk""".stripMargin
   )
 
+  /** The single-query IVFADC oracle replay: the ivfpqSingleSql
+    * skeleton with residual twins — `esample_res`/`eall_res` subtract
+    * each row's assigned-cell centroid, the subspace CTEs train and
+    * assign over those, and the candidate score is
+    * Σ_s sc + dot(q, centroid(cell)). */
+  private[operators] def ivfadcSingleSql(qId: Long): String = {
+    val dsub = 64 / M
+    val subs = (0 until M).map(s => subspaceCte(s, dsub,
+      assignRel = "eall_res", withScore = true,
+      sampleRel = "esample_res")).mkString(",\n")
+    s"""WITH RECURSIVE eall AS (
+       |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qId),
+       |esample AS (
+       |  SELECT id, tenant, emb FROM (
+       |    SELECT id, tenant, emb,
+       |      row_number() OVER (PARTITION BY tenant ORDER BY id) AS rn FROM eall)
+       |  WHERE rn <= $SampleCap),
+       |${Clustering.kmeansCte(16, "esample", "s_")},
+       |cents AS (
+       |  SELECT k.best AS cell, count(*) AS cnt,
+       |    list(p.emb ORDER BY p.id) AS m
+       |  FROM s_kassign k JOIN esample p ON p.id = k.id
+       |  GROUP BY k.best),
+       |cenv AS (
+       |  SELECT cell,
+       |    list_transform(range(1, 65),
+       |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+       |           / CAST(cnt AS DOUBLE)) AS centroid
+       |  FROM cents),
+       |assignall AS (
+       |  SELECT id, cell FROM (
+       |    SELECT p.id, c.cell,
+       |      row_number() OVER (PARTITION BY p.id ORDER BY
+       |        list_reduce(list_transform(range(1, 65),
+       |          j -> (p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])),
+       |          (x, y) -> x + y) ASC, c.cell ASC) AS rnk
+       |    FROM eall p CROSS JOIN cenv c)
+       |  WHERE rnk = 1),
+       |esample_res AS (
+       |  SELECT p.id, p.tenant,
+       |    list_transform(range(1, 65), j -> p.emb[j] - c.centroid[j]) AS emb
+       |  FROM esample p JOIN assignall a ON a.id = p.id
+       |  JOIN cenv c ON c.cell = a.cell),
+       |eall_res AS (
+       |  SELECT p.id, p.tenant,
+       |    list_transform(range(1, 65), j -> p.emb[j] - c.centroid[j]) AS emb
+       |  FROM eall p JOIN assignall a ON a.id = p.id
+       |  JOIN cenv c ON c.cell = a.cell),
+       |$subs,
+       |subsc AS (
+       |${(0 until M).map(s => s"  SELECT id, $s AS s, sc FROM p${s}a")
+          .mkString("\n  UNION ALL\n")}),
+       |adcres AS (
+       |  SELECT id, list_reduce(list(sc ORDER BY s), (a, b) -> a + b) AS r
+       |  FROM subsc GROUP BY id),
+       |centdot AS (
+       |  SELECT a.id, a.cell, list_inner_product(c.centroid, q.qv) AS cd
+       |  FROM assignall a JOIN cenv c ON c.cell = a.cell CROSS JOIN q),
+       |proberank AS (
+       |  SELECT cell, row_number() OVER (
+       |    ORDER BY list_inner_product(centroid, q.qv) DESC, cell ASC) AS pr
+       |  FROM cenv CROSS JOIN q),
+       |probed AS (SELECT cell FROM proberank WHERE pr <= 4),
+       |cand AS (
+       |  SELECT a.id, a.r + cd.cd AS adc_score
+       |  FROM adcres a
+       |  JOIN centdot cd ON cd.id = a.id
+       |  JOIN probed pb ON pb.cell = cd.cell
+       |  ORDER BY adc_score DESC, a.id ASC LIMIT $RescoreK)
+       |SELECT c.id AS id, c.adc_score,
+       |       list_inner_product(p.emb, q.qv) AS sim
+       |FROM cand c JOIN eall p ON p.id = c.id CROSS JOIN q
+       |WHERE list_inner_product(p.emb, q.qv) >= 0.0
+       |ORDER BY sim DESC, c.id ASC LIMIT 10""".stripMargin
+  }
+
   /** The full single-query IVF-PQ oracle replay (five Lloyd replays:
     * 16-cell sampled IVF + 4 subspace codebooks), parameterized by the
     * query vector's id — shared by `ann_ivfpq_topk` (qId 0) and the
     * `ann_ivfpq_batch` arms. */
-  private def ivfpqSingleSql(qId: Long): String =
+  private[operators] def ivfpqSingleSql(qId: Long): String =
       s"""WITH RECURSIVE ${pqPrelude(64, qId)},
          |${Clustering.kmeansCte(16, "esample", "s_")},
          |cents AS (

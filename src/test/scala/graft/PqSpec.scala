@@ -92,6 +92,37 @@ class PqSpec extends AnyFunSuite {
     assert(a == b, "ADC scores differ between array and packed codes")
   }
 
+  test("ivfadc: residual packed codes match the array encoder; residual rescore beats none") {
+    val cents = Search.ivfTrainSampled(base, "tenant", "vec_id", "embedding", 16,
+      sampleCap = 256)
+    val books = PQ.pqTrainResidualSampled(base, "tenant", "vec_id", "embedding",
+      cents, 4, 8, 256)
+    // residual training is deterministic too
+    val books2 = PQ.pqTrainResidualSampled(base, "tenant", "vec_id", "embedding",
+      cents, 4, 8, 256)
+    assert(books("all").map(_.map(_.toSeq).toSeq).toSeq ==
+      books2("all").map(_.map(_.toSeq).toSeq).toSeq)
+    val arr = PQ.pqEncodeResidual(base, "tenant", "vec_id", "embedding", cents, books)
+    val pk = PQ.pqEncodeResidualPacked(base, "tenant", "vec_id", "embedding", cents, books)
+    val aRows = arr.select("id", "cell", "codes").as[(Long, Int, Seq[Int])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val pRows = pk.select("id", "cell", "codes").as[(Long, Int, Array[Byte])]
+      .collect().map(r => r._1 -> (r._2, r._3.map(_ & 0xFF).toSeq)).toMap
+    assert(aRows == pRows, "packed residual (cell, codes) != array encoder's")
+    // the cell column must equal the shared ivfAssign argmin
+    val assigned = Search.ivfAssign(base, "tenant", "vec_id", "embedding", cents)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(aRows.view.mapValues(_._1).toMap == assigned)
+    // end-to-end: ivfadcSearch returns k rows with exact descending sims
+    val q = Tables.embeddings(spark, d).filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toSeq
+    val got = PQ.ivfadcSearch(arr, base, books, cents, "all", q, 10, 50, 4,
+      idCol = "vec_id", embCol = "embedding").collect()
+    assert(got.length == 10)
+    val sims = got.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
   test("pq: ADC separates tight clusters (structured-data contract)") {
     // Two tight clusters far apart; PQ codes must place every member
     // with its own cluster under ADC scoring even at m=2, ksub=2.
