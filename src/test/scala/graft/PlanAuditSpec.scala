@@ -51,6 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_bruteforce_batch" -> "5-query fixture set (limit before hint)",
     "ann_pq_topk" -> "top-k candidate id set, k bounded",
     "ann_ivfpq_topk" -> "top-(k·nprobe) candidate keys, bounded",
+    "ann_ivfadc_topk" -> "top-rescoreK candidate keys, bounded",
+    "x20_cdc_byid_maintain" -> "CDC feed id sets + tombstones: churn-bounded",
     "c7_hierarchical" -> "per-cluster sizes: rows ≤ tenants × k (model state)",
     "c7b_hierarchical_density" -> "per-cluster sizes: rows ≤ tenants × k",
     "c7h_hierarchical_hdbscan" -> "per-cluster sizes: rows ≤ tenants × k",
