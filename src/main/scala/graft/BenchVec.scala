@@ -1076,6 +1076,135 @@ object BenchVec extends Serializable {
     stats("clu_pq_target_found") =
       f3((0 until NQueries).count(i => cluPqHits(i).contains(8000L * i)).toDouble / NQueries)
 
+    // ---- IVFADC on the CLUSTERED twin: residual coding's claimed
+    // regime. On the structureless corpus cells are arbitrary
+    // partitions of noise — the residual domain is as wide as the raw
+    // one and residual coding buys nothing (measured: within one-slot
+    // noise of raw coding). Here cells ARE latent clusters, the
+    // centroid carries most of each vector's mass, and the residual
+    // domain shrinks to the within-cluster spread — the geometry
+    // Jégou's IVFADC was built for. Same probe-8 scan, same 96 B
+    // codes, same byid rescore as clu_pq above. ----
+    val cluAdcBooks = timed("clu_ivfadc_train_residual_sampled") {
+      PQ.pqTrainResidualSampled(cluT, "tenant", "vec_id", "embedding",
+        cluCents, 96, 256, 2048)
+    }
+    val cluIvfadcPath = s"$vecDir/vec768_500k_clu_ivfadc"
+    buildIfStale(cluIvfadcPath, "clu_ivfadc_encode_write") {
+      PQ.pqEncodeResidualPacked(cluT, "tenant", "vec_id", "embedding",
+          cluCents, cluAdcBooks)
+        .select(col("id").as("vec_id"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(cluIvfadcPath)
+    }
+    val cluIvfadcEnc = spark.read.parquet(cluIvfadcPath)
+    def cluCentQDot(cells: Seq[Int], q: Seq[Double]): Map[Int, Double] =
+      cells.map { c =>
+        val cen = cluCents("u1")(c)
+        var s = 0.0; var j = 0
+        while (j < Dim) { s += cen(j) * q(j); j += 1 }
+        c -> s
+      }.toMap
+    val cluIvfadcHits: Seq[Set[Long]] =
+      timedMin2B("clu_ivfadc_topk_8q_nprobe8_rescore200") {
+        (0 until NQueries).map { i =>
+          val cells = Search.ivfProbeCells(cluCents, "u1", cluQv(i), 8)
+          val cand = cluIvfadcEnc.filter(col("cell").isin(cells: _*))
+            .withColumn("adc",
+              VectorFunctions.adcScore(col("codes"),
+                PQ.adcLut(cluAdcBooks("u1"), cluQv(i))) +
+                element_at(typedLit(cluCentQDot(cells, cluQv(i))), col("cell")))
+            .orderBy(col("adc").desc, col("vec_id").asc).limit(200)
+            .select("vec_id").collect().map(_.getLong(0))
+          rescoreTop10(cand, cluQv(i), src = cluByid)
+        }
+      }
+    stats("clu_ivfadc_recall_at_10") =
+      f3(cluIvfadcHits.zip(cluBrute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+    stats("clu_ivfadc_target_found") =
+      f3((0 until NQueries).count(i => cluIvfadcHits(i).contains(8000L * i)).toDouble / NQueries)
+    // the raw-coded comparator at the same probe depth and bytes:
+    // clu_pq is full-corpus ADC; this is probe-8 IVF-PQ with RAW codes
+    val cluIvfpqHits: Seq[Set[Long]] =
+      timedMin2("clu_ivfpq_topk_8q_nprobe8_rescore200") {
+        (0 until NQueries).map { i =>
+          val cells = Search.ivfProbeCells(cluCents, "u1", cluQv(i), 8)
+          val cand = cluPqEnc
+            .join(cluIvf.select(col("id"), col("cell")), Seq("id"))
+            .filter(col("cell").isin(cells: _*))
+            .withColumn("adc", VectorFunctions.adcScore(col("codes"),
+              PQ.adcLut(cluBooks("all"), cluQv(i))))
+            .orderBy(col("adc").desc, col("id").asc).limit(200)
+            .select("id").collect().map(_.getLong(0))
+          rescoreTop10(cand, cluQv(i), src = cluByid)
+        }
+      }
+    stats("clu_ivfpq_recall_at_10") =
+      f3(cluIvfpqHits.zip(cluBrute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+    stats("clu_ivfpq_target_found") =
+      f3((0 until NQueries).count(i => cluIvfpqHits(i).contains(8000L * i)).toDouble / NQueries)
+
+    // ---- the SAME raw-vs-residual comparison at a COARSE code rate
+    // (m=16 → 16 B/row, 192× compression): at m=96 + rescore-200 both
+    // code forms saturate the probe-bounded recall ceiling (the
+    // rescore absorbs ADC ranking error), so the residual question is
+    // only decidable where ADC error actually binds — fewer subspaces,
+    // wider per-code domains. ----
+    val cluBooksC = timed("clu_pq_m16_train_sampled") {
+      PQ.pqTrainSampled(cluT.withColumn("tenant", lit("all")),
+        "tenant", "vec_id", "embedding", 16, 256, 2048)
+    }
+    val cluAdcBooksC = timed("clu_ivfadc_m16_train_residual_sampled") {
+      PQ.pqTrainResidualSampled(cluT, "tenant", "vec_id", "embedding",
+        cluCents, 16, 256, 2048)
+    }
+    val cluPqC = s"$vecDir/vec768_500k_clu_pq_m16"
+    buildIfStale(cluPqC, "clu_pq_m16_encode_write") {
+      PQ.pqEncodePacked(cluT.withColumn("tenant", lit("all")),
+          "tenant", "vec_id", "embedding", cluBooksC)
+        .select(col("id").as("vec_id"), col("codes"))
+        .join(cluIvf.select(col("id").as("vec_id"), col("cell")), Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(cluPqC)
+    }
+    val cluAdcC = s"$vecDir/vec768_500k_clu_ivfadc_m16"
+    buildIfStale(cluAdcC, "clu_ivfadc_m16_encode_write") {
+      PQ.pqEncodeResidualPacked(cluT, "tenant", "vec_id", "embedding",
+          cluCents, cluAdcBooksC)
+        .select(col("id").as("vec_id"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(cluAdcC)
+    }
+    val cluPqCEnc = spark.read.parquet(cluPqC)
+    val cluAdcCEnc = spark.read.parquet(cluAdcC)
+    def cluRecallPair(name: String, hits: Seq[Set[Long]]): Unit = {
+      stats(s"${name}_recall_at_10") =
+        f3(hits.zip(cluBrute).map { case (a, b) => (a & b).size / 10.0 }.sum / NQueries)
+      stats(s"${name}_target_found") =
+        f3((0 until NQueries).count(i => hits(i).contains(8000L * i)).toDouble / NQueries)
+    }
+    cluRecallPair("clu_ivfpq_m16", timedMin2("clu_ivfpq_m16_topk_8q_nprobe8_rescore200") {
+      (0 until NQueries).map { i =>
+        val cells = Search.ivfProbeCells(cluCents, "u1", cluQv(i), 8)
+        val cand = cluPqCEnc.filter(col("cell").isin(cells: _*))
+          .withColumn("adc", VectorFunctions.adcScore(col("codes"),
+            PQ.adcLut(cluBooksC("all"), cluQv(i))))
+          .orderBy(col("adc").desc, col("vec_id").asc).limit(200)
+          .select("vec_id").collect().map(_.getLong(0))
+        rescoreTop10(cand, cluQv(i), src = cluByid)
+      }
+    })
+    cluRecallPair("clu_ivfadc_m16", timedMin2("clu_ivfadc_m16_topk_8q_nprobe8_rescore200") {
+      (0 until NQueries).map { i =>
+        val cells = Search.ivfProbeCells(cluCents, "u1", cluQv(i), 8)
+        val cand = cluAdcCEnc.filter(col("cell").isin(cells: _*))
+          .withColumn("adc",
+            VectorFunctions.adcScore(col("codes"),
+              PQ.adcLut(cluAdcBooksC("u1"), cluQv(i))) +
+              element_at(typedLit(cluCentQDot(cells, cluQv(i))), col("cell")))
+          .orderBy(col("adc").desc, col("vec_id").asc).limit(200)
+          .select("vec_id").collect().map(_.getLong(0))
+        rescoreTop10(cand, cluQv(i), src = cluByid)
+      }
+    })
+
     // ---- HNSW-lite on the clustered corpus: the graph tier at
     // scale, measured HONESTLY. Build: maxLevel 13 ≈ log2(500k/60),
     // 13 splitmix planes, sibling probes (each level's edges span its
