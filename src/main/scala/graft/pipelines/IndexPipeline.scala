@@ -814,6 +814,71 @@ object IndexPipeline {
         .orderBy("id")
     }),
 
+    // X21 — MAINTAIN-THEN-SERVE, the composite the whole serving
+    // platform exists for: one CDC episode maintains EVERY derived
+    // serving asset O(churn) (IVF cells the x17 way, PQ codes the x19
+    // way, both against assets FROZEN at snapshot 1), then a query
+    // batch is served THROUGH the stats-driven router
+    // (Serving.searchBatch routes IVF-PQ off the maintained state) —
+    // and the served rows must hash-equal a from-scratch oracle
+    // replay over the post-churn corpus (15 Lloyd kernels: 3 batch
+    // members × [1 IVF + 4 subspaces]). This composes three prior
+    // contracts into one end-to-end one: maintained index ==
+    // from-scratch index (x17/x19's inc_matches_full), router picks
+    // the right physical tier (ann_auto_topk), batch == Q independent
+    // searches (ann_ivfpq_batch) — a drift anywhere in the feed, the
+    // maintenance, the routing or the ADC/rescore math hash-fails the
+    // SERVED RESULT, which is the contract a user actually consumes.
+    "x21_cdc_maintain_serve" -> ((s, d) => {
+      import graft.operators.{Search, Serving, ProductQuantization => PQc}
+      val dir = snapDir(d) + "_msv"
+      deleteRecursively(java.nio.file.Paths.get(dir))
+      def rel(dd: DataFrame): DataFrame =
+        dd.select(col("vec_id").as("doc_id"), lit("all").as("owner"),
+          lit("chunk").as("vtype"),
+          concat_ws(",", col("emb").cast("array<string>")).as("chunk_text"),
+          col("emb"))
+      val all = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val v1 = all.filter(pmod(col("vec_id"), lit(9L)) =!= 0)
+      VersionedStore.initialLoad(s, dir, rel(v1))
+      val snap1 = VersionedStore.readSnapshot(s, dir, 1)
+        .select(col("owner").as("tenant"), col("doc_id").as("id"), col("emb"))
+      val cents = Search.ivfTrainSampled(snap1, "tenant", "id", "emb", 16,
+        sampleCap = 256)
+      val books = PQc.pqTrainSampled(snap1, "tenant", "id", "emb", 4, 8, 256)
+      val a1 = Search.ivfAssign(snap1, "tenant", "id", "emb", cents)
+      val c1 = PQc.pqEncode(snap1, "tenant", "id", "emb", books)
+      val changed = v1.filter(pmod(col("vec_id"), lit(7L)) === 0)
+        .select(col("vec_id"), reverse(col("emb")).as("emb"))
+      val fresh = all.filter(pmod(col("vec_id"), lit(9L)) === 0)
+      VersionedStore.upsertVersioned(s, dir, rel(changed.unionByName(fresh)))
+      val (feed, _, _) = snapshotCdcFeedFast(s, dir, 1, 2)
+      val removals = feed.filter(col("change_type")
+        .isin("delete", "update_preimage")).select(col("doc_id").as("id")).distinct()
+      val additions = feed.filter(col("change_type")
+        .isin("insert", "update_postimage")).select(col("doc_id").as("id")).distinct()
+      val snap2 = VersionedStore.readSnapshot(s, dir, 2)
+        .select(col("owner").as("tenant"), col("doc_id").as("id"), col("emb"))
+      val addRows = snap2.join(broadcast(additions), Seq("id"), "left_semi")
+      val aInc = a1.join(broadcast(removals), Seq("id"), "left_anti")
+        .unionByName(Search.ivfAssign(addRows, "tenant", "id", "emb", cents))
+      val cInc = c1.join(broadcast(removals), Seq("id"), "left_anti")
+        .unionByName(PQc.pqEncode(addRows, "tenant", "id", "emb", books))
+      val qids = Seq(0L, 1L, 2L)
+      val qs = qids.zip(Search.qvecs(s, d, qids))
+      val st = Serving.IndexState(
+        vectors = snap2, corpusSize = snap2.count(),
+        centroids = Some(cents), cells = Some(aInc),
+        codebooks = Some(books),
+        encoded = Some(cInc.join(aInc.select("tenant", "id", "cell"),
+          Seq("tenant", "id"))),
+        encodedHasCells = true,
+        tenantCol = "tenant", idCol = "id", embCol = "emb")
+      Serving.searchBatch(st, "all", qs, k = 10, nProbe = 4, rescoreK = 50,
+        bruteForceCeiling = 0L)
+    }),
+
     // S19 — ZONE-MAP DATA SKIPPING on the versioned store, the Delta
     // OPTIMIZE-ZORDER + file-skipping move: documents (with a
     // non-key numeric column, n_chars) are hash-loaded, then
@@ -2051,6 +2116,87 @@ object IndexPipeline {
          |  n AS n_members, ids_md5, CAST(1 AS BIGINT) AS inc_matches_full
          |FROM cls ORDER BY s, class_rank""".stripMargin
     },
+    // X21 replayed from scratch over the post-churn corpus: per batch
+    // member, the snapshot-1 sample (256 lowest non-%9 ids) trains the
+    // 16-cell IVF and the four subspace codebooks, the churned v2
+    // content is assigned and encoded in full, probe-4 bounds the ADC
+    // candidates, the top-50 rescore exactly — then rank + the routed
+    // tier constant. A maintained index serving anything different
+    // from this from-scratch replay hash-fails.
+    "x21_cdc_maintain_serve" -> {
+      def arm(qid: Long): String = {
+        val subs = (0 until 4).map(s =>
+          graft.operators.ProductQuantization.subspaceCte(
+            s, 16, assignRel = "v2", withScore = true)).mkString(",\n")
+        s"""SELECT CAST($qid AS BIGINT) AS q_id,
+           |  row_number() OVER (ORDER BY t.sim DESC, t.id ASC) AS rank,
+           |  t.id, t.sim, 'ivf_pq' AS tier
+           |FROM (
+           |WITH RECURSIVE eall AS (
+           |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+           |  FROM embeddings),
+           |v1 AS (SELECT * FROM eall WHERE id % 9 <> 0),
+           |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qid),
+           |esample AS (
+           |  SELECT id, tenant, emb FROM (
+           |    SELECT id, tenant, emb,
+           |      row_number() OVER (PARTITION BY tenant ORDER BY id) AS rn FROM v1)
+           |  WHERE rn <= 256),
+           |v2 AS (
+           |  SELECT id, tenant, CASE WHEN id % 7 = 0
+           |    THEN list_transform(range(1, 65), j -> emb[65 - j])
+           |    ELSE emb END AS emb
+           |  FROM v1
+           |  UNION ALL
+           |  SELECT id, tenant, emb FROM eall WHERE id % 9 = 0),
+           |${graft.operators.Clustering.kmeansCte(16, "esample", "s_")},
+           |cents AS (
+           |  SELECT k.best AS cell, count(*) AS cnt,
+           |    list(p.emb ORDER BY p.id) AS m
+           |  FROM s_kassign k JOIN esample p ON p.id = k.id
+           |  GROUP BY k.best),
+           |cenv AS (
+           |  SELECT cell,
+           |    list_transform(range(1, 65),
+           |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+           |           / CAST(cnt AS DOUBLE)) AS centroid
+           |  FROM cents),
+           |assignall AS (
+           |  SELECT id, cell FROM (
+           |    SELECT p.id, c.cell,
+           |      row_number() OVER (PARTITION BY p.id ORDER BY
+           |        list_reduce(list_transform(range(1, 65),
+           |          j -> (p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])),
+           |          (x, y) -> x + y) ASC, c.cell ASC) AS rnk
+           |    FROM v2 p CROSS JOIN cenv c)
+           |  WHERE rnk = 1),
+           |$subs,
+           |subsc AS (
+           |${(0 until 4).map(s => s"  SELECT id, $s AS s, sc FROM p${s}a")
+              .mkString("\n  UNION ALL\n")}),
+           |adc AS (
+           |  SELECT id, list_reduce(list(sc ORDER BY s), (a, b) -> a + b) AS adc_score
+           |  FROM subsc GROUP BY id),
+           |proberank AS (
+           |  SELECT cell, row_number() OVER (
+           |    ORDER BY list_inner_product(centroid, q.qv) DESC, cell ASC) AS pr
+           |  FROM cenv CROSS JOIN q),
+           |probed AS (SELECT cell FROM proberank WHERE pr <= 4),
+           |cand AS (
+           |  SELECT a.id, a.adc_score
+           |  FROM adc a
+           |  JOIN assignall asg ON asg.id = a.id
+           |  JOIN probed pb ON pb.cell = asg.cell
+           |  ORDER BY a.adc_score DESC, a.id ASC LIMIT 50)
+           |SELECT c.id AS id, list_inner_product(p.emb, q.qv) AS sim
+           |FROM cand c JOIN v2 p ON p.id = c.id CROSS JOIN q
+           |WHERE list_inner_product(p.emb, q.qv) >= 0.0
+           |ORDER BY sim DESC, c.id ASC LIMIT 10) t""".stripMargin
+      }
+      Seq(0L, 1L, 2L).map(arm)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, rank ASC")
+    },
+
     // X20 replayed from arithmetic: the final corpus = (non-%9 cohort
     // with %7 reversed) ∪ (%9 inserted), minus %13 deleted; the
     // scattered fetch ids are the pf_point_fetch formula; src_seg = 1
