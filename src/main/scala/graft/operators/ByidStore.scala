@@ -146,6 +146,14 @@ object ByidStore {
     resolved(spark, path, idCol,
       Some(Layout.idsPredicate(col(idCol).cast("long"), ids)))
 
+  /** The full resolved logical view (every live row, merge-on-read) —
+    * the store AS a corpus relation, e.g. the `vectors` input of a
+    * serving state. Point reads should use [[fetch]] instead: the
+    * merge window blocks predicate pushdown, so filtering this view
+    * decodes every segment. */
+  def readAll(spark: SparkSession, path: String, idCol: String): DataFrame =
+    resolved(spark, path, idCol, None)
+
   /** Fold all segments + tombstones back into one base segment
     * (numbered after the newest batch so later tombstones keep
     * outranking it). The only O(corpus) maintenance action. */

@@ -259,7 +259,8 @@ object ProductQuantization {
                     codebooks: Map[String, Codebooks], tenant: String,
                     queries: Seq[(Long, Seq[Double])], k: Int, rescoreK: Int,
                     threshold: Double = 0.0, tenantCol: String = "tenant",
-                    idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+                    idCol: String = "id", embCol: String = "embedding",
+                    fetchById: Option[Seq[Long] => DataFrame] = None): DataFrame = {
     val sess = encoded.sparkSession
     import sess.implicits._
     val adcArr = array(queries.map { case (qid, qv) =>
@@ -271,7 +272,7 @@ object ProductQuantization {
       .select(col("id"), explode(adcArr).as("qa"))
       .select(col("qa.q_id").as("q_id"), col("qa.adc").as("adc"), col("id"))
     rescoreBatch(candTopK(cand, rescoreK), vectors, queries, k, threshold,
-      tenant, tenantCol, idCol, embCol)
+      tenant, tenantCol, idCol, embCol, fetchById)
   }
 
   /** Per-query candidate top-`rescoreK` over (q_id, adc, id) rows via
@@ -293,12 +294,18 @@ object ProductQuantization {
     * Q·rescoreK rows by construction), push the id union down as
     * `Layout.idsPredicate`'s or-of-eq (one point-fetch for the whole
     * batch), exact-dot each (q, id) against the literal query map,
-    * exact top-k per query. */
+    * exact top-k per query. `fetchById` overrides WHERE the candidate
+    * embeddings come from — the default reads `vectors` with the
+    * or-of-eq predicate; a serving deployment with a CDC-maintained
+    * byid store (x20) passes `ByidStore.fetch` so the point read goes
+    * through base + delta segments + tombstones instead of a possibly
+    * stale frame. */
   private[operators] def rescoreBatch(cand: DataFrame, vectors: DataFrame,
                            queries: Seq[(Long, Seq[Double])], k: Int,
                            threshold: Double, tenant: String,
                            tenantCol: String, idCol: String,
-                           embCol: String): DataFrame = {
+                           embCol: String,
+                           fetchById: Option[Seq[Long] => DataFrame] = None): DataFrame = {
     val sess = cand.sparkSession
     import sess.implicits._
     val candSeq: Seq[(Long, Long, Double)] =
@@ -312,10 +319,16 @@ object ProductQuantization {
         .toDF("q_id", "id", "adc_score", "sim")
     val ids = candSeq.map(_._2).distinct
     val qmap: Map[Long, Seq[Double]] = queries.toMap
-    vectors.filter(col(tenantCol) === tenant)
-      .select(col(idCol).cast("long").as("id"),
-        col(embCol).cast("array<double>").as("emb"))
-      .filter(Layout.idsPredicate(col("id"), ids))
+    val fetched = fetchById match {
+      case Some(f) => f(ids)
+        .select(col(idCol).cast("long").as("id"),
+          col(embCol).cast("array<double>").as("emb"))
+      case None => vectors.filter(col(tenantCol) === tenant)
+        .select(col(idCol).cast("long").as("id"),
+          col(embCol).cast("array<double>").as("emb"))
+        .filter(Layout.idsPredicate(col("id"), ids))
+    }
+    fetched
       .join(broadcast(candSeq.toDF("q_id", "id", "adc_score")), Seq("id"))
       .withColumn("sim", dot(col("emb"), element_at(typedLit(qmap), col("q_id"))))
       .filter(col("sim") >= threshold)
@@ -346,7 +359,8 @@ object ProductQuantization {
                        tenant: String, queries: Seq[(Long, Seq[Double])],
                        k: Int, rescoreK: Int, nProbe: Int,
                        threshold: Double = 0.0, tenantCol: String = "tenant",
-                       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+                       idCol: String = "id", embCol: String = "embedding",
+                       fetchById: Option[Seq[Long] => DataFrame] = None): DataFrame = {
     val probes: Seq[(Long, Seq[Double], Seq[Int])] = queries.map {
       case (qid, qv) => (qid, qv, Search.ivfProbeCells(centroids, tenant, qv, nProbe))
     }
@@ -363,7 +377,7 @@ object ProductQuantization {
       .filter(col("qa.adc").isNotNull)
       .select(col("qa.q_id").as("q_id"), col("qa.adc").as("adc"), col("id"))
     rescoreBatch(candTopK(cand, rescoreK), vectors, queries, k, threshold,
-      tenant, tenantCol, idCol, embCol)
+      tenant, tenantCol, idCol, embCol, fetchById)
   }
 
   // ---- residual coding (IVFADC proper) ---------------------------- //

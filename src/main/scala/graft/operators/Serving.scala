@@ -68,6 +68,7 @@ object Serving {
       encoded: Option[DataFrame] = None,
       encodedHasCells: Boolean = false,
       signWords: Option[DataFrame] = None,
+      byidPath: Option[String] = None,
       tenantCol: String = "tenant",
       idCol: String = "id",
       embCol: String = "embedding")
@@ -94,6 +95,13 @@ object Serving {
                   threshold: Double = 0.0, recallFloor: Double = 0.0,
                   bruteForceCeiling: Long = 10000L): DataFrame = {
     val tier = route(state, recallFloor, bruteForceCeiling)
+    // with a CDC-maintained byid store (x20) present, candidate
+    // rescore point-reads go THROUGH it (base + delta segments +
+    // tombstones) — a stale `vectors` frame can never serve old bytes
+    val fetch: Option[Seq[Long] => DataFrame] = state.byidPath.map { p =>
+      (ids: Seq[Long]) =>
+        ByidStore.fetch(state.vectors.sparkSession, p, ids, state.idCol)
+    }
     val raw = tier match {
       case BruteForceTier =>
         Search.knnBatch(
@@ -107,16 +115,16 @@ object Serving {
       case PqTier =>
         ranked(PQ.pqSearchBatch(state.encoded.get, state.vectors,
           state.codebooks.get, tenant, queries, k, rescoreK, threshold,
-          state.tenantCol, state.idCol, state.embCol))
+          state.tenantCol, state.idCol, state.embCol, fetch))
       case IvfPqTier =>
         ranked(PQ.ivfpqSearchBatch(state.encoded.get, state.vectors,
           state.codebooks.get, state.centroids.get, tenant, queries, k,
           rescoreK, nProbe, threshold, state.tenantCol, state.idCol,
-          state.embCol))
+          state.embCol, fetch))
       case HammingTier =>
         ranked(hammingSearchBatch(state.signWords.get, state.vectors, tenant,
           queries, k, rescoreK, threshold, state.tenantCol, state.idCol,
-          state.embCol))
+          state.embCol, fetch))
     }
     raw.withColumn("tier", lit(tier.name))
   }
@@ -183,7 +191,8 @@ object Serving {
                          tenant: String, queries: Seq[(Long, Seq[Double])],
                          k: Int, rescoreK: Int, threshold: Double = 0.0,
                          tenantCol: String = "tenant", idCol: String = "id",
-                         embCol: String = "embedding"): DataFrame = {
+                         embCol: String = "embedding",
+                         fetchById: Option[Seq[Long] => DataFrame] = None): DataFrame = {
     // unrolled per-word XOR+popcount chain — plain codegen
     // expressions, NOT zip_with/aggregate: SQL higher-order-function
     // lambdas evaluate interpreted per element (the BenchVec
@@ -202,7 +211,7 @@ object Serving {
       .select(col("id"), explode(distArr).as("qa"))
       .select(col("qa.q_id").as("q_id"), col("qa.adc").as("adc"), col("id"))
     PQ.rescoreBatch(PQ.candTopK(cand, rescoreK), vectors, queries, k,
-        threshold, tenant, tenantCol, idCol, embCol)
+        threshold, tenant, tenantCol, idCol, embCol, fetchById)
       .withColumnRenamed("adc_score", "neg_hamming")
   }
 
