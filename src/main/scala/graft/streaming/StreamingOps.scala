@@ -239,6 +239,33 @@ object StreamingOps {
       }
       .start()
 
+  /** CDC maintenance of the byid point-fetch layout (x20) as a
+    * streaming sink: each micro-batch of the change feed — rows
+    * (op ∈ upsert|delete, idCol, payload…) — applies ONE
+    * `ByidStore.applyCdc` (delta segment + tombstone, O(batch churn)),
+    * with threshold auto-compaction bounding the segment count a
+    * fetch pays. The serving layout is point-readable after every
+    * micro-batch — the streaming twin of the x20 batch episode
+    * (StreamingSpec drives the real readStream path). */
+  def streamByidMaintain(changes: DataFrame, storePath: String,
+                         checkpointDir: String, idCol: String = "id",
+                         maxSegments: Int = 8,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val removals = batch.filter(col("op").isin("delete", "upsert"))
+          .select(col(idCol)).distinct()
+        val additions = batch.filter(col("op") === "upsert").drop("op")
+        graft.operators.ByidStore.applyCdcAutoCompact(
+          batch.sparkSession, storePath, removals, additions, idCol,
+          maxSegments = maxSegments): Unit
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 15-min window agg (streaming-equivalent batch form;
     // qa_analytics daily trend A4 generalized to sub-day windows).

@@ -275,6 +275,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming CDC maintenance of the byid store: fetch reflects every micro-batch") {
+    import graft.operators.ByidStore
+    val store = java.nio.file.Files.createTempDirectory("graft_sbm_store").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sbm_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sbm_ckpt").toString
+    ByidStore.init((0L until 20L).map(i => (i, s"a-$i", i * 10)).toDF("id", "payload", "v"),
+      "id", store, nFiles = 1)
+    // two arrival batches with DISJOINT ids (micro-batch order-free):
+    // updates to 1,2 and deletes of 5,6
+    Seq(("upsert", 1L, "b-1", 10L), ("upsert", 2L, "b-2", 20L))
+      .toDF("op", "id", "payload", "v").write.parquet(s"$srcDir/b0")
+    Seq(("delete", 5L, "", 0L), ("delete", 6L, "", 0L))
+      .toDF("op", "id", "payload", "v").write.parquet(s"$srcDir/b1")
+    val streamed = spark.readStream
+      .schema(spark.read.option("basePath", srcDir).parquet(s"$srcDir/b0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.streamByidMaintain(streamed, store, ckpt)
+    q.awaitTermination(180000)
+    val got = ByidStore.fetch(spark, store, Seq(1L, 2L, 5L, 6L, 7L), "id")
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "b-1", 2L -> "b-2", 7L -> "a-7"))
+    assert(ByidStore.tombstones(store).nonEmpty)
+  }
+
   test("sessionizeStreaming assigns the same sessions as sessionizeBatch") {
     val events = Seq(
       // user 1: two sessions (gap > 30 min between e2 and e3)
