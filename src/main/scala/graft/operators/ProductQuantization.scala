@@ -588,6 +588,43 @@ object ProductQuantization {
       .select("id", "adc_score", "sim")
   }
 
+  /** Batched IVFADC serving — `ivfpqSearchBatch`'s spine (ONE scan of
+    * the union of all queries' probed cells, per-query partial TopK,
+    * shared point-fetch rescore) with the residual decomposition: each
+    * per-query stacked expression adds that query's dot(q, centroid)
+    * constant for the row's cell (a tiny literal map over its probe
+    * set). Same column contract as `ivfpqSearchBatch`; `encodedCells`
+    * must carry RESIDUAL codes as `pqEncodeResidual` produces. */
+  def ivfadcSearchBatch(encodedCells: DataFrame, vectors: DataFrame,
+                        codebooks: Map[String, Codebooks],
+                        centroids: Map[String, Array[Array[Double]]],
+                        tenant: String, queries: Seq[(Long, Seq[Double])],
+                        k: Int, rescoreK: Int, nProbe: Int,
+                        threshold: Double = 0.0, tenantCol: String = "tenant",
+                        idCol: String = "id", embCol: String = "embedding",
+                        fetchById: Option[Seq[Long] => DataFrame] = None): DataFrame = {
+    val probes: Seq[(Long, Seq[Double], Seq[Int])] = queries.map {
+      case (qid, qv) => (qid, qv, Search.ivfProbeCells(centroids, tenant, qv, nProbe))
+    }
+    val union = probes.flatMap(_._3).distinct.sorted
+    val adcArr = array(probes.map { case (qid, qv, cells) =>
+      val cd: Map[Int, Double] =
+        cells.map(c => c -> dotL(centroids(tenant)(c), qv)).toMap
+      struct(lit(qid).as("q_id"),
+        when(col("cell").isin(cells: _*),
+          graft.functions.VectorFunctions.adcScore(col("codes"),
+            adcLut(codebooks(tenant), qv)) +
+            element_at(typedLit(cd), col("cell"))).as("adc"))
+    }: _*)
+    val cand = encodedCells
+      .filter(col("tenant") === tenant && col("cell").isin(union: _*))
+      .select(col("id"), col("cell"), explode(adcArr).as("qa"))
+      .filter(col("qa.adc").isNotNull)
+      .select(col("qa.q_id").as("q_id"), col("qa.adc").as("adc"), col("id"))
+    rescoreBatch(candTopK(cand, rescoreK), vectors, queries, k, threshold,
+      tenant, tenantCol, idCol, embCol, fetchById)
+  }
+
   // ---------------------------------------------------------------- //
 
   private val M = 4
@@ -704,6 +741,26 @@ object ProductQuantization {
       val encR = pqEncodeResidual(e, "tenant", "vec_id", "embedding", cents, books)
       val q = Search.qvecs(s, d, Seq(0L)).head
       ivfadcSearch(encR, e, books, cents, "all", q, 10, RescoreK, 4,
+        idCol = "vec_id", embCol = "embedding")
+    }),
+
+    // Batched IVFADC under the exact gate: three queries, ONE scan of
+    // the union of their probe-4 cell sets, per-row residual ADC
+    // (+ the query's dot(q, centroid) constant for that row's cell)
+    // only against the queries probing the cell, shared point-fetch
+    // rescore. The oracle replays the single-query IVFADC pipeline
+    // (five Lloyd replays + residual subtraction) once per batch
+    // member and unions — the residual twin of ann_ivfpq_batch.
+    "ann_ivfadc_batch" -> ((s, d) => {
+      val e = base(s, d)
+      val cents = Search.ivfTrainSampled(e, "tenant", "vec_id", "embedding", 16,
+        sampleCap = SampleCap)
+      val books = pqTrainResidualSampled(e, "tenant", "vec_id", "embedding",
+        cents, M, Ksub, SampleCap)
+      val encR = pqEncodeResidual(e, "tenant", "vec_id", "embedding", cents, books)
+      val qids = Seq(0L, 1L, 2L)
+      val qs = qids.zip(Search.qvecs(s, d, qids))
+      ivfadcSearchBatch(encR, e, books, cents, "all", qs, 10, RescoreK, 4,
         idCol = "vec_id", embCol = "embedding")
     }),
 
@@ -941,6 +998,15 @@ object ProductQuantization {
     // exact decomposition ivfadcSearch computes, fold order matched
     // term for term.
     "ann_ivfadc_topk" -> ivfadcSingleSql(0L),
+
+    // the single-query IVFADC replay, once per batch member, unioned
+    "ann_ivfadc_batch" -> {
+      def arm(qid: Long): String =
+        s"""SELECT CAST($qid AS BIGINT) AS q_id, t.id, t.adc_score, t.sim
+           |FROM (${ivfadcSingleSql(qid)}) t""".stripMargin
+      Seq(0L, 1L, 2L).map(arm)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, sim DESC, id ASC")
+    },
 
     // the single-query IVF-PQ replay, once per batch member, unioned
     "ann_ivfpq_batch" -> {

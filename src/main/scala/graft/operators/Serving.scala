@@ -67,6 +67,7 @@ object Serving {
       codebooks: Option[Map[String, PQ.Codebooks]] = None,
       encoded: Option[DataFrame] = None,
       encodedHasCells: Boolean = false,
+      residualCodes: Boolean = false,
       signWords: Option[DataFrame] = None,
       byidPath: Option[String] = None,
       tenantCol: String = "tenant",
@@ -83,7 +84,10 @@ object Serving {
       if (state.codebooks.isDefined && state.encoded.isDefined &&
           state.encodedHasCells) IvfPqTier
       else IvfTier
-    else if (state.codebooks.isDefined && state.encoded.isDefined) PqTier
+    // residual codes are meaningless without the centroids their
+    // decomposition references — never route them to the flat PQ scan
+    else if (state.codebooks.isDefined && state.encoded.isDefined &&
+             !state.residualCodes) PqTier
     else if (state.signWords.isDefined) HammingTier
     else BruteForceTier
 
@@ -117,10 +121,20 @@ object Serving {
           state.codebooks.get, tenant, queries, k, rescoreK, threshold,
           state.tenantCol, state.idCol, state.embCol, fetch))
       case IvfPqTier =>
-        ranked(PQ.ivfpqSearchBatch(state.encoded.get, state.vectors,
-          state.codebooks.get, state.centroids.get, tenant, queries, k,
-          rescoreK, nProbe, threshold, state.tenantCol, state.idCol,
-          state.embCol, fetch))
+        // a residual codes table (pqEncodeResidual) MUST be scored by
+        // the decomposed IVFADC path — running the raw ADC scorer over
+        // residual codes silently drops the dot(q, centroid) term, a
+        // wrong-RANKING trap the state flag closes
+        if (state.residualCodes)
+          ranked(PQ.ivfadcSearchBatch(state.encoded.get, state.vectors,
+            state.codebooks.get, state.centroids.get, tenant, queries, k,
+            rescoreK, nProbe, threshold, state.tenantCol, state.idCol,
+            state.embCol, fetch))
+        else
+          ranked(PQ.ivfpqSearchBatch(state.encoded.get, state.vectors,
+            state.codebooks.get, state.centroids.get, tenant, queries, k,
+            rescoreK, nProbe, threshold, state.tenantCol, state.idCol,
+            state.embCol, fetch))
       case HammingTier =>
         ranked(hammingSearchBatch(state.signWords.get, state.vectors, tenant,
           queries, k, rescoreK, threshold, state.tenantCol, state.idCol,

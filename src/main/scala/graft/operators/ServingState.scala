@@ -44,7 +44,8 @@ object ServingState {
   def saveAssets(spark: SparkSession, dir: String,
                  centroids: Option[Map[String, Array[Array[Double]]]],
                  codebooks: Option[Map[String, PQ.Codebooks]],
-                 corpusSize: Long, encodedHasCells: Boolean): Unit = {
+                 corpusSize: Long, encodedHasCells: Boolean,
+                 residualCodes: Boolean = false): Unit = {
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
     centroids.foreach { m =>
@@ -62,7 +63,8 @@ object ServingState {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     }
     Files.writeString(Paths.get(dir, "stats.txt"),
-      s"corpus_size=$corpusSize\nencoded_has_cells=$encodedHasCells\n")
+      s"corpus_size=$corpusSize\nencoded_has_cells=$encodedHasCells\n" +
+        s"residual_codes=$residualCodes\n")
   }
 
   private[graft] def loadCentroids(spark: SparkSession,
@@ -114,6 +116,10 @@ object ServingState {
       encoded = if (exists(s"$dir/encoded"))
         Some(spark.read.parquet(s"$dir/encoded")) else None,
       encodedHasCells = stat("encoded_has_cells").toBoolean,
+      // older states (pre-residual) carry no key → raw codes
+      residualCodes = stats.linesIterator
+        .collectFirst { case l if l.startsWith("residual_codes=") =>
+          l.stripPrefix("residual_codes=").toBoolean }.getOrElse(false),
       signWords = if (exists(s"$dir/words"))
         Some(spark.read.parquet(s"$dir/words")) else None,
       byidPath = Some(byid),

@@ -115,6 +115,35 @@ class ServingSpec extends AnyFunSuite {
     assert(rows(got) == rows(want))
   }
 
+  test("residual codes route to the IVFADC scorer, never the flat PQ scan") {
+    val cents = Search.ivfTrainSampled(e, "tenant", "vec_id", "embedding", 16,
+      sampleCap = 256)
+    val rBooks = PQ.pqTrainResidualSampled(e, "tenant", "vec_id", "embedding",
+      cents, 4, 8, 256)
+    val encR = PQ.pqEncodeResidual(e, "tenant", "vec_id", "embedding", cents, rBooks)
+    // residual codes WITHOUT centroids cannot be scored — route must
+    // not pick the flat PQ tier
+    val noCents = IndexState(vectors = e, corpusSize = n,
+      codebooks = Some(rBooks), encoded = Some(encR), residualCodes = true,
+      idCol = "vec_id", embCol = "embedding")
+    assert(route(noCents, bruteForceCeiling = 0) == BruteForceTier)
+    // full residual state → IVF-PQ tier, served by ivfadcSearchBatch
+    val full = IndexState(vectors = e, corpusSize = n,
+      centroids = Some(cents), cells = Some(assigned),
+      codebooks = Some(rBooks), encoded = Some(encR),
+      encodedHasCells = true, residualCodes = true,
+      idCol = "vec_id", embCol = "embedding")
+    val got = searchBatch(full, "all", qs, k = 5, nProbe = 4, rescoreK = 50,
+      bruteForceCeiling = 0)
+    assert(got.select("tier").distinct().head().getString(0) == "ivf_pq")
+    val want = PQ.ivfadcSearchBatch(encR, e, rBooks, cents, "all", qs, 5, 50, 4,
+        idCol = "vec_id", embCol = "embedding")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("id").asc)))
+    assert(rows(got) == rows(want))
+  }
+
   test("hamming tier: exact self-hit at rank 1, k rows per query, exact rescored sims") {
     val got = searchBatch(st(wordsOn = true), "all", qs, k = 5,
       rescoreK = 50, bruteForceCeiling = 0)
