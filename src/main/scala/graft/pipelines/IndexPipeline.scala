@@ -867,14 +867,28 @@ object IndexPipeline {
         .unionByName(PQc.pqEncode(addRows, "tenant", "id", "emb", books))
       val qids = Seq(0L, 1L, 2L)
       val qs = qids.zip(Search.qvecs(s, d, qids))
-      val st = Serving.IndexState(
-        vectors = snap2, corpusSize = snap2.count(),
-        centroids = Some(cents), cells = Some(aInc),
-        codebooks = Some(books),
-        encoded = Some(cInc.join(aInc.select("tenant", "id", "cell"),
-          Seq("tenant", "id"))),
-        encodedHasCells = true,
-        tenantCol = "tenant", idCol = "id", embCol = "emb")
+      // PERSIST the maintained state (ServingState layout: byid store
+      // CDC-maintained from the same feed, cells/encoded relations,
+      // centroids/codebooks as parquet rows) and serve from the
+      // LOADED directory — so the gate also pins that persistence
+      // round-trips bit-exactly AND that the rescore point-reads
+      // through the maintained byid segments (a stale base or a lossy
+      // map round-trip hash-fails the served rows).
+      val sdir = snapDir(d) + "_msv_state"
+      deleteRecursively(java.nio.file.Paths.get(sdir))
+      graft.operators.ByidStore.init(
+        snap1.select(col("id"), col("emb"), col("tenant")), "id",
+        s"$sdir/byid", nFiles = 4)
+      graft.operators.ByidStore.applyCdc(s, s"$sdir/byid", removals,
+        addRows.select(col("id"), col("emb"), col("tenant")), "id")
+      aInc.write.mode("overwrite").parquet(s"$sdir/cells")
+      cInc.join(aInc.select(col("tenant"), col("id"), col("cell")),
+          Seq("tenant", "id"))
+        .write.mode("overwrite").parquet(s"$sdir/encoded")
+      graft.operators.ServingState.saveAssets(s, sdir, Some(cents),
+        Some(books), corpusSize = snap2.count(), encodedHasCells = true)
+      val st = graft.operators.ServingState.load(s, sdir,
+        idCol = "id", embCol = "emb")
       Serving.searchBatch(st, "all", qs, k = 10, nProbe = 4, rescoreK = 50,
         bruteForceCeiling = 0L)
     }),
