@@ -112,6 +112,14 @@ object ByidStore {
                        pred: Option[Column]): DataFrame = {
     val segs = segments(path)
     require(segs.nonEmpty, s"byid store at $path has no segments")
+    // compacted store (one segment, no tombstones): no merge needed —
+    // skip the row_number window entirely, so the common steady state
+    // reads like a plain table (the window would SHUFFLE a full-view
+    // read and add a per-row sort to point fetches for nothing)
+    if (segs.size == 1 && tombstones(path).isEmpty) {
+      val df = spark.read.parquet(segDir(path, segs.head))
+      return pred.fold(df)(p => df.filter(p)).withColumn("seg", lit(segs.head))
+    }
     val rows = segs.map { n =>
       val df = spark.read.parquet(segDir(path, n))
       pred.fold(df)(p => df.filter(p)).withColumn("seg", lit(n))
