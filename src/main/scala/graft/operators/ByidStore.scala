@@ -75,7 +75,11 @@ object ByidStore {
     * rows — inserts + update postimages) becomes a delta segment in
     * the point-fetch layout. Work is O(churn): neither side reads an
     * existing segment. Returns the batch number (0 if the batch was
-    * empty and nothing was written). */
+    * empty and nothing was written). SINGLE-WRITER: batch numbering is
+    * max-existing + 1, so concurrent appliers would collide — the CDC
+    * feed is sequential by construction (VersionedStore snapshots are
+    * optimistic-single-winner), and the streaming sink
+    * (`streamByidMaintain`) serializes micro-batches. */
   def applyCdc(spark: SparkSession, path: String, removals: DataFrame,
                additions: DataFrame, idCol: String,
                deltaFiles: Int = 4): Int = {

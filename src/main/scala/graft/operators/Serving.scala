@@ -143,6 +143,15 @@ object Serving {
     raw.withColumn("tier", lit(tier.name))
   }
 
+  /** Single-query routed search — [[searchBatch]] with a batch of one,
+    * q_id dropped: (rank, id, sim, tier). */
+  def search(state: IndexState, tenant: String, queryVec: Seq[Double],
+             k: Int, nProbe: Int = 4, rescoreK: Int = 50,
+             threshold: Double = 0.0, recallFloor: Double = 0.0,
+             bruteForceCeiling: Long = 10000L): DataFrame =
+    searchBatch(state, tenant, Seq((0L, queryVec)), k, nProbe, rescoreK,
+      threshold, recallFloor, bruteForceCeiling).drop("q_id")
+
   /** Normalize a (q_id, id, …, sim) candidate frame to the router's
     * output contract — rank over the ≤ k·Q result rows, never the
     * corpus. */

@@ -163,6 +163,18 @@ class ServingSpec extends AnyFunSuite {
     assert(math.abs(sim00 - want) < 1e-9)
   }
 
+  test("single-query search equals a batch of one") {
+    val state = st(centroidsOn = true, cellsOn = true, codesOn = true,
+      withCells = true)
+    val got = Serving.search(state, "all", qs.head._2, k = 5,
+        nProbe = 4, bruteForceCeiling = 0)
+      .select("rank", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val want = searchBatch(state, "all", Seq((0L, qs.head._2)), k = 5,
+        nProbe = 4, bruteForceCeiling = 0)
+      .select("rank", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == want && got.size == 5)
+  }
+
   test("signPackLocal matches signPackAll on corpus rows") {
     val packed = words.filter(col("id") < 5).orderBy("id").collect()
       .map(r => r.getLong(1) -> r.getSeq[Long](2).toSeq).toMap
