@@ -907,6 +907,9 @@ object BenchVec extends Serializable {
         val p = Files.createTempDirectory("graft_byid_maint_")
         Files.createSymbolicLink(p.resolve("seg_00000"),
           Paths.get(baseSeg).toAbsolutePath)
+        // the store only serves COMMITTED batches (r14 task 7) — the
+        // symlinked base needs its marker like any published segment
+        Files.createFile(p.resolve("commit_00000"))
         p.toString
       }
       val store5k = freshStore(smallByidPath)

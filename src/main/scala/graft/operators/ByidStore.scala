@@ -27,95 +27,185 @@ import org.apache.spark.sql.expressions.Window
   *    (deletes + update preimages). A tombstone at batch b kills
   *    versions with seg < b; an update's own postimage (seg = b) and
   *    any later re-insert survive.
+  *  - COMMIT MARKERS (round-14 verdict tasks 1 + 7): a batch is
+  *    visible iff its zero-byte `commit_NNNNN` file exists. Every
+  *    write stages under `_stage_NNNNN/`, renames the non-empty parts
+  *    into place, and flips the batch visible with ONE atomic marker
+  *    create — so a crash at ANY point leaves readers serving exactly
+  *    the pre-batch or post-batch view, never a torn one (a delta
+  *    without its tombstones, a half-written parquet dir, a
+  *    mid-compaction hole). Marker-less `seg_`/`tomb_` dirs are
+  *    invisible debris, reclaimed by the next [[compact]].
   *  - RESOLUTION (reader-side merge-on-read): a fetch reads EVERY
-  *    segment with the same `Layout.idsPredicate` or-of-eq (each scan
-  *    page-prunes to the candidate ids — K segments cost K bounded
-  *    point reads, and K is capped by compaction), takes the max-seg
-  *    version per id, then drops ids whose newest tombstone outranks
-  *    that version.
-  *  - COMPACTION: when the segment count passes the threshold,
-  *    [[compact]] folds everything back into one base segment — the
-  *    only O(corpus) action, paid once per `maxSegments` batches by
-  *    choice, not per batch.
+  *    committed segment with the same `Layout.idsPredicate` or-of-eq
+  *    (each scan page-prunes to the candidate ids — K segments cost K
+  *    bounded point reads, and K is capped by compaction), takes the
+  *    max-seg version per id, then drops ids whose newest tombstone
+  *    outranks that version. Tombstone scans take the SAME id
+  *    predicate (a tombstone only matters if its id is a candidate),
+  *    so delete-heavy histories never turn point reads into tombstone
+  *    table scans.
+  *  - COMPACTION: when the committed batch-dir count (segments AND
+  *    tombstones — delete-only histories accumulate `tomb_` dirs with
+  *    no segments) passes the threshold, [[compact]] folds everything
+  *    back into one base segment — the only O(corpus) action, paid
+  *    once per `maxSegments` batches by choice, not per batch.
+  *    Crash-safe ordering: the folded base is committed at batch
+  *    max+1 FIRST (it outranks every live row, so the merged view is
+  *    already post-compaction while old dirs linger), then old
+  *    batches retire in ASCENDING batch order (an id's latest
+  *    tombstone always outranks its stale segment rows at every
+  *    prefix of the removal — no resurrection window).
+  *
+  * CONTRACTS: SINGLE-WRITER — batch numbering is max-existing + 1, so
+  * concurrent appliers would collide; the CDC feed is sequential by
+  * construction (VersionedStore snapshots are optimistic-single-
+  * winner) and the streaming sink (`streamByidMaintain`) serializes
+  * micro-batches. GLOBALLY-UNIQUE IDS — the store keys on `idCol`
+  * alone (the reference's ChromaDB ids are globally unique uuids,
+  * `vector_db_service.py:165-261`); two tenants sharing an id would
+  * collapse to one row in the merge window, so multi-tenant corpora
+  * must mint tenant-disjoint ids (every graft fixture does), and the
+  * rescore path re-filters fetched rows by tenant as belt-and-braces
+  * (`PQ.rescoreBatch`).
   *
   * Scale posture: applyCdc touches churn rows only (delta write +
   * tombstone write); fetch cost is segments × point-read, independent
   * of corpus size; compaction is scheduled, not forced. On a real
   * cluster the directory listing below becomes a manifest entry the
-  * way VersionedStore tracks buckets — the local listing keeps this
-  * module freestanding for the oracle gate (`x20_cdc_byid_maintain`)
-  * and the BenchVec churn-flatness legs.
+  * way VersionedStore tracks buckets, and the marker create becomes
+  * the same atomic publish primitive (HDFS create-no-overwrite, S3
+  * PUT If-None-Match — `VersionedStore` scaladoc) — the local listing
+  * keeps this module freestanding for the oracle gate
+  * (`x20_cdc_byid_maintain`) and the BenchVec churn-flatness legs.
   */
 object ByidStore {
 
   private def segDir(path: String, n: Int): String = f"$path/seg_$n%05d"
   private def tombDir(path: String, n: Int): String = f"$path/tomb_$n%05d"
+  private def marker(path: String, n: Int): String = f"$path/commit_$n%05d"
+  private def stageDir(path: String, n: Int): String = f"$path/_stage_$n%05d"
 
-  private def numbered(path: String, prefix: String): Seq[Int] = {
+  private def numbered(path: String, prefix: String,
+                       dirsOnly: Boolean = true): Seq[Int] = {
     val fs = Option(new File(path).listFiles()).getOrElse(Array.empty[File])
-    fs.filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    fs.filter(f => (!dirsOnly || f.isDirectory) && f.getName.startsWith(prefix))
       .map(_.getName.stripPrefix(prefix).toInt).sorted.toSeq
   }
 
-  /** Segment numbers present (base + deltas), ascending. */
-  def segments(path: String): Seq[Int] = numbered(path, "seg_")
+  /** Committed batch numbers — the visibility source of truth. */
+  private def committed(path: String): Set[Int] =
+    numbered(path, "commit_", dirsOnly = false).toSet
 
-  /** Tombstone batch numbers present, ascending. */
-  def tombstones(path: String): Seq[Int] = numbered(path, "tomb_")
+  /** COMMITTED segment numbers present (base + deltas), ascending.
+    * A `seg_` dir without its `commit_` marker (crash mid-publish,
+    * half-written debris) is invisible. */
+  def segments(path: String): Seq[Int] = {
+    val ok = committed(path)
+    numbered(path, "seg_").filter(ok)
+  }
+
+  /** COMMITTED tombstone batch numbers present, ascending. */
+  def tombstones(path: String): Seq[Int] = {
+    val ok = committed(path)
+    numbered(path, "tomb_").filter(ok)
+  }
+
+  /** Highest batch number any artifact claims — committed or not
+    * (orphaned dirs and stale stages must never be re-numbered over:
+    * a rename onto crash debris would resurrect it). */
+  private def maxBatch(path: String): Int =
+    (numbered(path, "seg_") ++ numbered(path, "tomb_") ++
+      numbered(path, "commit_", dirsOnly = false) ++
+      numbered(path, "_stage_")).foldLeft(-1)(math.max)
+
+  private def rename(from: String, to: String): Unit = {
+    val ok = new File(from).renameTo(new File(to))
+    require(ok, s"byid store: rename $from -> $to failed")
+  }
+
+  /** Atomic publish: create-no-overwrite of the zero-byte marker. */
+  private def commit(path: String, n: Int): Unit = {
+    val ok = new File(marker(path, n)).createNewFile()
+    require(ok, s"byid store: batch $n already committed (single-writer violated?)")
+  }
 
   /** Bootstrap: write the full corpus as base segment 0 in the
-    * point-fetch layout. The one intentionally O(corpus) call. */
+    * point-fetch layout. The one intentionally O(corpus) call.
+    * Committed like any batch: staged write, rename, marker. */
   def init(df: DataFrame, idCol: String, path: String, nFiles: Int = 32): Unit = {
-    require(segments(path).isEmpty, s"byid store at $path already initialized")
-    Layout.pointFetchWrite(df, idCol, segDir(path, 0), nFiles)
+    require(maxBatch(path) < 0, s"byid store at $path already initialized")
+    val stage = stageDir(path, 0)
+    Layout.pointFetchWrite(df, idCol, s"$stage/seg", nFiles)
+    rename(s"$stage/seg", segDir(path, 0))
+    commit(path, 0)
+    deleteRecursively(new File(stage))
   }
 
   /** Apply one CDC batch: `removals` (one `idCol` column — deletes +
     * update preimages) becomes a tombstone, `additions` (full payload
     * rows — inserts + update postimages) becomes a delta segment in
     * the point-fetch layout. Work is O(churn): neither side reads an
-    * existing segment. Returns the batch number (0 if the batch was
-    * empty and nothing was written). SINGLE-WRITER: batch numbering is
-    * max-existing + 1, so concurrent appliers would collide — the CDC
-    * feed is sequential by construction (VersionedStore snapshots are
-    * optimistic-single-winner), and the streaming sink
-    * (`streamByidMaintain`) serializes micro-batches. */
+    * existing segment, and each input plan is evaluated ONCE (staged
+    * write first, emptiness decided from the staged row count — a
+    * count-then-write pair would pay join-derived CDC plans twice and
+    * let a non-deterministic source write a segment inconsistent with
+    * the emptiness decision). Returns the batch number (0 if the
+    * batch was empty and nothing was committed).
+    *
+    * CRASH-ATOMIC: both parts are staged under `_stage_N/`, renamed
+    * into place, and made visible by the single `commit_N` marker
+    * create — a crash anywhere leaves the batch entirely invisible
+    * (readers serve the pre-batch view; the debris is vacuumed by the
+    * next compaction), never a delta whose deletes were lost. */
   def applyCdc(spark: SparkSession, path: String, removals: DataFrame,
                additions: DataFrame, idCol: String,
                deltaFiles: Int = 4): Int = {
-    val batch = (segments(path) ++ tombstones(path)).foldLeft(0)(math.max) + 1
-    val nAdd = additions.count()
-    val nRem = removals.count()
-    if (nAdd > 0)
-      Layout.pointFetchWrite(additions, idCol, segDir(path, batch), deltaFiles)
-    if (nRem > 0)
-      removals.select(col(idCol).cast("long").as(idCol))
-        .coalesce(1).write.mode("overwrite").parquet(tombDir(path, batch))
-    if (nAdd > 0 || nRem > 0) batch else 0
+    val batch = maxBatch(path) + 1
+    val stage = stageDir(path, batch)
+    deleteRecursively(new File(stage)) // single-writer: only crash debris
+    Layout.pointFetchWrite(additions, idCol, s"$stage/seg", deltaFiles)
+    removals.select(col(idCol).cast("long").as(idCol))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/tomb")
+    // staged parquet counts are metadata reads — the upstream plans ran
+    // exactly once, at the writes above
+    val nAdd = spark.read.parquet(s"$stage/seg").count()
+    val nRem = spark.read.parquet(s"$stage/tomb").count()
+    if (nAdd == 0 && nRem == 0) {
+      deleteRecursively(new File(stage))
+      return 0
+    }
+    if (nAdd > 0) rename(s"$stage/seg", segDir(path, batch))
+    if (nRem > 0) rename(s"$stage/tomb", tombDir(path, batch))
+    commit(path, batch)
+    deleteRecursively(new File(stage))
+    batch
   }
 
   /** [[applyCdc]] + scheduled compaction: fold back to one base when
-    * the segment count passes `maxSegments` (fetch cost is
-    * segments × point-read, so the threshold bounds read
-    * amplification; the fold is the only O(corpus) action and this is
-    * the one place that pays it). */
+    * the committed batch-dir count passes `maxSegments`. Tombstone
+    * dirs count toward the threshold — a delete-heavy feed produces
+    * tombstone-only batches, and every fetch pays one (id-pruned)
+    * scan per tombstone dir, so read amplification is bounded by
+    * BOTH kinds (ADVICE r14). */
   def applyCdcAutoCompact(spark: SparkSession, path: String, removals: DataFrame,
                           additions: DataFrame, idCol: String,
                           maxSegments: Int = 8, deltaFiles: Int = 4,
                           compactFiles: Int = 32): Int = {
     val b = applyCdc(spark, path, removals, additions, idCol, deltaFiles)
-    if (segments(path).size > maxSegments) compact(spark, path, idCol, compactFiles)
+    if (segments(path).size + tombstones(path).size > maxSegments)
+      compact(spark, path, idCol, compactFiles)
     b
   }
 
-  /** The resolved logical view over ALL rows (no id pruning): max-seg
-    * version per id, newest-tombstone-outranks filter. Used by
-    * [[compact]]; fetches go through [[fetch]], which pushes the id
-    * predicate into every segment scan first. */
+  /** The resolved logical view: max-seg version per id,
+    * newest-tombstone-outranks filter. Point fetches push the id
+    * predicate into EVERY scan — segments and tombstones alike (a
+    * tombstone is only consequential when its id is a candidate). */
   private def resolved(spark: SparkSession, path: String, idCol: String,
                        pred: Option[Column]): DataFrame = {
     val segs = segments(path)
-    require(segs.nonEmpty, s"byid store at $path has no segments")
+    require(segs.nonEmpty, s"byid store at $path has no committed segments")
     // compacted store (one segment, no tombstones): no merge needed —
     // skip the row_number window entirely, so the common steady state
     // reads like a plain table (the window would SHUFFLE a full-view
@@ -136,7 +226,8 @@ object ByidStore {
     if (tombs.isEmpty) latest
     else {
       val dead = tombs.map { n =>
-        spark.read.parquet(tombDir(path, n)).withColumn("tseg", lit(n))
+        val df = spark.read.parquet(tombDir(path, n))
+        pred.fold(df)(p => df.filter(p)).withColumn("tseg", lit(n))
       }.reduce(_.unionByName(_))
         .groupBy(col(idCol)).agg(max(col("tseg")).as("tseg"))
       // tombstone batch b kills versions with seg < b; the same
@@ -166,19 +257,42 @@ object ByidStore {
   def readAll(spark: SparkSession, path: String, idCol: String): DataFrame =
     resolved(spark, path, idCol, None)
 
-  /** Fold all segments + tombstones back into one base segment
-    * (numbered after the newest batch so later tombstones keep
-    * outranking it). The only O(corpus) maintenance action. */
+  /** Fold all committed segments + tombstones back into one base
+    * segment. The only O(corpus) maintenance action, crash-safe at
+    * every step:
+    *  1. the folded view is staged and committed at batch max+1 —
+    *     from that instant the merged view IS the post-compaction
+    *     view (the new base outranks every stale row; lingering
+    *     tombstones satisfy tseg <= newBase so nothing is dropped);
+    *  2. old batches retire in ASCENDING batch order, marker first —
+    *     a dead id's latest tombstone is its highest batch, so it
+    *     outlives every one of the id's stale segment rows at each
+    *     prefix of the removal (no resurrection window), and a
+    *     marker-less dir is already invisible when its turn comes;
+    *  3. stale stages and uncommitted debris from crashed batches are
+    *     vacuumed last. */
   def compact(spark: SparkSession, path: String, idCol: String,
               nFiles: Int = 32): Unit = {
-    val newBase = (segments(path) ++ tombstones(path)).foldLeft(0)(math.max)
-    val tmp = s"$path/_compact_tmp"
+    val oldBatches = (segments(path) ++ tombstones(path)).distinct.sorted
+    val newBase = maxBatch(path) + 1
+    val stage = stageDir(path, newBase)
+    deleteRecursively(new File(stage))
     Layout.pointFetchWrite(resolved(spark, path, idCol, None).drop("seg"),
-      idCol, tmp, nFiles)
-    (segments(path).map(segDir(path, _)) ++ tombstones(path).map(tombDir(path, _)))
+      idCol, s"$stage/seg", nFiles)
+    rename(s"$stage/seg", segDir(path, newBase))
+    commit(path, newBase)
+    deleteRecursively(new File(stage))
+    oldBatches.foreach { n =>
+      new File(marker(path, n)).delete(): Unit
+      deleteRecursively(new File(segDir(path, n)))
+      deleteRecursively(new File(tombDir(path, n)))
+    }
+    // vacuum invisible debris: uncommitted dirs + stale stages
+    val ok = committed(path)
+    (numbered(path, "seg_").filterNot(ok).map(segDir(path, _)) ++
+      numbered(path, "tomb_").filterNot(ok).map(tombDir(path, _)) ++
+      numbered(path, "_stage_").filter(_ != newBase).map(stageDir(path, _)))
       .foreach(p => deleteRecursively(new File(p)))
-    val ok = new File(tmp).renameTo(new File(segDir(path, newBase)))
-    require(ok, s"compact: rename $tmp failed")
   }
 
   private def deleteRecursively(f: File): Unit = {

@@ -320,8 +320,16 @@ object ProductQuantization {
     val ids = candSeq.map(_._2).distinct
     val qmap: Map[Long, Seq[Double]] = queries.toMap
     val fetched = fetchById match {
-      case Some(f) => f(ids)
-        .select(col(idCol).cast("long").as("id"),
+      // the byid store keys on id ALONE (ByidStore scaladoc: ids must
+      // be globally unique across tenants, as the reference's uuids
+      // are) — re-filter by tenant as belt-and-braces so a store that
+      // DOES carry the column can never serve another tenant's
+      // embedding bytes into this tenant's rescore (ADVICE r14)
+      case Some(f) =>
+        val raw = f(ids)
+        val scoped = if (raw.columns.contains(tenantCol))
+          raw.filter(col(tenantCol) === tenant) else raw
+        scoped.select(col(idCol).cast("long").as("id"),
           col(embCol).cast("array<double>").as("emb"))
       case None => vectors.filter(col(tenantCol) === tenant)
         .select(col(idCol).cast("long").as("id"),

@@ -246,10 +246,22 @@ object StreamingOps {
     * with threshold auto-compaction bounding the segment count a
     * fetch pays. The serving layout is point-readable after every
     * micro-batch — the streaming twin of the x20 batch episode
-    * (StreamingSpec drives the real readStream path). */
+    * (StreamingSpec drives the real readStream path).
+    *
+    * INTRA-BATCH ORDER (ADVICE r14): one applyCdc gives every op in a
+    * micro-batch the same batch number, so two ops on one id need a
+    * collapse rule. With `orderCol` set (a per-id total order — a CDC
+    * sequence number, an event timestamp) the batch is collapsed to
+    * the LAST op per id before splitting (upsert-then-delete deletes;
+    * delete-then-upsert and upsert-then-upsert keep the final
+    * postimage). Without it there is no "last", so the sink ENFORCES
+    * the one-op-per-id-per-micro-batch contract with a require —
+    * silent resurrection (a same-batch tombstone losing to its own
+    * upsert) is never an outcome. */
   def streamByidMaintain(changes: DataFrame, storePath: String,
                          checkpointDir: String, idCol: String = "id",
                          maxSegments: Int = 8,
+                         orderCol: Option[String] = None,
                          trigger: org.apache.spark.sql.streaming.Trigger =
                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -257,9 +269,23 @@ object StreamingOps {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val removals = batch.filter(col("op").isin("delete", "upsert"))
+        val effective = orderCol match {
+          case Some(oc) =>
+            batch.withColumn("_rn", row_number().over(
+                Window.partitionBy(col(idCol)).orderBy(col(oc).desc)))
+              .filter(col("_rn") === 1).drop("_rn", oc)
+          case None =>
+            val dup = batch.groupBy(col(idCol)).count()
+              .filter(col("count") > 1).count()
+            require(dup == 0,
+              s"streamByidMaintain: $dup ids carry multiple ops in one " +
+                "micro-batch but no orderCol was given — pass the CDC " +
+                "sequence column so the last op per id wins")
+            batch
+        }
+        val removals = effective.filter(col("op").isin("delete", "upsert"))
           .select(col(idCol)).distinct()
-        val additions = batch.filter(col("op") === "upsert").drop("op")
+        val additions = effective.filter(col("op") === "upsert").drop("op")
         graft.operators.ByidStore.applyCdcAutoCompact(
           batch.sparkSession, storePath, removals, additions, idCol,
           maxSegments = maxSegments): Unit

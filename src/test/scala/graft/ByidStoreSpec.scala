@@ -86,4 +86,116 @@ class ByidStoreSpec extends AnyFunSuite {
     val r = ByidStore.fetch(spark, path, Seq(3L, 50L), "id").orderBy("id").collect()
     assert(r.map(_.getAs[Long]("id")).toSeq == Seq(50L))
   }
+
+  // ---- crash-injection (r14 verdict tasks 1 + 7): every partial
+  // state a crash can leave must serve the pre-batch or post-batch
+  // view, never a torn one ------------------------------------------
+
+  private def view(path: String, ids: Seq[Long]): Seq[(Long, String)] =
+    ByidStore.fetch(spark, path, ids, "id")
+      .select("id", "payload").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("marker-less segment and tombstone dirs are invisible (task 7)") {
+    import spark.implicits._
+    val path = freshDir()
+    ByidStore.init(corpus(0L until 10L, "a"), "id", path, nFiles = 1)
+    val pre = view(path, 0L until 10L)
+    // crash debris: a fully-written segment + tombstone WITHOUT the
+    // commit marker (applyCdc died between rename and marker create)
+    corpus(Seq(3L), "torn").write.parquet(s"$path/seg_00001")
+    Seq(3L, 5L).toDF("id").write.parquet(s"$path/tomb_00001")
+    assert(ByidStore.segments(path) == Seq(0))
+    assert(ByidStore.tombstones(path) == Seq.empty)
+    // the torn batch is entirely invisible: 3 keeps its old payload
+    // AND 5 still serves (the delete must not outlive its lost update)
+    assert(view(path, 0L until 10L) == pre)
+  }
+
+  test("crashed stage dirs are invisible and never re-numbered over") {
+    import spark.implicits._
+    val path = freshDir()
+    ByidStore.init(corpus(0L until 10L, "a"), "id", path, nFiles = 1)
+    // crash mid-staged-write: stage dir with a half-written file
+    val stage = new java.io.File(s"$path/_stage_00001/seg")
+    stage.mkdirs()
+    Files.write(stage.toPath.resolve("part-garbage.parquet"), Array[Byte](1, 2))
+    assert(view(path, 0L until 10L).size == 10) // reads unaffected
+    // the next batch numbers PAST the debris (renaming onto it would
+    // resurrect the crashed batch's rows)
+    val b = ByidStore.applyCdc(spark, path, Seq(2L).toDF("id"),
+      corpus(Seq(2L), "b"), "id")
+    assert(b == 2)
+    assert(view(path, Seq(2L)) == Seq((2L, "b-2")))
+  }
+
+  test("compact is crash-safe at every prefix of old-batch retirement") {
+    import spark.implicits._
+    val path = freshDir()
+    ByidStore.init(corpus(0L until 20L, "a"), "id", path, nFiles = 2)
+    // batch 1: update 3, delete 5; batch 2: insert 100, delete 7
+    ByidStore.applyCdc(spark, path, Seq(3L, 5L).toDF("id"), corpus(Seq(3L), "b"), "id")
+    ByidStore.applyCdc(spark, path, Seq(7L).toDF("id"), corpus(Seq(100L), "b"), "id")
+    val allIds = (0L until 20L) ++ Seq(100L)
+    val expected = view(path, allIds)
+    assert(expected.contains((3L, "b-3")) && !expected.exists(_._1 == 5L) &&
+      !expected.exists(_._1 == 7L) && expected.contains((100L, "b-100")))
+
+    // run the REAL compact on a copy, then transplant its committed
+    // new base back — reconstructing "crashed right after the new
+    // base committed, before any old batch retired"
+    val copy = freshDir()
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      Files.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyTree(java.nio.file.Paths.get(path), java.nio.file.Paths.get(copy))
+    ByidStore.compact(spark, copy, "id", nFiles = 2)
+    val Seq(newBase) = ByidStore.segments(copy)
+    assert(newBase == 3) // max existing batch + 1: outranks every old row
+    copyTree(java.nio.file.Paths.get(f"$copy/seg_$newBase%05d"),
+      java.nio.file.Paths.get(f"$path/seg_$newBase%05d"))
+    Files.copy(java.nio.file.Paths.get(f"$copy/commit_$newBase%05d"),
+      java.nio.file.Paths.get(f"$path/commit_$newBase%05d"))
+
+    // crash window A: new base committed, ALL old dirs linger
+    assert(ByidStore.segments(path) == Seq(0, 1, 2, 3))
+    assert(view(path, allIds) == expected)
+    // crash windows B..D: old batches retire in ASCENDING order,
+    // marker first — the view must hold at every prefix
+    Seq(0, 1, 2).foreach { n =>
+      assert(new java.io.File(f"$path/commit_$n%05d").delete())
+      assert(view(path, allIds) == expected,
+        s"torn view after retiring batches <= $n")
+    }
+    // dirs themselves gone last — still the same view
+    Seq(0, 1, 2).foreach { n =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(f"$path/seg_$n%05d"))
+      rm(new java.io.File(f"$path/tomb_$n%05d"))
+    }
+    assert(view(path, allIds) == expected)
+    assert(ByidStore.segments(path) == Seq(3) && ByidStore.tombstones(path).isEmpty)
+  }
+
+  test("auto-compact counts tombstone-only batches toward the threshold") {
+    import spark.implicits._
+    val path = freshDir()
+    ByidStore.init(corpus(0L until 10L, "a"), "id", path, nFiles = 1)
+    // three delete-only batches: no segments appended, but read
+    // amplification grows one tombstone scan per batch — they must
+    // trip the threshold (ADVICE r14)
+    Seq(1L, 2L, 3L).foreach { i =>
+      ByidStore.applyCdcAutoCompact(spark, path, Seq(i).toDF("id"),
+        corpus(Nil, "x"), "id", maxSegments = 3, compactFiles = 1)
+    }
+    assert(ByidStore.segments(path).size + ByidStore.tombstones(path).size <= 3)
+    assert(view(path, 0L until 10L).map(_._1) == Seq(0L) ++ (4L until 10L))
+  }
 }

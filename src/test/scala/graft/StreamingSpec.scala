@@ -300,6 +300,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(ByidStore.tombstones(store).nonEmpty)
   }
 
+  test("streamByidMaintain with orderCol collapses to the last op per id (ADVICE r14)") {
+    import graft.operators.ByidStore
+    val store = java.nio.file.Files.createTempDirectory("graft_sbm2_store").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sbm2_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sbm2_ckpt").toString
+    ByidStore.init((0L until 10L).map(i => (i, s"a-$i"))
+      .toDF("id", "payload"), "id", store, nFiles = 1)
+    // ONE micro-batch with conflicting ops: upsert-then-delete of 1
+    // (must end deleted — the same-batch tombstone may not lose to its
+    // own upsert), delete-then-upsert of 2 (must end upserted), and
+    // two upserts of 3 (last postimage wins, deterministically)
+    Seq(("upsert", 1L, "b-1", 0L), ("delete", 1L, "", 1L),
+      ("delete", 2L, "", 0L), ("upsert", 2L, "b-2", 1L),
+      ("upsert", 3L, "b-3", 0L), ("upsert", 3L, "c-3", 1L))
+      .toDF("op", "id", "payload", "seq").write.parquet(s"$srcDir/b0")
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/b0").schema)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.streamByidMaintain(streamed, store, ckpt,
+      orderCol = Some("seq"))
+    q.awaitTermination(180000)
+    val got = ByidStore.fetch(spark, store, Seq(1L, 2L, 3L), "id")
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "b-2", 3L -> "c-3"))
+  }
+
+  test("streamByidMaintain without orderCol rejects multi-op micro-batches") {
+    import graft.operators.ByidStore
+    val store = java.nio.file.Files.createTempDirectory("graft_sbm3_store").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sbm3_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sbm3_ckpt").toString
+    ByidStore.init((0L until 5L).map(i => (i, s"a-$i"))
+      .toDF("id", "payload"), "id", store, nFiles = 1)
+    Seq(("upsert", 1L, "b-1"), ("delete", 1L, ""))
+      .toDF("op", "id", "payload").write.parquet(s"$srcDir/b0")
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/b0").schema)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.streamByidMaintain(streamed, store, ckpt)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(180000)
+    }
+    assert(ex.getMessage.contains("orderCol") ||
+      Option(ex.getCause).exists(_.getMessage.contains("orderCol")))
+    // the rejected batch committed nothing: pre-batch view serves
+    assert(ByidStore.fetch(spark, store, Seq(1L), "id")
+      .select("payload").as[String].collect().toSeq == Seq("a-1"))
+  }
+
   test("sessionizeStreaming assigns the same sessions as sessionizeBatch") {
     val events = Seq(
       // user 1: two sessions (gap > 30 min between e2 and e3)
