@@ -201,16 +201,30 @@ object ByidStore {
   /** The resolved logical view: max-seg version per id,
     * newest-tombstone-outranks filter. Point fetches push the id
     * predicate into EVERY scan — segments and tombstones alike (a
-    * tombstone is only consequential when its id is a candidate). */
+    * tombstone is only consequential when its id is a candidate).
+    *
+    * `range = Some((base, pin))` PINS the view to batches
+    * base ≤ n ≤ pin — the snapshot-isolation primitive ServingState
+    * manifests use: `base` MUST be a full fold point ([[init]] or
+    * [[checkpoint]] output), `pin` the newest batch the snapshot saw;
+    * CDC batches applied after `pin` are invisible to the pinned
+    * reader, so a serve-during-refresh pairs assets and corpus bytes
+    * from the SAME snapshot, never a torn mix. */
   private def resolved(spark: SparkSession, path: String, idCol: String,
-                       pred: Option[Column]): DataFrame = {
-    val segs = segments(path)
-    require(segs.nonEmpty, s"byid store at $path has no committed segments")
-    // compacted store (one segment, no tombstones): no merge needed —
-    // skip the row_number window entirely, so the common steady state
-    // reads like a plain table (the window would SHUFFLE a full-view
-    // read and add a per-row sort to point fetches for nothing)
-    if (segs.size == 1 && tombstones(path).isEmpty) {
+                       pred: Option[Column],
+                       range: Option[(Int, Int)] = None): DataFrame = {
+    def inRange(n: Int): Boolean =
+      range.forall { case (base, pin) => n >= base && n <= pin }
+    val segs = segments(path).filter(inRange)
+    require(segs.nonEmpty, s"byid store at $path has no committed segments" +
+      range.fold("")(r => s" in pinned range $r"))
+    val tombsAll = tombstones(path).filter(inRange)
+    // compacted store (one segment, no tombstones in view): no merge
+    // needed — skip the row_number window entirely, so the common
+    // steady state reads like a plain table (the window would SHUFFLE
+    // a full-view read and add a per-row sort to point fetches for
+    // nothing). A freshly-refreshed snapshot pin always lands here.
+    if (segs.size == 1 && tombsAll.isEmpty) {
       val df = spark.read.parquet(segDir(path, segs.head))
       return pred.fold(df)(p => df.filter(p)).withColumn("seg", lit(segs.head))
     }
@@ -222,7 +236,7 @@ object ByidStore {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("seg").desc)))
       .filter(col("_rn") === 1).drop("_rn")
-    val tombs = tombstones(path)
+    val tombs = tombsAll
     if (tombs.isEmpty) latest
     else {
       val dead = tombs.map { n =>
@@ -245,17 +259,60 @@ object ByidStore {
     * served each row — physical provenance; x20 pins it to prove
     * updated rows come from the delta, not a stale base). */
   def fetch(spark: SparkSession, path: String, ids: Seq[Long],
-            idCol: String): DataFrame =
+            idCol: String, range: Option[(Int, Int)] = None): DataFrame =
     resolved(spark, path, idCol,
-      Some(Layout.idsPredicate(col(idCol).cast("long"), ids)))
+      Some(Layout.idsPredicate(col(idCol).cast("long"), ids)), range)
 
   /** The full resolved logical view (every live row, merge-on-read) —
     * the store AS a corpus relation, e.g. the `vectors` input of a
     * serving state. Point reads should use [[fetch]] instead: the
     * merge window blocks predicate pushdown, so filtering this view
-    * decodes every segment. */
-  def readAll(spark: SparkSession, path: String, idCol: String): DataFrame =
-    resolved(spark, path, idCol, None)
+    * decodes every segment. `range` pins a snapshot view (see
+    * [[resolved]]). */
+  def readAll(spark: SparkSession, path: String, idCol: String,
+              range: Option[(Int, Int)] = None): DataFrame =
+    resolved(spark, path, idCol, None, range)
+
+  /** Fold the current committed view into a NEW full base segment at
+    * batch max+1 WITHOUT retiring anything — the snapshot-refresh
+    * primitive: older ServingState manifests keep serving their
+    * pinned [base, pin] ranges off the still-present old batches,
+    * while the new manifest pins the fresh base (single-segment fast
+    * path from its first read). Retirement of batches below the
+    * oldest still-pinned base happens at vacuum time
+    * ([[retireBelow]]); a standalone store with no pinned readers
+    * uses [[compact]], which folds and retires in one call. Returns
+    * the new base's batch number. */
+  def checkpoint(spark: SparkSession, path: String, idCol: String,
+                 nFiles: Int = 32): Int = {
+    val newBase = maxBatch(path) + 1
+    val stage = stageDir(path, newBase)
+    deleteRecursively(new File(stage))
+    Layout.pointFetchWrite(resolved(spark, path, idCol, None).drop("seg"),
+      idCol, s"$stage/seg", nFiles)
+    rename(s"$stage/seg", segDir(path, newBase))
+    commit(path, newBase)
+    deleteRecursively(new File(stage))
+    newBase
+  }
+
+  /** Retire every committed batch BELOW `base` (which must be a full
+    * fold point no live reader pins below): markers removed in
+    * ascending batch order (the same no-resurrection ordering
+    * [[compact]] uses), then dirs, then invisible debris vacuumed. */
+  def retireBelow(path: String, base: Int): Unit = {
+    (segments(path) ++ tombstones(path)).distinct.sorted
+      .filter(_ < base).foreach { n =>
+        new File(marker(path, n)).delete(): Unit
+        deleteRecursively(new File(segDir(path, n)))
+        deleteRecursively(new File(tombDir(path, n)))
+      }
+    val ok = committed(path)
+    (numbered(path, "seg_").filterNot(ok).map(segDir(path, _)) ++
+      numbered(path, "tomb_").filterNot(ok).map(tombDir(path, _)) ++
+      numbered(path, "_stage_").map(stageDir(path, _)))
+      .foreach(p => deleteRecursively(new File(p)))
+  }
 
   /** Fold all committed segments + tombstones back into one base
     * segment. The only O(corpus) maintenance action, crash-safe at
@@ -272,28 +329,8 @@ object ByidStore {
     *  3. stale stages and uncommitted debris from crashed batches are
     *     vacuumed last. */
   def compact(spark: SparkSession, path: String, idCol: String,
-              nFiles: Int = 32): Unit = {
-    val oldBatches = (segments(path) ++ tombstones(path)).distinct.sorted
-    val newBase = maxBatch(path) + 1
-    val stage = stageDir(path, newBase)
-    deleteRecursively(new File(stage))
-    Layout.pointFetchWrite(resolved(spark, path, idCol, None).drop("seg"),
-      idCol, s"$stage/seg", nFiles)
-    rename(s"$stage/seg", segDir(path, newBase))
-    commit(path, newBase)
-    deleteRecursively(new File(stage))
-    oldBatches.foreach { n =>
-      new File(marker(path, n)).delete(): Unit
-      deleteRecursively(new File(segDir(path, n)))
-      deleteRecursively(new File(tombDir(path, n)))
-    }
-    // vacuum invisible debris: uncommitted dirs + stale stages
-    val ok = committed(path)
-    (numbered(path, "seg_").filterNot(ok).map(segDir(path, _)) ++
-      numbered(path, "tomb_").filterNot(ok).map(tombDir(path, _)) ++
-      numbered(path, "_stage_").filter(_ != newBase).map(stageDir(path, _)))
-      .foreach(p => deleteRecursively(new File(p)))
-  }
+              nFiles: Int = 32): Unit =
+    retireBelow(path, checkpoint(spark, path, idCol, nFiles))
 
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

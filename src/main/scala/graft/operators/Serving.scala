@@ -49,6 +49,25 @@ object Serving {
   case object PqTier extends Tier { val name = "pq" }
   case object IvfPqTier extends Tier { val name = "ivf_pq" }
   case object HammingTier extends Tier { val name = "hamming" }
+  case object HybridTier extends Tier { val name = "hybrid" }
+
+  private val tiersByName: Map[String, Tier] =
+    Seq(BruteForceTier, IvfTier, PqTier, IvfPqTier, HammingTier)
+      .map(t => t.name -> t).toMap
+
+  /** One measured point of an index asset's recall curve —
+    * recall@k of (tier, nProbe, rescoreK) against brute-force ground
+    * truth on a probe batch, measured at state-build time
+    * ([[measureRecallCurve]]) and persisted in the ServingState
+    * manifest. The router consults these so an intermediate
+    * `recallFloor` is a CONTRACT, not a comment (r14 verdict task 3). */
+  final case class RecallPoint(tier: String, nProbe: Int, rescoreK: Int,
+                               recall: Double)
+
+  /** A full routing decision: the tier plus the tier parameters that
+    * meet the caller's recall floor (or the caller's own parameters
+    * when no floor binds). */
+  final case class Decision(tier: Tier, nProbe: Int, rescoreK: Int)
 
   /** Everything the router consults: the uncompressed corpus plus
     * whatever derived index assets the serving deployment maintains
@@ -70,41 +89,121 @@ object Serving {
       residualCodes: Boolean = false,
       signWords: Option[DataFrame] = None,
       byidPath: Option[String] = None,
+      byidRange: Option[(Int, Int)] = None,
+      recallCurve: Seq[RecallPoint] = Nil,
+      postings: Option[DataFrame] = None,
+      lexStats: Map[String, (Long, Double)] = Map.empty,
       tenantCol: String = "tenant",
       idCol: String = "id",
       embCol: String = "embedding")
 
-  /** The routing decision alone — pure function of the state and the
-    * caller's requirements, so specs pin the full decision matrix. */
-  def route(state: IndexState, recallFloor: Double = 0.0,
-            bruteForceCeiling: Long = 10000L): Tier =
-    if (recallFloor >= 0.999 || state.corpusSize <= bruteForceCeiling)
-      BruteForceTier
-    else if (state.centroids.isDefined && state.cells.isDefined)
-      if (state.codebooks.isDefined && state.encoded.isDefined &&
-          state.encodedHasCells) IvfPqTier
-      else IvfTier
+  /** Which lossy tiers the state's assets can serve. An encoded table
+    * carrying its own cell column serves IVF-PQ with NO separate
+    * cells frame — both probe-pruned scorers read only encodedCells
+    * (ADVICE r14: a residual state without a cells frame must not
+    * fall off a silent brute-force cost cliff). */
+  private def available(state: IndexState): Set[Tier] = {
+    val ivfpq = state.centroids.isDefined && state.codebooks.isDefined &&
+      state.encoded.isDefined && state.encodedHasCells
+    val ivf = state.centroids.isDefined && state.cells.isDefined
     // residual codes are meaningless without the centroids their
     // decomposition references — never route them to the flat PQ scan
-    else if (state.codebooks.isDefined && state.encoded.isDefined &&
-             !state.residualCodes) PqTier
-    else if (state.signWords.isDefined) HammingTier
-    else BruteForceTier
+    val pq = state.codebooks.isDefined && state.encoded.isDefined &&
+      !state.residualCodes
+    Set[Option[Tier]](
+      if (ivfpq) Some(IvfPqTier) else None,
+      if (ivf) Some(IvfTier) else None,
+      if (pq) Some(PqTier) else None,
+      if (state.signWords.isDefined) Some(HammingTier) else None).flatten
+  }
+
+  /** The routing decision alone — pure function of the state and the
+    * caller's requirements, so specs pin the full decision matrix.
+    * Three regimes:
+    *  - floor ≥ 0.999 or corpus under the ceiling → brute force
+    *    (exactness demanded or cheap);
+    *  - floor ≤ 0 → the measured cost ladder (ivf_pq > ivf > pq >
+    *    hamming > brute) at the CALLER's tier parameters — recall is
+    *    explicitly not a requirement;
+    *  - 0 < floor < 0.999 → CALIBRATED: pick the cheapest stored
+    *    [[RecallPoint]] whose tier the state can serve and whose
+    *    measured recall meets the floor (ladder order, then smallest
+    *    nProbe, then smallest rescoreK — cheapest config first);
+    *    when NO stored point reaches the floor — including a state
+    *    with no stored curve at all — fall back to brute force: an
+    *    unverifiable floor is served exactly, never silently unmet
+    *    (r14 verdict task 3 closed the two-level-semantics gap). */
+  def routeCalibrated(state: IndexState, recallFloor: Double = 0.0,
+                      bruteForceCeiling: Long = 10000L,
+                      nProbe: Int = 4, rescoreK: Int = 50,
+                      hasText: Boolean = false): Decision = {
+    val avail = available(state)
+    val ladder: Seq[Tier] = Seq(IvfPqTier, IvfTier, PqTier, HammingTier)
+    // a query carrying TEXT routes hybrid when the lexical assets
+    // exist (the reference's V10 logical rule: keyword-bearing
+    // queries take the fused path, enhanced_search_service.py) —
+    // UNLESS the caller demanded the exact-kNN contract, which only
+    // the pure vector scan satisfies
+    if (hasText && recallFloor < 0.999 && state.postings.isDefined &&
+        state.lexStats.nonEmpty)
+      Decision(HybridTier, nProbe, rescoreK)
+    else if (recallFloor >= 0.999 || state.corpusSize <= bruteForceCeiling)
+      Decision(BruteForceTier, nProbe, rescoreK)
+    else if (recallFloor <= 0.0)
+      Decision(ladder.find(avail).getOrElse(BruteForceTier), nProbe, rescoreK)
+    else {
+      val meeting = state.recallCurve.filter(p =>
+        p.recall >= recallFloor &&
+          tiersByName.get(p.tier).exists(avail))
+      if (meeting.isEmpty) Decision(BruteForceTier, nProbe, rescoreK)
+      else {
+        val best = meeting.minBy(p =>
+          (ladder.indexOf(tiersByName(p.tier)), p.nProbe, p.rescoreK))
+        Decision(tiersByName(best.tier), best.nProbe, best.rescoreK)
+      }
+    }
+  }
+
+  /** Tier choice only — the r13 router surface, preserved for the
+    * decision-matrix spec and the `ann_auto_topk` gate (floor-0
+    * routing is unchanged by calibration). */
+  def route(state: IndexState, recallFloor: Double = 0.0,
+            bruteForceCeiling: Long = 10000L): Tier =
+    routeCalibrated(state, recallFloor, bruteForceCeiling).tier
 
   /** Route + serve: one call, one normalized output schema
-    * (q_id, rank, id, sim, tier) across every tier. */
+    * (q_id, rank, id, sim, tier) across every tier. With an
+    * intermediate `recallFloor` (0 < floor < 0.999) the CALIBRATED
+    * decision's tier parameters override the caller's `nProbe` /
+    * `rescoreK` — the stored curve measured THOSE parameters, so they
+    * are the ones the floor certifies. */
   def searchBatch(state: IndexState, tenant: String,
                   queries: Seq[(Long, Seq[Double])], k: Int,
                   nProbe: Int = 4, rescoreK: Int = 50,
                   threshold: Double = 0.0, recallFloor: Double = 0.0,
                   bruteForceCeiling: Long = 10000L): DataFrame = {
-    val tier = route(state, recallFloor, bruteForceCeiling)
+    val d = routeCalibrated(state, recallFloor, bruteForceCeiling,
+      nProbe, rescoreK)
+    serveTier(state, d.tier, tenant, queries, k, d.nProbe, d.rescoreK,
+      threshold).withColumn("tier", lit(d.tier.name))
+  }
+
+  /** Serve a batch through ONE explicit tier — the execution half of
+    * [[searchBatch]]; also the probe harness [[measureRecallCurve]]
+    * drives per grid point. */
+  private[operators] def serveTier(state: IndexState, tier: Tier,
+                  tenant: String, queries: Seq[(Long, Seq[Double])], k: Int,
+                  nProbe: Int, rescoreK: Int,
+                  threshold: Double): DataFrame = {
     // with a CDC-maintained byid store (x20) present, candidate
     // rescore point-reads go THROUGH it (base + delta segments +
-    // tombstones) — a stale `vectors` frame can never serve old bytes
+    // tombstones, pinned to the state's snapshot range when one is
+    // set) — a stale `vectors` frame can never serve old bytes, and a
+    // pinned state can never serve bytes newer than its assets
     val fetch: Option[Seq[Long] => DataFrame] = state.byidPath.map { p =>
       (ids: Seq[Long]) =>
-        ByidStore.fetch(state.vectors.sparkSession, p, ids, state.idCol)
+        ByidStore.fetch(state.vectors.sparkSession, p, ids, state.idCol,
+          state.byidRange)
     }
     val raw = tier match {
       case BruteForceTier =>
@@ -139,8 +238,168 @@ object Serving {
         ranked(hammingSearchBatch(state.signWords.get, state.vectors, tenant,
           queries, k, rescoreK, threshold, state.tenantCol, state.idCol,
           state.embCol, fetch))
+      case HybridTier =>
+        throw new IllegalArgumentException(
+          "hybrid tier needs query text — serve through searchBatchText")
     }
-    raw.withColumn("tier", lit(tier.name))
+    raw
+  }
+
+  // ---- hybrid lexical+dense tier (r14 verdict task 4) -------------- //
+
+  /** Build the inverted-index serving asset: one row per (tenant,
+    * term, doc) posting — (tenant, term, id, tf, dl), with the doc
+    * length denormalized onto each posting so BM25 scoring is a
+    * single scan of the term-filtered postings (no doc-length join).
+    * Tokenization is `TextAnalysis.tokens` (whitespace split, empties
+    * dropped) — the SAME function the batch BM25 oracle family uses,
+    * so the persisted index scores identically to the from-text path.
+    * Scale posture: the classic sharded-postings layout — at 100 TB
+    * this relation is term-range bucketed so a query's ≤ |terms|
+    * partition-pruned scans replace any full pass; df is computed per
+    * query from the pruned slice, never stored stale. */
+  def buildPostings(docs: DataFrame, tenantCol: String, idCol: String,
+                    textCol: String): DataFrame =
+    docs.select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+      .select(col("tenant"), col("id"), col("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy("tenant", "term", "id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .select("tenant", "term", "id", "tf", "dl")
+
+  /** The catalog counters BM25 needs per tenant: (nDocs, avgdl) —
+    * measured once at asset-build time, persisted in the ServingState
+    * manifest, injected as literals at serve time (zero stats jobs
+    * per query). avgdl = Σdl / n in the exact IEEE order the batch
+    * BM25 path uses. */
+  def lexStatsOf(docs: DataFrame, tenantCol: String,
+                 textCol: String): Map[String, (Long, Double)] =
+    docs.groupBy(col(tenantCol).cast("string").as("tenant"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("sdl"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2).toDouble / r.getLong(1).toDouble))
+      .toMap
+
+  /** One query's BM25 arm over the persisted postings: term-pruned
+    * scan → per-(doc, term) contribution (identical IEEE op sequence
+    * to `TextAnalysis.bm25TermScores`: idf·(tf·2.2)/(tf + 1.2·(0.25 +
+    * 0.75·dl/avgdl))) → term-sorted left-to-right per-doc fold →
+    * top-`limit` ranked (bm25 DESC, id ASC). The df lookup groups the
+    * ALREADY-PRUNED slice (≤ |terms| groups) — one tiny driver
+    * collect, the same shape as the batch path's idf literals. */
+  private def bm25Arm(postings: DataFrame, tenant: String, qid: Long,
+                      terms: Seq[String], nDocs: Long, avgdl: Double,
+                      limit: Int): DataFrame = {
+    val hits = postings.filter(col("tenant") === tenant &&
+      col("term").isin(terms: _*))
+    val idfMap = hits.groupBy("term").agg(countDistinct(col("id")).as("df"))
+      .collect().map { r =>
+        val df = r.getLong(1)
+        r.getString(0) -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      }.toMap
+    val present = terms.distinct.filter(idfMap.contains)
+    val spark = postings.sparkSession
+    import spark.implicits._
+    if (present.isEmpty)
+      return Seq.empty[(Long, Long, Int)].toDF("q_id", "id", "kw_rank")
+    val idfCol = present.foldLeft(lit(null).cast("double")) { (w, t) =>
+      when(col("term") === t, lit(idfMap(t))).otherwise(w)
+    }
+    hits.withColumn("sc", idfCol * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
+      .groupBy("id")
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("sc")))),
+        lit(0.0), (acc, x) => acc + x.getField("sc")).as("bm25"))
+      .orderBy(col("bm25").desc, col("id").asc).limit(limit)
+      .withColumn("kw_rank", row_number().over(
+        graft.functions.BoundedWindow.orderBy(col("id"),
+          col("bm25").desc, col("id").asc)))
+      .select(lit(qid).as("q_id"), col("id"), col("kw_rank"))
+  }
+
+  /** Routed batch serving for TEXT-BEARING queries — each member is
+    * (q_id, query vector, query terms). When the state holds the
+    * lexical assets (postings + stats) the router picks the HYBRID
+    * tier: BM25 top-2k ∥ the state's best vector tier top-2k, fused
+    * by reciprocal-rank fusion (k₀ = 60, equal weights — the
+    * reference's keyword_enhanced_rrf, `enhanced_search_service.py:
+    * 259-506`, now a SERVING tier over persisted assets rather than a
+    * batch query). Both arms are top-2k-bounded before the fusion
+    * join, so the fold touches ≤ 4k·Q rows regardless of corpus size.
+    * Without lexical assets (or under an exact-recall floor) the text
+    * is ignored and the batch serves through the vector decision —
+    * same output contract: (q_id, rank, id, sim, tier), where the
+    * hybrid tier's `sim` IS the RRF score. */
+  def searchBatchText(state: IndexState, tenant: String,
+                      queries: Seq[(Long, Seq[Double], Seq[String])], k: Int,
+                      nProbe: Int = 4, rescoreK: Int = 50,
+                      threshold: Double = 0.0, recallFloor: Double = 0.0,
+                      bruteForceCeiling: Long = 10000L): DataFrame = {
+    val d = routeCalibrated(state, recallFloor, bruteForceCeiling,
+      nProbe, rescoreK, hasText = queries.exists(_._3.nonEmpty))
+    val vecQs = queries.map(q => (q._1, q._2))
+    if (d.tier != HybridTier)
+      return serveTier(state, d.tier, tenant, vecQs, k, d.nProbe,
+        d.rescoreK, threshold).withColumn("tier", lit(d.tier.name))
+    val vecD = routeCalibrated(state, recallFloor, bruteForceCeiling,
+      nProbe, rescoreK, hasText = false)
+    val b = 2 * k
+    val vecArm = serveTier(state, vecD.tier, tenant, vecQs, b, vecD.nProbe,
+        vecD.rescoreK, threshold)
+      .select(col("q_id"), col("id"), col("rank").as("vec_rank"))
+    val (nDocs, avgdl) = state.lexStats.getOrElse(tenant,
+      throw new IllegalStateException(s"no lexical stats for tenant $tenant"))
+    val kwArm = queries.map { case (qid, _, terms) =>
+      bm25Arm(state.postings.get, tenant, qid, terms, nDocs, avgdl, b)
+    }.reduce(_.unionByName(_))
+    kwArm.join(vecArm, Seq("q_id", "id"), "full_outer")
+      .withColumn("sim",
+        coalesce(lit(0.5) / (lit(60) + col("kw_rank")), lit(0.0)) +
+          coalesce(lit(0.5) / (lit(60) + col("vec_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("id").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "id", "sim")
+      .withColumn("tier", lit(HybridTier.name))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Measure an index state's recall curve at build time: brute force
+    * over the SAME state is ground truth; each (tier, nProbe,
+    * rescoreK) grid point serves the probe batch and is scored by
+    * recall@k — |approx ∩ exact| / k averaged over probes. The
+    * resulting points go into the ServingState manifest so
+    * [[routeCalibrated]] can honor intermediate recall floors from
+    * STORED numbers (the BENCHVEC measurement, folded into the asset
+    * catalog). Cost ∝ probes × grid — a build-time constant, never a
+    * serve-time one. */
+  def measureRecallCurve(state: IndexState, tenant: String,
+                         probes: Seq[(Long, Seq[Double])], k: Int,
+                         grid: Seq[(Tier, Int, Int)]): Seq[RecallPoint] = {
+    val avail = available(state)
+    def topIds(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+    val exact = topIds(serveTier(state, BruteForceTier, tenant, probes, k,
+      0, 0, threshold = -1e18))
+    grid.filter(g => avail(g._1)).map { case (tier, np, rk) =>
+      val got = topIds(serveTier(state, tier, tenant, probes, k, np, rk,
+        threshold = -1e18))
+      val rec = probes.map { case (qid, _) =>
+        val e = exact.getOrElse(qid, Set.empty)
+        if (e.isEmpty) 1.0
+        else got.getOrElse(qid, Set.empty).count(e).toDouble / e.size
+      }.sum / math.max(1, probes.size)
+      RecallPoint(tier.name, np, rk, rec)
+    }
   }
 
   /** Single-query routed search — [[searchBatch]] with a batch of one,
@@ -246,6 +505,17 @@ object Serving {
         col("embedding").cast("array<double>").as("embedding"))
       .withColumn("tenant", lit("all"))
 
+  /** Gate state-dir root (round-5 concurrent-run rule: keyed on data
+    * dir + pid). */
+  private def hybDir(dataDir: String): String =
+    "/tmp/graft_hyb_" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      ProcessHandle.current().pid()
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The router under the exact gate: a FULL index state (sampled IVF
     // cells + PQ codes joined with cells — the ann_ivfpq_batch build)
@@ -274,6 +544,37 @@ object Serving {
         idCol = "vec_id", embCol = "embedding")
       searchBatch(st, "all", qs, k = 10, nProbe = 4, rescoreK = 50,
         bruteForceCeiling = 0L)
+    }),
+
+    // The HYBRID serving tier under the exact gate (r14 verdict
+    // task 4): the inverted index (postings + per-tenant length/count
+    // stats) is PERSISTED as a ServingState asset, loaded back, and
+    // text-bearing queries route to the fused path — BM25 top-2k over
+    // the persisted postings ∥ the state's vector tier top-2k (here
+    // brute force: no lossy assets in this state), RRF-folded at
+    // k₀ = 60 with equal weights, top-k on (rrf DESC, id ASC). The
+    // oracle replays BM25 from the raw documents text, the vector arm
+    // as exact kNN, and the fold — so a persisted index that
+    // tokenizes, scores, ranks or fuses ANY differently from the
+    // from-text batch path hash-fails, per query, at all three SFs.
+    "ann_hybrid_topk" -> ((s, d) => {
+      val sdir = hybDir(d)
+      deleteRec(new java.io.File(sdir))
+      val e = base(s, d)
+      val docs = Tables.documents(s, d).withColumn("tenant", lit("all"))
+      ByidStore.init(e.select(col("vec_id"), col("embedding"), col("tenant")),
+        "vec_id", s"$sdir/byid", nFiles = 4)
+      ServingState.saveSnapshot(s, sdir,
+        postings = Some(buildPostings(docs, "tenant", "doc_id", "text")),
+        lexStats = lexStatsOf(docs, "tenant", "text"),
+        idCol = "vec_id")
+      val st = ServingState.load(s, sdir, idCol = "vec_id",
+        embCol = "embedding")
+      val qids = Seq(0L, 1L, 2L)
+      val qs = qids.zip(Search.qvecs(s, d, qids))
+        .map { case (q, v) => (q, v, Seq("join", "vector", "dup")) }
+      searchBatchText(st, "all", qs, k = 10,
+        bruteForceCeiling = Long.MaxValue)
     })
   )
 
@@ -288,6 +589,55 @@ object Serving {
            |  row_number() OVER (ORDER BY t.sim DESC, t.id ASC) AS rank,
            |  t.id, t.sim, 'ivf_pq' AS tier
            |FROM (${PQ.ivfpqSingleSql(qid)}) t""".stripMargin
+      Seq(0L, 1L, 2L).map(arm)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, rank ASC")
+    },
+
+    // the ts_hybrid_rrf replay per batch member: BM25 (k1=1.2, b=0.75,
+    // ln idf, term-sorted fold) from the raw documents text, exact-kNN
+    // vector arm, RRF k₀=60 fold, normalized to the router contract.
+    "ann_hybrid_topk" -> {
+      def arm(qid: Long): String = {
+        val qv = s"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = $qid)"
+        s"""SELECT CAST($qid AS BIGINT) AS q_id,
+           |  row_number() OVER (ORDER BY t.rrf_score DESC, t.doc_id ASC) AS rank,
+           |  t.doc_id AS id, t.rrf_score AS sim, 'hybrid' AS tier
+           |FROM (
+           |WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+           |  FROM documents),
+           |hits AS (SELECT doc_id, term FROM toks WHERE term IN ('join','vector','dup')),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+           |dl AS (SELECT doc_id,
+           |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+           |       FROM documents),
+           |stats AS (SELECT count(*) AS n_docs,
+           |            CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_dl
+           |          FROM documents),
+           |scored AS (
+           |  SELECT t.doc_id, t.term,
+           |    ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+           |      * (t.tf * 2.2::DOUBLE)
+           |      / (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl
+           |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+           |  FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+           |bm AS (SELECT doc_id, list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS bm25
+           |       FROM scored GROUP BY doc_id),
+           |kw AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS kw_rank
+           |       FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
+           |vec AS (SELECT vec_id AS doc_id,
+           |          row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS vec_rank
+           |        FROM (SELECT vec_id, list_inner_product(embedding::DOUBLE[], $qv) AS sim
+           |              FROM embeddings
+           |              WHERE list_inner_product(embedding::DOUBLE[], $qv) >= 0.0
+           |              ORDER BY sim DESC, vec_id ASC LIMIT 20))
+           |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+           |  coalesce(0.5::DOUBLE / (60 + kw_rank), 0.0::DOUBLE) +
+           |  coalesce(0.5::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf_score
+           |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+           |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10) t""".stripMargin
+      }
       Seq(0L, 1L, 2L).map(arm)
         .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, rank ASC")
     }

@@ -881,16 +881,77 @@ object IndexPipeline {
         s"$sdir/byid", nFiles = 4)
       graft.operators.ByidStore.applyCdc(s, s"$sdir/byid", removals,
         addRows.select(col("id"), col("emb"), col("tenant")), "id")
-      aInc.write.mode("overwrite").parquet(s"$sdir/cells")
-      cInc.join(aInc.select(col("tenant"), col("id"), col("cell")),
-          Seq("tenant", "id"))
-        .write.mode("overwrite").parquet(s"$sdir/encoded")
-      graft.operators.ServingState.saveAssets(s, sdir, Some(cents),
-        Some(books), corpusSize = snap2.count(), encodedHasCells = true)
+      graft.operators.ServingState.saveSnapshot(s, sdir, Some(cents),
+        Some(books), cells = Some(aInc),
+        encoded = Some(cInc.join(aInc.select(col("tenant"), col("id"),
+          col("cell")), Seq("tenant", "id"))),
+        corpusSize = snap2.count(), encodedHasCells = true)
       val st = graft.operators.ServingState.load(s, sdir,
         idCol = "id", embCol = "emb")
       Serving.searchBatch(st, "all", qs, k = 10, nProbe = 4, rescoreK = 50,
         bruteForceCeiling = 0L)
+    }),
+
+    // X22 — SERVE-DURING-REFRESH (r14 verdict task 2): serving-state
+    // snapshots are manifest-committed, so a reader that loaded
+    // BEFORE a refresh keeps serving the old snapshot in full — its
+    // manifest pins the byid batch range, making CDC batches applied
+    // after the pin invisible — while a reader that loads AFTER
+    // serves the new snapshot in full; never a torn pairing (new
+    // corpus bytes under old assets, or a half-visible CDC batch).
+    // The gate serves the SAME query batch three times through the
+    // brute tier (whose scan IS the pinned byid view — the exact
+    // surface snapshot isolation protects): phase old_pre_refresh
+    // (loaded state, before churn commits), old_post_refresh (the
+    // SAME pinned state after CDC + snapshot-2 refresh — must still
+    // hash-equal the v1 corpus replay), new_post_refresh (fresh load
+    // — must hash-equal the v2 replay). The churn has all three CDC
+    // shapes: %7 updates (reversed embeddings), %13∖%7 deletes, %9
+    // inserts. Refresh folds the deltas (checkpoint), so phase-new
+    // full scans take the single-segment fast path; phase-old reads
+    // the still-present pre-refresh base through its pinned range.
+    "x22_snapshot_refresh_serve" -> ((s, d) => {
+      import graft.operators.{Serving, ServingState, ByidStore, Search}
+      val sdir = snapDir(d) + "_ssr"
+      deleteRecursively(java.nio.file.Paths.get(sdir))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sdir))
+      val all = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("tenant", lit("all"))
+      val v1 = all.filter(pmod(col("id"), lit(9L)) =!= 0)
+      ByidStore.init(v1.select("id", "emb", "tenant"), "id", s"$sdir/byid",
+        nFiles = 4)
+      ServingState.saveSnapshot(s, sdir, corpusSize = v1.count())
+      val stOld = ServingState.load(s, sdir, idCol = "id", embCol = "emb")
+      val qids = Seq(0L, 1L, 2L)
+      val qs = qids.zip(Search.qvecs(s, d, qids))
+      def serve(st: Serving.IndexState, phase: String): DataFrame =
+        Serving.searchBatch(st, "all", qs, k = 10,
+            bruteForceCeiling = Long.MaxValue)
+          .withColumn("phase", lit(phase))
+      // NOTE the plan is lazy: phase old_pre_refresh EXECUTES after
+      // the refresh below — correct anyway, because the pinned range
+      // reads the pre-refresh base segment, which the refresh leaves
+      // in place (only vacuum retires it). Laziness is safe UNDER the
+      // pin; that is the point.
+      val oldPre = serve(stOld, "p1_old_pre_refresh")
+      val updates = v1.filter(pmod(col("id"), lit(7L)) === 0)
+        .select(col("id"), reverse(col("emb")).as("emb"), col("tenant"))
+      val deletes = v1.filter(pmod(col("id"), lit(13L)) === 0 &&
+        pmod(col("id"), lit(7L)) =!= 0).select("id")
+      val inserts = all.filter(pmod(col("id"), lit(9L)) === 0)
+      ByidStore.applyCdc(s, s"$sdir/byid",
+        updates.select("id").unionByName(deletes),
+        updates.unionByName(inserts.select("id", "emb", "tenant")), "id")
+      ServingState.saveSnapshot(s, sdir) // refresh: folds + commits snap 2
+      val oldPost = serve(stOld, "p2_old_post_refresh")
+      val stNew = ServingState.load(s, sdir, idCol = "id", embCol = "emb")
+      val neu = serve(stNew, "p3_new_post_refresh")
+      oldPre.unionByName(oldPost).unionByName(neu)
+        .select(col("phase"), col("q_id"), col("rank"), col("id"),
+          col("sim"), col("tier"))
+        .orderBy("phase", "q_id", "rank")
     }),
 
     // S19 — ZONE-MAP DATA SKIPPING on the versioned store, the Delta
@@ -1691,6 +1752,88 @@ object IndexPipeline {
       graft.operators.TextAnalysis.truncSql("text", 256) +
       ") || ' | type: text' ELSE 'file: doc_' || doc_id || ' | type: text' END"
 
+  /** The maintain-then-serve oracle arm, shared by `x21_cdc_maintain_
+    * serve` (batch episode, no deletes) and `st_maintain_serve` (the
+    * streaming sink replay, whose feed ALSO deletes the %13∖%7
+    * cohort — `v1DeleteClause` filters the surviving v1 rows). Per
+    * batch member: the snapshot-1 sample (256 lowest non-%9 ids)
+    * trains the 16-cell IVF and four subspace codebooks from scratch,
+    * the churned v2 content is assigned and encoded in full, probe-4
+    * bounds the ADC candidates, the top-50 rescore exactly — then
+    * rank + the routed tier constant. A maintained index serving
+    * anything different from this from-scratch replay hash-fails. */
+  private[graft] def maintainServeArmSql(qid: Long,
+                                         v1DeleteClause: String): String = {
+    val subs = (0 until 4).map(s =>
+      graft.operators.ProductQuantization.subspaceCte(
+        s, 16, assignRel = "v2", withScore = true)).mkString(",\n")
+    s"""SELECT CAST($qid AS BIGINT) AS q_id,
+       |  row_number() OVER (ORDER BY t.sim DESC, t.id ASC) AS rank,
+       |  t.id, t.sim, 'ivf_pq' AS tier
+       |FROM (
+       |WITH RECURSIVE eall AS (
+       |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |v1 AS (SELECT * FROM eall WHERE id % 9 <> 0),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qid),
+       |esample AS (
+       |  SELECT id, tenant, emb FROM (
+       |    SELECT id, tenant, emb,
+       |      row_number() OVER (PARTITION BY tenant ORDER BY id) AS rn FROM v1)
+       |  WHERE rn <= 256),
+       |v2 AS (
+       |  SELECT id, tenant, CASE WHEN id % 7 = 0
+       |    THEN list_transform(range(1, 65), j -> emb[65 - j])
+       |    ELSE emb END AS emb
+       |  FROM v1
+       |  $v1DeleteClause
+       |  UNION ALL
+       |  SELECT id, tenant, emb FROM eall WHERE id % 9 = 0),
+       |${graft.operators.Clustering.kmeansCte(16, "esample", "s_")},
+       |cents AS (
+       |  SELECT k.best AS cell, count(*) AS cnt,
+       |    list(p.emb ORDER BY p.id) AS m
+       |  FROM s_kassign k JOIN esample p ON p.id = k.id
+       |  GROUP BY k.best),
+       |cenv AS (
+       |  SELECT cell,
+       |    list_transform(range(1, 65),
+       |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
+       |           / CAST(cnt AS DOUBLE)) AS centroid
+       |  FROM cents),
+       |assignall AS (
+       |  SELECT id, cell FROM (
+       |    SELECT p.id, c.cell,
+       |      row_number() OVER (PARTITION BY p.id ORDER BY
+       |        list_reduce(list_transform(range(1, 65),
+       |          j -> (p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])),
+       |          (x, y) -> x + y) ASC, c.cell ASC) AS rnk
+       |    FROM v2 p CROSS JOIN cenv c)
+       |  WHERE rnk = 1),
+       |$subs,
+       |subsc AS (
+       |${(0 until 4).map(s => s"  SELECT id, $s AS s, sc FROM p${s}a")
+          .mkString("\n  UNION ALL\n")}),
+       |adc AS (
+       |  SELECT id, list_reduce(list(sc ORDER BY s), (a, b) -> a + b) AS adc_score
+       |  FROM subsc GROUP BY id),
+       |proberank AS (
+       |  SELECT cell, row_number() OVER (
+       |    ORDER BY list_inner_product(centroid, q.qv) DESC, cell ASC) AS pr
+       |  FROM cenv CROSS JOIN q),
+       |probed AS (SELECT cell FROM proberank WHERE pr <= 4),
+       |cand AS (
+       |  SELECT a.id, a.adc_score
+       |  FROM adc a
+       |  JOIN assignall asg ON asg.id = a.id
+       |  JOIN probed pb ON pb.cell = asg.cell
+       |  ORDER BY a.adc_score DESC, a.id ASC LIMIT 50)
+       |SELECT c.id AS id, list_inner_product(p.emb, q.qv) AS sim
+       |FROM cand c JOIN v2 p ON p.id = c.id CROSS JOIN q
+       |WHERE list_inner_product(p.emb, q.qv) >= 0.0
+       |ORDER BY sim DESC, c.id ASC LIMIT 10) t""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // X7 — the full index-then-search composite: chunk walk for chunk
     // identities, summary-text assembly, md5-prefix → SyntheticVec
@@ -2138,77 +2281,48 @@ object IndexPipeline {
     // tier constant. A maintained index serving anything different
     // from this from-scratch replay hash-fails.
     "x21_cdc_maintain_serve" -> {
-      def arm(qid: Long): String = {
-        val subs = (0 until 4).map(s =>
-          graft.operators.ProductQuantization.subspaceCte(
-            s, 16, assignRel = "v2", withScore = true)).mkString(",\n")
-        s"""SELECT CAST($qid AS BIGINT) AS q_id,
-           |  row_number() OVER (ORDER BY t.sim DESC, t.id ASC) AS rank,
-           |  t.id, t.sim, 'ivf_pq' AS tier
-           |FROM (
-           |WITH RECURSIVE eall AS (
-           |  SELECT vec_id AS id, 'all' AS tenant, embedding::DOUBLE[] AS emb
-           |  FROM embeddings),
-           |v1 AS (SELECT * FROM eall WHERE id % 9 <> 0),
-           |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qid),
-           |esample AS (
-           |  SELECT id, tenant, emb FROM (
-           |    SELECT id, tenant, emb,
-           |      row_number() OVER (PARTITION BY tenant ORDER BY id) AS rn FROM v1)
-           |  WHERE rn <= 256),
-           |v2 AS (
-           |  SELECT id, tenant, CASE WHEN id % 7 = 0
-           |    THEN list_transform(range(1, 65), j -> emb[65 - j])
-           |    ELSE emb END AS emb
-           |  FROM v1
-           |  UNION ALL
-           |  SELECT id, tenant, emb FROM eall WHERE id % 9 = 0),
-           |${graft.operators.Clustering.kmeansCte(16, "esample", "s_")},
-           |cents AS (
-           |  SELECT k.best AS cell, count(*) AS cnt,
-           |    list(p.emb ORDER BY p.id) AS m
-           |  FROM s_kassign k JOIN esample p ON p.id = k.id
-           |  GROUP BY k.best),
-           |cenv AS (
-           |  SELECT cell,
-           |    list_transform(range(1, 65),
-           |      j -> list_reduce(list_transform(m, v -> v[j]), (x, y) -> x + y)
-           |           / CAST(cnt AS DOUBLE)) AS centroid
-           |  FROM cents),
-           |assignall AS (
-           |  SELECT id, cell FROM (
-           |    SELECT p.id, c.cell,
-           |      row_number() OVER (PARTITION BY p.id ORDER BY
-           |        list_reduce(list_transform(range(1, 65),
-           |          j -> (p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])),
-           |          (x, y) -> x + y) ASC, c.cell ASC) AS rnk
-           |    FROM v2 p CROSS JOIN cenv c)
-           |  WHERE rnk = 1),
-           |$subs,
-           |subsc AS (
-           |${(0 until 4).map(s => s"  SELECT id, $s AS s, sc FROM p${s}a")
-              .mkString("\n  UNION ALL\n")}),
-           |adc AS (
-           |  SELECT id, list_reduce(list(sc ORDER BY s), (a, b) -> a + b) AS adc_score
-           |  FROM subsc GROUP BY id),
-           |proberank AS (
-           |  SELECT cell, row_number() OVER (
-           |    ORDER BY list_inner_product(centroid, q.qv) DESC, cell ASC) AS pr
-           |  FROM cenv CROSS JOIN q),
-           |probed AS (SELECT cell FROM proberank WHERE pr <= 4),
-           |cand AS (
-           |  SELECT a.id, a.adc_score
-           |  FROM adc a
-           |  JOIN assignall asg ON asg.id = a.id
-           |  JOIN probed pb ON pb.cell = asg.cell
-           |  ORDER BY a.adc_score DESC, a.id ASC LIMIT 50)
-           |SELECT c.id AS id, list_inner_product(p.emb, q.qv) AS sim
-           |FROM cand c JOIN v2 p ON p.id = c.id CROSS JOIN q
-           |WHERE list_inner_product(p.emb, q.qv) >= 0.0
-           |ORDER BY sim DESC, c.id ASC LIMIT 10) t""".stripMargin
-      }
-      Seq(0L, 1L, 2L).map(arm)
+      Seq(0L, 1L, 2L).map(maintainServeArmSql(_, v1DeleteClause = ""))
         .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, rank ASC")
+    },
+
+    // X22 replayed as exact kNN over the two corpus versions: both
+    // old phases (pre-refresh AND post-refresh through the pinned
+    // state) must equal the v1 replay — a pinned reader that saw any
+    // post-pin CDC byte hash-fails here — and the new phase equals
+    // the v2 replay (%7 reversed, %13∖%7 deleted, %9 inserted). The
+    // brute tier's scan is the pinned byid view itself, so this IS
+    // the snapshot-isolation check.
+    "x22_snapshot_refresh_serve" -> {
+      val corpusOld =
+        """SELECT vec_id AS id, embedding::DOUBLE[] AS emb
+          |FROM embeddings WHERE vec_id % 9 <> 0""".stripMargin
+      val corpusNew =
+        """SELECT id, CASE WHEN id % 7 = 0
+          |    THEN list_transform(range(1, 65), j -> emb[65 - j])
+          |    ELSE emb END AS emb
+          |FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS emb
+          |      FROM embeddings WHERE vec_id % 9 <> 0)
+          |WHERE NOT (id % 13 = 0 AND id % 7 <> 0)
+          |UNION ALL
+          |SELECT vec_id AS id, embedding::DOUBLE[] AS emb
+          |FROM embeddings WHERE vec_id % 9 = 0""".stripMargin
+      def arm(phase: String, corpus: String, qid: Long): String =
+        s"""SELECT '$phase' AS phase, CAST($qid AS BIGINT) AS q_id,
+           |  row_number() OVER (ORDER BY t.sim DESC, t.id ASC) AS rank,
+           |  t.id, t.sim, 'brute_force' AS tier
+           |FROM (
+           |  SELECT p.id, list_inner_product(p.emb, q.qv) AS sim
+           |  FROM ($corpus) p CROSS JOIN
+           |    (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           |     WHERE vec_id = $qid) q
+           |  WHERE list_inner_product(p.emb, q.qv) >= 0.0
+           |  ORDER BY sim DESC, p.id ASC LIMIT 10) t""".stripMargin
+      val qids = Seq(0L, 1L, 2L)
+      (qids.map(arm("p1_old_pre_refresh", corpusOld, _)) ++
+        qids.map(arm("p2_old_post_refresh", corpusOld, _)) ++
+        qids.map(arm("p3_new_post_refresh", corpusNew, _)))
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY phase ASC, q_id ASC, rank ASC")
     },
 
     // X20 replayed from arithmetic: the final corpus = (non-%9 cohort

@@ -292,6 +292,94 @@ object StreamingOps {
       }
       .start()
 
+  /** One micro-batch of the FULL maintain-then-serve loop (r14
+    * verdict task 5 — the operational form a 100 TB deployment runs):
+    * the CDC batch (op ∈ upsert|delete, idCol, embCol, tenant) is
+    * applied O(churn) to ALL THREE maintained serving assets — the
+    * raw byid store, the IVF cell assignments, and the PQ codes, each
+    * a CDC-maintained point-fetch store under `stateDir` (assignment/
+    * encoding of the batch's postimages runs against the FROZEN
+    * centroids/codebooks — the x17/x19 maintenance contract) — then a
+    * probe batch is served THROUGH the routed IVF-PQ tier over the
+    * maintained state and PERSISTED under `stateDir/served/epoch_N`,
+    * so the serving loop is provably live between micro-batches.
+    * Returns the served rows (read back from the persisted parquet —
+    * nothing lazy escapes the epoch). The `st_maintain_serve` gate
+    * replays micro-batches through THIS function and hash-gates the
+    * final epoch's serve against a from-scratch 15-Lloyd-kernel
+    * oracle; StreamingSpec drives the real readStream path. */
+  def maintainServeBatch(spark: SparkSession, batch: DataFrame,
+                         stateDir: String,
+                         centroids: Map[String, Array[Array[Double]]],
+                         codebooks: Map[String, graft.operators.ProductQuantization.Codebooks],
+                         probes: Seq[(Long, Seq[Double])], k: Int,
+                         nProbe: Int, rescoreK: Int, epoch: Long,
+                         tenant: String = "all", idCol: String = "id",
+                         embCol: String = "emb"): DataFrame = {
+    import graft.operators.{ByidStore, Search, Serving, ProductQuantization => PQ}
+    val removals = batch.filter(col("op").isin("delete", "upsert"))
+      .select(col(idCol)).distinct()
+    val additions = batch.filter(col("op") === "upsert").drop("op")
+    val aDelta = Search.ivfAssign(additions, "tenant", idCol, embCol, centroids)
+    val cDelta = PQ.pqEncode(additions, "tenant", idCol, embCol, codebooks)
+      .join(aDelta.select(col("tenant"), col("id"), col("cell")),
+        Seq("tenant", "id"))
+      .select("tenant", "id", "codes", "cell")
+    ByidStore.applyCdc(spark, s"$stateDir/byid", removals,
+      additions.select(col(idCol), col(embCol), col("tenant")), idCol)
+    // the derived stores key on the CANONICAL id column their
+    // builders emit; removals are renamed to match
+    val remCanon = removals.select(col(idCol).cast("long").as("id"))
+    ByidStore.applyCdc(spark, s"$stateDir/cells_store", remCanon, aDelta, "id")
+    ByidStore.applyCdc(spark, s"$stateDir/codes_store", remCanon, cDelta, "id")
+    // serve a probe batch off the maintained state (corpus counter
+    // from the resolved view here; a deployment reads it from its
+    // catalog the way ServingState manifests record it)
+    val vectors = ByidStore.readAll(spark, s"$stateDir/byid", idCol)
+    val st = Serving.IndexState(
+      vectors = vectors,
+      corpusSize = vectors.count(),
+      centroids = Some(centroids),
+      cells = Some(ByidStore.readAll(spark, s"$stateDir/cells_store", "id")
+        .drop("seg")),
+      codebooks = Some(codebooks),
+      encoded = Some(ByidStore.readAll(spark, s"$stateDir/codes_store", "id")
+        .drop("seg")),
+      encodedHasCells = true,
+      byidPath = Some(s"$stateDir/byid"),
+      tenantCol = "tenant", idCol = idCol, embCol = embCol)
+    Serving.searchBatch(st, tenant, probes, k, nProbe, rescoreK,
+        bruteForceCeiling = 0L)
+      .write.mode("overwrite").parquet(f"$stateDir/served/epoch_$epoch%05d")
+    spark.read.parquet(f"$stateDir/served/epoch_$epoch%05d")
+  }
+
+  /** [[maintainServeBatch]] as a Structured Streaming sink: every CDC
+    * micro-batch maintains all three serving assets and serves (and
+    * persists) the probe batch before the next micro-batch is
+    * admitted — foreachBatch serializes epochs, satisfying every
+    * store's single-writer contract. */
+  def streamMaintainServe(changes: DataFrame, stateDir: String,
+                          checkpointDir: String,
+                          centroids: Map[String, Array[Array[Double]]],
+                          codebooks: Map[String, graft.operators.ProductQuantization.Codebooks],
+                          probes: Seq[(Long, Seq[Double])], k: Int,
+                          nProbe: Int = 4, rescoreK: Int = 50,
+                          tenant: String = "all", idCol: String = "id",
+                          embCol: String = "emb",
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        maintainServeBatch(batch.sparkSession, batch, stateDir, centroids,
+          codebooks, probes, k, nProbe, rescoreK, epoch, tenant, idCol,
+          embCol): Unit
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 15-min window agg (streaming-equivalent batch form;
     // qa_analytics daily trend A4 generalized to sub-day windows).
@@ -355,6 +443,67 @@ object StreamingOps {
         .groupBy("code")
         .agg(count(lit(1)).as("n_admitted"), sum(col("vec_id")).as("sum_ids"))
         .orderBy("code")
+    }),
+
+    // STREAMING MAINTAIN-THEN-SERVE (r14 verdict task 5): the x21
+    // composite in its operational streaming form. Snapshot 1 (the
+    // non-%9 cohort) bootstraps all three CDC-maintained serving
+    // stores (byid / IVF cells / PQ codes) and freezes the trained
+    // assets; the churn feed — %7 updates (reversed embeddings),
+    // %13∖%7 deletes, %9 inserts — arrives as TWO micro-batches
+    // (split by id parity) replayed through maintainServeBatch, the
+    // SAME function the streamMaintainServe sink applies per epoch
+    // (StreamingSpec drives the real readStream path). Each epoch
+    // maintains every asset O(churn) and serves + persists a routed
+    // IVF-PQ probe batch; the gate emits the FINAL epoch's served
+    // rows, hash-gated against the from-scratch 15-Lloyd-kernel
+    // replay over the fully-churned corpus — drift in the feed
+    // split, any store's merge, the frozen-asset maintenance, the
+    // routing, or the ADC/rescore math hash-fails the served result.
+    "st_maintain_serve" -> ((s, d) => {
+      import graft.operators.{ByidStore, Search, ProductQuantization => PQc}
+      val sdir = java.nio.file.Files
+        .createTempDirectory("graft_st_ms_").toString
+      val all = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("tenant", lit("all"))
+      val v1 = all.filter(pmod(col("id"), lit(9L)) =!= 0)
+      val cents = Search.ivfTrainSampled(v1, "tenant", "id", "emb", 16,
+        sampleCap = 256)
+      val books = PQc.pqTrainSampled(v1, "tenant", "id", "emb", 4, 8, 256)
+      ByidStore.init(v1.select("id", "emb", "tenant"), "id",
+        s"$sdir/byid", nFiles = 4)
+      val a1 = Search.ivfAssign(v1, "tenant", "id", "emb", cents)
+      ByidStore.init(a1, "id", s"$sdir/cells_store", nFiles = 4)
+      ByidStore.init(PQc.pqEncode(v1, "tenant", "id", "emb", books)
+          .join(a1.select(col("tenant"), col("id"), col("cell")),
+            Seq("tenant", "id"))
+          .select("tenant", "id", "codes", "cell"),
+        "id", s"$sdir/codes_store", nFiles = 4)
+      val ups = v1.filter(pmod(col("id"), lit(7L)) === 0)
+        .select(lit("upsert").as("op"), col("id"),
+          reverse(col("emb")).as("emb"), col("tenant"))
+      val ins = all.filter(pmod(col("id"), lit(9L)) === 0)
+        .select(lit("upsert").as("op"), col("id"), col("emb"), col("tenant"))
+      val dels = v1.filter(pmod(col("id"), lit(13L)) === 0 &&
+          pmod(col("id"), lit(7L)) =!= 0)
+        .select(lit("delete").as("op"), col("id"),
+          lit(null).cast("array<double>").as("emb"), col("tenant"))
+      val feed = ups.unionByName(ins).unionByName(dels)
+      val qids = Seq(0L, 1L, 2L)
+      val probes = qids.zip(Search.qvecs(s, d, qids))
+      val served = Seq(0L, 1L).map { par =>
+        maintainServeBatch(s, feed.filter(pmod(col("id"), lit(2L)) === par),
+          sdir, cents, books, probes, k = 10, nProbe = 4, rescoreK = 50,
+          epoch = par)
+      }
+      // the between-epoch serve is persisted and non-empty — the loop
+      // stayed live mid-stream (its rows reflect the half-churned
+      // state; the final epoch is the oracle-gated one)
+      require(served.head.count() == 30,
+        "epoch-0 probe serve missing or wrong-sized")
+      served.last.orderBy("q_id", "rank")
     }),
 
     // First-seen dedup per (user, event_type) — the streaming-dedup
@@ -429,6 +578,15 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // The x21 from-scratch replay with the delete cohort removed from
+    // the surviving v1 rows — epoch splitting must be invisible in
+    // the final served state.
+    "st_maintain_serve" -> {
+      Seq(0L, 1L, 2L).map(graft.pipelines.IndexPipeline.maintainServeArmSql(
+          _, v1DeleteClause = "WHERE NOT (id % 13 = 0 AND id % 7 <> 0)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, rank ASC")
+    },
+
     // Late profile replayed: same 1000-row arrival batches, same
     // previous-batches running max, same late rule per delay.
     "st_late_profile" ->

@@ -54,6 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_ivfadc_topk" -> "top-rescoreK candidate keys, bounded",
     "x20_cdc_byid_maintain" -> "CDC feed id sets + tombstones: churn-bounded",
     "x21_cdc_maintain_serve" -> "CDC feed id sets + rescore candidates: churn/k-bounded",
+    "x22_snapshot_refresh_serve" -> "CDC feed id sets + tombstones: churn-bounded",
+    "st_maintain_serve" -> "CDC feed id sets + rescore candidates: churn/k-bounded",
     "c7_hierarchical" -> "per-cluster sizes: rows ≤ tenants × k (model state)",
     "c7b_hierarchical_density" -> "per-cluster sizes: rows ≤ tenants × k",
     "c7h_hierarchical_hdbscan" -> "per-cluster sizes: rows ≤ tenants × k",

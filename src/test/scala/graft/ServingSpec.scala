@@ -66,6 +66,112 @@ class ServingSpec extends AnyFunSuite {
     // exact recall contract → brute regardless of assets
     assert(route(st(centroidsOn = true, cellsOn = true, codesOn = true,
       withCells = true), recallFloor = 1.0, bruteForceCeiling = 0) == BruteForceTier)
+    // encoded carrying its own cell column serves IVF-PQ with NO
+    // separate cells frame (ADVICE r14: no silent brute-force cliff)
+    assert(route(IndexState(vectors = e, corpusSize = n,
+      centroids = Some(cents), codebooks = Some(books),
+      encoded = Some(encCells), encodedHasCells = true,
+      idCol = "vec_id", embCol = "embedding"),
+      bruteForceCeiling = 0) == IvfPqTier)
+  }
+
+  test("calibrated routing honors intermediate recall floors from stored curves (r14 task 3)") {
+    val full = st(centroidsOn = true, cellsOn = true, codesOn = true,
+      withCells = true)
+    val curve = Seq(
+      RecallPoint("ivf_pq", 4, 50, 0.72),
+      RecallPoint("ivf_pq", 8, 100, 0.85),
+      RecallPoint("ivf", 8, 0, 0.93),
+      RecallPoint("pq", 0, 200, 0.95))
+    val cal = full.copy(recallCurve = curve)
+    // floor 0: the cost ladder at the CALLER's params (unchanged)
+    assert(routeCalibrated(cal, 0.0, 0, 4, 50) == Decision(IvfPqTier, 4, 50))
+    // floor 0.8: cheapest stored config meeting it — ivf_pq @ (8,100),
+    // overriding the caller's (4,50)
+    assert(routeCalibrated(cal, 0.8, 0, 4, 50) == Decision(IvfPqTier, 8, 100))
+    // floor 0.9: no ivf_pq point reaches it; next rung that does is ivf
+    assert(routeCalibrated(cal, 0.9, 0, 4, 50) == Decision(IvfTier, 8, 0))
+    // floor 0.999: the exact contract — brute, curves irrelevant
+    assert(routeCalibrated(cal, 0.999, 0, 4, 50).tier == BruteForceTier)
+    // floor above every stored point: brute, never silently unmet
+    assert(routeCalibrated(cal, 0.96, 0, 4, 50).tier == BruteForceTier)
+    // no stored curve at all + intermediate floor: unverifiable → brute
+    assert(routeCalibrated(full, 0.9, 0, 4, 50).tier == BruteForceTier)
+    // stored points for tiers the state cannot serve are ignored
+    val ivfOnly = st(centroidsOn = true, cellsOn = true)
+      .copy(recallCurve = curve)
+    assert(routeCalibrated(ivfOnly, 0.8, 0, 4, 50) == Decision(IvfTier, 8, 0))
+  }
+
+  private lazy val docsAll =
+    Tables.documents(spark, d).withColumn("tenant", lit("all"))
+  private lazy val postings =
+    Serving.buildPostings(docsAll, "tenant", "doc_id", "text")
+  private lazy val lexStats = Serving.lexStatsOf(docsAll, "tenant", "text")
+
+  test("hybrid routing matrix: text + lexical assets → hybrid; otherwise the vector path (r14 task 4)") {
+    val full = st(centroidsOn = true, cellsOn = true, codesOn = true,
+      withCells = true)
+    val lexed = full.copy(postings = Some(postings), lexStats = lexStats)
+    assert(routeCalibrated(lexed, 0, 0, 4, 50, hasText = true).tier == HybridTier)
+    // no text: the vector ladder, lexical assets irrelevant
+    assert(routeCalibrated(lexed, 0, 0, 4, 50).tier == IvfPqTier)
+    // text but no postings: the vector ladder, text ignored
+    assert(routeCalibrated(full, 0, 0, 4, 50, hasText = true).tier == IvfPqTier)
+    // the exact-recall contract trumps fusion
+    assert(routeCalibrated(lexed, 0.999, 0, 4, 50, hasText = true).tier ==
+      BruteForceTier)
+    // searchBatchText with empty term lists serves the vector decision
+    val v = searchBatchText(lexed, "all", qs.map(q => (q._1, q._2, Nil)),
+      k = 5, bruteForceCeiling = 0)
+    assert(v.select("tier").distinct().head().getString(0) == "ivf_pq")
+  }
+
+  test("hybrid serve equals the manual BM25 ∥ vector RRF composition") {
+    import graft.operators.TextAnalysis
+    val terms = Seq("join", "vector", "dup")
+    val lexed = st(centroidsOn = true, cellsOn = true, codesOn = true,
+      withCells = true).copy(postings = Some(postings), lexStats = lexStats)
+    val got = searchBatchText(lexed, "all",
+        Seq((0L, qs.head._2, terms)), k = 10, nProbe = 4, rescoreK = 50,
+        bruteForceCeiling = 0)
+      .select("q_id", "rank", "id", "sim", "tier").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getString(4))).toSeq
+    // manual composition: from-text BM25 top-20 ∥ the routed IVF-PQ
+    // vector arm top-20, RRF-folded in plain Scala
+    val kw = TextAnalysis.bm25Scores(docsAll, terms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+      .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val vec = searchBatch(st(centroidsOn = true, cellsOn = true,
+        codesOn = true, withCells = true), "all", Seq((0L, qs.head._2)),
+        k = 20, nProbe = 4, rescoreK = 50, bruteForceCeiling = 0)
+      .select("rank", "id").collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val want = (kw.keySet ++ vec.keySet).toSeq.map { id =>
+      val s = kw.get(id).map(r => 0.5 / (60 + r)).getOrElse(0.0) +
+        vec.get(id).map(r => 0.5 / (60 + r)).getOrElse(0.0)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s, "hybrid") }
+    assert(got == want)
+  }
+
+  test("measureRecallCurve: exhaustive probing measures 1.0 and searchBatch serves the calibrated config") {
+    val full = st(centroidsOn = true, cellsOn = true, codesOn = true,
+      withCells = true)
+    // nProbe 16 probes every cell → IVF candidate set is exact
+    val curve = Serving.measureRecallCurve(full, "all", qs, k = 10,
+      grid = Seq((IvfTier, 16, 0)))
+    assert(curve == Seq(RecallPoint("ivf", 16, 0, 1.0)))
+    val cal = full.copy(recallCurve = curve)
+    // caller asks floor 0.95 with nProbe 4 — the router must serve the
+    // STORED config (ivf @ nProbe 16), not the caller's parameters
+    val got = searchBatch(cal, "all", qs, k = 5, nProbe = 4,
+      rescoreK = 50, recallFloor = 0.95, bruteForceCeiling = 0)
+    assert(got.select("tier").distinct().head().getString(0) == "ivf")
+    val want = Search.ivfSearchBatch(assigned, cents, "all", qs, 5, 16)
+    assert(rows(got) == rows(want))
   }
 
   private def rows(df: DataFrame): Seq[(Long, Int, Long)] =

@@ -8,8 +8,9 @@ import graft.operators.{ByidStore, ProductQuantization => PQ, Search, Serving, S
 
 /** Persisted serving state: driver-side maps round-trip bit-exactly,
   * a directory-loaded state routes and serves identically to the
-  * in-memory one, and the byid-backed rescore makes post-churn serving
-  * read the MAINTAINED bytes, never a stale base. */
+  * in-memory one, snapshots are manifest-committed (a loaded state is
+  * immutable under concurrent refreshes — old or new, never torn),
+  * and vacuum retires only what no newest-snapshot reader needs. */
 class ServingStateSpec extends AnyFunSuite {
   lazy val spark = SparkSessionHelper.spark
   private val d = "/root/testdata/sf0.01"
@@ -38,19 +39,19 @@ class ServingStateSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-svstate-").toString
     ByidStore.init(e.select("id", "embedding", "tenant"), "id", s"$dir/byid",
       nFiles = 4)
-    assigned.write.mode("overwrite").parquet(s"$dir/cells")
-    encCells.write.mode("overwrite").parquet(s"$dir/encoded")
-    ServingState.saveAssets(spark, dir, Some(cents), Some(books),
+    val n = ServingState.saveSnapshot(spark, dir, Some(cents), Some(books),
+      cells = Some(assigned), encoded = Some(encCells),
       corpusSize = e.count(), encodedHasCells = true)
+    assert(n == 1)
     dir
   }
 
   test("centroids and codebooks round-trip bit-exactly") {
     val dir = buildDir()
-    val c2 = ServingState.loadCentroids(spark, s"$dir/centroids")
+    val c2 = ServingState.loadCentroids(spark, s"$dir/v_00001/centroids")
     assert(c2.keySet == cents.keySet)
     assert(c2("all").map(_.toSeq).toSeq == cents("all").map(_.toSeq).toSeq)
-    val b2 = ServingState.loadCodebooks(spark, s"$dir/codebooks")
+    val b2 = ServingState.loadCodebooks(spark, s"$dir/v_00001/codebooks")
     assert(b2("all").map(_.map(_.toSeq).toSeq).toSeq ==
       books("all").map(_.map(_.toSeq).toSeq).toSeq)
   }
@@ -74,27 +75,89 @@ class ServingStateSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("post-churn serving rescores through the maintained byid store, not a stale base") {
+  test("snapshot isolation: a loaded state is immutable under CDC + refresh; the refreshed load serves the new bytes") {
     import spark.implicits._
     val dir = buildDir()
-    // pre-churn: query = vec 0's own embedding → exact self-hit at rank 1
-    val st0 = ServingState.load(spark, dir)
+    val stOld = ServingState.load(spark, dir)
     val q0 = Seq((0L, qs.head._2))
-    val pre = Serving.searchBatch(st0, "all", q0, k = 3, nProbe = 4,
-      rescoreK = 50, bruteForceCeiling = 0).collect()
+    def serve(st: Serving.IndexState) =
+      Serving.searchBatch(st, "all", q0, k = 3, nProbe = 4,
+        rescoreK = 50, bruteForceCeiling = 0).collect()
+    val pre = serve(stOld)
     assert(pre.head.getAs[Long]("id") == 0L, "pre-churn self-hit missing")
-    // churn ONLY the byid store: vec 0's embedding becomes its negation
-    // (codes/cells stay stale — the candidate generator may still
-    // surface id 0, but the rescore must see the NEW bytes)
+    // churn: vec 0's embedding becomes its negation (cells/encoded
+    // stay stale — the candidate generator may still surface id 0,
+    // but the rescore decides from the byid bytes)
     val newEmb = qs.head._2.map(x => -x)
     val add = Seq((0L, newEmb, "all")).toDF("id", "embedding", "tenant")
     ByidStore.applyCdc(spark, s"$dir/byid", Seq(0L).toDF("id"), add, "id")
-    val st1 = ServingState.load(spark, dir)
-    val post = Serving.searchBatch(st1, "all", q0, k = 3, nProbe = 4,
-      rescoreK = 50, bruteForceCeiling = 0).collect()
-    // dot(q, -q) = -|q|² < 0 < threshold 0.0: id 0 cannot survive the
-    // rescore — a stale base would still serve it at rank 1
+    // BEFORE any refresh: the pinned state AND a fresh load both still
+    // serve snapshot 1's bytes — CDC batches after the pin are
+    // invisible (dot(q, -q) < 0 would otherwise evict the self-hit)
+    assert(serve(stOld).toSeq == pre.toSeq,
+      "pinned snapshot saw post-pin CDC bytes")
+    assert(serve(ServingState.load(spark, dir)).toSeq == pre.toSeq,
+      "newest-manifest load saw uncommitted refresh bytes")
+    // REFRESH: commit snapshot 2 (same derived assets, new byid pin)
+    val n2 = ServingState.saveSnapshot(spark, dir, Some(cents), Some(books),
+      cells = Some(assigned), encoded = Some(encCells),
+      corpusSize = e.count(), encodedHasCells = true)
+    assert(n2 == 2)
+    // the old pinned reader STILL serves snapshot 1 (old dirs intact)
+    assert(serve(stOld).toSeq == pre.toSeq,
+      "refresh mutated a pinned snapshot's view")
+    // a new load pins snapshot 2 and must see the churned bytes: id 0
+    // cannot survive the rescore (threshold 0.0 > dot(q, -q))
+    val post = serve(ServingState.load(spark, dir))
     assert(!post.exists(_.getAs[Long]("id") == 0L),
-      "stale base bytes served after churn")
+      "stale base bytes served after refresh")
+    // refresh folded the byid deltas: snapshot 2 pins ONE full base
+    // (merge-free fast path for full scans)
+    val snaps = ServingState.snapshots(dir)
+    assert(snaps == Seq(1, 2))
+  }
+
+  test("vacuum retires old snapshots and byid batches; newest keeps serving") {
+    import spark.implicits._
+    val dir = buildDir()
+    val newEmb = qs.head._2.map(x => -x)
+    ByidStore.applyCdc(spark, s"$dir/byid", Seq(0L).toDF("id"),
+      Seq((0L, newEmb, "all")).toDF("id", "embedding", "tenant"), "id")
+    ServingState.saveSnapshot(spark, dir, Some(cents), Some(books),
+      cells = Some(assigned), encoded = Some(encCells),
+      corpusSize = e.count(), encodedHasCells = true)
+    val before = Serving.searchBatch(ServingState.load(spark, dir), "all",
+        qs, k = 5, nProbe = 4, rescoreK = 50, bruteForceCeiling = 0)
+      .select("q_id", "rank", "id").collect().toSeq
+    ServingState.vacuum(spark, dir)
+    assert(ServingState.snapshots(dir) == Seq(2))
+    assert(!new java.io.File(s"$dir/v_00001").exists())
+    // byid retired below the newest pin: exactly one base remains
+    assert(ByidStore.segments(s"$dir/byid").size == 1)
+    assert(ByidStore.tombstones(s"$dir/byid").isEmpty)
+    val after = Serving.searchBatch(ServingState.load(spark, dir), "all",
+        qs, k = 5, nProbe = 4, rescoreK = 50, bruteForceCeiling = 0)
+      .select("q_id", "rank", "id").collect().toSeq
+    assert(after == before)
+  }
+
+  test("racing refresh: the atomic manifest create admits exactly one winner per snapshot number") {
+    val dir = buildDir()
+    val lines = Seq("corpus_size=1", "encoded_has_cells=false",
+      "residual_codes=false", "byid_base=0", "byid_pin=0")
+    // two refreshers race to publish snapshot 2: the second link must
+    // fail loudly in the kernel, never overwrite the winner
+    ServingState.publishManifest(dir, 2, lines)
+    intercept[java.util.ConcurrentModificationException] {
+      ServingState.publishManifest(dir, 2, Seq("corpus_size=999",
+        "encoded_has_cells=true", "residual_codes=true",
+        "byid_base=0", "byid_pin=0"))
+    }
+    assert(ServingState.snapshots(dir) == Seq(1, 2))
+    // the winner's content survived intact
+    val st = ServingState.loadSnapshot(spark, dir, 2)
+    assert(st.corpusSize == 1L && !st.residualCodes)
+    // the loser's staged tmp is gone (no debris manifest)
+    assert(!new java.io.File(s"$dir/_manifest_00002.tmp").exists())
   }
 }

@@ -326,6 +326,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(2L -> "b-2", 3L -> "c-3"))
   }
 
+  test("streamMaintainServe: real micro-batches maintain all three stores and serve per epoch (r14 task 5)") {
+    import graft.operators.{ByidStore, Search, Serving, ProductQuantization => PQ}
+    val d = "/root/testdata/sf0.001"
+    val sdir = java.nio.file.Files.createTempDirectory("graft_sms_state").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sms_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sms_ckpt").toString
+    val all = Tables.embeddings(spark, d)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("tenant", lit("all"))
+    val v1 = all.filter(pmod(col("id"), lit(9L)) =!= 0)
+    val cents = Search.ivfTrainSampled(v1, "tenant", "id", "emb", 16, sampleCap = 256)
+    val books = PQ.pqTrainSampled(v1, "tenant", "id", "emb", 4, 8, 256)
+    ByidStore.init(v1.select("id", "emb", "tenant"), "id", s"$sdir/byid", 2)
+    val a1 = Search.ivfAssign(v1, "tenant", "id", "emb", cents)
+    ByidStore.init(a1, "id", s"$sdir/cells_store", 2)
+    ByidStore.init(PQ.pqEncode(v1, "tenant", "id", "emb", books)
+        .join(a1.select(col("tenant"), col("id"), col("cell")), Seq("tenant", "id"))
+        .select("tenant", "id", "codes", "cell"),
+      "id", s"$sdir/codes_store", 2)
+    val ups = v1.filter(pmod(col("id"), lit(7L)) === 0)
+      .select(lit("upsert").as("op"), col("id"),
+        reverse(col("emb")).as("emb"), col("tenant"))
+    val ins = all.filter(pmod(col("id"), lit(9L)) === 0)
+      .select(lit("upsert").as("op"), col("id"), col("emb"), col("tenant"))
+    val dels = v1.filter(pmod(col("id"), lit(13L)) === 0 &&
+        pmod(col("id"), lit(7L)) =!= 0)
+      .select(lit("delete").as("op"), col("id"),
+        lit(null).cast("array<double>").as("emb"), col("tenant"))
+    val feed = ups.unionByName(ins).unionByName(dels)
+    // ONE file per arrival dir: with maxFilesPerTrigger=1 the stream
+    // runs exactly two epochs, so epoch_00001 is the fully-churned one
+    feed.filter(pmod(col("id"), lit(2L)) === 0)
+      .coalesce(1).write.parquet(s"$srcDir/b0")
+    feed.filter(pmod(col("id"), lit(2L)) === 1)
+      .coalesce(1).write.parquet(s"$srcDir/b1")
+    val probes = Seq(0L, 1L, 2L).zip(Search.qvecs(spark, d, Seq(0L, 1L, 2L)))
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/b0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.streamMaintainServe(streamed, sdir, ckpt, cents,
+      books, probes, k = 10)
+    q.awaitTermination(300000)
+    // both epochs served + persisted (the loop stayed live mid-stream)
+    assert(spark.read.parquet(s"$sdir/served/epoch_00000").count() == 30)
+    val served = spark.read.parquet(s"$sdir/served/epoch_00001")
+      .select("q_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // from-scratch comparison state: the fully-churned corpus assigned
+    // and encoded against the SAME frozen assets
+    val v2 = v1.filter(!(pmod(col("id"), lit(13L)) === 0 &&
+        pmod(col("id"), lit(7L)) =!= 0))
+      .withColumn("emb", when(pmod(col("id"), lit(7L)) === 0,
+        reverse(col("emb"))).otherwise(col("emb")))
+      .unionByName(all.filter(pmod(col("id"), lit(9L)) === 0))
+    val a2 = Search.ivfAssign(v2, "tenant", "id", "emb", cents)
+    val c2 = PQ.pqEncode(v2, "tenant", "id", "emb", books)
+      .join(a2.select(col("tenant"), col("id"), col("cell")), Seq("tenant", "id"))
+      .select("tenant", "id", "codes", "cell")
+    val st = Serving.IndexState(vectors = v2, corpusSize = v2.count(),
+      centroids = Some(cents), cells = Some(a2), codebooks = Some(books),
+      encoded = Some(c2), encodedHasCells = true, idCol = "id", embCol = "emb")
+    val want = Serving.searchBatch(st, "all", probes, 10, 4, 50,
+        bruteForceCeiling = 0L)
+      .select("q_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(served == want)
+    assert(served.size == 30)
+  }
+
   test("streamByidMaintain without orderCol rejects multi-op micro-batches") {
     import graft.operators.ByidStore
     val store = java.nio.file.Files.createTempDirectory("graft_sbm3_store").toString
