@@ -193,6 +193,20 @@ object BenchDoc {
       stats("spans_longest") = top.max.toString
     }
 
+    // exact-substring dedup (Lee et al. mode) at 500k docs: ~125M
+    // 20-gram anchor rows through groupBy-gram + semi-join + per-doc
+    // island windows — the replica corpus makes nearly every gram
+    // cross-doc-duplicated, so this is the WORST-case coverage load
+    // (every position covered → maximal window/merge work). Driver
+    // pulls aggregates only.
+    timedMin2("substring_exact_500k") {
+      val agg = Dedup.substringDedupSpans(corpus, "doc_id", "text",
+          k = 20, minLen = 100)
+        .agg(count(lit(1)).as("n"), sum(col("span_len")).as("chars")).head()
+      stats("substring_spans") =
+        s"${agg.getLong(0)} spans, ${agg.getLong(1)} chars covered"
+    }
+
     // ---- corpus C: planted ubiquitous gram — the 100 TB skew bomb --
     // a 12-token boilerplate on EVERY doc (gram df = 500k). Without
     // the df cap the gram self-join is a C(500k,2) single-key pair

@@ -648,6 +648,64 @@ object Dedup {
       "2_gopher" -> s2, "3_dedup" -> s3, "4_decontaminated" -> s4)
   }
 
+  /** EXACT-SUBSTRING dedup spans (r14 verdict task 8) — the suffix-
+    * array mode of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better": remove long substrings duplicated
+    * across documents), distributed as k-gram anchors + island
+    * merging instead of one global suffix array (which needs the
+    * whole corpus in one address space):
+    *
+    *  1. every character position p of every doc emits its k-char
+    *     gram substr(text, p, k) — map-only expansion;
+    *  2. grams occurring in MORE THAN ONE distinct doc are the
+    *     duplicated anchors (one groupBy-gram aggregation — at 100 TB
+    *     the gram key becomes an 8-byte rolling hash with a verify
+    *     pass; here the literal gram keeps the oracle exact);
+    *  3. a position is covered iff its gram is duplicated (semi-join
+    *     back on the gram key);
+    *  4. per doc, covered intervals [p, p+k-1] merge into maximal
+    *     islands (lag/cumsum window, partitioned by doc — no global
+    *     sort), and islands ≥ minLen chars are the reported spans.
+    *
+    * Every char of a reported span lies in SOME k-window shared with
+    * another doc — the distributed approximation of "longest
+    * duplicated substring" (a span's partner doc may vary along its
+    * length, which the removal use-case does not care about). Output:
+    * (doc_id, span_start, span_len, span_md5) — the md5 pins the span
+    * CONTENT, not just its coordinates. Docs shorter than k carry no
+    * k-gram and are skipped by definition. */
+  def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, minLen: Int): DataFrame = {
+    val base = docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+    val grams = base
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        col("_t").substr(col("p"), lit(k)).as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("gram")
+    val covered = grams.join(dup, Seq("gram"), "left_semi")
+      .select("doc_id", "p")
+    val isl = covered
+      .withColumn("_prev", lag(col("p"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("p") > col("_prev") + k, 1)
+          .otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+    val spans = isl.groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1) - min(col("p")) + 1).as("span_len"))
+      .filter(col("span_len") >= minLen)
+    spans.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        md5(col("_t").substr(col("span_start"),
+          col("span_len").cast("int"))).as("span_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The MODERN curation funnel — the four passes a current
     // pretraining pipeline actually runs, chained as one relation:
@@ -709,6 +767,17 @@ object Dedup {
           .otherwise(col("text")))
       sharedSpans(base, k = 5, minSpan = 8)
     }),
+
+    // Exact-substring dedup (Lee et al. 2022's suffix-array mode,
+    // distributed as 20-char gram anchors + per-doc island merging):
+    // maximal character spans ≥ 100 chars whose every 20-gram also
+    // occurs in another document, with the span CONTENT pinned by
+    // md5. Complements dd_shared_spans (fixed-k token grams, pairwise
+    // report) with the per-doc removal-ready char-span form.
+    "dd_substring_exact" -> ((s, d) =>
+      substringDedupSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 20, minLen = 100)
+        .orderBy("doc_id", "span_start")),
 
     // The span REWRITE gate on the same injected corpus: every doc
     // must come back with its full token count, %13 docs that are the
@@ -1516,6 +1585,33 @@ object Dedup {
       s"""WITH $spanCtes
          |SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spans
          |ORDER BY span_tokens DESC, doc_a ASC, doc_b ASC, a_start ASC, b_start ASC""".stripMargin,
+
+    // The anchor+island replay: same 20-grams, same >1-distinct-doc
+    // coverage rule, same lag/cumsum interval merge, same md5 of the
+    // span substring.
+    "dd_substring_exact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 20),
+        |g0 AS (SELECT doc_id, text, unnest(range(1, len(text) - 19 + 1)) AS p FROM d),
+        |g AS (SELECT doc_id, p, substr(text, p, 20) AS gram FROM g0),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    sum(CASE WHEN prev IS NULL OR p > prev + 20 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        |  FROM (SELECT doc_id, p,
+        |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM cov)),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS span_start,
+        |    max(p) + 19 - min(p) + 1 AS span_len
+        |  FROM isl GROUP BY doc_id, isl)
+        |SELECT s.doc_id, s.span_start, s.span_len,
+        |  md5(substr(d.text, CAST(s.span_start AS BIGINT),
+        |      CAST(s.span_len AS BIGINT))) AS span_md5
+        |FROM spans s JOIN d USING (doc_id)
+        |WHERE span_len >= 100
+        |ORDER BY doc_id ASC, span_start ASC""".stripMargin,
     // The rewrite form: tokens of the LATER doc (doc_b keeps the
     // earlier occurrence in doc_a) falling inside any detected span
     // are removed; survivors rejoin in original order.

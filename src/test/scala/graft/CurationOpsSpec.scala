@@ -64,6 +64,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(q.nonEmpty && q.forall(_.getLong(4) >= 8))
   }
 
+  test("substringDedupSpans finds exactly the injected cross-doc substring with exact boundaries") {
+    import graft.operators.Dedup
+    // two docs share one long exact passage at different offsets; a
+    // third doc is all-unique. Only the shared passage may surface,
+    // with exact [start, len] in each doc and matching content md5.
+    val passage = ('a' to 'z').mkString("", "", "") * 3 // 78 unique-ish chars
+    val docs = Seq(
+      (1L, "PREFIX_ONE_0123456789 " + passage + " SUFFIX_ONE"),
+      (2L, "x " + passage + " TAIL_TWO_DIFFERENT_9876543210"),
+      (3L, "completely unique content with no twenty char repeats at all, 0011223344556677889900")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedupSpans(docs, "doc_id", "text", k = 20,
+        minLen = 50)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // expected: the maximal covered island is " " + passage + " " —
+    // the flanking SPACES are shared too (a gram ending at either
+    // space matches across both docs), anything past them differs.
+    // 1-based starts: doc 1 at the prefix's trailing space (position
+    // 22), doc 2 at position 2; length 1 + 78 + 1 = 80 in both.
+    assert(got.length == 2)
+    val Array(s1, s2) = got
+    assert(s1._1 == 1L && s2._1 == 2L)
+    assert(s1._3 == 80 && s2._3 == 80)
+    assert(s1._4 == s2._4, "span content digests must match across docs")
+    assert(s1._2 == 22 && s2._2 == 2)
+  }
+
   test("sharedSpans maxGramDf drops ubiquitous grams, keeps rare pairs") {
     // one 12-token boilerplate span on EVERY doc (df = corpus size)
     // plus the rare %13 passage: with the cap below corpus size, only
