@@ -206,6 +206,30 @@ object BenchDoc {
       stats("substring_spans") =
         s"${agg.getLong(0)} spans, ${agg.getLong(1)} chars covered"
     }
+    // the SAME operator pair on corpus B — INTENDED as the sparse
+    // regime, but the measurement refuted the premise: the replica-
+    // suffixed words share their vocabulary across the 5k docs WITHIN
+    // each replica, so this corpus is ~fully covered too (499,991
+    // spans / 227M chars), and under total coverage the hashed mode's
+    // verify pass re-pays the wide shuffle on top of the narrow one —
+    // measured 2.39× SLOWER than exact (PERF.md r15). The pair stays
+    // as the recorded refutation + degradation bound; the hashed
+    // mode's winning regime (few-percent dup rates, real web text)
+    // is not constructible from these synthetic tables.
+    timedMin2("substring_exact_lowdup_500k") {
+      val agg = Dedup.substringDedupSpans(spansCorpus, "doc_id", "text",
+          k = 20, minLen = 60)
+        .agg(count(lit(1)).as("n"), sum(col("span_len")).as("chars")).head()
+      stats("substring_lowdup_spans") =
+        s"${agg.getLong(0)} spans, ${agg.getLong(1)} chars covered"
+    }
+    timedMin2("substring_hashed_lowdup_500k") {
+      val agg = Dedup.substringDedupSpansHashed(spansCorpus, "doc_id", "text",
+          k = 20, minLen = 60)
+        .agg(count(lit(1)).as("n"), sum(col("span_len")).as("chars")).head()
+      stats("substring_lowdup_spans_hashed") =
+        s"${agg.getLong(0)} spans, ${agg.getLong(1)} chars covered"
+    }
 
     // ---- corpus C: planted ubiquitous gram — the 100 TB skew bomb --
     // a 12-token boilerplate on EVERY doc (gram df = 500k). Without

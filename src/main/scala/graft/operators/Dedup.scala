@@ -706,6 +706,66 @@ object Dedup {
           col("span_len").cast("int"))).as("span_md5"))
   }
 
+  /** The 100 TB form of [[substringDedupSpans]] — SAME OUTPUT,
+    * hash-narrowed shuffles: the first (and dominant) groupBy keys on
+    * `xxhash64(gram)` (8 bytes) instead of the k-char gram string,
+    * and only CANDIDATE positions (those whose hash is cross-doc
+    * duplicated) pay a gram-string verify pass — recomputed by
+    * substr from a doc_id join, grouped on the true gram, so a hash
+    * collision can never mark a span (any truly-duplicated gram has
+    * ALL its occurrences in the candidate set, hence the verify group
+    * sees every occurrence and collision-only candidates fail it).
+    * On a genuinely sparse-duplication corpus the verify subset is a
+    * sliver, so the whole job shuffles 8-byte keys where the exact
+    * mode shuffles k-char strings. MEASURED CAVEAT (BENCHDOC r15,
+    * PERF.md): both synthetic bench corpora turn out ~fully covered
+    * (shared vocabularies make cross-doc 20-grams ubiquitous), and
+    * under total coverage this mode is 2.39× SLOWER than exact — the
+    * verify pass re-pays the wide shuffle when ~every position is a
+    * candidate. Default to [[substringDedupSpans]]; reach for this
+    * form only when the corpus's dup rate is known to be small (real
+    * web text), the regime the hash anchors were designed for.
+    * CurationOpsSpec pins hashed == exact on the fixture corpus. */
+  def substringDedupSpansHashed(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int,
+                                minLen: Int): DataFrame = {
+    val base = docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+    val pos = base
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(col("_t").substr(col("p"), lit(k))).as("h"))
+    val dupH = pos.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val cand = pos.join(dupH, Seq("h"), "left_semi").select("doc_id", "p")
+    val candGram = cand.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("p"),
+        col("_t").substr(col("p"), lit(k)).as("gram"))
+    val dupG = candGram.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("gram")
+    val covered = candGram.join(dupG, Seq("gram"), "left_semi")
+      .select("doc_id", "p")
+    val isl = covered
+      .withColumn("_prev", lag(col("p"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("p") > col("_prev") + k, 1)
+          .otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+    val spans = isl.groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1) - min(col("p")) + 1).as("span_len"))
+      .filter(col("span_len") >= minLen)
+    spans.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        md5(col("_t").substr(col("span_start"),
+          col("span_len").cast("int"))).as("span_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The MODERN curation funnel — the four passes a current
     // pretraining pipeline actually runs, chained as one relation:
@@ -776,6 +836,16 @@ object Dedup {
     // report) with the per-doc removal-ready char-span form.
     "dd_substring_exact" -> ((s, d) =>
       substringDedupSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 20, minLen = 100)
+        .orderBy("doc_id", "span_start")),
+
+    // The scale-path physical variant under the SAME oracle: 8-byte
+    // rolling-hash anchors + a candidates-only gram-string verify —
+    // output provably identical to the exact mode (a collision can
+    // mark a candidate but never survive the verify), so one DuckDB
+    // replay gates both plans, the semDedupAuto pattern.
+    "dd_substring_hashed" -> ((s, d) =>
+      substringDedupSpansHashed(Tables.documents(s, d), "doc_id", "text",
           k = 20, minLen = 100)
         .orderBy("doc_id", "span_start")),
 
@@ -1511,6 +1581,30 @@ object Dedup {
          |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
          |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin)
 
+  private lazy val substringOracleSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 20),
+      |g0 AS (SELECT doc_id, text, unnest(range(1, len(text) - 19 + 1)) AS p FROM d),
+      |g AS (SELECT doc_id, p, substr(text, p, 20) AS gram FROM g0),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+      |cov AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    sum(CASE WHEN prev IS NULL OR p > prev + 20 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY p) AS isl
+      |  FROM (SELECT doc_id, p,
+      |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+      |        FROM cov)),
+      |spans AS (
+      |  SELECT doc_id, min(p) AS span_start,
+      |    max(p) + 19 - min(p) + 1 AS span_len
+      |  FROM isl GROUP BY doc_id, isl)
+      |SELECT s.doc_id, s.span_start, s.span_len,
+      |  md5(substr(d.text, CAST(s.span_start AS BIGINT),
+      |      CAST(s.span_len AS BIGINT))) AS span_md5
+      |FROM spans s JOIN d USING (doc_id)
+      |WHERE span_len >= 100
+      |ORDER BY doc_id ASC, span_start ASC""".stripMargin
+
   private lazy val oraclesBase: Map[String, String] = Map(
     // the full modern funnel replayed: sentence-clean rewrite, the
     // shared Gopher CTE chain over the CLEANED text, min-id dedup,
@@ -1588,30 +1682,11 @@ object Dedup {
 
     // The anchor+island replay: same 20-grams, same >1-distinct-doc
     // coverage rule, same lag/cumsum interval merge, same md5 of the
-    // span substring.
-    "dd_substring_exact" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 20),
-        |g0 AS (SELECT doc_id, text, unnest(range(1, len(text) - 19 + 1)) AS p FROM d),
-        |g AS (SELECT doc_id, p, substr(text, p, 20) AS gram FROM g0),
-        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
-        |cov AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
-        |isl AS (
-        |  SELECT doc_id, p,
-        |    sum(CASE WHEN prev IS NULL OR p > prev + 20 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY p) AS isl
-        |  FROM (SELECT doc_id, p,
-        |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
-        |        FROM cov)),
-        |spans AS (
-        |  SELECT doc_id, min(p) AS span_start,
-        |    max(p) + 19 - min(p) + 1 AS span_len
-        |  FROM isl GROUP BY doc_id, isl)
-        |SELECT s.doc_id, s.span_start, s.span_len,
-        |  md5(substr(d.text, CAST(s.span_start AS BIGINT),
-        |      CAST(s.span_len AS BIGINT))) AS span_md5
-        |FROM spans s JOIN d USING (doc_id)
-        |WHERE span_len >= 100
-        |ORDER BY doc_id ASC, span_start ASC""".stripMargin,
+    // span substring. The hashed gate shares it verbatim (same logical
+    // result by construction — the verify pass removes every
+    // collision-only candidate).
+    "dd_substring_hashed" -> substringOracleSql,
+    "dd_substring_exact" -> substringOracleSql,
     // The rewrite form: tokens of the LATER doc (doc_b keeps the
     // earlier occurrence in doc_a) falling inside any detected span
     // are removed; survivors rejoin in original order.
