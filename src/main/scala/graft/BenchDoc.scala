@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Serving, TextAnalysis}
 
 /** Document-curation scale bench — BENCHVEC's counterpart for the
   * text-pipeline ops: the sf0.1 documents table replicated to 500k
@@ -230,6 +230,88 @@ object BenchDoc {
       stats("substring_lowdup_spans_hashed") =
         s"${agg.getLong(0)} spans, ${agg.getLong(1)} chars covered"
     }
+
+    // ---- corpus S: GENUINELY sparse duplication (r15 verdict task 5)
+    // The lowdup pair above refuted its own premise — replica-suffixed
+    // words still share a vocabulary, so ~every position was covered.
+    // This corpus makes background 20-gram sharing IMPOSSIBLE by
+    // construction: every token is d%06dt%02d — a complete 7-char
+    // doc-unique field sits at each token head, tokens are 13 chars
+    // with the separator, and any 20-char window therefore contains a
+    // FULL doc field of some token (worst case: 12 trailing chars of
+    // one token + space + the next token's first 7 chars) — so windows
+    // from different docs always differ. The ONLY cross-doc
+    // duplication is a 119-char passage appended to 1% of docs
+    // (doc_id % 100 == 0): candidate positions are ~0.3% of the
+    // corpus — the hashed mode's design regime at last. Expected
+    // output (both modes, by construction): 5,000 spans × 119 chars.
+    val sparseCorpus = spark.range(500000L)
+      .select(col("id").as("doc_id"),
+        concat(
+          array_join(transform(sequence(lit(0), lit(23) + pmod(col("id"), lit(7))),
+            j => format_string("d%06dt%02d", col("id"), j)), " "),
+          when(pmod(col("id"), lit(100)) === 0,
+            lit(" " + (0 until 24).map(i => f"sp$i%02d").mkString(" ")))
+            .otherwise(lit(""))).as("text"))
+      .repartition(32).persist()
+    stats("sparse_n_docs") = sparseCorpus.count().toString
+    timedMin2("substring_exact_sparse_500k") {
+      val agg = Dedup.substringDedupSpans(sparseCorpus, "doc_id", "text",
+          k = 20, minLen = 100)
+        .agg(count(lit(1)).as("n"), sum(col("span_len")).as("chars")).head()
+      stats("substring_sparse_spans") =
+        s"${agg.getLong(0)} spans, ${agg.getLong(1)} chars covered"
+    }
+    timedMin2("substring_hashed_sparse_500k") {
+      val agg = Dedup.substringDedupSpansHashed(sparseCorpus, "doc_id", "text",
+          k = 20, minLen = 100)
+        .agg(count(lit(1)).as("n"), sum(col("span_len")).as("chars")).head()
+      stats("substring_sparse_spans_hashed") =
+        s"${agg.getLong(0)} spans, ${agg.getLong(1)} chars covered"
+    }
+    sparseCorpus.unpersist()
+
+    // ---- lexical-asset CDC maintenance flatness (r15 verdict task 2)
+    // applyLexCdc at the SAME churn (500 docs: 250 re-texted updates,
+    // 125 deletes, 125 inserts) against a 5k-doc and a 500k-doc
+    // (100×) lex store: the apply is churn-bounded by construction
+    // (preimage point-fetch + one delta segment + counter deltas), so
+    // the pair must land in the same band — the postings-rebuild form
+    // this replaces was O(corpus) per refresh. Store inits are the
+    // one intentional O(corpus) stage, timed separately.
+    def lexChurn(src: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_benchlex_$tag").toString
+      val docs = src.withColumn("tenant", lit("all"))
+        .select("tenant", "doc_id", "text")
+      timed(s"lex_store_init_$tag") {
+        operators.ByidStore.init(
+          Serving.lexDocVectors(docs, "tenant", "doc_id", "text"),
+          "id", s"$dir/lex", nFiles = 32)
+      }
+      var counters = Serving.lexCountersOf(docs, "tenant", "text")
+      val churn = docs.orderBy("doc_id").limit(500).persist()
+      churn.count()
+      val ids = churn.select(col("doc_id").cast("long"))
+        .collect().map(_.getLong(0)).sorted
+      val upIds = ids.take(250); val delIds = ids.slice(250, 375)
+      val insIds = ids.drop(375) // re-inserted post-delete as fresh rows
+      timedMin2(s"lex_cdc_churn500_$tag") {
+        val ups = churn.filter(col("doc_id").isin(upIds: _*))
+          .withColumn("text", concat(lit("updated pass: "), col("text")))
+        val ins = churn.filter(col("doc_id").isin(insIds: _*))
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+        counters = Serving.applyLexCdc(spark, s"$dir/lex",
+          (upIds ++ delIds).toSeq, ups.unionByName(ins), counters,
+          "tenant", "doc_id", "text", maxSegments = 64)
+      }
+      stats(s"lex_counters_$tag") =
+        counters.toSeq.sortBy(_._1).map { case (t, (n, sdl)) =>
+          s"$t:($n,$sdl)" }.mkString(";")
+      churn.unpersist()
+    }
+    lexChurn(raw, "5k")
+    lexChurn(corpus, "500k")
 
     // ---- corpus C: planted ubiquitous gram — the 100 TB skew bomb --
     // a 12-token boilerplate on EVERY doc (gram df = 500k). Without

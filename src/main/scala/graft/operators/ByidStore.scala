@@ -67,7 +67,12 @@ import org.apache.spark.sql.expressions.Window
   * collapse to one row in the merge window, so multi-tenant corpora
   * must mint tenant-disjoint ids (every graft fixture does), and the
   * rescore path re-filters fetched rows by tenant as belt-and-braces
-  * (`PQ.rescoreBatch`).
+  * (`PQ.rescoreBatch`). The contract is ENFORCED, not just documented
+  * (r15 verdict task 7): [[applyCdc]] loudly rejects duplicate ids
+  * within a batch (a same-segment tie has no deterministic winner),
+  * and every [[checkpoint]]/[[compact]] rejects any id claimed by two
+  * tenants across the store's history — the collision the merge
+  * window cannot itself witness (ByidStoreSpec pins both rejects).
   *
   * Scale posture: applyCdc touches churn rows only (delta write +
   * tombstone write); fetch cost is segments × point-read, independent
@@ -171,6 +176,19 @@ object ByidStore {
     // exactly once, at the writes above
     val nAdd = spark.read.parquet(s"$stage/seg").count()
     val nRem = spark.read.parquet(s"$stage/tomb").count()
+    // WITHIN-BATCH id uniqueness (r15 verdict task 7): two rows for
+    // one id in one segment tie on `seg` in the merge window, so the
+    // resolved winner would be arbitrary — reject loudly before the
+    // batch becomes visible. Churn-bounded (one aggregate over the
+    // staged delta).
+    if (nAdd > 0) {
+      val nDis = spark.read.parquet(s"$stage/seg")
+        .agg(countDistinct(col(idCol))).head().getLong(0)
+      require(nDis == nAdd,
+        s"byid store at $path: CDC batch carries ${nAdd - nDis} duplicate " +
+          s"$idCol rows — one postimage per id per batch (collapse the feed " +
+          "first, e.g. streamByidMaintain's orderCol rule)")
+    }
     if (nAdd == 0 && nRem == 0) {
       deleteRecursively(new File(stage))
       return 0
@@ -285,6 +303,7 @@ object ByidStore {
     * the new base's batch number. */
   def checkpoint(spark: SparkSession, path: String, idCol: String,
                  nFiles: Int = 32): Int = {
+    tenantCollisionGuard(spark, path, idCol)
     val newBase = maxBatch(path) + 1
     val stage = stageDir(path, newBase)
     deleteRecursively(new File(stage))
@@ -294,6 +313,41 @@ object ByidStore {
     commit(path, newBase)
     deleteRecursively(new File(stage))
     newBase
+  }
+
+  /** GLOBAL-ID CONTRACT GUARD (r15 verdict task 7): the store keys on
+    * `idCol` alone, so two tenants claiming one id would silently
+    * collapse to the newest row in the merge window — a serving view
+    * built from the resolved relation would LOSE a tenant's row with
+    * no error. The resolved view itself cannot witness the collision
+    * (it is one-row-per-id by construction), so this checks the
+    * PRE-MERGE union: any id carried by more than one distinct tenant
+    * across committed segments is a loud reject. Runs at every
+    * [[checkpoint]]/[[compact]] (piggybacking the fold's O(corpus)
+    * pass — auto-compacted CDC loops and every ServingState refresh
+    * cross one), only when the payload actually has a `tenant`
+    * column. Conservative by design: an id deleted by one tenant and
+    * later minted by another trips it too — the contract is
+    * tenant-disjoint ids for the store's whole history (the
+    * reference's ChromaDB ids are global uuids,
+    * vector_db_service.py:165-261). */
+  private def tenantCollisionGuard(spark: SparkSession, path: String,
+                                   idCol: String): Unit = {
+    val segs = segments(path)
+    if (segs.size < 2) return // one segment: applyCdc's per-batch
+                              // uniqueness already proved id-disjoint
+    val head = spark.read.parquet(segDir(path, segs.head))
+    if (!head.columns.contains("tenant")) return
+    val union = segs.map(n => spark.read.parquet(segDir(path, n))
+        .select(col(idCol), col("tenant"))).reduce(_.unionByName(_))
+    val bad = union.groupBy(col(idCol))
+      .agg(countDistinct(col("tenant")).as("_nt"))
+      .filter(col("_nt") > 1).count()
+    require(bad == 0,
+      s"byid store at $path: $bad ids are claimed by more than one tenant " +
+        s"across its history — the store keys on $idCol alone (globally-" +
+        "unique-id contract); colliding ids would collapse in the merge " +
+        "window and silently drop a tenant's rows")
   }
 
   /** Retire every committed batch BELOW `base` (which must be a full

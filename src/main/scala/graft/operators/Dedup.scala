@@ -766,6 +766,49 @@ object Dedup {
           col("span_len").cast("int"))).as("span_md5"))
   }
 
+  /** The SCRUB composite (r15 verdict task 6 — Lee et al. 2022's tool
+    * does not just REPORT duplicated substrings, it removes them):
+    * [[substringDedupSpans]]'s char spans, excised from their
+    * documents, survivors stitched in original order. Every document
+    * comes back — span-less docs (including those shorter than k)
+    * pass through whole. Per doc the spans are maximal islands, hence
+    * non-overlapping with ≥1-char gaps, so the rewrite is one
+    * term-sorted fold over the doc's own bounded span list (collected
+    * per doc — never a broadcast of the corpus-wide span set): each
+    * span appends the gap before it, the finish appends the tail.
+    * Output (doc_id, n_chars, n_removed, kept_md5) pins the removal
+    * arithmetic AND the stitched bytes, proving the detector and the
+    * rewriter agree on 1-based span boundaries end to end. */
+  def substringScrub(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, minLen: Int): DataFrame = {
+    val spans = substringDedupSpans(docs, idCol, textCol, k, minLen)
+    val byDoc = spans.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(
+        col("span_start").cast("long").as("st"),
+        col("span_len").cast("long").as("len")))).as("sp"))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+      .join(byDoc, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        array().cast("array<struct<st:bigint,len:bigint>>")))
+      .withColumn("_kept",
+        aggregate(col("sp"),
+          struct(lit(1L).as("pos"), lit("").as("acc")),
+          (s, x) => struct(
+            (x.getField("st") + x.getField("len")).as("pos"),
+            concat(s.getField("acc"),
+              col("_t").substr(s.getField("pos").cast("int"),
+                (x.getField("st") - s.getField("pos")).cast("int")))
+              .as("acc")),
+          s => concat(s.getField("acc"),
+            col("_t").substr(s.getField("pos").cast("int"),
+              (length(col("_t")) - s.getField("pos") + 1).cast("int")))))
+      .select(col("doc_id"),
+        length(col("_t")).cast("long").as("n_chars"),
+        (length(col("_t")) - length(col("_kept"))).cast("long").as("n_removed"),
+        md5(col("_kept")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The MODERN curation funnel — the four passes a current
     // pretraining pipeline actually runs, chained as one relation:
@@ -848,6 +891,17 @@ object Dedup {
       substringDedupSpansHashed(Tables.documents(s, d), "doc_id", "text",
           k = 20, minLen = 100)
         .orderBy("doc_id", "span_start")),
+
+    // The SCRUB composite (r15 verdict task 6): the detected spans
+    // actually REMOVED — every document returns with its duplicated
+    // char spans excised and the remainder stitched in order, span-
+    // less docs passing through whole. kept_md5 pins the rewritten
+    // BYTES per doc, so the detector's 1-based span coordinates and
+    // the rewriter's substr stitching are proven to compose exactly
+    // (off-by-one in either direction changes the hash).
+    "dd_substring_scrub" -> ((s, d) =>
+      substringScrub(Tables.documents(s, d), "doc_id", "text",
+        k = 20, minLen = 100)),
 
     // The span REWRITE gate on the same injected corpus: every doc
     // must come back with its full token count, %13 docs that are the
@@ -1581,8 +1635,13 @@ object Dedup {
          |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
          |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin)
 
-  private lazy val substringOracleSql: String =
-    """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 20),
+  /** The anchor+island span CTE chain (shared by the report, hashed
+    * and scrub substring oracles): docs ≥ 20 chars, every position's
+    * 20-gram, >1-distinct-doc duplication, coverage, lag/cumsum
+    * island merge. `spans` holds the UNFILTERED islands — consumers
+    * apply the ≥ 100-char floor. */
+  private lazy val substringSpanCtes: String =
+    """d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 20),
       |g0 AS (SELECT doc_id, text, unnest(range(1, len(text) - 19 + 1)) AS p FROM d),
       |g AS (SELECT doc_id, p, substr(text, p, 20) AS gram FROM g0),
       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
@@ -1597,13 +1656,46 @@ object Dedup {
       |spans AS (
       |  SELECT doc_id, min(p) AS span_start,
       |    max(p) + 19 - min(p) + 1 AS span_len
-      |  FROM isl GROUP BY doc_id, isl)
+      |  FROM isl GROUP BY doc_id, isl)""".stripMargin
+
+  private lazy val substringOracleSql: String =
+    s"""WITH $substringSpanCtes
       |SELECT s.doc_id, s.span_start, s.span_len,
       |  md5(substr(d.text, CAST(s.span_start AS BIGINT),
       |      CAST(s.span_len AS BIGINT))) AS span_md5
       |FROM spans s JOIN d USING (doc_id)
       |WHERE span_len >= 100
       |ORDER BY doc_id ASC, span_start ASC""".stripMargin
+
+  // the scrub replay: the same spans, removed by substr stitching —
+  // per doc, string_agg of the gaps before each span (in span order)
+  // plus the tail after the last span; span-less docs pass through.
+  private lazy val substringScrubOracleSql: String =
+    s"""WITH $substringSpanCtes,
+      |sp AS (SELECT doc_id, span_start, span_len FROM spans WHERE span_len >= 100),
+      |gaps AS (
+      |  SELECT doc_id, span_start, span_len,
+      |    coalesce(lag(span_start + span_len)
+      |      OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS prev_end
+      |  FROM sp),
+      |stitched AS (
+      |  SELECT g.doc_id,
+      |    string_agg(substr(d.text, CAST(g.prev_end AS BIGINT),
+      |        CAST(g.span_start - g.prev_end AS BIGINT)), ''
+      |      ORDER BY g.span_start) AS head,
+      |    max(g.span_start + g.span_len) AS last_end
+      |  FROM gaps g JOIN d USING (doc_id)
+      |  GROUP BY g.doc_id),
+      |scrub AS (
+      |  SELECT dd.doc_id, len(dd.text) AS n_chars,
+      |    CASE WHEN st.doc_id IS NULL THEN dd.text
+      |         ELSE coalesce(st.head, '') ||
+      |              substr(dd.text, CAST(st.last_end AS BIGINT)) END AS kept
+      |  FROM documents dd LEFT JOIN stitched st USING (doc_id))
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(n_chars - len(kept) AS BIGINT) AS n_removed,
+      |  md5(kept) AS kept_md5
+      |FROM scrub ORDER BY doc_id""".stripMargin
 
   private lazy val oraclesBase: Map[String, String] = Map(
     // the full modern funnel replayed: sentence-clean rewrite, the
@@ -1687,6 +1779,7 @@ object Dedup {
     // collision-only candidate).
     "dd_substring_hashed" -> substringOracleSql,
     "dd_substring_exact" -> substringOracleSql,
+    "dd_substring_scrub" -> substringScrubOracleSql,
     // The rewrite form: tokens of the LATER doc (doc_b keeps the
     // earlier occurrence in doc_a) falling inside any detected span
     // are removed; survivors rejoin in original order.

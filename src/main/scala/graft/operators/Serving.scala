@@ -142,9 +142,14 @@ object Serving {
     // a query carrying TEXT routes hybrid when the lexical assets
     // exist (the reference's V10 logical rule: keyword-bearing
     // queries take the fused path, enhanced_search_service.py) —
-    // UNLESS the caller demanded the exact-kNN contract, which only
-    // the pure vector scan satisfies
-    if (hasText && recallFloor < 0.999 && state.postings.isDefined &&
+    // but ONLY under floor ≤ 0: a positive recallFloor is a CONTRACT
+    // on vector recall, and the fused RRF output has no stored recall
+    // point (lexical hits displace vector hits, so even a brute
+    // vector arm cannot certify the fold) — an unverifiable floor is
+    // never served silently (ADVICE r15), so floored text queries
+    // drop the lexical channel and serve the calibrated vector path
+    // below (brute when the floor is exact or unmet by the curve)
+    if (hasText && recallFloor <= 0.0 && state.postings.isDefined &&
         state.lexStats.nonEmpty)
       Decision(HybridTier, nProbe, rescoreK)
     else if (recallFloor >= 0.999 || state.corpusSize <= bruteForceCeiling)
@@ -285,62 +290,209 @@ object Serving {
         (r.getLong(1), r.getLong(2).toDouble / r.getLong(1).toDouble))
       .toMap
 
-  /** One query's BM25 arm over the persisted postings: term-pruned
-    * scan → per-(doc, term) contribution (identical IEEE op sequence
-    * to `TextAnalysis.bm25TermScores`: idf·(tf·2.2)/(tf + 1.2·(0.25 +
-    * 0.75·dl/avgdl))) → term-sorted left-to-right per-doc fold →
-    * top-`limit` ranked (bm25 DESC, id ASC). The df lookup groups the
-    * ALREADY-PRUNED slice (≤ |terms| groups) — one tiny driver
-    * collect, the same shape as the batch path's idf literals. */
-  private def bm25Arm(postings: DataFrame, tenant: String, qid: Long,
-                      terms: Seq[String], nDocs: Long, avgdl: Double,
-                      limit: Int): DataFrame = {
-    val hits = postings.filter(col("tenant") === tenant &&
-      col("term").isin(terms: _*))
-    val idfMap = hits.groupBy("term").agg(countDistinct(col("id")).as("df"))
-      .collect().map { r =>
-        val df = r.getLong(1)
-        r.getString(0) -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
-      }.toMap
-    val present = terms.distinct.filter(idfMap.contains)
+  // ---- O(churn) CDC maintenance of the lexical assets (r15 task 2) -- //
+
+  /** Per-doc lexical vectors — the CDC-MAINTAINABLE form of the
+    * inverted index: one row per doc carrying its term vector
+    * (term-sorted (term, tf) structs) and token length. Postings are
+    * a pure EXPLODE of this relation ([[postingsFromDocVectors]]), so
+    * keeping these rows in a doc-keyed [[ByidStore]] gives the
+    * lexical tier the same O(churn) maintenance every other serving
+    * asset already has (cells x17, codes x19, byid x20): an upsert
+    * rewrites ONE doc row, a delete tombstones it, and the postings
+    * view is always `explode(resolved view)` — no delta-postings
+    * segments, no doc-granular posting tombstones, the same
+    * invariants as every other store. Zero-token docs keep an empty
+    * `terms` array (they carry no postings but still count in the
+    * per-tenant nDocs the way [[lexStatsOf]] counts them). */
+  def lexDocVectors(docs: DataFrame, tenantCol: String, idCol: String,
+                    textCol: String): DataFrame =
+    docs.select(col(tenantCol).cast("string").as("tenant"),
+        col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+      .select(col("tenant"), col("id"), col("dl"),
+        explode_outer(col("_toks")).as("term"))
+      .groupBy("tenant", "id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("tenant", "id", "dl")
+      .agg(array_sort(collect_list(when(col("term").isNotNull,
+        struct(col("term"), col("tf"))))).as("terms"))
+
+  /** The postings relation ([[buildPostings]]'s exact schema —
+    * (tenant, term, id, tf, dl)) as a view over the doc-keyed lexical
+    * store's resolved rows: one explode, no aggregation — the
+    * downstream BM25 scan groups by term anyway, so materializing a
+    * term-keyed copy buys nothing the scan doesn't already do. */
+  def postingsFromDocVectors(lexDocs: DataFrame): DataFrame =
+    lexDocs.select(col("tenant"), col("id"), col("dl"),
+        explode(col("terms")).as("t"))
+      .select(col("tenant"), col("t.term").as("term"), col("id"),
+        col("t.tf").as("tf"), col("dl"))
+
+  /** Bootstrap counters for [[applyLexCdc]]: per-tenant
+    * (nDocs, Σdl) — the INTEGER pair, maintained exactly under churn
+    * (longs add losslessly; avgdl is derived at serve time with the
+    * same one division [[lexStatsOf]] performs, so maintained stats
+    * are bit-identical to rebuilt ones). One O(corpus) aggregate,
+    * paid at init like every store bootstrap. */
+  def lexCountersOf(docs: DataFrame, tenantCol: String,
+                    textCol: String): Map[String, (Long, Long)] =
+    docs.groupBy(col(tenantCol).cast("string").as("tenant"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("sdl"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  /** Derive the [[IndexState]]-shaped lexStats map from maintained
+    * counters — Σdl/n in the exact IEEE order [[lexStatsOf]] divides. */
+  def lexStatsFromCounters(counters: Map[String, (Long, Long)])
+      : Map[String, (Long, Double)] =
+    counters.map { case (t, (n, sdl)) => t -> (n, sdl.toDouble / n.toDouble) }
+
+  /** ONE CDC batch applied to the doc-keyed lexical store + the
+    * incremental per-tenant (nDocs, Σdl) counters (r15 verdict
+    * task 2 — postings/lexstats were the only serving assets still
+    * rebuilt O(corpus) per snapshot). O(churn) end to end:
+    *
+    *  - the PREIMAGE lengths of removed docs come from one bounded
+    *    point-fetch through the store (page-pruned to the removal
+    *    ids) BEFORE the apply — a doc that is not live subtracts
+    *    nothing, so delete-of-absent and insert-vs-update resolve
+    *    themselves: counters' delta is additions(+1, +dl) −
+    *    live-preimages(+1, +dl), which nets to (0, dl_new − dl_old)
+    *    for an update, (+1, +dl) for an insert, (−1, −dl) for a live
+    *    delete;
+    *  - the additions' term vectors are built once ([[lexDocVectors]]
+    *    over the batch, persisted so the counter aggregate and the
+    *    store write share one evaluation) and applied through
+    *    [[ByidStore.applyCdcAutoCompact]] — threshold-bounded segment
+    *    count, crash-atomic commit markers, like every other store.
+    *
+    * Upsert ids MUST appear in `removals` too (the store's CDC
+    * preimage contract, same as x20). Returns the updated counters;
+    * the caller threads them epoch to epoch (a ServingState manifest
+    * persists them as `lexstats` lines at snapshot time). */
+  def applyLexCdc(spark: SparkSession, path: String, removals: Seq[Long],
+                  additions: DataFrame, counters: Map[String, (Long, Long)],
+                  tenantCol: String = "tenant", idCol: String = "id",
+                  textCol: String = "text",
+                  maxSegments: Int = 8): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    val pre =
+      if (removals.isEmpty) Array.empty[(String, Long)]
+      else ByidStore.fetch(spark, path, removals, "id")
+        .select(col("tenant"), col("dl"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val adds = lexDocVectors(additions, tenantCol, idCol, textCol).persist()
+    val addStats = adds.groupBy("tenant")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ByidStore.applyCdcAutoCompact(spark, path,
+      removals.toDF("id"), adds, "id", maxSegments = maxSegments)
+    adds.unpersist()
+    val deltas = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    addStats.foreach { case (t, n, sdl) =>
+      val (dn, ds) = deltas(t); deltas(t) = (dn + n, ds + sdl) }
+    pre.foreach { case (t, dl) =>
+      val (dn, ds) = deltas(t); deltas(t) = (dn - 1, ds - dl) }
+    (counters.keySet ++ deltas.keySet).map { t =>
+      val (n0, s0) = counters.getOrElse(t, (0L, 0L))
+      val (dn, ds) = deltas(t)
+      t -> (n0 + dn, s0 + ds)
+    }.toMap
+  }
+
+  /** The WHOLE batch's BM25 arm in ONE term-pruned postings pass (r15
+    * verdict task 1 — the per-query `bm25Arm` loop launched Q
+    * sequential job chains, each with its own driver collect for idf;
+    * this serves every query from the same scan, the batched spine
+    * `PQ.pqSearchBatch` set):
+    *
+    *  1. a LITERAL (q_id, term) frame spans the batch (bounded:
+    *     Q × terms-per-query rows, broadcast);
+    *  2. the postings scan is pruned ONCE on the union of every
+    *     query's terms — at 100 TB with term-bucketed postings this
+    *     is ≤ |terms| partition-pruned slices, never a full pass;
+    *  3. per-term document frequencies are a grouped aggregate of the
+    *     SAME pruned slice (≤ |terms| groups, broadcast back) — zero
+    *     driver round-trips;
+    *  4. scoring joins postings × query-terms, so one job emits every
+    *     (q_id, id, term) contribution — identical IEEE op sequence
+    *     to `TextAnalysis.bm25TermScores` (ln-idf computed by the
+    *     codegen `log`, which is the same `Math.log` the driver form
+    *     embedded as literals), folded per (q_id, doc) in term-sorted
+    *     order;
+    *  5. per-query top-`limit` through the primitive grouped top-k
+    *     (bm25 DESC, id ASC — the exact `row_number` order the
+    *     per-query form ranked by).
+    *
+    * Job count is FLAT in Q; the ann_hybrid oracle replays the same
+    * arithmetic per query, so batching is hash-invisible. */
+  private def bm25ArmBatch(postings: DataFrame, tenant: String,
+                           queries: Seq[(Long, Seq[String])], nDocs: Long,
+                           avgdl: Double, limit: Int): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    if (present.isEmpty)
+    val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+    if (qterms.isEmpty)
       return Seq.empty[(Long, Long, Int)].toDF("q_id", "id", "kw_rank")
-    val idfCol = present.foldLeft(lit(null).cast("double")) { (w, t) =>
-      when(col("term") === t, lit(idfMap(t))).otherwise(w)
-    }
-    hits.withColumn("sc", idfCol * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) *
-          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
-      .groupBy("id")
+    val allTerms = qterms.map(_._2).distinct
+    // pruned once for BOTH consumers (df agg + scoring join) — the
+    // slice is term-bounded, so the persist holds candidate postings,
+    // never the corpus (released by the caller's clearCache contract)
+    val hits = postings.filter(col("tenant") === tenant &&
+      col("term").isin(allTerms: _*)).persist()
+    val dfs = hits.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    val qt = qterms.toDF("q_id", "term")
+    // idf replays the driver literal bit-for-bit: (nDocs − df) in LONG
+    // arithmetic, then the +0.5 promotions, one division, log1p-free
+    // ln — the exact expression `bm25Arm` computed in Java
+    val scored = hits
+      .join(broadcast(dfs), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .withColumn("sc",
+        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
+      .groupBy("q_id", "id")
       .agg(aggregate(array_sort(collect_list(struct(col("term"), col("sc")))),
         lit(0.0), (acc, x) => acc + x.getField("sc")).as("bm25"))
-      .orderBy(col("bm25").desc, col("id").asc).limit(limit)
-      .withColumn("kw_rank", row_number().over(
-        graft.functions.BoundedWindow.orderBy(col("id"),
-          col("bm25").desc, col("id").asc)))
-      .select(lit(qid).as("q_id"), col("id"), col("kw_rank"))
+    graft.functions.TopK.primitiveTopK(
+        scored.select(col("q_id").cast("long"), col("bm25"), col("id").cast("long"))
+          .as[(Long, Double, Long)], limit)
+      .select(col("g").as("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("id"),
+        (col("pos") + 1).cast("int").as("kw_rank"))
   }
 
   /** Routed batch serving for TEXT-BEARING queries — each member is
     * (q_id, query vector, query terms). When the state holds the
     * lexical assets (postings + stats) the router picks the HYBRID
     * tier: BM25 top-2k ∥ the state's best vector tier top-2k, fused
-    * by reciprocal-rank fusion (k₀ = 60, equal weights — the
-    * reference's keyword_enhanced_rrf, `enhanced_search_service.py:
-    * 259-506`, now a SERVING tier over persisted assets rather than a
-    * batch query). Both arms are top-2k-bounded before the fusion
+    * by reciprocal-rank fusion (k₀ = 60). RRF weights are a
+    * PER-REQUEST parameter the way the reference treats them
+    * (`enhanced_search_service.py:31` defaults 0.4/0.6 at the service
+    * layer, `config.py:43` ships 2.0/1.0 — r15 verdict task 4);
+    * 0.5/0.5 stays the serving default. Both arms serve the WHOLE
+    * batch from one scan each (the lexical arm is [[bm25ArmBatch]] —
+    * jobs flat in Q), and both are top-2k-bounded before the fusion
     * join, so the fold touches ≤ 4k·Q rows regardless of corpus size.
-    * Without lexical assets (or under an exact-recall floor) the text
-    * is ignored and the batch serves through the vector decision —
-    * same output contract: (q_id, rank, id, sim, tier), where the
-    * hybrid tier's `sim` IS the RRF score. */
+    * Without lexical assets, with empty term lists, or under ANY
+    * positive recall floor (the fused output has no recall
+    * certificate — see [[routeCalibrated]]) the text is ignored and
+    * the batch serves through the vector decision — same output
+    * contract: (q_id, rank, id, sim, tier), where the hybrid tier's
+    * `sim` IS the weighted RRF score. */
   def searchBatchText(state: IndexState, tenant: String,
                       queries: Seq[(Long, Seq[Double], Seq[String])], k: Int,
                       nProbe: Int = 4, rescoreK: Int = 50,
                       threshold: Double = 0.0, recallFloor: Double = 0.0,
-                      bruteForceCeiling: Long = 10000L): DataFrame = {
+                      bruteForceCeiling: Long = 10000L,
+                      wLex: Double = 0.5, wVec: Double = 0.5): DataFrame = {
     val d = routeCalibrated(state, recallFloor, bruteForceCeiling,
       nProbe, rescoreK, hasText = queries.exists(_._3.nonEmpty))
     val vecQs = queries.map(q => (q._1, q._2))
@@ -355,13 +507,12 @@ object Serving {
       .select(col("q_id"), col("id"), col("rank").as("vec_rank"))
     val (nDocs, avgdl) = state.lexStats.getOrElse(tenant,
       throw new IllegalStateException(s"no lexical stats for tenant $tenant"))
-    val kwArm = queries.map { case (qid, _, terms) =>
-      bm25Arm(state.postings.get, tenant, qid, terms, nDocs, avgdl, b)
-    }.reduce(_.unionByName(_))
+    val kwArm = bm25ArmBatch(state.postings.get, tenant,
+      queries.map(q => (q._1, q._3)), nDocs, avgdl, b)
     kwArm.join(vecArm, Seq("q_id", "id"), "full_outer")
       .withColumn("sim",
-        coalesce(lit(0.5) / (lit(60) + col("kw_rank")), lit(0.0)) +
-          coalesce(lit(0.5) / (lit(60) + col("vec_rank")), lit(0.0)))
+        coalesce(lit(wLex) / (lit(60) + col("kw_rank")), lit(0.0)) +
+          coalesce(lit(wVec) / (lit(60) + col("vec_rank")), lit(0.0)))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("id").asc)).cast("int"))
@@ -511,6 +662,18 @@ object Serving {
     "/tmp/graft_hyb_" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
       ProcessHandle.current().pid()
 
+  private def lexDir(dataDir: String): String =
+    "/tmp/graft_lexcdc_" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      ProcessHandle.current().pid()
+
+  /** Per-query term sets for the batched-hybrid gate — 8 triples from
+    * the fixture vocabulary (present at every SF). */
+  private val hybridBatchTerms: Vector[Seq[String]] = Vector(
+    Seq("join", "vector", "hash"), Seq("scan", "merge", "sort"),
+    Seq("window", "group", "agg"), Seq("table", "row", "column"),
+    Seq("stream", "batch", "filter"), Seq("key", "value", "query"),
+    Seq("fast", "slow", "small"), Seq("spark", "data", "line"))
+
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
@@ -575,6 +738,82 @@ object Serving {
         .map { case (q, v) => (q, v, Seq("join", "vector", "dup")) }
       searchBatchText(st, "all", qs, k = 10,
         bruteForceCeiling = Long.MaxValue)
+    }),
+
+    // The BATCHED hybrid tier under the exact gate (r15 verdict
+    // tasks 1 + 4): EIGHT text-bearing queries with disjoint term
+    // sets served by ONE term-pruned postings pass (bm25ArmBatch —
+    // per-term df computed in-job, per-(q_id, doc) term-sorted fold,
+    // primitive grouped top-2k) ∥ one batched vector scan, fused at
+    // the reference's 0.4/0.6 service-default RRF weights
+    // (enhanced_search_service.py:31) instead of the 0.5/0.5 serving
+    // default. The oracle replays all eight queries' BM25 + exact-kNN
+    // + weighted fold independently — so per-query isolation inside
+    // the shared scan, the df computation, the fold order and the
+    // weight plumbing are each hash-gated at all three SFs.
+    "ann_hybrid_batch" -> ((s, d) => {
+      val e = base(s, d)
+      val docs = Tables.documents(s, d).withColumn("tenant", lit("all"))
+      val st = IndexState(vectors = e, corpusSize = e.count(),
+        postings = Some(buildPostings(docs, "tenant", "doc_id", "text")),
+        lexStats = lexStatsOf(docs, "tenant", "text"),
+        idCol = "vec_id", embCol = "embedding")
+      val qids = (0L until 8L).toSeq
+      val qs = qids.zip(Search.qvecs(s, d, qids))
+        .map { case (q, v) => (q, v, hybridBatchTerms(q.toInt)) }
+      searchBatchText(st, "all", qs, k = 10,
+        bruteForceCeiling = Long.MaxValue, wLex = 0.4, wVec = 0.6)
+    }),
+
+    // CDC-MAINTAINED lexical serving assets under the exact gate (r15
+    // verdict task 2): the per-doc term vectors of the %9≠0 cohort
+    // bootstrap a doc-keyed ByidStore; the churn feed — %7 updates
+    // (marker-prefixed text), %13∖%7 deletes, %9 inserts — arrives as
+    // TWO micro-batches (id parity) through applyLexCdc, which
+    // maintains the store O(churn) and the per-tenant (nDocs, Σdl)
+    // counters incrementally (preimage lengths via bounded point
+    // fetch). The hybrid serve then runs over postings = explode of
+    // the RESOLVED store view and lexStats = the MAINTAINED counters;
+    // the oracle rebuilds BM25 from scratch over the fully-churned
+    // corpus — so drift in the store merge, the counter arithmetic,
+    // the explode view, or the update/delete/insert split hash-fails
+    // the served result at all three SFs.
+    "x23_cdc_lex_maintain" -> ((s, d) => {
+      val sdir = lexDir(d)
+      deleteRec(new java.io.File(sdir))
+      val e = base(s, d)
+      val docs = Tables.documents(s, d).withColumn("tenant", lit("all"))
+        .select(col("tenant"), col("doc_id"), col("text"))
+      val v1 = docs.filter(col("doc_id") % 9 =!= 0)
+      ByidStore.init(lexDocVectors(v1, "tenant", "doc_id", "text"), "id",
+        s"$sdir/lex", nFiles = 4)
+      var counters = lexCountersOf(v1, "tenant", "text")
+      val ups = v1.filter(col("doc_id") % 7 === 0)
+        .withColumn("text",
+          concat(lit("freshly updated revision: "), col("text")))
+      val adds = ups.unionByName(docs.filter(col("doc_id") % 9 === 0))
+      // churn-bounded driver id lists (the store's CDC removal shape)
+      val delIds = v1.filter(col("doc_id") % 13 === 0 &&
+          col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      val upIds = ups.select(col("doc_id").cast("long"))
+        .collect().map(_.getLong(0))
+      Seq(0L, 1L).foreach { par =>
+        counters = applyLexCdc(s, s"$sdir/lex",
+          (delIds ++ upIds).filter(_ % 2 == par).toSeq,
+          adds.filter(pmod(col("doc_id"), lit(2L)) === par), counters,
+          "tenant", "doc_id", "text")
+      }
+      val lexView = ByidStore.readAll(s, s"$sdir/lex", "id").drop("seg")
+      val st = IndexState(vectors = e, corpusSize = e.count(),
+        postings = Some(postingsFromDocVectors(lexView)),
+        lexStats = lexStatsFromCounters(counters),
+        idCol = "vec_id", embCol = "embedding")
+      val qids = Seq(0L, 1L, 2L)
+      val qs = qids.zip(Search.qvecs(s, d, qids))
+        .map { case (q, v) => (q, v, Seq("freshly", "updated", "join")) }
+      searchBatchText(st, "all", qs, k = 10,
+        bruteForceCeiling = Long.MaxValue)
     })
   )
 
@@ -595,51 +834,83 @@ object Serving {
 
     // the ts_hybrid_rrf replay per batch member: BM25 (k1=1.2, b=0.75,
     // ln idf, term-sorted fold) from the raw documents text, exact-kNN
-    // vector arm, RRF k₀=60 fold, normalized to the router contract.
-    "ann_hybrid_topk" -> {
-      def arm(qid: Long): String = {
-        val qv = s"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = $qid)"
-        s"""SELECT CAST($qid AS BIGINT) AS q_id,
-           |  row_number() OVER (ORDER BY t.rrf_score DESC, t.doc_id ASC) AS rank,
-           |  t.doc_id AS id, t.rrf_score AS sim, 'hybrid' AS tier
-           |FROM (
-           |WITH toks AS (
-           |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-           |  FROM documents),
-           |hits AS (SELECT doc_id, term FROM toks WHERE term IN ('join','vector','dup')),
-           |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
-           |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
-           |dl AS (SELECT doc_id,
-           |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
-           |       FROM documents),
-           |stats AS (SELECT count(*) AS n_docs,
-           |            CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_dl
-           |          FROM documents),
-           |scored AS (
-           |  SELECT t.doc_id, t.term,
-           |    ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
-           |      * (t.tf * 2.2::DOUBLE)
-           |      / (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl
-           |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
-           |  FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
-           |bm AS (SELECT doc_id, list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS bm25
-           |       FROM scored GROUP BY doc_id),
-           |kw AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS kw_rank
-           |       FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
-           |vec AS (SELECT vec_id AS doc_id,
-           |          row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS vec_rank
-           |        FROM (SELECT vec_id, list_inner_product(embedding::DOUBLE[], $qv) AS sim
-           |              FROM embeddings
-           |              WHERE list_inner_product(embedding::DOUBLE[], $qv) >= 0.0
-           |              ORDER BY sim DESC, vec_id ASC LIMIT 20))
-           |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
-           |  coalesce(0.5::DOUBLE / (60 + kw_rank), 0.0::DOUBLE) +
-           |  coalesce(0.5::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf_score
-           |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
-           |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10) t""".stripMargin
-      }
-      Seq(0L, 1L, 2L).map(arm)
-        .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, rank ASC")
-    }
+    // vector arm, weighted RRF k₀=60 fold, normalized to the router
+    // contract.
+    "ann_hybrid_topk" -> hybridSql(Seq(0L, 1L, 2L),
+      _ => Seq("join", "vector", "dup"), 0.5, 0.5),
+
+    // eight queries, disjoint term sets, 0.4/0.6 weights — the
+    // batched-arm replay (r15 tasks 1 + 4).
+    "ann_hybrid_batch" -> hybridSql((0L until 8L).toSeq,
+      q => hybridBatchTerms(q.toInt), 0.4, 0.6),
+
+    // the hybrid replay over the FULLY-CHURNED corpus: v1 (%9≠0) with
+    // %7 docs marker-prefixed, %13∖%7 removed, %9 inserted — the
+    // relation the maintained lex store + counters must serve exactly.
+    "x23_cdc_lex_maintain" -> hybridSql(Seq(0L, 1L, 2L),
+      _ => Seq("freshly", "updated", "join"), 0.5, 0.5,
+      docsSql = """SELECT doc_id,
+        |    CASE WHEN doc_id % 9 <> 0 AND doc_id % 7 = 0
+        |         THEN 'freshly updated revision: ' || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE NOT (doc_id % 9 <> 0 AND doc_id % 13 = 0 AND doc_id % 7 <> 0)""".stripMargin)
   )
+
+  /** One hybrid-serve oracle arm per query, parameterized the way the
+    * serving call is: term set, (wLex, wVec) fusion weights, and the
+    * docs relation (the x23 gate replays a churned corpus). Arm
+    * budgets are the serving tier's: both arms top-2k, final top-k. */
+  private def hybridArmSql(qid: Long, terms: Seq[String], wLex: Double,
+                           wVec: Double, b: Int, k: Int,
+                           docsSql: String): String = {
+    val qv = s"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = $qid)"
+    val inList = terms.map(t => s"'$t'").mkString(",")
+    s"""SELECT CAST($qid AS BIGINT) AS q_id,
+       |  row_number() OVER (ORDER BY t.rrf_score DESC, t.doc_id ASC) AS rank,
+       |  t.doc_id AS id, t.rrf_score AS sim, 'hybrid' AS tier
+       |FROM (
+       |WITH docs_src AS ($docsSql),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM docs_src),
+       |hits AS (SELECT doc_id, term FROM toks WHERE term IN ($inList)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+       |dl AS (SELECT doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+       |       FROM docs_src),
+       |stats AS (SELECT count(*) AS n_docs,
+       |            CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_dl
+       |          FROM docs_src),
+       |scored AS (
+       |  SELECT t.doc_id, t.term,
+       |    ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+       |      * (t.tf * 2.2::DOUBLE)
+       |      / (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl
+       |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+       |  FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |bm AS (SELECT doc_id, list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS bm25
+       |       FROM scored GROUP BY doc_id),
+       |kw AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS kw_rank
+       |       FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT $b)),
+       |vec AS (SELECT vec_id AS doc_id,
+       |          row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS vec_rank
+       |        FROM (SELECT vec_id, list_inner_product(embedding::DOUBLE[], $qv) AS sim
+       |              FROM embeddings
+       |              WHERE list_inner_product(embedding::DOUBLE[], $qv) >= 0.0
+       |              ORDER BY sim DESC, vec_id ASC LIMIT $b))
+       |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+       |  coalesce($wLex::DOUBLE / (60 + kw_rank), 0.0::DOUBLE) +
+       |  coalesce($wVec::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf_score
+       |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+       |ORDER BY rrf_score DESC, doc_id ASC LIMIT $k) t""".stripMargin
+  }
+
+  private def hybridSql(qids: Seq[Long], terms: Long => Seq[String],
+                        wLex: Double, wVec: Double,
+                        docsSql: String = "SELECT doc_id, text FROM documents")
+      : String =
+    qids.map(q => hybridArmSql(q, terms(q), wLex, wVec, b = 20, k = 10, docsSql))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, rank ASC")
 }

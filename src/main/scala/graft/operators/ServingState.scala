@@ -145,10 +145,23 @@ object ServingState {
     * primitive): write staged, hard-link into the final name — the
     * link fails atomically in the kernel if a racing writer already
     * published this snapshot number, so a double-refresh is a loud
-    * ConcurrentModificationException, never a silent overwrite. */
+    * ConcurrentModificationException, never a silent overwrite.
+    *
+    * The staging path is PER-WRITER-UNIQUE (pid + a random token —
+    * racing writers can share a pid when they are threads of one
+    * refresher process): with a shared deterministic tmp name, a
+    * losing writer could overwrite the staged bytes between the
+    * winner's write and its link — the winner would publish the
+    * loser's manifest — and the winner's cleanup could delete a
+    * racer's freshly staged file (ADVICE r15). Only the createLink
+    * below touches shared state; each writer stages, links, and
+    * deletes exclusively its own tmp. */
   private[graft] def publishManifest(dir: String, n: Int,
                                      lines: Seq[String]): Unit = {
-    val tmp = Paths.get(dir, f"_manifest_$n%05d.tmp")
+    val token = ProcessHandle.current().pid() + "_" +
+      java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val tmp = Paths.get(dir, f"_manifest_$n%05d.$token%s.tmp")
     Files.writeString(tmp, lines.mkString("", "\n", "\n"))
     try Files.createLink(Paths.get(manifestPath(dir, n)), tmp)
     catch {
@@ -176,9 +189,12 @@ object ServingState {
     }
     numbered(dir, "v_").filter(_ != keep)
       .foreach(n => deleteRecursively(new File(vDir(dir, n))))
-    numbered(dir, "_manifest_")
-      .foreach(n => Files.deleteIfExists(
-        Paths.get(dir, f"_manifest_$n%05d.tmp")): Unit)
+    // staged-manifest debris carries per-writer-unique suffixes —
+    // match by shape, not by parsing a number out of the name
+    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.startsWith("_manifest_") &&
+        f.getName.endsWith(".tmp"))
+      .foreach(f => Files.deleteIfExists(f.toPath): Unit)
   }
 
   private def read(dir: String, n: Int): String =

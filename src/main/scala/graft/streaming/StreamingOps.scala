@@ -271,6 +271,20 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val effective = orderCol match {
           case Some(oc) =>
+            // the collapse is only deterministic if orderCol is a
+            // per-id TOTAL order: two ops tied on (id, orderCol) would
+            // pick an arbitrary winner, and a foreachBatch retry could
+            // collapse DIFFERENTLY from the failed attempt —
+            // nondeterministic store content for a feed this sink
+            // claims to totally order (ADVICE r15). Enforce it loudly;
+            // the check is churn-bounded like the no-orderCol one.
+            val ties = batch.groupBy(col(idCol), col(oc)).count()
+              .filter(col("count") > 1).count()
+            require(ties == 0,
+              s"streamByidMaintain: $ties ($idCol, $oc) pairs carry " +
+                "multiple ops in one micro-batch — orderCol must be a " +
+                "per-id total order (a CDC sequence number), or the " +
+                "collapse winner is arbitrary and replays diverge")
             batch.withColumn("_rn", row_number().over(
                 Window.partitionBy(col(idCol)).orderBy(col(oc).desc)))
               .filter(col("_rn") === 1).drop("_rn", oc)
@@ -292,6 +306,38 @@ object StreamingOps {
       }
       .start()
 
+  /** Read/write the driver-maintained corpus row counter under a
+    * maintain-serve state dir — the O(1)-per-epoch replacement for
+    * counting the resolved byid view (r15 verdict task 3). Written
+    * staged-then-rename (single-writer, like the stores); bootstrap
+    * with [[initCorpusCount]] right after the byid init. */
+  def readCorpusCount(stateDir: String): Long = {
+    val p = java.nio.file.Paths.get(stateDir, "corpus_count")
+    require(java.nio.file.Files.exists(p),
+      s"maintain-serve state at $stateDir has no corpus_count — " +
+        "call initCorpusCount at bootstrap")
+    java.nio.file.Files.readString(p).trim.toLong
+  }
+
+  def writeCorpusCount(stateDir: String, n: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(stateDir, "_corpus_count.tmp")
+    java.nio.file.Files.writeString(tmp, n.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(stateDir, "corpus_count"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** Bootstrap the counter from the freshly-inited byid store — at
+    * bootstrap the store is one base segment, so the read is the
+    * merge-free fast path (a parquet metadata count). */
+  def initCorpusCount(spark: SparkSession, stateDir: String,
+                      idCol: String = "id"): Long = {
+    val n = graft.operators.ByidStore
+      .readAll(spark, s"$stateDir/byid", idCol).count()
+    writeCorpusCount(stateDir, n)
+    n
+  }
+
   /** One micro-batch of the FULL maintain-then-serve loop (r14
     * verdict task 5 — the operational form a 100 TB deployment runs):
     * the CDC batch (op ∈ upsert|delete, idCol, embCol, tenant) is
@@ -299,15 +345,30 @@ object StreamingOps {
     * raw byid store, the IVF cell assignments, and the PQ codes, each
     * a CDC-maintained point-fetch store under `stateDir` (assignment/
     * encoding of the batch's postimages runs against the FROZEN
-    * centroids/codebooks — the x17/x19 maintenance contract) — then a
+    * centroids/codebooks — the x17/x19 maintenance contract), each
+    * through the THRESHOLD-COMPACTED apply, so the per-fetch segment
+    * count stays capped across unbounded epochs (ADVICE r15) — then a
     * probe batch is served THROUGH the routed IVF-PQ tier over the
     * maintained state and PERSISTED under `stateDir/served/epoch_N`,
     * so the serving loop is provably live between micro-batches.
     * Returns the served rows (read back from the persisted parquet —
-    * nothing lazy escapes the epoch). The `st_maintain_serve` gate
-    * replays micro-batches through THIS function and hash-gates the
-    * final epoch's serve against a from-scratch 15-Lloyd-kernel
-    * oracle; StreamingSpec drives the real readStream path. */
+    * nothing lazy escapes the epoch).
+    *
+    * The corpus counter is MAINTAINED, not measured (r15 verdict
+    * task 3 — the old `vectors.count()` forced the merge-on-read
+    * window over the full corpus once per epoch, the one
+    * corpus-proportional action in an otherwise O(churn) loop): one
+    * churn-bounded point-fetch of the batch's ids BEFORE the apply
+    * says which are live, so
+    * `new = old + |upserts ∖ live| − |deletes ∩ live|`. The
+    * existence-based delta is naturally idempotent under foreachBatch
+    * replay (a replayed upsert is live by then → no double count; a
+    * replayed live-delete is already gone → no double decrement).
+    * The `st_maintain_serve` gate replays micro-batches through THIS
+    * function and hash-gates the final epoch's serve against a
+    * from-scratch 15-Lloyd-kernel oracle; StreamingSpec drives the
+    * real readStream path and asserts no epoch launches a corpus
+    * count job. */
   def maintainServeBatch(spark: SparkSession, batch: DataFrame,
                          stateDir: String,
                          centroids: Map[String, Array[Array[Double]]],
@@ -315,30 +376,45 @@ object StreamingOps {
                          probes: Seq[(Long, Seq[Double])], k: Int,
                          nProbe: Int, rescoreK: Int, epoch: Long,
                          tenant: String = "all", idCol: String = "id",
-                         embCol: String = "emb"): DataFrame = {
+                         embCol: String = "emb",
+                         maxSegments: Int = 8): DataFrame = {
     import graft.operators.{ByidStore, Search, Serving, ProductQuantization => PQ}
     val removals = batch.filter(col("op").isin("delete", "upsert"))
       .select(col(idCol)).distinct()
     val additions = batch.filter(col("op") === "upsert").drop("op")
+    // churn-bounded op summary (an id with BOTH ops in one batch ends
+    // live — the store's same-batch postimage-survives rule)
+    val ops = batch.select(col(idCol).cast("long").as("_id"),
+        (col("op") === "upsert").as("_up"))
+      .groupBy("_id").agg(max(col("_up")).as("_up"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val live: Set[Long] =
+      if (ops.isEmpty) Set.empty
+      else ByidStore.fetch(spark, s"$stateDir/byid", ops.map(_._1).toSeq, idCol)
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    val corpusCount = readCorpusCount(stateDir) +
+      ops.count { case (id, up) => up && !live(id) } -
+      ops.count { case (id, up) => !up && live(id) }
     val aDelta = Search.ivfAssign(additions, "tenant", idCol, embCol, centroids)
     val cDelta = PQ.pqEncode(additions, "tenant", idCol, embCol, codebooks)
       .join(aDelta.select(col("tenant"), col("id"), col("cell")),
         Seq("tenant", "id"))
       .select("tenant", "id", "codes", "cell")
-    ByidStore.applyCdc(spark, s"$stateDir/byid", removals,
-      additions.select(col(idCol), col(embCol), col("tenant")), idCol)
+    ByidStore.applyCdcAutoCompact(spark, s"$stateDir/byid", removals,
+      additions.select(col(idCol), col(embCol), col("tenant")), idCol,
+      maxSegments = maxSegments)
     // the derived stores key on the CANONICAL id column their
     // builders emit; removals are renamed to match
     val remCanon = removals.select(col(idCol).cast("long").as("id"))
-    ByidStore.applyCdc(spark, s"$stateDir/cells_store", remCanon, aDelta, "id")
-    ByidStore.applyCdc(spark, s"$stateDir/codes_store", remCanon, cDelta, "id")
-    // serve a probe batch off the maintained state (corpus counter
-    // from the resolved view here; a deployment reads it from its
-    // catalog the way ServingState manifests record it)
+    ByidStore.applyCdcAutoCompact(spark, s"$stateDir/cells_store", remCanon,
+      aDelta, "id", maxSegments = maxSegments)
+    ByidStore.applyCdcAutoCompact(spark, s"$stateDir/codes_store", remCanon,
+      cDelta, "id", maxSegments = maxSegments)
+    writeCorpusCount(stateDir, corpusCount)
     val vectors = ByidStore.readAll(spark, s"$stateDir/byid", idCol)
     val st = Serving.IndexState(
       vectors = vectors,
-      corpusSize = vectors.count(),
+      corpusSize = corpusCount,
       centroids = Some(centroids),
       cells = Some(ByidStore.readAll(spark, s"$stateDir/cells_store", "id")
         .drop("seg")),
@@ -367,6 +443,7 @@ object StreamingOps {
                           nProbe: Int = 4, rescoreK: Int = 50,
                           tenant: String = "all", idCol: String = "id",
                           embCol: String = "emb",
+                          maxSegments: Int = 8,
                           trigger: org.apache.spark.sql.streaming.Trigger =
                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -376,7 +453,7 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         maintainServeBatch(batch.sparkSession, batch, stateDir, centroids,
           codebooks, probes, k, nProbe, rescoreK, epoch, tenant, idCol,
-          embCol): Unit
+          embCol, maxSegments): Unit
       }
       .start()
 
@@ -474,6 +551,7 @@ object StreamingOps {
       val books = PQc.pqTrainSampled(v1, "tenant", "id", "emb", 4, 8, 256)
       ByidStore.init(v1.select("id", "emb", "tenant"), "id",
         s"$sdir/byid", nFiles = 4)
+      initCorpusCount(s, sdir)
       val a1 = Search.ivfAssign(v1, "tenant", "id", "emb", cents)
       ByidStore.init(a1, "id", s"$sdir/cells_store", nFiles = 4)
       ByidStore.init(PQc.pqEncode(v1, "tenant", "id", "emb", books)

@@ -198,4 +198,45 @@ class ByidStoreSpec extends AnyFunSuite {
     assert(ByidStore.segments(path).size + ByidStore.tombstones(path).size <= 3)
     assert(view(path, 0L until 10L).map(_._1) == Seq(0L) ++ (4L until 10L))
   }
+
+  test("applyCdc rejects duplicate ids within one batch (r15 task 7)") {
+    import spark.implicits._
+    val path = freshDir()
+    ByidStore.init(corpus(0L until 10L, "a"), "id", path, nFiles = 1)
+    // two postimages for id 3 in one batch would tie on seg in the
+    // merge window — no deterministic winner, so the apply must throw
+    // BEFORE the batch becomes visible
+    val ex = intercept[IllegalArgumentException] {
+      ByidStore.applyCdc(spark, path, Seq(3L).toDF("id"),
+        Seq((3L, "b-3", 30), (3L, "c-3", 31)).toDF("id", "payload", "v"), "id")
+    }
+    assert(ex.getMessage.contains("duplicate"))
+    // nothing committed: the pre-batch view still serves
+    assert(ByidStore.segments(path) == Seq(0))
+    assert(ByidStore.fetch(spark, path, Seq(3L), "id")
+      .select("payload").as[String].head() == "a-3")
+  }
+
+  test("two tenants claiming one id: checkpoint/compact loudly reject the collision (r15 task 7)") {
+    import spark.implicits._
+    def rows(ids: Seq[Long], tenant: String, tag: String) =
+      ids.map(i => (i, tenant, s"$tag-$i")).toDF("id", "tenant", "payload")
+    val path = freshDir()
+    ByidStore.init(rows(0L until 6L, "acme", "a"), "id", path, nFiles = 1)
+    // a SAME-tenant update is legitimate churn — compact stays green
+    ByidStore.applyCdc(spark, path, Seq(2L).toDF("id"),
+      rows(Seq(2L), "acme", "b"), "id")
+    ByidStore.compact(spark, path, "id", nFiles = 1)
+    assert(ByidStore.fetch(spark, path, Seq(2L), "id")
+      .select("payload").as[String].head() == "b-2")
+    // tenant "other" upserting acme's id 4 commits (the store cannot
+    // know liveness O(1) at apply time) but the next fold REJECTS the
+    // history instead of silently collapsing acme's row away
+    ByidStore.applyCdc(spark, path, Seq(4L).toDF("id"),
+      rows(Seq(4L), "other", "x"), "id")
+    val ex = intercept[IllegalArgumentException] {
+      ByidStore.checkpoint(spark, path, "id", nFiles = 1)
+    }
+    assert(ex.getMessage.contains("tenant"))
+  }
 }

@@ -55,6 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x20_cdc_byid_maintain" -> "CDC feed id sets + tombstones: churn-bounded",
     "x21_cdc_maintain_serve" -> "CDC feed id sets + rescore candidates: churn/k-bounded",
     "x22_snapshot_refresh_serve" -> "CDC feed id sets + tombstones: churn-bounded",
+    "x23_cdc_lex_maintain" -> "per-term postings df aggregate (≤ |term union| rows) + store tombstones: term/churn-bounded",
+    "ann_hybrid_topk" -> "per-term postings df aggregate: ≤ |query term union| rows",
+    "ann_hybrid_batch" -> "per-term postings df aggregate: ≤ |batch term union| rows",
     "st_maintain_serve" -> "CDC feed id sets + rescore candidates: churn/k-bounded",
     "c7_hierarchical" -> "per-cluster sizes: rows ≤ tenants × k (model state)",
     "c7b_hierarchical_density" -> "per-cluster sizes: rows ≤ tenants × k",

@@ -121,6 +121,17 @@ class ServingSpec extends AnyFunSuite {
     // the exact-recall contract trumps fusion
     assert(routeCalibrated(lexed, 0.999, 0, 4, 50, hasText = true).tier ==
       BruteForceTier)
+    // ANY positive floor trumps fusion (ADVICE r15): the fused output
+    // has no stored recall point, so an intermediate floor with text
+    // takes the CALIBRATED VECTOR path — brute when no curve is
+    // stored (unverifiable floors are served exactly) ...
+    assert(routeCalibrated(lexed, 0.5, 0, 4, 50, hasText = true).tier ==
+      BruteForceTier)
+    // ... and the cheapest stored vector config when one meets it
+    val calLexed = lexed.copy(recallCurve =
+      Seq(RecallPoint("ivf_pq", 8, 100, 0.97)))
+    assert(routeCalibrated(calLexed, 0.9, 0, 4, 50, hasText = true) ==
+      Decision(IvfPqTier, 8, 100))
     // searchBatchText with empty term lists serves the vector decision
     val v = searchBatchText(lexed, "all", qs.map(q => (q._1, q._2, Nil)),
       k = 5, bruteForceCeiling = 0)
@@ -155,6 +166,94 @@ class ServingSpec extends AnyFunSuite {
     }.sortBy { case (id, s) => (-s, id) }.take(10)
       .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s, "hybrid") }
     assert(got == want)
+  }
+
+  test("hybrid RRF weights are per-request (r15 task 4: reference config 2.0/1.0)") {
+    import graft.operators.TextAnalysis
+    val terms = Seq("join", "vector", "dup")
+    val lexed = st(centroidsOn = true, cellsOn = true, codesOn = true,
+      withCells = true).copy(postings = Some(postings), lexStats = lexStats)
+    val got = searchBatchText(lexed, "all",
+        Seq((0L, qs.head._2, terms)), k = 10, nProbe = 4, rescoreK = 50,
+        bruteForceCeiling = 0, wLex = 2.0, wVec = 1.0)
+      .select("rank", "id", "sim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val kw = TextAnalysis.bm25Scores(docsAll, terms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+      .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val vec = searchBatch(st(centroidsOn = true, cellsOn = true,
+        codesOn = true, withCells = true), "all", Seq((0L, qs.head._2)),
+        k = 20, nProbe = 4, rescoreK = 50, bruteForceCeiling = 0)
+      .select("rank", "id").collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val want = (kw.keySet ++ vec.keySet).toSeq.map { id =>
+      val s = kw.get(id).map(r => 2.0 / (60 + r)).getOrElse(0.0) +
+        vec.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
+    assert(got == want)
+  }
+
+  test("batched lexical arm: a multi-query hybrid batch equals the single-query serves (r15 task 1)") {
+    val lexed = st(centroidsOn = true, cellsOn = true, codesOn = true,
+      withCells = true).copy(postings = Some(postings), lexStats = lexStats)
+    val termSets = Seq(Seq("join", "vector", "dup"),
+      Seq("scan", "merge", "sort"), Seq("window", "group", "agg"))
+    val batchQs = qs.zip(termSets).map { case ((qid, v), ts) => (qid, v, ts) }
+    def rows(df: DataFrame): Set[(Long, Int, Long, Double)] =
+      df.select("q_id", "rank", "id", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val batched = rows(searchBatchText(lexed, "all", batchQs, k = 10,
+      bruteForceCeiling = 0))
+    val singles = batchQs.map(q => rows(searchBatchText(lexed, "all",
+      Seq(q), k = 10, bruteForceCeiling = 0))).reduce(_ ++ _)
+    assert(batched == singles)
+    assert(batched.size == 30)
+  }
+
+  test("applyLexCdc maintains the doc-keyed lex store + counters O(churn) (r15 task 2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexcdc-").toString
+    val docs = docsAll.select(col("tenant"), col("doc_id"), col("text"))
+    val v1 = docs.filter(col("doc_id") % 9 =!= 0)
+    graft.operators.ByidStore.init(
+      Serving.lexDocVectors(v1, "tenant", "doc_id", "text"), "id",
+      s"$dir/lex", nFiles = 2)
+    var counters = Serving.lexCountersOf(v1, "tenant", "text")
+    val ups = v1.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(lit("freshly updated revision: "), col("text")))
+    val adds = ups.unionByName(docs.filter(col("doc_id") % 9 === 0))
+    val delIds = v1.filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    val upIds = ups.select(col("doc_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    counters = Serving.applyLexCdc(spark, s"$dir/lex", delIds ++ upIds,
+      adds, counters, "tenant", "doc_id", "text")
+    // the fully-churned corpus, rebuilt from scratch
+    val churned = docs
+      .filter(!(col("doc_id") % 9 =!= 0 && col("doc_id") % 13 === 0 &&
+        col("doc_id") % 7 =!= 0))
+      .withColumn("text",
+        when(col("doc_id") % 9 =!= 0 && col("doc_id") % 7 === 0,
+          concat(lit("freshly updated revision: "), col("text")))
+          .otherwise(col("text")))
+    // counters match the from-scratch integers exactly (and hence
+    // avgdl bit-exactly)
+    assert(counters == Serving.lexCountersOf(churned, "tenant", "text"))
+    assert(Serving.lexStatsFromCounters(counters) ==
+      Serving.lexStatsOf(churned, "tenant", "text"))
+    // the postings VIEW over the maintained store equals a from-
+    // scratch buildPostings of the churned corpus, row for row
+    def prows(df: DataFrame): Set[(String, String, Long, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = prows(Serving.postingsFromDocVectors(
+      graft.operators.ByidStore.readAll(spark, s"$dir/lex", "id").drop("seg")))
+    val want = prows(Serving.buildPostings(churned, "tenant", "doc_id", "text"))
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 
   test("measureRecallCurve: exhaustive probing measures 1.0 and searchBatch serves the calibrated config") {

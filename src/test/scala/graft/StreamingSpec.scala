@@ -346,6 +346,7 @@ class StreamingSpec extends AnyFunSuite {
         .join(a1.select(col("tenant"), col("id"), col("cell")), Seq("tenant", "id"))
         .select("tenant", "id", "codes", "cell"),
       "id", s"$sdir/codes_store", 2)
+    StreamingOps.initCorpusCount(spark, sdir)
     val ups = v1.filter(pmod(col("id"), lit(7L)) === 0)
       .select(lit("upsert").as("op"), col("id"),
         reverse(col("emb")).as("emb"), col("tenant"))
@@ -367,9 +368,28 @@ class StreamingSpec extends AnyFunSuite {
       .schema(spark.read.parquet(s"$srcDir/b0").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$srcDir/*")
+    // r15 verdict task 3: no epoch may launch a corpus-wide count —
+    // capture every job's callsite while the stream runs; the old
+    // `vectors.count()` showed up as "count at StreamingOps.scala"
+    val jobSites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobSites.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("")): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val q = StreamingOps.streamMaintainServe(streamed, sdir, ckpt, cents,
       books, probes, k = 10)
     q.awaitTermination(300000)
+    graft.BenchProbe.drainListenerBus(spark)
+    spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val corpusCounts = jobSites.asScala.filter(_.contains("count at StreamingOps"))
+    assert(corpusCounts.isEmpty,
+      s"maintain-serve epochs launched corpus count jobs: $corpusCounts")
     // both epochs served + persisted (the loop stayed live mid-stream)
     assert(spark.read.parquet(s"$sdir/served/epoch_00000").count() == 30)
     val served = spark.read.parquet(s"$sdir/served/epoch_00001")
@@ -395,6 +415,35 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(served == want)
     assert(served.size == 30)
+    // the MAINTAINED counter equals the true post-churn corpus size —
+    // exactness without the per-epoch corpus count
+    assert(StreamingOps.readCorpusCount(sdir) == v2.count())
+  }
+
+  test("streamByidMaintain rejects (id, orderCol) ties — replays must collapse identically (ADVICE r15)") {
+    import graft.operators.ByidStore
+    val store = java.nio.file.Files.createTempDirectory("graft_sbm4_store").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sbm4_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sbm4_ckpt").toString
+    ByidStore.init((0L until 5L).map(i => (i, s"a-$i"))
+      .toDF("id", "payload"), "id", store, nFiles = 1)
+    // two ops on id 1 with the SAME sequence number: no total order,
+    // so the collapse winner would be arbitrary across retries
+    Seq(("upsert", 1L, "b-1", 10L), ("delete", 1L, "", 10L))
+      .toDF("op", "id", "payload", "seq").write.parquet(s"$srcDir/b0")
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/b0").schema)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.streamByidMaintain(streamed, store, ckpt,
+      orderCol = Some("seq"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(180000)
+    }
+    assert(ex.getMessage.contains("total order") ||
+      Option(ex.getCause).exists(_.getMessage.contains("total order")))
+    // the rejected batch committed nothing
+    assert(ByidStore.fetch(spark, store, Seq(1L), "id")
+      .select("payload").as[String].collect().toSeq == Seq("a-1"))
   }
 
   test("streamByidMaintain without orderCol rejects multi-op micro-batches") {
