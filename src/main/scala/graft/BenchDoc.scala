@@ -237,18 +237,22 @@ object BenchDoc {
     // This corpus makes background 20-gram sharing IMPOSSIBLE by
     // construction: every token is d%06dt%02d — a complete 7-char
     // doc-unique field sits at each token head, tokens are 13 chars
-    // with the separator, and any 20-char window therefore contains a
-    // FULL doc field of some token (worst case: 12 trailing chars of
-    // one token + space + the next token's first 7 chars) — so windows
-    // from different docs always differ. The ONLY cross-doc
-    // duplication is a 119-char passage appended to 1% of docs
-    // (doc_id % 100 == 0): candidate positions are ~0.3% of the
-    // corpus — the hashed mode's design regime at last. Expected
-    // output (both modes, by construction): 5,000 spans × 119 chars.
+    // with the separator, and any 20-char window inside the token run
+    // therefore contains a FULL doc field of some token (worst case:
+    // 12 trailing chars of one token + space + the next token's first
+    // 7 chars) — so background windows from different docs always
+    // differ. The ONLY cross-doc duplication is a 119-char passage
+    // appended to 1% of docs (doc_id % 100 == 0): candidate positions
+    // are ~0.3% of the corpus — the hashed mode's design regime at
+    // last. Expected output (measured on the 1k-doc smoke): one span
+    // per injected doc, 119 chars + a few boundary chars where the
+    // doc-field tail before the passage coincides (every injected id
+    // ends in "00", and last-token indices repeat per id%7 class);
+    // both modes identical by construction.
     val sparseCorpus = spark.range(500000L)
       .select(col("id").as("doc_id"),
         concat(
-          array_join(transform(sequence(lit(0), lit(23) + pmod(col("id"), lit(7))),
+          array_join(transform(sequence(lit(0L), lit(23L) + pmod(col("id"), lit(7L))),
             j => format_string("d%06dt%02d", col("id"), j)), " "),
           when(pmod(col("id"), lit(100)) === 0,
             lit(" " + (0 until 24).map(i => f"sp$i%02d").mkString(" ")))

@@ -88,6 +88,7 @@ object ServingState {
                    words: Option[DataFrame] = None,
                    postings: Option[DataFrame] = None,
                    lexStats: Map[String, (Long, Double)] = Map.empty,
+                   lexCounters: Map[String, (Long, Long)] = Map.empty,
                    corpusSize: Long = -1L,
                    encodedHasCells: Boolean = false,
                    residualCodes: Boolean = false,
@@ -127,6 +128,15 @@ object ServingState {
     val size =
       if (corpusSize >= 0) corpusSize
       else ByidStore.readAll(spark, byid, idCol, Some((base, base))).count()
+    // maintained integer counters (applyLexCdc's output) take
+    // precedence: they persist losslessly and re-derive avgdl with
+    // the same one division lexStatsOf performs, so a refresh loop
+    // can thread them manifest-to-manifest without any O(corpus)
+    // lexStatsOf rebuild (r15 verdict task 2)
+    val stats =
+      if (lexCounters.nonEmpty && lexStats.isEmpty)
+        Serving.lexStatsFromCounters(lexCounters)
+      else lexStats
     val lines = Seq(
       s"corpus_size=$size",
       s"encoded_has_cells=$encodedHasCells",
@@ -135,11 +145,24 @@ object ServingState {
       s"byid_pin=$base") ++
       recallCurve.map(p => s"recall=${p.tier},${p.nProbe},${p.rescoreK},${p.recall}") ++
       // doubles as exact decimal strings — Java round-trips them
-      lexStats.toSeq.sortBy(_._1).map { case (t, (n, avgdl)) =>
-        s"lexstats=$t,$n,$avgdl" }
+      stats.toSeq.sortBy(_._1).map { case (t, (n, avgdl)) =>
+        s"lexstats=$t,$n,$avgdl" } ++
+      lexCounters.toSeq.sortBy(_._1).map { case (t, (n, sdl)) =>
+        s"lexcounters=$t,$n,$sdl" }
     publishManifest(dir, n, lines)
     n
   }
+
+  /** The maintained per-tenant (nDocs, Σdl) counters a snapshot
+    * recorded — the integers a lexical CDC loop threads into its next
+    * `Serving.applyLexCdc` epoch after loading a snapshot. Empty for
+    * snapshots saved without counters. */
+  def lexCounters(dir: String, n: Int): Map[String, (Long, Long)] =
+    read(dir, n).linesIterator.collect {
+      case l if l.startsWith("lexcounters=") =>
+        val Array(t, nd, sdl) = l.stripPrefix("lexcounters=").split(",")
+        t -> (nd.toLong, sdl.toLong)
+    }.toMap
 
   /** Atomic create-no-overwrite publish (the VersionedStore
     * primitive): write staged, hard-link into the final name — the

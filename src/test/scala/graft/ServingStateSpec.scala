@@ -157,7 +157,60 @@ class ServingStateSpec extends AnyFunSuite {
     // the winner's content survived intact
     val st = ServingState.loadSnapshot(spark, dir, 2)
     assert(st.corpusSize == 1L && !st.residualCodes)
-    // the loser's staged tmp is gone (no debris manifest)
-    assert(!new java.io.File(s"$dir/_manifest_00002.tmp").exists())
+    // the loser's staged tmp is gone (no debris manifest — staged
+    // names are per-writer-unique since ADVICE r15, match by shape)
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.startsWith("_manifest_") && f.getName.endsWith(".tmp")))
+  }
+
+  test("racing refresh never publishes another writer's staged bytes (ADVICE r15)") {
+    // 8 threads race the SAME snapshot number with DISTINCT payloads:
+    // exactly one wins, and the committed manifest must be byte-equal
+    // to the WINNER's payload — with a shared staged tmp a loser's
+    // writeString could land between the winner's write and link, so
+    // the winner would commit the loser's bytes
+    val dir = buildDir()
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        try {
+          ServingState.publishManifest(dir, 2, Seq(s"corpus_size=$i",
+            "encoded_has_cells=false", "residual_codes=false",
+            "byid_base=0", "byid_pin=0"))
+          results.put(i, true)
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            results.put(i, false)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val winners = results.asScala.filter(_._2).keys.toSeq
+    assert(winners.size == 1, s"expected exactly one winner, got $winners")
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "manifest_00002"))
+    assert(committed.startsWith(s"corpus_size=${winners.head}\n"),
+      s"winner ${winners.head} but manifest says: ${committed.linesIterator.next()}")
+    // no staged debris survives the race
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.startsWith("_manifest_") && f.getName.endsWith(".tmp")))
+  }
+
+  test("lex counters persist in the manifest and re-derive stats bit-exactly (r15 task 2)") {
+    val dir = Files.createTempDirectory("graft-svlex-").toString
+    ByidStore.init(e.select("id", "embedding", "tenant"), "id", s"$dir/byid",
+      nFiles = 2)
+    val docs = Tables.documents(spark, d).withColumn("tenant", lit("all"))
+    val counters = Serving.lexCountersOf(docs, "tenant", "text")
+    val n = ServingState.saveSnapshot(spark, dir,
+      postings = Some(Serving.buildPostings(docs, "tenant", "doc_id", "text")),
+      lexCounters = counters, corpusSize = e.count())
+    assert(ServingState.lexCounters(dir, n) == counters)
+    // the loaded state's lexStats equal the O(corpus) rebuild exactly
+    // (integer counters → one division, the lexStatsOf order)
+    val st = ServingState.load(spark, dir)
+    assert(st.lexStats == Serving.lexStatsOf(docs, "tenant", "text"))
+    assert(st.postings.isDefined)
   }
 }
