@@ -262,7 +262,12 @@ object Serving {
     * Scale posture: the classic sharded-postings layout — at 100 TB
     * this relation is term-range bucketed so a query's ≤ |terms|
     * partition-pruned scans replace any full pass; df is computed per
-    * query from the pruned slice, never stored stale. */
+    * query from the pruned slice, never stored stale. This builder is
+    * the O(corpus) BOOTSTRAP form; an upsert-churned deployment keeps
+    * per-doc term vectors in a doc-keyed ByidStore instead
+    * ([[lexDocVectors]] + [[applyLexCdc]], r15 verdict task 2) and
+    * serves postings as [[postingsFromDocVectors]] of the resolved
+    * view — O(churn) per refresh, gated `x23_cdc_lex_maintain`. */
   def buildPostings(docs: DataFrame, tenantCol: String, idCol: String,
                     textCol: String): DataFrame =
     docs.select(col(tenantCol).cast("string").as("tenant"),

@@ -214,6 +214,41 @@ class ServingSpec extends AnyFunSuite {
     assert(batched.size == 30)
   }
 
+  test("batched lexical arm launches a flat job count in Q (r15 task 1)") {
+    // the per-query form launched one bm25 job chain + one idf collect
+    // PER QUERY; the batched arm's job count must not grow with the
+    // batch — count Spark jobs for a 1-query and an 8-query serve over
+    // the same state (brute vector arm so the vector side is one
+    // batched scan in both)
+    val lexed = st().copy(postings = Some(postings), lexStats = lexStats)
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    val termSets = Vector(Seq("join", "vector", "dup"),
+      Seq("scan", "merge", "sort"), Seq("window", "group", "agg"),
+      Seq("table", "row", "column"), Seq("stream", "batch", "filter"),
+      Seq("key", "value", "query"), Seq("fast", "slow", "small"),
+      Seq("spark", "data", "line"))
+    def countJobs(nq: Int): Long = {
+      val batch = (0 until nq).map(i => (i.toLong, qs.head._2, termSets(i)))
+      graft.BenchProbe.drainListenerBus(spark)
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      searchBatchText(lexed, "all", batch, k = 10,
+        bruteForceCeiling = Long.MaxValue).count()
+      graft.BenchProbe.drainListenerBus(spark)
+      spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val j1 = countJobs(1)
+    val j8 = countJobs(8)
+    assert(j8 <= j1 + 1, s"hybrid serve jobs grew with Q: $j1 @ Q=1 vs $j8 @ Q=8")
+  }
+
   test("applyLexCdc maintains the doc-keyed lex store + counters O(churn) (r15 task 2)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lexcdc-").toString
     val docs = docsAll.select(col("tenant"), col("doc_id"), col("text"))
