@@ -420,6 +420,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingOps.readCorpusCount(sdir) == v2.count())
   }
 
+  test("streamLexMaintain: real micro-batches maintain the lex store + counters (r15 task 2)") {
+    import graft.operators.{ByidStore, Serving}
+    val d = "/root/testdata/sf0.001"
+    val sdir = java.nio.file.Files.createTempDirectory("graft_slm_state").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_slm_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slm_ckpt").toString
+    val docs = Tables.documents(spark, d).withColumn("tenant", lit("all"))
+      .select("tenant", "doc_id", "text")
+    val v1 = docs.filter(col("doc_id") % 9 =!= 0)
+    ByidStore.init(Serving.lexDocVectors(v1, "tenant", "doc_id", "text"),
+      "id", s"$sdir/lex", nFiles = 2)
+    StreamingOps.writeLexCounters(sdir,
+      Serving.lexCountersOf(v1, "tenant", "text"))
+    val ups = v1.filter(col("doc_id") % 7 === 0)
+      .select(lit("upsert").as("op"), col("tenant"), col("doc_id"),
+        concat(lit("freshly updated revision: "), col("text")).as("text"))
+    val ins = docs.filter(col("doc_id") % 9 === 0)
+      .select(lit("upsert").as("op"), col("tenant"), col("doc_id"), col("text"))
+    val dels = v1.filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0)
+      .select(lit("delete").as("op"), col("tenant"), col("doc_id"),
+        lit(null).cast("string").as("text"))
+    val feed = ups.unionByName(ins).unionByName(dels)
+    feed.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .coalesce(1).write.parquet(s"$srcDir/b0")
+    feed.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      .coalesce(1).write.parquet(s"$srcDir/b1")
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/b0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.streamLexMaintain(streamed, sdir, ckpt,
+      "tenant", "doc_id", "text")
+    q.awaitTermination(300000)
+    val churned = docs
+      .filter(!(col("doc_id") % 9 =!= 0 && col("doc_id") % 13 === 0 &&
+        col("doc_id") % 7 =!= 0))
+      .withColumn("text",
+        when(col("doc_id") % 9 =!= 0 && col("doc_id") % 7 === 0,
+          concat(lit("freshly updated revision: "), col("text")))
+          .otherwise(col("text")))
+    assert(StreamingOps.readLexCounters(sdir) ==
+      Serving.lexCountersOf(churned, "tenant", "text"))
+    def prows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(prows(Serving.postingsFromDocVectors(
+      ByidStore.readAll(spark, s"$sdir/lex", "id").drop("seg"))) ==
+      prows(Serving.buildPostings(churned, "tenant", "doc_id", "text")))
+  }
+
   test("streamByidMaintain rejects (id, orderCol) ties — replays must collapse identically (ADVICE r15)") {
     import graft.operators.ByidStore
     val store = java.nio.file.Files.createTempDirectory("graft_sbm4_store").toString
