@@ -91,6 +91,7 @@ object Serving {
       byidPath: Option[String] = None,
       byidRange: Option[(Int, Int)] = None,
       recallCurve: Seq[RecallPoint] = Nil,
+      recallMeasuredAt: Long = -1L,
       postings: Option[DataFrame] = None,
       lexStats: Map[String, (Long, Double)] = Map.empty,
       tenantCol: String = "tenant",
@@ -130,9 +131,12 @@ object Serving {
     *    measured recall meets the floor (ladder order, then smallest
     *    nProbe, then smallest rescoreK — cheapest config first);
     *    when NO stored point reaches the floor — including a state
-    *    with no stored curve at all — fall back to brute force: an
-    *    unverifiable floor is served exactly, never silently unmet
-    *    (r14 verdict task 3 closed the two-level-semantics gap). */
+    *    with no stored curve at all, or a curve measured against a
+    *    corpus the state has since drifted >1.5× away from
+    *    (`recallMeasuredAt`, persisted as the manifest's `recall_at`)
+    *    — fall back to brute force: an unverifiable floor is served
+    *    exactly, never silently unmet (r14 verdict task 3 closed the
+    *    two-level-semantics gap; the staleness guard is round 16). */
   def routeCalibrated(state: IndexState, recallFloor: Double = 0.0,
                       bruteForceCeiling: Long = 10000L,
                       nProbe: Int = 4, rescoreK: Int = 50,
@@ -157,7 +161,18 @@ object Serving {
     else if (recallFloor <= 0.0)
       Decision(ladder.find(avail).getOrElse(BruteForceTier), nProbe, rescoreK)
     else {
-      val meeting = state.recallCurve.filter(p =>
+      // staleness guard: a stored point certifies the floor only for
+      // (approximately) the corpus it was measured on. A maintain
+      // loop that threads an old manifest's curve into a state whose
+      // corpus has since drifted >1.5× in either direction is serving
+      // an unverifiable number — fall back to brute, the same rule as
+      // no-curve (recallMeasuredAt ≤ 0 = measured against THIS state
+      // by construction, the measureRecallCurve caller contract)
+      val curveFresh = state.recallMeasuredAt <= 0L ||
+        2L * math.max(state.corpusSize, state.recallMeasuredAt) <=
+          3L * math.min(state.corpusSize, state.recallMeasuredAt)
+      val meeting = if (!curveFresh) Nil
+      else state.recallCurve.filter(p =>
         p.recall >= recallFloor &&
           tiersByName.get(p.tier).exists(avail))
       if (meeting.isEmpty) Decision(BruteForceTier, nProbe, rescoreK)
@@ -863,12 +878,16 @@ object Serving {
   )
 
   /** One hybrid-serve oracle arm per query, parameterized the way the
-    * serving call is: term set, (wLex, wVec) fusion weights, and the
-    * docs relation (the x23 gate replays a churned corpus). Arm
+    * serving call is: term set, (wLex, wVec) fusion weights, the
+    * docs relation (the x23 gate replays a churned corpus), and the
+    * vector relation (the st_hybrid_maintain_serve gate replays a
+    * churned embedding set — `vecSql` must emit (vec_id,
+    * embedding DOUBLE[])). Query vectors always come from the RAW
+    * embeddings table — probes are request-side, not corpus-side. Arm
     * budgets are the serving tier's: both arms top-2k, final top-k. */
   private def hybridArmSql(qid: Long, terms: Seq[String], wLex: Double,
                            wVec: Double, b: Int, k: Int,
-                           docsSql: String): String = {
+                           docsSql: String, vecSql: String): String = {
     val qv = s"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = $qid)"
     val inList = terms.map(t => s"'$t'").mkString(",")
     s"""SELECT CAST($qid AS BIGINT) AS q_id,
@@ -901,9 +920,9 @@ object Serving {
        |       FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT $b)),
        |vec AS (SELECT vec_id AS doc_id,
        |          row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS vec_rank
-       |        FROM (SELECT vec_id, list_inner_product(embedding::DOUBLE[], $qv) AS sim
-       |              FROM embeddings
-       |              WHERE list_inner_product(embedding::DOUBLE[], $qv) >= 0.0
+       |        FROM (SELECT vec_id, list_inner_product(embedding, $qv) AS sim
+       |              FROM ($vecSql)
+       |              WHERE list_inner_product(embedding, $qv) >= 0.0
        |              ORDER BY sim DESC, vec_id ASC LIMIT $b))
        |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
        |  coalesce($wLex::DOUBLE / (60 + kw_rank), 0.0::DOUBLE) +
@@ -912,10 +931,14 @@ object Serving {
        |ORDER BY rrf_score DESC, doc_id ASC LIMIT $k) t""".stripMargin
   }
 
-  private def hybridSql(qids: Seq[Long], terms: Long => Seq[String],
-                        wLex: Double, wVec: Double,
-                        docsSql: String = "SELECT doc_id, text FROM documents")
+  private[graft] def hybridSql(qids: Seq[Long], terms: Long => Seq[String],
+                               wLex: Double, wVec: Double,
+                               docsSql: String =
+                                 "SELECT doc_id, text FROM documents",
+                               vecSql: String =
+                                 "SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings")
       : String =
-    qids.map(q => hybridArmSql(q, terms(q), wLex, wVec, b = 20, k = 10, docsSql))
+    qids.map(q => hybridArmSql(q, terms(q), wLex, wVec, b = 20, k = 10,
+        docsSql, vecSql))
       .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, rank ASC")
 }

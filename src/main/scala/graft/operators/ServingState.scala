@@ -93,6 +93,7 @@ object ServingState {
                    encodedHasCells: Boolean = false,
                    residualCodes: Boolean = false,
                    recallCurve: Seq[Serving.RecallPoint] = Nil,
+                   recallMeasuredAt: Long = -1L,
                    idCol: String = "id"): Int = {
     import spark.implicits._
     val byid = s"$dir/byid"
@@ -143,6 +144,12 @@ object ServingState {
       s"residual_codes=$residualCodes",
       s"byid_base=$base",
       s"byid_pin=$base") ++
+      // provenance for the routing staleness guard: the corpus size
+      // the curve was MEASURED against — this snapshot's own size
+      // unless the caller threads an inherited curve's origin through
+      (if (recallCurve.nonEmpty)
+        Seq(s"recall_at=${if (recallMeasuredAt > 0) recallMeasuredAt else size}")
+      else Nil) ++
       recallCurve.map(p => s"recall=${p.tier},${p.nProbe},${p.rescoreK},${p.recall}") ++
       // doubles as exact decimal strings — Java round-trips them
       stats.toSeq.sortBy(_._1).map { case (t, (n, avgdl)) =>
@@ -299,6 +306,12 @@ object ServingState {
       byidPath = Some(byid),
       byidRange = Some((base, pin)),
       recallCurve = curve,
+      recallMeasuredAt =
+        if (curve.isEmpty) -1L
+        else m.linesIterator.collectFirst {
+          case l if l.startsWith("recall_at=") =>
+            l.stripPrefix("recall_at=").toLong
+        }.getOrElse(stat(m, "corpus_size").toLong),
       postings = if (exists(s"$v/postings"))
         Some(spark.read.parquet(s"$v/postings")) else None,
       lexStats = lex,

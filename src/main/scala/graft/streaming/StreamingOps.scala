@@ -523,6 +523,104 @@ object StreamingOps {
       }
       .start()
 
+  /** One micro-batch of the FULL HYBRID maintain-then-serve loop —
+    * the complete serving stack under CDC: a MULTIPLEXED feed
+    * (`entity` ∈ vec|doc, `op` ∈ upsert|delete, nullable `emb`/`text`
+    * payloads — documents and embeddings churn INDEPENDENT id spaces,
+    * the way a deployment's per-entity CDC topics do) maintains every
+    * serving asset O(churn):
+    *
+    *  - entity=vec rows drive the raw byid vector store
+    *    (threshold-compacted apply) and the O(1) corpus counter
+    *    (existence-based delta — replay-idempotent);
+    *  - entity=doc rows drive the doc-keyed lexical term-vector store
+    *    + the per-tenant (nDocs, Σdl) counters
+    *    ([[graft.operators.Serving.applyLexCdc]]), persisted per
+    *    epoch so a restart resumes exact integers;
+    *
+    * then a TEXT-BEARING probe batch is served through the HYBRID
+    * tier — batched BM25 over postings = explode of the RESOLVED lex
+    * view ∥ brute-force vector arm over the maintained byid rows,
+    * weighted-RRF fold — and PERSISTED under `stateDir/served/
+    * epoch_N`, so the full hybrid loop is provably live between
+    * micro-batches. The `st_hybrid_maintain_serve` gate replays
+    * micro-batches through THIS function and hash-gates the final
+    * epoch's serve against a from-scratch BM25 + exact-kNN +
+    * weighted-RRF replay over BOTH fully-churned relations;
+    * StreamingSpec drives the real readStream path. */
+  def hybridMaintainServeBatch(spark: SparkSession, batch: DataFrame,
+                               stateDir: String,
+                               probes: Seq[(Long, Seq[Double], Seq[String])],
+                               k: Int, epoch: Long, tenant: String = "all",
+                               wLex: Double = 0.5, wVec: Double = 0.5,
+                               maxSegments: Int = 8): DataFrame = {
+    import graft.operators.{ByidStore, Serving}
+    val vecB = batch.filter(col("entity") === "vec")
+    val docB = batch.filter(col("entity") === "doc")
+    // -- vector assets (the maintainServeBatch shapes) --
+    val vRemovals = vecB.filter(col("op").isin("delete", "upsert"))
+      .select(col("id")).distinct()
+    val vAdds = vecB.filter(col("op") === "upsert")
+      .select(col("id"), col("emb"), col("tenant"))
+    val ops = vecB.select(col("id").cast("long").as("_id"),
+        (col("op") === "upsert").as("_up"))
+      .groupBy("_id").agg(max(col("_up")).as("_up"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val live: Set[Long] =
+      if (ops.isEmpty) Set.empty
+      else ByidStore.fetch(spark, s"$stateDir/byid", ops.map(_._1).toSeq, "id")
+        .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    val corpusCount = readCorpusCount(stateDir) +
+      ops.count { case (id, up) => up && !live(id) } -
+      ops.count { case (id, up) => !up && live(id) }
+    ByidStore.applyCdcAutoCompact(spark, s"$stateDir/byid", vRemovals,
+      vAdds, "id", maxSegments = maxSegments)
+    writeCorpusCount(stateDir, corpusCount)
+    // -- lexical assets (the x23 shapes) --
+    val dRemIds = docB.filter(col("op").isin("delete", "upsert"))
+      .select(col("id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val dAdds = docB.filter(col("op") === "upsert")
+      .select(col("tenant"), col("id"), col("text"))
+    val counters = Serving.applyLexCdc(spark, s"$stateDir/lex", dRemIds,
+      dAdds, readLexCounters(stateDir), "tenant", "id", "text", maxSegments)
+    writeLexCounters(stateDir, counters)
+    // -- hybrid serve over the maintained state --
+    val lexView = ByidStore.readAll(spark, s"$stateDir/lex", "id").drop("seg")
+    val st = Serving.IndexState(
+      vectors = ByidStore.readAll(spark, s"$stateDir/byid", "id"),
+      corpusSize = corpusCount,
+      postings = Some(Serving.postingsFromDocVectors(lexView)),
+      lexStats = Serving.lexStatsFromCounters(counters),
+      byidPath = Some(s"$stateDir/byid"),
+      tenantCol = "tenant", idCol = "id", embCol = "emb")
+    Serving.searchBatchText(st, tenant, probes, k,
+        bruteForceCeiling = Long.MaxValue, wLex = wLex, wVec = wVec)
+      .write.mode("overwrite").parquet(f"$stateDir/served/epoch_$epoch%05d")
+    spark.read.parquet(f"$stateDir/served/epoch_$epoch%05d")
+  }
+
+  /** [[hybridMaintainServeBatch]] as a Structured Streaming sink —
+    * foreachBatch serializes epochs, so both stores' single-writer
+    * contracts hold by construction. */
+  def streamHybridMaintainServe(changes: DataFrame, stateDir: String,
+                                checkpointDir: String,
+                                probes: Seq[(Long, Seq[Double], Seq[String])],
+                                k: Int, tenant: String = "all",
+                                wLex: Double = 0.5, wVec: Double = 0.5,
+                                maxSegments: Int = 8,
+                                trigger: org.apache.spark.sql.streaming.Trigger =
+                                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        hybridMaintainServeBatch(batch.sparkSession, batch, stateDir,
+          probes, k, epoch, tenant, wLex, wVec, maxSegments): Unit
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 15-min window agg (streaming-equivalent batch form;
     // qa_analytics daily trend A4 generalized to sub-day windows).
@@ -650,6 +748,80 @@ object StreamingOps {
       served.last.orderBy("q_id", "rank")
     }),
 
+    // The FULL HYBRID serving stack under streaming CDC (the round-16
+    // capstone — x20's vector maintenance + x23's lexical maintenance
+    // + the batched weighted hybrid serve in ONE loop): a multiplexed
+    // feed churns BOTH id spaces independently — embeddings (%7
+    // reversed-emb upserts, %13∖%7 deletes, %9 inserts) as entity=vec
+    // rows, documents (%7 marker-prefixed-text upserts, %13∖%7
+    // deletes, %9 inserts) as entity=doc rows — in TWO id-parity
+    // micro-batches replayed through hybridMaintainServeBatch, the
+    // SAME function the streamHybridMaintainServe sink applies per
+    // epoch (StreamingSpec drives the real readStream path). Each
+    // epoch maintains all four assets (byid store, corpus counter,
+    // lex store, lex counters) O(churn) and serves + persists a
+    // text-bearing probe batch at the reference's 0.4/0.6 service
+    // weights; the gate emits the FINAL epoch's rows, hash-gated
+    // against a from-scratch BM25 + exact-kNN + weighted-RRF replay
+    // over BOTH fully-churned relations — drift in either store's
+    // merge, either counter's arithmetic, the entity demux, the
+    // postings explode view, or the fusion hash-fails the serve.
+    "st_hybrid_maintain_serve" -> ((s, d) => {
+      import graft.operators.{ByidStore, Search, Serving}
+      val sdir = java.nio.file.Files
+        .createTempDirectory("graft_st_hms_").toString
+      val eAll = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("tenant", lit("all"))
+      val dAll = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+        .withColumn("tenant", lit("all"))
+      val eV1 = eAll.filter(pmod(col("id"), lit(9L)) =!= 0)
+      val dV1 = dAll.filter(pmod(col("id"), lit(9L)) =!= 0)
+      ByidStore.init(eV1.select("id", "emb", "tenant"), "id",
+        s"$sdir/byid", nFiles = 4)
+      initCorpusCount(s, sdir)
+      ByidStore.init(Serving.lexDocVectors(dV1, "tenant", "id", "text"),
+        "id", s"$sdir/lex", nFiles = 4)
+      writeLexCounters(sdir, Serving.lexCountersOf(dV1, "tenant", "text"))
+      val noText = lit(null).cast("string").as("text")
+      val noEmb = lit(null).cast("array<double>").as("emb")
+      val vFeed = eV1.filter(pmod(col("id"), lit(7L)) === 0)
+        .select(lit("vec").as("entity"), lit("upsert").as("op"), col("id"),
+          reverse(col("emb")).as("emb"), noText, col("tenant"))
+        .unionByName(eAll.filter(pmod(col("id"), lit(9L)) === 0)
+          .select(lit("vec").as("entity"), lit("upsert").as("op"), col("id"),
+            col("emb"), noText, col("tenant")))
+        .unionByName(eV1.filter(pmod(col("id"), lit(13L)) === 0 &&
+            pmod(col("id"), lit(7L)) =!= 0)
+          .select(lit("vec").as("entity"), lit("delete").as("op"), col("id"),
+            noEmb, noText, col("tenant")))
+      val dFeed = dV1.filter(pmod(col("id"), lit(7L)) === 0)
+        .select(lit("doc").as("entity"), lit("upsert").as("op"), col("id"),
+          noEmb, concat(lit("freshly updated revision: "), col("text"))
+            .as("text"), col("tenant"))
+        .unionByName(dAll.filter(pmod(col("id"), lit(9L)) === 0)
+          .select(lit("doc").as("entity"), lit("upsert").as("op"), col("id"),
+            noEmb, col("text"), col("tenant")))
+        .unionByName(dV1.filter(pmod(col("id"), lit(13L)) === 0 &&
+            pmod(col("id"), lit(7L)) =!= 0)
+          .select(lit("doc").as("entity"), lit("delete").as("op"), col("id"),
+            noEmb, noText, col("tenant")))
+      val feed = vFeed.unionByName(dFeed)
+      val qids = Seq(0L, 1L, 2L)
+      val probes = qids.zip(Search.qvecs(s, d, qids))
+        .map { case (q, v) => (q, v, Seq("freshly", "updated", "join")) }
+      val served = Seq(0L, 1L).map { par =>
+        hybridMaintainServeBatch(s,
+          feed.filter(pmod(col("id"), lit(2L)) === par), sdir, probes,
+          k = 10, epoch = par, wLex = 0.4, wVec = 0.6)
+      }
+      require(served.head.count() == 30,
+        "epoch-0 hybrid serve missing or wrong-sized")
+      served.last.orderBy("q_id", "rank")
+    }),
+
     // First-seen dedup per (user, event_type) — the streaming-dedup
     // contract in its deterministic batch form (µs precision for
     // engine parity).
@@ -730,6 +902,28 @@ object StreamingOps {
           _, v1DeleteClause = "WHERE NOT (id % 13 = 0 AND id % 7 <> 0)"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY q_id ASC, rank ASC")
     },
+
+    // The hybrid replay over BOTH fully-churned relations at the
+    // 0.4/0.6 service weights: documents with %7 marker-prefixed,
+    // %13∖%7 removed, %9 inserted (the lexical state the maintained
+    // lex store + counters must serve) AND embeddings with %7
+    // reversed, %13∖%7 removed, %9 inserted (the vector state the
+    // maintained byid store must serve). Query vectors come from the
+    // RAW embeddings table — probes are request-side.
+    "st_hybrid_maintain_serve" -> graft.operators.Serving.hybridSql(
+      Seq(0L, 1L, 2L), _ => Seq("freshly", "updated", "join"), 0.4, 0.6,
+      docsSql = """SELECT doc_id,
+        |    CASE WHEN doc_id % 9 <> 0 AND doc_id % 7 = 0
+        |         THEN 'freshly updated revision: ' || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE NOT (doc_id % 9 <> 0 AND doc_id % 13 = 0 AND doc_id % 7 <> 0)""".stripMargin,
+      vecSql = """SELECT vec_id,
+        |    CASE WHEN vec_id % 9 <> 0 AND vec_id % 7 = 0
+        |         THEN list_transform(range(1, 65), j -> (embedding::DOUBLE[])[65 - j])
+        |         ELSE embedding::DOUBLE[] END AS embedding
+        |  FROM embeddings
+        |  WHERE NOT (vec_id % 9 <> 0 AND vec_id % 13 = 0 AND vec_id % 7 <> 0)""".stripMargin),
 
     // Late profile replayed: same 1000-row arrival batches, same
     // previous-batches running max, same late rule per delay.

@@ -59,6 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_hybrid_topk" -> "per-term postings df aggregate: ≤ |query term union| rows",
     "ann_hybrid_batch" -> "per-term postings df aggregate: ≤ |batch term union| rows",
     "st_maintain_serve" -> "CDC feed id sets + rescore candidates: churn/k-bounded",
+    "st_hybrid_maintain_serve" -> "CDC feed id sets + per-term postings df aggregate: churn/term-bounded",
     "c7_hierarchical" -> "per-cluster sizes: rows ≤ tenants × k (model state)",
     "c7b_hierarchical_density" -> "per-cluster sizes: rows ≤ tenants × k",
     "c7h_hierarchical_hdbscan" -> "per-cluster sizes: rows ≤ tenants × k",

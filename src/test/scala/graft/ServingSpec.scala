@@ -101,6 +101,26 @@ class ServingSpec extends AnyFunSuite {
     val ivfOnly = st(centroidsOn = true, cellsOn = true)
       .copy(recallCurve = curve)
     assert(routeCalibrated(ivfOnly, 0.8, 0, 4, 50) == Decision(IvfTier, 8, 0))
+    // staleness guard (round 16): a curve measured against a corpus
+    // the state has since drifted >1.5× away from (grown OR shrunk)
+    // no longer certifies intermediate floors — brute, same as
+    // no-curve; recallMeasuredAt ≤ 0 = measured against this state
+    val nc = cal.corpusSize
+    assert(routeCalibrated(cal.copy(recallMeasuredAt = nc), 0.8, 0, 4, 50)
+      == Decision(IvfPqTier, 8, 100))
+    // exactly 1.5× drift in either direction: still fresh (boundary)
+    assert(routeCalibrated(cal.copy(corpusSize = 3 * nc,
+      recallMeasuredAt = 2 * nc), 0.8, 0, 4, 50) == Decision(IvfPqTier, 8, 100))
+    assert(routeCalibrated(cal.copy(corpusSize = 2 * nc,
+      recallMeasuredAt = 3 * nc), 0.8, 0, 4, 50) == Decision(IvfPqTier, 8, 100))
+    // beyond 1.5×: stale → brute, never a silently-unmet floor
+    assert(routeCalibrated(cal.copy(corpusSize = 2 * nc,
+      recallMeasuredAt = 5 * nc), 0.8, 0, 4, 50).tier == BruteForceTier)
+    assert(routeCalibrated(cal.copy(corpusSize = 5 * nc,
+      recallMeasuredAt = 2 * nc), 0.8, 0, 4, 50).tier == BruteForceTier)
+    // floor 0 is untouched by staleness: recall was never required
+    assert(routeCalibrated(cal.copy(corpusSize = 5 * nc,
+      recallMeasuredAt = 2 * nc), 0.0, 0, 4, 50) == Decision(IvfPqTier, 4, 50))
   }
 
   private lazy val docsAll =

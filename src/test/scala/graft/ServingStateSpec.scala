@@ -75,6 +75,31 @@ class ServingStateSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("recall-curve provenance round-trips; a drifted loaded state refuses to certify floors (r16 staleness guard)") {
+    val dir = buildDir()
+    val curve = Seq(Serving.RecallPoint("ivf_pq", 8, 100, 0.97))
+    val n = ServingState.saveSnapshot(spark, dir, Some(cents), Some(books),
+      cells = Some(assigned), encoded = Some(encCells),
+      corpusSize = e.count(), encodedHasCells = true, recallCurve = curve)
+    val st = ServingState.loadSnapshot(spark, dir, n)
+    assert(st.recallCurve == curve)
+    // default provenance: measured against this snapshot's corpus
+    assert(st.recallMeasuredAt == e.count())
+    // fresh: the floored query serves the stored config
+    assert(Serving.routeCalibrated(st, 0.9, 0, 4, 50) ==
+      Serving.Decision(Serving.IvfPqTier, 8, 100))
+    // the maintain-loop hazard: the same curve threaded into a state
+    // whose corpus has since doubled — stale, the floor serves brute
+    assert(Serving.routeCalibrated(st.copy(corpusSize = 2 * st.corpusSize + 1),
+      0.9, 0, 4, 50).tier == Serving.BruteForceTier)
+    // an inherited origin passes through the manifest verbatim
+    val n2 = ServingState.saveSnapshot(spark, dir, Some(cents), Some(books),
+      cells = Some(assigned), encoded = Some(encCells),
+      corpusSize = e.count(), encodedHasCells = true, recallCurve = curve,
+      recallMeasuredAt = 7L)
+    assert(ServingState.loadSnapshot(spark, dir, n2).recallMeasuredAt == 7L)
+  }
+
   test("snapshot isolation: a loaded state is immutable under CDC + refresh; the refreshed load serves the new bytes") {
     import spark.implicits._
     val dir = buildDir()

@@ -470,6 +470,118 @@ class StreamingSpec extends AnyFunSuite {
       prows(Serving.buildPostings(churned, "tenant", "doc_id", "text")))
   }
 
+  test("streamHybridMaintainServe: real micro-batches maintain all four assets and serve the hybrid tier per epoch (r16 capstone)") {
+    import graft.operators.{ByidStore, Search, Serving}
+    val d = "/root/testdata/sf0.001"
+    val sdir = java.nio.file.Files.createTempDirectory("graft_shms_state").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_shms_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_shms_ckpt").toString
+    val eAll = Tables.embeddings(spark, d)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("tenant", lit("all"))
+    val dAll = Tables.documents(spark, d)
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .withColumn("tenant", lit("all"))
+    val eV1 = eAll.filter(pmod(col("id"), lit(9L)) =!= 0)
+    val dV1 = dAll.filter(pmod(col("id"), lit(9L)) =!= 0)
+    ByidStore.init(eV1.select("id", "emb", "tenant"), "id", s"$sdir/byid", 2)
+    StreamingOps.initCorpusCount(spark, sdir)
+    ByidStore.init(Serving.lexDocVectors(dV1, "tenant", "id", "text"),
+      "id", s"$sdir/lex", nFiles = 2)
+    StreamingOps.writeLexCounters(sdir,
+      Serving.lexCountersOf(dV1, "tenant", "text"))
+    val noText = lit(null).cast("string").as("text")
+    val noEmb = lit(null).cast("array<double>").as("emb")
+    val vFeed = eV1.filter(pmod(col("id"), lit(7L)) === 0)
+      .select(lit("vec").as("entity"), lit("upsert").as("op"), col("id"),
+        reverse(col("emb")).as("emb"), noText, col("tenant"))
+      .unionByName(eAll.filter(pmod(col("id"), lit(9L)) === 0)
+        .select(lit("vec").as("entity"), lit("upsert").as("op"), col("id"),
+          col("emb"), noText, col("tenant")))
+      .unionByName(eV1.filter(pmod(col("id"), lit(13L)) === 0 &&
+          pmod(col("id"), lit(7L)) =!= 0)
+        .select(lit("vec").as("entity"), lit("delete").as("op"), col("id"),
+          noEmb, noText, col("tenant")))
+    val dFeed = dV1.filter(pmod(col("id"), lit(7L)) === 0)
+      .select(lit("doc").as("entity"), lit("upsert").as("op"), col("id"),
+        noEmb, concat(lit("freshly updated revision: "), col("text"))
+          .as("text"), col("tenant"))
+      .unionByName(dAll.filter(pmod(col("id"), lit(9L)) === 0)
+        .select(lit("doc").as("entity"), lit("upsert").as("op"), col("id"),
+          noEmb, col("text"), col("tenant")))
+      .unionByName(dV1.filter(pmod(col("id"), lit(13L)) === 0 &&
+          pmod(col("id"), lit(7L)) =!= 0)
+        .select(lit("doc").as("entity"), lit("delete").as("op"), col("id"),
+          noEmb, noText, col("tenant")))
+    val feed = vFeed.unionByName(dFeed)
+    // ONE file per arrival dir → exactly two epochs under
+    // maxFilesPerTrigger=1; epoch_00001 serves the fully-churned state
+    feed.filter(pmod(col("id"), lit(2L)) === 0)
+      .coalesce(1).write.parquet(s"$srcDir/b0")
+    feed.filter(pmod(col("id"), lit(2L)) === 1)
+      .coalesce(1).write.parquet(s"$srcDir/b1")
+    val qids = Seq(0L, 1L, 2L)
+    val probes = qids.zip(Search.qvecs(spark, d, qids))
+      .map { case (q, v) => (q, v, Seq("freshly", "updated", "join")) }
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/b0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+    // the O(churn) posture: no epoch may launch a corpus-wide count
+    val jobSites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobSites.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("")): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val q = StreamingOps.streamHybridMaintainServe(streamed, sdir, ckpt,
+      probes, k = 10, wLex = 0.4, wVec = 0.6)
+    q.awaitTermination(300000)
+    graft.BenchProbe.drainListenerBus(spark)
+    spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val corpusCounts = jobSites.asScala.filter(_.contains("count at StreamingOps"))
+    assert(corpusCounts.isEmpty,
+      s"hybrid maintain-serve epochs launched corpus count jobs: $corpusCounts")
+    // both epochs served + persisted (the loop stayed live mid-stream)
+    assert(spark.read.parquet(s"$sdir/served/epoch_00000").count() == 30)
+    val served = spark.read.parquet(s"$sdir/served/epoch_00001")
+      .select("q_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // from-scratch comparison: the fully-churned relations served fresh
+    val eV2 = eV1.filter(!(pmod(col("id"), lit(13L)) === 0 &&
+        pmod(col("id"), lit(7L)) =!= 0))
+      .withColumn("emb", when(pmod(col("id"), lit(7L)) === 0,
+        reverse(col("emb"))).otherwise(col("emb")))
+      .unionByName(eAll.filter(pmod(col("id"), lit(9L)) === 0))
+    val dV2 = dV1.filter(!(pmod(col("id"), lit(13L)) === 0 &&
+        pmod(col("id"), lit(7L)) =!= 0))
+      .withColumn("text", when(pmod(col("id"), lit(7L)) === 0,
+        concat(lit("freshly updated revision: "), col("text")))
+        .otherwise(col("text")))
+      .unionByName(dAll.filter(pmod(col("id"), lit(9L)) === 0))
+    val st = Serving.IndexState(vectors = eV2, corpusSize = eV2.count(),
+      postings = Some(Serving.buildPostings(dV2, "tenant", "id", "text")),
+      lexStats = Serving.lexStatsOf(dV2, "tenant", "text"),
+      idCol = "id", embCol = "emb")
+    val want = Serving.searchBatchText(st, "all", probes, k = 10,
+        bruteForceCeiling = Long.MaxValue, wLex = 0.4, wVec = 0.6)
+      .select("q_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(served == want)
+    assert(served.size == 30)
+    // maintained counters equal the true post-churn state — exactness
+    // without any per-epoch corpus-wide job
+    assert(StreamingOps.readCorpusCount(sdir) == eV2.count())
+    assert(StreamingOps.readLexCounters(sdir) ==
+      Serving.lexCountersOf(dV2, "tenant", "text"))
+  }
+
   test("streamByidMaintain rejects (id, orderCol) ties — replays must collapse identically (ADVICE r15)") {
     import graft.operators.ByidStore
     val store = java.nio.file.Files.createTempDirectory("graft_sbm4_store").toString
