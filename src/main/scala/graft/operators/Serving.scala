@@ -582,6 +582,19 @@ object Serving {
     searchBatch(state, tenant, Seq((0L, queryVec)), k, nProbe, rescoreK,
       threshold, recallFloor, bruteForceCeiling).drop("q_id")
 
+  /** Single-query routed TEXT search — [[searchBatchText]] with a
+    * batch of one, q_id dropped: (rank, id, sim, tier). Empty `terms`
+    * serves the vector decision, exactly like the batch form. */
+  def searchText(state: IndexState, tenant: String, queryVec: Seq[Double],
+                 terms: Seq[String], k: Int, nProbe: Int = 4,
+                 rescoreK: Int = 50, threshold: Double = 0.0,
+                 recallFloor: Double = 0.0,
+                 bruteForceCeiling: Long = 10000L,
+                 wLex: Double = 0.5, wVec: Double = 0.5): DataFrame =
+    searchBatchText(state, tenant, Seq((0L, queryVec, terms)), k, nProbe,
+      rescoreK, threshold, recallFloor, bruteForceCeiling, wLex, wVec)
+      .drop("q_id")
+
   /** Normalize a (q_id, id, …, sim) candidate frame to the router's
     * output contract — rank over the ≤ k·Q result rows, never the
     * corpus. */

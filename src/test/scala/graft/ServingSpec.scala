@@ -232,6 +232,14 @@ class ServingSpec extends AnyFunSuite {
       Seq(q), k = 10, bruteForceCeiling = 0))).reduce(_ ++ _)
     assert(batched == singles)
     assert(batched.size == 30)
+    // the single-query convenience is the batch of one, q_id dropped
+    val one = Serving.searchText(lexed, "all", batchQs.head._2,
+        batchQs.head._3, k = 10, bruteForceCeiling = 0)
+      .select("rank", "id", "sim").collect()
+      .map(r => (batchQs.head._1, r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(one == rows(searchBatchText(lexed, "all", Seq(batchQs.head),
+      k = 10, bruteForceCeiling = 0)))
   }
 
   test("batched lexical arm launches a flat job count in Q (r15 task 1)") {
