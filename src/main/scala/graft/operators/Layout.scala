@@ -89,6 +89,20 @@ object Layout {
     go(0, vs.length)
   }
 
+  /** [[idsPredicate]] for string keys — same balanced or-of-eq, same
+    * native-In rationale. The serving use is the hybrid tier's
+    * postings fetch: a batch's distinct term set over a term-sorted
+    * postings asset reads only the matching pages, the inverted-index
+    * promise parquet's native In silently breaks. */
+  def stringsPredicate(c: Column, keys: Seq[String]): Column = {
+    require(keys.nonEmpty, "stringsPredicate needs at least one key")
+    val vs = keys.distinct.sorted
+    def go(lo: Int, hi: Int): Column =
+      if (hi - lo == 1) c === vs(lo)
+      else { val mid = (lo + hi) / 2; go(lo, mid) || go(mid, hi) }
+    go(0, vs.length)
+  }
+
   /** Fixture root for `pf_point_fetch` (the round-5 concurrent-run
     * rule: keyed on data dir + pid). */
   private def pfDir(dataDir: String): String =

@@ -462,9 +462,14 @@ object Serving {
     val allTerms = qterms.map(_._2).distinct
     // pruned once for BOTH consumers (df agg + scoring join) — the
     // slice is term-bounded, so the persist holds candidate postings,
-    // never the corpus (released by the caller's clearCache contract)
+    // never the corpus (released by the caller's clearCache contract).
+    // Balanced or-of-eq, NOT isin: above 10 terms isin pushes
+    // parquet's native In, which page-prunes nothing (the measured
+    // Layout.idsPredicate rationale) — over a term-sorted postings
+    // asset the or-of-eq fetch reads only the batch's terms' pages,
+    // which is the entire point of an inverted index at 100 TB
     val hits = postings.filter(col("tenant") === tenant &&
-      col("term").isin(allTerms: _*)).persist()
+      Layout.stringsPredicate(col("term"), allTerms)).persist()
     val dfs = hits.groupBy("term").agg(countDistinct(col("id")).as("df"))
     val qt = qterms.toDF("q_id", "term")
     // idf replays the driver literal bit-for-bit: (nDocs − df) in LONG

@@ -119,7 +119,13 @@ object ServingState {
     cells.foreach(_.write.mode("overwrite").parquet(s"$v/cells"))
     encoded.foreach(_.write.mode("overwrite").parquet(s"$v/encoded"))
     words.foreach(_.write.mode("overwrite").parquet(s"$v/words"))
-    postings.foreach(_.write.mode("overwrite").parquet(s"$v/postings"))
+    // term-sorted layout: the hybrid tier fetches a batch's distinct
+    // terms via a balanced or-of-eq (Layout.stringsPredicate), which
+    // page-prunes ONLY over a term-clustered file — unsorted postings
+    // would make every serve read the whole asset
+    postings.foreach(_.repartitionByRange(col("tenant"), col("term"))
+      .sortWithinPartitions("tenant", "term")
+      .write.mode("overwrite").parquet(s"$v/postings"))
     // fold pending deltas so this snapshot pins one fresh full base
     // (merge-free fast path); older manifests keep their own pins
     val base =

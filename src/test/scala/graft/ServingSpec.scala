@@ -263,6 +263,9 @@ class ServingSpec extends AnyFunSuite {
       Seq("spark", "data", "line"))
     def countJobs(nq: Int): Long = {
       val batch = (0 until nq).map(i => (i.toLong, qs.head._2, termSets(i)))
+      // start cold: an earlier serve's persisted postings slice would
+      // otherwise make one count run partially cached and skew the pair
+      spark.catalog.clearCache()
       graft.BenchProbe.drainListenerBus(spark)
       spark.sparkContext.addSparkListener(listener)
       jobs.set(0)

@@ -238,4 +238,31 @@ class ServingStateSpec extends AnyFunSuite {
     assert(st.lexStats == Serving.lexStatsOf(docs, "tenant", "text"))
     assert(st.postings.isDefined)
   }
+
+  test("postings term fetch pushes or-of-eq to the parquet scan (r16: page-prunable inverted index)") {
+    val dir = Files.createTempDirectory("graft-svpost-").toString
+    ByidStore.init(e.select("id", "embedding", "tenant"), "id", s"$dir/byid",
+      nFiles = 2)
+    val docs = Tables.documents(spark, d).withColumn("tenant", lit("all"))
+    ServingState.saveSnapshot(spark, dir,
+      postings = Some(Serving.buildPostings(docs, "tenant", "doc_id", "text")),
+      lexCounters = Serving.lexCountersOf(docs, "tenant", "text"),
+      corpusSize = e.count())
+    val st = ServingState.load(spark, dir)
+    val qs3 = Seq((0L, qs.head._2, Seq("join", "vector", "dup", "scan",
+      "merge", "sort", "window", "group", "agg", "table", "row", "column")))
+    val served = Serving.searchBatchText(st, "all", qs3, k = 5,
+      bruteForceCeiling = 0L)
+    val plan = served.queryExecution.executedPlan.toString
+    // the 12-term fetch is ABOVE the native-In threshold (10): isin
+    // would push parquet's page-prunes-nothing In — the balanced
+    // or-of-eq must reach the postings scan as pushed EqualTo filters
+    // ("agg" sorts first, so it survives the display truncation of
+    // the PushedFilters list)
+    assert(plan.contains("Or(Or(Or(EqualTo(term,agg)"),
+      s"no pushed balanced term or-of-eq in:\n${plan.take(4000)}")
+    assert(!plan.contains("In(term"),
+      "term fetch degraded to parquet native In (prunes nothing)")
+    assert(served.count() == 5)
+  }
 }
