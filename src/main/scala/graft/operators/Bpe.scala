@@ -86,7 +86,16 @@ object Bpe {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, c))
         val mergeUdf = udf((syms: Seq[String]) => mergeOnce(syms, l, r))
-        cur = cur.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint(true)
+        // checkpoint every 4th merge, not every merge (optimization
+        // r16, guide §1.2): the eager localCheckpoint is one extra
+        // Spark job per iteration, and the lineage-explosion guard it
+        // exists for only needs the plan depth BOUNDED — ≤3 stacked
+        // merge UDFs over the vocab-sized relation re-run for pennies
+        // in the next argmax, while 20 unbounded layers OOMed AQE's
+        // explainString (the original incident). Halves the trainer's
+        // job count; merges and segmentation are unchanged.
+        cur = cur.withColumn("syms", mergeUdf(col("syms")))
+        if (rank % 4 == 0 || rank == nMerges) cur = cur.localCheckpoint(true)
         rank += 1
       }
     }
@@ -139,7 +148,9 @@ object Bpe {
           best(0).getLong(2), best(0).getDouble(3))
         merges += ((rank, l, r, c, sc))
         val mergeUdf = udf((syms: Seq[String]) => mergeOnce(syms, l, r))
-        cur = cur.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint(true)
+        // every-4th checkpoint cadence — same rationale as [[train]]
+        cur = cur.withColumn("syms", mergeUdf(col("syms")))
+        if (rank % 4 == 0 || rank == nMerges) cur = cur.localCheckpoint(true)
         rank += 1
       }
     }

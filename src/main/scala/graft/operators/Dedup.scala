@@ -683,9 +683,14 @@ object Dedup {
         explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("p"))
       .select(col("doc_id"), col("p"),
         col("_t").substr(col("p"), lit(k)).as("gram"))
+    // "occurs in >1 distinct doc" ⟺ min(doc_id) ≠ max(doc_id) — the
+    // min/max pair partial-aggregates MAP-SIDE (two longs per gram per
+    // mapper), where countDistinct shuffles every distinct (gram,
+    // doc_id) pair through a two-phase distinct expansion; same rows
+    // out, far fewer shuffled bytes (guide §2.3, optimization r16)
     val dup = grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("gram")
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).select("gram")
     val covered = grams.join(dup, Seq("gram"), "left_semi")
       .select("doc_id", "p")
     val isl = covered
@@ -736,16 +741,19 @@ object Dedup {
         explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("p"))
       .select(col("doc_id"), col("p"),
         xxhash64(col("_t").substr(col("p"), lit(k))).as("h"))
+    // min/max ≠ pair instead of countDistinct > 1 — map-side partial
+    // aggregation, no distinct expansion (same rationale as the exact
+    // mode's dup set)
     val dupH = pos.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("h")
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).select("h")
     val cand = pos.join(dupH, Seq("h"), "left_semi").select("doc_id", "p")
     val candGram = cand.join(base, Seq("doc_id"))
       .select(col("doc_id"), col("p"),
         col("_t").substr(col("p"), lit(k)).as("gram"))
     val dupG = candGram.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("gram")
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).select("gram")
     val covered = candGram.join(dupG, Seq("gram"), "left_semi")
       .select("doc_id", "p")
     val isl = covered

@@ -71,10 +71,16 @@ object Graph {
     val n = docs.count()
     val e = edges(docs, n).persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val eo = e.join(outdeg, "src").persist()
+    // cache the edge relation PRE-PARTITIONED on the per-iteration join
+    // key, and the static node-id frame, so each of the 8 rounds joins
+    // against an already-partitioned cached relation instead of
+    // re-shuffling the static edges / re-scanning the parquet every
+    // round (optimization r16, guide §2.4: two operations keyed the
+    // same way share one exchange)
+    val eo = e.join(outdeg, "src").repartition(col("src")).persist()
+    val docIds = docs.select(col("doc_id").as("id")).persist()
 
-    var ranks = docs.select(col("doc_id").as("id"),
-      (lit(1.0) / lit(n)).as("rank"))
+    var ranks = docIds.select(col("id"), (lit(1.0) / lit(n)).as("rank"))
     for (it <- 1 to Iters) {
       val folded = eo.join(ranks, col("src") === col("id"))
         .select(col("dst"), col("src"),
@@ -82,7 +88,7 @@ object Graph {
         .groupBy("dst")
         .agg(aggregate(array_sort(collect_list(struct(col("src"), col("contrib")))),
           lit(0.0), (acc, x) => acc + x.getField("contrib")).as("insum"))
-      ranks = docs.select(col("doc_id").as("id"))
+      ranks = docIds
         .join(folded, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(0.15) / lit(n) + lit(0.85) * coalesce(col("insum"), lit(0.0)))
@@ -132,9 +138,13 @@ object Graph {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.count() // bounded driver state: one scalar
     val e = edges(docs, n)
+    // pre-partitioned on the per-round join key: the static symmetrized
+    // edge list is shuffled ONCE at build, not once per round
+    // (optimization r16, guide §2.4)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    var labs = docs.select(col("doc_id").as("id"), col("doc_id").as("lab"))
+      .distinct().repartition(col("src")).persist()
+    val docIds = docs.select(col("doc_id").as("id")).persist()
+    var labs = docIds.select(col("id"), col("id").as("lab"))
     for (it <- 1 to LpaIters) {
       val voted = sym.join(labs, col("src") === col("id"))
         .select(col("dst"), col("lab"))
@@ -145,7 +155,7 @@ object Graph {
         .select(col("dst"), (-col("best.neg")).as("newlab"))
       // every node is a dst in sym (the ring edge symmetrized), so the
       // inner join preserves the node universe
-      labs = docs.select(col("doc_id").as("id"))
+      labs = docIds
         .join(voted, col("id") === col("dst"))
         .select(col("id"), col("newlab").as("lab"))
       if (it % 2 == 0 || it == LpaIters) labs = labs.localCheckpoint(true)
@@ -207,16 +217,36 @@ object Graph {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.count() // bounded driver state: one scalar
     val e = edges(docs, n)
+    // pre-partitioned on the per-round join key (guide §2.4), same as
+    // labelProp — 12 peeling rounds otherwise re-shuffle the static
+    // edge list every round
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     var nodes = docs.select(col("doc_id").as("id"))
-    for (it <- 1 to iters) {
+    // early fixpoint exit at checkpoint boundaries (optimization r16,
+    // guide §1.2): peeling is MONOTONE (survivor sets only shrink), so
+    // an unchanged count across a whole 3-round span proves the set
+    // was already the fixpoint — remaining rounds are provably no-ops
+    // and the result is IDENTICAL to running all `iters` (GraphSpec
+    // pins that round iters+1 changes nothing). The count reads the
+    // just-checkpointed blocks, so it is one cheap cached-scan job per
+    // 3 rounds, against ~7 saved jobs per skipped round.
+    var prevCount = -1L
+    var it = 1
+    var fixed = false
+    while (it <= iters && !fixed) {
       val deg = sym
         .join(nodes, col("src") === col("id")).select("src", "dst")
         .join(nodes.select(col("id").as("id2")), col("dst") === col("id2"))
         .groupBy("src").agg(count(lit(1)).as("deg"))
       nodes = deg.filter(col("deg") >= k).select(col("src").as("id"))
-      if (it % 3 == 0 || it == iters) nodes = nodes.localCheckpoint(true)
+      if (it % 3 == 0 || it == iters) {
+        nodes = nodes.localCheckpoint(true)
+        val c = nodes.count()
+        if (c == prevCount) fixed = true
+        prevCount = c
+      }
+      it += 1
     }
     // Emit from the SURVIVOR set, left-joined to the recount: before
     // the fixpoint a last-round survivor can recount to zero against

@@ -488,13 +488,22 @@ object TextAnalysis {
       .select(col("col_name"), col("v").as("top_value"),
         col("cnt").as("top_count"))
     val (bucket, rho) = hllBucketRho("prof:", col("v"))
+    // register fold as PLAIN SQL aggregation (optimization r16, guide
+    // §4.1): max(rho) per (col, bucket) partial-aggregates map-side
+    // inside whole-stage codegen, where the previous typed
+    // groupByKey/Aggregator path paid a serialization boundary per
+    // row. Absent buckets carry register 0, i.e. contribute 2^40 each
+    // to N = Σ 2^(40−M_b) — identical integer arithmetic, same
+    // est_distinct bit-for-bit (the a20/a21 queries keep the typed
+    // sketch aggregator, whose register ARRAY is their output).
     val regs = unpiv.filter(col("v").isNotNull)
-      .select(col("col_name"), array(bucket, rho).as("br"))
-      .as[(String, Seq[Int])].groupByKey(_._1).mapValues(_._2)
-      .agg(graft.functions.Sketches.hll(256).name("regs"))
-      .toDF("col_name", "regs")
+      .select(col("col_name"), bucket.as("b"), rho.as("r"))
+      .groupBy("col_name", "b").agg(max(col("r")).as("m"))
+      .groupBy("col_name")
+      .agg(sum(expr("shiftleft(1L, 40 - m)")).as("psum"),
+        count(lit(1)).as("npresent"))
       .withColumn("nsum",
-        expr("aggregate(regs, 0L, (a, x) -> a + shiftleft(1L, 40 - x))"))
+        col("psum") + (lit(256L) - col("npresent")) * lit(1L << 40))
       .withColumn("est_distinct", expr(s"${1471L << 45}L div nsum"))
       .select("col_name", "est_distinct")
     counts
@@ -923,11 +932,21 @@ object TextAnalysis {
             col("ts").cast("date").cast("string")).as("ud"))
         .distinct().persist()
       val (bucket, rho) = hllBucketRho("hsa:", col("ud"))
-      val regRows = du.select(col("event_type"), array(bucket, rho).as("br"))
-        .as[(String, Seq[Int])]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(graft.functions.Sketches.hll(256).name("regs"))
-        .collect().sortBy(_._1) // bounded: |types| × 256 ints
+      // register fold as plain codegen max-per-(type, bucket) + a
+      // bounded collect (|types| × ≤256 rows), registers assembled on
+      // the driver — replaces the typed groupByKey/Aggregator path and
+      // its per-row serialization boundary (optimization r16, guide
+      // §4.1; same move as profileColumns). Absent buckets stay 0,
+      // exactly the aggregator's initial state — estimates identical.
+      val regRows = du
+        .select(col("event_type"), bucket.as("b"), rho.as("r"))
+        .groupBy("event_type", "b").agg(max(col("r")).as("m"))
+        .collect()
+        .groupBy(_.getString(0)).map { case (t, rs) =>
+          val regs = Array.fill(256)(0)
+          rs.foreach(r => regs(r.getInt(1)) = r.getInt(2))
+          t -> (regs.toSeq: Seq[Int])
+        }.toArray.sortBy(_._1)
       def estOf(regs: Seq[Int]): Long =
         (1471L << 45) / regs.map(r0 => 1L << (40 - r0)).sum
       val est = (for {

@@ -405,10 +405,34 @@ object VersionedStore {
     dvDir(path, e.dv.get) + e.dvw.map(w => s"/w=$w").getOrElse("") +
       s"/owner=${e.owner}/bucket=${e.bucket}"
 
+  /** Undo Spark's partition-dir escaping (`escapePathName` encodes
+    * reserved chars as %hh) when parsing partition VALUES back out of
+    * staged dir names. Fixture owners are plain strings, but a weird
+    * owner must round-trip — and if this ever disagreed with Spark's
+    * escaping, the audit's set compare (read-back partition values vs
+    * the manifest's) fails loudly before a commit. */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Write `staged` (already carrying its `v` column) under this
     * writer's unique `w=<wid>` subdirs — concurrent writers touching
     * the same bucket write DISJOINT directories, so staged data never
     * mixes; the atomic manifest publish is the only conflict point.
+    * Returns the (owner, bucket) pairs that actually received data
+    * files — the LIVE bucket set, read from the write's own dir
+    * layout (partitionBy writes no dir for an empty group), so
+    * callers need no separate per-bucket count job to learn which
+    * touched buckets survived (optimization r16, guide §1.2).
     *
     * The Spark job writes into a writer-PRIVATE staging root first and
     * is then moved into place with per-bucket-dir renames (metadata-
@@ -418,7 +442,8 @@ object VersionedStore {
     * job on one output root shares its `_temporary/0` committer dir —
     * measured: the first racer's job-commit deleted the second's
     * in-flight task files (FileNotFoundException under _temporary). */
-  private def writeStaged(staged: DataFrame, path: String, wid: String): Unit = {
+  private def writeStaged(staged: DataFrame, path: String,
+                          wid: String): Seq[(String, Long)] = {
     val spark = staged.sparkSession
     val stagingRoot = s"${dataDir(path)}/.staging-$wid"
     staged.withColumn("w", lit(wid))
@@ -426,6 +451,7 @@ object VersionedStore {
       .parquet(stagingRoot)
     val fs = fsOf(spark, path)
     val root = new Path(stagingRoot)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     for (oDir <- fs.listStatus(root) if oDir.isDirectory;
          bDir <- fs.listStatus(oDir.getPath) if bDir.isDirectory;
          vDir <- fs.listStatus(bDir.getPath) if vDir.isDirectory;
@@ -436,8 +462,11 @@ object VersionedStore {
       if (!fs.rename(wDir.getPath, dst))
         throw new IllegalStateException(
           s"writeStaged: move ${wDir.getPath} -> $dst failed")
+      moved += ((unescapePath(oDir.getPath.getName.stripPrefix("owner=")),
+        bDir.getPath.getName.stripPrefix("bucket=").toLong))
     }
     fs.delete(root, true)
+    moved.distinct.toSeq
   }
 
   /** Bucket-assignment expression for a layout. Range assignment is
@@ -528,8 +557,18 @@ object VersionedStore {
     nv.repartition(col("owner"), col("bucket"))
       .write.mode("overwrite").partitionBy("owner", "bucket", "v")
       .parquet(dataDir(path))
-    val entries = nv.select("owner", "bucket").distinct().collect()
-      .map(r => ManifestEntry(r.getString(0), r.getLong(1), 1, None)).toSeq
+    // manifest entries from the write's own partition dirs — the input
+    // plan runs once (the write), no second distinct-collect pass
+    // (optimization r16, guide §1.2)
+    val fs = fsOf(spark, path)
+    val entries = (for {
+      o <- fs.listStatus(new Path(dataDir(path))).toSeq
+      if o.isDirectory && o.getPath.getName.startsWith("owner=")
+      b <- fs.listStatus(o.getPath).toSeq
+      if b.isDirectory && b.getPath.getName.startsWith("bucket=")
+    } yield ManifestEntry(
+      unescapePath(o.getPath.getName.stripPrefix("owner=")),
+      b.getPath.getName.stripPrefix("bucket=").toLong, 1, None))
     commitManifestFull(spark, path, 1, entries, Some(HashLayout(nBuckets)))
   }
 
@@ -552,15 +591,28 @@ object VersionedStore {
     val next = cur + 1
     val man = readManifestFull(spark, path, cur)
     val layout = layoutOf(spark, path, cur, nBuckets)
-    clusterCols(Some(layout)).foreach { c =>
-      // a null cluster value has no bin and would silently escape
-      // every zone map — fail fast instead
-      require(batch.filter(col(c).isNull).isEmpty,
+    // the batch plan feeds several consumers (touched-bucket probe,
+    // relocation id probes, the staged write's new-rows side) — cache
+    // it for the episode so a join-derived CDC batch is computed once,
+    // not 3× (optimization r16, guide §1.2/§5); released before return
+    val nv = batch.withColumn("bucket", bucketExpr(layout)).persist()
+    // a null cluster value has no bin (the edge clamp would silently
+    // drop it into bin 0 and escape every zone map) — fail fast. The
+    // null probe rides the SAME job as the touched-bucket collect (a
+    // per-bucket max-isNull aggregate), instead of paying one isEmpty
+    // action per cluster column before any other work.
+    val ccols = clusterCols(Some(layout))
+    val probeAggs =
+      if (ccols.nonEmpty) ccols.zipWithIndex.map { case (c, j) =>
+        max(col(c).isNull.cast("int")).as(s"_null$j") }
+      else Seq(count(lit(1)).as("_null0"))
+    val touchedRows = nv.groupBy(col("owner"), col("bucket"))
+      .agg(probeAggs.head, probeAggs.tail: _*).collect()
+    ccols.zipWithIndex.foreach { case (c, j) =>
+      require(!touchedRows.exists(_.getInt(2 + j) == 1),
         s"upsertVersioned: clustered layout on '$c' requires non-null values")
     }
-    val nv = batch.withColumn("bucket", bucketExpr(layout))
-    val newTouched = nv.select("owner", "bucket").distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val newTouched = touchedRows.map(r => (r.getString(0), r.getLong(1))).toSeq
     require(newTouched.nonEmpty, "upsertVersioned: empty batch")
     // Under a clustered layout (bucket = f(cluster value), not
     // f(doc_id)) an updated doc whose cluster value moved bins leaves
@@ -642,18 +694,22 @@ object VersionedStore {
         // existing column evolves it to NULL for the new rows
         survivors.unionByName(nv.drop("v"), allowMissingColumns = true)
       }
+    // TWO actions stage everything (was four: localCheckpoint +
+    // per-bucket count + write, plus the checkpoint's block copy): the
+    // staged plan is cached, the audit's expected count reads the
+    // cache (write-independent intent, same guarantee the checkpoint
+    // gave), the write re-reads the cache, and the surviving bucket
+    // set comes back from the write's own partition dirs — relocation
+    // can EMPTY a bucket (its only rows moved to other bins): no
+    // v=next dir is written for it, so its manifest entry must vanish
+    // rather than point at a missing path (optimization r16, §1.2).
     val staged = content.withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
-      .localCheckpoint()
-    val perBucket = staged.groupBy(col("owner"), col("bucket").cast("long").as("bucket"))
-      .count().collect()
-      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
-    val expected = perBucket.values.sum
-    writeStaged(staged, path, wid)
-    // relocation can EMPTY a bucket (its only rows moved to other
-    // bins): no v=next dir is written for it, so its manifest entry
-    // must vanish rather than point at a missing path
-    val live = touched.filter(perBucket.contains)
+      .persist()
+    val expected = staged.count()
+    val live = writeStaged(staged, path, wid)
+    staged.unpersist()
+    nv.unpersist()
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
       live.map { case (o, b) =>
         ManifestEntry(o, b, next, None, wid = Some(wid)) }
@@ -675,7 +731,12 @@ object VersionedStore {
     val aggs = count(lit(1)).as("cnt") +: statsCols.zipWithIndex.flatMap { case (c, j) =>
       Seq(min(col(c).cast("double")).as(s"smn$j"),
         max(col(c).cast("double")).as(s"smx$j")) }
-    val perPartRows = spark.read.option("basePath", dataDir(path)).parquet(paths: _*)
+    // one disk read serves both the audit aggregate and the bloom
+    // recompute below (cached only when a bloom config exists —
+    // otherwise the single consumer needs no cache)
+    val stagedRead = spark.read.option("basePath", dataDir(path)).parquet(paths: _*)
+    val shared = if (st.bloom.isDefined) stagedRead.persist() else stagedRead
+    val perPartRows = shared
       .groupBy(col("owner"), col("bucket").cast("long").as("bucket"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -703,8 +764,8 @@ object VersionedStore {
     // their full staged content (untouched keep theirs)
     val entries2 = st.bloom match {
       case Some(cfg) =>
-        val bl = bloomHexOf(
-          spark.read.option("basePath", dataDir(path)).parquet(paths: _*), cfg)
+        val bl = bloomHexOf(shared, cfg)
+        shared.unpersist()
         entries.map(e =>
           if (e.v == st.next) e.copy(bloom = bl.get((e.owner, e.bucket))) else e)
       case None => entries
@@ -749,16 +810,23 @@ object VersionedStore {
     val cur = currentSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"compact: no snapshot at $path"))
     val next = cur + 1
+    // one snapshot scan serves the touched-bucket probe AND the staged
+    // write; the write's row count is observed in-job (optimization
+    // r16, guide §1.2 — was: scan → collect, localCheckpoint, count,
+    // write = 3 full-corpus evaluations)
     val nv = readSnapshot(spark, path, cur).drop("bucket")
       .withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), newBuckets))
+      .persist()
     val touched = nv.select("owner", "bucket").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val wid = newWid() // writer-isolated staging; see stageVersion
     val staged = nv.withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
-      .localCheckpoint()
+      .persist()
     val expected = staged.count()
     writeStaged(staged, path, wid)
+    staged.unpersist()
+    nv.unpersist()
     // full rewrite: the new manifest carries ONLY the new bucket space
     auditAndCommit(spark, path, StagedVersion(next, expected, touched,
       touched.map { case (o, b) =>
@@ -792,11 +860,18 @@ object VersionedStore {
     val cur = currentSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"compactClustered: no snapshot at $path"))
     val next = cur + 1
-    val base = readSnapshot(spark, path, cur).drop("bucket")
-    require(base.filter(col(statsCol).isNull).isEmpty,
-      s"compactClustered: cluster column '$statsCol' must be non-null")
-    val Row(mnA: Double, mxA: Double) = base.agg(
+    // one snapshot scan (cached for the episode) serves the null check
+    // + range agg, the touched probe, and the staged write — was 4
+    // full-corpus evaluations (optimization r16, guide §1.2). The null
+    // check rides the range aggregate: count(statsCol) counts only
+    // non-null values, so a null sneaks nothing past the zone maps.
+    val base = readSnapshot(spark, path, cur).drop("bucket").persist()
+    val Row(nAll: Long, nCol: Long, mnN: Any, mxN: Any) = base.agg(
+      count(lit(1)), count(col(statsCol)),
       min(col(statsCol).cast("double")), max(col(statsCol).cast("double"))).head()
+    require(nCol == nAll,
+      s"compactClustered: cluster column '$statsCol' must be non-null")
+    val (mnA, mxA) = (mnN.asInstanceOf[Double], mxN.asInstanceOf[Double])
     val layout = RangeLayout(statsCol, mnA, mxA, newBuckets)
     val nv = base.withColumn("bucket", bucketExpr(layout))
     val touched = nv.select("owner", "bucket").distinct()
@@ -804,9 +879,11 @@ object VersionedStore {
     val wid = newWid() // writer-isolated staging; see stageVersion
     val staged = nv.withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
-      .localCheckpoint()
+      .persist()
     val expected = staged.count()
     writeStaged(staged, path, wid)
+    staged.unpersist()
+    base.unpersist()
     auditAndCommit(spark, path, StagedVersion(next, expected, touched,
       touched.map { case (o, b) =>
         ManifestEntry(o, b, next, None, wid = Some(wid)) },
@@ -831,38 +908,41 @@ object VersionedStore {
     val ids = docIds.select(col("doc_id")).distinct()
     val snap = readSnapshot(spark, path, cur)
     val victims = snap.join(broadcast(ids), Seq("doc_id"), "left_semi")
-    val touched = victims.select("owner", "bucket").distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ONE job learns both the touched bucket set and the removed-row
+    // total (was: distinct-collect + count = two snapshot-scan jobs —
+    // optimization r16, guide §1.2)
+    val vb = victims.groupBy(col("owner"), col("bucket").cast("long").as("bucket"))
+      .count().collect()
+    val touched = vb.map(r => (r.getString(0), r.getLong(1))).toSeq
     if (touched.isEmpty) return 0L
-    val deleted = victims.count()
+    val deleted = vb.map(_.getLong(2)).sum
     val man = readManifestFull(spark, path, cur)
     val touchedSet = touched.toSet
     val wid = newWid() // writer-isolated staging; see stageVersion
     // dv-applying scan: the rewrite folds any existing delete vector
-    // of a touched bucket into the new data version
+    // of a touched bucket into the new data version. The staged plan
+    // is cached across its two actions (count + write), and buckets
+    // fully emptied by the delete write no dir (writeStaged's moved
+    // set is the kept set) and leave the manifest — no separate
+    // kept-distinct collect.
     val staged = scanEntries(spark, path,
         man.filter(e => touchedSet((e.owner, e.bucket))))
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
       .withColumn("v", lit(next))
       .repartition(touched.size, col("owner"), col("bucket"))
-      .localCheckpoint()
+      .persist()
     val expected = staged.count()
-    // buckets fully emptied by the delete write no dir and leave the
-    // manifest; the audit runs over the kept (still-non-empty) set
-    val kept = staged.select("owner", "bucket").distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val kept = writeStaged(staged, path, wid)
+    staged.unpersist()
     val entries = man.filterNot(e => touchedSet((e.owner, e.bucket))) ++
       kept.map { case (o, b) =>
         ManifestEntry(o, b, next, None, wid = Some(wid)) }
     val layout = readLayout(spark, path, cur)
     val bloomCfg = readBloomConfig(spark, path, cur)
     if (kept.isEmpty) commitManifestFull(spark, path, next, entries, layout, bloomCfg)
-    else {
-      writeStaged(staged, path, wid)
-      auditAndCommit(spark, path,
-        StagedVersion(next, expected, kept, entries, layout, bloomCfg,
-          wid = Some(wid)))
-    }
+    else auditAndCommit(spark, path,
+      StagedVersion(next, expected, kept, entries, layout, bloomCfg,
+        wid = Some(wid)))
     deleted
   }
 
@@ -914,11 +994,16 @@ object VersionedStore {
     if (candidates.isEmpty) return 0L
     val visible = scanEntries(spark, path, candidates)
     val victims = visible.join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .localCheckpoint() // one pruned scan feeds all three consumers
-    val affected = victims.select("owner", "bucket").distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (affected.isEmpty) return 0L
-    val removed = victims.count()
+      .persist() // one pruned scan feeds both consumers (grouped probe
+                 // + dv-id write); released below
+    // ONE job learns the affected bucket set AND the removed-row total
+    // (was: localCheckpoint + distinct-collect + count = three jobs —
+    // optimization r16, guide §1.2)
+    val vb = victims.groupBy(col("owner"), col("bucket").cast("long").as("bucket"))
+      .count().collect()
+    val affected = vb.map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (affected.isEmpty) { victims.unpersist(); return 0L }
+    val removed = vb.map(_.getLong(2)).sum
     val affectedSet = affected.toSet
     // cumulative: union the affected buckets' existing dv ids in
     val oldEntries = man.filter(e =>
@@ -940,6 +1025,7 @@ object VersionedStore {
     allIds.repartition(affected.size, col("owner"), col("bucket"))
       .write.mode("overwrite").partitionBy("owner", "bucket")
       .parquet(dvStaging)
+    victims.unpersist()
     val fs = fsOf(spark, path)
     val dvTarget = new Path(s"${dvDir(path, next)}/w=$dvw")
     fs.mkdirs(dvTarget.getParent)

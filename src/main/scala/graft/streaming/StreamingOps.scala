@@ -461,7 +461,12 @@ object StreamingOps {
     val corpusCount = readCorpusCount(stateDir) +
       ops.count { case (id, up) => up && !live(id) } -
       ops.count { case (id, up) => !up && live(id) }
+    // the assignment delta feeds two consumers (the cells store apply
+    // and the codes join) — cache the churn-bounded frame so the
+    // centroid-distance assignment runs once per epoch, not twice
+    // (optimization r16, guide §1.2); released after the applies
     val aDelta = Search.ivfAssign(additions, "tenant", idCol, embCol, centroids)
+      .persist()
     val cDelta = PQ.pqEncode(additions, "tenant", idCol, embCol, codebooks)
       .join(aDelta.select(col("tenant"), col("id"), col("cell")),
         Seq("tenant", "id"))
@@ -476,6 +481,7 @@ object StreamingOps {
       aDelta, "id", maxSegments = maxSegments)
     ByidStore.applyCdcAutoCompact(spark, s"$stateDir/codes_store", remCanon,
       cDelta, "id", maxSegments = maxSegments)
+    aDelta.unpersist()
     writeCorpusCount(stateDir, corpusCount)
     val vectors = ByidStore.readAll(spark, s"$stateDir/byid", idCol)
     val st = Serving.IndexState(
