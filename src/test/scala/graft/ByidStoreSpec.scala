@@ -48,6 +48,29 @@ class ByidStoreSpec extends AnyFunSuite {
       Seq((3L, "b-3", 1), (7L, "b-7", 1), (9L, "a-9", 0), (100L, "b-100", 1)))
   }
 
+  test("applyCdc launches at most 3 Spark jobs per batch (optimization r16)") {
+    import spark.implicits._
+    val path = freshDir()
+    ByidStore.init(corpus(0L until 20L, "a"), "id", path, nFiles = 2)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ByidStore.applyCdc(spark, path, Seq(3L, 5L).toDF("id"),
+        corpus(Seq(3L, 200L), "b"), "id")
+      graft.BenchProbe.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one job per input plan (delta write, tombstone write) + the
+    // churn-bounded dup check; staged counts are driver footer reads.
+    // A regression back to count-after-write or range-sampled delta
+    // writes shows up as extra jobs here.
+    assert(jobs.get() <= 3, s"applyCdc launched ${jobs.get()} jobs (> 3)")
+  }
+
   test("re-insert after delete survives; empty batch writes nothing") {
     import spark.implicits._
     val path = freshDir()
