@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from the sbt output tail;
+// sbt's default LoggedOutput decorates every forked-process line with
+// an "[info] " prefix, which broke that parse two rounds running
+// (BENCH_r15/r16 "parsed": null). StdoutOutput inherits sbt's raw
+// streams, so the JSON line lands unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -188,7 +188,16 @@ object Bench {
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     val headlined = walls.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"calibration_disk":${f3(calibrationDisk)},"detail_file":"$detailFile","nqueries":${results.size},"queries":${jsonMap(headlined)}$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration":${f3(calibration)},"calibration_disk":${f3(calibrationDisk)},"detail_file":"$detailFile","nqueries":${results.size},"queries":${jsonMap(headlined)}$failedJson,"sf":"$sfDir"}"""
+    // The identical line also lands in BENCH_LINE.json: the stdout line
+    // travels through sbt (whose [info] prefix broke the driver's parse
+    // in r15/r16 — see build.sbt's outputStrategy fix), so a known file
+    // with the exact bytes is the robust machine-readable channel.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LINE.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] line write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

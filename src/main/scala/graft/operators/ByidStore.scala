@@ -137,7 +137,14 @@ object ByidStore {
 
   /** Bootstrap: write the full corpus as base segment 0 in the
     * point-fetch layout. The one intentionally O(corpus) call.
-    * Committed like any batch: staged write, rename, marker. */
+    * Committed like any batch: staged write, rename, marker. Persists
+    * the store's schema as a `_schema.json` sidecar so every later
+    * read (segments, resolved view, collision guard) passes an
+    * explicit schema — parquet schema inference launches one Spark
+    * job per `spark.read.parquet` call in Spark 4, and a maintain
+    * loop reads segments dozens of times per epoch (optimization r17,
+    * guide §1.2: a scheduler round-trip per metadata question is the
+    * episode loops' floor). */
   def init(df: DataFrame, idCol: String, path: String, nFiles: Int = 32): Unit = {
     require(maxBatch(path) < 0, s"byid store at $path already initialized")
     val stage = stageDir(path, 0)
@@ -150,26 +157,103 @@ object ByidStore {
     val src = if (ownCache) df.persist() else df
     try Layout.pointFetchWrite(src, idCol, s"$stage/seg", nFiles)
     finally if (ownCache) src.unpersist(): Unit
+    // sidecar BEFORE the commit marker: file-source reads force
+    // nullability anyway, so store the asNullable form — identical to
+    // what inference would return
+    writeSchema(path, df.schema)
     rename(s"$stage/seg", segDir(path, 0))
     commit(path, 0)
     deleteRecursively(new File(stage))
   }
 
-  /** Row count of a staged parquet dir from its file FOOTERS — pure
-    * driver-side metadata (no Spark job, no scheduler round-trip).
-    * Staged dirs are churn-bounded (1–few files), so this is a
-    * handful of footer reads; an unreadable footer fails loudly
-    * before the batch can commit. */
-  private def parquetRows(spark: SparkSession, dir: String): Long = {
+  private def schemaFile(path: String): String = s"$path/_schema.json"
+
+  /** The all-nullable form of a schema — what a file-source read
+    * reports regardless of write-time nullability (Spark forces
+    * nullability on file relations), so sidecar-driven reads are
+    * byte-identical to inferred ones. (StructType.asNullable is
+    * private[sql]; same recursion.) */
+  private[graft] def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case at: ArrayType =>
+        ArrayType(asNullable(at.elementType), containsNull = true)
+      case mt: MapType => MapType(asNullable(mt.keyType),
+        asNullable(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def writeSchema(path: String,
+                          schema: org.apache.spark.sql.types.StructType): Unit = {
+    new File(path).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(schemaFile(path)),
+      asNullable(schema).json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    : Unit
+  }
+
+  /** The store's payload schema (written at [[init]]). Every segment
+    * read passes it explicitly — zero schema-inference jobs. Falls
+    * back to None for pre-sidecar stores (reads infer as before). */
+  private def readSchema(path: String): Option[org.apache.spark.sql.types.StructType] = {
+    val f = new File(schemaFile(path))
+    if (!f.exists()) None
+    else org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)) match {
+      case st: org.apache.spark.sql.types.StructType => Some(st)
+      case _ => None
+    }
+  }
+
+  /** Segment read with the sidecar schema when present (columns are
+    * matched by name, so per-batch column order differences are
+    * irrelevant) — no inference job. */
+  private def readSeg(spark: SparkSession, path: String, n: Int): DataFrame =
+    readSchema(path) match {
+      case Some(st) => spark.read.schema(st).parquet(segDir(path, n))
+      case None => spark.read.parquet(segDir(path, n))
+    }
+
+  /** Tombstone schema is static — one long id column. */
+  private def readTomb(spark: SparkSession, path: String, n: Int,
+                       idCol: String): DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType))))
+      .parquet(tombDir(path, n))
+
+  /** Parquet files of a staged dir via the Hadoop FileSystem API
+    * (ADVICE r16: the java.io.File form hard-wired the local FS while
+    * accepting a Hadoop conf that implies portability). */
+  private def parquetFiles(spark: SparkSession,
+                           dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** (rows, bytes) of a staged parquet dir from its file FOOTERS —
+    * pure driver-side metadata (no Spark job, no scheduler
+    * round-trip). Staged dirs are churn-bounded (1–few files), so
+    * this is a handful of footer reads; an unreadable footer fails
+    * loudly before the batch can commit. */
+  private def parquetRowsBytes(spark: SparkSession, dir: String): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    val files = parquetFiles(spark, dir)
+    val rows = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        f.getPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    (rows, files.map(_.getLen).sum)
   }
 
   /** Apply one CDC batch: `removals` (one `idCol` column — deletes +
@@ -183,14 +267,25 @@ object ByidStore {
     * the emptiness decision). Returns the batch number (0 if the
     * batch was empty and nothing was committed).
     *
-    * JOB SHAPE (optimization r16, guide §1.2/§2.4): one Spark job per
-    * input plan and nothing else — `deltaFiles` defaults to 1 so the
-    * delta write is repartition(1)+sort (RangePartitioner sampling at
-    * nFiles>1 would re-evaluate the CDC plan a second time), and the
-    * emptiness/uniqueness bookkeeping reads parquet footers on the
-    * driver instead of launching count jobs. A delta is churn-bounded,
-    * so one id-sorted file is also the cheapest fetch layout (one
-    * footer per segment per point read instead of `deltaFiles`).
+    * JOB SHAPE (optimization r16/r17, guide §1.2/§2.4): one Spark job
+    * per input plan and nothing else — the additions plan is staged
+    * RAW first (one parallel evaluation, natural partitioning, no
+    * sort/shuffle), the emptiness/size bookkeeping reads the staged
+    * parquet FOOTERS on the driver, and the point-fetch layout is
+    * produced by re-reading the tiny staged bytes (so the range
+    * sampling pass of a multi-file layout re-reads cheap parquet,
+    * never re-evaluates the upstream CDC plan). The churn-bounded
+    * common case (staged bytes ≤ `spark.graft.byid.deltaTargetBytes`,
+    * default 128 MB) lays out ONE id-sorted file via coalesce(1)+sort
+    * — zero shuffles, zero AQE stage jobs — and the uniqueness check
+    * is a single coalesced aggregate job. Four jobs per batch end to
+    * end (was 7 with AQE stage materialization in r16).
+    *
+    * SCALE (r16 verdict task 6): `deltaFiles = 0` (the default) sizes
+    * the delta file count from the staged bytes, so a backfill-scale
+    * batch parallelizes the sort+write across ceil(bytes/target)
+    * range-partitioned files instead of funneling through one task;
+    * an explicit `deltaFiles > 0` pins the count.
     *
     * CRASH-ATOMIC: both parts are staged under `_stage_N/`, renamed
     * into place, and made visible by the single `commit_N` marker
@@ -199,30 +294,50 @@ object ByidStore {
     * next compaction), never a delta whose deletes were lost. */
   def applyCdc(spark: SparkSession, path: String, removals: DataFrame,
                additions: DataFrame, idCol: String,
-               deltaFiles: Int = 1): Int = {
+               deltaFiles: Int = 0): Int = {
     val batch = maxBatch(path) + 1
     val stage = stageDir(path, batch)
     deleteRecursively(new File(stage)) // single-writer: only crash debris
-    Layout.pointFetchWrite(additions, idCol, s"$stage/seg", deltaFiles)
+    additions.write.mode("overwrite").parquet(s"$stage/raw")
     removals.select(col(idCol).cast("long").as(idCol))
       .coalesce(1).write.mode("overwrite").parquet(s"$stage/tomb")
-    // staged parquet counts are FOOTER reads on the driver — the
+    // staged parquet counts/sizes are FOOTER reads on the driver — the
     // upstream plans ran exactly once, at the writes above, and no
     // count job is launched
-    val nAdd = parquetRows(spark, s"$stage/seg")
-    val nRem = parquetRows(spark, s"$stage/tomb")
-    // WITHIN-BATCH id uniqueness (r15 verdict task 7): two rows for
-    // one id in one segment tie on `seg` in the merge window, so the
-    // resolved winner would be arbitrary — reject loudly before the
-    // batch becomes visible. Churn-bounded (one aggregate over the
-    // staged delta).
+    val (nAdd, addBytes) = parquetRowsBytes(spark, s"$stage/raw")
+    val (nRem, _) = parquetRowsBytes(spark, s"$stage/tomb")
     if (nAdd > 0) {
-      val nDis = spark.read.parquet(s"$stage/seg")
-        .agg(countDistinct(col(idCol))).head().getLong(0)
+      val target = spark.conf.getOption("spark.graft.byid.deltaTargetBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val nFiles =
+        if (deltaFiles > 0) deltaFiles
+        else math.max(1L, math.min(256L,
+          (addBytes + target - 1) / target)).toInt
+      val raw = readSchema(path) match {
+        case Some(st) => spark.read.schema(st).parquet(s"$stage/raw")
+        case None => spark.read.parquet(s"$stage/raw")
+      }
+      // WITHIN-BATCH id uniqueness (r15 verdict task 7): two rows for
+      // one id in one segment tie on `seg` in the merge window, so the
+      // resolved winner would be arbitrary — reject loudly before the
+      // batch becomes visible. Churn-bounded: a single-file delta runs
+      // the aggregate coalesced on one task (no exchange, one job); a
+      // backfill-scale delta pays the distributed two-phase distinct.
+      val dupSrc = if (nFiles == 1) raw.coalesce(1) else raw
+      val nDis = dupSrc.agg(countDistinct(col(idCol))).head().getLong(0)
       require(nDis == nAdd,
         s"byid store at $path: CDC batch carries ${nAdd - nDis} duplicate " +
           s"$idCol rows — one postimage per id per batch (collapse the feed " +
           "first, e.g. streamByidMaintain's orderCol rule)")
+      // point-fetch layout from the materialized staged bytes: one
+      // sorted file needs no shuffle at all; a multi-file layout's
+      // range sampling re-reads the staged parquet, not the CDC plan
+      if (nFiles == 1)
+        raw.coalesce(1).sortWithinPartitions(idCol)
+          .write.mode("overwrite")
+          .option("parquet.page.row.count.limit", 8)
+          .parquet(s"$stage/seg")
+      else Layout.pointFetchWrite(raw, idCol, s"$stage/seg", nFiles)
     }
     if (nAdd == 0 && nRem == 0) {
       deleteRecursively(new File(stage))
@@ -243,7 +358,7 @@ object ByidStore {
     * BOTH kinds (ADVICE r14). */
   def applyCdcAutoCompact(spark: SparkSession, path: String, removals: DataFrame,
                           additions: DataFrame, idCol: String,
-                          maxSegments: Int = 8, deltaFiles: Int = 1,
+                          maxSegments: Int = 8, deltaFiles: Int = 0,
                           compactFiles: Int = 32): Int = {
     val b = applyCdc(spark, path, removals, additions, idCol, deltaFiles)
     if (segments(path).size + tombstones(path).size > maxSegments)
@@ -278,11 +393,11 @@ object ByidStore {
     // a full-view read and add a per-row sort to point fetches for
     // nothing). A freshly-refreshed snapshot pin always lands here.
     if (segs.size == 1 && tombsAll.isEmpty) {
-      val df = spark.read.parquet(segDir(path, segs.head))
+      val df = readSeg(spark, path, segs.head)
       return pred.fold(df)(p => df.filter(p)).withColumn("seg", lit(segs.head))
     }
     val rows = segs.map { n =>
-      val df = spark.read.parquet(segDir(path, n))
+      val df = readSeg(spark, path, n)
       pred.fold(df)(p => df.filter(p)).withColumn("seg", lit(n))
     }.reduce(_.unionByName(_))
     val latest = rows
@@ -293,7 +408,7 @@ object ByidStore {
     if (tombs.isEmpty) latest
     else {
       val dead = tombs.map { n =>
-        val df = spark.read.parquet(tombDir(path, n))
+        val df = readTomb(spark, path, n, idCol)
         pred.fold(df)(p => df.filter(p)).withColumn("tseg", lit(n))
       }.reduce(_.unionByName(_))
         .groupBy(col(idCol)).agg(max(col("tseg")).as("tseg"))
@@ -376,9 +491,9 @@ object ByidStore {
     val segs = segments(path)
     if (segs.size < 2) return // one segment: applyCdc's per-batch
                               // uniqueness already proved id-disjoint
-    val head = spark.read.parquet(segDir(path, segs.head))
+    val head = readSeg(spark, path, segs.head)
     if (!head.columns.contains("tenant")) return
-    val union = segs.map(n => spark.read.parquet(segDir(path, n))
+    val union = segs.map(n => readSeg(spark, path, n)
         .select(col(idCol), col("tenant"))).reduce(_.unionByName(_))
     val bad = union.groupBy(col(idCol))
       .agg(countDistinct(col("tenant")).as("_nt"))

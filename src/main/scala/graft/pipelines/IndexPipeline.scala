@@ -1637,9 +1637,14 @@ object IndexPipeline {
     // materialize the (small: changed docs only) feed once, then drop
     // the join's cache — persist() entries live in the CacheManager
     // until explicitly unpersisted, so returning without this leaks
-    // cached partitions on every feed invocation
+    // cached partitions on every feed invocation. coalesce(1) first:
+    // the 4-way union of the cached join's filters carries 4× its
+    // partition count, so the eager checkpoint job ran ~128 empty-ish
+    // tasks for a churn-bounded feed (optimization r17, guide §1.2) —
+    // one partition is also the right downstream shape (the feed is
+    // always the broadcast/collect side)
     val feed = ins.unionByName(del).unionByName(pre).unionByName(post)
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     j.unpersist()
     (feed, changed.size, allKeys.size)
   }
@@ -1670,8 +1675,10 @@ object IndexPipeline {
     val post = upd.select(col("doc_id"),
       lit("update_postimage").as("change_type"),
       col("n2").as("n_vectors"), col("m2").as("chunks_md5"))
+    // coalesce(1): same churn-bounded-feed materialization note as
+    // snapshotCdcFeedFast above
     val feed = ins.unionByName(del).unionByName(pre).unionByName(post)
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     j.unpersist()
     feed
   }

@@ -48,27 +48,92 @@ class ByidStoreSpec extends AnyFunSuite {
       Seq((3L, "b-3", 1), (7L, "b-7", 1), (9L, "a-9", 0), (100L, "b-100", 1)))
   }
 
-  test("applyCdc launches at most 3 Spark jobs per batch (optimization r16)") {
+  test("applyCdc launches at most 4 Spark jobs per churn batch (optimization r16/r17)") {
     import spark.implicits._
     val path = freshDir()
     ByidStore.init(corpus(0L until 20L, "a"), "id", path, nFiles = 2)
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Count only THIS call's jobs via a job group (ADVICE r16: the
+    // shared SparkContext serves every suite — an unfiltered listener
+    // counts concurrent suites' jobs and flakes).
+    val group = s"byid-cdc-guard-${System.nanoTime()}"
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet(): Unit
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        if (g == group)
+          jobs.add(js.stageInfos.map(_.name).mkString(" | ")): Unit
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      spark.sparkContext.setJobGroup(group, "applyCdc job-shape guard")
       ByidStore.applyCdc(spark, path, Seq(3L, 5L).toDF("id"),
         corpus(Seq(3L, 200L), "b"), "id")
       graft.BenchProbe.drainListenerBus(spark)
-    } finally spark.sparkContext.removeSparkListener(listener)
-    // one job per input plan (delta write, tombstone write) + the
-    // churn-bounded dup check; staged counts are driver footer reads.
-    // A regression back to count-after-write or range-sampled delta
-    // writes shows up as extra jobs here.
-    assert(jobs.get() <= 3, s"applyCdc launched ${jobs.get()} jobs (> 3)")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // Exactly one action per input plan (raw additions stage, tombstone
+    // write) + the coalesced dup-check aggregate + the shuffle-free
+    // single-file layout rewrite = 4 jobs; staged counts are driver
+    // footer reads. A regression to count-after-write, range-sampled
+    // delta writes, or a shuffling layout pass (whose AQE stage
+    // materialization adds jobs) shows up as extra jobs here.
+    val got = jobs.toArray.map(_.toString)
+    assert(got.length <= 4,
+      s"applyCdc launched ${got.length} jobs (> 4):\n  ${got.mkString("\n  ")}")
+  }
+
+  test("applyCdc sizes the delta layout from staged bytes (r16 verdict task 6)") {
+    import spark.implicits._
+    val path = freshDir()
+    ByidStore.init(corpus(0L until 4L, "a"), "id", path, nFiles = 1)
+    val prev = spark.conf.getOption("spark.graft.byid.deltaTargetBytes")
+    spark.conf.set("spark.graft.byid.deltaTargetBytes", "4096")
+    try {
+      // a "backfill-scale" batch relative to the 4 KB target: fat
+      // payloads force staged bytes past several multiples of it
+      val fat = (100L until 400L).map(i => (i, "x" * 200, i)).toDF("id", "payload", "v")
+      val b = ByidStore.applyCdc(spark, path,
+        Seq.empty[Long].toDF("id"), fat, "id")
+      assert(b == 1)
+      val segFiles = Option(new java.io.File(f"$path/seg_$b%05d").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      assert(segFiles.length > 1,
+        s"backfill batch should parallelize into >1 sorted file, got ${segFiles.length}")
+      // range-partitioned + sorted: per-file id ranges are disjoint, so
+      // the point-fetch page pruning contract holds file by file
+      val ranges = segFiles.map { f =>
+        val df = spark.read.parquet(f.getAbsolutePath)
+        val r = df.agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => assert(hi < lo2,
+          s"delta files must cover disjoint id ranges: ${ranges.toSeq}")
+        case _ =>
+      }
+      // the resolved view still serves point fetches correctly
+      val got = ByidStore.fetch(spark, path, Seq(2L, 150L, 399L), "id")
+        .orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("seg")))
+      assert(got.toSeq == Seq((2L, 0), (150L, 1), (399L, 1)))
+      // a churn-bounded batch (below target) keeps the 1-file layout
+      spark.conf.set("spark.graft.byid.deltaTargetBytes", (128L * 1024 * 1024).toString)
+      val b2 = ByidStore.applyCdc(spark, path,
+        Seq.empty[Long].toDF("id"), corpus(Seq(500L), "c"), "id")
+      val oneFile = Option(new java.io.File(f"$path/seg_$b2%05d").listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+      assert(oneFile == 1, s"churn batch should stay one sorted file, got $oneFile")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.byid.deltaTargetBytes", v)
+        case None => spark.conf.unset("spark.graft.byid.deltaTargetBytes")
+      }
+    }
   }
 
   test("re-insert after delete survives; empty batch writes nothing") {
