@@ -45,4 +45,22 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Fan a NARROW scan out to the session's parallelism before an
+    * expensive per-row pass (guide §2.5, input skew: a single small
+    * parquet file — one row group — is one unsplittable scan
+    * partition, so a heavy projection over it runs on ONE core no
+    * matter how many the session has; measured: the 20-gram explode
+    * of dd_substring_exact and the md5-bigram pass of
+    * pp_importance_resample ran 1-wide under local[32], cpu/wall ≈ 1).
+    * GATED: inputs already at/above the session parallelism pass
+    * through untouched — at production scale a table arrives as many
+    * files/partitions and this adds no shuffle; the repartition only
+    * fires in the small-file regime where the shuffled bytes are by
+    * definition small. Round-robin repartition is deterministic under
+    * retries (sortBeforeRepartition, guide §2.5). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 }

@@ -59,6 +59,13 @@ object Bpe {
     // contraction components loop hits, same fix. Checkpoint blocks
     // are vocab-sized (distinct words, not the corpus) and are freed
     // by the ContextCleaner when superseded snapshots are GC'd.
+    // r17 note: a coalesce(1) before the checkpoints was tried to make
+    // the per-merge argmax exchange-free (SinglePartition satisfies the
+    // aggregation's required distribution) and MEASURED a no-op — jobs
+    // 52→52: localCheckpoint under AQE drops the child's output
+    // partitioning (LogicalRDD records UnknownPartitioning), so the
+    // exchange stays. Reverted; the 20 sequential argmax collects are
+    // the algorithm's irreducible driver loop.
     var cur = vocab(docs)
       .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))))

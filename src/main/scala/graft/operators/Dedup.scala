@@ -515,8 +515,12 @@ object Dedup {
   def sharedSpans(docs: DataFrame, k: Int, minSpan: Int,
                   idCol: String = "doc_id", textCol: String = "text",
                   maxGramDf: Long = 1000L): DataFrame = {
-    val toked = docs.select(col(idCol).as("doc_id"),
-      filter(split(col(textCol), " "), t => t =!= "").as("toks"))
+    // fanOut: the k-token gram explode below dominates and inherits the
+    // scan's partitioning (single-file corpus → one core; guide §2.5);
+    // fan the raw rows so the tokenize itself also runs post-fan
+    val toked = Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), t => t =!= "").as("toks"))
     val grams = toked.filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("toks")) - k),
@@ -676,8 +680,11 @@ object Dedup {
     * k-gram and are skipped by definition. */
   def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, minLen: Int): DataFrame = {
-    val base = docs.filter(length(col(textCol)) >= k)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+    // fanOut: the per-position gram explode below is the dominant cost
+    // and runs inside the scan's partitioning — a single-file corpus
+    // serializes it on one core (measured cpu/wall ≈ 1.3 at local[32])
+    val base = Tables.fanOut(docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t")))
     val grams = base
       .select(col("doc_id"), col("_t"),
         explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("p"))
@@ -734,8 +741,9 @@ object Dedup {
   def substringDedupSpansHashed(docs: DataFrame, idCol: String,
                                 textCol: String, k: Int,
                                 minLen: Int): DataFrame = {
-    val base = docs.filter(length(col(textCol)) >= k)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+    // fanOut: same single-file-scan serialization note as the exact mode
+    val base = Tables.fanOut(docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t")))
     val pos = base
       .select(col("doc_id"), col("_t"),
         explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("p"))
@@ -839,9 +847,12 @@ object Dedup {
         .when(col("doc_id") % 7 === 0,
           concat(lit("cookie policy accepted by continuing. "), col("text")))
         .otherwise(col("text")))
-      val all0 = injected.select("doc_id", "text").unionByName(
+      // fanOut BEFORE the persist: the funnel's sentence-clean/gopher/
+      // shingle passes read the cache, so the cache must already be
+      // fanned out past the single-file scan's one partition
+      val all0 = Tables.fanOut(injected.select("doc_id", "text").unionByName(
         injected.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
         .persist()
       val stages = curationFunnelV2(all0, raw, maxDocs = 3)
       // ONE grouped aggregation over the unioned stage relations (one
@@ -1156,9 +1167,11 @@ object Dedup {
         when(col("doc_id") % 13 === 0,
           concat(lit(("el la de y que " * 10).trim + " "), col("text")))
           .otherwise(col("text")))
-      val docs = base.unionByName(
+      // fanOut: the language argmax / quality / shingle passes below
+      // all inherit the single-file scan's one-partition shape
+      val docs = Tables.fanOut(base.unionByName(
         base.filter(col("doc_id") % 50 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
+          .withColumn("doc_id", col("doc_id") + 1000000L)))
       val toks = filter(split(col("text"), " "), t => t =!= "")
       // Each stage feeds both its own funnel row and the next stage —
       // persist the chain so the 5 aggregations don't recompute the

@@ -71,13 +71,13 @@ object Graph {
     val n = docs.count()
     val e = edges(docs, n).persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    // cache the edge relation PRE-PARTITIONED on the per-iteration join
-    // key, and the static node-id frame, so each of the 8 rounds joins
-    // against an already-partitioned cached relation instead of
-    // re-shuffling the static edges / re-scanning the parquet every
-    // round (optimization r16, guide §2.4: two operations keyed the
-    // same way share one exchange)
-    val eo = e.join(outdeg, "src").repartition(col("src")).persist()
+    // cache the static edge relation and node-id frame so no round
+    // re-scans the parquet. The r16 repartition(src) before the persist
+    // is REVERTED (r17): the per-round join broadcasts the rank side
+    // (plans/r17/graph_prepartition_diag.txt — BroadcastHashJoin, 12 vs
+    // 11 Exchanges), so the cached hash partitioning was never used and
+    // the build paid one extra up-front shuffle for nothing.
+    val eo = e.join(outdeg, "src").persist()
     val docIds = docs.select(col("doc_id").as("id")).persist()
 
     var ranks = docIds.select(col("id"), (lit(1.0) / lit(n)).as("rank"))
@@ -138,11 +138,11 @@ object Graph {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.count() // bounded driver state: one scalar
     val e = edges(docs, n)
-    // pre-partitioned on the per-round join key: the static symmetrized
-    // edge list is shuffled ONCE at build, not once per round
-    // (optimization r16, guide §2.4)
+    // static symmetrized edge list cached once; the r16 repartition(src)
+    // is reverted (per-round join broadcasts the label side — see
+    // plans/r17/graph_prepartition_diag.txt)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).persist()
+      .distinct().persist()
     val docIds = docs.select(col("doc_id").as("id")).persist()
     var labs = docIds.select(col("id"), col("id").as("lab"))
     for (it <- 1 to LpaIters) {
@@ -217,11 +217,11 @@ object Graph {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.count() // bounded driver state: one scalar
     val e = edges(docs, n)
-    // pre-partitioned on the per-round join key (guide §2.4), same as
-    // labelProp — 12 peeling rounds otherwise re-shuffle the static
-    // edge list every round
+    // static symmetrized edge list cached once; the r16 repartition(src)
+    // is reverted (per-round join broadcasts the survivor side — see
+    // plans/r17/graph_prepartition_diag.txt)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).persist()
+      .distinct().persist()
     var nodes = docs.select(col("doc_id").as("id"))
     // early fixpoint exit at checkpoint boundaries (optimization r16,
     // guide §1.2): peeling is MONOTONE (survivor sets only shrink), so

@@ -501,11 +501,30 @@ object Search {
   // widening vectors 64→768 raises projection cost, not the number of
   // bits needed to split the same corpus.
   private[graft] val rp768 = new RpLsh(10, 768)
-  private def vecs768(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id").as("vec_id"),
-      expr("doc_id div 5").as("label"),
-      SyntheticVec.vecCol(col("doc_id"), 768).as("embedding"))
+  /** The 768-d synthetic relation, fanned out BEFORE the synthesis
+    * (only doc_ids shuffle — guide §2.5; the single-file scan
+    * serialized every downstream dot product on one core). `cache =
+    * true` (the default) additionally PERSISTS the synthesized
+    * vectors: without the cache barrier the threshold filters
+    * re-inline the synthesis below the fan (predicate pushdown
+    * crosses a repartition), putting the dominant per-row pass back
+    * on one partition — and evaluating it twice (the mm_phash
+    * re-inlining class). Measured: v1_knn_768 1.42→0.79 s,
+    * v4 1.73→1.00, v6 1.50→0.93. ann_rp_lsh_768 opts OUT (cache =
+    * false): its bucket filter prunes ~95% of rows before any dot, so
+    * materializing every vector into the cache costs more than it
+    * saves (measured 1.08→1.76 s with the cache — reverted). Callers
+    * run under the bench/Verify clearCache-per-query contract. */
+  private def vecs768(s: SparkSession, d: String,
+                      cache: Boolean = true): DataFrame = {
+    val v = Tables.fanOut(Tables.documents(s, d)
+        .select(col("doc_id"), expr("doc_id div 5").as("label")))
+      .select(
+        col("doc_id").as("vec_id"),
+        col("label"),
+        SyntheticVec.vecCol(col("doc_id"), 768).as("embedding"))
+    if (cache) v.persist() else v
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V1 — kNN cosine top-k with threshold (vector_db_service.py:165-261).
@@ -872,7 +891,7 @@ object Search {
     // buckets probed; code, probe set and rescore all hash-exact.
     "ann_rp_lsh_768" -> ((s, d) => {
       val probes = rp768.multiprobe(rp768.codeOf(q768), 2)
-      vecs768(s, d)
+      vecs768(s, d, cache = false) // bucket filter prunes before the dots
         .withColumn("code", rp768.codeCol(col("embedding")))
         .filter(col("code").isin(probes: _*))
         .withColumn("sim", dot(col("embedding"), typedLit(q768)))

@@ -762,7 +762,9 @@ object Serving {
       val sdir = hybDir(d)
       deleteRec(new java.io.File(sdir))
       val e = base(s, d)
-      val docs = Tables.documents(s, d).withColumn("tenant", lit("all"))
+      // fanOut: postings build + stats each tokenize the whole corpus
+      val docs = graft.Tables.fanOut(
+        Tables.documents(s, d).withColumn("tenant", lit("all")))
       ByidStore.init(e.select(col("vec_id"), col("embedding"), col("tenant")),
         "vec_id", s"$sdir/byid", nFiles = 4)
       ServingState.saveSnapshot(s, sdir,
@@ -791,7 +793,9 @@ object Serving {
     // weight plumbing are each hash-gated at all three SFs.
     "ann_hybrid_batch" -> ((s, d) => {
       val e = base(s, d)
-      val docs = Tables.documents(s, d).withColumn("tenant", lit("all"))
+      // fanOut: postings build + stats each tokenize the whole corpus
+      val docs = graft.Tables.fanOut(
+        Tables.documents(s, d).withColumn("tenant", lit("all")))
       val st = IndexState(vectors = e, corpusSize = e.count(),
         postings = Some(buildPostings(docs, "tenant", "doc_id", "text")),
         lexStats = lexStatsOf(docs, "tenant", "text"),
@@ -823,9 +827,12 @@ object Serving {
       val docs = Tables.documents(s, d).withColumn("tenant", lit("all"))
         .select(col("tenant"), col("doc_id"), col("text"))
       val v1 = docs.filter(col("doc_id") % 9 =!= 0)
-      ByidStore.init(lexDocVectors(v1, "tenant", "doc_id", "text"), "id",
+      // fanOut: both bootstrap passes tokenize the whole cohort and
+      // would otherwise run inside the single-file scan's one partition
+      val v1f = graft.Tables.fanOut(v1)
+      ByidStore.init(lexDocVectors(v1f, "tenant", "doc_id", "text"), "id",
         s"$sdir/lex", nFiles = 4)
-      var counters = lexCountersOf(v1, "tenant", "text")
+      var counters = lexCountersOf(v1f, "tenant", "text")
       val ups = v1.filter(col("doc_id") % 7 === 0)
         .withColumn("text",
           concat(lit("freshly updated revision: "), col("text")))

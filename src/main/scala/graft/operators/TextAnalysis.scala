@@ -469,7 +469,11 @@ object TextAnalysis {
     val s = df.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(specs.map { case (n, c) => c.cast("string").as(n) }: _*)
+    // fanOut: the |specs|-way unpivot explode + per-value md5 below run
+    // inside the scan's partitioning — a single-file table serializes
+    // them on one core (guide §2.5; measured cpu/wall ≈ 1 at local[32])
+    val base = graft.Tables.fanOut(
+      df.select(specs.map { case (n, c) => c.cast("string").as(n) }: _*))
     val unpiv = base.select(explode(array(specs.map { case (n, _) =>
       struct(lit(n).as("col_name"), col(n).as("v")) }: _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
@@ -648,7 +652,9 @@ object TextAnalysis {
         }
         (hvv(1) * 16 + hvv(2)).cast("int")
       }
-      val occ = Tables.documents(s, d)
+      // fan the DOCS out, then explode: repartitioning the unexploded
+      // rows shuffles document bytes once, not one row per token
+      val occ = Tables.fanOut(Tables.documents(s, d).select(col("text")))
         .select(explode(tokens(col("text"))).as("tok")).persist()
       val cells = occ
         .select(array((0 until dRows).map(r => cmsCol(r, col("tok"))): _*).as("cols"))
@@ -735,7 +741,9 @@ object TextAnalysis {
       import s.implicits._
       val levels = 12; val dRows = 4; val wCols = 256
       val vcol = least(size(tokens(col("text"))), lit(4095)).cast("long")
-      val base = Tables.documents(s, d)
+      // fan the raw rows out FIRST so the tokenize in vcol runs post-fan
+      val base = Tables.fanOut(Tables.documents(s, d)
+          .select(col("source"), col("text")))
         .select(col("source"), vcol.as("v")).persist()
       val n = base.count()
       val idxCols = dyadicIdxCols("dq:", levels, dRows)
@@ -850,14 +858,19 @@ object TextAnalysis {
     // sketch counts keys, not tokens.)
     "a20_hll_sketch" -> ((s, d) => {
       import s.implicits._
-      val occ = Tables.lineitem(s, d)
-        .select(col("l_orderkey").cast("string").as("tok")).persist()
+      val occ = Tables.fanOut(Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("string").as("tok"))).persist()
       val (bucket, rho) = hllBucketRho("hll:", col("tok"))
-      val regs = occ
-        .select(array(bucket, rho).as("br")).as[Seq[Int]]
-        .groupByKey(_ => 0)
-        .agg(graft.functions.Sketches.hll(256).name("regs"))
-        .head()._2 // bounded model state: 256 ints
+      // register fold as a PLAIN codegen max-per-bucket (the a24/a22
+      // move, optimization r17): same max/absent-is-0 semantics as the
+      // typed HllAggregator with map-side partial aggregation and no
+      // object boundaries; bounded driver state (≤256 rows) assembles
+      // the register array exactly as Aggregator.zero+reduce did
+      val regArr = new Array[Int](256)
+      occ.select(bucket.as("b"), rho.as("r"))
+        .groupBy("b").agg(max(col("r")).as("reg")).collect()
+        .foreach(row => regArr(row.getInt(0)) = row.getInt(1))
+      val regs: Seq[Int] = regArr.toSeq // bounded model state: 256 ints
       val nSum = regs.map(r0 => 1L << (40 - r0)).sum
       val est = (1471L << 45) / nSum
       val trueD = occ.select(col("tok")).distinct().count()
@@ -1003,7 +1016,7 @@ object TextAnalysis {
         .when(col("lang") === "fr", translate(col("text"), "aeiou", "aeiuo"))
         .when(col("lang") === "zh", translate(col("text"), "aeiou", "uoiea"))
         .otherwise(col("text"))
-      val base = Tables.documents(s, d)
+      val base = Tables.fanOut(Tables.documents(s, d))
         .withColumn("v", variant)
         .filter(length(col("v")) >= 2)
         .withColumn("bgs", transform(sequence(lit(1), length(col("v")) - 1),
@@ -2024,7 +2037,7 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.BoundedWindow
       val scored = withQualityScore(
-        Tables.documents(s, d)
+        Tables.fanOut(Tables.documents(s, d))
           .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
           .filter(col("n_tokens") > 0))
         .select(col("doc_id"), col("n_tokens"), col("quality_score"),
@@ -2163,7 +2176,11 @@ object TextAnalysis {
       // persist it once for its three consumers (model counts, the
       // scoring pass, and the prefix/final joins); without this the
       // transform re-runs per consumer (11.3 s → ~3 s at sf0.1)
-      val base = docs.withColumn("bks", bucketArr(tokens(col("text")))).persist()
+      // fanOut BEFORE the persist: the dominant per-bigram md5 coding
+      // pass materializes the cache, and the single-file scan would
+      // otherwise run it on one core (measured cpu/wall ≈ 0.9)
+      val base = Tables.fanOut(docs)
+        .withColumn("bks", bucketArr(tokens(col("text")))).persist()
       val counts = base
         .select(col("source").isin("src0", "src1", "src2", "src3").as("is_seed"),
           explode(col("bks")).as("bk"))

@@ -554,7 +554,19 @@ object VersionedStore {
       s"initialLoad: $path already has snapshots")
     val nv = vectors.withColumn("bucket", IndexPipeline.docBucket(col("doc_id"), nBuckets))
       .withColumn("v", lit(1))
-    nv.repartition(col("owner"), col("bucket"))
+    // owner is a partition key AND a manifest key derived back from the
+    // dir name: a null/empty owner writes __HIVE_DEFAULT_PARTITION__,
+    // which unescapePath returns literally — the manifest owner would
+    // stop round-tripping to the data's value, and initialLoad commits
+    // without an audit to catch it (ADVICE r16). Fail fast in the same
+    // write pass instead (raise_error evaluates per row, costs nothing
+    // on valid data).
+    nv.withColumn("owner",
+        when(col("owner").isNull || col("owner") === "",
+          raise_error(lit("initialLoad: owner must be non-null/non-empty " +
+            "(it is a partition key the manifest round-trips)")))
+          .otherwise(col("owner")))
+      .repartition(col("owner"), col("bucket"))
       .write.mode("overwrite").partitionBy("owner", "bucket", "v")
       .parquet(dataDir(path))
     // manifest entries from the write's own partition dirs — the input
@@ -727,15 +739,25 @@ object VersionedStore {
     val paths = st.touched.map { case (o, b) =>
       bucketDir(path, o, b, st.next) +
         st.wid.map(w => s"/w=$w").getOrElse("") }
-    val statsCols = clusterCols(st.layout)
-    val aggs = count(lit(1)).as("cnt") +: statsCols.zipWithIndex.flatMap { case (c, j) =>
-      Seq(min(col(c).cast("double")).as(s"smn$j"),
-        max(col(c).cast("double")).as(s"smx$j")) }
     // one disk read serves both the audit aggregate and the bloom
     // recompute below (cached only when a bloom config exists —
     // otherwise the single consumer needs no cache)
     val stagedRead = spark.read.option("basePath", dataDir(path)).parquet(paths: _*)
     val shared = if (st.bloom.isDefined) stagedRead.persist() else stagedRead
+    try auditBody(spark, path, st, shared)
+    finally if (st.bloom.isDefined) shared.unpersist(): Unit
+  }
+
+  /** [[auditAndCommit]]'s body, split out so the audit cache releases
+    * on ANY exit (ADVICE r16: a failed require / bloomHexOf error used
+    * to leak the persisted staged read for the session). */
+  private def auditBody(spark: SparkSession, path: String,
+                        st: StagedVersion,
+                        shared: org.apache.spark.sql.DataFrame): Unit = {
+    val statsCols = clusterCols(st.layout)
+    val aggs = count(lit(1)).as("cnt") +: statsCols.zipWithIndex.flatMap { case (c, j) =>
+      Seq(min(col(c).cast("double")).as(s"smn$j"),
+        max(col(c).cast("double")).as(s"smx$j")) }
     val perPartRows = shared
       .groupBy(col("owner"), col("bucket").cast("long").as("bucket"))
       .agg(aggs.head, aggs.tail: _*)
@@ -764,8 +786,7 @@ object VersionedStore {
     // their full staged content (untouched keep theirs)
     val entries2 = st.bloom match {
       case Some(cfg) =>
-        val bl = bloomHexOf(shared, cfg)
-        shared.unpersist()
+        val bl = bloomHexOf(shared, cfg) // cache released by the caller's finally
         entries.map(e =>
           if (e.v == st.next) e.copy(bloom = bl.get((e.owner, e.bucket))) else e)
       case None => entries
@@ -869,6 +890,11 @@ object VersionedStore {
     val Row(nAll: Long, nCol: Long, mnN: Any, mxN: Any) = base.agg(
       count(lit(1)), count(col(statsCol)),
       min(col(statsCol).cast("double")), max(col(statsCol).cast("double"))).head()
+    // an empty snapshot (reachable after a delete that empties every
+    // bucket) yields null min/max, which the Any match below would
+    // silently unbox to 0.0 and build a degenerate RangeLayout(0,0) —
+    // fail here with the real cause instead (ADVICE r16)
+    require(nAll > 0, "compactClustered: empty snapshot — nothing to cluster")
     require(nCol == nAll,
       s"compactClustered: cluster column '$statsCol' must be non-null")
     val (mnA, mxA) = (mnN.asInstanceOf[Double], mxN.asInstanceOf[Double])
@@ -1221,15 +1247,54 @@ object VersionedStore {
                             entries: Seq[ManifestEntry]): DataFrame = {
     def read(es: Seq[ManifestEntry]): Option[DataFrame] =
       if (es.isEmpty) None
-      else Some(spark.read.option("basePath", deletesDir(path))
-        .parquet(es.map(dvRefDir(path, _)): _*)
-        .select(col("owner"), col("bucket").cast("long").as("bucket"),
+      else Some(withDriverSideListing(spark) {
+        spark.read.option("basePath", deletesDir(path))
+          .parquet(es.map(dvRefDir(path, _)): _*)
+      }.select(col("owner"), col("bucket").cast("long").as("bucket"),
           col("doc_id")))
     val (w, legacy) = entries.filter(_.dv.isDefined).partition(_.dvw.isDefined)
     (read(w), read(legacy)) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (a, b) => a.orElse(b).getOrElse(
         throw new IllegalArgumentException("readDvEntries: no dv entries"))
+    }
+  }
+
+  /** Merged-schema cache for manifest-planned reads. A committed
+    * version dir is IMMUTABLE (writes stage under fresh wids, commits
+    * rename, vacuum only deletes unreferenced dirs), so the merged
+    * schema of an exact dir list never changes — but mergeSchema
+    * inference launches one distributed footer-read job per
+    * `spark.read`, and an episode composite replays the same snapshot
+    * read dozens of times (measured: 28 of x15_cdc_mirror's 86 jobs
+    * were schema-merge jobs). First read infers and caches; repeats
+    * pass the schema explicitly — zero metadata jobs (optimization
+    * r17, guide §1.2). Driver state is bounded: one small StructType
+    * per distinct dir list. */
+  private val mergedSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Manifest-planned reads pass a BOUNDED, already-known dir list
+    * (≤ owners × buckets entries — the manifest IS the listing, the
+    * table-format argument of guide §6), yet Spark launches a
+    * distributed listing job whenever more than
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` (32)
+    * paths are passed — one scheduler round-trip per snapshot read,
+    * ~10-30 such jobs per episode composite (measured in x15/x14).
+    * Scope driver-side listing to exactly these reads; the bound is
+    * parameterised (`spark.graft.manifestListingThreshold`, default
+    * 4096) for deployments whose object-store listing latency makes
+    * the distributed listing worthwhile at very high bucket counts. */
+  private def withDriverSideListing[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val bound = spark.conf.getOption("spark.graft.manifestListingThreshold")
+      .getOrElse("4096")
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, bound)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
@@ -1243,10 +1308,36 @@ object VersionedStore {
     // ("conflicting directory structures") — split by shape, union.
     def read(es: Seq[ManifestEntry]): Option[DataFrame] =
       if (es.isEmpty) None
-      else Some(spark.read.option("basePath", dataDir(path))
-        .option("mergeSchema", "true")
-        .parquet(es.map(entryDir(path, _)): _*)
-        .withColumn("bucket", col("bucket").cast("long")).drop("v", "w"))
+      else {
+        val dirs = es.map(entryDir(path, _))
+        // all files of one commit share one schema (one staged write),
+        // so the merged schema is a function of the VERSION SET present
+        // (plus the partition-dir shape) — subsets of a snapshot reuse
+        // the full read's schema instead of re-inferring
+        val key = path + "|" + es.map(_.v).distinct.sorted.mkString(",") +
+          "|" + es.head.wid.isDefined
+        val df = withDriverSideListing(spark) {
+          val rdr = spark.read.option("basePath", dataDir(path))
+          Option(mergedSchemaCache.get(key)) match {
+            case Some(st) => rdr.schema(st).parquet(dirs: _*)
+            case None =>
+              val d = rdr.option("mergeSchema", "true").parquet(dirs: _*)
+              // normalize the wid partition column to string before
+              // caching: partition-type inference flips `w` to a
+              // numeric type when a wid happens to be all digits, and
+              // a later wid with hex letters would fail the cast —
+              // the column is dropped right below, so its type only
+              // has to ACCEPT every dir value
+              mergedSchemaCache.put(key,
+                org.apache.spark.sql.types.StructType(d.schema.fields.map(f =>
+                  if (f.name == "w")
+                    f.copy(dataType = org.apache.spark.sql.types.StringType)
+                  else f)))
+              d
+          }
+        }
+        Some(df.withColumn("bucket", col("bucket").cast("long")).drop("v", "w"))
+      }
     val (wids, legacy) = entries.partition(_.wid.isDefined)
     val base = (read(wids), read(legacy)) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)

@@ -496,11 +496,20 @@ object StreamingOps {
       encodedHasCells = true,
       byidPath = Some(s"$stateDir/byid"),
       tenantCol = "tenant", idCol = idCol, embCol = embCol)
-    Serving.searchBatch(st, tenant, probes, k, nProbe, rescoreK,
-        bruteForceCeiling = 0L)
-      .write.mode("overwrite").parquet(f"$stateDir/served/epoch_$epoch%05d")
-    spark.read.parquet(f"$stateDir/served/epoch_$epoch%05d")
+    val out = Serving.searchBatch(st, tenant, probes, k, nProbe, rescoreK,
+      bruteForceCeiling = 0L)
+    out.write.mode("overwrite").parquet(f"$stateDir/served/epoch_$epoch%05d")
+    // read back with the writer's (nullability-forced) schema: parquet
+    // schema inference is a Spark job per read in Spark 4 — one
+    // scheduler round-trip per epoch for a schema already in hand
+    spark.read.schema(servedSchema(out))
+      .parquet(f"$stateDir/served/epoch_$epoch%05d")
   }
+
+  /** The written frame's schema as a file-source read reports it. */
+  private def servedSchema(df: DataFrame): org.apache.spark.sql.types.StructType =
+    graft.operators.ByidStore.asNullable(df.schema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** [[maintainServeBatch]] as a Structured Streaming sink: every CDC
     * micro-batch maintains all three serving assets and serves (and
@@ -600,10 +609,13 @@ object StreamingOps {
       lexStats = Serving.lexStatsFromCounters(counters),
       byidPath = Some(s"$stateDir/byid"),
       tenantCol = "tenant", idCol = "id", embCol = "emb")
-    Serving.searchBatchText(st, tenant, probes, k,
-        bruteForceCeiling = Long.MaxValue, wLex = wLex, wVec = wVec)
-      .write.mode("overwrite").parquet(f"$stateDir/served/epoch_$epoch%05d")
-    spark.read.parquet(f"$stateDir/served/epoch_$epoch%05d")
+    val out = Serving.searchBatchText(st, tenant, probes, k,
+      bruteForceCeiling = Long.MaxValue, wLex = wLex, wVec = wVec)
+    out.write.mode("overwrite").parquet(f"$stateDir/served/epoch_$epoch%05d")
+    // writer-schema read-back — same schema-inference-job note as
+    // maintainServeBatch
+    spark.read.schema(servedSchema(out))
+      .parquet(f"$stateDir/served/epoch_$epoch%05d")
   }
 
   /** [[hybridMaintainServeBatch]] as a Structured Streaming sink —
@@ -715,7 +727,9 @@ object StreamingOps {
         .select(col("vec_id").cast("long").as("id"),
           col("embedding").cast("array<double>").as("emb"))
         .withColumn("tenant", lit("all"))
-      val v1 = all.filter(pmod(col("id"), lit(9L)) =!= 0)
+      // fanOut: the bootstrap's assign/encode passes are per-row vector
+      // math over the whole cohort — single-file scan would serialize
+      val v1 = Tables.fanOut(all.filter(pmod(col("id"), lit(9L)) =!= 0))
       val cents = Search.ivfTrainSampled(v1, "tenant", "id", "emb", 16,
         sampleCap = 256)
       val books = PQc.pqTrainSampled(v1, "tenant", "id", "emb", 4, 8, 256)
@@ -788,9 +802,12 @@ object StreamingOps {
       ByidStore.init(eV1.select("id", "emb", "tenant"), "id",
         s"$sdir/byid", nFiles = 4)
       initCorpusCount(s, sdir)
-      ByidStore.init(Serving.lexDocVectors(dV1, "tenant", "id", "text"),
+      // fanOut: both bootstrap passes tokenize the whole corpus and
+      // would otherwise run inside the single-file scan's one partition
+      val dV1f = Tables.fanOut(dV1)
+      ByidStore.init(Serving.lexDocVectors(dV1f, "tenant", "id", "text"),
         "id", s"$sdir/lex", nFiles = 4)
-      writeLexCounters(sdir, Serving.lexCountersOf(dV1, "tenant", "text"))
+      writeLexCounters(sdir, Serving.lexCountersOf(dV1f, "tenant", "text"))
       val noText = lit(null).cast("string").as("text")
       val noEmb = lit(null).cast("array<double>").as("emb")
       val vFeed = eV1.filter(pmod(col("id"), lit(7L)) === 0)

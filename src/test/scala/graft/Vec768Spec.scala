@@ -25,10 +25,25 @@ class Vec768Spec extends AnyFunSuite {
     }
   }
 
-  test("768-d brute-force kNN stays shuffle-free (scan + TakeOrdered)") {
+  test("768-d brute-force kNN never shuffles vector payloads (narrow fan-out + TakeOrdered)") {
+    // r17: vecs768 fans the single-file scan out to session parallelism
+    // BEFORE the 768-dim synthesis (guide §2.5 — the dot products ran
+    // on one core), so ONE round-robin exchange of narrow (doc_id,
+    // label) rows is the expected shape. The original invariant this
+    // test pins is unchanged: no exchange may carry the synthesized
+    // vectors (no hash/range repartition of payloads, no join
+    // shuffle), and the top-k stays a TakeOrderedAndProject.
     val plan = SparkEntry.queries("v1_knn_768")(spark, d)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"v1_knn_768 must not shuffle:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"v1_knn_768 must not shuffle by key:\n$plan")
+    // any exchange present must sit BELOW the vector synthesis: the
+    // dot-product projection appears only above the (single) exchange
+    val exIdx = plan.indexOf("Exchange")
+    val dotIdx = plan.indexOf("dotproduct")
+    assert(exIdx == -1 || (dotIdx >= 0 && dotIdx < exIdx),
+      s"vector payloads must not cross an exchange:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
