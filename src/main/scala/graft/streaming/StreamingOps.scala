@@ -727,9 +727,10 @@ object StreamingOps {
         .select(col("vec_id").cast("long").as("id"),
           col("embedding").cast("array<double>").as("emb"))
         .withColumn("tenant", lit("all"))
-      // fanOut: the bootstrap's assign/encode passes are per-row vector
-      // math over the whole cohort — single-file scan would serialize
-      val v1 = Tables.fanOut(all.filter(pmod(col("id"), lit(9L)) =!= 0))
+      // (a bootstrap fanOut was measured here and reverted: the
+      // fixture's 16-dim assign/encode passes are too cheap to pay a
+      // shuffle + 32-task overhead for — st_maintain_serve regressed)
+      val v1 = all.filter(pmod(col("id"), lit(9L)) =!= 0)
       val cents = Search.ivfTrainSampled(v1, "tenant", "id", "emb", 16,
         sampleCap = 256)
       val books = PQc.pqTrainSampled(v1, "tenant", "id", "emb", 4, 8, 256)
